@@ -1,0 +1,91 @@
+"""Domain scalar functions (SURVEY.md §2.7 F4–F9).
+
+The reference encodes Swiss-court domain logic as Python helpers and SQL
+CASE chains; here they are column expressions over broadcastable literal
+maps — zero UDFs, so they fold into whole-stage codegen and never block
+predicate pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from itertools import chain
+
+# F7 canton -> 1-of-8 Swiss region (`scrc/utils/sql_select_utils.py:414-440`).
+CANTON_REGION = {
+    "ZH": "Zurich",
+    "BE": "Espace_Mittelland", "SO": "Espace_Mittelland", "FR": "Espace_Mittelland",
+    "NE": "Espace_Mittelland", "JU": "Espace_Mittelland",
+    "AG": "Northwestern_Switzerland", "BS": "Northwestern_Switzerland",
+    "BL": "Northwestern_Switzerland",
+    "GE": "Region_Lemanique", "VD": "Region_Lemanique", "VS": "Region_Lemanique",
+    "SG": "Eastern_Switzerland", "TG": "Eastern_Switzerland", "AI": "Eastern_Switzerland",
+    "AR": "Eastern_Switzerland", "GL": "Eastern_Switzerland", "SH": "Eastern_Switzerland",
+    "GR": "Eastern_Switzerland",
+    "LU": "Central_Switzerland", "OW": "Central_Switzerland", "NW": "Central_Switzerland",
+    "SZ": "Central_Switzerland", "UR": "Central_Switzerland", "ZG": "Central_Switzerland",
+    "TI": "Ticino",
+    "CH": "Federation",
+}
+
+
+def chamber_to_court(col: Column | str) -> Column:
+    """F4: `"_".join(chamber.split("_")[:2])` (`main_utils.py:91-96`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, "_", 2)
+
+
+def chamber_to_canton(col: Column | str) -> Column:
+    """F4: `chamber.split("_")[0]` (`main_utils.py:98-100`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring_index(c, "_", 1)
+
+
+def canton_to_region(col: Column | str) -> Column:
+    """F7 literal map join (no shuffle — a create_map constant)."""
+    c = F.col(col) if isinstance(col, str) else col
+    mapping = F.create_map(
+        *list(chain.from_iterable((F.lit(k), F.lit(v)) for k, v in CANTON_REGION.items()))
+    )
+    return mapping[c]
+
+
+def year_of(col: Column | str) -> Column:
+    """F5: `extract(year from date)` (`dataset_creator.py:552`)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.year(c)
+
+
+def normalize_binary_judgment(judgments: Column | str) -> Column:
+    """F9 ``convert_to_binary_judgments`` (`sql_select_utils.py:361-410`)
+    over an ``array<string>`` of judgment outcomes:
+
+    - strip the ``partial_`` prefix (partial approval counts as approval);
+    - drop procedural outcomes (write_off / unification / inadmissible)
+      when they co-occur with a substantive one;
+    - approval + dismissal in the same decision -> NULL (irreducible);
+    - a single surviving substantive label -> that label;
+    - nothing substantive left -> NULL.
+
+    Pure array expressions: transform -> array_distinct -> array_remove,
+    then a CASE on the surviving set.  This is the highest-value oracle
+    target per SURVEY.md §7.2 step 4 (subtle set semantics).
+    """
+    j = F.col(judgments) if isinstance(judgments, str) else judgments
+    stripped = F.array_distinct(
+        F.transform(j, lambda x: F.regexp_replace(x, "^partial_", ""))
+    )
+    substantive = F.array_remove(
+        F.array_remove(F.array_remove(stripped, "write_off"), "unification"),
+        "inadmissible",
+    )
+    has_app = F.array_contains(substantive, "approval")
+    has_dis = F.array_contains(substantive, "dismissal")
+    return (
+        F.when(j.isNull() | (F.size(j) == 0), F.lit(None).cast("string"))
+        .when(has_app & has_dis, F.lit(None).cast("string"))
+        .when(F.size(substantive) == 1, F.element_at(substantive, 1))
+        .when(F.size(substantive) == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,118 @@
+"""Text-analysis column functions (SURVEY.md §2.7 + LLM-pipeline ops).
+
+Everything here is built-in-expression-only (whole-stage codegen, oracle
+reproducible).  The reference's ``clean_text`` (`scrc/utils/main_utils.py:
+113-139`) mixes regex steps with ``unicodedata`` NFKC normalization; the
+regex steps live here as a codegen-friendly chain (so pushdown/pruning
+survive — SURVEY.md §4 note), while the NFKC step lives in
+``extraction.cleaning`` as a pandas_udf (no built-in NFKC in Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic (E1 analogue: the reference uses a fastText model,
+# `scrc/preprocessors/language_identifier.py:18-58`; at 100 TB a
+# stopword/ngram heuristic is the cheap JVM-side first pass, with the
+# model-based pass as a pandas_udf escalation for low-margin docs).
+STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "mit", "von", "wird"],
+    "fr": ["le", "la", "les", "et", "ne", "pas", "avec", "est"],
+    "it": ["il", "la", "che", "e", "non", "con", "per", "sono"],
+    "en": ["the", "and", "not", "with", "from", "that", "this", "is"],
+    "es": ["el", "la", "que", "y", "no", "con", "por", "una"],
+}
+
+# Regex steps of the reference's clean_text, re-expressed as built-ins
+# (order matters; each tuple = (pattern, replacement)):
+_CLEAN_STEPS = [
+    (r" ", " "),          # NBSP -> space
+    (r"\x00", ""),             # NUL removal (text_to_database.py:280-282)
+    (r"(\w)-\n(\w)", r"$1$2"),  # de-hyphenate linebreaks
+    (r"_+", "_"),              # collapse repeated underscores
+    (r"\s+", " "),             # whitespace collapse
+]
+
+
+def clean_text_col(col: Column | str) -> Column:
+    """The regex portion of clean_text as a regexp_replace chain; pair
+    with ``extraction.cleaning.nfkc_normalize`` for full fidelity."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in _CLEAN_STEPS:
+        c = F.regexp_replace(c, pat, rep)
+    return F.trim(c)
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count (num_tokens analogue, SURVEY.md §1.2)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+# BPE-ish pre-tokenizer: words | single digits | single punctuation —
+# the shape GPT-2-style byte-pair pre-tokenization produces, as a
+# portable regex (Java + RE2 compatible for oracle parity).
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document-quality scoring features (length / punctuation ratio /
+    stopword ratio / mean word length) — the standard pre-training
+    corpus filters (C4/Gopher-style), JVM-side only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*[F.lit(s) for s in all_stop]))
+    )
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_words, F.lit(1)), 6),
+        "mean_word_len": F.round(
+            (F.length(F.concat_ws("", words))) / F.greatest(n_words, F.lit(1)), 6
+        ),
+    }
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of words belonging to ``lang``'s stopword list."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.lower(c)), r"\s+")
+    stops = STOPWORDS[lang]
+    return F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in stops])))
+
+
+def language_id_score(col: Column | str) -> Column:
+    """Heuristic language ID: argmax over per-language stopword hit
+    counts; zero-hit or tied docs -> 'und' (undetermined), mirroring the
+    reference's language_id = -1 unknown state (`language_identifier.py:24`).
+
+    Deliberately an explicit greatest + CASE chain (not a struct sort)
+    so the SQL oracle is a literal transliteration with identical
+    tie-break semantics: first language in alphabetical order wins the
+    argmax, but a tie for the max yields 'und'.
+    """
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits(col, lang) for lang in langs}
+    max_hits = F.greatest(*[hits[lang] for lang in langs])
+    n_at_max = sum(
+        [F.when(hits[lang] == max_hits, 1).otherwise(0) for lang in langs],
+        F.lit(0),
+    )
+    expr = F.when((max_hits == 0) | (n_at_max > 1), F.lit("und"))
+    for lang in langs:
+        expr = expr.when(hits[lang] == max_hits, F.lit(lang))
+    return expr.otherwise(F.lit("und"))

@@ -1,0 +1,184 @@
+"""Core relational operators re-expressed Spark-first (SURVEY.md §2.2–2.6).
+
+Each helper is a thin composition of built-in DataFrame ops so Catalyst
+keeps full visibility (pushdown, pruning, join re-planning).  None of
+them collect to the driver; all are shuffle-minimal by construction:
+
+- ``map_join``        : J2 — THE core denormalization pattern.  One
+  shuffle on the group key; the dim side joins pre-aggregation so the
+  heavy fact rows shuffle exactly once.
+- ``asof_join``       : J6 — as-of with tolerance via union+window, no
+  range-explosion cross join.
+- ``top_k_per_group`` : W1/W2 — rank window; map-side partial top-k is
+  AQE's job, the window shuffles once on the partition key.
+- ``date_stratified_split`` : D8 — a derived column, zero shuffles.
+- ``cutoff_filter``   : P7 — broadcast the tiny cutoff map, filter
+  pre-shuffle so downstream aggregations see less data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def map_join(
+    parent: DataFrame,
+    child: DataFrame,
+    key: str,
+    agg_col: Column,
+    alias: str,
+    how: str = "left",
+) -> DataFrame:
+    """The reference's ``map_join`` (`scrc/utils/sql_select_utils.py:240-257`):
+    ``json_agg(json_build_object(...)) GROUP BY decision_id`` collapsed a
+    child table to one array per parent row, then LEFT JOINed on.
+
+    Spark form: ``child.groupBy(key).agg(agg_col)`` then join.  Aggregate
+    BEFORE the join (not after) so the join's build side is one row per
+    key — at 100 TB this halves the shuffled bytes vs join-then-group.
+    ``agg_col`` is typically ``collect_list(struct(...))``; wrap it in
+    ``sort_array`` at the call site when deterministic order matters.
+    """
+    agg = child.groupBy(key).agg(agg_col.alias(alias))
+    return parent.join(agg, on=key, how=how)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: list[str],
+    left_on: str,
+    right_on: str,
+    tolerance: Column | None = None,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the right row with the greatest
+    ``right_on`` <= ``left_on`` within the same ``partition_keys`` group,
+    optionally within ``tolerance`` (J6 — the citation→ruling page snap,
+    `dataset_creator.py:262-285`: cited page snapped to the greatest BGE
+    start page <= it, if < 20 pages away).
+
+    Implementation: union the two sides tagged by origin, sort within
+    each partition by the time/ordering key, and carry the last-seen
+    right payload forward with ``last(..., ignorenulls=True)`` over a
+    running window.  This is the sort-merge as-of: ONE shuffle on
+    ``partition_keys`` + a sort — no range cross-join blowup, no
+    per-row lookup dict like the reference.  Skewed partitions are
+    handled by AQE; at 100 TB this is the same plan a purpose-built
+    as-of engine (kdb/QuestDB-style) executes.
+    """
+    right_payload = right_payload or [
+        c for c in right.columns if c not in partition_keys and c != right_on
+    ]
+    lcols = [c for c in left.columns]
+
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_on).alias("__ord"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(None).cast(right.schema[right_on].dataType).alias("__r_on"),
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in partition_keys],
+        *[F.col(k) for k in partition_keys],
+        F.col(right_on).alias("__ord"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.col(right_on).alias("__r_on"),
+    ).select(*tagged_left.columns)
+
+    unioned = tagged_left.unionByName(tagged_right)
+    # Right rows sort before left rows at equal ordinates (__is_left asc)
+    # so an exact match is visible to the left row — "<=" semantics.
+    w = (
+        Window.partitionBy(*partition_keys)
+        .orderBy(F.col("__ord").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in lcols],
+        F.col("__is_left"),
+        F.col("__ord"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_payload],
+        F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
+    )
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        within = F.col("__ord") - F.col("__m_on") < tolerance
+        for c in right_payload:
+            out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
+        out = out.withColumn("__m_on", F.when(within, F.col("__m_on")))
+    return out.select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_payload],
+        F.col("__m_on").alias(f"asof_{right_on}"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, partition_keys: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group (W1/W2: top-25 citation tables, top-1000
+    most-common citations).  ``row_number`` (not rank) + deterministic
+    tie-breakers in ``order_by`` keeps results reproducible."""
+    w = Window.partitionBy(*partition_keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def date_stratified_split(
+    df: DataFrame,
+    year_col: str = "year",
+    train_start: int = 1900,
+    val_start: int = 2016,
+    test_start: int = 2018,
+    secret_start: int = 2023,
+) -> DataFrame:
+    """D8 date-stratified splits (`dataset_creator.py:158-159,1058-1071`):
+    train [start,2016) / val [2016,2018) / test [2018,2023) / secret_test
+    [2023,∞).  A derived column — no shuffle; exports partitionBy it."""
+    y = F.col(year_col)
+    return df.withColumn(
+        "split",
+        F.when(y < train_start, F.lit(None).cast("string"))
+        .when(y < val_start, F.lit("train"))
+        .when(y < test_start, F.lit("validation"))
+        .when(y < secret_start, F.lit("test"))
+        .otherwise(F.lit("secret_test")),
+    )
+
+
+def cutoff_filter(
+    df: DataFrame,
+    cutoffs: DataFrame,
+    on: list[str],
+    value_col: str,
+    cutoff_col: str = "cutoff",
+    default_cutoff: int = 0,
+) -> DataFrame:
+    """P7 per-court per-section minimum-token cutoffs
+    (`dataset_creator.py:1146-1232`): join the ~dozens-row cutoff map
+    (broadcast) and keep rows meeting their group's threshold."""
+    joined = df.join(F.broadcast(cutoffs), on=on, how="left")
+    return joined.where(
+        F.col(value_col) >= F.coalesce(F.col(cutoff_col), F.lit(default_cutoff))
+    ).drop(cutoff_col)
+
+
+def value_counts_with_pct(df: DataFrame, attr: str) -> DataFrame:
+    """A10 attribute histogram + percent-of-total
+    (`report_creator.py:126-163`).  The percent uses a global window sum
+    over the (already tiny) grouped result — the heavy input shuffles
+    once for the groupBy; the window runs on the aggregate only."""
+    counts = df.groupBy(attr).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    return counts.select(
+        F.col(attr),
+        F.col("cnt"),
+        (F.col("cnt") * 100.0 / F.sum("cnt").over(w)).alias("pct"),
+    )

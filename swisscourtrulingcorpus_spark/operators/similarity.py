@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths, as a 100 TB design requires:
+
+- ``cosine_topk_bruteforce``: exact top-k for a bounded query set.
+  The query side broadcasts; the corpus streams once; the dot product
+  is a JVM-side ``aggregate(zip_with(...))`` fold — no Python, no
+  per-row UDF.  Cost: O(|queries| × |corpus|) multiply-adds, purely
+  map-side + one top-k shuffle of (query, k) rows.
+- ``lsh_bucketed_topk``: the scale path — restrict candidate pairs to a
+  coarse bucket (here: a precomputed partition id such as an IVF/KMeans
+  assignment; the fixture's ``label`` column stands in for the centroid
+  assignment).  Same plan shape as a production IVF index: bucket join
+  instead of cross join, so cost drops by the bucket fan-out factor.
+
+Floats are cast to double BEFORE any arithmetic (exact widening) and
+similarities are rounded, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.relational import top_k_per_group
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over zipped arrays (matches the
+    oracle's list_dot_product evaluation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (self-matches excluded).  Output: query_id, neighbor_id,
+    cosine (rounded), rank.
+
+    ``broadcast(queries)`` makes the cross join a broadcast nested loop —
+    the corpus never shuffles; only (|queries| × k) rows do, inside the
+    row_number window.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: candidates limited to the query's
+    coarse bucket (centroid assignment / LSH bucket).  Equi-join on the
+    bucket replaces the cross join — this is the 100 TB plan: shuffle
+    on bucket id, compare within buckets only.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(bucket_col).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(bucket_col).alias("__bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                round_to,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

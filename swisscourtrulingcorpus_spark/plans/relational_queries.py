@@ -1,0 +1,612 @@
+"""Relational operator queries (SURVEY.md §2.2–2.6) over the star schema.
+
+Each query exercises one operator family from the SURVEY §2 inventory,
+re-expressed Spark-first, with a value-identical DuckDB oracle.
+
+Scale notes (these run at sf0.1 locally but are written for 100 TB):
+- dims (region/nation/customer/part/supplier) broadcast; the fact
+  tables (lineitem/orders) shuffle at most once per query;
+- all filters are plain column predicates -> parquet pushdown
+  (verified via .explain in tests/test_plans.py);
+- money arithmetic is DECIMAL(18,2) end-to-end (exact partial
+  aggregation, engine-independent) and converts to DOUBLE only after
+  the final merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.relational import (
+    asof_join,
+    date_stratified_split,
+    map_join,
+    top_k_per_group,
+    value_counts_with_pct,
+)
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+# --- A1/P1: pricing summary (TPC-H Q1 shape: scan+filter+agg) ----------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship aggregation: grouped sums/avgs with a pushed-down scan
+    filter (reference analogue: the coverage/count queries of
+    `scrc/utils/sql_select_utils.py:29-68`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            # No round(): Spark round (BigDecimal HALF_UP) and DuckDB round
+            # (multiply-based) can disagree in the last place; instead both
+            # engines compute the SAME double expression (exact decimal sum
+            # -> double -> one division) so the raw bits already match.
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  sum(l_quantity) / count(*) AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- J1/J10/A1: flagship multi-join coverage query ----------------------
+
+def coverage_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's flagship: the reference's judgment-coverage query
+    (`sql_select_utils.py:51-68` — decision ⋈ chamber ⋈ spider ⋈
+    judgment_map → countDistinct) re-shaped onto orders ⋈ customer ⋈
+    nation ⋈ region.  Dims broadcast; orders shuffles once for the agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+COVERAGE_ORACLE = """
+SELECT
+  r_name,
+  count(DISTINCT o_custkey) AS n_customers,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- J2: map_join — collapse child rows to one value per parent --------
+
+def map_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core denormalization (`sql_select_utils.py:240-257`
+    json_agg per decision): lineitems collapsed to a deterministic
+    sorted string per order.  Aggregate-before-join: the join's right
+    side is one row per orderkey."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.concat_ws(
+        ":", F.col("l_linenumber").cast("string"), F.col("l_partkey").cast("string")
+    )
+    out = map_join(
+        orders.select("o_orderkey", "o_orderstatus"),
+        li.select("l_orderkey", item.alias("__item")).withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        key="o_orderkey",
+        agg_col=F.concat_ws(",", F.sort_array(F.collect_list("__item"))),
+        alias="items",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.coalesce(F.col("items"), F.lit("")).alias("items"),
+    )
+
+
+MAP_JOIN_ORACLE = """
+SELECT
+  o.o_orderkey,
+  o.o_orderstatus,
+  coalesce(agg.items, '') AS items
+FROM orders o
+LEFT JOIN (
+  SELECT l_orderkey,
+         string_agg(l_linenumber || ':' || l_partkey, ',' ORDER BY l_linenumber || ':' || l_partkey) AS items
+  FROM lineitem
+  GROUP BY l_orderkey
+) agg ON o.o_orderkey = agg.l_orderkey
+"""
+
+
+# --- P2/P3: chained semi-join membership predicate ----------------------
+
+def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 3-level nested-IN spider predicate
+    (`sql_select_utils.py:108-118`) as chained left_semi joins:
+    lineitems of orders of customers in region AMERICA."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nations_in = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "AMERICA")),
+        nation.n_regionkey == region.r_regionkey,
+        "left_semi",
+    )
+    custs_in = cust.join(
+        F.broadcast(nations_in), cust.c_nationkey == nations_in.n_nationkey, "left_semi"
+    )
+    orders_in = orders.join(
+        F.broadcast(custs_in.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    li_in = li.join(
+        orders_in.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return li_in.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("value"),
+    )
+
+
+SEMI_JOIN_ORACLE = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (
+    SELECT c_custkey FROM customer WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey IN (
+        SELECT r_regionkey FROM region WHERE r_name = 'AMERICA'))))
+GROUP BY l_returnflag
+"""
+
+
+# --- J7: anti-join (incremental / not-found reporting) -------------------
+
+def anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders after 2000-01-01 — the new-files /
+    not-found anti-join shape (`text_to_database.py:135-145`,
+    `report_creator.py:346-370`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+ANTI_JOIN_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+"""
+
+
+# --- J6/W5: as-of join with tolerance ------------------------------------
+
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the citation→ruling page snap, `dataset_creator.py:
+    262-285`): each purchase event snaps to the user's most recent
+    'click' at ts <= purchase ts, kept only if within 30 minutes.
+    Sort-merge as-of: one shuffle on user_id, no range cross-join."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        partition_keys=["user_id"],
+        left_on="ts",
+        right_on="ts",
+        tolerance=F.expr("INTERVAL 30 MINUTES"),
+        right_payload=["click_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("asof_click_id").alias("click_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+
+
+ASOF_ORACLE = """
+WITH p AS (SELECT user_id, event_id AS purchase_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events WHERE event_type = 'click')
+SELECT
+  p.purchase_id,
+  p.user_id,
+  CASE WHEN p.ts - c.cts < INTERVAL 30 MINUTE THEN c.click_id END AS click_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
+"""
+
+
+# --- W1/W2: top-k per group ----------------------------------------------
+
+def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment by value (the top-25/top-1000
+    citation rankings, `doc2doc_ir_dataset_creator.py:110,327`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", _dec("o_totalprice").alias("price")
+    )
+    out = top_k_per_group(
+        df, ["c_mktsegment"], [F.col("price").desc(), F.col("o_orderkey").asc()], 3
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("price").desc(), F.col("o_orderkey").asc()
+    )
+    return out.withColumn("rank", F.row_number().over(w)).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        "rank",
+    )
+
+
+TOPK_ORACLE = """
+SELECT c_mktsegment, o_orderkey, CAST(price AS DOUBLE) AS price, rank
+FROM (
+  SELECT c_mktsegment, o_orderkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+# --- A9: exact percentiles (quartile class boundaries) -------------------
+
+def percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Criticality-quartile boundaries (`criticality_dataset_creator.py:
+    251-256` uses pandas describe() = linear interpolation — matched by
+    Spark `percentile` and DuckDB `quantile_cont`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    # Interpolate over INTEGRAL doubles (floor of the price): with integer
+    # lo/hi and quartile fractions k/4 (exact in binary), both Spark's
+    # `percentile` and DuckDB's `quantile_cont` produce the exact same
+    # double regardless of their interpolation formula's operation order.
+    return orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(floor(o_totalprice), 0.25)").alias("p25"),
+        F.expr("percentile(floor(o_totalprice), 0.5)").alias("p50"),
+        F.expr("percentile(floor(o_totalprice), 0.75)").alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+PERCENTILES_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(floor(o_totalprice), 0.25) AS p25,
+       quantile_cont(floor(o_totalprice), 0.5) AS p50,
+       quantile_cont(floor(o_totalprice), 0.75) AS p75,
+       count(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# --- A4/A5: hierarchical rollup ------------------------------------------
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canton→court→chamber counter ladder (`count_computer.py:40-87`)
+    as a native ROLLUP over region→nation: per-level totals in one pass
+    (partial aggregation map-side, single shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    df = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        df.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
+            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+            "n_customers",
+            "total_balance",
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT
+  coalesce(r_name, '<ALL>') AS region,
+  coalesce(n_name, '<ALL>') AS nation,
+  count(*) AS n_customers,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+# --- A10: value_counts with percent --------------------------------------
+
+def value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute histogram + percent-of-total (`report_creator.py:126-163`)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return value_counts_with_pct(orders, "o_orderpriority")
+
+
+VALUE_COUNTS_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS cnt,
+       count(*) * 100.0 / sum(count(*)) OVER () AS pct
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- A13: histogram binning ----------------------------------------------
+
+def histogram_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-boundary bucketing (`dataset_creator.py:955-961` token-count
+    buckets 0/512/1024/...): bucket = min(floor(price/50000), 9)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(o_totalprice / 50000), 9) AS INTEGER) AS bucket, count(*) AS cnt
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- A8: time-decay weighting ---------------------------------------------
+
+def time_decay_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay weighted counts (`criticality_dataset_creator.py:292-299`:
+    counter * max(0, year-2001)/(now-2001)).  Exact decimal accumulation;
+    one double division at the end."""
+    orders = load_table(spark, sf_dir, "orders")
+    weight = F.greatest(F.year("o_orderdate") - F.lit(1995), F.lit(0)).cast(
+        "decimal(18,2)"
+    )
+    weighted = _dec("o_totalprice") * weight
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(weighted).alias("__wsum"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_custkey",
+            (F.col("__wsum").cast("double") / 6.0).alias("decayed_value"),
+            "n_orders",
+        )
+    )
+
+
+TIME_DECAY_ORACLE = """
+SELECT o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))
+                * CAST(greatest(year(o_orderdate) - 1995, 0) AS DECIMAL(18,2))) AS DOUBLE) / 6.0 AS decayed_value,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+# --- U1/U2: set operations -------------------------------------------------
+
+def set_ops_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set difference (`abstract_preprocessor.py:133-140` remaining-
+    spiders): customers active in 1996 but not in 2000."""
+    orders = load_table(spark, sf_dir, "orders")
+    in_96 = orders.where(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    in_00 = orders.where(F.year("o_orderdate") == 2000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return in_96.subtract(in_00)  # EXCEPT DISTINCT semantics
+
+
+SET_OPS_ORACLE = """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+"""
+
+
+# --- D8: date-stratified splits --------------------------------------------
+
+def date_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-stratified split assignment (`dataset_creator.py:158-159,
+    1058-1071`) with boundaries shifted into the fixture's 1995-2001
+    range; returns per-split counts (a derived column, no extra shuffle
+    beyond the count)."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = date_stratified_split(
+        orders.withColumn("year", F.year("o_orderdate")),
+        train_start=1995,
+        val_start=1998,
+        test_start=2000,
+        secret_start=2001,
+    )
+    return df.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+DATE_SPLIT_ORACLE = """
+SELECT CASE
+         WHEN year(o_orderdate) < 1995 THEN NULL
+         WHEN year(o_orderdate) < 1998 THEN 'train'
+         WHEN year(o_orderdate) < 2000 THEN 'validation'
+         WHEN year(o_orderdate) < 2001 THEN 'test'
+         ELSE 'secret_test'
+       END AS split,
+       count(*) AS cnt
+FROM orders
+GROUP BY 1
+"""
+
+
+# --- P7: per-group cutoff filter -------------------------------------------
+
+def cutoff_filter_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-court per-section minimum-token cutoffs (`dataset_creator.py:
+    1146-1232`): per-returnflag quantity thresholds from a broadcast
+    literal map; unknown groups fall back to the default."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoffs = {"A": 10, "N": 25, "R": 40}
+    cutoff = F.coalesce(
+        *[
+            F.when(F.col("l_returnflag") == k, F.lit(v))
+            for k, v in cutoffs.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        li.where(F.col("l_quantity") >= cutoff)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("l_quantity").cast("double").alias("qty_kept"),
+        )
+    )
+
+
+CUTOFF_ORACLE = """
+SELECT l_returnflag, count(*) AS n_kept, CAST(sum(l_quantity) AS DOUBLE) AS qty_kept
+FROM lineitem
+WHERE l_quantity >= CASE l_returnflag WHEN 'A' THEN 10 WHEN 'N' THEN 25 WHEN 'R' THEN 40 ELSE 0 END
+GROUP BY l_returnflag
+"""
+
+
+# --- F9: binary judgment normalization (set-semantics CASE) ---------------
+
+def binary_label_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`convert_to_binary_judgments` (`sql_select_utils.py:361-410`) —
+    the same multi-label conflict-resolution set semantics applied to
+    per-user event-type sets: purchase→approval, error→dismissal,
+    signup→write_off (procedural, dropped), view/click ignored;
+    approval+dismissal -> NULL."""
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        normalize_binary_judgment,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", "approval")
+        .when(F.col("event_type") == "error", "dismissal")
+        .when(F.col("event_type") == "signup", "write_off")
+        .alias("label"),
+    ).where(F.col("label").isNotNull())
+    per_user = mapped.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("label")).alias("labels")
+    )
+    return per_user.select(
+        "user_id",
+        normalize_binary_judgment("labels").alias("binary_label"),
+    )
+
+
+BINARY_LABEL_ORACLE = """
+WITH mapped AS (
+  SELECT user_id,
+         CASE event_type WHEN 'purchase' THEN 'approval'
+                         WHEN 'error' THEN 'dismissal'
+                         WHEN 'signup' THEN 'write_off' END AS label
+  FROM events
+  WHERE event_type IN ('purchase', 'error', 'signup')
+), per_user AS (
+  SELECT user_id,
+         bool_or(label = 'approval') AS has_app,
+         bool_or(label = 'dismissal') AS has_dis
+  FROM mapped GROUP BY user_id
+)
+SELECT user_id,
+       CASE WHEN has_app AND has_dis THEN NULL
+            WHEN has_app THEN 'approval'
+            WHEN has_dis THEN 'dismissal'
+            ELSE NULL END AS binary_label
+FROM per_user
+"""
+
+
+SPECS = [
+    QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "A1 scan+filter+agg"),
+    QuerySpec("coverage_by_region", coverage_by_region, COVERAGE_ORACLE, "J1/J10 flagship"),
+    QuerySpec("map_join_orders", map_join_orders, MAP_JOIN_ORACLE, "J2 map_join"),
+    QuerySpec("semi_join_membership", semi_join_membership, SEMI_JOIN_ORACLE, "P2 semi-join chain"),
+    QuerySpec("anti_join_inactive_customers", anti_join_inactive_customers, ANTI_JOIN_ORACLE, "J7 anti-join"),
+    QuerySpec("asof_purchase_attribution", asof_purchase_attribution, ASOF_ORACLE, "J6 as-of w/ tolerance"),
+    QuerySpec("topk_orders_per_segment", topk_orders_per_segment, TOPK_ORACLE, "W1/W2 top-k"),
+    QuerySpec("percentiles_order_value", percentiles_order_value, PERCENTILES_ORACLE, "A9 quantiles"),
+    QuerySpec("rollup_region_nation", rollup_region_nation, ROLLUP_ORACLE, "A4 rollup"),
+    QuerySpec("value_counts_priority", value_counts_priority, VALUE_COUNTS_ORACLE, "A10 histogram+pct"),
+    QuerySpec("histogram_order_value", histogram_order_value, HISTOGRAM_ORACLE, "A13 binning"),
+    QuerySpec("time_decay_customer_value", time_decay_customer_value, TIME_DECAY_ORACLE, "A8 decay"),
+    QuerySpec("set_ops_lapsed_customers", set_ops_lapsed_customers, SET_OPS_ORACLE, "U1/U2 except"),
+    QuerySpec("date_split_counts", date_split_counts, DATE_SPLIT_ORACLE, "D8 splits"),
+    QuerySpec("cutoff_filter_lineitem", cutoff_filter_lineitem, CUTOFF_ORACLE, "P7 cutoffs"),
+    QuerySpec("binary_label_per_user", binary_label_per_user, BINARY_LABEL_ORACLE, "F9 label set semantics"),
+]

@@ -1,0 +1,69 @@
+"""SparkSession factory tuned for the engine.
+
+The reference hand-manages memory and parallelism (chunked cursors,
+Pool(16)/ThreadPool(4), dask — SURVEY.md §4); under Spark all of that is
+the scheduler's job.  What we DO own is configuration: AQE for runtime
+re-planning and skew joins (the corpus is skewed: one court dominates),
+Arrow for the pandas_udf extraction layer, and shuffle sizing.
+
+At 100 TB these settings are cluster-level; the helpers here only make
+local runs representative (AQE coalescing keeps small-SF plans from
+drowning in empty partitions while the static ``shuffle.partitions``
+stays high enough to exercise real exchanges).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the driver's local[32] / 128 GiB box; on a real
+# cluster these come from spark-submit conf, not code.
+_DEFAULT_CONFS = {
+    # Runtime re-planning: coalesce post-shuffle partitions, split skewed
+    # ones (the CH_BGer-style skew in SURVEY.md §4), re-plan joins.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Static shuffle width; AQE coalesces below this at small SF.
+    "spark.sql.shuffle.partitions": "32",
+    # Arrow transfer for the pandas_udf extraction layer; bounded batches
+    # keep per-batch memory flat regardless of document size.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # Deterministic wall-clock-independent semantics for oracle parity.
+    "spark.sql.session.timeZone": "UTC",
+    # Dims (language/canton/court/chamber analogues: region/nation/...)
+    # are tiny — let autoBroadcast catch them; AQE converts the rest.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    # Big text columns (html_raw/pdf_raw analogues): cap scan partition
+    # size so a partition of fat rows still fits in executor memory.
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Some sources write TIMESTAMP(NANOS) parquet (the events fixture);
+    # Spark has no nanos timestamp — read as long, converted to micros
+    # in sources.catalog (integer DIV, matching DuckDB's truncation).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "swisscourtrulingcorpus_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default *)
+    so tests, bench.py and the driver share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

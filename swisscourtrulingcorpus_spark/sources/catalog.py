@@ -1,0 +1,92 @@
+"""Parquet star-schema catalog (SURVEY.md §2.1 S6 — the chunk-stream scan).
+
+The reference streams 1000-row pandas chunks off a server-side Postgres
+cursor (`scrc/preprocessors/abstract_preprocessor.py:179-200`).  Under
+Spark that whole mechanism is just a parquet scan: partitioned execution
+subsumes chunking, and Catalyst pushes projections/filters into the scan
+(verify with ``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+
+At 100 TB the same code path holds: ``spark.read.parquet`` over an
+object-store prefix, with partition pruning on any directory-partitioned
+columns.  Nothing here materializes on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver-provided synthetic star schema (TESTDATA.md).  region..lineitem
+# mirror the reference's dim/fact split (language/canton/court/chamber
+# dims around the decision fact); events is the stream-shaped table;
+# documents/embeddings back the LLM-pipeline operators.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tables small enough to always sit on the broadcast side of a join —
+# the analogue of the reference's language(4)/canton(27)/court(~112)/
+# chamber(~287) dims (SURVEY.md §1.2).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark reads them as
+    BIGINT (legacy nanosAsLong) and we restore timestamps below.  One
+    footer read per path, cached; driver-side only."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if str(f.type).startswith("timestamp[ns")
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table = one parquet path; schema comes from parquet footers
+    (explicit and stable — written by the deterministic generator).
+
+    TIMESTAMP(NANOS) columns arrive as nano BIGINTs; convert with
+    integer ``DIV 1000`` (never double math — 1e18 ns exceeds 2^53),
+    truncating toward zero exactly like DuckDB's ns→us read path, so
+    oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register temp views so ``spark.sql`` programs mirror the SQL the
+    reference issues against Postgres (`scrc/utils/sql_select_utils.py`)."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

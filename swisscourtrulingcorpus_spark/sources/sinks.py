@@ -1,0 +1,63 @@
+"""Sinks (SURVEY.md §2.1 S7/S8/S10/S11/S14).
+
+The reference's "upsert" is delete+insert ("Delete and reinsert as no
+upsert command is available", `scrc/preprocessors/extractors/
+section_splitter.py:140-174`), and its bulk column update is a bindparam
+batch (`abstract_preprocessor.py:203-244`).  On a lakehouse both become
+set operations over immutable files: anti-join out the superseded rows,
+union in the new ones, rewrite.  With Delta available this is
+``MERGE INTO``; the plain-parquet forms below have identical semantics
+and stay fully distributed (no driver loop, no per-row statements).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_by_key(existing: DataFrame, incoming: DataFrame, keys: list[str]) -> DataFrame:
+    """Delete+insert semantics: any existing row whose key appears in
+    ``incoming`` is replaced by the incoming rows for that key.
+
+    Mirrors S7 (e.g. `citation_extractor.py:56-77`): the extractor deletes
+    *all* rows for the incoming decision_ids then inserts fresh — so this
+    is key-level replacement, not row-level merge.  ``left_anti`` on the
+    (small, distinct) key set broadcasts at any scale where the incoming
+    batch is incremental.
+    """
+    new_keys = incoming.select(*keys).distinct()
+    survivors = existing.join(F.broadcast(new_keys), on=keys, how="left_anti")
+    return survivors.unionByName(incoming.select(*existing.columns))
+
+
+def bulk_update_columns(
+    base: DataFrame, updates: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Column-wise upsert (S8): set ``cols`` from ``updates`` where the key
+    matches, keep the old value elsewhere — one join + coalesce per column
+    instead of the reference's per-row UPDATE batch."""
+    renamed = updates.select(
+        F.col(key), *[F.col(c).alias(f"__new_{c}") for c in cols]
+    )
+    out = base.join(renamed, on=key, how="left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
+    return out.drop(*[f"__new_{c}" for c in cols])
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Split-partitioned export (S10/S11): the reference writes one JSONL
+    file per split (`dataset_creator.py:472-491`); here
+    ``partitionBy("split")`` yields the same layout with parallel writers
+    and partition pruning for readers."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
