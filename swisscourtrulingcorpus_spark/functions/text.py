@@ -76,13 +76,15 @@ def quality_features(col: Column | str) -> dict[str, Column]:
     n_stop = F.size(
         F.filter(words, lambda w: w.isin(*[F.lit(s) for s in all_stop]))
     )
+    # int/int divisions only — identical doubles in Spark and DuckDB
+    # (no round(): the engines' double rounding differs; raw bits match).
     return {
         "n_chars": n_chars,
         "n_words": n_words,
-        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6),
-        "stopword_ratio": F.round(n_stop / F.greatest(n_words, F.lit(1)), 6),
-        "mean_word_len": F.round(
-            (F.length(F.concat_ws("", words))) / F.greatest(n_words, F.lit(1)), 6
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "stopword_ratio": n_stop / F.greatest(n_words, F.lit(1)),
+        "mean_word_len": (
+            F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
         ),
     }
 

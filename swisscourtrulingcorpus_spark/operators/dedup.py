@@ -184,9 +184,11 @@ def ngram_jaccard_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
-            ).alias("jaccard"),
+            # int/int division -> identical double in Spark and DuckDB;
+            # no round() (engines' rounding of doubles differs).
+            (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias(
+                "jaccard"
+            ),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -13,8 +13,10 @@ Two paths, as a 100 TB design requires:
   assignment).  Same plan shape as a production IVF index: bucket join
   instead of cross join, so cost drops by the bucket fan-out factor.
 
-Floats are cast to double BEFORE any arithmetic (exact widening) and
-similarities are rounded, so the DuckDB oracle matches bit-for-bit.
+Floats are cast to double BEFORE any arithmetic (exact widening); the
+sequential fold matches DuckDB's list_dot_product evaluation order, so
+raw cosine doubles are bit-identical to the oracle (verified
+empirically) — no rounding, which would itself diverge between engines.
 """
 
 from __future__ import annotations
@@ -51,7 +53,6 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    round_to: int = 6,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest corpus
     vectors (self-matches excluded).  Output: query_id, neighbor_id,
@@ -73,10 +74,9 @@ def cosine_topk_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            (
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
-                round_to,
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
             ).alias("cosine"),
         )
     )
@@ -101,7 +101,6 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    round_to: int = 6,
 ) -> DataFrame:
     """IVF-style approximate top-k: candidates limited to the query's
     coarse bucket (centroid assignment / LSH bucket).  Equi-join on the
@@ -124,10 +123,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            (
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
-                round_to,
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
             ).alias("cosine"),
         )
     )

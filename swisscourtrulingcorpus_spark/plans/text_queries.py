@@ -1,11 +1,394 @@
 """Text-analysis / dedup / similarity queries (LLM-pipeline operators).
 
-Filled in after the relational batch; see operators.dedup,
-operators.similarity, functions.text.
+These are the training-data-pipeline operators a 100 TB corpus engine
+needs beyond the reference's own inventory (sanctioned by BASELINE.md's
+north star): exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup,
+brute-force and IVF-bucketed cosine similarity search, language ID,
+quality scoring, token counting, n-gram mining (SURVEY.md A6), TF-IDF
+relevance (A12), and rolling-hash fingerprinting.
+
+Every oracle is generated from the SAME parameters as the Spark side
+(hash seeds, band layout, stopword lists), so the two can't drift.
+Hashes are md5-based (`functions.hashing.h32`) — engine-independent.
 """
 
 from __future__ import annotations
 
-from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-SPECS: list[QuerySpec] = []
+from swisscourtrulingcorpus_spark.functions.text import (
+    STOPWORDS,
+    BPE_REGEX,
+    language_id_score,
+    quality_features,
+    token_count_bpe,
+    token_count_ws,
+)
+from swisscourtrulingcorpus_spark.functions.hashing import h32, word_shingles
+from swisscourtrulingcorpus_spark.operators.dedup import (
+    LSH_BANDS,
+    NUM_MINHASH,
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from swisscourtrulingcorpus_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_bucketed_topk,
+)
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------- SQL bits
+
+def _h32_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}),1,8))::UBIGINT AS BIGINT)"
+
+
+# Words for shingling: lowercase, whitespace-collapse, trim, split(' ') —
+# identical to functions.hashing.normalize_ws + split.
+_WORDS_CTE = (
+    "words AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+    r"'\s+', ' ', 'g')), ' ') AS w FROM documents)"
+)
+_SHINGLE_CTE = (
+    "sh_all AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1,1)), "
+    "i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingle FROM words)"
+)
+_DISTINCT_SH_CTE = "sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)"
+
+
+def _minhash_sql_cte() -> str:
+    mins = ", ".join(
+        f"min({_h32_sql(repr(str(j) + '|') + ' || shingle')}) AS mh{j}"
+        for j in range(NUM_MINHASH)
+    )
+    return (
+        f"WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE}, "
+        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+EXACT_DEDUP_ORACLE = """
+SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "text", "doc_id")
+
+
+MINHASH_ORACLE = _minhash_sql_cte() + "\nSELECT * FROM sig"
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, "text", "doc_id")
+
+
+def _lsh_oracle() -> str:
+    rows = NUM_MINHASH // LSH_BANDS
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)
+        )
+        for b in range(LSH_BANDS)
+    )
+    return (
+        _minhash_sql_cte()
+        + f""",
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "text", "doc_id")
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = _h32_sql("'sim|' || shingle")
+    votes = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""
+WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE},
+votes AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id)
+SELECT doc_id, {sig} AS simhash FROM votes
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id")
+
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle WHERE f.df <= 100),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE shared / (sa.n + sb.n - shared) >= 0.2
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+COSINE_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c, q WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+IVF_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv) /
+         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+  FROM c JOIN q ON c.label = q.label WHERE neighbor_id != query_id)
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", language_id_score("text").alias("lang_pred")
+    )
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(STOPWORDS)
+    hit_defs = ", ".join(
+        "len(list_filter(w, x -> list_contains(["
+        + ", ".join(repr(s) for s in STOPWORDS[lang])
+        + f"], x))) AS hits_{lang}"
+        for lang in langs
+    )
+    max_expr = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    n_at_max = " + ".join(
+        f"CASE WHEN hits_{lang} = {max_expr} THEN 1 ELSE 0 END" for lang in langs
+    )
+    pick = " ".join(
+        f"WHEN hits_{lang} = {max_expr} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH w_cte AS (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+hits AS (SELECT doc_id, lang, {hit_defs} FROM w_cte)
+SELECT doc_id, lang,
+       CASE WHEN {max_expr} = 0 OR ({n_at_max}) > 1 THEN 'und' {pick} ELSE 'und' END AS lang_pred
+FROM hits
+"""
+
+
+def q_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return docs.select(
+        "doc_id", *[expr.alias(name) for name, expr in feats.items()]
+    )
+
+
+def _quality_oracle() -> str:
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(repr(s) for s in all_stop)
+    return f"""
+WITH w_cte AS (
+  SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents)
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(w) AS n_words,
+       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) / greatest(length(text), 1) AS punct_ratio,
+       len(list_filter(w, x -> list_contains([{stop_list}], x))) / greatest(len(w), 1) AS stopword_ratio,
+       length(regexp_replace(trim(lower(text)), '\\s+', '', 'g')) / greatest(len(w), 1) AS mean_word_len
+FROM w_cte
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws("text").alias("n_tokens_ws"),
+        token_count_bpe("text").alias("n_tokens_bpe"),
+    )
+
+
+TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{BPE_REGEX}')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 n-gram frequency mining (`pattern_extractor.py:154-187`:
+    count >= 5 threshold): all 3-gram occurrences across the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 5)
+    )
+
+
+NGRAM_FREQ_ORACLE = f"""
+WITH {_WORDS_CTE}, {_SHINGLE_CTE}
+SELECT shingle AS ngram, count(*) AS cnt
+FROM sh_all
+GROUP BY shingle
+HAVING count(*) >= 5
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 TF-IDF relevance (`doc2doc_ir_dataset_creator.py:287-325`,
+    sklearn smooth-idf formula: idf = ln((1+N)/(1+df)) + 1): top-5 terms
+    per document for doc_id < 20, ranked by tf*idf.  The double score is
+    used only for ORDERING (ties share identical (tf, df) so both
+    engines break them identically by term); output columns are ints.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.where(F.col("doc_id") < 20)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
+
+
+TFIDF_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (ln((1 + n.n_docs) / (1 + df.df)) + 1) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored WHERE doc_id < 20)
+WHERE rank <= 5
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: fold (acc*31 + h32(word)) mod
+    2^31-1 over the word sequence — order-sensitive, so reordered
+    near-dups fingerprint differently (unlike MinHash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    hashes = F.transform(words, lambda w: h32(w))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 2147483647,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+FINGERPRINT_ORACLE = f"""
+WITH {_WORDS_CTE}
+SELECT doc_id,
+       list_reduce(
+         list_concat([CAST(0 AS BIGINT)],
+                     list_transform(w, x -> {_h32_sql('x')})),
+         (a, b) -> (a * 31 + b) % 2147483647) AS fingerprint
+FROM words
+"""
+
+
+SPECS = [
+    QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
+    QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
+    QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_oracle(), "LSH candidates"),
+    QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
+    QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
+    QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
+    QuerySpec("ivf_topk_bucketed", q_ivf_topk, IVF_TOPK_ORACLE, "ANN IVF bucketed"),
+    QuerySpec("language_id_documents", q_language_id, _lang_id_oracle(), "E1 lang id"),
+    QuerySpec("quality_features_documents", q_quality_features, _quality_oracle(), "quality scoring"),
+    QuerySpec("token_counts_documents", q_token_counts, TOKEN_COUNTS_ORACLE, "A3 token counts"),
+    QuerySpec("ngram_freq_documents", q_ngram_freq, NGRAM_FREQ_ORACLE, "A6 ngram mining"),
+    QuerySpec("tfidf_top_terms", q_tfidf_top_terms, TFIDF_ORACLE, "A12 tf-idf"),
+    QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),
+]
