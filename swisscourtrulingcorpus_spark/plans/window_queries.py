@@ -1,12 +1,167 @@
-"""Event-time window queries (streaming surface, batch-checkable).
+"""Event-time window queries over the events table (SURVEY.md §2.10).
 
-Filled in with tumbling/sliding/session windows over the events table;
-the Structured Streaming equivalents live in
-swisscourtrulingcorpus_spark.streaming.
+The reference is batch-only ("streaming" = incremental batch); these
+queries are the engine capabilities beyond it — tumbling / sliding /
+session windows and event-gap analytics — expressed as BATCH DataFrame
+programs oracle-checked by DuckDB.  The same logic runs as Structured
+Streaming in ``swisscourtrulingcorpus_spark.streaming`` (tested in
+tests/test_streaming.py by equivalence against these batch results).
+
+Timestamps are formatted to strings at the output boundary (second
+precision) so engine-side timestamp representations never leak into the
+hash comparison.
 """
 
 from __future__ import annotations
 
-from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-SPECS: list[QuerySpec] = []
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type: count + exact value sum.
+    ``window()`` aligns to the epoch, i.e. identical to date_trunc."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_ORACLE = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour length, 30-minute slide — each event lands
+    in exactly two windows.  Spark's ``window(ts, '1 hour', '30 min')``
+    explodes to per-window rows natively."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+SLIDING_ORACLE = """
+WITH starts AS (
+  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+  FROM events)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, count(*) AS cnt
+FROM starts
+GROUP BY 1
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap — the
+    one genuinely stateful windowing shape.  Batch form uses the native
+    ``session_window``; the oracle derives identical sessions via
+    gaps-and-islands (lag + running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("__last"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("__last", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
+
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytics: inter-event gap per user, aggregated per
+    event_type.  Gap in exact integer microseconds; the mean is one
+    bigint-sum / count division (identical double both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gapped = ev.select("event_type", gap.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    return gapped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.sum("gap_us") / F.count(F.lit(1))).alias("mean_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+EVENT_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+SELECT event_type,
+       count(*) AS n_gaps,
+       sum(gap_us) / count(*) AS mean_gap_us,
+       max(gap_us) AS max_gap_us
+FROM gaps
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+SPECS = [
+    QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
+    QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
+    QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
+    QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
+]

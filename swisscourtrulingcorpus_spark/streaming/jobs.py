@@ -1,0 +1,128 @@
+"""Streaming jobs: file-source ingest → watermarked windowed aggs.
+
+Design for scale: the file source lists new files per micro-batch (the
+incremental anti-join the reference hand-rolls); watermarks bound state
+so a 100 TB backfill doesn't accumulate unbounded window state; and
+``Trigger.AvailableNow`` gives exactly the reference's "process
+everything new, then stop" daily-cron semantics with checkpointed
+resume.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table.  Schema is pinned from the
+    batch reader (a streaming source must never infer), and the
+    TIMESTAMP(NANOS) column arrives as nano-BIGINT (nanosAsLong) and is
+    restored with integer DIV — same path as the batch catalog.
+
+    The file source requires a *directory* (it lists files per
+    micro-batch); the fixture is a single parquet file, so stage a
+    symlink directory — zero-copy, works at any file size.  The staging
+    path is DETERMINISTIC per source path: a checkpoint records the
+    source basePath, so a fresh random dir per call would break resume
+    ("Wrong basePath" on the second run).
+    """
+    import hashlib
+
+    path = os.path.join(sf_dir, "events.parquet")
+    key = hashlib.md5(path.encode()).hexdigest()[:12]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream
+
+
+def tumbling_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour counts + value sums per event_type, with a
+    watermark bounding state: windows older than the watermark are
+    finalized and evicted (late rows beyond it are dropped)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def session_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Session windows (30-min gap) per user under watermark — the
+    stateful-streaming shape (`applyInPandasWithState`-class problems
+    solved with the built-in session_window operator)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Run a streaming aggregation to completion over all currently
+    available input (Trigger.AvailableNow), landing in a memory sink;
+    returns the completed result as a batch DataFrame.
+
+    ``outputMode("complete")`` because the memory sink collects final
+    window results; a production job would write append-mode to parquet
+    with the watermark finalizing windows.
+    """
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def incremental_event_counts(
+    spark: SparkSession, sf_dir: str, manifest: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """The reference-faithful incremental-batch path (process_new_files
+    analogue): anti-join out already-seen event_ids, aggregate only the
+    new ones, and return (result, updated_manifest)."""
+    from swisscourtrulingcorpus_spark.sources.manifest import (
+        new_rows_only,
+        processed_union,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fresh = new_rows_only(ev, manifest, ["event_id"])
+    counts = fresh.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts, processed_union(manifest, fresh, ["event_id"])
