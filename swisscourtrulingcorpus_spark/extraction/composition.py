@@ -1,0 +1,120 @@
+"""E7 CourtCompositionExtractor — header → president/judges/clerks.
+
+Reference behavior (`scrc/preprocessors/extractors/
+court_composition_extractor.py:20-117` + spider functions): role
+markers in the header ("Bundesrichter", "Gerichtsschreiberin", ...)
+introduce runs of person names; the president is flagged by
+"Präsident/in" context; gender is inferred from the feminine role
+suffix ("-in").
+
+This is a compact re-implementation covering the marker shapes the
+reference's golden tests exercise (`scrc/utils/test_utils.py` fixture
+SHAPES — the code here is fresh).  Output: one struct per header.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# role markers: (regex, role, gender) — feminine suffix "-in(nen)" => f
+_ROLE_MARKERS = [
+    (r"(?:Bundes|Ober|Verwaltungs)?[Rr]ichterin(?:nen)?", "judge", "f"),
+    (r"(?:Bundes|Ober|Verwaltungs)?[Rr]ichter", "judge", "m"),
+    (r"Gerichtsschreiberin(?:nen)?", "clerk", "f"),
+    (r"Gerichtsschreiber", "clerk", "m"),
+    (r"[Jj]uges?", "judge", None),
+    (r"[Gg]reffi[èe]re?s?", "clerk", None),
+    (r"[Gg]iudici|[Gg]iudice", "judge", None),
+    (r"[Cc]ancellier[ae]", "clerk", None),
+]
+_PRESIDENT_RX = re.compile(
+    r"Pr[äe]sident(in)?|[Pp]r[ée]sident(e)?|[Pp]residente"
+)
+# a name: capitalized token(s), allowing hyphens/apostrophes
+_NAME_RX = re.compile(
+    r"\b([A-ZÄÖÜÉÈ][\wäöüéèàç'-]+(?:\s+[A-ZÄÖÜÉÈ][\wäöüéèàç'-]+)*)"
+)
+
+_PERSON = StructType(
+    [StructField("name", StringType()), StructField("gender", StringType())]
+)
+COMPOSITION_SCHEMA = StructType(
+    [
+        StructField("president", StringType()),
+        StructField("judges", ArrayType(_PERSON)),
+        StructField("clerks", ArrayType(_PERSON)),
+    ]
+)
+
+_STOPWORDS = {
+    "Der", "Die", "Das", "Und", "Mit", "Als", "In", "Im", "Am",
+    "Besetzung", "Parteien", "Gegenstand", "Le", "La", "Les", "Et",
+    # role titles are markers, never names
+    "Präsident", "Präsidentin", "Président", "Présidente", "Presidente",
+    "Einzelrichter", "Einzelrichterin",
+}
+
+
+def _names_after(segment: str) -> list[str]:
+    names = []
+    for m in _NAME_RX.finditer(segment):
+        token = m.group(1)
+        if token.split()[0] in _STOPWORDS:
+            continue
+        names.append(token)
+    return names
+
+
+def extract_composition_py(header: str | None) -> dict | None:
+    if header is None:
+        return None
+    judges: list[dict] = []
+    clerks: list[dict] = []
+    president = None
+    # split the header into role-introduced segments
+    matches = []
+    for pat, role, gender in _ROLE_MARKERS:
+        for m in re.finditer(pat, header):
+            matches.append((m.start(), m.end(), role, gender))
+    matches.sort()
+    for i, (start, end, role, gender) in enumerate(matches):
+        seg_end = matches[i + 1][0] if i + 1 < len(matches) else len(header)
+        segment = header[end:seg_end]
+        # cut the segment at a sentence/paragraph boundary
+        segment = re.split(r"[.\n;]", segment, maxsplit=1)[0]
+        for name in _names_after(segment):
+            person = {"name": name, "gender": gender}
+            if role == "judge":
+                # president flag: marker context right around this name
+                ctx = header[max(0, start - 40): min(len(header), end + 40 + len(segment))]
+                if president is None and _PRESIDENT_RX.search(ctx):
+                    president = name
+                if person not in judges:
+                    judges.append(person)
+            elif role == "clerk" and person not in clerks:
+                clerks.append(person)
+    if not judges and not clerks:
+        return None
+    return {"president": president, "judges": judges, "clerks": clerks}
+
+
+@pandas_udf(COMPOSITION_SCHEMA)
+def extract_composition_udf(header: pd.Series) -> pd.DataFrame:
+    # StructType return => a DataFrame with one column per field
+    rows = [extract_composition_py(h) for h in header]
+    return pd.DataFrame(
+        {
+            "president": [r["president"] if r else None for r in rows],
+            "judges": [r["judges"] if r else None for r in rows],
+            "clerks": [r["clerks"] if r else None for r in rows],
+        }
+    )

@@ -1,0 +1,146 @@
+"""E5 JudgmentExtractor — rulings text → set of outcomes.
+
+Reference behavior (`scrc/preprocessors/extractors/judgment_extractor.py`
++ `spider_specific/judgment_extracting_functions.py`):
+
+- skip rulings longer than 3000 chars (false-positive guard, `:10-12`);
+- if the ruling is NUMBERED (arabic ``1.`` / roman ``I.``), walk the
+  numbered sub-rulings in order and collect outcomes from each until
+  markers stop matching (`:218-272, 308-335`);
+- otherwise the EARLIEST-position marker match decides (`getFirstInstance`,
+  `:292-305`);
+- a ``partial_*`` outcome suppresses the corresponding full outcome when
+  both match the same text (`:240-252`);
+- language-specific marker dictionary (`:66-121`).
+
+Marker data below is fresh (condensed, same shape).  Output is
+``array<string>`` of outcome names; empty array = nothing found (the
+coverage metric counts these); null input → null.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+MAX_CHAR_COUNT = 3000
+
+# outcome -> language -> markers (substring regexes, fresh data)
+JUDGMENT_MARKERS: dict[str, dict[str, list[str]]] = {
+    "approval": {
+        "de": [r"wird gutgeheissen", r"wird die Beschwerde gutgeheissen"],
+        "fr": [r"est admis\b", r"sont admis\b"],
+        "it": [r"è accolto", r"sono accolti"],
+    },
+    "partial_approval": {
+        "de": [r"teilweise gutgeheissen"],
+        "fr": [r"partiellement admis"],
+        "it": [r"parzialmente accolto"],
+    },
+    "dismissal": {
+        "de": [r"wird abgewiesen", r"werden abgewiesen"],
+        "fr": [r"est rejeté", r"sont rejetés"],
+        "it": [r"è respinto", r"sono respinti"],
+    },
+    "partial_dismissal": {
+        "de": [r"teilweise abgewiesen"],
+        "fr": [r"partiellement rejeté"],
+        "it": [r"parzialmente respinto"],
+    },
+    "inadmissible": {
+        "de": [r"wird nicht eingetreten", r"Nichteintreten"],
+        "fr": [r"est irrecevable", r"n'entre pas en matière"],
+        "it": [r"è inammissibile"],
+    },
+    "write_off": {
+        "de": [r"wird abgeschrieben", r"als gegenstandslos"],
+        "fr": [r"est rayée du rôle", r"sans objet"],
+        "it": [r"è stralciata dai ruoli"],
+    },
+    "unification": {
+        "de": [r"werden vereinigt"],
+        "fr": [r"sont jointes"],
+        "it": [r"sono congiunte"],
+    },
+}
+
+_ARABIC_NUMBERED = re.compile(r"(?:^|\n)\s*(\d{1,2})\.\s")
+_ROMAN_NUMBERED = re.compile(r"(?:^|\n)\s*([IVX]{1,4})\.\s")
+
+
+def _compiled(lang: str) -> dict[str, list[re.Pattern]]:
+    out = {}
+    for outcome, by_lang in JUDGMENT_MARKERS.items():
+        pats = by_lang.get(lang, [])
+        out[outcome] = [re.compile(p, re.IGNORECASE) for p in pats]
+    return out
+
+
+def _outcomes_in(text: str, markers: dict[str, list[re.Pattern]]) -> set[str]:
+    found = set()
+    for outcome, pats in markers.items():
+        if any(rx.search(text) for rx in pats):
+            found.add(outcome)
+    # partial_* suppresses the plain outcome matched by the same span
+    for partial, full in (
+        ("partial_approval", "approval"),
+        ("partial_dismissal", "dismissal"),
+    ):
+        if partial in found:
+            found.discard(full)
+    return found
+
+
+def _first_outcome(text: str, markers: dict[str, list[re.Pattern]]) -> set[str]:
+    """Unnumbered ruling: earliest marker position wins (getFirstInstance)."""
+    best_pos, best = None, None
+    for outcome, pats in markers.items():
+        for rx in pats:
+            m = rx.search(text)
+            if m and (best_pos is None or m.start() < best_pos):
+                best_pos, best = m.start(), outcome
+    if best is None:
+        return set()
+    found = {best}
+    # check the partial variant at the same location
+    for partial, full in (
+        ("partial_approval", "approval"),
+        ("partial_dismissal", "dismissal"),
+    ):
+        if best == full and any(rx.search(text) for rx in markers[partial]):
+            found = {partial}
+    return found
+
+
+def extract_judgments_py(text: str | None, lang: str | None) -> list[str] | None:
+    if text is None:
+        return None
+    if len(text) > MAX_CHAR_COUNT:
+        return []
+    markers = _compiled(lang or "de")
+    # numbered sub-rulings: split and walk in order, union outcomes
+    segments = None
+    if _ARABIC_NUMBERED.search(text):
+        segments = _ARABIC_NUMBERED.split(text)[2::2]  # texts after each number
+    elif _ROMAN_NUMBERED.search(text):
+        segments = _ROMAN_NUMBERED.split(text)[2::2]
+    if segments:
+        found: set[str] = set()
+        for seg in segments:
+            seg_found = _outcomes_in(seg, markers)
+            if not seg_found and found:
+                break  # markers stopped matching — later items are costs etc.
+            found |= seg_found
+        return sorted(found)
+    return sorted(_first_outcome(text, markers))
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_judgments_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
+    return pd.Series(
+        [extract_judgments_py(t, lg) for t, lg in zip(text, lang)],
+        dtype=object,
+    )

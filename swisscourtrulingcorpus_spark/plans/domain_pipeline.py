@@ -1,0 +1,224 @@
+"""The corpus-construction pipeline + dataset creators (SURVEY.md §2.9, §3).
+
+The reference's `scrc.main` runs scraper → text-to-db → language-ID →
+cleaner → section splitter → citation/judgment/lower-court/composition
+extractors → dataset creators, with Postgres as the inter-stage IR
+(`scrc/main.py:96-136`).  Here the pipeline is ONE linear DataFrame
+DAG — each stage a transformation, tables materialized (or cached)
+between stages — and each dataset creator is a ~30-line DataFrame
+program ending in a date-stratified split column.
+
+Scale shape: the per-document extraction work is Arrow-batched
+pandas_udfs (map-side only, no shuffle); the relational assembly is
+the J2 map_join pattern (aggregate-before-join); the only shuffles are
+the groupBys on decision_id and the final split write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.extraction import (
+    clean_text_udf,
+    extract_citations_udf,
+    extract_composition_udf,
+    extract_judgments_udf,
+    split_sections_udf,
+    uuid5_udf,
+)
+from swisscourtrulingcorpus_spark.functions.domain import (
+    normalize_binary_judgment,
+)
+from swisscourtrulingcorpus_spark.functions.text import (
+    language_id_score,
+    token_count_ws,
+)
+from swisscourtrulingcorpus_spark.operators.relational import (
+    asof_join,
+    date_stratified_split,
+    map_join,
+)
+
+
+def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
+    """raw(file_name, raw_text, spider, chamber, date, ...) → the core
+    domain tables: decision, section, citation, judgment, composition.
+
+    Mirrors §3.1's stage order; decision_id is the reference's UUIDv5
+    of file_name (`sql_select_utils.py:168`) so ids are stable.
+    """
+    decisions = raw.select(
+        uuid5_udf("file_name").alias("decision_id"),
+        "file_name",
+        "spider",
+        "chamber",
+        "date",
+        clean_text_udf("raw_text").alias("clean_text"),
+        F.col("raw_text"),
+    )
+    # E1 language ID: heuristic first pass (JVM-side); the reference
+    # fills only unknown rows (language_id = -1) — here all rows.
+    decisions = decisions.withColumn("language", language_id_score("raw_text"))
+    # the heuristic 'und' rows fall back to the spider's dominant
+    # language (broadcast dim join in real data; literal map here)
+    decisions = decisions.withColumn(
+        "language",
+        F.when(F.col("language") != "und", F.col("language")).otherwise(
+            F.when(F.col("spider") == "VD_TC", "fr")
+            .when(F.col("spider") == "TI_TA", "it")
+            .otherwise("de")
+        ),
+    ).cache()
+
+    # E3 section splitting: UDF → explode → section rows (UDTF shape)
+    sections = (
+        decisions.select(
+            "decision_id",
+            "language",
+            F.explode(split_sections_udf("raw_text", "language")).alias("s"),
+        )
+        .select(
+            "decision_id",
+            "language",
+            F.col("s.section").alias("section"),
+            F.col("s.text").alias("section_text"),
+        )
+        .withColumn("num_tokens", token_count_ws("section_text"))
+    ).cache()
+
+    # E4 citations from considerations + full text
+    citations = (
+        sections.where(F.col("section") == "considerations")
+        .select(
+            "decision_id",
+            F.explode(extract_citations_udf("section_text")).alias("c"),
+        )
+        .select("decision_id", "c.*")
+    )
+
+    # E5 judgments from the rulings section
+    judgments = (
+        sections.where(F.col("section") == "rulings")
+        .select(
+            "decision_id",
+            extract_judgments_udf("section_text", "language").alias("judgments"),
+        )
+    )
+
+    # E7 court composition from the header
+    composition = (
+        sections.where(F.col("section") == "header")
+        .select(
+            "decision_id",
+            extract_composition_udf("section_text").alias("comp"),
+        )
+        .select("decision_id", "comp.*")
+    )
+
+    return {
+        "decision": decisions,
+        "section": sections,
+        "citation": citations,
+        "judgment": judgments,
+        "composition": composition,
+    }
+
+
+def _sections_pivot(sections: DataFrame) -> DataFrame:
+    """Flatten section rows to one column per feature section (the
+    reference's expand_df, `dataset_creator.py:779-817`) — a pivot,
+    replacing its O(n²) row patching with one shuffle."""
+    return (
+        sections.groupBy("decision_id")
+        .pivot("section", ["facts", "considerations", "rulings", "header"])
+        .agg(F.first("section_text"))
+    )
+
+
+def judgment_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D1 JudgmentDatasetCreator (`judgment_dataset_creator.py:13-56`):
+    facts+considerations features, binary label via F9, date splits."""
+    decisions = tables["decision"]
+    pivot = _sections_pivot(tables["section"])
+    judged = tables["judgment"]
+    df = (
+        decisions.select("decision_id", "spider", "chamber", "date", "language")
+        .join(pivot, on="decision_id", how="left")
+        .join(judged, on="decision_id", how="left")
+        .withColumn("label", normalize_binary_judgment("judgments"))
+        .where(F.col("label").isNotNull())          # P8 dropna(judgments)
+        .where(F.col("facts").isNotNull())          # D1 filter FACTS
+        .withColumn("year", F.year("date"))
+    )
+    return date_stratified_split(
+        df, train_start=1900, val_start=2016, test_start=2018, secret_start=2023
+    )
+
+
+def criticality_dataset(
+    tables: dict[str, DataFrame], leading: DataFrame
+) -> DataFrame:
+    """D2 CriticalityDatasetCreator (`criticality_dataset_creator.py:
+    57-385`): citation-count labels via weighted counts and quartile
+    boundaries (A7–A9), with the J6 as-of page snap onto the
+    leading-rulings start pages."""
+    cits = tables["citation"].where(F.col("type") == "ruling")
+    snapped = asof_join(
+        cits.select("decision_id", "year", "volume", F.col("page").alias("cited_page")),
+        leading.select("year", "volume", F.col("start_page")),
+        partition_keys=["year", "volume"],
+        left_on="cited_page",
+        right_on="start_page",
+        tolerance=F.lit(20),
+    ).where(F.col("asof_start_page").isNotNull())
+    cited_counts = (
+        snapped.groupBy("year", "volume", "asof_start_page")
+        .agg(F.countDistinct("decision_id").alias("citation_count"))
+    )
+    # quartile boundaries (A9 — exact percentile like pandas describe())
+    q = cited_counts.agg(
+        F.expr("percentile(citation_count, 0.75)").alias("q75"),
+        F.expr("percentile(citation_count, 0.5)").alias("q50"),
+        F.expr("percentile(citation_count, 0.25)").alias("q25"),
+    )
+    return cited_counts.crossJoin(F.broadcast(q)).withColumn(
+        "citation_label",
+        F.when(F.col("citation_count") >= F.col("q75"), "critical-1")
+        .when(F.col("citation_count") >= F.col("q50"), "critical-2")
+        .when(F.col("citation_count") >= F.col("q25"), "critical-3")
+        .otherwise("critical-4"),
+    )
+
+
+def pretraining_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D5 PretrainingDatasetCreator (`pretraining_dataset_creator.py:
+    12-40`): full_text only, everything in one 'train' split."""
+    sections = tables["section"]
+    return (
+        sections.where(F.col("section") == "full_text")
+        .select("decision_id", F.col("section_text").alias("text"), "num_tokens")
+        .where(F.col("num_tokens") >= 10)
+        .withColumn("split", F.lit("train"))
+    )
+
+
+def coverage_report(tables: dict[str, DataFrame]) -> DataFrame:
+    """The reference's coverage metric (§5.2: found/total % per stage,
+    `abstract_extractor.py:185-219`) as one aggregation."""
+    decisions = tables["decision"].select("decision_id", "spider")
+    judged = tables["judgment"].withColumn(
+        "has_judgment", F.size(F.col("judgments")) > 0
+    )
+    per = (
+        decisions.join(judged, on="decision_id", how="left")
+        .groupBy("spider")
+        .agg(
+            F.count(F.lit(1)).alias("n_decisions"),
+            F.sum(F.when(F.col("has_judgment"), 1).otherwise(0)).alias("n_judged"),
+        )
+        .withColumn(
+            "coverage_pct", F.col("n_judged") * 100.0 / F.col("n_decisions")
+        )
+    )
+    return per
