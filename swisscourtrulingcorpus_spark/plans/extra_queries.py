@@ -1,0 +1,154 @@
+"""Additional operator-coverage queries: semi-structured JSON, regex
+predicates (P6), counter roll-ups (A4/F14), multimodal binary columns,
+and deterministic UUIDv5 ids (rows-only check — no SQL uuid5 exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+# --- semi-structured: JSON property extraction (the reference reads
+# scraped JSON metadata by hand, `text_to_database.py:194-228`) --------
+
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(
+            "props", StructType([StructField("k", IntegerType())])
+        )["k"].alias("k"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    return (
+        parsed.withColumn("k_bucket", (F.col("k") % 10).cast("int"))
+        .groupBy("event_type", "k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+JSON_PROPS_ORACLE = """
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+       count(*) AS cnt,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- P6: regex predicate on text (`building_violations.py:47`) ---------
+
+def regex_predicate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("text").rlike(r"merge (join|sort)"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_matching"))
+    )
+
+
+REGEX_PREDICATE_ORACLE = """
+SELECT lang, count(*) AS n_matching
+FROM documents
+WHERE regexp_matches(text, 'merge (join|sort)')
+GROUP BY lang
+"""
+
+
+# --- A4/F14: token-counter roll-up (counter merge via explode+rollup;
+# `count_computer.py:40-87`, Counter sum `abstract_preprocessor.py:
+# 343-352`) -------------------------------------------------------------
+
+def token_counter_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counter ladder: per-(lang, token) counts plus per-token global
+    counts in one grouping-sets pass (the decision→chamber→court→canton
+    ladder of A4, collapsed to two levels here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        ).alias("token"),
+    )
+    levels = words.cube("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return levels.where(F.col("token").isNotNull()).select(
+        F.coalesce(F.col("lang"), F.lit("<ALL>")).alias("lang"),
+        "token",
+        "cnt",
+    ).where(F.col("cnt") >= 50)
+
+
+TOKEN_COUNTER_ORACLE = """
+WITH words AS (
+  SELECT lang,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents)
+SELECT coalesce(lang, '<ALL>') AS lang, token, count(*) AS cnt
+FROM words
+GROUP BY GROUPING SETS ((lang, token), (token))
+HAVING count(*) >= 50
+"""
+
+
+# --- multimodal binary pipeline ---------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + metadata → mapInPandas feature extraction.
+    The oracle reproduces the stub features relationally (byte length =
+    octet_length of the UTF-8 text; checksum = md5), proving the binary
+    plumbing loses nothing."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        attach_binary_payload,
+        decode_image_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_binary_payload(docs, "text", "doc_id")
+    return decode_image_stub(media)
+
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       'image/stub' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(length(text) % 1024 AS INTEGER) AS width,
+       CAST(length(text) % 768 AS INTEGER) AS height
+FROM documents
+"""
+
+
+# --- deterministic UUIDv5 ids (rows-only: no SQL uuid5) ----------------
+
+def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference id semantics (`sql_select_utils.py:168`): uuid5 with
+    namespace UUID(int=0) over a name — non-SQL-expressible, so the
+    driver records the weaker rows-only check; determinism is asserted
+    in tests/test_extraction.py against Python's uuid5."""
+    from swisscourtrulingcorpus_spark.extraction.ids import uuid5_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        uuid5_udf(F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))).alias(
+            "decision_id"
+        ),
+    )
+
+
+SPECS = [
+    QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
+    QuerySpec("regex_predicate_documents", regex_predicate_documents, REGEX_PREDICATE_ORACLE, "P6 regex filter"),
+    QuerySpec("token_counter_levels", token_counter_levels, TOKEN_COUNTER_ORACLE, "A4/F14 counter ladder"),
+    QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_ORACLE, "binary+mapInPandas"),
+    QuerySpec("uuid5_document_ids", uuid5_document_ids, None, "UUIDv5 ids (rows-only)"),
+]

@@ -27,6 +27,7 @@ class QuerySpec:
 
 
 def _collect_specs() -> list[QuerySpec]:
+    from swisscourtrulingcorpus_spark.plans import extra_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
@@ -35,6 +36,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += relational_queries.SPECS
     specs += text_queries.SPECS
     specs += window_queries.SPECS
+    specs += extra_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     return specs
