@@ -35,3 +35,12 @@ from swisscourtrulingcorpus_spark.extraction.composition import (  # noqa: F401
 from swisscourtrulingcorpus_spark.extraction.ids import (  # noqa: F401
     uuid5_udf,
 )
+from swisscourtrulingcorpus_spark.extraction.lower_court import (  # noqa: F401
+    extract_lower_court_udf,
+)
+from swisscourtrulingcorpus_spark.extraction.participation import (  # noqa: F401
+    extract_participation_udf,
+)
+from swisscourtrulingcorpus_spark.extraction.gender import (  # noqa: F401
+    enrich_gender,
+)

@@ -107,13 +107,32 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     )
 
     # E7 court composition from the header
-    composition = (
-        sections.where(F.col("section") == "header")
-        .select(
-            "decision_id",
-            extract_composition_udf("section_text").alias("comp"),
+    headers = sections.where(F.col("section") == "header").cache()
+    composition = headers.select(
+        "decision_id",
+        extract_composition_udf("section_text").alias("comp"),
+    ).select("decision_id", "comp.*")
+
+    # E6 lower court + E8 procedural participation from the header
+    from swisscourtrulingcorpus_spark.extraction import (
+        extract_lower_court_udf,
+        extract_participation_udf,
+    )
+
+    lower_court = (
+        headers.select(
+            "decision_id", extract_lower_court_udf("section_text").alias("lc")
         )
-        .select("decision_id", "comp.*")
+        .select("decision_id", "lc.*")
+        .where(F.col("court").isNotNull())
+    )
+    participation = (
+        headers.select(
+            "decision_id",
+            extract_participation_udf("section_text").alias("pp"),
+        )
+        .select("decision_id", "pp.*")
+        .where(F.col("plaintiffs").isNotNull())
     )
 
     return {
@@ -122,6 +141,8 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
         "citation": citations,
         "judgment": judgments,
         "composition": composition,
+        "lower_court": lower_court,
+        "participation": participation,
     }
 
 

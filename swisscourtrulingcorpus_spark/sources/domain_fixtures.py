@@ -127,9 +127,26 @@ def build_raw_corpus(n_decisions: int = 120, seed: int = 42) -> list[dict]:
             day=1 + i % 28, year=year, president=president, judge2=judge2, clerk=clerk
         )
         facts_a, facts_b = _FACTS_BODY[lang]
+        # CH_BGer appeals carry parties + the originating lower court
+        # (exercises E6/E8); cantonal decisions don't
+        party_line = (
+            f"Partei_{i}._ AG, vertreten durch Rechtsanwalt Dr. "
+            f"{_NAMES[(i + 3) % len(_NAMES)]} Vogt, Beschwerdeführerin, "
+            f"gegen Gegner_{i}._, Beschwerdegegner,"
+            if spider == "CH_BGer"
+            else ""
+        )
+        lower_court_line = (
+            f"gegen das Urteil des Verwaltungsgerichts des Kantons Zürich "
+            f"vom {1 + i % 28}. März {year - 1} (VB.{year - 1}.{i:05d})"
+            if spider == "CH_BGer"
+            else ""
+        )
         text = "\n".join(
             [
                 header,
+                party_line,
+                lower_court_line,
                 "",
                 _FACTS_MARKER[lang],
                 facts_a.format(i=i),

@@ -134,3 +134,17 @@ def test_pretraining_dataset(tables):
     ds = pretraining_dataset(t)
     assert ds.count() == raw.count()
     assert ds.select("split").distinct().collect()[0].split == "train"
+
+
+def test_lower_court_and_participation(tables):
+    t, raw = tables
+    n_bger = raw.where(F.col("spider") == "CH_BGer").count()
+    lc = t["lower_court"]
+    assert lc.count() == n_bger
+    assert lc.where(F.col("canton") == "ZH").count() == n_bger
+    assert lc.where(F.col("file_number").isNotNull()).count() == n_bger
+    pp = t["participation"]
+    assert pp.count() == n_bger
+    first = pp.first()
+    assert first.plaintiffs[0].name.endswith("AG")
+    assert first.plaintiffs[0].legal_counsel  # counsel extracted

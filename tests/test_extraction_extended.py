@@ -1,0 +1,100 @@
+"""Golden tests for E6 lower court, E8 participation, E10 gender."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from swisscourtrulingcorpus_spark.extraction.lower_court import (
+    extract_lower_court_py,
+)
+from swisscourtrulingcorpus_spark.extraction.participation import (
+    extract_participation_py,
+)
+
+
+def test_lower_court_de_full():
+    h = (
+        "Beschwerde gegen das Urteil des Verwaltungsgerichts des Kantons "
+        "Zürich vom 12. März 2018 (VB.2018.00123)"
+    )
+    got = extract_lower_court_py(h)
+    assert got["court"] == "Verwaltungsgerichts"
+    assert got["canton"] == "ZH"
+    assert got["date"] == "2018-03-12"
+    assert got["file_number"] == "VB.2018.00123"
+
+
+def test_lower_court_partial_info():
+    got = extract_lower_court_py("gegen den Entscheid des Obergerichts vom 1. Mai 2020")
+    assert got["court"] == "Obergerichts"
+    assert got["canton"] is None
+    assert got["date"] == "2020-05-01"
+    assert got["file_number"] is None
+
+
+def test_lower_court_none():
+    assert extract_lower_court_py("Kein Hinweis auf eine Vorinstanz.") is None
+    assert extract_lower_court_py(None) is None
+
+
+def test_participation_with_counsel():
+    h = (
+        "A._ AG, vertreten durch Rechtsanwalt Dr. Hans Muster, "
+        "Beschwerdeführerin, gegen B._, Beschwerdegegner"
+    )
+    got = extract_participation_py(h)
+    assert got["plaintiffs"][0]["name"] == "A._ AG"
+    assert got["plaintiffs"][0]["legal_counsel"] == ["Hans Muster"]
+    assert got["defendants"][0]["name"] == "B._"
+    assert got["defendants"][0]["legal_counsel"] == []
+
+
+def test_participation_anonymized_kept():
+    got = extract_participation_py("C._ gegen D._ AG")
+    assert got["plaintiffs"][0]["name"] == "C._"
+    assert got["defendants"][0]["name"] == "D._ AG"
+
+
+def test_participation_no_pivot():
+    assert extract_participation_py("Nur eine Partei genannt.") is None
+
+
+def test_gender_enrichment(spark):
+    from swisscourtrulingcorpus_spark.extraction.gender import enrich_gender
+
+    persons = spark.createDataFrame(
+        [
+            ("Huber", None, True),
+            ("Meier", None, True),
+            ("A._", None, True),       # anonymized: must stay null
+            ("Keller", "m", True),     # already known: untouched
+            ("Unbekannt", None, True), # resolver misses: stays null
+        ],
+        ["name", "gender", "is_natural_person"],
+    )
+    out = {r.name: r.gender for r in enrich_gender(persons).collect()}
+    assert out == {
+        "Huber": "m",
+        "Meier": "f",
+        "A._": None,
+        "Keller": "m",
+        "Unbekannt": None,
+    }
+
+
+def test_lower_court_udf_distributed(spark):
+    from swisscourtrulingcorpus_spark.extraction.lower_court import (
+        extract_lower_court_udf,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("gegen das Urteil des Kantonsgerichts des Kantons Waadt vom 3. Juni 2019 (ABC-123)",),
+            ("nichts",),
+        ],
+        ["header"],
+    )
+    rows = df.select(extract_lower_court_udf("header").alias("lc")).collect()
+    assert rows[0].lc.canton == "VD"
+    assert rows[0].lc.file_number == "ABC-123"
+    assert rows[1].lc.court is None
