@@ -1,0 +1,48 @@
+"""Skew-handling operators (SURVEY.md §4: the CH_BGer problem).
+
+AQE's skew-join split covers joins; what it does NOT cover is a
+skewed ``groupBy(...).agg(collect_list(...))``-style aggregation where
+one key holds a large share of all rows (40%+ of the reference corpus
+sits in one court) — that key's entire payload lands on one reducer.
+
+``salted_collect_agg`` is the classic two-phase fix: aggregate on
+(key, salt) first so the hot key's rows spread over N reducers, then
+merge the N partial results per key.  Works for any agg with an
+associative merge; exposed here for the collect_list/concat family the
+map_join pattern uses (sums/counts don't need it — Spark's partial
+aggregation already spreads those map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_collect_agg(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    alias: str,
+    num_salts: int = 8,
+    sort_result: bool = True,
+) -> DataFrame:
+    """Two-phase collect_list: phase 1 groups on (key, salt) — the hot
+    key's rows spread across ``num_salts`` reducers; phase 2 flattens
+    the per-salt arrays per key.  The phase-2 input is one short row
+    per (key, salt), so the second shuffle is tiny regardless of skew.
+
+    With ``sort_result`` the final array is sorted, making the output
+    deterministic and salt-invariant (equal to an unsalted
+    ``sort_array(collect_list(...))``).
+    """
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * num_salts).cast("int")
+    )
+    phase1 = salted.groupBy(key, "__salt").agg(
+        F.collect_list(value).alias("__partial")
+    )
+    merged = F.flatten(F.collect_list("__partial"))
+    if sort_result:
+        merged = F.sort_array(merged)
+    return phase1.groupBy(key).agg(merged.alias(alias))

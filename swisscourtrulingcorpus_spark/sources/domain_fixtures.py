@@ -113,7 +113,9 @@ def build_raw_corpus(n_decisions: int = 120, seed: int = 42) -> list[dict]:
     for i in range(n_decisions):
         spider = SPIDERS[i % len(SPIDERS)]
         lang = SPIDER_LANG[spider]
-        chamber = CHAMBERS[spider][i % 2]
+        # decorrelated from the spider cycle so both chambers per spider
+        # actually occur
+        chamber = CHAMBERS[spider][(i // len(SPIDERS)) % 2]
         year = 1995 + (i % 30)  # spans split boundaries
         outcome = OUTCOMES_BY_LANG[lang][i % len(OUTCOMES_BY_LANG[lang])]
         president = _NAMES[rng.randrange(len(_NAMES))]
