@@ -159,8 +159,40 @@ GROUP BY event_type
 """
 
 
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 first-match-wins, relationalized: each user's earliest event
+    (row_number over event time) — the positional 'first marker decides'
+    logic of the judgment extractor expressed as a window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("first_event_id"),
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        )
+    )
+
+
+FIRST_EVENT_ORACLE = """
+SELECT user_id,
+       event_id AS first_event_id,
+       event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
+    QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
     QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
