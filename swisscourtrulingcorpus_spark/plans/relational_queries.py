@@ -592,8 +592,77 @@ FROM per_user
 """
 
 
+# --- J4: self-join / pivot — one column per category per key ----------
+
+def user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The header+footer self-join (`court_composition_extractor.py:
+    53-62`) generalized: one row per user with per-event-type counts as
+    columns.  A pivot = N conditional aggregations in ONE shuffle —
+    replacing N self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+USER_EVENT_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events
+GROUP BY user_id
+"""
+
+
+# --- U1: union of per-partition datasets --------------------------------
+
+def union_yearly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 concatenate-datasets (`dataset_creator.py:337-339`): two
+    independently-derived subsets re-unioned by name, then aggregated —
+    the per-court dataset union shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.where(F.year("o_orderdate") <= 1997).select(
+        "o_custkey", F.lit("early").alias("era"), _dec("o_totalprice").alias("p")
+    )
+    late = orders.where(F.year("o_orderdate") >= 2000).select(
+        F.lit("late").alias("era"), F.col("o_custkey"), _dec("o_totalprice").alias("p")
+    )
+    return (
+        early.unionByName(late)  # column order differs on purpose
+        .groupBy("era")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum("p").cast("double").alias("value"),
+        )
+    )
+
+
+UNION_ORACLE = """
+WITH u AS (
+  SELECT o_custkey, 'early' AS era, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE year(o_orderdate) <= 1997
+  UNION ALL
+  SELECT o_custkey, 'late' AS era, CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders WHERE year(o_orderdate) >= 2000)
+SELECT era, count(DISTINCT o_custkey) AS n_customers, CAST(sum(p) AS DOUBLE) AS value
+FROM u GROUP BY era
+"""
+
+
 SPECS = [
     QuerySpec("q1_pricing_summary", q1_pricing_summary, Q1_ORACLE, "A1 scan+filter+agg"),
+    QuerySpec("user_event_pivot", user_event_pivot, USER_EVENT_PIVOT_ORACLE, "J4 pivot"),
+    QuerySpec("union_yearly_activity", union_yearly_activity, UNION_ORACLE, "U1 union"),
     QuerySpec("coverage_by_region", coverage_by_region, COVERAGE_ORACLE, "J1/J10 flagship"),
     QuerySpec("map_join_orders", map_join_orders, MAP_JOIN_ORACLE, "J2 map_join"),
     QuerySpec("semi_join_membership", semi_join_membership, SEMI_JOIN_ORACLE, "P2 semi-join chain"),

@@ -62,3 +62,54 @@ def test_incremental_manifest(spark, sf_dir):
     assert counts2.count() == 0
     assert total1 > 0
     assert manifest2.count() == manifest.count()
+
+
+def test_streaming_picks_up_new_files(spark, sf_dir, tmp_path):
+    """File-source incrementality: a second run over a staging dir that
+    gained a new file processes ONLY the new rows (the reference's
+    process_new_files_only, done by the engine's checkpoint)."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    import glob
+    import shutil
+
+    stage = tmp_path / "incoming"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    ev = load_table(spark, sf_dir, "events")
+    batch1 = ev.where(F.col("event_id") < 100)
+    batch2 = ev.where((F.col("event_id") >= 100) & (F.col("event_id") < 150))
+
+    def land(df, name):
+        # the file source lists FILES; a df.write 'x.parquet' directory
+        # is invisible to it — land a flat part file instead
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = glob.glob(str(tmp / "part-*.parquet"))[0]
+        shutil.copy(part, stage / f"{name}.parquet")
+
+    land(batch1, "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once(name):
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        counts = stream.groupBy().agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.table(name).collect()
+        return rows[0].n if rows else 0
+
+    assert run_once("inc1") == 100
+    land(batch2, "b2")
+    # complete-mode memory sink re-emits the full aggregate, which now
+    # includes ONLY checkpoint-known state + the new file's rows
+    assert run_once("inc2") == 150
