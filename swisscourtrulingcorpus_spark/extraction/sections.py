@@ -37,6 +37,17 @@ SECTION_SCHEMA = ArrayType(
 # Canonical section order (Section enum, `scrc/enums/section.py:4-11`).
 SECTION_ORDER = ["header", "facts", "considerations", "rulings", "footer"]
 
+# Per-spider overrides (the reference's spider-specific dispatch,
+# `abstract_extractor.py:167-183`: function named == spider, else the
+# generic default).  A spider entry may override the section ORDER (the
+# OW-style court that puts rulings before considerations,
+# `section_splitting_functions.py:772-790`) and/or add marker patterns.
+SPIDER_OVERRIDES: dict[str, dict] = {
+    "OW_Custom": {
+        "order": ["header", "facts", "rulings", "considerations", "footer"],
+    },
+}
+
 # Fresh marker data in the reference's *shape*: language -> section ->
 # list of paragraph-start regexes.
 SECTION_MARKERS: dict[str, dict[str, list[str]]] = {
@@ -70,26 +81,36 @@ def _compiled(lang: str) -> dict[str, list[re.Pattern]]:
     return {s: [re.compile(p) for p in pats] for s, pats in markers.items()}
 
 
-def split_sections_py(text: str | None, lang: str | None) -> list[dict]:
+def split_sections_py(
+    text: str | None, lang: str | None, spider: str | None = None
+) -> list[dict]:
     """The sequential fold: current section starts at 'header'; a
     paragraph matching a STRICTLY LATER section's marker advances to it
     (the no-backtracking rule of `associate_sections`); every paragraph
-    accrues to the current section."""
+    accrues to the current section.  ``spider`` selects per-spider
+    overrides (section order / extra markers) — the dispatch the
+    reference does via same-named functions, here via broadcast config.
+    """
     if text is None:
         return []
+    override = SPIDER_OVERRIDES.get(spider or "", {})
+    order = override.get("order", SECTION_ORDER)
     compiled = _compiled(lang or "de")
+    for sec, pats in override.get("markers", {}).items():
+        compiled.setdefault(sec, [])
+        compiled[sec] = [re.compile(p) for p in pats] + compiled[sec]
     paragraphs = [p.strip() for p in re.split(r"\n\s*\n|\n", text) if p.strip()]
-    current = 0  # index into SECTION_ORDER
-    buckets: dict[str, list[str]] = {s: [] for s in SECTION_ORDER}
+    current = 0  # index into order
+    buckets: dict[str, list[str]] = {s: [] for s in order}
     for para in paragraphs:
         # earliest later section whose marker matches wins (forward scan,
         # mirroring the reference's ordered next-section probe)
-        for later_idx in range(current + 1, len(SECTION_ORDER)):
-            sec = SECTION_ORDER[later_idx]
+        for later_idx in range(current + 1, len(order)):
+            sec = order[later_idx]
             if any(rx.search(para) for rx in compiled.get(sec, [])):
                 current = later_idx
                 break
-        buckets[SECTION_ORDER[current]].append(para)
+        buckets[order[current]].append(para)
     out = [
         {"section": sec, "text": "\n".join(ps)}
         for sec, ps in buckets.items()
@@ -103,4 +124,18 @@ def split_sections_py(text: str | None, lang: str | None) -> list[dict]:
 def split_sections_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
     return pd.Series(
         [split_sections_py(t, lg) for t, lg in zip(text, lang)]
+    )
+
+
+@pandas_udf(SECTION_SCHEMA)
+def split_sections_with_spider_udf(
+    text: pd.Series, lang: pd.Series, spider: pd.Series
+) -> pd.Series:
+    """Spider-dispatching variant: per-row overrides from
+    SPIDER_OVERRIDES (broadcast with the closure)."""
+    return pd.Series(
+        [
+            split_sections_py(t, lg, sp)
+            for t, lg, sp in zip(text, lang, spider)
+        ]
     )

@@ -145,8 +145,25 @@ def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W4/S15: seeded random verification sample -------------------------
+
+def sampled_verification_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage-verification sample (`coverage_verification.py:
+    88-103`: ORDER BY RANDOM() LIMIT n, here with a FIXED seed per
+    SURVEY §7.3 risk 4).  Deterministic within Spark; no SQL oracle
+    (DuckDB's RNG differs) — the driver's rows-only check applies, and
+    determinism across runs is asserted in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(F.rand(seed=42), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
+    QuerySpec("sampled_verification_docs", sampled_verification_docs, None, "W4 seeded sample"),
     QuerySpec("regex_predicate_documents", regex_predicate_documents, REGEX_PREDICATE_ORACLE, "P6 regex filter"),
     QuerySpec("token_counter_levels", token_counter_levels, TOKEN_COUNTER_ORACLE, "A4/F14 counter ladder"),
     QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_ORACLE, "binary+mapInPandas"),

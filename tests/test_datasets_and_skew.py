@@ -92,3 +92,14 @@ def test_bulk_update_columns(spark):
     got = {(r.k, r.a, r.b) for r in out.collect()}
     # k=3's update is NULL -> coalesce keeps the old value
     assert got == {(1, "X", 10), (2, "y", 20), (3, "z", 30)}
+
+
+def test_sampled_verification_deterministic(spark, sf_dir):
+    from swisscourtrulingcorpus_spark.plans.extra_queries import (
+        sampled_verification_docs,
+    )
+
+    a = [r.doc_id for r in sampled_verification_docs(spark, sf_dir).collect()]
+    b = [r.doc_id for r in sampled_verification_docs(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 50

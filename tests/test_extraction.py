@@ -198,3 +198,45 @@ def test_extraction_udfs_distributed(spark):
         extract_judgments_udf("text", F.lit("de")).alias("judgments"),
     ).collect()
     assert judged[0].judgments == ["dismissal"]
+
+
+def test_sections_spider_override_out_of_order():
+    """OW-style court putting rulings BEFORE considerations: the
+    override order must bucket them correctly where the default order
+    (no backtracking) would swallow considerations into rulings."""
+    doc = (
+        "Kopfzeile\n"
+        "Sachverhalt\nA. Etwas geschah.\n"
+        "Demnach erkennt:\nDie Beschwerde wird abgewiesen.\n"
+        "Erwägungen\n1. Nachträgliche Begründung.\n"
+    )
+    default = {p["section"]: p["text"] for p in split_sections_py(doc, "de")}
+    override = {
+        p["section"]: p["text"]
+        for p in split_sections_py(doc, "de", "OW_Custom")
+    }
+    # default order: once in 'rulings', 'considerations' (earlier) is
+    # unreachable -> begründung stays in rulings
+    assert "Begründung" in default["rulings"]
+    assert "considerations" not in default
+    # override order: considerations comes AFTER rulings -> reachable
+    assert "Begründung" in override["considerations"]
+    assert "abgewiesen" in override["rulings"]
+
+
+def test_roman_numerals_roundtrip():
+    from swisscourtrulingcorpus_spark.functions.roman import (
+        int_to_roman,
+        roman_to_int,
+    )
+
+    for n in [1, 4, 9, 14, 40, 90, 400, 1999, 3999]:
+        assert roman_to_int(int_to_roman(n)) == n
+    assert int_to_roman(7) == "VII"
+    assert roman_to_int("xiv") == 14
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        int_to_roman(0)
+    with _pytest.raises(ValueError):
+        roman_to_int("ABC")
