@@ -30,6 +30,7 @@ from swisscourtrulingcorpus_spark.operators.dedup import (
     LSH_BANDS,
     NUM_MINHASH,
     exact_dedup,
+    minhash_dedup_groups,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -113,6 +114,33 @@ def _lsh_oracle() -> str:
 bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig)
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+    )
+
+
+def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_groups(docs, "text", "doc_id")
+
+
+def _dedup_groups_oracle() -> str:
+    rows = NUM_MINHASH // LSH_BANDS
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)
+        )
+        for b in range(LSH_BANDS)
+    )
+    return (
+        _minhash_sql_cte()
+        + f""",
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+bucket_min AS (SELECT band_key, min(doc_id) AS bucket_rep FROM bands GROUP BY band_key)
+SELECT b.doc_id,
+       min(m.bucket_rep) AS representative,
+       min(m.bucket_rep) = b.doc_id AS keep
+FROM bands b JOIN bucket_min m ON b.band_key = m.band_key
+GROUP BY b.doc_id
 """
     )
 
@@ -389,6 +417,7 @@ SPECS = [
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_oracle(), "LSH candidates"),
+    QuerySpec("minhash_dedup_groups", q_minhash_dedup_groups, _dedup_groups_oracle(), "LSH cluster reps"),
     QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
