@@ -103,3 +103,36 @@ def test_sampled_verification_deterministic(spark, sf_dir):
     b = [r.doc_id for r in sampled_verification_docs(spark, sf_dir).collect()]
     assert a == b
     assert len(a) == 50
+
+
+def test_file_number_functions(spark):
+    from swisscourtrulingcorpus_spark.functions.filenumbers import (
+        normalize_file_number,
+        parse_bge_file_number,
+    )
+
+    df = spark.createDataFrame(
+        [('{6B 1045/2018}',), ('"BGE-145-IV-154"',)], ["fn"]
+    )
+    norm = df.select(normalize_file_number("fn").alias("n")).collect()
+    assert norm[0].n == "6B_1045/2018"
+    assert norm[1].n == "BGE-145-IV-154"
+    parsed = (
+        df.select(normalize_file_number("fn").alias("n"))
+        .where(F.col("n").startswith("BGE"))
+        .select(parse_bge_file_number("n").alias("p"))
+        .first()
+        .p
+    )
+    assert parsed.year == 145 + 1874
+    assert parsed.volume_roman == "IV"
+    assert parsed.page == 154
+
+
+def test_engine_config_defaults():
+    from swisscourtrulingcorpus_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_env()
+    assert cfg.languages == ("de", "fr", "it")
+    assert cfg.session_conf()["spark.sql.shuffle.partitions"] == "32"
+    assert cfg.train_start < cfg.val_start < cfg.test_start < cfg.secret_start
