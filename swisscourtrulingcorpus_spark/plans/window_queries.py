@@ -190,9 +190,42 @@ WHERE rn = 1
 """
 
 
+def input_length_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 input-length describe() (`report_creator.py:66-112`) as a
+    gate query: count/mean/min/quartiles/max of clipped value column.
+    Quartiles over integral floor() (exact interpolation); mean =
+    exact int sum / count (identical double both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    clipped = F.least(F.floor("value"), F.lit(150)).cast("long")
+    per = ev.select(clipped.alias("v"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("v") / F.count(F.lit(1))).alias("mean_v"),
+        F.min("v").alias("min_v"),
+        F.expr("percentile(v, 0.25)").alias("p25"),
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.75)").alias("p75"),
+        F.max("v").alias("max_v"),
+    )
+
+
+INPUT_LENGTH_ORACLE = """
+WITH per AS (SELECT CAST(least(floor(value), 150) AS BIGINT) AS v FROM events)
+SELECT count(*) AS n,
+       CAST(sum(v) AS DOUBLE) / count(*) AS mean_v,
+       min(v) AS min_v,
+       quantile_cont(v, 0.25) AS p25,
+       quantile_cont(v, 0.5) AS p50,
+       quantile_cont(v, 0.75) AS p75,
+       max(v) AS max_v
+FROM per
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
     QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
+    QuerySpec("input_length_stats_events", input_length_stats_events, INPUT_LENGTH_ORACLE, "A11 describe"),
     QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),

@@ -112,3 +112,16 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
 
     plan = _final_plan(coverage_by_region(spark, sf_dir))
     assert "AQEShuffleRead" in plan or "coalesced" in plan, plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must be union + ONE exchange + one sort + one
+    window — not a range cross-join and not a multi-shuffle plan."""
+    from swisscourtrulingcorpus_spark.plans.relational_queries import (
+        asof_purchase_attribution,
+    )
+
+    plan = _final_plan(asof_purchase_attribution(spark, sf_dir))
+    assert plan.count("Exchange") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

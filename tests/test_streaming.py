@@ -113,3 +113,52 @@ def test_streaming_picks_up_new_files(spark, sf_dir, tmp_path):
     # complete-mode memory sink re-emits the full aggregate, which now
     # includes ONLY checkpoint-known state + the new file's rows
     assert run_once("inc2") == 150
+
+
+def test_stateful_user_profile(spark, sf_dir, tmp_path):
+    """applyInPandasWithState: the final per-user profile must equal the
+    batch aggregate over the same events."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.streaming import read_events_stream
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        user_profile_stream,
+    )
+
+    stream = user_profile_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_profiles")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode may emit several rows per user across batches — the
+    # LAST emission per user is the final state
+    got = (
+        spark.table("t_profiles")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    joined = got.alias("g").join(want.alias("w"), on="user_id")
+    assert joined.count() == want.count()
+    bad = joined.where(
+        (F.col("g.n_events") != F.col("w.n_events"))
+        | (F.abs(F.col("g.total_value") - F.col("w.total_value")) > 0.05)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
