@@ -136,3 +136,29 @@ def test_engine_config_defaults():
     assert cfg.languages == ("de", "fr", "it")
     assert cfg.session_conf()["spark.sql.shuffle.partitions"] == "32"
     assert cfg.train_start < cfg.val_start < cfg.test_start < cfg.secret_start
+
+
+def test_domain_scalar_functions(spark):
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        canton_to_region,
+        chamber_to_canton,
+        chamber_to_court,
+        year_of,
+    )
+
+    df = spark.createDataFrame(
+        [("ZH_VG_001", "2019-05-03"), ("CH_BGer_002", "2001-01-01")],
+        ["chamber", "d"],
+    )
+    out = df.select(
+        chamber_to_court("chamber").alias("court"),
+        chamber_to_canton("chamber").alias("canton"),
+        canton_to_region(chamber_to_canton("chamber")).alias("region"),
+        year_of(F.to_date("d")).alias("year"),
+    ).collect()
+    assert (out[0].court, out[0].canton, out[0].region, out[0].year) == (
+        "ZH_VG", "ZH", "Zurich", 2019,
+    )
+    assert (out[1].court, out[1].canton, out[1].region, out[1].year) == (
+        "CH_BGer", "CH", "Federation", 2001,
+    )
