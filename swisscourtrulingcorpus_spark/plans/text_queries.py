@@ -229,6 +229,50 @@ WHERE rank <= 5
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same coarse bucket
+    (label = IVF centroid stand-in), cosine >= 0.3, id_a < id_b.
+    The bucket equi-join keeps the pair space linear-ish at scale —
+    the same plan as lsh_bucketed_topk minus the top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from swisscourtrulingcorpus_spark.operators.similarity import _dot, _norm
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("label").alias("__bucket"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("label").alias("__bucket"),
+    )
+    return (
+        a.join(b, on="__bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("__va"), F.col("__vb"))
+                / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+
+
+EMBEDDING_NEARDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.e, b.e) /
+       (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3
+"""
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
@@ -422,6 +466,7 @@ SPECS = [
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
     QuerySpec("ivf_topk_bucketed", q_ivf_topk, IVF_TOPK_ORACLE, "ANN IVF bucketed"),
+    QuerySpec("embedding_neardup_pairs", q_embedding_neardup, EMBEDDING_NEARDUP_ORACLE, "embedding near-dup"),
     QuerySpec("language_id_documents", q_language_id, _lang_id_oracle(), "E1 lang id"),
     QuerySpec("quality_features_documents", q_quality_features, _quality_oracle(), "quality scoring"),
     QuerySpec("token_counts_documents", q_token_counts, TOKEN_COUNTS_ORACLE, "A3 token counts"),
