@@ -100,3 +100,37 @@ def extract_citations_py(text: str | None) -> list[dict] | None:
 @pandas_udf(CITATION_SCHEMA)
 def extract_citations_udf(text: pd.Series) -> pd.Series:
     return pd.Series([extract_citations_py(t) for t in text], dtype=object)
+
+
+# --- D4 NER-span variant (`citation_extraction_dataset_creator.py`):
+# character-level spans for token-classification training data ---------
+
+NER_SPAN_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("label", StringType()),
+        ]
+    )
+)
+
+
+def citation_spans_py(text: str | None) -> list[dict] | None:
+    """All citation character spans with BIO-style labels (every
+    occurrence, not deduped — NER training needs each mention)."""
+    if text is None:
+        return None
+    spans = [
+        {"start": m.start(), "end": m.end(), "label": "RULING"}
+        for m in _RULING_RX.finditer(text)
+    ] + [
+        {"start": m.start(), "end": m.end(), "label": "LAW"}
+        for m in _LAW_RX.finditer(text)
+    ]
+    return sorted(spans, key=lambda s: (s["start"], s["end"]))
+
+
+@pandas_udf(NER_SPAN_SCHEMA)
+def citation_spans_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([citation_spans_py(t) for t in text], dtype=object)

@@ -98,6 +98,54 @@ def regeste_dataset(tables: dict[str, DataFrame]) -> DataFrame:
     ).where(F.length("regeste") > 0)
 
 
+def citation_extraction_dataset(tables: dict[str, DataFrame]) -> DataFrame:
+    """D4 CitationExtractionDatasetCreator
+    (`citation_extraction_dataset_creator.py:67-120`): considerations
+    text with character-level NER spans for each citation mention —
+    token-classification training data."""
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        citation_spans_udf,
+    )
+
+    consid = tables["section"].where(F.col("section") == "considerations")
+    return consid.select(
+        "decision_id",
+        F.col("section_text").alias("text"),
+        citation_spans_udf("section_text").alias("ner_spans"),
+    ).where(F.size("ner_spans") > 0)
+
+
+def citation_relevance_scores(tables: dict[str, DataFrame]) -> DataFrame:
+    """A12 TF-IDF relevance for (decision, cited ruling) pairs
+    (`doc2doc_ir_dataset_creator.py:287-355`): tf = cite count within
+    the decision, idf over the corpus (sklearn smooth-idf), relevance =
+    tf·idf — the score D3 attaches to its labels."""
+    cits = tables["citation"].where(F.col("type") == "ruling").select(
+        "decision_id",
+        F.concat_ws(
+            "-", F.lit("BGE"), F.col("year").cast("string"), F.col("volume"),
+            F.col("page").cast("string"),
+        ).alias("cited"),
+    )
+    tf = cits.groupBy("decision_id", "cited").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = cits.groupBy("cited").agg(F.countDistinct("decision_id").alias("df"))
+    n = cits.select(F.countDistinct("decision_id").alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df_), on="cited")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "decision_id",
+            "cited",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * (F.log((1 + F.col("n_docs")) / (1 + F.col("df"))) + 1)
+            ).alias("relevance"),
+        )
+    )
+
+
 # F8 chamber -> law area (`sql_select_utils.py:443-465`: BGer chambers
 # map to public/civil/penal/social law by chamber number)
 _CHAMBER_LAW_AREA = {

@@ -162,3 +162,41 @@ def test_domain_scalar_functions(spark):
     assert (out[1].court, out[1].canton, out[1].region, out[1].year) == (
         "CH_BGer", "CH", "Federation", 2001,
     )
+
+
+def test_citation_extraction_ner_dataset(tables):
+    from swisscourtrulingcorpus_spark.plans.datasets_extra import (
+        citation_extraction_dataset,
+    )
+
+    ds = citation_extraction_dataset(tables)
+    row = ds.first()
+    labels = {s.label for s in row.ner_spans}
+    assert labels == {"RULING", "LAW"}
+    # spans must point at the actual citation text
+    for s in row.ner_spans:
+        frag = row.text[s.start : s.end]
+        if s.label == "RULING":
+            assert frag.startswith("BGE ")
+        else:
+            assert frag.startswith("Art.")
+    # spans sorted by position
+    starts = [s.start for s in row.ner_spans]
+    assert starts == sorted(starts)
+
+
+def test_citation_relevance_scores(tables):
+    from swisscourtrulingcorpus_spark.plans.datasets_extra import (
+        citation_relevance_scores,
+    )
+
+    rel = citation_relevance_scores(tables)
+    rows = rel.collect()
+    assert rows
+    # idf: a ruling cited by MORE decisions must have lower relevance at
+    # equal tf
+    by_df = sorted(rows, key=lambda r: r.df)
+    lo_df, hi_df = by_df[0], by_df[-1]
+    if lo_df.tf == hi_df.tf and lo_df.df != hi_df.df:
+        assert lo_df.relevance > hi_df.relevance
+    assert all(r.relevance > 0 for r in rows)
