@@ -70,11 +70,23 @@ JUDGMENT_MARKERS: dict[str, dict[str, list[str]]] = {
 _ARABIC_NUMBERED = re.compile(r"(?:^|\n)\s*(\d{1,2})\.\s")
 _ROMAN_NUMBERED = re.compile(r"(?:^|\n)\s*([IVX]{1,4})\.\s")
 
+# Per-spider marker additions (the reference's spider-named functions,
+# `judgment_extracting_functions.py` — one function per spider).  Keys:
+# spider -> outcome -> extra patterns prepended to the language set.
+SPIDER_JUDGMENT_OVERRIDES: dict[str, dict[str, list[str]]] = {
+    # example cantonal phrasing the federal set doesn't use
+    "ZH_Sozialversicherungsgericht": {
+        "approval": [r"in Gutheissung der Beschwerde"],
+        "dismissal": [r"In Abweisung der Beschwerde"],
+    },
+}
 
-def _compiled(lang: str) -> dict[str, list[re.Pattern]]:
+
+def _compiled(lang: str, spider: str | None = None) -> dict[str, list[re.Pattern]]:
     out = {}
+    extra = SPIDER_JUDGMENT_OVERRIDES.get(spider or "", {})
     for outcome, by_lang in JUDGMENT_MARKERS.items():
-        pats = by_lang.get(lang, [])
+        pats = list(extra.get(outcome, [])) + by_lang.get(lang, [])
         out[outcome] = [re.compile(p, re.IGNORECASE) for p in pats]
     return out
 
@@ -115,12 +127,14 @@ def _first_outcome(text: str, markers: dict[str, list[re.Pattern]]) -> set[str]:
     return found
 
 
-def extract_judgments_py(text: str | None, lang: str | None) -> list[str] | None:
+def extract_judgments_py(
+    text: str | None, lang: str | None, spider: str | None = None
+) -> list[str] | None:
     if text is None:
         return None
     if len(text) > MAX_CHAR_COUNT:
         return []
-    markers = _compiled(lang or "de")
+    markers = _compiled(lang or "de", spider)
     # numbered sub-rulings: split and walk in order, union outcomes
     segments = None
     if _ARABIC_NUMBERED.search(text):
@@ -142,5 +156,19 @@ def extract_judgments_py(text: str | None, lang: str | None) -> list[str] | None
 def extract_judgments_udf(text: pd.Series, lang: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_judgments_py(t, lg) for t, lg in zip(text, lang)],
+        dtype=object,
+    )
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_judgments_with_spider_udf(
+    text: pd.Series, lang: pd.Series, spider: pd.Series
+) -> pd.Series:
+    """Spider-dispatching variant (per-row marker overrides)."""
+    return pd.Series(
+        [
+            extract_judgments_py(t, lg, sp)
+            for t, lg, sp in zip(text, lang, spider)
+        ],
         dtype=object,
     )

@@ -226,20 +226,43 @@ def pretraining_dataset(tables: dict[str, DataFrame]) -> DataFrame:
 
 def coverage_report(tables: dict[str, DataFrame]) -> DataFrame:
     """The reference's coverage metric (§5.2: found/total % per stage,
-    `abstract_extractor.py:185-219`) as one aggregation."""
+    `abstract_extractor.py:185-219`, section coverage `section_splitter.py:
+    101-116`) — one row per spider with per-extractor coverage %."""
     decisions = tables["decision"].select("decision_id", "spider")
     judged = tables["judgment"].withColumn(
         "has_judgment", F.size(F.col("judgments")) > 0
+    ).select("decision_id", "has_judgment")
+    with_rulings = (
+        tables["section"].where(F.col("section") == "rulings")
+        .select("decision_id", F.lit(True).alias("has_rulings"))
     )
-    per = (
+    with_cits = (
+        tables["citation"].select("decision_id").distinct()
+        .withColumn("has_citations", F.lit(True))
+    )
+    with_comp = (
+        tables["composition"].where(F.col("president").isNotNull())
+        .select("decision_id", F.lit(True).alias("has_president"))
+    )
+
+    def pct(flag: str) -> F.Column:
+        return (
+            F.sum(F.when(F.col(flag), 1).otherwise(0)) * 100.0
+            / F.count(F.lit(1))
+        ).alias(f"{flag[4:]}_pct")
+
+    return (
         decisions.join(judged, on="decision_id", how="left")
+        .join(with_rulings, on="decision_id", how="left")
+        .join(with_cits, on="decision_id", how="left")
+        .join(with_comp, on="decision_id", how="left")
         .groupBy("spider")
         .agg(
             F.count(F.lit(1)).alias("n_decisions"),
-            F.sum(F.when(F.col("has_judgment"), 1).otherwise(0)).alias("n_judged"),
+            pct("has_judgment"),
+            pct("has_rulings"),
+            pct("has_citations"),
+            pct("has_president"),
         )
-        .withColumn(
-            "coverage_pct", F.col("n_judged") * 100.0 / F.col("n_decisions")
-        )
+        .withColumn("coverage_pct", F.col("judgment_pct"))
     )
-    return per

@@ -240,3 +240,17 @@ def test_roman_numerals_roundtrip():
         int_to_roman(0)
     with _pytest.raises(ValueError):
         roman_to_int("ABC")
+
+
+def test_judgment_spider_override():
+    from swisscourtrulingcorpus_spark.extraction.judgments import (
+        extract_judgments_py,
+    )
+
+    text = "In Gutheissung der Beschwerde wird der Entscheid aufgehoben."
+    # generic de markers miss this cantonal phrasing...
+    assert extract_judgments_py(text, "de") == []
+    # ...the spider override catches it
+    assert extract_judgments_py(
+        text, "de", "ZH_Sozialversicherungsgericht"
+    ) == ["approval"]
