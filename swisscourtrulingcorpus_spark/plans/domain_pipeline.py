@@ -146,6 +146,25 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+def resolve_lower_court_ids(
+    lower_court: DataFrame, court_dim: DataFrame
+) -> DataFrame:
+    """J8 replacement: the reference resolves extracted court/canton
+    names to dim ids with per-row SELECTs during save
+    (`sql_select_utils.py:155-171`, lower_court save path); here it is
+    ONE broadcast join on (display name, canton) — same result, zero
+    round trips, any scale."""
+    dim = court_dim.select(
+        F.col("display_name").alias("court"),
+        F.col("canton"),
+        "court_id",
+        "court_string",
+    )
+    return lower_court.join(
+        F.broadcast(dim), on=["court", "canton"], how="left"
+    )
+
+
 def _sections_pivot(sections: DataFrame) -> DataFrame:
     """Flatten section rows to one column per feature section (the
     reference's expand_df, `dataset_creator.py:779-817`) — a pivot,

@@ -192,6 +192,23 @@ def raw_corpus_df(spark: SparkSession, n_decisions: int = 120) -> DataFrame:
     return df.withColumn("date", F.to_date("date"))
 
 
+def court_dim_df(spark: SparkSession) -> DataFrame:
+    """Court dim (FIXTURES.md `court` table shape): court_id,
+    canton short code, the court_string, and the German display name the
+    lower-court extractor sees in headers."""
+    rows = [
+        {"court_id": 1, "canton": "ZH", "court_string": "ZH_VG",
+         "display_name": "Verwaltungsgerichts"},
+        {"court_id": 2, "canton": "ZH", "court_string": "ZH_OG",
+         "display_name": "Obergerichts"},
+        {"court_id": 3, "canton": "VD", "court_string": "VD_TC",
+         "display_name": "Kantonsgerichts"},
+        {"court_id": 4, "canton": "CH", "court_string": "CH_BGer",
+         "display_name": "Bundesgerichts"},
+    ]
+    return spark.createDataFrame(rows)
+
+
 def leading_rulings_df(spark: SparkSession) -> DataFrame:
     """Stand-in for the BGE leading-decisions corpus (FIXTURES.md:
     `leading_rulings`): start pages every 20 from 80 — cited pages snap

@@ -148,3 +148,18 @@ def test_lower_court_and_participation(tables):
     first = pp.first()
     assert first.plaintiffs[0].name.endswith("AG")
     assert first.plaintiffs[0].legal_counsel  # counsel extracted
+
+
+def test_lower_court_dim_resolution(tables, spark):
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        resolve_lower_court_ids,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import court_dim_df
+
+    t, raw = tables
+    resolved = resolve_lower_court_ids(t["lower_court"], court_dim_df(spark))
+    n = resolved.count()
+    hit = resolved.where(F.col("court_id").isNotNull())
+    # fixture lower courts are all "Verwaltungsgerichts des Kantons Zürich"
+    assert hit.count() == n
+    assert {r.court_string for r in hit.collect()} == {"ZH_VG"}
