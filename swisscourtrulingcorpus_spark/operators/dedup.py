@@ -54,19 +54,61 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """One row per (doc, distinct shingle). The words array materializes
-    in its own projection (so normalize+split runs once per row — see
-    word_shingles_from_words), and the explode happens AFTER projecting
-    away the document text, so the wide column never shuffles."""
-    words = df.select(
+def _spread(df: DataFrame, id_col: str, spread: bool) -> DataFrame:
+    """Optionally repartition the narrow (id, text) input to the session's
+    default parallelism BEFORE the CPU-heavy shingle/hash map stage.
+
+    Shingle hashing costs far more CPU per byte than a scan, so its
+    parallelism must not be bound by the source file layout: a corpus
+    that arrives as a handful of small parquet files would otherwise run
+    the whole hash pipeline on a handful of cores (measured at sf0.1:
+    the 594 KB documents table scans as ONE partition — LSH warm time
+    3.6s → 1.7s with the spread).  At petabyte scale the scan already
+    yields thousands of partitions; callers there pass spread=False and
+    skip the extra pass over the text."""
+    if not spread:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+
+
+def _shingle_sets(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    drop_empty: bool = False,
+    spread: bool = False,
+) -> DataFrame:
+    """(id, __sh: array<string>) — the DISTINCT k-shingle set per doc,
+    computed entirely map-side.  Each projection binds its intermediate
+    to a real column (``__w``, then ``__sh``) so Catalyst evaluates the
+    split / shingle construction once per row, not once per reference
+    (see word_shingles_from_words for why that matters).
+
+    ``drop_empty`` filters docs with < k words — equivalent to (and much
+    cheaper than) filtering ``size(__sh) > 0`` afterwards: predicate
+    pushdown would copy the whole shingle-construction expression into
+    the Filter node, doubling both per-row work and the generated-code
+    size; ``size(__w) >= k`` only duplicates the split."""
+    words = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, spread).select(
         F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
     )
+    if drop_empty:
+        words = words.where(F.size("__w") >= k)
     return words.select(
         id_col,
-        F.explode(
-            F.array_distinct(word_shingles_from_words(F.col("__w"), k))
-        ).alias("shingle"),
+        F.array_distinct(word_shingles_from_words(F.col("__w"), k)).alias("__sh"),
+    )
+
+
+def _shingled(
+    df: DataFrame, text_col: str, id_col: str, k: int, spread: bool = False
+) -> DataFrame:
+    """One row per (doc, distinct shingle). The explode happens AFTER
+    projecting away the document text, so the wide column never
+    shuffles."""
+    return _shingle_sets(df, text_col, id_col, k, spread=spread).select(
+        id_col, F.explode("__sh").alias("shingle")
     )
 
 
@@ -76,18 +118,28 @@ def minhash_signatures(
     id_col: str,
     k: int = 3,
     num_hashes: int = NUM_MINHASH,
+    spread: bool = False,
 ) -> DataFrame:
     """Per-document MinHash signature: for permutation j, the min of the
     seeded 32-bit hash over the doc's distinct shingles.  Columns
     ``mh0..mh{n-1}`` (BIGINT).  Empty docs (< k words) drop out —
     they have no shingles, hence no signature (same as the oracle).
+
+    Computed with ``array_min(transform(...))`` over the per-doc shingle
+    array — pure map-side narrow work, ZERO shuffles (the previous
+    explode + groupBy formulation shuffled one row per (doc, shingle);
+    at 100 TB that shuffle is ~50× the size of the corpus row count).
     """
-    shingled = _shingled(df, text_col, id_col, k)
-    aggs = [
-        F.min(h32(F.col("shingle"), seed=str(j))).alias(f"mh{j}")
-        for j in range(num_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    sets_ = _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
+
+    def _mh(j: int):
+        # NB: a one-parameter lambda is required — pyspark interprets a
+        # two-parameter lambda as the (element, index) transform form.
+        return F.array_min(
+            F.transform(F.col("__sh"), lambda s: h32(s, seed=str(j)))
+        ).alias(f"mh{j}")
+
+    return sets_.select(F.col(id_col), *[_mh(j) for j in range(num_hashes)])
 
 
 def minhash_lsh_candidates(
@@ -97,6 +149,7 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_hashes: int = NUM_MINHASH,
     bands: int = LSH_BANDS,
+    spread: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs agreeing on ALL hashes of at
     least one band.  Output (id_a < id_b) distinct.
@@ -107,7 +160,7 @@ def minhash_lsh_candidates(
     skew-join case.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=spread)
     band_cols = []
     for b in range(bands):
         parts = [F.lit(str(b))] + [
@@ -115,9 +168,15 @@ def minhash_lsh_candidates(
             for r in range(rows_per_band)
         ]
         band_cols.append(F.concat_ws("|", *parts))
+    # One explicit shuffle on the join key: both self-join sides (and any
+    # downstream groupBy on band_key) hang off the SAME Exchange, which
+    # Spark de-duplicates via ReusedExchange — without it the whole
+    # map-side signature computation (scan + shingling + 8 md5s/shingle)
+    # runs twice, once per join side.  Measured at sf0.1 (with spread):
+    # one-shot 8.0s → 3.5s.
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    ).repartition(F.col("band_key"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -137,6 +196,7 @@ def minhash_dedup_groups(
     k: int = 3,
     num_hashes: int = NUM_MINHASH,
     bands: int = LSH_BANDS,
+    spread: bool = False,
 ) -> DataFrame:
     """Scale path for LSH dedup: per-document cluster REPRESENTATIVE
     instead of candidate pairs.
@@ -155,7 +215,7 @@ def minhash_dedup_groups(
     quadratic term.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=spread)
     band_cols = []
     for b in range(bands):
         parts = [F.lit(str(b))] + [
@@ -163,9 +223,13 @@ def minhash_dedup_groups(
             for r in range(rows_per_band)
         ]
         band_cols.append(F.concat_ws("|", *parts))
+    # Same ReusedExchange trick as minhash_lsh_candidates: the explicit
+    # band_key shuffle is computed once and feeds BOTH the bucket-min
+    # aggregation (no further exchange — already partitioned on the
+    # grouping key) and the probe side of the join.
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    )
+    ).repartition(F.col("band_key"))
     bucket_min = banded.groupBy("band_key").agg(
         F.min(id_col).alias("bucket_rep")
     )
@@ -182,30 +246,45 @@ def minhash_dedup_groups(
 
 
 def simhash64(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, bits: int = 32
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bits: int = 32,
+    spread: bool = False,
 ) -> DataFrame:
     """SimHash signature: bit b of the signature is the majority vote of
-    bit b across the doc's shingle hashes.  One groupBy(doc) computing
-    ``bits`` conditional sums — a single shuffle, all codegen.
+    bit b across the doc's shingle hashes.
+
+    Map-side only: hash the per-doc shingle array once (bound to a real
+    column so it's evaluated once), then each bit's vote is
+    ``2 * count(bit set) - n >= 0`` via ``filter`` + ``size`` — ZERO
+    shuffles, all inside whole-stage codegen.
     """
-    shingled = _shingled(df, text_col, id_col, k).select(
-        id_col, h32(F.col("shingle"), seed="sim").alias("__h")
+    hashed = (
+        _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
+        .select(
+            id_col,
+            F.transform(F.col("__sh"), lambda s: h32(s, seed="sim")).alias("__hs"),
+        )
     )
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"__v{b}")
-        for b in range(bits)
-    ]
-    per_doc = shingled.groupBy(id_col).agg(*votes)
+    def _ones(b: int):
+        # one-parameter lambda on purpose: two parameters would select
+        # pyspark's (element, index) filter form and shadow ``b``.
+        return F.size(
+            F.filter(
+                F.col("__hs"),
+                lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
     sig = None
     for b in range(bits):
-        term = F.when(F.col(f"__v{b}") >= 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
+        term = F.when(
+            _ones(b) * 2 >= F.size("__hs"), F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
         sig = term if sig is None else sig + term
-    return per_doc.select(F.col(id_col), sig.alias("simhash"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(
@@ -215,6 +294,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int = 100,
+    spread: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >= 1 rare shingle.
 
@@ -222,27 +302,33 @@ def ngram_jaccard_pairs(
     appearing in more than ``max_doc_freq`` docs (stop-shingle removal —
     without it one ubiquitous shingle makes the join quadratic), join on
     shingle, count shared, Jaccard = shared / (|A| + |B| - shared).
+
+    The per-doc shingle-set size is computed map-side (``size(__sh)``)
+    and carried THROUGH the explode, so the pair aggregation groups on
+    (id_a, id_b, n_a, n_b) and emits Jaccard directly — no size lookup
+    joins after the self-join (two fewer joins than the naive plan).
     """
-    shingled = _shingled(df, text_col, id_col, k).cache()
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # Explicit shuffle on the join key instead of .cache(): the Exchange
+    # is shared (ReusedExchange) by the doc-frequency aggregation AND
+    # both self-join sides — the scale-correct reuse idiom (a cache of
+    # the exploded corpus would not fit memory at 100 TB).
+    shingled = (
+        _shingle_sets(df, text_col, id_col, k, spread=spread)
+        .select(id_col, F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
+        .repartition(F.col("shingle"))
+    )
     doc_freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = shingled.join(
         F.broadcast(doc_freq.where(F.col("df") <= max_doc_freq)), on="shingle"
-    ).select(id_col, "shingle")
+    ).select(id_col, "n_sh", "shingle")
 
-    a = rare.withColumnRenamed(id_col, "id_a")
-    b = rare.withColumnRenamed(id_col, "id_b")
-    shared = (
+    a = rare.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
+    b = rare.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    return (
         a.join(b, on="shingle")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
-    return (
-        shared.join(F.broadcast(sa), on="id_a")
-        .join(F.broadcast(sb), on="id_b")
         .select(
             "id_a",
             "id_b",

@@ -89,7 +89,7 @@ GROUP BY md5(text)
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs, "text", "doc_id")
+    return minhash_signatures(docs, "text", "doc_id", spread=True)
 
 
 MINHASH_ORACLE = _minhash_sql_cte() + "\nSELECT * FROM sig"
@@ -97,7 +97,7 @@ MINHASH_ORACLE = _minhash_sql_cte() + "\nSELECT * FROM sig"
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, "text", "doc_id")
+    return minhash_lsh_candidates(docs, "text", "doc_id", spread=True)
 
 
 def _lsh_oracle() -> str:
@@ -120,7 +120,7 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 
 def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_groups(docs, "text", "doc_id")
+    return minhash_dedup_groups(docs, "text", "doc_id", spread=True)
 
 
 def _dedup_groups_oracle() -> str:
@@ -147,7 +147,7 @@ GROUP BY b.doc_id
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash64(docs, "text", "doc_id")
+    return simhash64(docs, "text", "doc_id", spread=True)
 
 
 def _simhash_oracle(bits: int = 32) -> str:
@@ -169,7 +169,7 @@ SELECT doc_id, {sig} AS simhash FROM votes
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", spread=True)
 
 
 NGRAM_JACCARD_ORACLE = f"""
