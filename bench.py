@@ -25,6 +25,9 @@ from swisscourtrulingcorpus_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     # relational core
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q18_large_orders",
     "coverage_by_region",
     "map_join_orders",
     "semi_join_membership",

@@ -1,0 +1,231 @@
+"""Multi-way join analytics (TPC-H Q3/Q5/Q18 shapes) + fold-masking.
+
+These queries exercise the join topologies that dominate cost at 100 TB:
+fact ⋈ fact on a shared key (lineitem ⋈ orders on orderkey), long dim
+chains, and aggregate-then-join-back.  The reference never joins two
+big tables directly (its Postgres schema keeps facts star-shaped around
+`decision`; see `scrc/utils/sql_select_utils.py:260-323`), but the
+dataset creators' section/citation attachment is exactly an
+orders⋈lineitem-shaped 1:N fact join once re-expressed relationally —
+so these are the scale-up path of SURVEY §2.3 J2/J5.
+
+Physical strategy notes (local[32] now, 1000 executors later):
+- lineitem ⋈ orders: both sides shuffle on orderkey into a sort-merge
+  join; AQE handles skew splitting.  With the bucketed-table path
+  (`sources/bucketing.py`) the same join is shuffle-free.
+- dims (nation/region/supplier) broadcast — never shuffled.
+- customer is mid-sized: left to AQE, which broadcasts it below the
+  threshold and shuffles it above (exactly the right behavior at both
+  test scale and cluster scale).
+- Aggregates sit ABOVE the join but Catalyst pushes the group-key
+  projection down, so only join keys + agg inputs move in the shuffle.
+- Money math in DECIMAL(18,2) until the final cast (engine-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _revenue() -> F.Column:
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+
+
+# --- Q3 shape: segment-filtered fact-fact join, top-10 by revenue -------
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem with date predicates on both fact
+    scans (pushdown), revenue agg per order, deterministic top-10
+    (revenue DESC, then orderkey — the tiebreak makes the LIMIT set
+    engine-independent)."""
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-07-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-07-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT
+  l_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_orderpriority,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5 shape: 6-way join with a co-nationality predicate ---------------
+
+def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with
+    the classic c_nationkey = s_nationkey local-supplier condition.
+    Two fact tables meet on orderkey (SMJ); every dim broadcasts."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
+Q5_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+# --- Q18 shape: aggregate-filter then join back -------------------------
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds a threshold: groupBy lineitem
+    first (map-side partial agg shrinks the shuffle to one row per
+    order), HAVING-filter, then join the survivors back to orders ⋈
+    customer.  The agg-before-join ordering is the load-bearing scale
+    decision — joining first would move every lineitem row through the
+    customer join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT
+  c_name,
+  c_custkey,
+  o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+  o_totalprice AS totalprice,
+  CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --- F11: citation masking as an aggregate fold -------------------------
+
+_MASK_TOKENS = ["scan", "join", "hash"]
+
+
+def mask_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 citation masking (`doc2doc_ir_dataset_creator.py:182-198`)
+    in its relational form: fold an array of citation strings over the
+    text with ``aggregate(...)``, replacing each occurrence with a mask
+    token — the exact shape used for <ref-law>/<ref-ruling> masking,
+    here with a fixed token list over the synthetic corpus.  Pure
+    map-side expression (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cites = F.array(*[F.lit(t) for t in _MASK_TOKENS])
+    masked = F.aggregate(
+        cites,
+        F.col("text"),
+        lambda acc, c: F.replace(acc, c, F.lit("<ref>")),
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("masked_text"),
+        (
+            F.size(F.split(masked, "<ref>", -1)) - F.lit(1)
+        ).alias("n_masked"),
+    )
+
+
+MASK_ORACLE = """
+SELECT
+  doc_id,
+  replace(replace(replace(text, 'scan', '<ref>'), 'join', '<ref>'), 'hash', '<ref>') AS masked_text,
+  len(string_split(replace(replace(replace(text, 'scan', '<ref>'), 'join', '<ref>'), 'hash', '<ref>'), '<ref>')) - 1 AS n_masked
+FROM documents
+"""
+
+
+SPECS = [
+    QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "fact-fact join + top-k"),
+    QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
+    QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
+    QuerySpec("mask_tokens_documents", mask_tokens_documents, MASK_ORACLE, "F11 masking fold"),
+]

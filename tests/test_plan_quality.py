@@ -125,3 +125,43 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q3_pushdown_both_fact_scans(spark, sf_dir):
+    """Q3-shape: the date predicates must reach BOTH fact scans (orders
+    and lineitem), not get evaluated post-join."""
+    from swisscourtrulingcorpus_spark.plans.analytics_queries import (
+        q3_shipping_priority,
+    )
+
+    plan = _static_plan(q3_shipping_priority(spark, sf_dir))
+    assert "GreaterThan(l_shipdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    """Q18-shape: the quantity aggregation must sit BELOW the joins in
+    the optimized plan — joining lineitem first would move every line
+    row through the orders/customer joins."""
+    from swisscourtrulingcorpus_spark.plans.analytics_queries import (
+        q18_large_orders,
+    )
+
+    plan = _optimized_logical(q18_large_orders(spark, sf_dir))
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    agg_idx = next(i for i, l in enumerate(lines) if "Aggregate" in l)
+    assert join_idx < agg_idx, plan
+
+
+def test_q5_no_cartesian(spark, sf_dir):
+    """The co-nationality predicate (c_nationkey = s_nationkey) must be
+    part of an equi-join, never a nested-loop/cartesian fallback."""
+    from swisscourtrulingcorpus_spark.plans.analytics_queries import (
+        q5_supplier_volume,
+    )
+
+    plan = _final_plan(q5_supplier_volume(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
