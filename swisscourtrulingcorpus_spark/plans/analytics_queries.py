@@ -223,9 +223,63 @@ FROM documents
 """
 
 
+# --- F15: regeste-style 3-way split (choose the shorter header) ---------
+
+def regeste_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 regeste split (`regeste_dataset_creator.py:28-76`): split the
+    text at the FIRST of two candidate markers and keep the variant
+    with the shorter leading segment — the reference's disambiguation
+    rule when both `Sachverhalt` and `Erwägungen` occur.  Here the
+    synthetic corpus uses 'value' / 'table' as the marker pair.  Docs
+    where neither marker occurs are dropped (reference drops empty
+    regeste).  All built-ins; oracle via DuckDB split_part."""
+    docs = load_table(spark, sf_dir, "documents")
+    ha = F.substring_index("text", "value", 1)
+    hb = F.substring_index("text", "table", 1)
+    split_ = docs.select(
+        "doc_id",
+        F.col("text"),
+        ha.alias("__ha"),
+        hb.alias("__hb"),
+    ).select(
+        "doc_id",
+        F.when(F.length("__ha") <= F.length("__hb"), F.lit("value"))
+        .otherwise(F.lit("table"))
+        .alias("marker"),
+        F.when(F.length("__ha") <= F.length("__hb"), F.col("__ha"))
+        .otherwise(F.col("__hb"))
+        .alias("header"),
+        (
+            F.length("text")
+            - F.least(F.length("__ha"), F.length("__hb"))
+        ).alias("rest_len"),
+    )
+    return split_.where(F.col("rest_len") > 0)
+
+
+REGESTE_SPLIT_ORACLE = """
+WITH s AS (
+  SELECT
+    doc_id,
+    text,
+    split_part(text, 'value', 1) AS ha,
+    split_part(text, 'table', 1) AS hb
+  FROM documents
+)
+SELECT
+  doc_id,
+  CASE WHEN len(ha) <= len(hb) THEN 'value' ELSE 'table' END AS marker,
+  CASE WHEN len(ha) <= len(hb) THEN ha ELSE hb END AS header,
+  len(text) - least(len(ha), len(hb)) AS rest_len
+FROM s
+WHERE len(text) - least(len(ha), len(hb)) > 0
+"""
+
+
 SPECS = [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "fact-fact join + top-k"),
     QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
     QuerySpec("mask_tokens_documents", mask_tokens_documents, MASK_ORACLE, "F11 masking fold"),
+    QuerySpec("regeste_split_documents", regeste_split_documents, REGESTE_SPLIT_ORACLE, "F15 3-way split"),
 ]
