@@ -28,6 +28,24 @@ def h32(col: Column | str, seed: str | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
 
 
+def md5_seeded(col: Column | str, seed: str) -> Column:
+    """Full 32-hex-char md5 of ``seed|x`` — the digest is then sliced
+    into four independent 8-hex windows by :func:`h32_window`, giving
+    four 32-bit hashes per md5 computation (4× less hash CPU than one
+    md5 per hash; md5's output bits are independent across windows)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.concat(F.lit(f"{seed}|"), c))
+
+
+def h32_window(md5_col: Column, window: int) -> Column:
+    """32-bit BIGINT from hex window ``window`` (0..3) of an md5 string.
+
+    DuckDB oracle equivalent:
+    ``('0x' || substr(md5(seed||'|'||x), 1+8*w, 8))::UBIGINT``.
+    """
+    return F.conv(F.substring(md5_col, 1 + 8 * window, 8), 16, 10).cast("bigint")
+
+
 def normalize_ws(col: Column | str) -> Column:
     """Lowercase + whitespace-collapse + trim — the normalization both the
     Spark side and the oracle apply before tokenizing (mirrors the

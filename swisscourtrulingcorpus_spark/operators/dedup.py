@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from swisscourtrulingcorpus_spark.functions.hashing import (
     h32,
+    h32_window,
+    md5_seeded,
     normalize_ws,
     word_shingles_from_words,
 )
@@ -129,17 +131,35 @@ def minhash_signatures(
     array — pure map-side narrow work, ZERO shuffles (the previous
     explode + groupBy formulation shuffled one row per (doc, shingle);
     at 100 TB that shuffle is ~50× the size of the corpus row count).
+
+    Hash j = 4*s + w is hex window w (0..3) of md5(s|shingle): one md5
+    digest yields FOUR independent 32-bit hashes, so 8 signatures cost
+    2 md5 computations per shingle instead of 8 — md5 dominates the
+    map CPU, which dominates the whole operator at scale.  Each per-seed
+    digest array binds to its own column so it is evaluated once.
     """
     sets_ = _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
+    n_seeds = (num_hashes + 3) // 4
+
+    def _digest(seed: int):
+        # NB: one-parameter lambda required — pyspark interprets a
+        # two-parameter lambda as the (element, index) transform form;
+        # the factory scope binds ``seed`` (no late-binding loop bug).
+        return F.transform(
+            F.col("__sh"), lambda x: md5_seeded(x, str(seed))
+        ).alias(f"__m{seed}")
+
+    digests = sets_.select(
+        F.col(id_col), *[_digest(s) for s in range(n_seeds)]
+    )
 
     def _mh(j: int):
-        # NB: a one-parameter lambda is required — pyspark interprets a
-        # two-parameter lambda as the (element, index) transform form.
+        s, w = divmod(j, 4)
         return F.array_min(
-            F.transform(F.col("__sh"), lambda s: h32(s, seed=str(j)))
+            F.transform(F.col(f"__m{s}"), lambda m: h32_window(m, w))
         ).alias(f"mh{j}")
 
-    return sets_.select(F.col(id_col), *[_mh(j) for j in range(num_hashes)])
+    return digests.select(F.col(id_col), *[_mh(j) for j in range(num_hashes)])
 
 
 def minhash_lsh_candidates(

@@ -62,9 +62,18 @@ _SHINGLE_CTE = (
 _DISTINCT_SH_CTE = "sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)"
 
 
+def _h32_window_sql(expr: str, window: int) -> str:
+    """Window ``window`` (0..3) of an md5 digest as a 32-bit BIGINT —
+    mirrors functions.hashing.md5_seeded + h32_window (hash j = 4s+w is
+    hex window w of md5('s|'||shingle); 4 hashes per md5)."""
+    return (
+        f"CAST(('0x' || substr(md5({expr}),{1 + 8 * window},8))::UBIGINT AS BIGINT)"
+    )
+
+
 def _minhash_sql_cte() -> str:
     mins = ", ".join(
-        f"min({_h32_sql(repr(str(j) + '|') + ' || shingle')}) AS mh{j}"
+        f"min({_h32_window_sql(repr(str(j // 4) + '|') + ' || shingle', j % 4)}) AS mh{j}"
         for j in range(NUM_MINHASH)
     )
     return (
