@@ -61,13 +61,24 @@ def cosine_topk_bruteforce(
     ``broadcast(queries)`` makes the cross join a broadcast nested loop —
     the corpus never shuffles; only (|queries| × k) rows do, inside the
     row_number window.
+
+    Norms are projected per ROW before the join (``__qn``/``__cn``), not
+    inside the pair expression: per-pair work drops from three array
+    folds to one (the dot product).  The division uses the same doubles
+    in the same order, so oracle values are bit-identical.
     """
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -76,7 +87,7 @@ def cosine_topk_bruteforce(
             "neighbor_id",
             (
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )
@@ -110,11 +121,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
         F.col(bucket_col).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
         F.col(bucket_col).alias("__bucket"),
     )
     scored = (
@@ -125,7 +138,7 @@ def lsh_bucketed_topk(
             "neighbor_id",
             (
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv")))
+                / (F.col("__qn") * F.col("__cn"))
             ).alias("cosine"),
         )
     )

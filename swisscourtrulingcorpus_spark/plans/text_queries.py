@@ -246,14 +246,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from swisscourtrulingcorpus_spark.operators.similarity import _dot, _norm
 
+    # Norms are per-ROW projections ahead of the join (one fold per
+    # vector, not three folds per PAIR) — same doubles, same order, so
+    # the oracle values are unchanged.
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
+        _norm(F.col("embedding")).alias("__na"),
         F.col("label").alias("__bucket"),
     )
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__vb"),
+        _norm(F.col("embedding")).alias("__nb"),
         F.col("label").alias("__bucket"),
     )
     return (
@@ -264,7 +269,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             (
                 _dot(F.col("__va"), F.col("__vb"))
-                / (_norm(F.col("__va")) * _norm(F.col("__vb")))
+                / (F.col("__na") * F.col("__nb"))
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.3)
