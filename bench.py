@@ -62,6 +62,26 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Extraction-pipeline throughput (the reference's core workload):
+    # raw corpus -> clean -> sections -> citations/judgments -> dataset.
+    # 5k synthetic docs through the full pandas_udf chain, measured warm
+    # (the headline queries above already paid JVM/codegen startup).
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        judgment_dataset,
+        run_extraction_pipeline,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
+
+    # warmup: fork the Python UDF workers + compile the UDF plans so the
+    # measurement is steady-state throughput, not process startup
+    judgment_dataset(run_extraction_pipeline(raw_corpus_df(spark, 200))).count()
+
+    n_docs = 5000
+    t0 = time.perf_counter()
+    judgment_dataset(run_extraction_pipeline(raw_corpus_df(spark, n_docs))).count()
+    pipeline_sec = time.perf_counter() - t0
+
     print(
         json.dumps(
             {
@@ -70,6 +90,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": {
+                    "domain_pipeline_docs": n_docs,
+                    "domain_pipeline_sec": round(pipeline_sec, 3),
+                    "domain_pipeline_docs_per_sec": round(n_docs / pipeline_sec, 1),
+                },
             }
         )
     )

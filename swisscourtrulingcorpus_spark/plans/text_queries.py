@@ -396,14 +396,25 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines break them identically by term); output columns are ints.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id",
-        F.explode(
-            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-        ).alias("term"),
+
+    def _words(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("term"),
+        )
+
+    # TF only matters for the output docs, so the doc_id predicate sits
+    # IN the tf branch (pushed to the scan); document frequency must
+    # stay corpus-wide — that asymmetry is the load-bearing pushdown
+    # a 100 TB corpus needs (tf over 20 docs, not 100 TB of docs).
+    tf = (
+        _words(docs.where(F.col("doc_id") < 20))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    df_ = _words(docs).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), on="term")
@@ -418,8 +429,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").desc(), F.col("term").asc()
     )
     return (
-        scored.where(F.col("doc_id") < 20)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("doc_id", "term", "tf", "df", "rank")
     )
