@@ -223,6 +223,56 @@ FROM documents
 """
 
 
+# --- Q14 shape: conditional aggregate over a part-dim join --------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per month: lineitem ⋈ part (mid-size dim —
+    broadcast under the threshold, shuffle above; left to AQE), then a
+    conditional sum (`CASE WHEN p_type = 'PROMO'`) over exact decimal
+    revenue.  The ratio divides two exact decimal sums cast to double
+    in the SAME order on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue()
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct"),
+        )
+    )
+
+
+Q14_ORACLE = """
+SELECT
+  strftime(l_shipdate, '%Y-%m') AS ship_month,
+  CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+  100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+           THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+"""
+
+
 # --- F15: regeste-style 3-way split (choose the shorter header) ---------
 
 def regeste_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,6 +330,7 @@ SPECS = [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "fact-fact join + top-k"),
     QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
+    QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, "conditional agg over dim join"),
     QuerySpec("mask_tokens_documents", mask_tokens_documents, MASK_ORACLE, "F11 masking fold"),
     QuerySpec("regeste_split_documents", regeste_split_documents, REGESTE_SPLIT_ORACLE, "F15 3-way split"),
 ]
