@@ -6,9 +6,11 @@ a SQL oracle (DuckDB) reproduces it bit-for-bit, and (c) is stable across
 runs/versions (``xxhash64``/``hash`` differ between engines; md5 doesn't).
 
 ``h32``: first 8 hex chars of md5 → unsigned 32-bit int carried in a
-BIGINT.  One md5 per (seed, shingle) pair is the entire CPU cost of
-MinHash; at 100 TB this is embarrassingly parallel map-side work with no
-shuffle until the per-document ``min()`` aggregation.
+BIGINT.  For MinHash, ``md5_seeded`` + ``h32_window`` slice one digest
+into FOUR independent 32-bit hashes (hash j = 4s+w is hex window w of
+md5(s|shingle)), so md5 computations — the entire CPU cost of MinHash —
+drop 4×.  At 100 TB this is embarrassingly parallel map-side work with
+no shuffle at all (per-doc mins fold over the shingle array).
 """
 
 from __future__ import annotations

@@ -27,18 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from swisscourtrulingcorpus_spark.functions.money import disc_price
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
-
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
-
-
-def _revenue() -> F.Column:
-    return _dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
-    )
+_revenue = disc_price
 
 
 # --- Q3 shape: segment-filtered fact-fact join, top-10 by revenue -------
@@ -200,16 +193,22 @@ def mask_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side expression (no UDF)."""
     docs = load_table(spark, sf_dir, "documents")
     cites = F.array(*[F.lit(t) for t in _MASK_TOKENS])
-    masked = F.aggregate(
-        cites,
-        F.col("text"),
-        lambda acc, c: F.replace(acc, c, F.lit("<ref>")),
-    )
-    return docs.select(
+    # Bind the fold to a real column first: referenced twice below
+    # (masked_text + n_masked), an inline expression would run the
+    # whole-text triple replace twice per row.
+    masked = docs.select(
         "doc_id",
-        masked.alias("masked_text"),
+        F.aggregate(
+            cites,
+            F.col("text"),
+            lambda acc, c: F.replace(acc, c, F.lit("<ref>")),
+        ).alias("masked_text"),
+    )
+    return masked.select(
+        "doc_id",
+        "masked_text",
         (
-            F.size(F.split(masked, "<ref>", -1)) - F.lit(1)
+            F.size(F.split("masked_text", "<ref>", -1)) - F.lit(1)
         ).alias("n_masked"),
     )
 

@@ -25,12 +25,9 @@ from swisscourtrulingcorpus_spark.operators.relational import (
     top_k_per_group,
     value_counts_with_pct,
 )
+from swisscourtrulingcorpus_spark.functions.money import dec2 as _dec
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
-
-
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
 
 
 # --- A1/P1: pricing summary (TPC-H Q1 shape: scan+filter+agg) ----------
