@@ -18,4 +18,5 @@ from swisscourtrulingcorpus_spark.streaming.jobs import (  # noqa: F401
     tumbling_counts_stream,
     session_counts_stream,
     run_available_now,
+    streaming_dedup,
 )

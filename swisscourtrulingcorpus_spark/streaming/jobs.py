@@ -111,6 +111,25 @@ def run_available_now(
     return spark.table(name)
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``keys`` already appeared
+    within the watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    This is the streaming twin of ``operators.dedup.exact_dedup``: the
+    watermark BOUNDS the dedup state (plain ``dropDuplicates`` on a
+    stream keeps every key forever — unbounded state at 100 TB/day;
+    within-watermark keeps only ``delay`` worth), trading global
+    uniqueness for uniqueness within the late-data horizon — the
+    standard contract for ingest-time dedup of re-delivered documents.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
 def incremental_event_counts(
     spark: SparkSession, sf_dir: str, manifest: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:

@@ -162,3 +162,36 @@ def test_stateful_user_profile(spark, sf_dir, tmp_path):
         | (F.abs(F.col("g.total_value") - F.col("w.total_value")) > 0.05)
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming exact dedup: re-delivered rows (same key) within the
+    watermark horizon are dropped — output matches batch dropDuplicates
+    on the same doubled input."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import streaming_dedup
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    doubled = ev.unionAll(ev)  # every event re-delivered once
+    stage = tmp_path / "dedup_in"
+    doubled.write.parquet(str(stage))
+    schema = spark.read.parquet(str(stage)).schema
+    stream = spark.readStream.schema(schema).parquet(str(stage))
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
