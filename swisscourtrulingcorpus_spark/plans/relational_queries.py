@@ -36,9 +36,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregation: grouped sums/avgs with a pushed-down scan
     filter (reference analogue: the coverage/count queries of
     `scrc/utils/sql_select_utils.py:29-68`)."""
+    from swisscourtrulingcorpus_spark.functions import money
+
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
-    charge = disc_price * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    disc_price = money.disc_price()
+    charge = money.charge()
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01"))
         .groupBy("l_returnflag", "l_linestatus")

@@ -17,12 +17,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from swisscourtrulingcorpus_spark.functions.money import dec2 as _dec
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
-
-
-def _dec(c: str) -> F.Column:
-    return F.col(c).cast("decimal(18,2)")
 
 
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
