@@ -52,12 +52,19 @@ def write_partitioned(
     partition_by: list[str] | None = None,
     fmt: str = "parquet",
     mode: str = "overwrite",
+    compression: str | None = None,
 ) -> None:
     """Split-partitioned export (S10/S11): the reference writes one JSONL
-    file per split (`dataset_creator.py:472-491`); here
-    ``partitionBy("split")`` yields the same layout with parallel writers
-    and partition pruning for readers."""
+    file per split then xz-compresses it (`dataset_creator.py:472-491`);
+    here ``partitionBy("split")`` yields the same layout with parallel
+    writers and partition pruning for readers, and ``compression``
+    (e.g. ``gzip``/``zstd`` for json, ``zstd`` for parquet) replaces the
+    external `xz -T0` step with codec-on-write — Spark has no xz codec,
+    and a post-hoc recompression pass would serialize through one host
+    anyway."""
     writer = df.write.mode(mode).format(fmt)
+    if compression:
+        writer = writer.option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
