@@ -222,6 +222,45 @@ FROM documents
 """
 
 
+# --- Q4 shape: EXISTS semi-join between two fact tables -----------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders with at least one line shipped after the order date,
+    counted per priority — an EXISTS against another FACT table
+    (`left_semi`), not a dim.  The semi-join shuffles both facts on
+    orderkey but moves only the join key + predicate columns (Catalyst
+    prunes the rest), and emits each order at most once — no fan-out,
+    no post-join dedup.  Complements `semi_join_membership` (P2), whose
+    semi-join chain runs against broadcast dims."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
 # --- Q14 shape: conditional aggregate over a part-dim join --------------
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -330,6 +369,7 @@ SPECS = [
     QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
     QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, "conditional agg over dim join"),
+    QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "fact-fact EXISTS semi-join"),
     QuerySpec("mask_tokens_documents", mask_tokens_documents, MASK_ORACLE, "F11 masking fold"),
     QuerySpec("regeste_split_documents", regeste_split_documents, REGESTE_SPLIT_ORACLE, "F15 3-way split"),
 ]
