@@ -71,7 +71,12 @@ GROUP BY lang
 def token_counter_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counter ladder: per-(lang, token) counts plus per-token global
     counts in one grouping-sets pass (the decision→chamber→court→canton
-    ladder of A4, collapsed to two levels here)."""
+    ladder of A4, collapsed to two levels here).
+
+    ``groupingSets`` computes EXACTLY the two sets the query outputs —
+    the earlier ``cube`` formulation also materialized the (lang) and
+    () sets and discarded them, paying for two aggregates that never
+    left the plan."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "lang",
@@ -79,8 +84,10 @@ def token_counter_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
         ).alias("token"),
     )
-    levels = words.cube("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    return levels.where(F.col("token").isNotNull()).select(
+    levels = words.groupingSets(
+        [["lang", "token"], ["token"]], "lang", "token"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return levels.select(
         F.coalesce(F.col("lang"), F.lit("<ALL>")).alias("lang"),
         "token",
         "cnt",
