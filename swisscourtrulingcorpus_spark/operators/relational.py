@@ -117,6 +117,55 @@ def asof_join(
     )
 
 
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Range join (point ∈ [lo, hi]) WITHOUT an equi key, as a bucketed
+    equi-join — the standard Spark strategy for interval containment
+    (beyond the reference's surface: it has no range joins at all;
+    SURVEY §2.3 note).
+
+    A naive ``points JOIN intervals ON p BETWEEN lo AND hi`` has no
+    equi-condition, so Spark falls back to BroadcastNestedLoopJoin —
+    O(|points| × |intervals|) comparisons, unusable at scale.  Bucketed
+    form: points hash into ``floor(p / width)``; each interval EXPLODES
+    into every bucket it overlaps (``sequence(floor(lo/w),
+    floor(hi/w))``); the join becomes an equi-join on the bucket id plus
+    a residual containment filter.  Each (point, interval) pair meets in
+    exactly ONE bucket (the point's), so no dedup is needed.  Cost:
+    one shuffle on the bucket id; interval blowup = interval_length /
+    bucket_width rows per interval — pick ``bucket_width`` near the
+    typical interval length.
+
+    Numeric columns (use ``unix_micros`` for timestamps at call sites).
+    """
+    pb = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket_width)
+    )
+    ib = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width),
+                F.floor(F.col(hi_col) / bucket_width),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, on="__bucket")
+        .where(
+            (F.col(point_col) >= F.col(lo_col))
+            & (F.col(point_col) <= F.col(hi_col))
+        )
+        .drop("__bucket")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, partition_keys: list[str], order_by: list[Column], k: int
 ) -> DataFrame:

@@ -364,12 +364,59 @@ WHERE len(text) - least(len(ha), len(hb)) > 0
 """
 
 
+# --- Range join: bucketed interval containment --------------------------
+
+def range_join_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events (any user's) falling inside the 2-hour window that opens
+    at each early user's FIRST event — a pure interval-containment join
+    with NO equi key, executed as `operators.relational.
+    bucketed_range_join` (equi-join on 1-hour time buckets + residual
+    filter) instead of the nested-loop fallback.  Output: per window
+    owner, how many events and distinct users landed in their window."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        bucketed_range_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", F.unix_micros("ts").alias("p"))
+    two_hours = 2 * 3600 * 1_000_000
+    intervals = (
+        ev.where(F.col("user_id") < 50)
+        .groupBy(F.col("user_id").alias("owner_id"))
+        .agg(F.min(F.unix_micros("ts")).alias("lo"))
+        .withColumn("hi", F.col("lo") + F.lit(two_hours))
+    )
+    pairs = bucketed_range_join(
+        points, intervals, "p", "lo", "hi", bucket_width=3600 * 1_000_000
+    )
+    return pairs.groupBy("owner_id").agg(
+        F.count(F.lit(1)).alias("n_events_in_window"),
+        F.countDistinct("user_id").alias("n_users_in_window"),
+    )
+
+
+RANGE_JOIN_ORACLE = """
+WITH intervals AS (
+  SELECT user_id AS owner_id,
+         min(epoch_us(ts)) AS lo,
+         min(epoch_us(ts)) + CAST(7200 AS BIGINT)*1000000 AS hi
+  FROM events WHERE user_id < 50 GROUP BY user_id),
+points AS (SELECT event_id, user_id, epoch_us(ts) AS p FROM events)
+SELECT owner_id,
+       count(*) AS n_events_in_window,
+       count(DISTINCT user_id) AS n_users_in_window
+FROM points JOIN intervals ON p >= lo AND p <= hi
+GROUP BY owner_id
+"""
+
+
 SPECS = [
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "fact-fact join + top-k"),
     QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
     QuerySpec("q14_promo_revenue", q14_promo_revenue, Q14_ORACLE, "conditional agg over dim join"),
     QuerySpec("q4_order_priority", q4_order_priority, Q4_ORACLE, "fact-fact EXISTS semi-join"),
+    QuerySpec("range_join_first_window", range_join_first_window, RANGE_JOIN_ORACLE, "bucketed range join"),
     QuerySpec("mask_tokens_documents", mask_tokens_documents, MASK_ORACLE, "F11 masking fold"),
     QuerySpec("regeste_split_documents", regeste_split_documents, REGESTE_SPLIT_ORACLE, "F15 3-way split"),
 ]

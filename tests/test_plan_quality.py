@@ -165,3 +165,15 @@ def test_q5_no_cartesian(spark, sf_dir):
     plan = _final_plan(q5_supplier_volume(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_no_nested_loop(spark, sf_dir):
+    """Interval containment must execute as the bucketed equi-join, not
+    the BroadcastNestedLoopJoin fallback a pure range predicate gets."""
+    from swisscourtrulingcorpus_spark.plans.analytics_queries import (
+        range_join_first_window,
+    )
+
+    plan = _final_plan(range_join_first_window(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
