@@ -481,6 +481,55 @@ FROM words
 """
 
 
+# --- training-data prep: chunking + deterministic shuffle ---------------
+
+def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded chunking with overlap (64-token chunks, 16-token
+    overlap) — the pretraining/embedding preprocessing step, map-side
+    only (`operators/training.py::chunk_documents`)."""
+    from swisscourtrulingcorpus_spark.operators.training import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_size=64, overlap=16)
+
+
+CHUNKED_ORACLE = """
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+starts AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
+  FROM words)
+SELECT doc_id,
+       CAST((s - 1) / 48 AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(w, s, s + 63), ' ') AS chunk_text,
+       least(64, n - s + 1) AS n_chunk_tokens
+FROM starts
+"""
+
+
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: engine-independent global
+    permutation via md5(seed|id) ranking."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", deterministic_shuffle(docs, "doc_id").alias("shuffle_rank")
+    )
+
+
+TRAINING_SHUFFLE_ORACLE = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS shuffle_rank
+FROM documents
+"""
+
+
 SPECS = [
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
@@ -497,4 +546,6 @@ SPECS = [
     QuerySpec("ngram_freq_documents", q_ngram_freq, NGRAM_FREQ_ORACLE, "A6 ngram mining"),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, TFIDF_ORACLE, "A12 tf-idf"),
     QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),
+    QuerySpec("chunked_documents", q_chunked_documents, CHUNKED_ORACLE, "token chunking w/ overlap"),
+    QuerySpec("training_shuffle_rank", q_training_shuffle, TRAINING_SHUFFLE_ORACLE, "deterministic shuffle"),
 ]
