@@ -307,6 +307,57 @@ def simhash64(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def contamination_check(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    spread: bool = False,
+) -> DataFrame:
+    """Test-set decontamination: per eval doc, how many of its distinct
+    k-gram shingles also occur ANYWHERE in the train corpus (the
+    standard train/test overlap check for LLM data pipelines).
+
+    Shingles are joined on their 32-bit md5 hash, not the raw string —
+    at 100 TB the shuffled keys are 8 bytes instead of ~50-byte
+    n-grams.  A hash collision can count one extra shared shingle per
+    ~4B distinct-pair comparisons; it is deterministic and identical in
+    the SQL oracle (same md5), so parity holds.  Output: id, n_shared,
+    n_total, contamination = n_shared / n_total (int/int division —
+    bit-identical across engines).
+
+    Plan: two map-side shingle scans, one distinct on the train side,
+    one semi-join-shaped inner join + per-doc count.  Train-side
+    distinct and the join both shuffle 8-byte keys only.
+    """
+    ev = _shingled(eval_df, text_col, id_col, k, spread=spread).select(
+        id_col, h32(F.col("shingle")).alias("__h")
+    )
+    tr = (
+        _shingled(train_df, text_col, id_col, k, spread=spread)
+        .select(h32(F.col("shingle")).alias("__h"))
+        .distinct()
+    )
+    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    shared = (
+        ev.join(tr, on="__h", how="left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        totals.join(shared, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            "n_total",
+            (
+                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_total")
+            ).alias("contamination"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,

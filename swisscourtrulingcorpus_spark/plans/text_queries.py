@@ -481,6 +481,44 @@ FROM words
 """
 
 
+# --- decontamination: train/eval n-gram overlap --------------------------
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination: eval docs (doc_id % 10 == 0) checked for
+    5-gram overlap against the train rest of the corpus
+    (`operators/dedup.py::contamination_check`)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return contamination_check(ev, tr, "text", "doc_id", k=5, spread=True)
+
+
+CONTAMINATION_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w)-3, 1)),
+                i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]||' '||w[i+4])) AS shingle
+  FROM words),
+ev AS (SELECT doc_id, {_h32_sql('shingle')} AS h FROM sh WHERE doc_id % 10 = 0),
+tr AS (SELECT DISTINCT {_h32_sql('shingle')} AS h FROM sh WHERE doc_id % 10 != 0),
+totals AS (SELECT doc_id, count(*) AS n_total FROM ev GROUP BY doc_id),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM ev WHERE h IN (SELECT h FROM tr) GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(s.n_shared, 0) AS n_shared,
+       t.n_total,
+       coalesce(s.n_shared, 0) / t.n_total AS contamination
+FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+"""
+
+
 # --- training-data prep: chunking + deterministic shuffle ---------------
 
 def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,4 +586,5 @@ SPECS = [
     QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),
     QuerySpec("chunked_documents", q_chunked_documents, CHUNKED_ORACLE, "token chunking w/ overlap"),
     QuerySpec("training_shuffle_rank", q_training_shuffle, TRAINING_SHUFFLE_ORACLE, "deterministic shuffle"),
+    QuerySpec("test_set_contamination", q_contamination, CONTAMINATION_ORACLE, "train/eval overlap"),
 ]
