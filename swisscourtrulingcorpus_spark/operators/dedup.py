@@ -327,9 +327,11 @@ def contamination_check(
     n_total, contamination = n_shared / n_total (int/int division —
     bit-identical across engines).
 
-    Plan: two map-side shingle scans, one distinct on the train side,
-    one semi-join-shaped inner join + per-doc count.  Train-side
-    distinct and the join both shuffle 8-byte keys only.
+    Plan: ONE eval shingle scan and one train shingle scan.  The train
+    side is distinct on the hash, so a LEFT join cannot fan out eval
+    rows — total and shared counts come from the same aggregation
+    (``count(*)`` vs ``count(__hit)``), with no second eval scan and no
+    totals⋈shared re-join.  Both shuffles move 8-byte keys only.
     """
     ev = _shingled(eval_df, text_col, id_col, k, spread=spread).select(
         id_col, h32(F.col("shingle")).alias("__h")
@@ -338,22 +340,20 @@ def contamination_check(
         _shingled(train_df, text_col, id_col, k, spread=spread)
         .select(h32(F.col("shingle")).alias("__h"))
         .distinct()
-    )
-    totals = ev.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
-    shared = (
-        ev.join(tr, on="__h", how="left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("__hit", F.lit(1))
     )
     return (
-        totals.join(shared, on=id_col, how="left")
+        ev.join(tr, on="__h", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count("__hit").alias("n_shared"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
         .select(
             id_col,
-            F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+            "n_shared",
             "n_total",
-            (
-                F.coalesce(F.col("n_shared"), F.lit(0)) / F.col("n_total")
-            ).alias("contamination"),
+            (F.col("n_shared") / F.col("n_total")).alias("contamination"),
         )
     )
 

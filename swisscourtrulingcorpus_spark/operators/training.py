@@ -9,16 +9,16 @@ BASELINE.md north star: the ops a 100 TB LLM-corpus pipeline needs).
 - ``deterministic_shuffle``: a reproducible global permutation by
   hashing the id with a seed — training-order shuffling that any engine
   (and any rerun) reproduces bit-for-bit, unlike rand()-based orderings.
-  At scale this is a total sort: one range-partitioned exchange, the
-  standard cost of producing a globally-ordered training manifest.
+  Executed as a parallel range-partitioned sort + partition-offset rank
+  (NOT a global window, which would funnel every row through one task).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+from swisscourtrulingcorpus_spark.functions.hashing import md5_seeded, normalize_ws
 
 
 def chunk_documents(
@@ -40,7 +40,11 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
-    words = df.select(
+    # NULL text must drop out here: null-skipping greatest/least would
+    # otherwise fabricate a chunk_idx=0 row with empty text and a
+    # full-size token count.  ('' still chunks to one empty chunk — a
+    # defined value both engines agree on.)
+    words = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
     )
     starts = F.sequence(
@@ -65,12 +69,42 @@ def chunk_documents(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str, seed: str = "42"
-) -> Column:
-    """Reproducible global shuffle rank: ``row_number`` over
-    ``md5(seed|id)`` (ties broken by id).  Engine-independent (md5) and
-    rerun-stable, unlike ``rand()``-seeded ordering which is tied to one
-    engine's RNG and partitioning."""
-    key = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
-    w = Window.orderBy(key.asc(), F.col(id_col).asc())
-    return F.row_number().over(w)
+    df: DataFrame, id_col: str, seed: str = "42", rank_col: str = "shuffle_rank"
+) -> DataFrame:
+    """Reproducible global shuffle rank: each row's 1-based position in
+    the ordering by ``md5(seed|id)`` (ties broken by id).
+    Engine-independent (md5) and rerun-stable, unlike ``rand()``-seeded
+    ordering which is tied to one engine's RNG and partitioning.
+
+    Computed WITHOUT a global window (row_number over an unpartitioned
+    window forces Exchange SinglePartition — one task sorts the world).
+    Instead: range-partition + sort on the hash key (the parallel total
+    sort), rank locally per partition, then add each partition's
+    starting offset — a running sum over the tiny per-partition-count
+    table.  The final rank is independent of where the range boundaries
+    land, so the result is identical at any parallelism."""
+    keyed = df.select(
+        df["*"], md5_seeded(F.col(id_col).cast("string"), seed).alias("__k")
+    )
+    parts = keyed.repartitionByRange(F.col("__k"), F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("__pid").orderBy(
+        F.col("__k").asc(), F.col(id_col).asc()
+    )
+    ranked = parts.withColumn("__local", F.row_number().over(local_w))
+    # offsets: rows in all partitions BEFORE this one; the aggregate is
+    # one row per partition, so this window input is tiny at any scale
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), on="__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__local")).cast("int"))
+        .drop("__k", "__pid", "__local", "__off")
+    )

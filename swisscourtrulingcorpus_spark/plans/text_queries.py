@@ -535,7 +535,7 @@ CHUNKED_ORACLE = """
 WITH words AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 starts AS (
   SELECT doc_id, w, len(w) AS n,
          unnest(range(1, greatest(len(w) - 16, 1) + 1, 48)) AS s
@@ -556,9 +556,7 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", deterministic_shuffle(docs, "doc_id").alias("shuffle_rank")
-    )
+    return deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_rank")
 
 
 TRAINING_SHUFFLE_ORACLE = """

@@ -200,3 +200,26 @@ def test_citation_relevance_scores(tables):
     if lo_df.tf == hi_df.tf and lo_df.df != hi_df.df:
         assert lo_df.relevance > hi_df.relevance
     assert all(r.relevance > 0 for r in rows)
+
+
+def test_write_partitioned_compressed(spark, sf_dir, tmp_path):
+    """Codec-on-write export (S10's xz analogue): gzip json parts land
+    under each split partition and read back losslessly."""
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "split", F.when(F.col("doc_id") % 2 == 0, "train").otherwise("test")
+    )
+    out = str(tmp_path / "export")
+    write_partitioned(
+        docs, out, partition_by=["split"], fmt="json", compression="gzip"
+    )
+    parts = glob.glob(out + "/split=*/*.json.gz")
+    assert parts, "no gzip part files written"
+    back = spark.read.json(out)
+    assert back.count() == docs.count()
