@@ -162,6 +162,38 @@ def minhash_signatures(
     return digests.select(F.col(id_col), *[_mh(j) for j in range(num_hashes)])
 
 
+def _banded(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band: int, band_key: bigint) — one row per (doc, band).
+
+    The band key is the band's MinHash values packed bitwise into one
+    BIGINT (``shiftleft(mh_i, 32) | mh_{i+1}``; each mh is a 32-bit
+    value carried in a bigint, so for 2 rows/band the packing is an
+    EXACT bijection — no collisions, unlike hashing a concat).  Join key
+    = 12 bytes of ints instead of a ~25-byte string, and the join
+    compares longs instead of strings.  Bands with > 2 rows fold the
+    same way; there the packing wraps (bit truncation), which only
+    merges buckets the way any LSH band-hash would — still
+    deterministic, still reproducible.
+
+    ``posexplode`` supplies the band index, keeping bucket spaces of
+    different bands disjoint via the ("band", "band_key") compound key.
+    """
+    rows_per_band = num_hashes // bands
+    keys = []
+    for b in range(bands):
+        key = F.col(f"mh{b * rows_per_band}")
+        for r in range(1, rows_per_band):
+            key = F.shiftleft(key, 32).bitwiseOR(
+                F.col(f"mh{b * rows_per_band + r}")
+            )
+        keys.append(key)
+    return sig.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -179,28 +211,20 @@ def minhash_lsh_candidates(
     the data.  Skewed buckets (many docs sharing a band) are AQE's
     skew-join case.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=spread)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.lit(str(b))] + [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(F.concat_ws("|", *parts))
     # One explicit shuffle on the join key: both self-join sides (and any
     # downstream groupBy on band_key) hang off the SAME Exchange, which
     # Spark de-duplicates via ReusedExchange — without it the whole
     # map-side signature computation (scan + shingling + 8 md5s/shingle)
     # runs twice, once per join side.  Measured at sf0.1 (with spread):
     # one-shot 8.0s → 3.5s.
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    ).repartition(F.col("band_key"))
+    banded = _banded(sig, id_col, num_hashes, bands).repartition(
+        F.col("band"), F.col("band_key")
+    )
     left = banded.alias("a")
     right = banded.alias("b")
     return (
-        left.join(right, on="band_key")
+        left.join(right, on=["band", "band_key"])
         .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -234,27 +258,19 @@ def minhash_dedup_groups(
     Cost: two shuffles (bucket min, doc min) over short rows, NO
     quadratic term.
     """
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=spread)
-    band_cols = []
-    for b in range(bands):
-        parts = [F.lit(str(b))] + [
-            F.col(f"mh{b * rows_per_band + r}").cast("string")
-            for r in range(rows_per_band)
-        ]
-        band_cols.append(F.concat_ws("|", *parts))
     # Same ReusedExchange trick as minhash_lsh_candidates: the explicit
     # band_key shuffle is computed once and feeds BOTH the bucket-min
     # aggregation (no further exchange — already partitioned on the
     # grouping key) and the probe side of the join.
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key")
-    ).repartition(F.col("band_key"))
-    bucket_min = banded.groupBy("band_key").agg(
+    banded = _banded(sig, id_col, num_hashes, bands).repartition(
+        F.col("band"), F.col("band_key")
+    )
+    bucket_min = banded.groupBy("band", "band_key").agg(
         F.min(id_col).alias("bucket_rep")
     )
     return (
-        banded.join(bucket_min, on="band_key")
+        banded.join(bucket_min, on=["band", "band_key"])
         .groupBy(id_col)
         .agg(F.min("bucket_rep").alias("representative"))
         .select(
@@ -378,6 +394,12 @@ def ngram_jaccard_pairs(
     and carried THROUGH the explode, so the pair aggregation groups on
     (id_a, id_b, n_a, n_b) and emits Jaccard directly — no size lookup
     joins after the self-join (two fewer joins than the naive plan).
+
+    The inverted index is keyed on the 32-bit md5 hash of the shingle,
+    not the string: the shuffled/joined key is 8 bytes instead of a
+    ~20-byte n-gram, and the self-join compares longs.  The oracle
+    hashes identically (same md5 windows), so a collision — which would
+    merge two shingles' postings — is reproduced bit-for-bit there.
     """
     # Explicit shuffle on the join key instead of .cache(): the Exchange
     # is shared (ReusedExchange) by the doc-frequency aggregation AND
@@ -385,18 +407,23 @@ def ngram_jaccard_pairs(
     # the exploded corpus would not fit memory at 100 TB).
     shingled = (
         _shingle_sets(df, text_col, id_col, k, spread=spread)
-        .select(id_col, F.size("__sh").alias("n_sh"), F.explode("__sh").alias("shingle"))
-        .repartition(F.col("shingle"))
+        .select(
+            id_col,
+            F.size("__sh").alias("n_sh"),
+            F.explode("__sh").alias("shingle"),
+        )
+        .select(id_col, "n_sh", h32(F.col("shingle")).alias("__h"))
+        .repartition(F.col("__h"))
     )
-    doc_freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    doc_freq = shingled.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
     rare = shingled.join(
-        F.broadcast(doc_freq.where(F.col("df") <= max_doc_freq)), on="shingle"
-    ).select(id_col, "n_sh", "shingle")
+        F.broadcast(doc_freq.where(F.col("df") <= max_doc_freq)), on="__h"
+    ).select(id_col, "n_sh", "__h")
 
     a = rare.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     b = rare.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
     return (
-        a.join(b, on="shingle")
+        a.join(b, on="__h")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("shared"))

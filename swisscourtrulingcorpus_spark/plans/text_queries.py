@@ -184,11 +184,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_ORACLE = f"""
 WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN freq f ON s.shingle = f.shingle WHERE f.df <= 100),
+hashed AS (SELECT doc_id, {_h32_sql('shingle')} AS h FROM sh),
+freq AS (SELECT h, count(*) AS df FROM hashed GROUP BY h),
+rare AS (SELECT s.doc_id, s.h FROM hashed s JOIN freq f ON s.h = f.h WHERE f.df <= 100),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b, shared / (sa.n + sb.n - shared) AS jaccard
 FROM shared
