@@ -79,3 +79,43 @@ def test_binary_judgment_order_invariant(perm):
     df = spark.createDataFrame([(list(perm),)], "labels: array<string>")
     got = df.select(normalize_binary_judgment("labels").alias("o")).first().o
     assert got == "approval"
+
+
+# ------------------------------------------------- LSH band-key packing
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**32 - 1),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_band_key_packing_bijective(pairs):
+    """`_banded`'s shiftleft|OR packing must bucket two docs together
+    exactly when their band's (mh_hi, mh_lo) pair is identical — an
+    exact bijection for 2 rows/band, no collisions (unlike a hashed
+    concat).  Checked against the Python model of the same packing."""
+    from swisscourtrulingcorpus_spark.operators.dedup import _banded
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    rows = [(i, int(a), int(b)) for i, (a, b) in enumerate(pairs)]
+    sig = spark.createDataFrame(rows, "id: int, mh0: bigint, mh1: bigint")
+    got = {
+        r.id: r.band_key
+        for r in _banded(sig, "id", num_hashes=2, bands=1).collect()
+    }
+    # Python model: value in the upper 32 bits, interpreted as signed 64
+    model = {
+        i: (a << 32 | b) - (1 << 64 if (a << 32 | b) >= 1 << 63 else 0)
+        for i, (a, b) in enumerate(pairs)
+    }
+    assert got == model
+    # bijection: equal keys <=> equal pairs
+    for i, (a1, b1) in enumerate(pairs):
+        for j, (a2, b2) in enumerate(pairs):
+            assert (model[i] == model[j]) == ((a1, b1) == (a2, b2))
