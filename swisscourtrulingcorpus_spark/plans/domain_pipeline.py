@@ -178,14 +178,24 @@ def _sections_pivot(sections: DataFrame) -> DataFrame:
 
 def judgment_dataset(tables: dict[str, DataFrame]) -> DataFrame:
     """D1 JudgmentDatasetCreator (`judgment_dataset_creator.py:13-56`):
-    facts+considerations features, binary label via F9, date splits."""
+    facts+considerations features, binary label via F9, date splits.
+
+    Judgments are extracted from the PIVOTED rulings column rather than
+    joined from the judgment table: the pivot already carries the
+    rulings text one-row-per-decision, so running the UDF post-pivot
+    removes a whole shuffled join on decision_id (and a second UDF pass
+    over the section rows).  Same values — null rulings → null label →
+    filtered, exactly like a join miss."""
+    from swisscourtrulingcorpus_spark.extraction import extract_judgments_udf
+
     decisions = tables["decision"]
     pivot = _sections_pivot(tables["section"])
-    judged = tables["judgment"]
     df = (
         decisions.select("decision_id", "spider", "chamber", "date", "language")
         .join(pivot, on="decision_id", how="left")
-        .join(judged, on="decision_id", how="left")
+        .withColumn(
+            "judgments", extract_judgments_udf("rulings", "language")
+        )
         .withColumn("label", normalize_binary_judgment("judgments"))
         .where(F.col("label").isNotNull())          # P8 dropna(judgments)
         .where(F.col("facts").isNotNull())          # D1 filter FACTS
