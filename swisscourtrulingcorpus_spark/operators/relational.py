@@ -221,13 +221,15 @@ def cutoff_filter(
 
 def value_counts_with_pct(df: DataFrame, attr: str) -> DataFrame:
     """A10 attribute histogram + percent-of-total
-    (`report_creator.py:126-163`).  The percent uses a global window sum
-    over the (already tiny) grouped result — the heavy input shuffles
-    once for the groupBy; the window runs on the aggregate only."""
+    (`report_creator.py:126-163`).  The total is a one-row aggregate
+    broadcast back onto the counts — NOT a global window, which would
+    funnel the grouped result through one partition and silently
+    bottleneck on a high-cardinality attribute (fine for 5 priorities,
+    not for a million tokens)."""
     counts = df.groupBy(attr).agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.partitionBy()
-    return counts.select(
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         F.col(attr),
         F.col("cnt"),
-        (F.col("cnt") * 100.0 / F.sum("cnt").over(w)).alias("pct"),
+        (F.col("cnt") * 100.0 / F.col("__total")).alias("pct"),
     )
