@@ -69,7 +69,11 @@ def chunk_documents(
 
 
 def deterministic_shuffle(
-    df: DataFrame, id_col: str, seed: str = "42", rank_col: str = "shuffle_rank"
+    df: DataFrame,
+    id_col: str,
+    seed: str = "42",
+    rank_col: str = "shuffle_rank",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle rank: each row's 1-based position in
     the ordering by ``md5(seed|id)`` (ties broken by id).
@@ -82,13 +86,20 @@ def deterministic_shuffle(
     sort), rank locally per partition, then add each partition's
     starting offset — a running sum over the tiny per-partition-count
     table.  The final rank is independent of where the range boundaries
-    land, so the result is identical at any parallelism."""
+    land, so the result is identical at any parallelism —
+    ``num_partitions`` (default: session shuffle parallelism) only
+    changes the execution width, never the output (asserted by
+    ``tests/test_properties.py::test_shuffle_rank_partition_invariant``).
+    """
     keyed = df.select(
         df["*"], md5_seeded(F.col(id_col).cast("string"), seed).alias("__k")
     )
-    parts = keyed.repartitionByRange(F.col("__k"), F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    range_cols = [F.col("__k"), F.col(id_col)]
+    parts = (
+        keyed.repartitionByRange(num_partitions, *range_cols)
+        if num_partitions is not None
+        else keyed.repartitionByRange(*range_cols)
+    ).withColumn("__pid", F.spark_partition_id())
     local_w = Window.partitionBy("__pid").orderBy(
         F.col("__k").asc(), F.col(id_col).asc()
     )

@@ -9,6 +9,7 @@ behavior on controlled corpora.
 from __future__ import annotations
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from swisscourtrulingcorpus_spark.extraction.cleaning import clean_text_py
 from swisscourtrulingcorpus_spark.functions.domain import (
@@ -119,3 +120,31 @@ def test_band_key_packing_bijective(pairs):
     for i, (a1, b1) in enumerate(pairs):
         for j, (a2, b2) in enumerate(pairs):
             assert (model[i] == model[j]) == ((a1, b1) == (a2, b2))
+
+
+# --------------------------------------- shuffle-rank partition invariance
+
+def test_shuffle_rank_partition_invariant():
+    """deterministic_shuffle must produce the SAME rank for every row no
+    matter how many range partitions execute it — the claim that lets
+    the same code run at local[2] and on 1000 executors."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        deterministic_shuffle,
+    )
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    df = spark.range(0, 257).select(F.col("id").alias("doc_id"))
+    baseline = None
+    for n in (1, 3, 7):
+        got = {
+            r.doc_id: r.shuffle_rank
+            for r in deterministic_shuffle(
+                df, "doc_id", num_partitions=n
+            ).collect()
+        }
+        assert sorted(got.values()) == list(range(1, 258))
+        if baseline is None:
+            baseline = got
+        else:
+            assert got == baseline, f"ranks differ at num_partitions={n}"
