@@ -39,9 +39,14 @@ HEADLINE = [
     "rollup_region_nation",
     # LLM-pipeline operators
     "minhash_lsh_pairs",
+    "minhash_dedup_groups",
     "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
     "tfidf_top_terms",
+    # training-data prep
+    "chunked_documents",
+    "training_shuffle_rank",
+    "test_set_contamination",
     # event-time windows
     "tumbling_hourly_events",
     "session_windows_events",
@@ -84,9 +89,13 @@ def main() -> None:
     judgment_dataset(run_extraction_pipeline(raw_corpus_df(spark, 200))).count()
 
     n_docs = 5000
-    t0 = time.perf_counter()
-    judgment_dataset(run_extraction_pipeline(raw_corpus_df(spark, n_docs))).count()
-    pipeline_sec = time.perf_counter() - t0
+    pipeline_sec = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        judgment_dataset(
+            run_extraction_pipeline(raw_corpus_df(spark, n_docs))
+        ).count()
+        pipeline_sec = min(pipeline_sec, time.perf_counter() - t0)
 
     print(
         json.dumps(
