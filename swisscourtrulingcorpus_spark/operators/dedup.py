@@ -416,8 +416,14 @@ def ngram_jaccard_pairs(
         .repartition(F.col("__h"))
     )
     doc_freq = shingled.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
+    # CO-PARTITIONED join, no broadcast: doc_freq aggregates over the
+    # same __h Exchange the postings sit on, so both join sides are
+    # already partitioned on the key — no new shuffle, and nothing
+    # vocabulary-sized ever ships to executors (broadcasting the rare
+    # set would send the whole corpus vocabulary to every node at
+    # 100 TB).
     rare = shingled.join(
-        F.broadcast(doc_freq.where(F.col("df") <= max_doc_freq)), on="__h"
+        doc_freq.where(F.col("df") <= max_doc_freq), on="__h"
     ).select(id_col, "n_sh", "__h")
 
     a = rare.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")

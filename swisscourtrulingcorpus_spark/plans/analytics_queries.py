@@ -102,8 +102,11 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
+        # supplier scales with the corpus (unlike region/nation) — no
+        # forced broadcast; AQE runtime-broadcasts it while it's small
+        # and falls back to a shuffled join when it isn't.
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

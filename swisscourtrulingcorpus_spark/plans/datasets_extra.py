@@ -130,6 +130,9 @@ def citation_relevance_scores(tables: dict[str, DataFrame]) -> DataFrame:
     tf = cits.groupBy("decision_id", "cited").agg(F.count(F.lit(1)).alias("tf"))
     df_ = cits.groupBy("cited").agg(F.countDistinct("decision_id").alias("df"))
     n = cits.select(F.countDistinct("decision_id").alias("n_docs"))
+    # df_ is keyed on cited BGE rulings — a BOUNDED vocabulary (the set
+    # of published leading decisions, ~10-30k), unlike free-text terms;
+    # broadcasting it is correct at any corpus size.
     return (
         tf.join(F.broadcast(df_), on="cited")
         .crossJoin(F.broadcast(n))

@@ -417,8 +417,12 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_ = _words(docs).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    # Broadcast TF, stream DF: tf is bounded by the query's doc set (20
+    # docs), while df_ is vocabulary-sized — at 100 TB the corpus-wide
+    # term table can NOT be broadcast, but the per-query tf always can.
+    # The inner BHJ probes df_ term-by-term with no shuffle of either.
     scored = (
-        tf.join(F.broadcast(df_), on="term")
+        df_.join(F.broadcast(tf), on="term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",

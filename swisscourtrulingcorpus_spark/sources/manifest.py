@@ -21,8 +21,13 @@ def new_rows_only(incoming: DataFrame, manifest: DataFrame | None, keys: list[st
     `text_to_database.py:135-145` skip-already-ingested)."""
     if manifest is None:
         return incoming
+    # No broadcast hint: the manifest GROWS with the corpus (every key
+    # ever processed), so forcing it executor-resident would eventually
+    # OOM.  Left to the optimizer, a young manifest broadcasts (under
+    # autoBroadcastJoinThreshold) and a billion-key manifest degrades
+    # gracefully to a shuffled anti-join on the key columns only.
     return incoming.join(
-        F.broadcast(manifest.select(*keys).distinct()), on=keys, how="left_anti"
+        manifest.select(*keys).distinct(), on=keys, how="left_anti"
     )
 
 
