@@ -413,7 +413,76 @@ GROUP BY owner_id
 """
 
 
+# --- Q2 shape: correlated scalar subquery (argmin per group) ------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's shape: for each large part, the supplier quoting the
+    MINIMUM unit price — the correlated scalar subquery
+    (``price = (SELECT min(price) WHERE partkey = outer.partkey)``)
+    decorrelated the way Catalyst would: a per-key min aggregate joined
+    back on the same key.  The reference's closest analogue is the
+    best-match snap of J6 (`dataset_creator.py:277-284`), which is the
+    same argmin-per-group shape.
+
+    Plan: the part restriction joins BELOW the argmin, so the aggregate
+    runs only on qualifying parts' quotes — and because that join
+    shuffles lineitem on partkey, the min-aggregate and the equality
+    back-join reuse the SAME exchange (one fact shuffle total).
+    Supplier resolves after the argmin so only winners join.  Unit
+    price is IEEE double division of the same source doubles in both
+    engines, so min() and the equality back-join see identical bit
+    patterns (decimal division would NOT parity — Spark and DuckDB
+    assign different result scales).
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 45)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    quotes = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    ).join(
+        part.select("p_partkey", "p_name"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    min_price = quotes.groupBy("l_partkey").agg(
+        F.min("unit_price").alias("min_price")
+    )
+    winners = (
+        quotes.join(min_price, on="l_partkey")
+        .where(F.col("unit_price") == F.col("min_price"))
+        .groupBy("l_partkey", "p_partkey", "p_name")
+        .agg(
+            F.min("l_suppkey").alias("s_suppkey"),  # deterministic tie-break
+            F.min("min_price").alias("min_unit_price"),
+        )
+    )
+    return winners.join(supp, on="s_suppkey").select(
+        "p_partkey", "p_name", "s_suppkey", "s_name", "min_unit_price"
+    )
+
+
+Q2_ORACLE = """
+WITH quotes AS (
+  SELECT l_partkey, l_suppkey, p_partkey, p_name,
+         l_extendedprice / l_quantity AS unit_price
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size >= 45),
+mins AS (
+  SELECT l_partkey, min(unit_price) AS min_price FROM quotes GROUP BY 1),
+winners AS (
+  SELECT q.p_partkey, q.p_name,
+         min(q.l_suppkey) AS s_suppkey,
+         min(m.min_price) AS min_unit_price
+  FROM quotes q JOIN mins m
+    ON q.l_partkey = m.l_partkey AND q.unit_price = m.min_price
+  GROUP BY 1, 2)
+SELECT w.p_partkey, w.p_name, w.s_suppkey, s.s_name, w.min_unit_price
+FROM winners w JOIN supplier s USING (s_suppkey)
+"""
+
+
 SPECS = [
+    QuerySpec("q2_min_cost_supplier", q2_min_cost_supplier, Q2_ORACLE, "correlated-subquery argmin"),
     QuerySpec("q3_shipping_priority", q3_shipping_priority, Q3_ORACLE, "fact-fact join + top-k"),
     QuerySpec("q5_supplier_volume", q5_supplier_volume, Q5_ORACLE, "6-way join"),
     QuerySpec("q18_large_orders", q18_large_orders, Q18_ORACLE, "agg-filter join-back"),
