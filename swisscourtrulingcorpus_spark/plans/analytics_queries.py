@@ -425,10 +425,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     same argmin-per-group shape.
 
     Plan: the part restriction joins BELOW the argmin, so the aggregate
-    runs only on qualifying parts' quotes — and because that join
-    shuffles lineitem on partkey, the min-aggregate and the equality
-    back-join reuse the SAME exchange (one fact shuffle total).
-    Supplier resolves after the argmin so only winners join.  Unit
+    runs only on qualifying parts' quotes.  The min branch partial-
+    aggregates map-side and exchanges one row per (partition, partkey);
+    the probe branch is the only fact-sized shuffle — lineitem moves
+    once, the part join broadcasts (AQE) at test scale and shuffles
+    above the threshold.  Supplier resolves after the argmin so only
+    winners join.  Unit
     price is IEEE double division of the same source doubles in both
     engines, so min() and the equality back-join see identical bit
     patterns (decimal division would NOT parity — Spark and DuckDB
