@@ -177,3 +177,19 @@ def test_range_join_no_nested_loop(spark, sf_dir):
     plan = _final_plan(range_join_first_window(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_self_joins_reuse_exchange(spark, sf_dir):
+    """The LSH band self-join and the Jaccard inverted-index join must
+    hang both sides off ONE exchange (ReusedExchange) — without it the
+    whole shingle+hash map pipeline executes once per join side."""
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for fn in (minhash_lsh_candidates, ngram_jaccard_pairs):
+        plan = _final_plan(fn(docs, "text", "doc_id", spread=True))
+        assert "ReusedExchange" in plan, plan
