@@ -104,6 +104,9 @@ def build_corpus(
     new_manifest.write.mode("overwrite").parquet(tmp)
     final = _manifest_path(out_dir)
     spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
     return counts
 
 
