@@ -39,3 +39,6 @@ def test_build_corpus_incremental_and_datasets(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "corpus/datasets/judgment_prediction/split=*"))
+
+    # manifest staging dir is cleaned up after the rewrite
+    assert not (tmp_path / "corpus/_manifest_tmp").exists()
