@@ -130,7 +130,10 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigint-sum / count division (identical double both engines)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # timestamp_diff works for both TIMESTAMP and TIMESTAMP_NTZ inputs —
+    # parquet `timestamp[us]` without tz arrives as NTZ under Spark 4's
+    # default inferTimestampNTZ, and unix_micros would reject it.
+    gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     gapped = ev.select("event_type", gap.alias("gap_us")).where(
         F.col("gap_us").isNotNull()
     )
