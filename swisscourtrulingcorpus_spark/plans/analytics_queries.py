@@ -380,13 +380,15 @@ def range_join_first_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucketed_range_join,
     )
 
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
     ev = load_table(spark, sf_dir, "events")
-    points = ev.select("event_id", "user_id", F.unix_micros("ts").alias("p"))
+    points = ev.select("event_id", "user_id", epoch_us("ts").alias("p"))
     two_hours = 2 * 3600 * 1_000_000
     intervals = (
         ev.where(F.col("user_id") < 50)
         .groupBy(F.col("user_id").alias("owner_id"))
-        .agg(F.min(F.unix_micros("ts")).alias("lo"))
+        .agg(F.min(epoch_us("ts")).alias("lo"))
         .withColumn("hi", F.col("lo") + F.lit(two_hours))
     )
     pairs = bucketed_range_join(

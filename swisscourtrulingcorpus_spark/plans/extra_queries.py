@@ -156,21 +156,31 @@ def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sampled_verification_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coverage-verification sample (`coverage_verification.py:
-    88-103`: ORDER BY RANDOM() LIMIT n, here with a FIXED seed per
-    SURVEY §7.3 risk 4).  Deterministic within Spark; no SQL oracle
-    (DuckDB's RNG differs) — the driver's rows-only check applies, and
-    determinism across runs is asserted in tests."""
+    88-103`: ORDER BY RANDOM() LIMIT n, here seeded per SURVEY §7.3
+    risk 4).  The "random" key is md5 of a seed-salted id rather than
+    engine RNG state: identical in every engine and at every cluster
+    size (rand(seed) is partition-dependent on a real cluster), so the
+    sample is reproducible at 100 TB AND DuckDB-oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
+    rand_key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
     return (
-        docs.orderBy(F.rand(seed=42), F.col("doc_id"))
+        docs.orderBy(rand_key, F.col("doc_id"))
         .limit(50)
         .select("doc_id", "lang", "n_chars")
     )
 
 
+SAMPLED_VERIFICATION_ORACLE = """
+SELECT doc_id, lang, n_chars
+FROM documents
+ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 50
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
-    QuerySpec("sampled_verification_docs", sampled_verification_docs, None, "W4 seeded sample"),
+    QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
     QuerySpec("regex_predicate_documents", regex_predicate_documents, REGEX_PREDICATE_ORACLE, "P6 regex filter"),
     QuerySpec("token_counter_levels", token_counter_levels, TOKEN_COUNTER_ORACLE, "A4/F14 counter ladder"),
     QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_ORACLE, "binary+mapInPandas"),

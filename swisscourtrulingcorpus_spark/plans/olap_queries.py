@@ -1,0 +1,395 @@
+"""OLAP breadth pack: the remaining classic TPC-H query shapes the
+star-schema fixtures can express, plus ranking-window and CUBE
+coverage.
+
+Why these exist: SURVEY §2.3/§2.4 note the reference never needs more
+than equi+left joins and flat aggregates — but the *engine* a user
+switches to must still run the standard OLAP shapes over the same
+tables (BASELINE north star: full query capability at 100 TB).  Each
+query documents its physical plan intent; all money math follows the
+repo-wide DECIMAL(18,2)-then-DOUBLE convention (`functions/money.py`).
+
+Scale notes common to the pack:
+- lineitem ⋈ orders is the one fact-fact meet — shuffles on orderkey
+  (SMJ under AQE, shuffle-free on the bucketed path in
+  `sources/bucketing.py`).
+- nation/region always broadcast; customer/supplier/part are left to
+  AQE's runtime size decision (broadcast at test scale, shuffle at
+  100 TB — both correct).
+- Every filter sits directly on a scan so it reaches the parquet
+  reader as a PushedFilter (verified pattern in test_plan_quality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.money import dec2, disc_price
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+_DEC_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# --- Q6 shape: pure scan-side filter + single aggregate -----------------
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pushdown benchmark.  Every predicate lands in the
+    parquet scan (date range, discount band, quantity cap); the plan is
+    scan → partial sum → single-row exchange → final sum.  At 100 TB
+    this is the query where column pruning + predicate pushdown ARE the
+    performance model: 3 columns read out of 11, row groups skipped on
+    the shipdate min/max stats."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        & (dec2("l_discount") >= F.lit("0.03").cast("decimal(18,2)"))
+        & (dec2("l_discount") <= F.lit("0.07").cast("decimal(18,2)"))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec2("l_extendedprice") * dec2("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN CAST('0.03' AS DECIMAL(18,2)) AND CAST('0.07' AS DECIMAL(18,2))
+  AND l_quantity < 24
+"""
+
+
+# --- Q7 shape: bidirectional two-nation trade volume --------------------
+
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation ↔ customer-nation trade: the nation dim joins the
+    fact chain TWICE under different roles (supplier side / customer
+    side) — both broadcast, so the only shuffle is the lineitem⋈orders
+    meet.  The (n1,n2)∈{(1,2),(2,1)} disjunction is applied AFTER the
+    dim joins resolve names, exactly where Catalyst can still push it
+    into the broadcast-join output before the aggregate."""
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("trade_year"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+Q7_ORACLE = f"""
+SELECT
+  ns.n_name AS supp_nation,
+  nc.n_name AS cust_nation,
+  year(l_shipdate) AS trade_year,
+  CAST(sum({_DEC_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY ns.n_name, nc.n_name, year(l_shipdate)
+"""
+
+
+# --- Q10 shape: returned-item revenue, top-20 customers -----------------
+
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ranked by revenue lost to returns in one quarter-ish
+    window: filtered fact-fact join, revenue agg per customer, dim
+    attach AFTER the aggregate (one row per customer joins nation —
+    not every lineitem row), deterministic top-20."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(sum({_DEC_REV}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --- Q12 shape: cross-fact date predicate + conditional counts ----------
+
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines shipped > 60 days after their order's date (a predicate
+    relating columns of BOTH fact tables — evaluable only post-join),
+    counted per returnflag split into high/low order priority.  The
+    join moves only (orderkey, date, priority) — Catalyst prunes both
+    sides to the referenced columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_lines"),
+        )
+    )
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_priority_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag
+"""
+
+
+# --- Q17 shape: per-key average, join back, threshold filter ------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from 'small' lineitems: quantity below 20% of the part's
+    average quantity.  The correlated `avg` decorrelates to a per-part
+    aggregate joined back on partkey (same argmin-join-back family as
+    q2/q18).  The threshold compare is EXACT integer/decimal algebra —
+    `qty * 5 * cnt < sum_qty` instead of `qty < 0.2 * avg` — so no
+    engine-specific double rounding can flip a boundary row.  Brand
+    filter restricts the probe side before the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(dec2("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("agg_partkey"))
+        .where(dec2("l_quantity") * F.lit(5) * F.col("cnt_qty") < F.col("sum_qty"))
+        .agg(
+            (F.sum(dec2("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS agg_partkey,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         count(*) AS cnt_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+  count(*) AS n_small_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = agg_partkey
+WHERE p_brand = 'Brand#1'
+  AND CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt_qty < sum_qty
+"""
+
+
+# --- Q19 shape: OR-of-ANDs join predicate -------------------------------
+
+def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive brand/size/quantity bands over lineitem ⋈ part.
+    Catalyst extracts the common `l_partkey = p_partkey` conjunct as
+    the join key and keeps the OR as a post-join filter; per-branch
+    part predicates can't prune the scan (the OR spans both sides) but
+    the small part dim broadcasts, so the disjunction evaluates
+    map-side with zero extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    band1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    band2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    band3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .where(band1 | band2 | band3)
+        .agg(
+            F.sum(disc_price()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_ORACLE = f"""
+SELECT
+  CAST(sum({_DEC_REV}) AS DOUBLE) AS revenue,
+  count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- Ranking-window breadth: ntile / percent_rank / cume_dist -----------
+
+def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via the full ranking-window family the
+    engine exposes beyond rank/row_number (already gated in
+    `topk_orders_per_segment`): ntile(4), percent_rank, cume_dist over
+    one window.  Spend is the exact decimal per-customer order total,
+    ordering is (spend, custkey) — fully deterministic, so the window
+    outputs are engine-identical doubles (pure integer-rank
+    arithmetic).  One shuffle for the groupBy, one for the window
+    sort; at 100 TB the single global window would become per-segment
+    windows (partitionBy) — kept global here because quartiles are
+    corpus-wide by definition."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice")).alias("spend_dec")
+    )
+    w = Window.orderBy(F.asc("spend_dec"), F.asc("o_custkey"))
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            F.ntile(4).over(w).alias("spend_quartile"),
+            F.percent_rank().over(w).alias("spend_pct_rank"),
+            F.cume_dist().over(w).alias("spend_cume_dist"),
+        )
+    )
+
+
+NTILE_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey)
+SELECT
+  c_custkey,
+  CAST(spend_dec AS DOUBLE) AS total_spend,
+  ntile(4) OVER w AS spend_quartile,
+  percent_rank() OVER w AS spend_pct_rank,
+  cume_dist() OVER w AS spend_cume_dist
+FROM spend JOIN customer ON o_custkey = c_custkey
+WINDOW w AS (ORDER BY spend_dec ASC, o_custkey ASC)
+"""
+
+
+# --- CUBE: full grouping lattice over order dimensions ------------------
+
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(status, priority): all four grouping sets in one pass
+    (SURVEY §2.4 notes rollup is the reference's natural ladder — cube
+    is the engine capability superset).  Spark computes the lattice by
+    expanding each input row once per grouping set BEFORE the shuffle,
+    with partial aggregation per set — same strategy DuckDB uses, and
+    the exact decimal sum makes every lattice cell engine-identical.
+    Null group keys are labeled '<ALL>' (the fixtures contain no real
+    nulls), keeping the driver's column-name hash simple."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias("priority"),
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+CUBE_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, '<ALL>') AS status,
+  coalesce(o_orderpriority, '<ALL>') AS priority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+SPECS = [
+    QuerySpec("q6_revenue_delta", q6_revenue_delta, Q6_ORACLE, "Q6 pushdown scan-agg"),
+    QuerySpec("q7_nation_trade_volume", q7_nation_trade_volume, Q7_ORACLE, "Q7 dual-role dim join"),
+    QuerySpec("q10_returned_revenue_topk", q10_returned_revenue_topk, Q10_ORACLE, "Q10 agg-then-dim top-k"),
+    QuerySpec("q12_late_shipment_priority", q12_late_shipment_priority, Q12_ORACLE, "Q12 cross-fact predicate"),
+    QuerySpec("q17_small_quantity_revenue", q17_small_quantity_revenue, Q17_ORACLE, "Q17 avg join-back"),
+    QuerySpec("q19_brand_size_revenue", q19_brand_size_revenue, Q19_ORACLE, "Q19 OR-of-ANDs"),
+    QuerySpec("ntile_customer_spend", ntile_customer_spend, NTILE_ORACLE, "ntile/percent_rank/cume_dist"),
+    QuerySpec("cube_order_status_priority", cube_order_status_priority, CUBE_ORACLE, "CUBE lattice"),
+]

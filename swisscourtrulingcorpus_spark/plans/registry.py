@@ -29,6 +29,7 @@ class QuerySpec:
 def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
+    from swisscourtrulingcorpus_spark.plans import olap_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
@@ -39,6 +40,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += window_queries.SPECS
     specs += extra_queries.SPECS
     specs += analytics_queries.SPECS
+    specs += olap_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
     return specs

@@ -77,6 +77,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def epoch_us(col) -> F.Column:
+    """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ.
+
+    Parquet `timestamp[us]` without a timezone arrives as TIMESTAMP_NTZ
+    under Spark 4's ``inferTimestampNTZType``, and ``unix_micros`` only
+    accepts TIMESTAMP.  ``timestamp_diff`` coerces its operands to a
+    common type, so diffing against the epoch literal works for both
+    flavors and matches DuckDB's ``epoch_us`` on naive timestamps
+    exactly (pure integer arithmetic, no tz shift)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -43,8 +43,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(path, link)
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return ensure_event_time(stream, "ts")
+
+
+def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (what watermarks
+    require).  Parquet TIMESTAMP(NANOS) arrives as nano-BIGINT
+    (nanosAsLong) → integer DIV to micros; timestamp[us] without a zone
+    arrives as TIMESTAMP_NTZ → cast, which under the UTC-pinned session
+    is a pure re-tag (no instant shift), so windowed output strings
+    match the batch twins exactly."""
+    ts_type = dict(stream.dtypes).get(ts_col)
+    if ts_type == "bigint":
+        return stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` DIV 1000"))
+        )
+    if ts_type == "timestamp_ntz":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return stream
 
 
@@ -127,6 +142,7 @@ def streaming_dedup(
     uniqueness for uniqueness within the late-data horizon — the
     standard contract for ingest-time dedup of re-delivered documents.
     """
+    stream = ensure_event_time(stream, ts_col)
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
