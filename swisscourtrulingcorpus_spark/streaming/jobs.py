@@ -146,6 +146,46 @@ def streaming_dedup(
     return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def purchase_attribution_stream(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joins the same user's
+    view events from the preceding 30 minutes — the streaming twin of
+    the batch as-of/attribution family (`asof_purchase_attribution`).
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH ends (``view_ts BETWEEN buy_ts - 30 min AND buy_ts``),
+    which is what lets Spark evict buffered state: a view older than
+    watermark + 30 min can never match a future purchase and is
+    dropped.  Unbounded conditions would grow state forever at
+    100 TB/day — the bound is the correctness-of-scale requirement,
+    not an optimization.  Append mode, inner join: rows emit once both
+    watermarks pass the match window.
+    """
+    ev = ensure_event_time(stream, "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("value"),
+    )
+    return (
+        buys.withWatermark("buy_ts", watermark)
+        .join(
+            views.withWatermark("view_ts", watermark),
+            F.expr(
+                "b_user = v_user"
+                " AND view_ts >= buy_ts - INTERVAL 30 MINUTES"
+                " AND view_ts <= buy_ts"
+            ),
+            "inner",
+        )
+        .select(F.col("b_user").alias("user_id"), "buy_ts", "view_ts", "value")
+    )
+
+
 def incremental_event_counts(
     spark: SparkSession, sf_dir: str, manifest: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:

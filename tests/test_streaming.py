@@ -195,3 +195,47 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     got = spark.table("t_dedup")
     assert got.count() == ev.count()
     assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join == the equivalent batch join: every
+    purchase paired with the same user's views in the prior 30 min.
+    Append-mode inner join with bounded event-time condition, so
+    AvailableNow drains the full fixture and emits every match."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming import read_events_stream
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        ensure_event_time,
+        purchase_attribution_stream,
+    )
+
+    q = (
+        purchase_attribution_stream(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attrib"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_attrib")
+
+    ev = ensure_event_time(load_table(spark, sf_dir, "events"), "ts")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("buy_ts"), "value"
+    )
+    want = buys.join(
+        views,
+        (F.col("b_user") == F.col("v_user"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("view_ts") <= F.col("buy_ts")),
+    ).select(F.col("b_user").alias("user_id"), "buy_ts", "view_ts", "value")
+
+    assert want.count() > 0
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
