@@ -193,3 +193,61 @@ def test_dedup_self_joins_reuse_exchange(spark, sf_dir):
     for fn in (minhash_lsh_candidates, ngram_jaccard_pairs):
         plan = _final_plan(fn(docs, "text", "doc_id", spread=True))
         assert "ReusedExchange" in plan, plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is THE pushdown benchmark: every predicate (date range,
+    discount band, quantity cap) must reach the parquet scan, and the
+    scan must read only the 3 referenced columns."""
+    from swisscourtrulingcorpus_spark.plans.olap_queries import q6_revenue_delta
+
+    plan = _static_plan(q6_revenue_delta(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_quantity,24.0)" in plan, plan
+    # decimal band compares survive as scan-level filters too
+    assert "l_discount" in plan.split("PushedFilters")[1].split("]")[0], plan
+
+
+def test_q7_nation_dims_broadcast(spark, sf_dir):
+    """Both role-playing nation dims must broadcast; the only SMJ
+    allowed is the lineitem ⋈ orders fact meet.  Asserted on the
+    static plan — at tiny SF the filtered result is empty and AQE
+    collapses the FINAL plan to EmptyRelation, erasing the joins."""
+    from swisscourtrulingcorpus_spark.plans.olap_queries import (
+        q7_nation_trade_volume,
+    )
+
+    plan = _static_plan(q7_nation_trade_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the nation-name disjunction is pushed into the dim scan(s) —
+    # printed once (the formatted dump dedupes the two identical scans)
+    assert "Or(EqualTo(n_name,NATION_1),EqualTo(n_name,NATION_2))" in plan, plan
+
+
+def test_q10_aggregates_before_dim_join(spark, sf_dir):
+    """Q10: revenue aggregates per customer BEFORE the customer/nation
+    dims attach — one row per customer joins the dims, not every
+    lineitem row."""
+    from swisscourtrulingcorpus_spark.plans.olap_queries import (
+        q10_returned_revenue_topk,
+    )
+
+    plan = _optimized_logical(q10_returned_revenue_topk(spark, sf_dir))
+    lines = plan.splitlines()
+    join_idx = next(i for i, l in enumerate(lines) if "Join" in l)
+    agg_idx = next(i for i, l in enumerate(lines) if "Aggregate" in l)
+    assert join_idx < agg_idx, plan
+
+
+def test_cube_single_pass(spark, sf_dir):
+    """CUBE must expand grouping sets in ONE aggregation pass (Expand +
+    Aggregate), not a union of four separate scans."""
+    from swisscourtrulingcorpus_spark.plans.olap_queries import (
+        cube_order_status_priority,
+    )
+
+    plan = _optimized_logical(cube_order_status_priority(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert "Union" not in plan, plan
