@@ -95,3 +95,68 @@ def decode_image_stub(media: DataFrame) -> DataFrame:
     real plumbing (Arrow batches of binary cells, bounded by
     maxRecordsPerBatch), with stub features standing in for pixels."""
     return media.mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def resize_image_stub(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize step (1→1): rescale the metadata dims to fit max_dim
+    preserving aspect ratio — pure column arithmetic on the metadata
+    (a real resize would be a mapInPandas over the payload exactly like
+    decode_image_stub; the *scheduling* shape is identical, so the stub
+    keeps this one JVM-side where a metadata-only transform belongs)."""
+    scale = F.when(
+        F.greatest("width", "height") > max_dim,
+        F.lit(max_dim) / F.greatest("width", "height").cast("double"),
+    ).otherwise(F.lit(1.0))
+    # both dims in ONE projection — sequential withColumn would
+    # recompute `scale` against the already-resized width
+    return media.withColumns(
+        {
+            "width": F.floor(F.col("width") * scale).cast("int"),
+            "height": F.floor(F.col("height") * scale).cast("int"),
+        }
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_offset_ms", LongType()),
+        StructField("frame_checksum", StringType()),
+    ]
+)
+
+_FRAME_INTERVAL_MS = 40  # 25 fps
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        checksums = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+        n_frames = (pdf["payload"].map(len) % 5 + 1).to_numpy()
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(), n_frames)
+        base = np.repeat(checksums.to_numpy(), n_frames)
+        idx = np.concatenate([np.arange(k) for k in n_frames])
+        yield pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "frame_idx": idx.astype("int32"),
+                "ts_offset_ms": (idx * _FRAME_INTERVAL_MS).astype("int64"),
+                "frame_checksum": [
+                    hashlib.md5(f"{c}#{i}".encode()).hexdigest()
+                    for c, i in zip(base, idx)
+                ],
+            }
+        )
+
+
+def sample_frames_stub(media: DataFrame) -> DataFrame:
+    """Frame sampling (1→N fan-out): each payload yields a
+    deterministic number of 'frames' (len % 5 + 1) with per-frame
+    checksums — the UDTF-shaped multimodal stage (a real implementation
+    would pull frames out of a video container here; batch shape,
+    fan-out semantics and Arrow plumbing are identical)."""
+    return media.mapInPandas(_frame_batches, FRAME_SCHEMA)

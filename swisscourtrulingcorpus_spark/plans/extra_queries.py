@@ -134,6 +134,37 @@ FROM documents
 """
 
 
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1→N mapInPandas): each binary payload
+    yields len%5+1 deterministic frames.  The oracle reproduces the
+    fan-out with generate_series + the same md5 chain, proving row
+    multiplicity, ordering-free equality and checksum derivation all
+    survive the Arrow batch boundary."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        attach_binary_payload,
+        sample_frames_stub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames_stub(attach_binary_payload(docs, "text", "doc_id"))
+
+
+FRAME_SAMPLE_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         md5(text) AS checksum,
+         octet_length(encode(text)) % 5 + 1 AS k
+  FROM documents),
+f AS (
+  SELECT doc_id, checksum, unnest(range(0, k)) AS i FROM m)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(i * 40 AS BIGINT) AS ts_offset_ms,
+       md5(checksum || '#' || CAST(i AS VARCHAR)) AS frame_checksum
+FROM f
+"""
+
+
 # --- deterministic UUIDv5 ids (rows-only: no SQL uuid5) ----------------
 
 def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,5 +215,6 @@ SPECS = [
     QuerySpec("regex_predicate_documents", regex_predicate_documents, REGEX_PREDICATE_ORACLE, "P6 regex filter"),
     QuerySpec("token_counter_levels", token_counter_levels, TOKEN_COUNTER_ORACLE, "A4/F14 counter ladder"),
     QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_ORACLE, "binary+mapInPandas"),
+    QuerySpec("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE, "1→N frame fan-out"),
     QuerySpec("uuid5_document_ids", uuid5_document_ids, None, "UUIDv5 ids (rows-only)"),
 ]

@@ -95,7 +95,11 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
     the explicitly-Python ones (uuid5, multimodal)."""
     from swisscourtrulingcorpus_spark.plans.registry import QUERY_SPECS
 
-    python_ok = {"uuid5_document_ids", "multimodal_features"}
+    python_ok = {
+        "uuid5_document_ids",
+        "multimodal_features",
+        "multimodal_frame_sample",
+    }
     for spec in QUERY_SPECS:
         if spec.name in python_ok:
             continue
