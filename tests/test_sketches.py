@@ -1,0 +1,82 @@
+"""Accuracy-bound + mergeability tests for the sketch operators.
+
+Sketches can't hash-match a DuckDB oracle (different algorithms by
+design); instead we assert the properties that make them usable at
+100 TB: bounded error against the exact answer, and sketch-union
+equaling the whole-corpus sketch (mergeability — the property that
+makes per-slice sketches a statistics table instead of a rescan).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from swisscourtrulingcorpus_spark.operators.sketches import (
+    approx_distinct_by,
+    approx_quantiles,
+    build_sketches,
+    union_cardinality,
+)
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r.approx_distinct
+        for r in approx_distinct_by(
+            orders, ["o_orderpriority"], "o_custkey", rsd=0.02
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        # 5 standard deviations at rsd=0.02 — effectively never flakes
+        assert abs(approx[k] - n) <= max(2.0, 0.10 * n), (k, n, approx[k])
+
+
+def test_hll_sketch_union_mergeable(spark, sf_dir):
+    """Union of per-priority sketches must estimate the SAME cardinality
+    as one sketch over the whole table (mergeability), and be close to
+    the exact distinct count."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_slice = build_sketches(orders, "o_orderpriority", "o_custkey")
+    merged = union_cardinality(per_slice).collect()[0].approx_distinct
+
+    whole = orders.agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("o_custkey").cast("string"), F.lit(12))
+        ).alias("n")
+    ).collect()[0].n
+    # union-of-slices and whole-table sketches may sit in different
+    # internal modes (sparse vs dense), so estimates differ slightly —
+    # the contract is bounded divergence, not bit equality
+    assert abs(merged - whole) <= max(2.0, 0.05 * whole), (merged, whole)
+
+    exact = orders.select("o_custkey").distinct().count()
+    assert abs(merged - exact) <= max(2.0, 0.10 * exact), (merged, exact)
+    assert abs(whole - exact) <= max(2.0, 0.10 * exact), (whole, exact)
+
+
+def test_approx_quantiles_bounded_error(spark, sf_dir):
+    """Approximate percentiles must land within a small rank error of
+    the exact percentiles (exact twin is oracle-gated in
+    percentiles_order_value)."""
+    orders = load_table(spark, sf_dir, "orders")
+    got = approx_quantiles(
+        orders, ["o_orderstatus"], "o_totalprice", [0.25, 0.5, 0.75]
+    ).collect()
+    exact = {
+        r.o_orderstatus: r.p
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("p"))
+        .collect()
+    }
+    for r in got:
+        for a, e in zip(r.approx_percentiles, exact[r.o_orderstatus]):
+            assert abs(a - e) / max(abs(e), 1.0) < 0.05, (r.o_orderstatus, a, e)
