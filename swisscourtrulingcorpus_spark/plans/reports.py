@@ -88,3 +88,67 @@ def export_report_excel(report: DataFrame, path: str, sheet: str = "report") -> 
     except (ImportError, ModuleNotFoundError, ValueError):
         pdf.to_csv(path.replace(".xlsx", ".csv"), index=False)
         return False
+
+
+def export_verification_docs(
+    tables: dict[str, DataFrame],
+    out_dir: str,
+    n: int = 50,
+    seed_salt: str = "seed42",
+) -> str:
+    """S15 verification sink (`scrc/analyses/coverage_verification.py:
+    57-103`): a human-reviewable document per sampled decision with its
+    sections delimited and the extracted judgment outcome highlighted.
+
+    The reference renders python-docx with colored section highlights;
+    that library is absent here, so the renderer writes the same
+    structure as Markdown (headings per section, judgments bolded) —
+    the docx call is the one-line seam at the end.  Everything scale-
+    relevant is identical: a DETERMINISTIC md5-keyed sample (same
+    sample on any cluster size — ORDER BY RANDOM() is not reproducible
+    across engines or partitionings), a semi-join so only the sampled
+    decisions' sections are ever collected, and driver-side rendering
+    of an n-row result only.
+
+    Returns the output file path.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    sections = tables["section"]
+    judgments = tables["judgment"]
+
+    picked = (
+        sections.select("decision_id")
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.lit(seed_salt + ":"), F.col("decision_id"))),
+            F.col("decision_id"),
+        )
+        .limit(n)
+    )
+    sampled = (
+        sections.join(picked, "decision_id", "left_semi")
+        .join(judgments, "decision_id", "left")
+        .select("decision_id", "section", "section_text", "judgments")
+        .collect()
+    )
+
+    by_doc: dict[str, list] = {}
+    for r in sampled:
+        by_doc.setdefault(r.decision_id, []).append(r)
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"verification_{n}.md")
+    with open(path, "w", encoding="utf-8") as f:
+        for decision_id in sorted(by_doc):
+            rows = by_doc[decision_id]
+            outcomes = next(
+                (r.judgments for r in rows if r.judgments), None
+            ) or []
+            f.write(f"# decision {decision_id}\n\n")
+            f.write(f"**judgment outcome: {', '.join(outcomes) or '—'}**\n\n")
+            for r in sorted(rows, key=lambda r: r.section):
+                f.write(f"## [{r.section}]\n\n{r.section_text}\n\n")
+    return path

@@ -56,3 +56,24 @@ def test_excel_sink_fallback(spark, sf_dir):
     # whichever writer exists, SOME file must land
     assert os.path.exists(path) or os.path.exists(path.replace(".xlsx", ".csv"))
     assert ok in (True, False)
+
+
+def test_verification_docs_sink(spark, tmp_path):
+    """S15: deterministic sample rendered to a reviewable file with
+    section delimiters + judgment outcome; same sample on every run."""
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        run_extraction_pipeline,
+    )
+    from swisscourtrulingcorpus_spark.plans.reports import (
+        export_verification_docs,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
+
+    tables = run_extraction_pipeline(raw_corpus_df(spark, 120))
+    p1 = export_verification_docs(tables, str(tmp_path / "v1"), n=10)
+    p2 = export_verification_docs(tables, str(tmp_path / "v2"), n=10)
+    t1, t2 = open(p1).read(), open(p2).read()
+    assert t1 == t2  # deterministic sample + render
+    assert t1.count("# decision ") == 10
+    assert "## [rulings]" in t1
+    assert "**judgment outcome:" in t1
