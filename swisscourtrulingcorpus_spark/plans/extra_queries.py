@@ -134,6 +134,84 @@ FROM documents
 """
 
 
+def hourly_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap filling: hourly event counts per type with
+    missing hours emitted as 0 — the standard time-series densify
+    (`sequence` + explode builds the spine; the grid is spine × the
+    tiny type dim, broadcast; counts left-join on).  Needed anywhere
+    the reference plots per-period distributions (`report_creator.py`)
+    — pandas reindex does this driver-side; the engine does it
+    distributed.  Spine size is bounded by the time range (one row per
+    hour), never by the event count, so the cross join is safe at any
+    corpus scale."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+SPINE_ORACLE = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+counts AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2)
+SELECT strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       t.event_type,
+       coalesce(c.cnt, 0) AS cnt
+FROM spine s
+CROSS JOIN types t
+LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+"""
+
+
+def unpivot_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt): per-doc stats as (doc_id, stat, value)
+    rows — the inverse of `user_event_pivot`, completing the reshape
+    pair.  Map-side row expansion, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    return wide.unpivot("doc_id", ["n_chars", "n_tokens"], "stat", "value")
+
+
+UNPIVOT_ORACLE = """
+SELECT doc_id, 'n_chars' AS stat, CAST(n_chars AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 'n_tokens' AS stat,
+       CAST(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) AS value
+FROM documents
+"""
+
+
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling fan-out (1→N mapInPandas): each binary payload
     yields len%5+1 deterministic frames.  The oracle reproduces the
@@ -216,5 +294,7 @@ SPECS = [
     QuerySpec("token_counter_levels", token_counter_levels, TOKEN_COUNTER_ORACLE, "A4/F14 counter ladder"),
     QuerySpec("multimodal_features", multimodal_features, MULTIMODAL_ORACLE, "binary+mapInPandas"),
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE, "1→N frame fan-out"),
+    QuerySpec("hourly_spine_gap_fill", hourly_spine_gap_fill, SPINE_ORACLE, "date-spine densify"),
+    QuerySpec("unpivot_doc_stats", unpivot_doc_stats, UNPIVOT_ORACLE, "wide→long melt"),
     QuerySpec("uuid5_document_ids", uuid5_document_ids, None, "UUIDv5 ids (rows-only)"),
 ]
