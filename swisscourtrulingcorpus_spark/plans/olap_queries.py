@@ -383,7 +383,64 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- dispersion statistics from exact partials --------------------------
+
+def dispersion_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status mean/variance/stddev of order value — the engine's
+    statistical-aggregate surface (A11 `describe()` family), computed
+    from EXACT decimal partials (sum, sum of squares, count) with the
+    double math applied once, in the same order, on both engines.
+    ``stddev_samp`` built-ins use engine-specific streaming algorithms
+    whose float accumulation differs run-to-run and engine-to-engine;
+    sum/sumsq partials are exact, associative, partition-order-free —
+    the only formulation that is BOTH parallel-safe and bit-stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = dec2("o_totalprice")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("__s"),
+        F.sum(v * v).alias("__sq"),
+    )
+    s = F.col("__s").cast("double")
+    sq = F.col("__sq").cast("double")
+    n = F.col("n")
+    var = (sq - s * s / n) / (n - F.lit(1))
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        (s / n).alias("mean_value"),
+        var.alias("var_value"),
+        F.sqrt(var).alias("stddev_value"),
+    )
+
+
+# NB the VARCHAR round-trip on the sum-of-squares cast: DuckDB's direct
+# DECIMAL→DOUBLE cast double-rounds (int128→double, then ÷10^scale) and
+# can land one ulp off at ~16 significant digits; string→double parsing
+# is correctly rounded, matching Spark's BigDecimal conversion exactly.
+DISPERSION_ORACLE = """
+WITH agg AS (
+  SELECT o_orderstatus,
+         count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS s_dec,
+         sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS sq_dec
+  FROM orders GROUP BY o_orderstatus),
+d AS (
+  SELECT o_orderstatus, n,
+         CAST(CAST(s_dec AS VARCHAR) AS DOUBLE) AS s,
+         CAST(CAST(sq_dec AS VARCHAR) AS DOUBLE) AS sq
+  FROM agg)
+SELECT o_orderstatus,
+       n,
+       s / n AS mean_value,
+       (sq - s * s / n) / (n - 1) AS var_value,
+       sqrt((sq - s * s / n) / (n - 1)) AS stddev_value
+FROM d
+"""
+
+
 SPECS = [
+    QuerySpec("dispersion_order_value", dispersion_order_value, DISPERSION_ORACLE, "exact-partial variance/stddev"),
     QuerySpec("q6_revenue_delta", q6_revenue_delta, Q6_ORACLE, "Q6 pushdown scan-agg"),
     QuerySpec("q7_nation_trade_volume", q7_nation_trade_volume, Q7_ORACLE, "Q7 dual-role dim join"),
     QuerySpec("q10_returned_revenue_topk", q10_returned_revenue_topk, Q10_ORACLE, "Q10 agg-then-dim top-k"),
