@@ -201,3 +201,45 @@ def incremental_event_counts(
     fresh = new_rows_only(ev, manifest, ["event_id"])
     counts = fresh.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     return counts, processed_union(manifest, fresh, ["event_id"])
+
+
+def stream_upsert_job(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    keys: list[str],
+):
+    """Streaming merge: each micro-batch upserts into a parquet table
+    via ``foreachBatch`` + the batch ``upsert_by_key`` sink — the
+    production ingest-merge pattern (Delta MERGE's plain-parquet
+    analogue).  Exactly-once: the checkpoint fences batch replays, and
+    the delete+insert rewrite makes a replayed batch idempotent (same
+    keys replace the same rows).  Returns the started query; caller
+    awaits termination.
+    """
+    import os
+
+    from swisscourtrulingcorpus_spark.sources.sinks import upsert_by_key
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.isdir(table_path) and any(
+            f.endswith(".parquet") for f in os.listdir(table_path)
+        ):
+            existing = spark.read.parquet(table_path)
+            merged = upsert_by_key(existing, batch, keys)
+        else:
+            merged = batch
+        # rewrite via a staging dir: the plan reads the live table, so
+        # an in-place overwrite would clobber its own input mid-job
+        staging = table_path.rstrip("/") + f".staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(table_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,69 @@
+"""End-to-end quality of the near-dup pipeline: LSH must actually FIND
+planted near-duplicates (recall), and must not pair unrelated docs at
+random (precision floor).  Deterministic corpus — no flake.
+
+With 8 hashes / 4 bands / 2 rows per band, detection probability is
+1-(1-J^2)^4: ≈0.98 at J=0.8, ≈0.92 at J=0.7 — so ≥80% recall on
+planted J≳0.8 pairs is a conservative, stable bound.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _corpus_with_near_dups(spark, n_base: int = 60, words_per_doc: int = 60):
+    """n_base originals + one near-duplicate each (one word in ~15
+    changed → shingle Jaccard ≈ 0.85), plus the originals' ids."""
+    rows = []
+    for i in range(n_base):
+        words = [f"w{i}_{j % 17}" for j in range(words_per_doc)]
+        rows.append((2 * i, " ".join(words)))
+        dup = list(words)
+        for pos in range(0, words_per_doc, 15):
+            dup[pos] = f"CHANGED_{i}_{pos}"
+        rows.append((2 * i + 1, " ".join(dup)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_recall_on_planted_near_dups(spark):
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    docs = _corpus_with_near_dups(spark)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, "text", "doc_id").collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(60)}
+    found = planted & pairs
+    recall = len(found) / len(planted)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} on planted near-dups"
+
+    # precision floor: unrelated docs share no shingles; candidate pairs
+    # outside the planted set must be rare (band-collision noise only)
+    false_pairs = pairs - planted
+    assert len(false_pairs) <= len(planted) // 5, false_pairs
+
+
+def test_dedup_groups_collapse_planted_dups(spark):
+    """The representative path must put each planted pair in one group
+    (keep exactly one of the two) for the pairs LSH detects."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_dedup_groups,
+    )
+
+    docs = _corpus_with_near_dups(spark)
+    groups = {
+        r.doc_id: r.representative
+        for r in minhash_dedup_groups(docs, "text", "doc_id").collect()
+    }
+    assert len(groups) == docs.count()  # one row per doc, always
+    collapsed = sum(
+        1 for i in range(60) if groups[2 * i] == groups[2 * i + 1]
+    )
+    assert collapsed >= 0.8 * 60, f"only {collapsed}/60 pairs collapsed"
+    kept = {d for d, rep in groups.items() if d == rep}
+    # survivors = one per collapsed group + both of each missed pair
+    assert len(kept) == docs.count() - collapsed

@@ -239,3 +239,46 @@ def test_stream_stream_attribution_equals_batch(spark, sf_dir, tmp_path):
 
     assert want.count() > 0
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch streaming merge: re-delivered keys REPLACE their
+    rows (delete+insert semantics), fresh keys append — and a second
+    delivery of the same data leaves the table unchanged (idempotent)."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import stream_upsert_job
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    table = str(tmp_path / "merged_events")
+
+    def deliver(df, ckpt):
+        stage = str(tmp_path / f"in_{ckpt}")
+        df.write.parquet(stage)
+        stream = spark.readStream.schema(
+            spark.read.parquet(stage).schema
+        ).parquet(stage)
+        q = stream_upsert_job(stream, table, str(tmp_path / f"ck_{ckpt}"), ["event_id"])
+        q.awaitTermination()
+
+    first = ev.where(F.col("event_id") < 200)
+    deliver(first, "a")
+    assert spark.read.parquet(table).count() == first.count()
+
+    # second delivery: 100 overlapping keys (mutated value) + 100 new
+    second = ev.withColumn(
+        "value", F.col("value") + 1000
+    ).where((F.col("event_id") >= 100) & (F.col("event_id") < 300))
+    deliver(second, "b")
+    merged = spark.read.parquet(table)
+    assert merged.count() == ev.count()
+    # overlapping keys carry the NEW value
+    overlap = merged.where(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 200)
+    )
+    old = ev.select("event_id", F.col("value").alias("old_value"))
+    bad = overlap.join(old, "event_id").where(
+        F.col("value") != F.col("old_value") + 1000
+    )
+    assert bad.count() == 0
