@@ -383,6 +383,47 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- RANGE window frame: interval-based rolling aggregate ---------------
+
+def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per order: the customer's total spend over the trailing 30 days
+    — a RANGE frame (value-based, ties-inclusive), the one window-frame
+    type the other window queries don't exercise (ROWS frames: session
+    assembly; unbounded: rankings).  Event time converts to integer
+    epoch SECONDS on both engines so the frame bound is exact integer
+    arithmetic; the sum is exact decimal.  RANGE frames are inherently
+    order-deterministic (all ties included), so no tiebreak is needed.
+    One shuffle on o_custkey; the frame is evaluated in one sorted pass
+    per partition."""
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    orders = load_table(spark, sf_dir, "orders")
+    with_s = orders.withColumn("od_s", epoch_us("o_orderdate") / F.lit(1_000_000))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("od_s")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return with_s.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.sum(dec2("o_totalprice")).over(w).cast("double").alias("spend_30d"),
+    )
+
+
+ROLLING_ORACLE = """
+SELECT o_orderkey,
+       o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY epoch_us(o_orderdate) // 1000000
+         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+FROM orders
+"""
+
+
 # --- dispersion statistics from exact partials --------------------------
 
 def dispersion_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,6 +482,7 @@ FROM d
 
 SPECS = [
     QuerySpec("dispersion_order_value", dispersion_order_value, DISPERSION_ORACLE, "exact-partial variance/stddev"),
+    QuerySpec("rolling_30d_spend", rolling_30d_spend, ROLLING_ORACLE, "RANGE window frame"),
     QuerySpec("q6_revenue_delta", q6_revenue_delta, Q6_ORACLE, "Q6 pushdown scan-agg"),
     QuerySpec("q7_nation_trade_volume", q7_nation_trade_volume, Q7_ORACLE, "Q7 dual-role dim join"),
     QuerySpec("q10_returned_revenue_topk", q10_returned_revenue_topk, Q10_ORACLE, "Q10 agg-then-dim top-k"),
