@@ -67,3 +67,33 @@ def test_dedup_groups_collapse_planted_dups(spark):
     kept = {d for d, rep in groups.items() if d == rep}
     # survivors = one per collapsed group + both of each missed pair
     assert len(kept) == docs.count() - collapsed
+
+
+def test_hyperplane_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Hyperplane-LSH ANN must recover most of the exact top-5 neighbor
+    sets on the clustered embeddings fixture (recall@5), at a candidate
+    cost far below the full cross join."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        hyperplane_lsh_topk,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in hyperplane_lsh_topk(
+            emb, queries, dim=64, n_planes=4, n_tables=16, k=5
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # deterministic (seeded planes): 0.90 at sf0.001, 0.91 at sf0.01
+    assert recall >= 0.75, f"hyperplane LSH recall@5 = {recall:.2f}"
