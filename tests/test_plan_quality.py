@@ -255,3 +255,47 @@ def test_cube_single_pass(spark, sf_dir):
     plan = _optimized_logical(cube_order_status_priority(spark, sf_dir))
     assert "Expand" in plan, plan
     assert "Union" not in plan, plan
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Directory-partitioned writes must yield partition-PRUNED reads:
+    a filter on the partition column appears as PartitionFilters on the
+    scan (whole directories skipped), not a post-scan Filter over all
+    rows — at 100 TB this is the difference between reading one day
+    and reading three years."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(path)
+
+    one_day = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    plan = _static_plan(one_day)
+    assert "PartitionFilters" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in pf, plan
+
+
+def test_sql_interface_views(spark, sf_dir):
+    """The spark.sql surface (the reference issues raw SQL —
+    `sql_select_utils.py`): registered views answer the same query as
+    the DataFrame program, through the same optimizer."""
+    from swisscourtrulingcorpus_spark.plans.relational_queries import (
+        q1_pricing_summary,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    via_df = {
+        (r.l_returnflag, r.l_linestatus): r.sum_qty
+        for r in q1_pricing_summary(spark, sf_dir).collect()
+    }
+    for r in via_sql:
+        assert via_df[(r.l_returnflag, r.l_linestatus)] == r.sum_qty
