@@ -25,7 +25,7 @@ class EngineConfig:
     # partition hints (replaces `[general] chunksize`): passed to
     # session conf, not hand-scheduled
     shuffle_partitions: int = 32
-    arrow_batch_size: int = 2048
+    arrow_batch_size: int = 4096
     # split boundaries (`dataset_creator.py:158-159`)
     train_start: int = 1900
     val_start: int = 2016
