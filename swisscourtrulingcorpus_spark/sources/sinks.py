@@ -68,3 +68,48 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def export_labels_json(df: DataFrame, label_col: str, path: str) -> dict:
+    """S11 labels.json (`dataset_creator.py:1032-1056`): the id2label /
+    label2id mapping over the dataset's distinct labels.  Sorted for
+    determinism (the reference relies on insertion order); distinct
+    runs distributed, only the label vocabulary reaches the driver.
+    Returns the mapping and writes it as JSON."""
+    import json
+
+    labels = sorted(
+        r[0] for r in df.select(label_col).where(F.col(label_col).isNotNull()).distinct().collect()
+    )
+    mapping = {
+        "id2label": {str(i): l for i, l in enumerate(labels)},
+        "label2id": {l: i for i, l in enumerate(labels)},
+    }
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(mapping, f, ensure_ascii=False, indent=2, sort_keys=True)
+    return mapping
+
+
+def export_kaggle_files(
+    df: DataFrame, id_col: str, label_col: str, out_dir: str
+) -> tuple[str, str]:
+    """S11 kaggle export (`dataset_creator.py:869-886`): solution.csv
+    (id, ground-truth label) + sampleSubmission.csv (id, first label as
+    the trivial baseline).  Deterministic order (by id); written with
+    Spark's csv writer coalesced to one file each, matching the
+    reference's single-file layout."""
+    import os
+
+    sol_dir = os.path.join(out_dir, "solution")
+    sub_dir = os.path.join(out_dir, "sampleSubmission")
+    pairs = df.select(
+        F.col(id_col).alias("Id"), F.col(label_col).alias("Expected")
+    ).orderBy("Id")
+    pairs.coalesce(1).write.mode("overwrite").option("header", True).csv(sol_dir)
+    first_label = pairs.select("Expected").where(
+        F.col("Expected").isNotNull()
+    ).orderBy("Expected").limit(1).collect()[0][0]
+    pairs.select(
+        "Id", F.lit(first_label).alias("Predicted")
+    ).coalesce(1).write.mode("overwrite").option("header", True).csv(sub_dir)
+    return sol_dir, sub_dir

@@ -77,3 +77,31 @@ def test_verification_docs_sink(spark, tmp_path):
     assert t1.count("# decision ") == 10
     assert "## [rulings]" in t1
     assert "**judgment outcome:" in t1
+
+
+def test_labels_json_and_kaggle_export(spark, tmp_path):
+    """S11: labels.json id2label/label2id over distinct labels;
+    kaggle solution + sampleSubmission csvs with deterministic order."""
+    import json
+
+    from swisscourtrulingcorpus_spark.sources.sinks import (
+        export_kaggle_files,
+        export_labels_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "approval"), (2, "dismissal"), (3, "approval"), (4, None)],
+        "decision_id long, label string",
+    )
+    mapping = export_labels_json(df, "label", str(tmp_path / "labels.json"))
+    assert mapping["id2label"] == {"0": "approval", "1": "dismissal"}
+    assert json.load(open(tmp_path / "labels.json"))["label2id"] == {
+        "approval": 0, "dismissal": 1
+    }
+
+    sol, sub = export_kaggle_files(df, "decision_id", "label", str(tmp_path / "k"))
+    sol_df = spark.read.option("header", True).csv(sol)
+    assert sol_df.columns == ["Id", "Expected"]
+    assert sol_df.count() == 4
+    sub_df = spark.read.option("header", True).csv(sub)
+    assert {r.Predicted for r in sub_df.where(F.col("Predicted").isNotNull()).collect()} == {"approval"}
