@@ -243,3 +243,21 @@ def stream_upsert_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding windows on a stream (1 h length, 30 min slide): each
+    event lands in two window states; the watermark finalizes and
+    evicts a window 2 h after its end passes — overlapping windows
+    multiply STATE, not input, so slide granularity is a state-size
+    knob, never a data-volume one."""
+    stream = ensure_event_time(stream, "ts")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+        )
+    )

@@ -282,3 +282,20 @@ def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
         F.col("value") != F.col("old_value") + 1000
     )
     assert bad.count() == 0
+
+
+def test_streaming_sliding_equals_batch(spark, sf_dir):
+    """Sliding-window stream == the oracle-gated batch twin."""
+    from swisscourtrulingcorpus_spark.plans.window_queries import sliding_hourly
+    from swisscourtrulingcorpus_spark.streaming import read_events_stream
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        run_available_now,
+        sliding_counts_stream,
+    )
+
+    got = run_available_now(
+        sliding_counts_stream(read_events_stream(spark, sf_dir)),
+        "t_sliding_counts",
+    )
+    want = sliding_hourly(spark, sf_dir)
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
