@@ -105,3 +105,37 @@ def test_labels_json_and_kaggle_export(spark, tmp_path):
     assert sol_df.count() == 4
     sub_df = spark.read.option("header", True).csv(sub)
     assert {r.Predicted for r in sub_df.where(F.col("Predicted").isNotNull()).collect()} == {"approval"}
+
+
+def test_jsonl_export_roundtrip(spark, sf_dir, tmp_path):
+    """S10: the split-partitioned compressed JSONL export must read back
+    value-identical (schema + rows survive the codec and partition
+    layout)."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text",
+        F.when(F.col("doc_id") % 10 < 8, "train")
+        .when(F.col("doc_id") % 10 < 9, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    path = str(tmp_path / "export")
+    write_partitioned(docs, path, ["split"], fmt="json", compression="gzip")
+
+    back = spark.read.json(path)
+    assert back.count() == docs.count()
+    # partition column round-trips as a directory key
+    assert set(r.split for r in back.select("split").distinct().collect()) == {
+        "train", "validation", "test"
+    }
+    # values identical (join on id, compare text)
+    bad = (
+        back.alias("b")
+        .join(docs.alias("d"), "doc_id")
+        .where(F.col("b.text") != F.col("d.text"))
+    )
+    assert bad.count() == 0
