@@ -163,3 +163,41 @@ def test_lower_court_dim_resolution(tables, spark):
     # fixture lower courts are all "Verwaltungsgerichts des Kantons Zürich"
     assert hit.count() == n
     assert {r.court_string for r in hit.collect()} == {"ZH_VG"}
+
+
+def test_pipeline_tolerates_malformed_documents(spark):
+    """Robustness: null/empty/whitespace/marker-less raw texts must flow
+    through the full extraction DAG without errors — they produce no
+    sections/judgments but never crash an executor batch (at 100 TB a
+    scraped corpus ALWAYS contains junk rows; one throwing UDF batch
+    fails the stage)."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        judgment_dataset,
+        run_extraction_pipeline,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
+
+    good = raw_corpus_df(spark, 30)
+    texts = [None, "", "   \n\t  \n", "no markers at all just plain text"]
+    junk_rows = [
+        {
+            **{f.name: None for f in good.schema.fields},
+            "file_name": f"junk_{i}.html",
+            "spider": "CH_BGer",
+            "chamber": "CH_BGer_001",
+            "raw_text": t,
+        }
+        for i, t in enumerate(texts)
+    ]
+    junk = spark.createDataFrame(junk_rows, good.schema)
+
+    tables = run_extraction_pipeline(good.unionByName(junk))
+    # every decision row survives (junk included), with a decision_id
+    assert tables["decision"].count() == 34
+    assert tables["decision"].where(F.col("decision_id").isNull()).count() == 0
+    # junk contributes no sections/judgments but poisons nothing
+    ds = judgment_dataset(tables)
+    assert ds.count() > 0
+    assert ds.where(F.col("facts").isNull()).count() == 0
