@@ -571,7 +571,73 @@ FROM documents
 """
 
 
+
+# --- number masking (numeric normalization for training corpora) -------
+
+def number_mask_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric normalization: every digit run becomes <num> — the
+    standard pre-tokenization rewrite that collapses the unbounded
+    number vocabulary.  Pure map-side regexp_replace (JVM, codegen);
+    the match count comes from regexp_extract_all so masked text and
+    count stay consistent by construction.  The regex sticks to the
+    Java∩RE2 common subset so the oracle is literally the same
+    pattern."""
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", r"[0-9]+", "<num>").alias("masked_text"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_masked"
+        ),
+    )
+
+
+NUMBER_MASK_ORACLE = """
+SELECT doc_id,
+       regexp_replace(text, '[0-9]+', '<num>', 'g') AS masked_text,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_masked
+FROM documents
+"""
+
+
+# --- lexical diversity (Gopher-style repetition signal) -----------------
+
+def lexical_diversity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring: distinct-word / total-word ratio per doc
+    (the Gopher-rules family of quality filters — heavily repetitive
+    machine-generated text scores low).  All array built-ins, map-side;
+    the ratio is int/int division (bit-identical across engines)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    with_words = docs.select("doc_id", words.alias("__w"))
+    return with_words.select(
+        "doc_id",
+        F.size("__w").alias("n_words"),
+        F.size(F.array_distinct("__w")).alias("n_distinct"),
+        (F.size(F.array_distinct("__w")) / F.size("__w")).alias("diversity"),
+    )
+
+
+LEXICAL_DIVERSITY_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM documents)
+SELECT doc_id,
+       len(ws) AS n_words,
+       len(list_distinct(ws)) AS n_distinct,
+       len(list_distinct(ws)) / len(ws) AS diversity
+FROM w
+"""
+
+
 SPECS = [
+    QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
+    QuerySpec("lexical_diversity_documents", lexical_diversity_documents, LEXICAL_DIVERSITY_ORACLE, "Gopher-style repetition score"),
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_oracle(), "LSH candidates"),
