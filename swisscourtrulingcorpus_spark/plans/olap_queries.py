@@ -383,6 +383,81 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- Q13 shape: outer-join count-of-counts ------------------------------
+
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of orders-per-customer INCLUDING zero-order
+    customers — the LEFT OUTER fact join shape: customer ⟕ orders,
+    `count(o_orderkey)` (nulls don't count → 0 for customers with no
+    orders), then a second aggregation over the counts.  Both
+    aggregations partial-aggregate map-side; the first shuffles on
+    custkey, the second on the (tiny) count domain."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+Q13_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY n_orders
+"""
+
+
+# --- Q22 shape: scalar-average subquery + anti-join ---------------------
+
+def q22_dormant_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average account balance and NO orders: the
+    scalar subquery (global avg over positive balances) evaluates to
+    ONE row — crossed in as a broadcast, never recomputed per row —
+    and the `NOT EXISTS` is a left_anti join against orders.  Grouped
+    by market segment (stand-in for Q22's country code prefix)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 # --- RANGE window frame: interval-based rolling aggregate ---------------
 
 def rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,6 +558,8 @@ FROM d
 SPECS = [
     QuerySpec("dispersion_order_value", dispersion_order_value, DISPERSION_ORACLE, "exact-partial variance/stddev"),
     QuerySpec("rolling_30d_spend", rolling_30d_spend, ROLLING_ORACLE, "RANGE window frame"),
+    QuerySpec("q13_order_count_distribution", q13_order_count_distribution, Q13_ORACLE, "Q13 outer-join count-of-counts"),
+    QuerySpec("q22_dormant_valuable_customers", q22_dormant_valuable_customers, Q22_ORACLE, "Q22 scalar-avg + anti-join"),
     QuerySpec("q6_revenue_delta", q6_revenue_delta, Q6_ORACLE, "Q6 pushdown scan-agg"),
     QuerySpec("q7_nation_trade_volume", q7_nation_trade_volume, Q7_ORACLE, "Q7 dual-role dim join"),
     QuerySpec("q10_returned_revenue_topk", q10_returned_revenue_topk, Q10_ORACLE, "Q10 agg-then-dim top-k"),
