@@ -26,9 +26,53 @@ class QuerySpec:
     doc: str = ""
 
 
+# The driver's correctness gate evaluates only the FIRST 50 registry
+# entries each round.  Entries named here are pulled to the front (in
+# this order) so queries that have never had a driver CORRECTNESS row
+# get one before already-green queries are re-verified.  r02 verified
+# registry[:50]; everything below was declared but unchecked in r02.
+_FRONT_OF_WINDOW: list[str] = [
+    # round-2 work with no driver row yet
+    "hourly_spine_gap_fill",
+    "unpivot_doc_stats",
+    "uuid5_document_ids",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_supplier_volume",
+    "q18_large_orders",
+    "q14_promo_revenue",
+    "q4_order_priority",
+    "range_join_first_window",
+    "mask_tokens_documents",
+    "regeste_split_documents",
+    "dispersion_order_value",
+    "rolling_30d_spend",
+    "q13_order_count_distribution",
+    "q22_dormant_valuable_customers",
+    "q6_revenue_delta",
+    "q7_nation_trade_volume",
+    "q10_returned_revenue_topk",
+    "q12_late_shipment_priority",
+    "q17_small_quantity_revenue",
+    "q19_brand_size_revenue",
+    "ntile_customer_spend",
+    "cube_order_status_priority",
+]
+
+# Round-3 gate queries that also need a driver row this round; kept
+# immediately after the never-verified backlog, still inside the
+# 50-entry window.
+_ROUND3_NEW: set[str] = {
+    "extraction_outcome_counts",
+    "citation_relevance_scores",
+    "citation_type_counts",
+}
+
+
 def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
+    from swisscourtrulingcorpus_spark.plans import extraction_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
@@ -41,9 +85,24 @@ def _collect_specs() -> list[QuerySpec]:
     specs += extra_queries.SPECS
     specs += analytics_queries.SPECS
     specs += olap_queries.SPECS
+    specs += extraction_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
-    return specs
+
+    rank = {name: i for i, name in enumerate(_FRONT_OF_WINDOW)}
+    # Front-of-window names first (declared order), then round-3
+    # additions (extraction_queries), then the r02-green remainder in
+    # stable declaration order.
+    def key(item: tuple[int, QuerySpec]) -> tuple[int, int]:
+        idx, spec = item
+        if spec.name in rank:
+            return (0, rank[spec.name])
+        if spec.name in _ROUND3_NEW:
+            return (1, idx)
+        return (2, idx)
+
+    ordered = [s for _, s in sorted(enumerate(specs), key=lambda t: key(t))]
+    return ordered
 
 
 QUERY_SPECS: list[QuerySpec] = _collect_specs()
