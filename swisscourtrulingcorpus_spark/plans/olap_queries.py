@@ -420,13 +420,18 @@ GROUP BY n_orders
 # --- Q22 shape: scalar-average subquery + anti-join ---------------------
 
 def q22_dormant_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers with above-average account balance and NO orders: the
-    scalar subquery (global avg over positive balances) evaluates to
-    ONE row — crossed in as a broadcast, never recomputed per row —
-    and the `NOT EXISTS` is a left_anti join against orders.  Grouped
-    by market segment (stand-in for Q22's country code prefix)."""
+    """Customers with above-average account balance and no RECENT
+    orders (none since 2000-01-01 — every sf0.01 customer has some
+    order, so plain NOT-EXISTS returns zero rows and would make the
+    gate trivially green): the scalar subquery (global avg over
+    positive balances) evaluates to ONE row — crossed in as a
+    broadcast, never recomputed per row — and the `NOT EXISTS` is a
+    left_anti join against the date-filtered orders.  Grouped by
+    market segment (stand-in for Q22's country code prefix)."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
     avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
         (
             F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))
@@ -435,7 +440,7 @@ def q22_dormant_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         cust.crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
@@ -446,14 +451,20 @@ def q22_dormant_valuable_customers(spark: SparkSession, sf_dir: str) -> DataFram
 
 Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+  -- VARCHAR round-trip: DuckDB's direct DECIMAL->DOUBLE cast
+  -- double-rounds (int128->double, then /10^scale) and can land 1 ulp
+  -- off Spark's BigDecimal conversion, flipping the > comparison for
+  -- a balance within 1 ulp of the average.
+  SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0)
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_bal
 FROM customer, avg_bal
 WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
 """
 

@@ -94,10 +94,13 @@ def export_kaggle_files(
     df: DataFrame, id_col: str, label_col: str, out_dir: str
 ) -> tuple[str, str]:
     """S11 kaggle export (`dataset_creator.py:869-886`): solution.csv
-    (id, ground-truth label) + sampleSubmission.csv (id, first label as
-    the trivial baseline).  Deterministic order (by id); written with
-    Spark's csv writer coalesced to one file each, matching the
-    reference's single-file layout."""
+    (id, ground-truth label) + sampleSubmission.csv (id, baseline
+    label).  Deviation from the reference: the baseline Predicted is
+    the lexicographically smallest non-null label, not the reference's
+    insertion-order first label — sorted is deterministic under
+    distributed reads, insertion order is not.  Deterministic order
+    (by id); written with Spark's csv writer coalesced to one file
+    each, matching the reference's single-file layout."""
     import os
 
     sol_dir = os.path.join(out_dir, "solution")
@@ -106,10 +109,11 @@ def export_kaggle_files(
         F.col(id_col).alias("Id"), F.col(label_col).alias("Expected")
     ).orderBy("Id")
     pairs.coalesce(1).write.mode("overwrite").option("header", True).csv(sol_dir)
-    first_label = pairs.select("Expected").where(
+    label_rows = pairs.select("Expected").where(
         F.col("Expected").isNotNull()
-    ).orderBy("Expected").limit(1).collect()[0][0]
+    ).orderBy("Expected").limit(1).collect()
+    first_label = label_rows[0][0] if label_rows else None
     pairs.select(
-        "Id", F.lit(first_label).alias("Predicted")
+        "Id", F.lit(first_label).cast("string").alias("Predicted")
     ).coalesce(1).write.mode("overwrite").option("header", True).csv(sub_dir)
     return sol_dir, sub_dir

@@ -212,30 +212,61 @@ def stream_upsert_job(
     """Streaming merge: each micro-batch upserts into a parquet table
     via ``foreachBatch`` + the batch ``upsert_by_key`` sink — the
     production ingest-merge pattern (Delta MERGE's plain-parquet
-    analogue).  Exactly-once: the checkpoint fences batch replays, and
-    the delete+insert rewrite makes a replayed batch idempotent (same
-    keys replace the same rows).  Returns the started query; caller
-    awaits termination.
+    analogue).  Delivery is at-least-once with idempotent replay: the
+    checkpoint fences completed batches, a replayed batch rewrites the
+    same keys to the same rows, and the table itself is only ever
+    replaced by directory rename after the merged result has fully
+    landed in a staging dir — a crash can never leave a partial table,
+    only a replayable batch.  Returns the started query; caller awaits
+    termination.
     """
     import os
+    import shutil
 
     from swisscourtrulingcorpus_spark.sources.sinks import upsert_by_key
 
+    base = table_path.rstrip("/")
+
+    def _recover_and_sweep() -> None:
+        # Crash between the two swap renames leaves the table at
+        # .old_*; restore it before merging so no batch is lost.  Any
+        # .staging_* present here is debris from a crashed batch (that
+        # batch will replay) — sweep it so a long-running stream can't
+        # grow disk unboundedly.
+        parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+        if not os.path.isdir(parent):
+            return
+        olds = sorted(f for f in os.listdir(parent) if f.startswith(name + ".old_"))
+        if not os.path.isdir(base) and olds:
+            os.rename(os.path.join(parent, olds.pop()), base)
+        for leftover in olds + [
+            f for f in os.listdir(parent) if f.startswith(name + ".staging_")
+        ]:
+            shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
+
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if os.path.isdir(table_path) and any(
-            f.endswith(".parquet") for f in os.listdir(table_path)
+        _recover_and_sweep()
+        if os.path.isdir(base) and any(
+            f.endswith(".parquet") for f in os.listdir(base)
         ):
-            existing = spark.read.parquet(table_path)
+            existing = spark.read.parquet(base)
             merged = upsert_by_key(existing, batch, keys)
         else:
             merged = batch
-        # rewrite via a staging dir: the plan reads the live table, so
-        # an in-place overwrite would clobber its own input mid-job
-        staging = table_path.rstrip("/") + f".staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(staging)
-        final = spark.read.parquet(staging)
-        final.write.mode("overwrite").parquet(table_path)
+        # land the merged result fully in staging (the plan reads the
+        # live table, so an in-place overwrite would clobber its own
+        # input mid-job), then swap by rename — never a partial table
+        staging = base + f".staging_{batch_id}"
+        old = base + f".old_{batch_id}"
+        try:
+            merged.write.mode("overwrite").parquet(staging)
+            if os.path.isdir(base):
+                os.rename(base, old)
+            os.rename(staging, base)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -139,3 +139,21 @@ def test_jsonl_export_roundtrip(spark, sf_dir, tmp_path):
         .where(F.col("b.text") != F.col("d.text"))
     )
     assert bad.count() == 0
+
+
+def test_kaggle_export_empty_and_allnull_labels(spark, tmp_path):
+    """S11 guard: an empty input (or all-null labels) must not raise —
+    the baseline Predicted degrades to null."""
+    from swisscourtrulingcorpus_spark.sources.sinks import export_kaggle_files
+
+    empty = spark.createDataFrame([], "decision_id long, label string")
+    sol, sub = export_kaggle_files(empty, "decision_id", "label", str(tmp_path / "e"))
+    assert spark.read.option("header", True).csv(sub).count() == 0
+
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "decision_id long, label string"
+    )
+    sol, sub = export_kaggle_files(allnull, "decision_id", "label", str(tmp_path / "n"))
+    sub_df = spark.read.option("header", True).csv(sub)
+    assert sub_df.count() == 2
+    assert sub_df.where(F.col("Predicted").isNotNull()).count() == 0

@@ -299,3 +299,45 @@ def test_streaming_sliding_equals_batch(spark, sf_dir):
     )
     want = sliding_hourly(spark, sf_dir)
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(want))
+
+
+def test_stream_upsert_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between the swap renames leaves the table at .old_N and
+    no live dir; the next delivery must restore it before merging so
+    no previously-committed batch is lost."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import stream_upsert_job
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    table = str(tmp_path / "merged_events")
+
+    def deliver(df, ckpt):
+        stage = str(tmp_path / f"in_{ckpt}")
+        df.write.parquet(stage)
+        stream = spark.readStream.schema(
+            spark.read.parquet(stage).schema
+        ).parquet(stage)
+        q = stream_upsert_job(stream, table, str(tmp_path / f"ck_{ckpt}"), ["event_id"])
+        q.awaitTermination()
+
+    first = ev.where(F.col("event_id") < 100)
+    deliver(first, "a")
+    n_first = first.count()
+
+    # simulate the crash window: table renamed away, stale staging left
+    os.rename(table, table + ".old_7")
+    os.makedirs(table + ".staging_7")
+    assert not os.path.isdir(table)
+
+    second = ev.where(F.col("event_id") >= 100)
+    deliver(second, "b")
+    assert spark.read.parquet(table).count() == n_first + second.count()
+    # crash debris swept
+    assert not os.path.isdir(table + ".old_7")
+    leftovers = [f for f in os.listdir(tmp_path) if ".staging_" in f or ".old_" in f]
+    assert leftovers == []
