@@ -25,17 +25,42 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# role markers: (regex, role, gender) — feminine suffix "-in(nen)" => f
+# role markers: (regex, role, gender) — feminine suffix "-in(nen)" / "-a"
+# => f; the masculine forms carry a (?!in)/(?!a) lookahead so a feminine
+# title never double-matches (reference shape,
+# `court_composition_extracting_functions.py:37-67,118-130`).  Covers
+# the federal (Bundesrichter), substitute (Ersatzrichter) and
+# single-judge (Einzelrichter) prefixes plus the gendered fr/it titles.
 _ROLE_MARKERS = [
-    (r"(?:Bundes|Ober|Verwaltungs)?[Rr]ichterin(?:nen)?", "judge", "f"),
-    (r"(?:Bundes|Ober|Verwaltungs)?[Rr]ichter", "judge", "m"),
+    (r"(?:Bundes|Ober|Verwaltungs|Ersatz|Einzel|Schieds)?[Rr]ichterin(?:nen)?", "judge", "f"),
+    (r"(?:Bundes|Ober|Verwaltungs|Ersatz|Einzel|Schieds)?[Rr]ichter(?!in)", "judge", "m"),
     (r"Gerichtsschreiberin(?:nen)?", "clerk", "f"),
-    (r"Gerichtsschreiber", "clerk", "m"),
+    (r"Gerichtsschreiber(?!in)", "clerk", "m"),
+    (r"Mmes?\s+l(?:a|es)\s+Juges?(?:\s+fédérales?)?", "judge", "f"),
+    (r"MM?\.(?:(?:\s+et|,)\s+Mmes?)?\s+les?\s+Juges?(?:\s+fédéra(?:l|ux))?", "judge", "m"),
     (r"[Jj]uges?", "judge", None),
-    (r"[Gg]reffi[èe]re?s?", "clerk", None),
-    (r"[Gg]iudici|[Gg]iudice", "judge", None),
-    (r"[Cc]ancellier[ae]", "clerk", None),
+    (r"[Gg]reffière?s?", "clerk", "f"),
+    (r"[Gg]reffiers?", "clerk", "m"),
+    (r"[Gg]iudice(?:\s+federale)?|[Gg]iudici(?:\s+federali)?", "judge", None),
+    (r"[Cc]ancelliera", "clerk", "f"),
+    (r"[Cc]ancelliere(?!a)", "clerk", "m"),
 ]
+
+# composition block boundaries (`court_composition_extracting_functions.py:
+# 76-96`): names live between the "Besetzung/Composition/Composizione"
+# marker and the parties/topic block — restricting the scan keeps
+# party or lawyer names out of the bench.
+_BLOCK_START_RX = re.compile(
+    r"Besetzung|Bundesrichter|Composition(?: de la Cour:)?|Composizione|"
+    r"[Gg]iudic[ie] federal|composta|Mitwirkende"
+)
+_BLOCK_END_RX = re.compile(
+    r"Parteien|Verfahrensbeteiligte|[Ii]n Sachen|Gegenstand|"
+    r"Parties|Participants|Objet|Parti\b|Partecipanti|Oggetto"
+)
+# a bench larger than this means the scan ran into full text
+# (reference raises at >5, :100-102; the UDF degrades to null)
+_MAX_PER_ROLE = 5
 _PRESIDENT_RX = re.compile(
     r"Pr[äe]sident(in)?|[Pp]r[ée]sident(e)?|[Pp]residente"
 )
@@ -77,6 +102,13 @@ def _names_after(segment: str) -> list[str]:
 def extract_composition_py(header: str | None) -> dict | None:
     if header is None:
         return None
+    # restrict to the composition block when its boundaries are present
+    start = _BLOCK_START_RX.search(header)
+    if start:
+        header = header[start.start():]
+    end = _BLOCK_END_RX.search(header, 1)
+    if end:
+        header = header[: end.start()]
     judges: list[dict] = []
     clerks: list[dict] = []
     president = None
@@ -85,7 +117,16 @@ def extract_composition_py(header: str | None) -> dict | None:
     for pat, role, gender in _ROLE_MARKERS:
         for m in re.finditer(pat, header):
             matches.append((m.start(), m.end(), role, gender))
-    matches.sort()
+    # longest match at each position wins; drop matches nested inside an
+    # earlier one (the bare "Juge" inside "Mme la Juge fédérale" must
+    # not shadow the gendered span)
+    matches.sort(key=lambda t: (t[0], -t[1]))
+    kept: list[tuple] = []
+    for cand in matches:
+        if kept and cand[0] < kept[-1][1]:
+            continue
+        kept.append(cand)
+    matches = kept
     for i, (start, end, role, gender) in enumerate(matches):
         seg_end = matches[i + 1][0] if i + 1 < len(matches) else len(header)
         segment = header[end:seg_end]
@@ -103,6 +144,8 @@ def extract_composition_py(header: str | None) -> dict | None:
             elif role == "clerk" and person not in clerks:
                 clerks.append(person)
     if not judges and not clerks:
+        return None
+    if len(judges) > _MAX_PER_ROLE or len(clerks) > _MAX_PER_ROLE:
         return None
     return {"president": president, "judges": judges, "clerks": clerks}
 

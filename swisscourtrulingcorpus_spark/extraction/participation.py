@@ -34,18 +34,31 @@ PARTICIPATION_SCHEMA = StructType(
     ]
 )
 
-_PIVOT_RX = re.compile(r"\bgegen\b|\bcontre\b|\bcontro\b")
+# the plaintiff/defendant pivot; "contro" keeps the reference's
+# lookahead so "contro la decisione ..." (the appealed ruling, not a
+# party) never splits the header
+# (`procedural_participation_extracting_functions.py:44-50`)
+_PIVOT_RX = re.compile(
+    r"\bgegen\b|\bcontre\b"
+    r"|\bcontro\b(?! l[ao] (?:decisione|sentenza|risoluzione|scritto))"
+)
+# counsel introduction + the title vocabulary of all three languages
+# (`:52-75`): Rechtsanwalt/-anwältin, Fürsprecher(in), Advokat(in),
+# avocat(e), Me/Mes/Maître, (dall')avv.
 _COUNSEL_RX = re.compile(
-    r"(?:vertreten durch|représentée? par|patrocinat[oa] da)\s+"
-    r"(?:Rechtsanwalt\s+|Rechtsanwältin\s+|Me\s+|avv\.\s+)?"
-    r"(?:Dr\.\s+|Prof\.\s+)?"
+    r"(?:vertreten durch|représentée?s? par|patrocinat[oa] da(?:ll')?|"
+    r"rappresentat[oa] da(?:ll')?|p\.a\.)\s+"
+    r"(?:Rechtsanwalt\s+|Rechtsanwältin\s+|Fürsprecher(?:in)?\s+|"
+    r"Advokat(?:in)?\s+|avocats?\s+|avocates?\s+|Mes?\s+|Maître\s+|avv\.\s+)?"
+    r"(?:Dr\.\s+|Prof\.\s+|lic\.\s+iur\.\s+)?"
     r"(?P<name>[A-ZÄÖÜÉ][\wäöüéèàç'-]+(?:\s+[A-ZÄÖÜÉ][\wäöüéèàç'-]+)*)"
 )
 # anonymized placeholder parties: "A._", "Partei_3._", optional corp suffix
 _PLACEHOLDER_RX = re.compile(r"(?P<name>[A-Z][\w]*\.?_(?:\s*(?:AG|SA|GmbH))?)")
 _ROLE_WORD_RX = (
     r"Beschwerdeführer(?:in)?|Beschwerdegegner(?:in)?|Kläger(?:in)?|"
-    r"Beklagte[rn]?|recourante?|intimée?|ricorrente|opponente"
+    r"Beklagte[rn]?|Gesuchsteller(?:in)?|Berufungskläger(?:in)?|"
+    r"recourantes?|intimée?s?|requérante?s?|ricorrente|opponente|istante"
 )
 # a real (non-anonymized) party name is only trusted immediately before
 # a role designation: "Hans Muster AG, Beschwerdeführerin"

@@ -247,10 +247,19 @@ def test_judgment_spider_override():
         extract_judgments_py,
     )
 
-    text = "In Gutheissung der Beschwerde wird der Entscheid aufgehoben."
-    # generic de markers miss this cantonal phrasing...
+    # extend mode: cantonal nominal phrasing outside the generic set
+    text = "In Abweisung der Beschwerde wird das Verfahren beendet."
     assert extract_judgments_py(text, "de") == []
-    # ...the spider override catches it
     assert extract_judgments_py(
         text, "de", "ZH_Sozialversicherungsgericht"
-    ) == ["approval"]
+    ) == ["dismissal"]
+
+    # replace mode (UR_Gerichte): keyword-summary rulings, and the
+    # global markers are fully swapped out — "wird abgewiesen" no
+    # longer matches under the replacement
+    text = "Abweisung der Verwaltungsgerichtsbeschwerde."
+    assert extract_judgments_py(text, "de") == []
+    assert extract_judgments_py(text, "de", "UR_Gerichte") == ["dismissal"]
+    assert extract_judgments_py(
+        "Die Beschwerde wird abgewiesen.", "de", "UR_Gerichte"
+    ) == []

@@ -1,0 +1,335 @@
+"""Golden tests for the per-spider extraction configs (VERDICT r02 #2).
+
+One fixture document per top-volume court (the reference's own skew
+list, `dataset_creator.py:424-439`), exercising the spider-dispatched
+section splitter and the enriched judgment markers end-to-end in plain
+Python (the pandas_udf twins share these code paths and are covered by
+the pipeline tests).
+"""
+
+from swisscourtrulingcorpus_spark.extraction.judgments import extract_judgments_py
+from swisscourtrulingcorpus_spark.extraction.sections import split_sections_py
+
+
+def _by_section(parts):
+    return {p["section"]: p["text"] for p in parts}
+
+
+# ---------------------------------------------------------------- CH_BGer
+
+CH_BGER_DE = """Bundesgericht 1C_123/2020
+Besetzung Bundesrichter Muster, Präsident, Bundesrichterin Beispiel, Gerichtsschreiber Schreiber.
+Gegenstand Baubewilligung
+Sachverhalt:
+A.- Die Gemeinde erteilte am 1. Januar 2019 die Baubewilligung.
+B. Dagegen erhob X. Beschwerde.
+Erwägungen:
+1. Die Beschwerde richtet sich gegen einen kantonalen Endentscheid.
+2. Die Rügen erweisen sich als unbegründet.
+Demnach erkennt das Bundesgericht:
+1. Die Beschwerde wird abgewiesen, soweit darauf einzutreten ist.
+2. Die Gerichtskosten werden dem Beschwerdeführer auferlegt.
+Rechtsmittelbelehrung
+Gegen diesen Entscheid ist keine Beschwerde gegeben."""
+
+
+def test_ch_bger_de_sections_and_judgment():
+    got = _by_section(split_sections_py(CH_BGER_DE, "de", "CH_BGer"))
+    assert "Besetzung" in got["header"]
+    assert "Baubewilligung" in got["topic"]
+    assert "Gemeinde" in got["facts"]
+    assert "unbegründet" in got["considerations"]
+    assert "abgewiesen" in got["rulings"]
+    assert "Rechtsmittelbelehrung" in got["footer"]
+
+    outcomes = extract_judgments_py(got["rulings"], "de", "CH_BGer")
+    # partial dismissal + the standalone inadmissibility reservation
+    assert "partial_dismissal" in outcomes
+    assert "dismissal" not in outcomes
+
+
+CH_BGER_FR = """Tribunal fédéral 2C_456/2021
+Composition MM. les Juges Martin, Président, et Dupont.
+Objet Impôt cantonal
+Faits :
+A.- Le contribuable a déposé sa déclaration en 2019.
+Considérant en droit :
+1. Le recours est dirigé contre une décision finale.
+Par ces motifs, le Tribunal fédéral prononce :
+1. Le recours est admis et l'arrêt attaqué est annulé.
+2. Les frais judiciaires sont mis à la charge de l'intimé."""
+
+
+def test_ch_bger_fr_sections_and_judgment():
+    got = _by_section(split_sections_py(CH_BGER_FR, "fr", "CH_BGer"))
+    assert "Impôt" in got["topic"]
+    assert "contribuable" in got["facts"]
+    assert "décision finale" in got["considerations"]
+    assert "admis" in got["rulings"]
+
+    outcomes = extract_judgments_py(got["rulings"], "fr", "CH_BGer")
+    assert outcomes == ["approval"]
+
+
+CH_BGER_IT = """Tribunale federale 4A_789/2021
+Composizione Giudici federali Rossi, Presidente, Bianchi.
+Oggetto contratto di lavoro
+Fatti:
+A. Il lavoratore ha chiesto il pagamento del salario.
+Diritto:
+1. Il ricorso è tempestivo.
+Per questi motivi, il Tribunale federale pronuncia:
+1. Nella misura in cui è ammissibile, il ricorso è respinto.
+Losanna, 3 marzo 2021"""
+
+
+def test_ch_bger_it_sections_and_judgment():
+    got = _by_section(split_sections_py(CH_BGER_IT, "it", "CH_BGer"))
+    assert "contratto" in got["topic"]
+    assert "lavoratore" in got["facts"]
+    assert "tempestivo" in got["considerations"]
+    assert "respinto" in got["rulings"]
+    # the trailing "<place>, <date>" line is footer under CH_BGer's it config
+    assert "marzo" in got.get("footer", "")
+
+    outcomes = extract_judgments_py(got["rulings"], "it", "CH_BGer")
+    assert "partial_dismissal" in outcomes
+
+
+# --------------------------------------------------------------- CH_BVGer
+
+CH_BVGER_DE = """Bundesverwaltungsgericht A-1234/2020
+Besetzung Richter Muster (Vorsitz), Richterin Beispiel.
+Sachverhalt
+A. Die Vorinstanz verfügte am 5. Mai 2019 die Rückerstattung.
+Das Bundesverwaltungsgericht zieht in Erwägung
+1. Auf die Beschwerde ist einzutreten.
+2. Die Beschwerde erweist sich als begründet.
+Demnach erkennt das Bundesverwaltungsgericht
+1. Die Beschwerde wird gutgeheissen und die Verfügung aufgehoben.
+Dieses Urteil geht an:
+- die Beschwerdeführerin"""
+
+
+def test_ch_bvger_de_sections_and_judgment():
+    got = _by_section(split_sections_py(CH_BVGER_DE, "de", "CH_BVGer"))
+    assert "Vorinstanz" in got["facts"]
+    assert "begründet" in got["considerations"]
+    assert "gutgeheissen" in got["rulings"]
+    assert "geht an" in got["footer"]
+
+    outcomes = extract_judgments_py(got["rulings"], "de", "CH_BVGer")
+    assert outcomes == ["approval"]
+
+
+# ------------------------------------------------------------- GE_Gerichte
+
+GE_FR = """République et canton de Genève A/567/2020
+Madame X, recourante, contre Office cantonal, intimé.
+EN FAIT
+1. Par décision du 2 février 2020, l'office a refusé la demande.
+EN DROIT
+1. Le recours a été interjeté en temps utile.
+PAR CES MOTIFS
+LA CHAMBRE ADMINISTRATIVE
+rejette le recours.
+Voie de recours
+Un recours peut être formé dans les 30 jours."""
+
+
+def test_ge_gerichte_fr_sections_and_judgment():
+    got = _by_section(split_sections_py(GE_FR, "fr", "GE_Gerichte"))
+    assert "refusé" in got["facts"]
+    assert "temps utile" in got["considerations"]
+    assert "rejette" in got["rulings"]
+    assert "30 jours" in got["footer"]
+
+    outcomes = extract_judgments_py(got["rulings"], "fr", "GE_Gerichte")
+    assert outcomes == ["dismissal"]
+
+
+# ---------------------------------------- ZH_Sozialversicherungsgericht
+
+ZH_SVG_DE = """Sozialversicherungsgericht des Kantons Zürich IV.2020.00123
+Mitwirkende: Ersatzrichterin Muster, Gerichtsschreiber Beispiel.
+Sachverhalt:
+1. Die IV-Stelle lehnte das Leistungsbegehren ab.
+in Erwägung:
+1. Streitig ist der Rentenanspruch.
+Das Gericht erkennt:
+1. Die Beschwerde wird in dem Sinne teilweise gutgeheissen, dass die Sache an die IV-Stelle zurückgewiesen wird.
+Gegen diesen Entscheid kann innert 30 Tagen Beschwerde erhoben werden."""
+
+
+def test_zh_svg_de_sections_and_judgment():
+    got = _by_section(split_sections_py(ZH_SVG_DE, "de", "ZH_Sozialversicherungsgericht"))
+    assert "IV-Stelle" in got["facts"]
+    assert "Rentenanspruch" in got["considerations"]
+    assert "teilweise gutgeheissen" in got["rulings"]
+    assert "30 Tagen" in got["footer"]
+
+    outcomes = extract_judgments_py(got["rulings"], "de", "ZH_Sozialversicherungsgericht")
+    assert "partial_approval" in outcomes
+    assert "approval" not in outcomes
+
+
+# -------------------------------------------------------------- VD courts
+
+VD_FR = """Tribunal cantonal du canton de Vaud CR.2020.0042
+Composition: M. le Juge Martin, président.
+En fait :
+A. La recourante a requis l'assistance judiciaire.
+En droit :
+1. La requête est fondée.
+Par ces motifs,
+le Tribunal cantonal admet le recours et annule la décision attaquée.
+Le président : La greffière :"""
+
+
+def test_vd_omni_fr_sections_and_judgment():
+    got = _by_section(split_sections_py(VD_FR, "fr", "VD_Omni"))
+    assert "assistance" in got["facts"]
+    assert "fondée" in got["considerations"]
+    assert "admet" in got["rulings"]
+
+    outcomes = extract_judgments_py(got["rulings"], "fr", "VD_Omni")
+    assert outcomes == ["approval"]
+
+
+# ------------------------------------------- order-overriding spiders
+
+LU_DE = """Kantonsgericht Luzern 7H 20 123
+Entscheid:
+Die Verwaltungsgerichtsbeschwerde wird abgewiesen.
+Aus den Erwägungen
+1. Gemäss § 107 VRG ist die Beschwerde zulässig."""
+
+
+def test_lu_gerichte_rulings_before_considerations():
+    got = _by_section(split_sections_py(LU_DE, "de", "LU_Gerichte"))
+    # LU publishes the dispositive BEFORE the considerations
+    assert "abgewiesen" in got["rulings"]
+    assert "§ 107" in got["considerations"]
+
+
+# ----------------------------------------- enriched generic judgment recall
+
+def test_enriched_de_judgment_recall():
+    assert extract_judgments_py(
+        "Das angefochtene Urteil wird aufgehoben.", "de"
+    ) == ["approval"]
+    assert extract_judgments_py(
+        "Der Beschuldigte wird freigesprochen.", "de"
+    ) == ["dismissal"]
+    got = extract_judgments_py(
+        "Die Beschwerde wird abgewiesen, soweit darauf einzutreten ist.", "de"
+    )
+    assert "partial_dismissal" in got and "dismissal" not in got
+
+
+def test_enriched_fr_judgment_recall():
+    assert extract_judgments_py("Admet le recours.", "fr") == ["approval"]
+    assert extract_judgments_py(
+        "La décision attaquée est annulée.", "fr"
+    ) == ["approval"]
+    got = extract_judgments_py(
+        "Le recours est rejeté dans la mesure où il est recevable.", "fr"
+    )
+    assert "partial_dismissal" in got and "dismissal" not in got
+
+
+def test_enriched_it_judgment_recall():
+    # stemmed forms: accolto/accolta, respinto/respinti, annullata
+    assert extract_judgments_py("Il ricorso è accolto.", "it") == ["approval"]
+    assert extract_judgments_py("La domanda è accolta.", "it") == ["approval"]
+    assert extract_judgments_py("I ricorsi sono respinti.", "it") == ["dismissal"]
+    assert extract_judgments_py(
+        "Il ricorso è inammissibile.", "it"
+    ) == ["inadmissible"]
+    assert extract_judgments_py(
+        "La causa è stralciata dai ruoli.", "it"
+    ) == ["write_off"]
+
+
+# ------------------------------- composition / participation / lower court
+
+def test_composition_gendered_fr_roles_and_block_bounds():
+    from swisscourtrulingcorpus_spark.extraction.composition import (
+        extract_composition_py,
+    )
+
+    header = (
+        "Composition MM. les Juges fédéraux Martin, Président, Dupont, "
+        "Mme la Juge fédérale Lefèvre, Greffière Mme Rossi. "
+        "Parties X. contre Office cantonal."
+    )
+    got = extract_composition_py(header)
+    names = [j["name"] for j in got["judges"]]
+    assert "Martin" in " ".join(names) and "Lefèvre" in " ".join(names)
+    genders = {j["name"]: j["gender"] for j in got["judges"]}
+    assert any(g == "f" for g in genders.values())
+    assert got["president"] and "Martin" in got["president"]
+    # parties block excluded: "Office cantonal" is not on the bench
+    assert all("Office" not in j["name"] for j in got["judges"])
+
+
+def test_composition_runaway_guard():
+    from swisscourtrulingcorpus_spark.extraction.composition import (
+        extract_composition_py,
+    )
+
+    header = "Besetzung " + " ".join(
+        f"Richter Name{i}," for i in range(8)
+    )
+    assert extract_composition_py(header) is None
+
+
+def test_participation_counsel_titles():
+    from swisscourtrulingcorpus_spark.extraction.participation import (
+        extract_participation_py,
+    )
+
+    header = (
+        "A._ AG, vertreten durch Fürsprecherin Dr. Anna Muster, "
+        "Beschwerdeführerin, gegen B._, vertreten durch Rechtsanwalt "
+        "Hans Beispiel, Beschwerdegegner."
+    )
+    got = extract_participation_py(header)
+    assert got["plaintiffs"][0]["name"].startswith("A._")
+    assert any("Anna" in c for c in got["plaintiffs"][0]["legal_counsel"])
+    assert any("Hans" in c for c in got["defendants"][0]["legal_counsel"])
+
+
+def test_participation_contro_lookahead():
+    from swisscourtrulingcorpus_spark.extraction.participation import (
+        extract_participation_py,
+    )
+
+    # "contro la decisione" is the appealed ruling, not a party pivot
+    header = "A._ ricorrente contro la decisione del 5 maggio 2020"
+    assert extract_participation_py(header) is None
+    header = "A._, ricorrente, contro B._, opponente"
+    got = extract_participation_py(header)
+    assert got["plaintiffs"][0]["name"] == "A._"
+    assert got["defendants"][0]["name"] == "B._"
+
+
+def test_lower_court_labeled_and_it_forms():
+    from swisscourtrulingcorpus_spark.extraction.lower_court import (
+        extract_lower_court_py,
+    )
+
+    got = extract_lower_court_py(
+        "Vorinstanz: Verwaltungsgericht des Kantons Zürich, "
+        "Urteil vom 12. März 2018 (VB.2018.00123)"
+    )
+    assert got["court"] == "Verwaltungsgericht"
+    assert got["canton"] == "ZH"
+    assert got["date"] == "2018-03-12"
+
+    got = extract_lower_court_py(
+        "ricorso contro la sentenza emanata dal Tribunale d'appello "
+        "del Cantone Ticino"
+    )
+    assert got is not None and "Tribunale" in got["court"]
+    assert got["canton"] == "TI"
