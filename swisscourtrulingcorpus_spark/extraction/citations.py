@@ -27,14 +27,51 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# BGE/ATF/DTF = the same reporter in de/fr/it (`ruling_citation.py:12-20`)
+# BGE/ATF/DTF = the same reporter in de/fr/it (`ruling_citation.py:12-20`).
+# The optional tail covers the reference's fuller span families
+# (`citation_regexes.json` ruling/BGE): considerand refs
+# ("E. 4.2.3" / "consid. 5aa" / "E. 5aa und b"), page refs
+# ("S. 345" / "p. 345"), and the "ff."/"f." continuation suffix.
 _RULING_RX = re.compile(
-    r"\b(?:BGE|ATF|DTF)\s+(\d{1,3})\s+(I{1,3}|IV|V|Ia|Ib)\s+(\d{1,4})\b"
+    r"\b(?:BGE|ATF|DTF)\s+(\d{1,3})\s+(I{1,3}|IV|V|Ia|Ib)\s+(\d{1,4})"
+    r"(?:\s+(?:E\.|consid\.)\s*\d{1,2}[a-z]{0,2}(?:\.\d{1,2}){0,3}"
+    r"(?:\s+(?:und|et|e)\s+[\da-z]{1,4})?"
+    r"|\s+(?:S\.|p\.)\s*\d{1,4})?"
+    r"(?:\s+f{1,2}\.)?"
 )
-# Art. 95 [Abs. 2] BGG — article, optional paragraph, abbreviation
+# unpublished federal rulings cited by docket number, optionally with
+# decision date and considerand ("8C_123/2019 vom 12. März 2019 E. 4.2",
+# `citation_regexes.json` ruling/Bger)
+_BGER_RX = re.compile(
+    r"\b(\d[A-Z]_\d{1,4}/(\d{4}))"
+    r"(?:\s+(?:vom|du|del)\s+\d{1,2}\.?\s*\w+\s+\d{4})?"
+    r"(?:\s+(?:E\.|consid\.)\s*\d{1,2}[a-z]{0,2}(?:\.\d{1,2}){0,3})?"
+)
+# Art./art. citations across the three languages (`citation_regexes.json`
+# law/*): numbered subdivisions (Abs./Ziff. de, al./n. fr, cpv./n. it),
+# letter subdivisions (lit./Bst./let./lett.), chained articles joined by
+# i.V.m., then the law abbreviation.
+_SUBDIV = r"(?:Abs\.|Ziff\.|al\.|n\.|cpv\.)"
+_LETTER = r"(?:lit\.|Bst\.|let\.|lett\.)"
 _LAW_RX = re.compile(
-    r"\bArt\.\s*(\d+[a-z]?)\s*(?:Abs\.\s*(\d+)\s*)?([A-ZÄÖÜ][A-Za-zÄÖÜäöü]{1,15})\b"
+    r"\b[Aa]rt\.\s*(\d{1,4}[a-z]?)"
+    r"((?:\s+" + _SUBDIV + r"\s*\d{1,2}"
+    r"|\s+" + _LETTER + r"\s*[a-z]\b"
+    r"|,?\s+und\s+\d{1,4}"
+    r"|\s+i\.V\.m\.\s+[Aa]rt\.\s*\d{1,4}[a-z]?)*)"
+    r"\s+([A-ZÄÖÜ][A-Za-zÄÖÜäöü]{1,14})\b"
 )
+_PARA_RX = re.compile(_SUBDIV + r"\s*(\d{1,2})")
+
+
+def _clean_law_text(span: str) -> str:
+    """Whitespace-normalize and drop a duplicated trailing law name —
+    the reference's double-law fix (`citation_extraction/__init__.py:
+    35-45`: "Art. 147 Abs. 1 StGB StGB" → "... StGB")."""
+    parts = re.sub(r"\s+", " ", span.strip()).split(" ")
+    if len(parts) >= 2 and parts[-1] == parts[-2]:
+        parts = parts[:-1]
+    return " ".join(parts)
 
 CITATION_SCHEMA = ArrayType(
     StructType(
@@ -77,11 +114,32 @@ def extract_citations_py(text: str | None) -> list[dict] | None:
                 "law": None,
             }
         )
-    for m in _LAW_RX.finditer(text):
-        span = m.group(0)
+    for m in _BGER_RX.finditer(text):
+        span = m.group(0).strip()
         if span in seen:
             continue
         seen.add(span)
+        year = int(m.group(2))
+        if not (1954 <= year <= 2100):  # docket years are calendar years
+            continue
+        out.append(
+            {
+                "type": "bger",
+                "text": span,
+                "year": year,
+                "volume": None,
+                "page": None,
+                "article": None,
+                "paragraph": None,
+                "law": None,
+            }
+        )
+    for m in _LAW_RX.finditer(text):
+        span = _clean_law_text(m.group(0))
+        if span in seen:
+            continue
+        seen.add(span)
+        para = _PARA_RX.search(m.group(2) or "")
         out.append(
             {
                 "type": "law",
@@ -90,7 +148,7 @@ def extract_citations_py(text: str | None) -> list[dict] | None:
                 "volume": None,
                 "page": None,
                 "article": m.group(1),
-                "paragraph": int(m.group(2)) if m.group(2) else None,
+                "paragraph": int(para.group(1)) if para else None,
                 "law": m.group(3),
             }
         )
@@ -124,6 +182,9 @@ def citation_spans_py(text: str | None) -> list[dict] | None:
     spans = [
         {"start": m.start(), "end": m.end(), "label": "RULING"}
         for m in _RULING_RX.finditer(text)
+    ] + [
+        {"start": m.start(), "end": m.end(), "label": "RULING"}
+        for m in _BGER_RX.finditer(text)
     ] + [
         {"start": m.start(), "end": m.end(), "label": "LAW"}
         for m in _LAW_RX.finditer(text)

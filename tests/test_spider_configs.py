@@ -333,3 +333,70 @@ def test_lower_court_labeled_and_it_forms():
     )
     assert got is not None and "Tribunale" in got["court"]
     assert got["canton"] == "TI"
+
+
+# --------------------------------------------------- citation regex breadth
+
+def test_citation_bge_with_considerand_and_page():
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_py,
+    )
+
+    got = extract_citations_py(
+        "Vgl. BGE 126 I 81 E. 5aa und b sowie BGE 123 I 342 S. 345 f. "
+        "und ATF 145 II 32 consid. 4.2.3."
+    )
+    rulings = [c for c in got if c["type"] == "ruling"]
+    assert len(rulings) == 3
+    # the considerand/page tail is part of the cited span
+    assert any("E. 5aa und b" in c["text"] for c in rulings)
+    assert any("S. 345 f." in c["text"] for c in rulings)
+    assert any("consid. 4.2.3" in c["text"] for c in rulings)
+    # (year, volume, page) still parse from the head
+    assert {(c["year"], c["volume"], c["page"]) for c in rulings} == {
+        (126, "I", 81), (123, "I", 342), (145, "II", 32)
+    }
+
+
+def test_citation_bger_docket_numbers():
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_py,
+    )
+
+    got = extract_citations_py(
+        "Im Urteil 8C_123/2019 vom 12. März 2019 E. 4.2 wurde dies bejaht; "
+        "siehe auch 2C_45/2021."
+    )
+    bger = [c for c in got if c["type"] == "bger"]
+    assert len(bger) == 2
+    assert bger[0]["text"].startswith("8C_123/2019 vom")
+    assert bger[0]["year"] == 2019
+    assert bger[1]["text"] == "2C_45/2021"
+
+
+def test_citation_multilingual_law_forms():
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_py,
+    )
+
+    got = extract_citations_py(
+        "Gestützt auf Art. 45 Abs. 3 lit. a BGG und art. 4 al. 3 let. a LTF "
+        "sowie art. 6 cpv. 2 lett. b LEF."
+    )
+    laws = [c for c in got if c["type"] == "law"]
+    assert {c["law"] for c in laws} == {"BGG", "LTF", "LEF"}
+    assert {c["article"] for c in laws} == {"45", "4", "6"}
+    assert {c["paragraph"] for c in laws} == {3, 3, 2}
+
+
+def test_citation_ivm_chain_and_double_law_fix():
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_py, _clean_law_text,
+    )
+
+    got = extract_citations_py("Nach Art. 100 Abs. 1 i.V.m. Art. 117 BGG gilt.")
+    laws = [c for c in got if c["type"] == "law"]
+    assert len(laws) == 1
+    assert "i.V.m." in laws[0]["text"] and laws[0]["law"] == "BGG"
+
+    assert _clean_law_text("Art. 147  Abs. 1 StGB StGB") == "Art. 147 Abs. 1 StGB"
