@@ -1,14 +1,347 @@
 """Round-3 gate queries exercising the extraction chain end-to-end.
 
-The extraction operators (clean → section split → judgment outcome,
-citation extraction, TF-IDF relevance) are pandas_udf-backed and were
-previously pytest-only; these gates reduce each chain to a relational
-result DuckDB can reproduce, giving the driver a hard CORRECTNESS row
-for the UDF layer (VERDICT r02, next-round items #4 and #6).
+The extraction operators (section split → judgment outcome, citation
+extraction, doc2doc TF-IDF relevance) are pandas_udf-backed and were
+previously pytest-only; these gates give the driver a hard CORRECTNESS
+row for the UDF layer (VERDICT r02, next-round items #4 and #6).
+
+The synthetic ``documents`` table is word-soup, so each gate CONSTRUCTS
+deterministic court-ruling-shaped text from ``doc_id`` arithmetic,
+drives the real pandas_udf chain over it, and lets DuckDB compute the
+expected result independently from the same arithmetic — the oracle
+verifies the chain maps known inputs to exactly the expected structured
+outputs (UDF plumbing, paragraph fold, marker matching, explode, agg),
+not a re-implementation of the regexes.
 """
 
 from __future__ import annotations
 
-from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
-SPECS: list[QuerySpec] = []
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# extraction_outcome_counts: clean → split → judgment, per-language
+# ---------------------------------------------------------------------------
+
+_LANGS = ["de", "fr", "it"]
+
+# outcome index (doc_id % 7) x language -> the dispositive clause placed
+# in the numbered ruling; chosen so the judgment markers yield exactly
+# the expected outcome set (incl. the de partial-dismissal clause whose
+# inadmissibility reservation legitimately yields BOTH outcomes, as in
+# the reference's marker semantics)
+_RULING_CLAUSES: list[list[str]] = [
+    # approval
+    ["Die Beschwerde wird gutgeheissen.",
+     "Le recours est admis.",
+     "Il ricorso è accolto."],
+    # partial_approval
+    ["Die Beschwerde wird teilweise gutgeheissen.",
+     "Le recours est partiellement admis.",
+     "Il ricorso è parzialmente accolto."],
+    # dismissal
+    ["Die Beschwerde wird abgewiesen.",
+     "Le recours est rejeté.",
+     "Il ricorso è respinto."],
+    # partial_dismissal
+    ["Die Beschwerde wird abgewiesen, soweit darauf einzutreten ist.",
+     "Le recours est rejeté dans la mesure où il est recevable.",
+     "Nella misura in cui è ammissibile, il ricorso è respinto."],
+    # inadmissible
+    ["Auf die Beschwerde wird nicht eingetreten.",
+     "Le recours est irrecevable.",
+     "Il ricorso è inammissibile."],
+    # write_off
+    ["Die Beschwerde wird abgeschrieben.",
+     "Le recours est sans objet.",
+     "La causa è stralciata dai ruoli."],
+    # unification
+    ["Die Verfahren werden vereinigt.",
+     "Les causes sont jointes.",
+     "Le cause sono congiunte."],
+]
+
+# the (o_idx, lang) -> expected outcomes mapping the oracle joins on
+_EXPECTED: list[tuple[int, str, str]] = []
+for _o, _names in enumerate(
+    ["approval", "partial_approval", "dismissal", "partial_dismissal",
+     "inadmissible", "write_off", "unification"]
+):
+    for _lang in _LANGS:
+        _EXPECTED.append((_o, _lang, _names))
+# the de partial-dismissal clause also carries the standalone
+# inadmissibility reservation marker
+_EXPECTED.append((3, "de", "inadmissible"))
+
+_DOC_TMPL = {
+    "de": (
+        "Besetzung: Richter Muster\n"
+        "Sachverhalt:\n"
+        "Die Partei reichte ein Gesuch ein.\n"
+        "Erwägungen:\n"
+        "Die Rügen sind zu prüfen.\n"
+        "Demnach erkennt das Gericht:\n"
+        "1. {clause}\n"
+        "2. Die Gerichtskosten trägt die unterliegende Partei.\n"
+        "Rechtsmittelbelehrung"
+    ),
+    "fr": (
+        "Composition: juge Martin\n"
+        "En fait\n"
+        "La partie a déposé le recours.\n"
+        "En droit\n"
+        "Le grief doit être examiné.\n"
+        "Par ces motifs\n"
+        "1. {clause}\n"
+        "2. Les frais judiciaires sont mis à la charge de la partie.\n"
+        "Voie de recours"
+    ),
+    "it": (
+        "Composizione: giudice Rossi\n"
+        "In fatto\n"
+        "La parte ha presentato ricorso.\n"
+        "In diritto\n"
+        "Il gravame va esaminato.\n"
+        "Per questi motivi\n"
+        "1. {clause}\n"
+        "2. Le spese giudiziarie sono poste a carico della parte.\n"
+        "In nome del Tribunale"
+    ),
+}
+
+
+def q_extraction_outcome_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3/E5 end-to-end: build a ruling-shaped document per row (lang
+    = doc_id % 3, dispositive clause = doc_id % 7), run the REAL section
+    splitter and judgment extractor UDFs, and count (lang, outcome)
+    documents.  The whole chain is map-side (two Arrow-batched
+    pandas_udfs, no shuffle until the final tiny agg) — the same shape
+    it has at 100 TB."""
+    from swisscourtrulingcorpus_spark.extraction.judgments import (
+        extract_judgments_udf,
+    )
+    from swisscourtrulingcorpus_spark.extraction.sections import (
+        split_sections_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    l_idx = (F.col("doc_id") % 3).cast("int")
+    o_idx = (F.col("doc_id") % 7).cast("int")
+    lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), l_idx + 1)
+    # 21-slot clause lookup, indexed o_idx*3 + l_idx
+    clauses = F.array(
+        *[F.lit(c) for row in _RULING_CLAUSES for c in row]
+    )
+    clause = F.element_at(clauses, o_idx * 3 + l_idx + 1)
+    text = F.lit(None).cast("string")
+    for lg, tmpl in _DOC_TMPL.items():
+        head, tail = tmpl.split("{clause}")
+        text = F.when(
+            lang == lg, F.concat(F.lit(head), clause, F.lit(tail))
+        ).otherwise(text)
+
+    built = docs.select("doc_id", lang.alias("lang"), text.alias("text"))
+    rulings = (
+        built.select(
+            "doc_id",
+            "lang",
+            F.explode(split_sections_udf("text", "lang")).alias("s"),
+        )
+        .where(F.col("s.section") == "rulings")
+        .select("doc_id", "lang", F.col("s.text").alias("ruling_text"))
+    )
+    return (
+        rulings.select(
+            "lang",
+            F.explode(
+                extract_judgments_udf("ruling_text", "lang")
+            ).alias("outcome"),
+        )
+        .groupBy("lang", "outcome")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_EXPECTED_VALUES = ",\n  ".join(
+    f"({o}, '{lang}', '{name}')" for o, lang, name in _EXPECTED
+)
+
+EXTRACTION_OUTCOME_ORACLE = f"""
+WITH m(o_idx, lang, outcome) AS (VALUES
+  {_EXPECTED_VALUES}),
+d AS (
+  SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'de' WHEN 1 THEN 'fr' ELSE 'it' END AS lang,
+         CAST(doc_id % 7 AS INT) AS o_idx
+  FROM documents)
+SELECT d.lang, m.outcome, count(*) AS n_docs
+FROM d JOIN m ON m.o_idx = d.o_idx AND m.lang = d.lang
+GROUP BY d.lang, m.outcome
+"""
+
+
+# ---------------------------------------------------------------------------
+# citation_type_counts: the citation UDF over constructed citation text
+# ---------------------------------------------------------------------------
+
+def q_citation_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 end-to-end: every document cites one published ruling (BGE
+    with considerand tail), one docket-number ruling and one law
+    article, all derived from doc_id; the citation UDF must parse every
+    field back out — the per-type sums verify year/page/article/
+    paragraph extraction, not just span counts."""
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("Vgl. BGE "), (d % 60 + 100).cast("string"),
+        F.lit(" II "), (d % 400 + 1).cast("string"),
+        F.lit(" E. 4.2 und Art. "), (d % 250 + 1).cast("string"),
+        F.lit(" Abs. "), (d % 4 + 1).cast("string"),
+        F.lit(" BGG sowie Urteil 8C_"), (d % 999 + 1).cast("string"),
+        F.lit("/"), (d % 15 + 2010).cast("string"),
+        F.lit(" E. 1.1."),
+    )
+    cits = docs.select(
+        "doc_id", F.explode(extract_citations_udf(text)).alias("c")
+    )
+    return cits.groupBy(F.col("c.type").alias("cit_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("c.year"), F.lit(0))).alias("year_sum"),
+        F.sum(F.coalesce(F.col("c.page"), F.lit(0))).alias("page_sum"),
+        F.sum(
+            F.coalesce(F.col("c.article").cast("long"), F.lit(0))
+        ).alias("article_sum"),
+        F.sum(F.coalesce(F.col("c.paragraph"), F.lit(0))).alias("para_sum"),
+    )
+
+
+CITATION_TYPE_ORACLE = """
+SELECT 'ruling' AS cit_type, count(*) AS n,
+       sum(doc_id % 60 + 100) AS year_sum,
+       sum(doc_id % 400 + 1) AS page_sum,
+       0 AS article_sum, 0 AS para_sum
+FROM documents
+UNION ALL
+SELECT 'bger', count(*), sum(doc_id % 15 + 2010), 0, 0, 0 FROM documents
+UNION ALL
+SELECT 'law', count(*), 0, 0,
+       sum(doc_id % 250 + 1), sum(doc_id % 4 + 1)
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# citation_relevance_scores: doc2doc TF-IDF relevance (A12 fidelity gate)
+# ---------------------------------------------------------------------------
+
+def q_citation_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 doc2doc relevance (`doc2doc_ir_dataset_creator.py:287-355`):
+    tf = cite count within the decision, smooth idf over the corpus,
+    relevance = tf·idf.  Each doc cites three rulings derived from
+    doc_id (plus a repeat cite every fifth doc, so tf isn't constant);
+    output is the top-3 cited rulings per query doc.  The double score
+    is used only for ORDERING (ties break identically by cited key);
+    output columns are ints — the tf/df/rank triple pins the formula.
+    Scale shape mirrors the tfidf gate: tf is restricted to the query
+    docs and broadcast; the corpus-wide df table streams."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    cite_keys = F.array(
+        (d * 3) % 40,
+        (d * 3 + 11) % 40,
+        (d * 3 + 22) % 40,
+        F.when(d % 5 == 0, (d * 3) % 40),  # repeat cite -> tf=2
+    )
+    cits = (
+        docs.select("doc_id", F.explode(cite_keys).alias("k"))
+        .where(F.col("k").isNotNull())
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("BGE-"), (F.col("k") + 100).cast("string"),
+                F.lit("-II-"), (F.col("k") * 7 + 1).cast("string"),
+            ).alias("cited"),
+        )
+    )
+    tf = (
+        cits.where(F.col("doc_id") < 20)
+        .groupBy("doc_id", "cited")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = cits.groupBy("cited").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n = cits.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        df_.join(F.broadcast(tf), on="cited")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("cited").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "cited", "tf", "df", "rank")
+    )
+
+
+CITATION_RELEVANCE_ORACLE = """
+WITH cit AS (
+  SELECT doc_id,
+         'BGE-' || CAST(k + 100 AS VARCHAR) || '-II-' || CAST(k * 7 + 1 AS VARCHAR) AS cited
+  FROM (
+    SELECT doc_id,
+           CASE j
+             WHEN 0 THEN (doc_id * 3) % 40
+             WHEN 1 THEN (doc_id * 3 + 11) % 40
+             WHEN 2 THEN (doc_id * 3 + 22) % 40
+             ELSE CASE WHEN doc_id % 5 = 0 THEN (doc_id * 3) % 40 END
+           END AS k
+    FROM (SELECT doc_id, unnest(range(4)) AS j FROM documents))
+  WHERE k IS NOT NULL),
+tf AS (SELECT doc_id, cited, count(*) AS tf FROM cit WHERE doc_id < 20 GROUP BY 1, 2),
+df AS (SELECT cited, count(DISTINCT doc_id) AS df FROM cit GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM cit),
+scored AS (
+  SELECT tf.doc_id, tf.cited, tf.tf, df.df,
+         tf.tf * (ln((1 + n.n_docs) / (1 + df.df)) + 1) AS score
+  FROM tf JOIN df USING (cited) CROSS JOIN n)
+SELECT doc_id, cited, tf, df, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cited ASC) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "extraction_outcome_counts",
+        q_extraction_outcome_counts,
+        EXTRACTION_OUTCOME_ORACLE,
+        "section-split + judgment UDF chain, oracle via construction arithmetic",
+    ),
+    QuerySpec(
+        "citation_type_counts",
+        q_citation_type_counts,
+        CITATION_TYPE_ORACLE,
+        "citation UDF field extraction, oracle via construction arithmetic",
+    ),
+    QuerySpec(
+        "citation_relevance_scores",
+        q_citation_relevance,
+        CITATION_RELEVANCE_ORACLE,
+        "doc2doc TF-IDF relevance, int-projected for bit-exact parity",
+    ),
+]
