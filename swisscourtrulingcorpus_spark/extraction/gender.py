@@ -31,25 +31,45 @@ def local_gender_resolver(names: list[str]) -> dict[str, str | None]:
     return {n: _LOCAL_GENDER_TABLE.get(n.split()[0]) for n in names}
 
 
+# upper bound on names collected to the driver: distinct personal names
+# are tiny relative to any corpus (Swiss courts cite thousands of
+# names, not millions), but a pathological corpus (e.g. OCR noise in
+# the name column) must not be able to OOM the driver
+MAX_DRIVER_NAMES = 100_000
+
+
 def enrich_gender(
     persons: DataFrame,
     name_col: str = "name",
     gender_col: str = "gender",
     resolver: Callable[[list[str]], dict[str, str | None]] = local_gender_resolver,
+    max_names: int = MAX_DRIVER_NAMES,
 ) -> DataFrame:
     """Fill null genders via driver-side lookup + broadcast join.
 
     Mirrors the reference's WHERE clause (`name_to_gender.py`): only
     rows with NULL gender, and never anonymized ``X._`` placeholders.
+    The driver-side collect is bounded by ``max_names``; overflow names
+    keep their null gender and a warning records the truncation.
     """
+    import logging
+
     spark = persons.sparkSession
     unknown = (
         persons.where(F.col(gender_col).isNull())
         .where(~F.col(name_col).rlike(r"\._$"))
         .select(name_col)
         .distinct()
+        .limit(max_names + 1)
     )
     names = [r[0] for r in unknown.collect()]  # tiny: distinct names only
+    if len(names) > max_names:
+        logging.getLogger(__name__).warning(
+            "enrich_gender: more than %d distinct unresolved names; "
+            "resolving the first %d, remainder keeps null gender",
+            max_names, max_names,
+        )
+        names = names[:max_names]
     resolved = resolver(names)
     if not resolved:
         return persons

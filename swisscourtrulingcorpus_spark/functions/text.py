@@ -102,6 +102,15 @@ def language_id_score(col: Column | str) -> Column:
     counts; zero-hit or tied docs -> 'und' (undetermined), mirroring the
     reference's language_id = -1 unknown state (`language_identifier.py:24`).
 
+    DECISION (r03, replacing the r02 'weak' flag): the reference uses a
+    fastText lid.176 model file; neither the library nor the model is
+    available in this environment, so the stopword heuristic is the
+    final implementation, with accuracy pinned by a multilingual test
+    over realistic court-register sentences
+    (`tests/test_spider_configs.py::test_language_id_multilingual_accuracy`).
+    A fastText-backed column could drop in behind this same signature
+    (text column -> language code column) without touching any caller.
+
     Deliberately an explicit greatest + CASE chain (not a struct sort)
     so the SQL oracle is a literal transliteration with identical
     tie-break semantics: first language in alphabetical order wins the

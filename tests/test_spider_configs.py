@@ -7,6 +7,8 @@ Python (the pandas_udf twins share these code paths and are covered by
 the pipeline tests).
 """
 
+import pyspark.sql.functions as F
+
 from swisscourtrulingcorpus_spark.extraction.judgments import extract_judgments_py
 from swisscourtrulingcorpus_spark.extraction.sections import split_sections_py
 
@@ -400,3 +402,50 @@ def test_citation_ivm_chain_and_double_law_fix():
     assert "i.V.m." in laws[0]["text"] and laws[0]["law"] == "BGG"
 
     assert _clean_law_text("Art. 147  Abs. 1 StGB StGB") == "Art. 147 Abs. 1 StGB"
+
+
+# --------------------------------------- E1 language-id accuracy (decision)
+
+def test_language_id_multilingual_accuracy(spark):
+    """E1 is a stopword heuristic BY DECISION (fastText and its model
+    file are unavailable here); this pins its accuracy on realistic
+    register sentences in all three court languages plus English, and
+    the undetermined fallback on stopword-free text."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.functions.text import language_id_score
+
+    fixtures = [
+        ("Die Beschwerde wird abgewiesen und die Kosten werden nicht erhoben.", "de"),
+        ("Der Entscheid der Vorinstanz wird mit der Begründung bestätigt.", "de"),
+        ("Le recours est rejeté et les frais ne sont pas mis à la charge.", "fr"),
+        ("La cour cantonale est compétente et le grief est examiné.", "fr"),
+        ("Il ricorso è respinto e le spese non sono poste a carico.", "it"),
+        ("La parte ha presentato il ricorso che non è fondato per una ragione.", "it"),
+        ("The appeal is dismissed and this decision is final with costs.", "en"),
+        ("Zxqv pqrs wxyz.", "und"),
+    ]
+    df = spark.createDataFrame(fixtures, "text string, expected string")
+    got = df.select("expected", language_id_score("text").alias("lang")).collect()
+    for r in got:
+        assert r.lang == r.expected, f"{r.expected}: got {r.lang}"
+
+
+def test_gender_collect_bound(spark):
+    """The driver-side name collect is bounded: overflow names keep
+    their null gender instead of growing the collect."""
+    from swisscourtrulingcorpus_spark.extraction.gender import enrich_gender
+
+    rows = [(f"Name{i} Person", None) for i in range(6)]
+    df = spark.createDataFrame(rows, "name string, gender string")
+
+    seen = []
+
+    def resolver(names):
+        seen.extend(names)
+        return {n: "m" for n in names}
+
+    out = enrich_gender(df, resolver=resolver, max_names=3)
+    assert len(seen) == 3
+    assert out.where(F.col("gender").isNotNull()).count() == 3
+    assert out.where(F.col("gender").isNull()).count() == 3
