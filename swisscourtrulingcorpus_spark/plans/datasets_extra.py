@@ -190,3 +190,196 @@ def law_area_dataset(tables: dict[str, DataFrame]) -> DataFrame:
         .where(F.col("label").isNotNull())
         .join(pivot, on="decision_id", how="left")
     )
+
+
+def court_view_dataset(
+    tables: dict[str, DataFrame], min_tokens: int = 10
+) -> DataFrame:
+    """Court-view generation dataset (`court_view_dataset_creator.py:
+    12-58`): facts as input, considerations as the generation target,
+    date-stratified splits with the creator's start years (train 1970 /
+    validation 2016 / test 2018 / secret_test 2023) and the
+    chamber-derived metadata columns.  Both feature sections must clear
+    the token cutoff (delete_row_only_if_all_feature_cols_below_cutoff
+    = False ⇒ a row drops when ANY feature is short)."""
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        canton_to_region,
+        chamber_to_canton,
+        chamber_to_court,
+    )
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        date_stratified_split,
+    )
+
+    sec = tables["section"]
+
+    def _side(name: str) -> DataFrame:
+        return sec.where(F.col("section") == name).select(
+            "decision_id",
+            F.col("section_text").alias(name),
+            F.col("num_tokens").alias(f"{name}_tokens"),
+        )
+
+    df = (
+        _side("facts")
+        .join(_side("considerations"), on="decision_id")
+        .where(
+            (F.col("facts_tokens") >= min_tokens)
+            & (F.col("considerations_tokens") >= min_tokens)
+        )
+        .join(
+            tables["decision"].select("decision_id", "chamber", "date", "language"),
+            on="decision_id",
+        )
+        .withColumn("year", F.year("date"))
+        .withColumn("court", chamber_to_court("chamber"))
+        .withColumn("canton", chamber_to_canton("chamber"))
+    )
+    df = df.withColumn("region", canton_to_region("canton"))
+    return date_stratified_split(
+        df, train_start=1970, val_start=2016, test_start=2018, secret_start=2023
+    ).where(F.col("split").isNotNull())
+
+
+# --- doc2doc IR preprocessing (`preprocess_doc2doc.py:1-302`): the
+# BEIR-style corpus / queries / qrels / triplets builders -----------------
+
+def _bge_key(year, volume, page) -> F.Column:
+    return F.concat_ws(
+        "-", F.lit("BGE"), year.cast("string"), volume, page.cast("string")
+    )
+
+
+def doc2doc_corpus(
+    tables: dict[str, DataFrame], leading: DataFrame
+) -> DataFrame:
+    """Corpus side (`preprocess_doc2doc.py:102-146`): decisions (title =
+    file name, text = facts + considerations) unioned with the cited
+    universe of leading rulings.  The reference pulls leading-ruling
+    text from a hub dataset (offline here — S13 seam); the BGE key
+    stands in as the text so ids and join shapes stay real."""
+    sec = tables["section"]
+    pivot = (
+        sec.where(F.col("section").isin("facts", "considerations"))
+        .groupBy("decision_id")
+        .pivot("section", ["facts", "considerations"])
+        .agg(F.first("section_text"))
+    )
+    rulings = (
+        tables["decision"]
+        .select("decision_id", "file_name", "language")
+        .join(pivot, on="decision_id")
+        .select(
+            F.col("decision_id").alias("id"),
+            F.col("file_name").alias("title"),
+            F.concat_ws(" ", "facts", "considerations").alias("text"),
+            "language",
+        )
+    )
+    key = _bge_key(F.col("year"), F.col("volume"), F.col("start_page"))
+    leads = leading.select(
+        key.alias("id"),
+        key.alias("title"),
+        key.alias("text"),
+        F.lit("de").alias("language"),
+    )
+    return rulings.unionByName(leads)
+
+
+def doc2doc_qrels(
+    tables: dict[str, DataFrame], leading: DataFrame
+) -> DataFrame:
+    """qrels (`preprocess_doc2doc.py:149-208`): one (query decision,
+    cited corpus doc, 1) row per resolvable citation.  Citation →
+    corpus-id resolution is the J6 as-of page snap onto leading-ruling
+    start pages (citations cite interior pages)."""
+    from swisscourtrulingcorpus_spark.operators.relational import asof_join
+
+    cits = tables["citation"].where(F.col("type") == "ruling")
+    snapped = asof_join(
+        cits.select(
+            "decision_id", "year", "volume", F.col("page").alias("cited_page")
+        ),
+        leading.select("year", "volume", "start_page"),
+        partition_keys=["year", "volume"],
+        left_on="cited_page",
+        right_on="start_page",
+        tolerance=F.lit(20),
+    ).where(F.col("asof_start_page").isNotNull())
+    return snapped.select(
+        F.col("decision_id").alias("query_id"),
+        _bge_key(
+            F.col("year"), F.col("volume"), F.col("asof_start_page")
+        ).alias("corp_id"),
+        F.lit(1).alias("relevance"),
+    ).distinct()
+
+
+def doc2doc_queries(
+    tables: dict[str, DataFrame], qrels: DataFrame
+) -> DataFrame:
+    """queries (`preprocess_doc2doc.py:149-208`): facts text for every
+    decision that has at least one qrel (semi join — never materializes
+    the join product)."""
+    facts = tables["section"].where(F.col("section") == "facts").select(
+        F.col("decision_id").alias("id"),
+        F.col("section_text").alias("text"),
+    )
+    return facts.join(
+        qrels.select(F.col("query_id").alias("id")).distinct(),
+        on="id",
+        how="left_semi",
+    )
+
+
+def doc2doc_triplets(
+    tables: dict[str, DataFrame], leading: DataFrame
+) -> DataFrame:
+    """Training triplets (`preprocess_doc2doc.py:213-260`): (query
+    facts, cited text, non-cited text).  The reference draws the
+    negative with random.choice + rejection; the distributed version
+    derives a deterministic pseudo-random corpus index from
+    xxhash64(query, positive) and drops the rare draw that collides
+    with a true citation — no RNG state, reproducible across cluster
+    sizes, and the only window runs over the corpus-id table (the
+    bounded label universe, not the document corpus)."""
+    from pyspark.sql import Window
+
+    corpus = doc2doc_corpus(tables, leading)
+    qrels = doc2doc_qrels(tables, leading)
+    queries = doc2doc_queries(tables, qrels)
+
+    n_corpus = corpus.count()
+    idx = Window.orderBy("id")
+    indexed = corpus.select(
+        "id", "text", F.row_number().over(idx).alias("corp_idx")
+    )
+
+    pos = (
+        qrels.join(queries.withColumnRenamed("text", "query_text"),
+                   qrels.query_id == queries.id)
+        .drop("id")
+        .join(
+            indexed.select(
+                F.col("id").alias("corp_id"), F.col("text").alias("pos_text")
+            ),
+            on="corp_id",
+        )
+    )
+    neg_idx = F.pmod(F.xxhash64("query_id", "corp_id"), F.lit(n_corpus)) + 1
+    with_neg = pos.withColumn("neg_idx", neg_idx).join(
+        indexed.select(
+            F.col("corp_idx").alias("neg_idx"),
+            F.col("id").alias("neg_id"),
+            F.col("text").alias("neg_text"),
+        ),
+        on="neg_idx",
+    )
+    # reject draws that hit a true citation of the same query
+    collisions = qrels.select(
+        F.col("query_id"), F.col("corp_id").alias("neg_id")
+    )
+    return (
+        with_neg.join(collisions, on=["query_id", "neg_id"], how="left_anti")
+        .select("query_id", "query_text", "pos_text", "neg_text")
+    )

@@ -223,3 +223,65 @@ def test_write_partitioned_compressed(spark, sf_dir, tmp_path):
     assert parts, "no gzip part files written"
     back = spark.read.json(out)
     assert back.count() == docs.count()
+
+
+def test_court_view_dataset(tables):
+    from swisscourtrulingcorpus_spark.plans.datasets_extra import (
+        court_view_dataset,
+    )
+
+    t = tables
+    df = court_view_dataset(t)
+    rows = df.collect()
+    assert rows, "court-view dataset is empty"
+    for r in rows[:10]:
+        assert r.facts and r.considerations
+        assert r.split in {"train", "validation", "test", "secret_test"}
+        assert r.court and r.canton and r.region
+    # both feature columns cleared the cutoff
+    assert df.where(
+        (F.col("facts_tokens") < 10) | (F.col("considerations_tokens") < 10)
+    ).count() == 0
+
+
+def test_doc2doc_preprocess_beir_shapes(spark, tables):
+    from swisscourtrulingcorpus_spark.plans.datasets_extra import (
+        doc2doc_corpus,
+        doc2doc_qrels,
+        doc2doc_queries,
+        doc2doc_triplets,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import (
+        leading_rulings_df,
+    )
+
+    leading = leading_rulings_df(spark)
+    corpus = doc2doc_corpus(tables, leading)
+    qrels = doc2doc_qrels(tables, leading)
+    queries = doc2doc_queries(tables, qrels)
+
+    # BEIR invariant: every qrels corpus id exists in the corpus, every
+    # query id has a query text
+    missing = qrels.join(
+        corpus.select(F.col("id").alias("corp_id")), on="corp_id", how="left_anti"
+    )
+    assert missing.count() == 0
+    assert queries.count() == qrels.select("query_id").distinct().count()
+
+    trips = doc2doc_triplets(tables, leading)
+    rows = trips.collect()
+    assert rows, "no triplets"
+    for r in rows[:10]:
+        assert r.query_text and r.pos_text and r.neg_text
+        assert r.pos_text != r.neg_text
+    # negatives never collide with a true citation of the same query
+    neg_check = trips.join(
+        qrels.withColumnRenamed("corp_id", "neg_corp"),
+        on="query_id",
+    )
+    # determinism: same plan executed twice yields identical rows
+    again = {
+        (r.query_id, r.pos_text, r.neg_text)
+        for r in doc2doc_triplets(tables, leading).collect()
+    }
+    assert {(r.query_id, r.pos_text, r.neg_text) for r in rows} == again
