@@ -449,3 +449,109 @@ def test_gender_collect_bound(spark):
     assert len(seen) == 3
     assert out.where(F.col("gender").isNotNull()).count() == 3
     assert out.where(F.col("gender").isNull()).count() == 3
+
+
+# ------------------------------------------ S4 pure-python PDF extraction
+
+def _make_pdf(content: bytes, compress: bool) -> bytes:
+    import zlib
+
+    body = zlib.compress(content) if compress else content
+    filt = b"/Filter /FlateDecode " if compress else b""
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(body)).encode()
+        + b" " + filt + b">>\nstream\n"
+        + body
+        + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+
+
+def test_pdf_text_extraction_flate_and_plain(spark):
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.extraction.pdf import (
+        extract_pdf_text_py,
+        extract_pdf_text_udf,
+    )
+
+    content = (
+        b"BT /F1 12 Tf 50 720 Td (Sachverhalt:) Tj "
+        b"0 -14 Td (Die Partei reichte ein \\(neues\\) Gesuch ein.) Tj ET"
+    )
+    for compress in (True, False):
+        text = extract_pdf_text_py(_make_pdf(content, compress))
+        assert text == "Sachverhalt:\nDie Partei reichte ein (neues) Gesuch ein."
+
+    # TJ arrays and octal escapes
+    content2 = b"BT [(Erw\\344gungen) (:)] TJ ET"
+    assert extract_pdf_text_py(_make_pdf(content2, True)) == "Erwägungen:"
+
+    # non-PDF payloads and image-only PDFs degrade to null
+    assert extract_pdf_text_py(b"not a pdf") is None
+    assert extract_pdf_text_py(None) is None
+
+    # through the Spark surface: binary column -> text column
+    rows = [(1, _make_pdf(content, True)), (2, b"garbage")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r.doc_id: r.text
+        for r in df.select(
+            "doc_id", extract_pdf_text_udf("payload").alias("text")
+        ).collect()
+    }
+    assert got[1].startswith("Sachverhalt:")
+    assert got[2] is None
+
+
+# ----------------------------------- fundamental-importance analysis
+
+def test_fundamental_importance_analysis(spark):
+    from swisscourtrulingcorpus_spark.plans.analyses import (
+        fundamental_importance_sentences,
+        fundamental_importance_summary,
+    )
+
+    sections = spark.createDataFrame(
+        [
+            # affirmed (de)
+            ("d1", "de", "considerations",
+             "Es liegt eine Rechtsfrage von grundsätzlicher Bedeutung vor. "
+             "Die Beschwerde ist daher zulässig."),
+            # negated (de)
+            ("d2", "de", "considerations",
+             "Es liegt keine Rechtsfrage von grundsätzlicher Bedeutung vor."),
+            # affirmed (fr)
+            ("d3", "fr", "considerations",
+             "Le recours soulève une question juridique de principe."),
+            # negated (fr)
+            ("d4", "fr", "considerations",
+             "Le recours ne soulève pas de question juridique de principe."),
+            # no mention at all
+            ("d5", "de", "considerations", "Die Kosten trägt die Partei."),
+        ],
+        "decision_id string, language string, section string, section_text string",
+    )
+    decisions = spark.createDataFrame(
+        [
+            ("d1", "2019-01-01", "CH_BGer_001"),
+            ("d2", "2019-06-01", "CH_BGer_001"),
+            ("d3", "2020-01-01", "CH_BGer_002"),
+            ("d4", "2020-06-01", "CH_BGer_002"),
+            ("d5", "2020-07-01", "CH_BGer_001"),
+        ],
+        "decision_id string, date string, chamber string",
+    ).withColumn("date", F.to_date("date"))
+    tables = {"section": sections, "decision": decisions}
+
+    sent = {r.decision_id: r.negated
+            for r in fundamental_importance_sentences(tables).collect()}
+    assert sent == {"d1": False, "d2": True, "d3": False, "d4": True}
+
+    by_year = {r.year: (r.negated, r.not_negated, r.total)
+               for r in fundamental_importance_summary(tables, "year").collect()}
+    assert by_year == {2019: (1, 1, 2), 2020: (1, 1, 2)}
+
+    by_area = {r.legal_area: r.not_negated_percentage
+               for r in fundamental_importance_summary(tables, "legal_area").collect()}
+    assert by_area == {"public_law": 50.0, "civil_law": 50.0}
