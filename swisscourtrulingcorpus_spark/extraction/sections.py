@@ -111,6 +111,20 @@ SPIDER_OVERRIDES: dict[str, dict] = {
     "OW_Custom": {
         "order": ["header", "topic", "facts", "rulings", "considerations", "footer"],
     },
+    # OW publishes the dispositive FIRST (`:772-790`): the document
+    # opens in rulings, then facts, then the reasoning excerpt.
+    "OW_Gerichte": {
+        "order": ["rulings", "facts", "considerations"],
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [
+                    r"den Erw[äa]gungen", r"In Erw[äa]gung:", r"Erw[äa]gungen:",
+                ],
+                "rulings": [],
+            },
+        },
+    },
     "LU_Gerichte": {
         "order": ["header", "topic", "facts", "rulings", "considerations", "footer"],
         "markers": {
@@ -271,7 +285,493 @@ SPIDER_OVERRIDES: dict[str, dict] = {
             },
         },
     },
+    # ---- batch 2: remaining cantonal courts (condensed from
+    # `section_splitting_functions.py`; line refs per spider) ----------
+    "TI_Gerichte": {  # :297-322
+        "markers": {
+            "it": {
+                "facts": [
+                    r"^ritenuto\b", r"in fatto( ed in diritto)?",
+                    r"^Fatti\b", r"considerato in fatto e in diritto",
+                ],
+                "considerations": [
+                    r"^Diritto\b", r"in diritto:?", r"^[Cc]onsiderato$",
+                    r"^[Cc]onsiderando$", r"Considerato, in diritto",
+                ],
+                "rulings": [
+                    r"Per (questi|i quali) motivi", r"dichiara e pronuncia:",
+                    r"pronuncia:?$", r"^decide:$",
+                ],
+                "footer": [
+                    r"Per il Tribunale cantonale", r"Il presidente La segretaria",
+                    r"Per la seconda Camera civile",
+                ],
+            },
+        },
+    },
+    "CH_BSTG": {  # :646-713, condensed
+        "markers": {
+            "de": {
+                "header": [
+                    r"^(Verfügung|Beschluss|Urteil|Entscheid|Präsidialverfügung|Präsidialentscheid) vom \d",
+                ],
+                "facts": [r"^Sachverhalt:?$", r"Prozessgeschichte:?", r"hält fest, dass"],
+                "considerations": [
+                    r"^Nach Einsicht in$", r"^[iI]n\sErw[äa]gung:?",
+                    r"^Erw[äa]gungen:?$", r"erwäg\w*,?\s?(dass)?\s*:?\s*$",
+                ],
+                "rulings": [
+                    r"^und (verfügt|erkennt|beschliesst):?\s*$",
+                    r"^Demnach (erkennt|verfügt|beschliesst)",
+                    r"^beschliesst die Strafkammer:$",
+                ],
+                "footer": [
+                    r"^Rechtsmittelbelehrung", r"^Hinweis:?",
+                    r"^Zustellung an\s*$", r"^Nach Eintritt der Rechtskraft",
+                ],
+            },
+            "fr": {
+                "header": [
+                    r"^(Arrêt|Ordonnance|Décision|Jugement) du \d",
+                ],
+                "facts": [r"^[Ff]aits:?", r"[Vv]u\s*:?(que)?"],
+                "considerations": [
+                    r"(et|Et)?\s*[Cc]onsidérant\s*(que)?:",
+                    r"La Cour d['’]appel considère", r"DROIT",
+                    r"considère en droit:",
+                ],
+                "rulings": [
+                    r"Ordonne:", r"(prononce|décide)\s*:",
+                    r"Par ces motifs,.*(prononce|décide|ordonne)\s*:",
+                ],
+                "footer": [
+                    r"Indications? des voies de (recours|droit|plainte)",
+                    r"Voies de droit", r"^Distribution",
+                    r"Appel à la Cour d['’]appel du Tribunal pénal fédéral",
+                ],
+            },
+            "it": {
+                "header": [
+                    r"^(Sentenza|Decisione|Ordinanza|Decreto)\s*del",
+                ],
+                "facts": [r"^[Ff]att[io]\s*:$", r"Visti:", r"(Ritenuto )?in fatto( ed? in diritto)?:"],
+                "considerations": [
+                    r"^(e\s)?[Cc]onsiderato:?\s*$", r"^[Dd]iritto:?\s*$",
+                    r"considera in (fatto e in )?diritto:", r"^In diritto:$",
+                    r"Estratto dei considerandi:",
+                ],
+                "rulings": [
+                    r"La Corte (decreta|pronuncia|ordina):",
+                    r"^Per questi motivi,?.*(decreta|ordina|pronuncia):",
+                    r"Corte dei reclami penali pronuncia:",
+                    r"Il Giudice unico pronuncia:", r"^Decreta:$",
+                ],
+                "footer": [
+                    r"[Rr]imedi\sgiuridici", r"^Intimazione a:",
+                    r"^Comunicazione", r"Reclamo alla Corte dei reclami penali",
+                ],
+            },
+        },
+    },
+    "BS_Omni": {  # :491-516
+        "markers": {
+            "de": {
+                "facts": [r"^Sachverhalt:?\s*$", r"^Tatsachen$"],
+                "considerations": [
+                    r"^Begründung:\s*$", r"Erw[äa]gung(en)?:?\s*$",
+                    r"^Entscheidungsgründe$", r"[iI]n Erw[äa]gung[:,]?\s*$",
+                ],
+                "rulings": [
+                    r"Demgemäss erkennt d\w\w", r"erkennt d\w\w [A-Z]\w+:",
+                    r"Appellationsgericht (\w+ )?(\(\w+\) )?erkennt",
+                    r"^und erkennt:$", r"erkennt:\s*$", r"Demnach wird erkannt:",
+                ],
+                "footer": [
+                    r"^Rechtsmittelbelehrung$", r"AUFSICHTSKOMMISSION",
+                    r"APPELLATIONSGERICHT",
+                ],
+            },
+        },
+    },
+    "VS_Gerichte": {  # :517-541
+        "markers": {
+            "de": {
+                "facts": [
+                    r"^[Ii]n Sachen", r"^Sachverhalt:?$", r"Sachverhalt \(gekürzt\)",
+                    r"Gekürzter Sachverhalt", r"Sachverhalt und Verfahren",
+                    r"SACHVERHALT", r"^Verfahren$",
+                ],
+                "considerations": [
+                    r"^Erw[äa]gungen:?$", r"Aus den Erw[äa]gungen",
+                    r"stellt fest und zieht in Erw[äa]gung", r"ERWÄGUNGEN",
+                ],
+                "rulings": [
+                    r"erkennt:?$", r"Demnach (erkennt|wird erkannt)",
+                    r"Das Kantonsgericht (beschliesst|verfügt)",
+                    r"DEMNACH WIRD ERKANNT:",
+                ],
+            },
+            "fr": {
+                "facts": [
+                    r"^Faits$", r"Faits \(résumé\)", r"FAITS ET PROCEDURE",
+                    r"Faits et procédure", r"Statuant en faits", r"^Vu$",
+                ],
+                "considerations": [
+                    r"Considérant en droit:?", r"Considérants \(extraits\)",
+                    r"^[Cc]onsidérant$", r"DROIT", r"^Droit$",
+                ],
+                "rulings": [r"[Pp]ar ces motifs,", r"^[Pp]rononce:?$", r"PRONONCE"],
+            },
+        },
+    },
+    "SZ_Gerichte": {  # :542-566
+        "markers": {
+            "de": {
+                "considerations": [
+                    r"nachdem sich ergeben( und in Erw[äa]gung:)?",
+                    r"in Erw[äa]gung",
+                ],
+                "rulings": [
+                    r"^erkennt:?$", r"^beschlossen:?$", r"^verfügt:?$",
+                    r"^erkannt:?$", r"(erkannt und beschlossen|beschlossen und erkannt):?$",
+                ],
+                "footer": [r"^Namens", r"^Versand"],
+            },
+        },
+    },
+    "SO_Omni": {  # :567-596
+        "markers": {
+            "de": {
+                "header": [
+                    r"^(Beschluss|Urteil|Entscheid)\svom\s\d",
+                    r"^(SOG|KSGE) \d+ Nr\. \d+$",
+                ],
+                "facts": [r"^Sachverhalt\s*(gekürzt)?:?$", r"^In Sachen"],
+                "considerations": [
+                    r"^(Aus den )?Erw[äa]gungen:?$",
+                    r"zieht\s.*Erw[äa]gung(en)?:?(, dass)?",
+                ],
+                "rulings": [
+                    r"^Demnach wird (erkannt|beschlossen|verfügt):$",
+                    r"^erkannt:$", r"^(beschlossen|festgestellt) und erkannt:",
+                ],
+                "footer": [r"^Rechtsmittel(\sbelehrung)?:?"],
+            },
+        },
+    },
+    "GL_Omni": {  # :173-190
+        "markers": {
+            "de": {
+                "facts": [r"in Sachen", r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gung(en)?", r"Betracht:?$"],
+                "rulings": [
+                    r"[Dd]emgemäss (erkennt|beschliesst)", r"erkennt sodann",
+                    r"Gericht\s*(erkennt|beschliesst)", r"zieht in Betracht",
+                    r"(verfügt|beschliesst|erkennt):?$",
+                ],
+                "footer": [r"^Rechtsmittelbelehrung:?$"],
+            },
+        },
+    },
+    "BL_Gerichte": {  # :191-208 (PDF extraction spaces out letters)
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [
+                    r"zieht i n E r w ä g u n g", r"Erw[äa]gungen", r"in Erw[äa]gung:",
+                ],
+                "rulings": [
+                    r"Demgemäss wird e r k a n n t",
+                    r"Demgemäss w i r d e r k a n n t",
+                    r"Dem(nach|gemäss) (wird erkannt|erkennt das Steuergericht:)",
+                    r"(Es )?wird erkannt:",
+                ],
+                "footer": [
+                    r"Rechtsmittelbelehrung", r"^Präsident(in)?$",
+                    r"^Gerichtsschreiber(in)?$",
+                ],
+            },
+        },
+    },
+    "AG_Gerichte": {  # :209-244 (AG_Weitere aliases this below)
+        "markers": {
+            "de": {
+                "facts": [r"^Sachverhalt", r"entnimmt den Akten:"],
+                "considerations": [
+                    r"in Erw[äa]gung:", r"Aus den Erw[äa]gungen", r"^Erw[äa]gungen$",
+                ],
+                "rulings": [r"(erkennt|beschliesst|entscheidet):?$"],
+                "footer": [
+                    r"^Rechtsmittelbelehrung",
+                    r"Der (Vize)?[Pp]räsident: (Der Gerichtsschreiber|Die Gerichtsschreiberin):",
+                ],
+            },
+        },
+    },
+    "NW_Gerichte": {  # :379-408
+        "markers": {
+            "de": {
+                "header": [
+                    r"(Entscheid|Urteil|Zwischenentscheid|Beschluss|Abschreibungsentscheid|Abschreibungsverfügung) vom \d",
+                ],
+                "facts": [r"Sachverhalt:", r"Prozessgeschichte:", r"Nach Einsicht:"],
+                "considerations": [r"Erw[äa]gungen:"],
+                "rulings": [
+                    r"Rechtsspruch:",
+                    r"(Demgemäss|Demnach) (beschliesst|erkennt|verfügt) (die|das) (Obergericht|Verfahrensleitung|Verwaltungsgericht|Prozessleitung):?",
+                ],
+                "footer": [r"Stans,\s\d{1,2}\.\s\w+\s\d{4}"],
+            },
+        },
+    },
+    "BE_Verwaltungsgericht": {  # :409-445
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt( und Erw[äa]gungen)?:", r"Regeste:?"],
+                "considerations": [
+                    r"Erw[äa]gungen:", r"[eE]rwäg(t|ung):?(,\s*dass)?",
+                ],
+                "rulings": [r"Demnach entscheidet"],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+            "fr": {
+                "facts": [r"En fait:"],
+                "considerations": [r"En droit:"],
+                "rulings": [r"Par ces motifs:"],
+                "footer": [r"Voie de recours"],
+            },
+        },
+    },
+    "GR_Gerichte": {  # :446-490 / :947-972
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt:?$", r"hat sich ergeben:?", r"in Sachen$"],
+                "considerations": [
+                    r"Erw[äa]gungen:?$", r"zieht in Erw[äa]gung:?$", r"In Erw[äa]gung,",
+                ],
+                "rulings": [
+                    r"^Demnach (erkennt|verfügt)", r"wird (erkannt|verfügt):?$",
+                    r"^(erkannt|verfügt)\s?:$",
+                ],
+                "footer": [r"Für den Kantonsgerichtsausschuss von Graubünden"],
+            },
+            "it": {
+                "header": [
+                    r"TRIBUNALE AMMINISTRATIVO DEL CANTONE DEI GRIGIONI",
+                    r"Tribunale cantonale dei Grigioni",
+                    r"Dretgira chantunala dal Grischun",
+                ],
+                "facts": [r"concernente"],
+                "considerations": [
+                    r"Considerando\s*in\s*diritto\s*:",
+                    r"considera :", r"Considerandi", r"In considerazione:",
+                    r"visto e considerato:", r"Considerato in fatto e in diritto:",
+                ],
+                "rulings": [
+                    r"Camera (penale|civile) (pronuncia|giudica|decreta|decide|ordina|considera)\s*:",
+                    r"Per questi motivi (il Tribunale giudica|si decreta):",
+                    r"Il Tribunale decide:", r"[Ii]l Giudice unico decide:",
+                    r"^decide:$", r"decreta", r"^(è giudicato:)$",
+                ],
+                "footer": [r"Per la Presidenza del Tribunale cantonale dei Grigioni"],
+            },
+        },
+    },
+    "UR_Gerichte": {  # :323-378 (position-based engine, same marker data)
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt:"],
+                "considerations": [
+                    r"Aus den Erw[äa]gungen( des Bundesgerichts)?:", r"Erw[äa]gungen:",
+                ],
+            },
+        },
+    },
+    "BE_Steuerrekurs": {  # :148-172
+        "markers": {
+            "de": {
+                "facts": [r"den Akten entnommen"],
+                "considerations": [r"Die Steuerrekurskommission zieht in Erw[äa]gung"],
+                "rulings": [r"Aus diesen Gründen wird erkannt:"],
+                "footer": [r"IM NAMEN DER STEUERREKURSKOMMISSION"],
+            },
+            "fr": {
+                "facts": [r"constate en fait"],
+                "considerations": [r"considère en droit"],
+                "rulings": [r"Par ces motifs"],
+                "footer": [r"AU NOM DE LA COMMISSION DES RECOURS"],
+            },
+        },
+    },
+    "AR_Gerichte": {  # :128-147
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gungen"],
+                "rulings": [r"erkennt", r"beschliesst"],
+                "footer": [r"[Ll]a [Gg]reffière"],
+            },
+        },
+    },
+    "JU_Gerichte": {  # :894-912
+        "markers": {
+            "fr": {
+                "facts": [r"EN FAIT", r"En fait", r"Vu l[ea]"],
+                "considerations": [r"En droit", r"EN DROIT"],
+                "rulings": [r"PAR CES MOTIFS"],
+                "footer": [
+                    r"AU NOM DE LA COUR ADMINISTRATIVE",
+                    r"Communication concernant les moyens de recours",
+                ],
+            },
+        },
+    },
+    "FR_Gerichte": {  # :748-771
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gungen", r"zieht in Erw[äa]gung,"],
+                "rulings": [r"erkennt( der Hof)?:$", r"entscheidet:$"],
+                "footer": [
+                    r"(Gegen diesen Entscheid|Dieses Urteil) kann inner",
+                    r"innert 30 Tagen",
+                ],
+            },
+            "fr": {
+                "facts": [r"considérant en fait", r"^attendu$"],
+                "considerations": [
+                    r"considérant en fait et en droit", r"en droit$", r"^considérant$",
+                ],
+                "rulings": [
+                    r"la (Cour|Chambre) arrête", r"prononce:$", r"arrête:?$",
+                ],
+                "footer": [
+                    r"Cet arrêt peut faire", r"Cette décision peut", r"Siégeant",
+                    r"Voie de recours", r"dans (un délai de|les) 30 jours",
+                ],
+            },
+        },
+    },
+    "NE_Omni": {  # :973-992 (spaced-letter OCR forms)
+        "markers": {
+            "fr": {
+                "facts": [r"Résumé"],
+                "considerations": [
+                    r"C\s?O\s?N\s?S\s?I\s?D\s?E\s?R\s?A\s?N\s?T",
+                    r"en droit", r"e n  d r o i t",
+                ],
+                "rulings": [r"Par ces\s?motifs,?"],
+                "footer": [
+                    r"Le greffier", r"AU NOM DU TRIBUNAL ADMINISTRATIF",
+                    r"^Neuchâtel, le ",
+                ],
+            },
+        },
+    },
+    "SG_Gerichte": {  # :1013-1033 (SG_Publikationen aliases this below)
+        "markers": {
+            "de": {
+                "facts": [
+                    r"Sachverhalt:?$", r"in Sachen$",
+                    r"Das Verwaltungsgericht stellt fest:",
+                    r"hat das Verwaltungsgericht festgestellt:",
+                ],
+                "considerations": [
+                    r"^Erw[äa]gung(en)?:?$", r"Darüber (wird|zieht das Verwaltungsgericht) in Erw[äa]gung( gezogen)?:",
+                    r"Aus den Erw[äa]gungen:", r"in Erw[äa]gung gezogen:",
+                    r"Der Abteilungspräsident erwägt:",
+                ],
+                "rulings": [
+                    r"^(Entscheid|entschieden|erkannt|beschlossen):?$",
+                    r"zu Recht( erkannt)?:?$", r"festgestellt und erkannt:?$",
+                    r"(beschlossen und erkannt|verfügt):?$",
+                    r"Demgemäss hat das Versicherungsgericht entschieden:",
+                ],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "ZH_Obergericht": {  # :1243-1275
+        "markers": {
+            "de": {
+                "facts": [r"^\s*betreffend(\s|$)", r"Sachverhalt:"],
+                "considerations": [
+                    r"[Aa]us den Erw[äa]gungen", r"Erw[äa]gungen:?\s*$",
+                    r"Das (Einzelgericht|Gericht) (erwägt|zieht in (Erw[äa]gung|Betracht))",
+                    r"hat in Erw[äa]gung gezogen:",
+                ],
+                "rulings": [
+                    r"^\s*Es wird (erkannt|beschlossen):", r"^\s*wird beschlossen:\s*$",
+                    r"Das (Einzelgericht|Gericht) (erkennt|beschliesst):",
+                    r"(Sodann|Demnach|Demgemäss) beschliesst das Gericht:",
+                ],
+                "footer": [
+                    r"^\s*Zürich,( den| vom)?\s\d{1,2}\.?\s?\w+\s\d{4}\s*$",
+                    r"OBERGERICHT DES KANTONS ZÜRICH",
+                ],
+            },
+        },
+    },
+    "ZH_Steuerrekurs": {  # :1307-1335
+        "markers": {
+            "de": {
+                "facts": [r"hat sich ergeben:"],
+                "considerations": [r"zieht in Erw[äa]gung:", r"sowie in der Erw[äa]gung"],
+                "rulings": [
+                    r"Demgemäss (erkennt|beschliesst|verfügt)",
+                    r"beschliesst die Rekurskommission",
+                    r"verfügt (der Einzelrichter|die Einzelrichterin)",
+                ],
+                "footer": [r"Im Namen des Steuerrekursgerichts"],
+            },
+        },
+    },
+    "ZH_Verwaltungsgericht": {  # :1336-1379
+        "markers": {
+            "de": {
+                "facts": [
+                    r"hat sich ergeben:", r"nach Einsichtnahme in", r"Sachverhalt:?\s*$",
+                ],
+                "considerations": [
+                    r"erwägt:", r"zieht in (Erw[äa]gung|Betracht)",
+                    r"in Erw[äa]gung, dass", r"[Aa]us den Erw[äa]gungen", r"hat erwogen:",
+                ],
+                "rulings": [
+                    r"(Demgemäss|Demnach|Dementsprechend) (erkennt|erkannt|beschliesst|entscheidet|verfügt)",
+                    r"Das Verwaltungsgericht entscheidet",
+                    r"(Die Kammer|Der Einzelrichter|Die Einzelrichterin) (erkennt|entscheidet|beschliesst|hat beschlossen)",
+                    r"Der Abteilungspräsident verfügt:", r"^\s*verfügt:?\s*$",
+                    r"^\s*entschieden:\s*$", r"^\s*und (entscheidet|erkennt):\s*$",
+                ],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+            "fr": {
+                "facts": [r"En fait"],
+                "considerations": [r"En droit"],
+                "rulings": [r"Par ces motifs:"],
+                "footer": [r"Voie de recours"],
+            },
+        },
+    },
+    "ZH_Baurekurs": {  # :1213-1242
+        "markers": {
+            "de": {
+                "facts": [r"hat sich ergeben", r"Gegenstand des Rekursverfahrens"],
+                "considerations": [r"Es kommt in Betracht", r"Aus den Erw[äa]gungen"],
+                "rulings": [
+                    r"(Zusammengefasst|Zusammenfassend) (ist|sind|ergibt sich)",
+                    r"Der Rekurs ist nach", r"Gesamthaft ist der Rekurs",
+                    r"Dies führt zur (Aufhebung|Abweisung|Gutheissung|teilweisen)",
+                ],
+                "footer": [r"Im Namen des Baurekursgerichts"],
+            },
+        },
+    },
 }
+
+# spiders sharing another spider's config verbatim in the reference
+SPIDER_OVERRIDES["AG_Weitere"] = SPIDER_OVERRIDES["AG_Gerichte"]
+SPIDER_OVERRIDES["SG_Publikationen"] = SPIDER_OVERRIDES["SG_Gerichte"]
 
 
 def _compiled(lang: str, spider: str | None = None) -> dict[str, list[re.Pattern]]:

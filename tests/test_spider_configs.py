@@ -555,3 +555,114 @@ def test_fundamental_importance_analysis(spark):
     by_area = {r.legal_area: r.not_negated_percentage
                for r in fundamental_importance_summary(tables, "legal_area").collect()}
     assert by_area == {"public_law": 50.0, "civil_law": 50.0}
+
+
+# ----------------------------------------- batch-2 spider configs (sample)
+
+def test_ti_gerichte_it():
+    doc = """Tribunale d'appello TI 12.2020.42
+ritenuto, in fatto
+A. Il ricorrente ha impugnato la decisione.
+Considerato, in diritto
+1. Il gravame è ricevibile.
+Per questi motivi,
+dichiara e pronuncia:
+1. Il ricorso è respinto.
+Per il Tribunale cantonale amministrativo"""
+    got = _by_section(split_sections_py(doc, "it", "TI_Gerichte"))
+    assert "impugnato" in got["facts"]
+    assert "ricevibile" in got["considerations"]
+    assert "respinto" in got["rulings"]
+    assert "amministrativo" in got["footer"]
+
+
+def test_bs_omni_de():
+    doc = """Appellationsgericht des Kantons Basel-Stadt BES.2020.77
+Sachverhalt:
+Die Staatsanwaltschaft stellte das Verfahren ein.
+Begründung:
+Die Einstellung erweist sich als rechtmässig.
+Demgemäss erkennt das Appellationsgericht:
+Die Beschwerde wird abgewiesen.
+Rechtsmittelbelehrung"""
+    got = _by_section(split_sections_py(doc, "de", "BS_Omni"))
+    assert "Staatsanwaltschaft" in got["facts"]
+    assert "rechtmässig" in got["considerations"]
+    assert "abgewiesen" in got["rulings"]
+    assert "Rechtsmittelbelehrung" in got["footer"]
+
+
+def test_vs_gerichte_fr():
+    doc = """Tribunal cantonal du Valais C1 20 55
+Faits et procédure
+A. Le recourant a saisi le tribunal.
+Considérant en droit:
+1. Le moyen est fondé.
+Par ces motifs,
+prononce:
+Le recours est admis."""
+    got = _by_section(split_sections_py(doc, "fr", "VS_Gerichte"))
+    assert "saisi" in got["facts"]
+    assert "fondé" in got["considerations"]
+    assert "admis" in got["rulings"]
+
+
+def test_sg_gerichte_de():
+    doc = """Verwaltungsgericht des Kantons St. Gallen B 2020/112
+Das Verwaltungsgericht stellt fest:
+A. Die Vorinstanz wies das Gesuch ab.
+Darüber zieht das Verwaltungsgericht in Erwägung:
+1. Die Beschwerde ist zulässig.
+Demnach erkennt das Verwaltungsgericht zu Recht:
+1. Die Beschwerde wird gutgeheissen.
+Rechtsmittelbelehrung"""
+    got = _by_section(split_sections_py(doc, "de", "SG_Gerichte"))
+    assert "Vorinstanz" in got["facts"]
+    assert "zulässig" in got["considerations"]
+    assert "gutgeheissen" in got["rulings"]
+
+
+def test_zh_obergericht_de():
+    doc = """Obergericht des Kantons Zürich LB200042
+betreffend Forderung
+Sachverhalt:
+Die Klägerin verlangte die Zahlung.
+Das Gericht zieht in Erwägung:
+1. Die Berufung ist form- und fristgerecht.
+Es wird erkannt:
+1. Die Berufung wird abgewiesen.
+OBERGERICHT DES KANTONS ZÜRICH"""
+    got = _by_section(split_sections_py(doc, "de", "ZH_Obergericht"))
+    assert "Zahlung" in got["facts"]
+    assert "fristgerecht" in got["considerations"]
+    assert "abgewiesen" in got["rulings"]
+    assert "OBERGERICHT" in got["footer"]
+
+
+def test_ow_gerichte_rulings_first_order():
+    # OW publishes the dispositive excerpt FIRST; the document opens in
+    # rulings, facts and reasoning follow
+    doc = """Die Beschwerde wird abgewiesen und die Kosten auferlegt.
+Sachverhalt
+Der Gesuchsteller verlangte Einsicht.
+Aus den Erwägungen
+1. Massgebend ist Art. 12 der Verordnung."""
+    got = _by_section(split_sections_py(doc, "de", "OW_Gerichte"))
+    assert "abgewiesen" in got["rulings"]
+    assert "Einsicht" in got["facts"]
+    assert "Verordnung" in got["considerations"]
+
+
+def test_ne_omni_spaced_letters():
+    doc = """Tribunal administratif NE
+Résumé
+Le recourant conteste la taxe.
+C O N S I D E R A N T
+1. La taxe est conforme.
+Par ces motifs,
+le tribunal rejette le recours.
+AU NOM DU TRIBUNAL ADMINISTRATIF"""
+    got = _by_section(split_sections_py(doc, "fr", "NE_Omni"))
+    assert "conteste" in got["facts"]
+    assert "conforme" in got["considerations"]
+    assert "rejette" in got["rulings"]
