@@ -31,11 +31,20 @@ from pyspark.sql.types import (
 # `court_composition_extracting_functions.py:37-67,118-130`).  Covers
 # the federal (Bundesrichter), substitute (Ersatzrichter) and
 # single-judge (Einzelrichter) prefixes plus the gendered fr/it titles.
+_JUDGE_PREFIX = (
+    r"(?:Bundes|Ober|Verwaltungs|Ersatzober|Ersatz|Einzel|Schieds|"
+    r"Sozialversicherungs|Bau|Kassations|Handels|Bezirks)?"
+)
 _ROLE_MARKERS = [
-    (r"(?:Bundes|Ober|Verwaltungs|Ersatz|Einzel|Schieds)?[Rr]ichterin(?:nen)?", "judge", "f"),
-    (r"(?:Bundes|Ober|Verwaltungs|Ersatz|Einzel|Schieds)?[Rr]ichter(?!in)", "judge", "m"),
+    (_JUDGE_PREFIX + r"[Rr]ichterin(?:nen)?", "judge", "f"),
+    (_JUDGE_PREFIX + r"[Rr]ichter(?!in)", "judge", "m"),
+    # chair titles used as judge markers by the ZG/ZH courts
+    (r"Abteilungs(?:vize)?präsidentin(?:nen)?|Vizepräsidentin(?:nen)?", "judge", "f"),
+    (r"Abteilungs(?:vize)?präsident(?!in)|Vizepräsident(?!in)", "judge", "m"),
     (r"Gerichtsschreiberin(?:nen)?", "clerk", "f"),
     (r"Gerichtsschreiber(?!in)", "clerk", "m"),
+    (r"(?:Gerichts)?[Ss]ekretärin(?:nen)?", "clerk", "f"),
+    (r"(?:Gerichts)?[Ss]ekretär(?!in)", "clerk", "m"),
     (r"Mmes?\s+l(?:a|es)\s+Juges?(?:\s+fédérales?)?", "judge", "f"),
     (r"MM?\.(?:(?:\s+et|,)\s+Mmes?)?\s+les?\s+Juges?(?:\s+fédéra(?:l|ux))?", "judge", "m"),
     (r"[Jj]uges?", "judge", None),

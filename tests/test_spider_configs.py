@@ -666,3 +666,41 @@ AU NOM DU TRIBUNAL ADMINISTRATIF"""
     assert "conteste" in got["facts"]
     assert "conforme" in got["considerations"]
     assert "rejette" in got["rulings"]
+
+
+# ----------------------------------------------- E9 BGE docket references
+
+def test_bge_reference_extraction():
+    from swisscourtrulingcorpus_spark.extraction.bge_reference import (
+        NO_REFERENCE,
+        extract_bge_reference_py,
+    )
+
+    # modern underscore form
+    assert extract_bge_reference_py("Urteil 8C_123/2019 vom 1. Mai") == "8C_123/2019"
+    # dotted and spaced historic forms normalize to underscores
+    assert extract_bge_reference_py("Urteil 8C.123/2019") == "8C_123/2019"
+    assert extract_bge_reference_py("Urteil 8C 123/2019") == "8C_123/2019"
+    # pre-2000 reporter form with trailing terminator
+    assert extract_bge_reference_py("Verfahren B 12/99 betreffend") == "B_12/99"
+    # multiple references join with '-'
+    assert (
+        extract_bge_reference_py("Urteile 8C_123/2019 und 8C_124/2019")
+        == "8C_123/2019-8C_124/2019"
+    )
+    assert extract_bge_reference_py("Kein Aktenzeichen hier") == NO_REFERENCE
+
+
+def test_composition_cantonal_judge_titles():
+    from swisscourtrulingcorpus_spark.extraction.composition import (
+        extract_composition_py,
+    )
+
+    got = extract_composition_py(
+        "Mitwirkende: Sozialversicherungsrichterin Muster, Vorsitzende, "
+        "Baurichter Beispiel, Gerichtssekretärin Schreiber. In Sachen"
+    )
+    roles = {j["name"]: j["gender"] for j in got["judges"]}
+    assert roles.get("Muster") == "f"
+    assert roles.get("Beispiel") == "m"
+    assert got["clerks"] and got["clerks"][0]["name"] == "Schreiber"
