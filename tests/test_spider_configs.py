@@ -704,3 +704,45 @@ def test_composition_cantonal_judge_titles():
     assert roles.get("Muster") == "f"
     assert roles.get("Beispiel") == "m"
     assert got["clerks"] and got["clerks"][0]["name"] == "Schreiber"
+
+
+# --------------------------------------------- E2 per-spider cleaning rules
+
+def test_spider_cleaning_rules(spark):
+    from swisscourtrulingcorpus_spark.extraction.cleaning import (
+        clean_text_py,
+        clean_text_spider_udf,
+    )
+
+    # SG platform boilerplate + ISO artifact
+    raw = (
+        "Publikationsplattform Kanton St.Gallen\n"
+        "Die Beschwerde ist begründet.\n"
+        "© Kanton St.Gallen 2020 Seite 3/7\n"
+        "2020-05-01T10:30:00+02:00"
+    )
+    got = clean_text_py(raw, "SG_Gerichte")
+    assert "Publikationsplattform" not in got
+    assert "Seite 3/7" not in got
+    assert "T10:30" not in got
+    assert "begründet" in got
+
+    # CH_BVGer: page numbers + own docket scrubbed via file_number
+    raw = "A-1234/2020 Seite 2 Die Verfügung wird aufgehoben. A-1234/2020"
+    got = clean_text_py(raw, "CH_BVGer", "A-1234/2020")
+    assert "A-1234/2020" not in got
+    assert "Seite 2" not in got
+    assert "aufgehoben" in got
+
+    # generic path unchanged when no spider rules exist
+    assert clean_text_py("a  b", "NoSuchSpider") == "a b"
+
+    # through the Spark surface
+    df = spark.createDataFrame(
+        [(raw, "CH_BVGer", "A-1234/2020")],
+        "text string, spider string, file_number string",
+    )
+    out = df.select(
+        clean_text_spider_udf("text", "spider", "file_number").alias("t")
+    ).collect()[0].t
+    assert "A-1234/2020" not in out and "aufgehoben" in out
