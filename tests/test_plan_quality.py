@@ -99,6 +99,10 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         "uuid5_document_ids",
         "multimodal_features",
         "multimodal_frame_sample",
+        # r03 extraction-chain gates: the pandas_udf layer IS the thing
+        # under test (Arrow-batched, map-side; see extraction_queries.py)
+        "extraction_outcome_counts",
+        "citation_type_counts",
     }
     for spec in QUERY_SPECS:
         if spec.name in python_ok:
