@@ -97,3 +97,29 @@ def extract_pdf_text_py(data: bytes | None) -> str | None:
 @pandas_udf(StringType())
 def extract_pdf_text_udf(payload: pd.Series) -> pd.Series:
     return pd.Series([extract_pdf_text_py(b) for b in payload], dtype=object)
+
+
+# --- paragraph tokenization for PDF-extracted text (`paragraph_
+# extractions.py:26-50`): blank-line split + per-paragraph clean ----------
+
+def pdf_paragraphs_py(text: str | None) -> list[str] | None:
+    from swisscourtrulingcorpus_spark.extraction.cleaning import clean_text_py
+
+    if text is None:
+        return None
+    # collapse whitespace-only lines so they split like true blank lines
+    t = re.sub(r"\n +\n", "\n\n", text)
+    out = []
+    for block in t.split("\n\n"):
+        cleaned = clean_text_py(block.replace("  ", " "))
+        if cleaned:
+            out.append(cleaned)
+    return out
+
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+
+@pandas_udf(ArrayType(StringType()))
+def pdf_paragraphs_udf(text: pd.Series) -> pd.Series:
+    return pd.Series([pdf_paragraphs_py(t) for t in text], dtype=object)

@@ -152,3 +152,60 @@ def export_verification_docs(
             for r in sorted(rows, key=lambda r: r.section):
                 f.write(f"## [{r.section}]\n\n{r.section_text}\n\n")
     return path
+
+
+def export_bar_chart_svg(
+    report: DataFrame,
+    x_col: str,
+    y_col: str,
+    path: str,
+    title: str = "",
+    max_bars: int = 50,
+) -> str:
+    """Report chart sink (`report_creator.py:126-240` draws matplotlib
+    bar charts; matplotlib is absent here, so the chart renders as a
+    self-contained SVG — pure python, no codec).  The report DataFrame
+    is an already-aggregated small table (the reference's plots are
+    per-attribute distributions), so the bounded ``limit(max_bars)``
+    collect is the sanctioned driver-side step of a report sink.
+    """
+    from xml.sax.saxutils import escape
+
+    rows = report.select(x_col, y_col).limit(max_bars).collect()
+    labels = [str(r[0]) for r in rows]
+    values = [float(r[1] or 0) for r in rows]
+    w, h, pad, label_h = 640, 320, 40, 60
+    plot_w, plot_h = w - 2 * pad, h - pad - label_h
+    vmax = max(values, default=1.0) or 1.0
+    n = max(len(values), 1)
+    bar_w = plot_w / n * 0.8
+    gap = plot_w / n * 0.2
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" height="{h}">',
+        f'<text x="{w / 2}" y="20" text-anchor="middle" '
+        f'font-family="sans-serif" font-size="14">{escape(title)}</text>',
+        f'<line x1="{pad}" y1="{h - label_h}" x2="{w - pad}" y2="{h - label_h}" stroke="black"/>',
+        f'<line x1="{pad}" y1="{pad}" x2="{pad}" y2="{h - label_h}" stroke="black"/>',
+    ]
+    for i, (label, v) in enumerate(zip(labels, values)):
+        bh = plot_h * v / vmax
+        x = pad + i * (bar_w + gap) + gap / 2
+        y = h - label_h - bh
+        parts.append(
+            f'<rect x="{x:.1f}" y="{y:.1f}" width="{bar_w:.1f}" '
+            f'height="{bh:.1f}" fill="steelblue"/>'
+        )
+        parts.append(
+            f'<text x="{x + bar_w / 2:.1f}" y="{h - label_h + 14}" '
+            f'text-anchor="middle" font-family="sans-serif" font-size="10">'
+            f"{escape(label[:12])}</text>"
+        )
+        parts.append(
+            f'<text x="{x + bar_w / 2:.1f}" y="{y - 4:.1f}" '
+            f'text-anchor="middle" font-family="sans-serif" font-size="9">'
+            f"{v:g}</text>"
+        )
+    parts.append("</svg>")
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path

@@ -157,3 +157,27 @@ def test_kaggle_export_empty_and_allnull_labels(spark, tmp_path):
     sub_df = spark.read.option("header", True).csv(sub)
     assert sub_df.count() == 2
     assert sub_df.where(F.col("Predicted").isNotNull()).count() == 0
+
+
+def test_bar_chart_svg_sink(spark, tmp_path):
+    """Report chart sink: aggregated table -> self-contained SVG."""
+    import xml.etree.ElementTree as ET
+
+    from swisscourtrulingcorpus_spark.plans.reports import export_bar_chart_svg
+
+    df = spark.createDataFrame(
+        [("approval", 120), ("dismissal", 80), ("write_off", 15)],
+        "label string, n long",
+    )
+    path = export_bar_chart_svg(
+        df, "label", "n", str(tmp_path / "labels.svg"), title="Outcomes"
+    )
+    root = ET.parse(path).getroot()
+    ns = "{http://www.w3.org/2000/svg}"
+    rects = root.findall(f"{ns}rect")
+    assert len(rects) == 3
+    heights = [float(r.get("height")) for r in rects]
+    # bar heights proportional to values (120 > 80 > 15)
+    assert heights[0] > heights[1] > heights[2]
+    texts = [t.text for t in root.findall(f"{ns}text")]
+    assert "Outcomes" in texts and "approval" in texts

@@ -746,3 +746,19 @@ def test_spider_cleaning_rules(spark):
         clean_text_spider_udf("text", "spider", "file_number").alias("t")
     ).collect()[0].t
     assert "A-1234/2020" not in out and "aufgehoben" in out
+
+
+def test_bger_citation_list_and_pdf_paragraphs():
+    from swisscourtrulingcorpus_spark.extraction.bge_reference import (
+        find_bger_citations_py,
+    )
+    from swisscourtrulingcorpus_spark.extraction.pdf import pdf_paragraphs_py
+
+    cits = find_bger_citations_py(
+        "Siehe 8C_123/2019 und 8C.124/2019; vgl. B 12/99 ferner."
+    )
+    assert cits == ["8C_123/2019", "8C_124/2019", "B_12/99"]
+    assert find_bger_citations_py("nichts") == []
+
+    paras = pdf_paragraphs_py("Erster Absatz\nFortsetzung.\n   \nZweiter  Absatz.\n\n\n")
+    assert paras == ["Erster Absatz Fortsetzung.", "Zweiter Absatz."]
