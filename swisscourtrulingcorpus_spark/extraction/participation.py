@@ -49,7 +49,7 @@ _COUNSEL_RX = re.compile(
     r"(?:vertreten durch|représentée?s? par|patrocinat[oa] da(?:ll')?|"
     r"rappresentat[oa] da(?:ll')?|p\.a\.)\s+"
     r"(?:Rechtsanwalt\s+|Rechtsanwältin\s+|Fürsprecher(?:in)?\s+|"
-    r"Advokat(?:in)?\s+|avocats?\s+|avocates?\s+|Mes?\s+|Maître\s+|avv\.\s+)?"
+    r"Advokat(?:in)?\s+|RA\s+|avocats?\s+|avocates?\s+|Mes?\s+|Maître\s+|avv\.\s+)?"
     r"(?:Dr\.\s+|Prof\.\s+|lic\.\s+iur\.\s+)?"
     r"(?P<name>[A-ZÄÖÜÉ][\wäöüéèàç'-]+(?:\s+[A-ZÄÖÜÉ][\wäöüéèàç'-]+)*)"
 )
@@ -58,6 +58,11 @@ _PLACEHOLDER_RX = re.compile(r"(?P<name>[A-Z][\w]*\.?_(?:\s*(?:AG|SA|GmbH))?)")
 _ROLE_WORD_RX = (
     r"Beschwerdeführer(?:in)?|Beschwerdegegner(?:in)?|Kläger(?:in)?|"
     r"Beklagte[rn]?|Gesuchsteller(?:in)?|Berufungskläger(?:in)?|"
+    # cantonal role vocabulary (shared get_regex,
+    # `procedural_participation_extracting_functions.py:334-336` — the
+    # per-court ZG/ZH functions all delegate to this same set)
+    r"Antragsteller(?:in)?|Antragsgegner(?:in)?|"
+    r"Rekurrent(?:in)?|Rekursgegner(?:in)?|"
     r"recourantes?|intimée?s?|requérante?s?|ricorrente|opponente|istante"
 )
 # a real (non-anonymized) party name is only trusted immediately before

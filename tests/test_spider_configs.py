@@ -762,3 +762,18 @@ def test_bger_citation_list_and_pdf_paragraphs():
 
     paras = pdf_paragraphs_py("Erster Absatz\nFortsetzung.\n   \nZweiter  Absatz.\n\n\n")
     assert paras == ["Erster Absatz Fortsetzung.", "Zweiter Absatz."]
+
+
+def test_participation_cantonal_roles():
+    from swisscourtrulingcorpus_spark.extraction.participation import (
+        extract_participation_py,
+    )
+
+    header = (
+        "Muster Bau AG, Rekurrentin, vertreten durch RA Hans Beispiel, "
+        "gegen Stadt Zürich, Rekursgegnerin."
+    )
+    got = extract_participation_py(header)
+    assert got["plaintiffs"][0]["name"].startswith("Muster Bau AG")
+    assert any("Hans" in c for c in got["plaintiffs"][0]["legal_counsel"])
+    assert got["defendants"][0]["name"].startswith("Stadt Zürich")
