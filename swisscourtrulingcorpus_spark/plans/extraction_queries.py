@@ -345,3 +345,252 @@ SPECS: list[QuerySpec] = [
         "doc2doc TF-IDF relevance, int-projected for bit-exact parity",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# round-3b: driver gates for the remaining test-only extractors
+# (E6 lower court, E7 composition, E8 participation, E9 BGE reference,
+# S4 PDF text) — same construction-arithmetic oracle pattern
+# ---------------------------------------------------------------------------
+
+_DE_MONTHS = [
+    "Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+    "August", "September", "Oktober", "November", "Dezember",
+]
+_LC_COURTS = ["Verwaltungsgerichts", "Obergerichts", "Kantonsgerichts"]
+_LC_CANTONS = [("Zürich", "ZH"), ("Bern", "BE"), ("Luzern", "LU")]
+_NAMES = ["Muster", "Beispiel", "Keller", "Huber", "Weber", "Meier", "Schmid", "Favre"]
+
+
+def q_lower_court_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 end-to-end: build the appeal-header sentence per row from
+    doc_id arithmetic, run the REAL lower-court UDF, verify every
+    parsed field (court, canton code, ISO date, docket number)."""
+    from swisscourtrulingcorpus_spark.extraction.lower_court import (
+        extract_lower_court_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    month_idx = (d % 12).cast("int")
+    court = F.element_at(F.array(*[F.lit(c) for c in _LC_COURTS]), (d % 3).cast("int") + 1)
+    canton = F.element_at(
+        F.array(*[F.lit(c) for c, _ in _LC_CANTONS]), (d % 3).cast("int") + 1
+    )
+    day = (d % 28 + 1).cast("int")
+    year = (d % 20 + 2000).cast("int")
+    header = F.concat(
+        F.lit("gegen das Urteil des "), court,
+        F.lit(" des Kantons "), canton,
+        F.lit(" vom "), day.cast("string"), F.lit(". "),
+        F.element_at(F.array(*[F.lit(m) for m in _DE_MONTHS]), month_idx + 1),
+        F.lit(" "), year.cast("string"),
+        F.lit(" (VB."), year.cast("string"), F.lit("."), d.cast("string"), F.lit(")"),
+    )
+    out = docs.select(
+        "doc_id", extract_lower_court_udf(header).alias("lc")
+    )
+    return out.select(
+        "doc_id",
+        F.col("lc.court").alias("court"),
+        F.col("lc.canton").alias("canton"),
+        F.col("lc.date").alias("lc_date"),
+        F.col("lc.file_number").alias("file_number"),
+    )
+
+
+LOWER_COURT_ORACLE = """
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Verwaltungsgerichts'
+            WHEN 1 THEN 'Obergerichts' ELSE 'Kantonsgerichts' END AS court,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ZH'
+            WHEN 1 THEN 'BE' ELSE 'LU' END AS canton,
+       CAST(doc_id % 20 + 2000 AS VARCHAR) || '-' ||
+         lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS lc_date,
+       'VB.' || CAST(doc_id % 20 + 2000 AS VARCHAR) || '.' || CAST(doc_id AS VARCHAR) AS file_number
+FROM documents
+"""
+
+
+def q_composition_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 end-to-end: constructed bench headers (president + second
+    judge + clerk drawn from a name table by doc_id), REAL composition
+    UDF, verify the president pick, bench sizes and gender tagging."""
+    from swisscourtrulingcorpus_spark.extraction.composition import (
+        extract_composition_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    names = F.array(*[F.lit(n) for n in _NAMES])
+    pres = F.element_at(names, (d % 8).cast("int") + 1)
+    judge2 = F.element_at(names, ((d + 3) % 8).cast("int") + 1)
+    clerk = F.element_at(names, ((d + 5) % 8).cast("int") + 1)
+    header = F.concat(
+        F.lit("Besetzung Bundesrichter "), pres, F.lit(", Präsident, "),
+        F.lit("Bundesrichterin "), judge2, F.lit(", Gerichtsschreiber "),
+        clerk, F.lit(". Parteien A. gegen B."),
+    )
+    out = docs.select("doc_id", extract_composition_udf(header).alias("c"))
+    return out.select(
+        "doc_id",
+        F.col("c.president").alias("president"),
+        F.size("c.judges").alias("n_judges"),
+        F.element_at(F.col("c.judges"), 1)["gender"].alias("judge1_gender"),
+        F.element_at(F.col("c.judges"), 2)["gender"].alias("judge2_gender"),
+        F.element_at(F.col("c.clerks"), 1)["name"].alias("clerk"),
+    )
+
+
+_NAME_CASE = "CASE CAST({expr} % 8 AS INT) " + " ".join(
+    f"WHEN {i} THEN '{n}'" for i, n in enumerate(_NAMES)
+) + " END"
+
+COMPOSITION_ORACLE = f"""
+SELECT doc_id,
+       {_NAME_CASE.format(expr="doc_id")} AS president,
+       2 AS n_judges,
+       'm' AS judge1_gender,
+       'f' AS judge2_gender,
+       {_NAME_CASE.format(expr="(doc_id + 5)")} AS clerk
+FROM documents
+"""
+
+
+def q_participation_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 end-to-end: constructed party header (anonymized corporate
+    plaintiff with counsel, anonymized defendant), REAL participation
+    UDF, verify the pivot split, placeholder names and counsel
+    attachment."""
+    from swisscourtrulingcorpus_spark.extraction.participation import (
+        extract_participation_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    lawyer = F.element_at(
+        F.array(*[F.lit(n) for n in _NAMES]), (d % 8).cast("int") + 1
+    )
+    header = F.concat(
+        F.lit("A._ AG, vertreten durch Rechtsanwalt Hans "), lawyer,
+        F.lit(", Beschwerdeführerin, gegen B._, Beschwerdegegner."),
+    )
+    out = docs.select("doc_id", extract_participation_udf(header).alias("p"))
+    return out.select(
+        "doc_id",
+        F.element_at(F.col("p.plaintiffs"), 1)["name"].alias("plaintiff"),
+        F.element_at(
+            F.element_at(F.col("p.plaintiffs"), 1)["legal_counsel"], 1
+        ).alias("counsel"),
+        F.element_at(F.col("p.defendants"), 1)["name"].alias("defendant"),
+    )
+
+
+PARTICIPATION_ORACLE = f"""
+SELECT doc_id,
+       'A._ AG' AS plaintiff,
+       'Hans ' || {_NAME_CASE.format(expr="doc_id")} AS counsel,
+       'B._' AS defendant
+FROM documents
+"""
+
+
+def q_bge_reference_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9 end-to-end: constructed BGE headers citing one federal docket
+    (dotted historic form — the normalizer must rewrite it) plus a
+    second docket on every third row; REAL reference UDF."""
+    from swisscourtrulingcorpus_spark.extraction.bge_reference import (
+        extract_bge_reference_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    n1 = (d % 999 + 1).cast("string")
+    y1 = (d % 15 + 2005).cast("string")
+    base = F.concat(F.lit("Urteil 8C."), n1, F.lit("/"), y1)
+    second = F.concat(F.lit(" und 9C_"), n1, F.lit("/"), y1)
+    header = F.when(d % 3 == 0, F.concat(base, second)).otherwise(base)
+    return docs.select(
+        "doc_id", extract_bge_reference_udf(header).alias("reference")
+    )
+
+
+BGE_REFERENCE_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0
+            THEN '8C_' || n1 || '/' || y1 || '-9C_' || n1 || '/' || y1
+            ELSE '8C_' || n1 || '/' || y1 END AS reference
+FROM (SELECT doc_id,
+             CAST(doc_id % 999 + 1 AS VARCHAR) AS n1,
+             CAST(doc_id % 15 + 2005 AS VARCHAR) AS y1
+      FROM documents)
+"""
+
+
+def q_pdf_text_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 end-to-end: a minimal uncompressed PDF is assembled per row as
+    BINARY (string concat → encode), the REAL pure-python PDF extractor
+    runs as a pandas_udf over the payload, and the recovered two-line
+    text must match the construction."""
+    from swisscourtrulingcorpus_spark.extraction.pdf import (
+        extract_pdf_text_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    content = F.concat(
+        F.lit("BT (Dokument "), d, F.lit(") Tj 0 -14 Td (Zeile zwei) Tj ET"),
+    )
+    payload = F.encode(
+        F.concat(
+            F.lit("%PDF-1.4\n1 0 obj\n<< /Length 0 >>\nstream\n"),
+            content,
+            F.lit("\nendstream\nendobj\n"),
+        ),
+        "UTF-8",
+    )
+    return docs.select(
+        "doc_id", extract_pdf_text_udf(payload).alias("pdf_text")
+    )
+
+
+PDF_TEXT_ORACLE = """
+SELECT doc_id,
+       'Dokument ' || CAST(doc_id AS VARCHAR) || chr(10) || 'Zeile zwei' AS pdf_text
+FROM documents
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "lower_court_extracted",
+        q_lower_court_extracted,
+        LOWER_COURT_ORACLE,
+        "E6 lower-court UDF field parsing vs construction arithmetic",
+    ),
+    QuerySpec(
+        "composition_extracted",
+        q_composition_extracted,
+        COMPOSITION_ORACLE,
+        "E7 composition UDF president/bench/gender vs construction",
+    ),
+    QuerySpec(
+        "participation_extracted",
+        q_participation_extracted,
+        PARTICIPATION_ORACLE,
+        "E8 participation UDF pivot/counsel vs construction",
+    ),
+    QuerySpec(
+        "bge_reference_extracted",
+        q_bge_reference_extracted,
+        BGE_REFERENCE_ORACLE,
+        "E9 docket-reference normalization vs construction",
+    ),
+    QuerySpec(
+        "pdf_text_extracted",
+        q_pdf_text_extracted,
+        PDF_TEXT_ORACLE,
+        "S4 pure-python PDF text extraction vs construction",
+    ),
+]

@@ -66,6 +66,11 @@ _ROUND3_NEW: set[str] = {
     "extraction_outcome_counts",
     "citation_relevance_scores",
     "citation_type_counts",
+    "lower_court_extracted",
+    "composition_extracted",
+    "participation_extracted",
+    "bge_reference_extracted",
+    "pdf_text_extracted",
 }
 
 

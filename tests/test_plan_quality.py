@@ -103,6 +103,11 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         # under test (Arrow-batched, map-side; see extraction_queries.py)
         "extraction_outcome_counts",
         "citation_type_counts",
+        "lower_court_extracted",
+        "composition_extracted",
+        "participation_extracted",
+        "bge_reference_extracted",
+        "pdf_text_extracted",
     }
     for spec in QUERY_SPECS:
         if spec.name in python_ok:
