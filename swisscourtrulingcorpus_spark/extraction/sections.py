@@ -767,6 +767,244 @@ SPIDER_OVERRIDES: dict[str, dict] = {
             },
         },
     },
+    # ---- batch 3: the remaining reference spiders -----------------------
+    "BE_Anwaltsaufsicht": {  # :78-102
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gungen"],
+                "rulings": [r"Die Anwaltsaufsichtsbehörde entscheidet:"],
+                "footer": [
+                    r"(Der|Die) Präsident(in)?:?", r"Rechtsmittelbelehrung",
+                    r"Hinweis: Dieser Entscheid ist rechtskräftig",
+                ],
+            },
+            "fr": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Considérants:"],
+                "rulings": [r"Pour ces motifs,"],
+                "footer": [r"Voies de recours"],
+            },
+        },
+    },
+    "BE_Weitere": {  # :103-127
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gung(en)?", r"erwogen", r"Ausgangslage$"],
+                "rulings": [
+                    r"entscheidet$", r"wird erkannt", r"erkannt ?:",
+                    r"III\. Entscheid", r"[1-9] Entscheid",
+                ],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+            "fr": {
+                "facts": [r"Faits", r"de fait", r"En fait:", r"les faits"],
+                "considerations": [
+                    r"considère:", r"Considérants", r"En droit",
+                    r"Considérations sur le fond",
+                ],
+                "rulings": [r"P[oa]r ces motifs", r"Frais de procédure"],
+                "footer": [r"Voies de recours", r"Indication des voies de droit"],
+            },
+        },
+    },
+    "CH_WEKO": {  # :245-269
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt$", r"in Sachen$", r"Ausgangslage$"],
+                "considerations": [r"Erw[äa]gungen$"],
+                "rulings": [
+                    r"Dispositiv$", r"verfügt die WEKO",
+                    r"^[1-9] Ergebnis$", r"^[A-Z] Schlussfolgerungen$",
+                ],
+                "footer": [r"^Rechtsmittelbelehrung:?$"],
+            },
+            "fr": {
+                "facts": [r"Etat de fait$", r"in Sachen$"],
+                "considerations": [r"Considérants$", r"CONSIDERANTS$"],
+                "rulings": [r"Dispositif$", r"DISPOSITIF$"],
+                "footer": [r"Voie de droit:?$"],
+            },
+        },
+    },
+    "CH_EDOEB": {  # :792-826
+        "markers": {
+            "de": {
+                "facts": [
+                    r"in Sachen", r"Sachverhalt",
+                    r"und Öffentlichkeitsbeauftragte stellt fest",
+                ],
+                "considerations": [r"Erw[äa]gung(en)?"],
+                "rulings": [r"[Aa]ufgrund dieser Erw[äa]gungen empfiehlt"],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+            "fr": {
+                "facts": [r"données et à la transparence constate"],
+                "considerations": [
+                    r"Considérants formels :", r"considère ce qui suit :",
+                ],
+                "rulings": [r"recommande ce qui suit"],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+            "it": {
+                "facts": [r"protezione dei dati e della trasparenza accerta"],
+                "considerations": [r"protezione dei dati e della trasparenza considera"],
+                "rulings": [r"formula le seguenti raccomandazioni"],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "SH_OG": {  # :827-845 (published excerpts: no rulings section)
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Aus den Erw[äa]gungen"],
+                "rulings": [r"no rulings section"],
+                "footer": [r"Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "CH_BGE": {  # :1091-1120 (published volumes carry explicit labels)
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gung(en)?:?"],
+                "rulings": [
+                    r"Dispositiv", r"Demnach (erkennt|beschliesst)",
+                    r"wird (beschlossen|verfügt):", r"erkannt:",
+                ],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+            "fr": {
+                "facts": [r"Sachverhalt", r"Résumé des faits"],
+                "considerations": [
+                    r"Erw[äa]gungen", r"Extraits? des considérants",
+                    r"Considérant en droit", r"motifs suivants",
+                ],
+                "rulings": [r"Dispositiv", r"Par ces motifs"],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+            "it": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"Erw[äa]gungen"],
+                "rulings": [r"Dispositiv"],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "AI_Aktuell": {  # :1121-1137 (summaries: considerations only)
+        "markers": {
+            "de": {
+                "considerations": [r"^Erw[äa]gungen:?$"],
+                "rulings": [r"no ruling section"],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "AI_Bericht": {  # :1138-1154
+        "markers": {
+            "de": {
+                "considerations": [
+                    r"^Erw[äa]gungen:?$",
+                    r"Aus den Erw[äa]gungen der Standeskommission:",
+                ],
+                "rulings": [r"no ruling section"],
+                "footer": [r"^Rechtsmittelbelehrung"],
+            },
+        },
+    },
+    "ZG_Verwaltungsgericht": {  # :1174-1212
+        "markers": {
+            "de": {
+                "facts": [
+                    r"wird Folgendes festgestellt:", r"wird nach Einsicht in",
+                    r"^A\.\s", r"^A\.a\)\s",
+                ],
+                "considerations": [
+                    r"(Der|Die|Das) \w+ erwägt:", r"und in Erw[äa]gung, dass",
+                ],
+                "rulings": [
+                    r"Demnach (erkennt|wird (verfügt|erkannt))",
+                    r"Folgendes verfügt", r"(Der|Die|Das) \w+ verfügt:",
+                ],
+                "footer": [r"^\s*Zug,( den| vom)?\s\d{1,2}\.?\s?\w+\s\d{4}"],
+            },
+        },
+    },
+    "BE_BVD": {  # :1382-1406 (roman-numbered section labels)
+        "markers": {
+            "de": {
+                "facts": [r"Sachverhalt"],
+                "considerations": [r"II\. Erw[äa]gungen"],
+                "rulings": [r"III\. Entscheid"],
+                "footer": [r"IV\. Eröffnung"],
+            },
+            "fr": {
+                "facts": [r"I\. Faits"],
+                "considerations": [r"II\. Considérants"],
+                "rulings": [r"III\. Décision"],
+                "footer": [r"IV\. Notification"],
+            },
+        },
+    },
+    "BE_ZivilStraf": {  # :1407-1480 (facts fold into considerations)
+        "markers": {
+            "de": {
+                "facts": [r"no facts section available"],
+                "considerations": [
+                    r"^Erw[äa]gungen:?$", r"Auszug aus den Erw[äa]gungen",
+                    r"Formelles$", r"^Sachverhalt[ :]",
+                ],
+                "rulings": [
+                    r"^Die (Aufsichtsbehörde|Kammer) entscheidet:",
+                    r"(^|\. )Dispositiv",
+                    r"^(Strafkammer|Die \d\. Strafkammer) (erkennt|beschliesst):",
+                    r"^Die Beschwerdekammer in Strafsachen (beschliesst|hat beschlossen):",
+                    r"^Das (Gericht|Handelsgericht) (beschliesst|entscheidet):",
+                    r"^Die Verfahrensleitung verfügt:",
+                    r"^Der Vizepräsident entscheidet:",
+                ],
+                "footer": [
+                    r"^(Schriftlich z|Z)u eröffnen:", r"\d\. Zu eröffnen:",
+                    r"^Rechtsmittelbelehrung", r"^Hinweis:",
+                ],
+            },
+        },
+    },
+    "CH_BPatG": {  # :1481-1523 (no facts section)
+        "markers": {
+            "de": {
+                "considerations": [
+                    r"(Das Bundespatentgericht|(Der|Das) Präsident|Die Gerichtsleitung|Das Gericht|Der (Einzelrichter|Instruktionsrichter)) zieht in Erw[äa]gung[,:]",
+                    r"Der Präsident erwägt:", r"Aus(zug aus)? den Erw[äa]gungen:",
+                    r"Sachverhalt:",
+                ],
+                "rulings": [
+                    r"(Der Instruktionsrichter|Das Bundespatentgericht|(Das|Der) Präsident) (erkennt|verfügt|beschliesst)[,:]",
+                    r"Die Gerichtsleitung beschliesst:",
+                    r"Der Einzelrichter erkennt:",
+                ],
+                "footer": [r"Rechtsmittelbelehrung:", r"Dieser Entscheid geht an:"],
+            },
+            "fr": {
+                "considerations": [
+                    r"Le Tribunal fédéral des brevets considère( :|:|,)",
+                    r"Le [pP]résident considère( :|:|,)",
+                ],
+                "rulings": [
+                    r"Le Tribunal fédéral des brevets décide:",
+                    r"Le [pP]résident (décide|reconnaît):",
+                ],
+                "footer": [r"Voies de droit:"],
+            },
+            "it": {
+                "considerations": [r"Considerando in fatto e in diritto:"],
+                "rulings": [r"Per questi motivi, il giudice unico pronuncia:"],
+                "footer": [r"Rimedi giuridici:"],
+            },
+        },
+    },
 }
 
 # spiders sharing another spider's config verbatim in the reference

@@ -777,3 +777,48 @@ def test_participation_cantonal_roles():
     assert got["plaintiffs"][0]["name"].startswith("Muster Bau AG")
     assert any("Hans" in c for c in got["plaintiffs"][0]["legal_counsel"])
     assert got["defendants"][0]["name"].startswith("Stadt Zürich")
+
+
+def test_be_bvd_roman_labels():
+    doc = """Bau-, Verkehrs- und Energiedirektion des Kantons Bern
+I. Sachverhalt
+Der Gesuchsteller beantragte die Bewilligung.
+II. Erwägungen
+1. Die Zuständigkeit ist gegeben.
+III. Entscheid
+Das Gesuch wird abgewiesen.
+IV. Eröffnung
+Dem Gesuchsteller."""
+    got = _by_section(split_sections_py(doc, "de", "BE_BVD"))
+    assert "Bewilligung" in got["facts"]
+    assert "Zuständigkeit" in got["considerations"]
+    assert "abgewiesen" in got["rulings"]
+    assert "Gesuchsteller" in got["footer"]
+
+
+def test_ch_bpatg_no_facts():
+    doc = """Bundespatentgericht O2020_001
+Das Bundespatentgericht zieht in Erwägung:
+1. Die Klage betrifft das Streitpatent.
+Das Bundespatentgericht erkennt:
+1. Die Klage wird abgewiesen.
+Rechtsmittelbelehrung:
+Gegen diesen Entscheid."""
+    got = _by_section(split_sections_py(doc, "de", "CH_BPatG"))
+    assert "Streitpatent" in got["considerations"]
+    assert "abgewiesen" in got["rulings"]
+    assert "facts" not in got
+
+
+def test_ch_bge_published_volume():
+    doc = """121 II 39
+Sachverhalt
+A. Die Vorinstanz entschied gegen die Beschwerdeführerin.
+Erwägungen:
+1. Die Frage ist von grundsätzlicher Bedeutung.
+Dispositiv
+Demnach erkennt das Bundesgericht."""
+    got = _by_section(split_sections_py(doc, "de", "CH_BGE"))
+    assert "Vorinstanz" in got["facts"]
+    assert "grundsätzlicher" in got["considerations"]
+    assert "erkennt" in got["rulings"]
