@@ -20,6 +20,7 @@ coverage metric counts these); null input → null.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import pandas as pd
@@ -148,7 +149,10 @@ SPIDER_JUDGMENT_OVERRIDES: dict[str, dict] = {
 }
 
 
+@functools.lru_cache(maxsize=256)
 def _compiled(lang: str, spider: str | None = None) -> dict[str, list[re.Pattern]]:
+    # memoized: static config, so compile once per (lang, spider) per
+    # executor instead of once per document
     override = SPIDER_JUDGMENT_OVERRIDES.get(spider or "", {})
     replaced = override.get("replace", {}).get(lang)
     extra = override.get("extend", {})

@@ -19,6 +19,7 @@ by language, broadcast with the closure.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import pandas as pd
@@ -1012,7 +1013,11 @@ SPIDER_OVERRIDES["AG_Weitere"] = SPIDER_OVERRIDES["AG_Gerichte"]
 SPIDER_OVERRIDES["SG_Publikationen"] = SPIDER_OVERRIDES["SG_Gerichte"]
 
 
+@functools.lru_cache(maxsize=256)
 def _compiled(lang: str, spider: str | None = None) -> dict[str, list[re.Pattern]]:
+    # memoized: called once per (lang, spider) per executor, not per
+    # document — the config table is static, so recompiling it in the
+    # per-row hot loop would only burn CPU
     override = SPIDER_OVERRIDES.get(spider or "", {}).get("markers", {})
     generic = SECTION_MARKERS.get(lang, SECTION_MARKERS["de"])
     markers = {**generic, **override.get(lang, {})}
