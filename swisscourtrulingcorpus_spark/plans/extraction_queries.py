@@ -594,3 +594,85 @@ SPECS += [
         "S4 pure-python PDF text extraction vs construction",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# fundamental_importance gate: the analysis chain over constructed text
+# ---------------------------------------------------------------------------
+
+def q_fundamental_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fundamental-importance analysis end-to-end (`analyses.py`):
+    every third doc affirms the phrase, every third negates it, every
+    third never mentions it (lang = doc_id % 3 fixed per language
+    template); the sentence split → phrase filter → negation detection
+    → per-language summary must reproduce the construction exactly."""
+    from swisscourtrulingcorpus_spark.plans.analyses import (
+        fundamental_importance_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    l_idx = (d % 3).cast("int")
+    lang = F.element_at(F.array(F.lit("de"), F.lit("fr"), F.lit("it")), l_idx + 1)
+    # per language: the phrase is affirmed on even doc_ids, negated on
+    # odd ones (year correlates with parity, so each year group is
+    # all-affirmed or all-negated — the summary is exactly integral)
+    affirm = F.element_at(
+        F.array(
+            F.lit("Es liegt eine Rechtsfrage von grundsätzlicher Bedeutung vor."),
+            F.lit("Le recours soulève une question juridique de principe."),
+            F.lit("Il ricorso pone una questione di diritto di importanza fondamentale."),
+        ),
+        l_idx + 1,
+    )
+    negate = F.element_at(
+        F.array(
+            F.lit("Es liegt keine Rechtsfrage von grundsätzlicher Bedeutung vor."),
+            F.lit("Le recours ne soulève pas de question juridique de principe."),
+            F.lit("Il ricorso non pone una questione di diritto di importanza fondamentale."),
+        ),
+        l_idx + 1,
+    )
+    filler = F.lit("Die Kosten trägt die Partei. Les frais. Le spese.")
+    text = (
+        F.when(d % 2 == 0, F.concat(affirm, F.lit(" "), filler))
+        .otherwise(F.concat(negate, F.lit(" "), filler))
+    )
+    sections = docs.select(
+        F.col("doc_id").cast("string").alias("decision_id"),
+        lang.alias("language"),
+        F.lit("considerations").alias("section"),
+        text.alias("section_text"),
+    )
+    decisions = docs.select(
+        F.col("doc_id").cast("string").alias("decision_id"),
+        F.make_date((d % 20 + 2000).cast("int"), F.lit(1), F.lit(1)).alias("date"),
+        F.lit("CH_BGer_001").alias("chamber"),
+    )
+    out = fundamental_importance_summary(
+        {"section": sections, "decision": decisions}, group_by="year"
+    )
+    return out.select(
+        "year", "negated", "not_negated", "total", "not_negated_percentage"
+    )
+
+
+FUNDAMENTAL_IMPORTANCE_ORACLE = """
+SELECT CAST(doc_id % 20 + 2000 AS INT) AS year,
+       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS negated,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS not_negated,
+       count(*) AS total,
+       round(100.0 * sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) / count(*), 2) AS not_negated_percentage
+FROM documents
+GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "fundamental_importance_by_year",
+        q_fundamental_importance,
+        FUNDAMENTAL_IMPORTANCE_ORACLE,
+        "phrase search + negation detection + summary vs construction",
+    ),
+]

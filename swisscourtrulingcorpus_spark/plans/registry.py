@@ -71,6 +71,7 @@ _ROUND3_NEW: set[str] = {
     "participation_extracted",
     "bge_reference_extracted",
     "pdf_text_extracted",
+    "fundamental_importance_by_year",
 }
 
 
