@@ -444,3 +444,45 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    paras_col: str,
+) -> DataFrame:
+    """Cross-document paragraph dedup (the Lee-et-al-style boilerplate
+    removal a pretraining corpus needs: identical Rechtsmittelbelehrung
+    blocks, platform footers and shared templates collapse to their
+    first occurrence corpus-wide).
+
+    Input: one row per document with an array of paragraphs.  Output:
+    one row per (document, paragraph position) with a ``kept`` flag —
+    True only on the globally FIRST occurrence of that paragraph text
+    (ordered by (id, position), so the result is deterministic on any
+    cluster).
+
+    Scale shape: explode → shuffle on the 16-byte md5 of the paragraph
+    (never the text itself) → min_by partial-aggregates map-side; the
+    join back to flag keepers is on the same hash, so AQE reuses the
+    exchange.  Nothing here is quadratic and no document text moves
+    through the shuffle."""
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(paras_col)).alias("__pos", "__para"),
+    ).withColumn("__h", F.md5(F.col("__para")))
+    first = exploded.groupBy("__h").agg(
+        F.min(F.struct("__id", "__pos")).alias("__first")
+    )
+    return (
+        exploded.join(first, on="__h")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__pos").alias("pos"),
+            F.col("__para").alias("paragraph"),
+            (
+                (F.col("__id") == F.col("__first.__id"))
+                & (F.col("__pos") == F.col("__first.__pos"))
+            ).alias("kept"),
+        )
+    )

@@ -676,3 +676,122 @@ SPECS += [
         "phrase search + negation detection + summary vs construction",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus operators: paragraph-level boilerplate dedup + quality filter
+# ---------------------------------------------------------------------------
+
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document paragraph dedup over constructed documents: every
+    doc carries (a) the corpus-wide identical boilerplate block, (b) a
+    unique paragraph, (c) a block shared by its doc_id % 10 template
+    group.  Only the globally first occurrence of each paragraph
+    survives — so doc 0 keeps 3, docs 1-9 keep 2 (they are each their
+    template group's minimum), all later docs keep only their unique
+    paragraph."""
+    from swisscourtrulingcorpus_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    paras = F.array(
+        F.lit("Rechtsmittelbelehrung: Gegen diesen Entscheid kann Beschwerde erhoben werden."),
+        F.concat(F.lit("Einzigartiger Inhalt des Dokuments "), d.cast("string"), F.lit(".")),
+        F.concat(F.lit("Vorlagenbaustein der Gruppe "), (d % 10).cast("string"), F.lit(".")),
+    )
+    marked = paragraph_dedup(docs.select("doc_id", paras.alias("paras")), "doc_id", "paras")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("kept"), F.col("paragraph")))
+            ).alias("kept_paras"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.concat_ws(" | ", "kept_paras").alias("kept_text"),
+        )
+    )
+
+
+PARAGRAPH_DEDUP_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id = 0 THEN 3 WHEN doc_id BETWEEN 1 AND 9 THEN 2 ELSE 1 END AS n_kept,
+       CASE WHEN doc_id = 0 THEN
+              'Einzigartiger Inhalt des Dokuments 0.' ||
+              ' | Rechtsmittelbelehrung: Gegen diesen Entscheid kann Beschwerde erhoben werden.' ||
+              ' | Vorlagenbaustein der Gruppe 0.'
+            WHEN doc_id BETWEEN 1 AND 9 THEN
+              'Einzigartiger Inhalt des Dokuments ' || CAST(doc_id AS VARCHAR) || '.' ||
+              ' | Vorlagenbaustein der Gruppe ' || CAST(doc_id AS VARCHAR) || '.'
+            ELSE
+              'Einzigartiger Inhalt des Dokuments ' || CAST(doc_id AS VARCHAR) || '.'
+       END AS kept_text
+FROM documents
+"""
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules over the real corpus text:
+    word-count bounds, mean-word-length bounds, and a minimum stopword
+    hit count; a document is kept only if every rule passes.  All pure
+    JVM column arithmetic — the filter adds zero shuffles on top of the
+    scan, which is exactly what a 100 TB quality pass must look like."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    n_words = F.size(words)
+    mean_wl = F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "and", "of", "to"))
+    )
+    wc_ok = (n_words >= 10) & (n_words <= 100000)
+    wl_ok = (mean_wl >= 2.0) & (mean_wl <= 12.0)
+    stop_ok = stop_hits >= 1
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        stop_hits.alias("stop_hits"),
+        wc_ok.alias("wc_ok"),
+        wl_ok.alias("wl_ok"),
+        stop_ok.alias("stop_ok"),
+        (wc_ok & wl_ok & stop_ok).alias("keep"),
+    )
+
+
+GOPHER_FILTER_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         length(list_aggregate(words, 'string_agg', '')) * 1.0 / greatest(len(words), 1) AS mean_wl,
+         len(list_filter(words, w -> w IN ('the', 'a', 'and', 'of', 'to'))) AS stop_hits
+  FROM w)
+SELECT doc_id, n_words, stop_hits,
+       (n_words >= 10 AND n_words <= 100000) AS wc_ok,
+       (mean_wl >= 2.0 AND mean_wl <= 12.0) AS wl_ok,
+       (stop_hits >= 1) AS stop_ok,
+       ((n_words >= 10 AND n_words <= 100000) AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+        AND stop_hits >= 1) AS keep
+FROM f
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "paragraph_dedup_documents",
+        q_paragraph_dedup,
+        PARAGRAPH_DEDUP_ORACLE,
+        "cross-document first-occurrence paragraph dedup vs construction",
+    ),
+    QuerySpec(
+        "gopher_quality_filter",
+        q_gopher_quality_filter,
+        GOPHER_FILTER_ORACLE,
+        "Gopher-style quality rules, pure JVM, zero extra shuffles",
+    ),
+]

@@ -72,6 +72,8 @@ _ROUND3_NEW: set[str] = {
     "bge_reference_extracted",
     "pdf_text_extracted",
     "fundamental_importance_by_year",
+    "paragraph_dedup_documents",
+    "gopher_quality_filter",
 }
 
 
