@@ -486,3 +486,66 @@ def paragraph_dedup(
             ).alias("kept"),
         )
     )
+
+
+def transitive_dedup_clusters(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph (the
+    transitive closure `minhash_dedup_groups`' single-pass
+    representative cannot give when a cluster spans multiple LSH
+    bands): iterative min-label propagation — every node repeatedly
+    adopts the smallest label among itself and its neighbours until no
+    label changes.
+
+    Scale shape: each round is one groupBy on the node id (shuffle on
+    ids only, never payloads); convergence takes O(cluster diameter)
+    rounds — near-dup clusters are shallow (diameter ≤ a handful), so
+    the loop is bounded in practice and hard-capped by
+    ``max_iterations``.  Each round materializes via ``localCheckpoint``
+    so the lineage (and its re-execution cost) doesn't grow with the
+    iteration count.
+
+    Returns (node, cluster) with cluster = the minimum node id reachable
+    from the node.
+    """
+    edges = (
+        pairs.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .union(pairs.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_cluster"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.node == neighbour_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.cluster") != F.col("l.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

@@ -97,3 +97,22 @@ def test_hyperplane_lsh_recall_vs_bruteforce(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # deterministic (seeded planes): 0.90 at sf0.001, 0.91 at sf0.01
     assert recall >= 0.75, f"hyperplane LSH recall@5 = {recall:.2f}"
+
+
+def test_transitive_dedup_clusters(spark):
+    """Chain A-B-C-D plus pair E-F plus isolated edge G-H: label
+    propagation must find the full transitive clusters (the multi-band
+    case a single-pass representative misses)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        transitive_dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster
+        for r in transitive_dedup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
