@@ -795,3 +795,42 @@ SPECS += [
         "Gopher-style quality rules, pure JVM, zero extra shuffles",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# transitive clustering gate: iterative label propagation, oracled via
+# constructed chain structure
+# ---------------------------------------------------------------------------
+
+def q_transitive_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a constructed pair graph: documents
+    link in runs of five consecutive ids ((d, d+1) unless d % 5 == 4),
+    so every cluster is exactly one run and the converged label is
+    provably d - d % 5 — an ORACLE for an iterative algorithm, which
+    plain single-pass SQL can't normally check.  Chain diameter 4 ⇒
+    propagation converges in a handful of id-only-shuffle rounds."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        transitive_dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pairs = docs.where(d % 5 != 4).select(
+        d.alias("id_a"), (d + 1).alias("id_b")
+    )
+    return transitive_dedup_clusters(pairs).select("node", "cluster")
+
+
+TRANSITIVE_CLUSTERS_ORACLE = """
+SELECT doc_id AS node, doc_id - doc_id % 5 AS cluster FROM documents
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "transitive_cluster_chains",
+        q_transitive_clusters,
+        TRANSITIVE_CLUSTERS_ORACLE,
+        "iterative min-label propagation vs provable chain structure",
+    ),
+]

@@ -74,6 +74,7 @@ _ROUND3_NEW: set[str] = {
     "fundamental_importance_by_year",
     "paragraph_dedup_documents",
     "gopher_quality_filter",
+    "transitive_cluster_chains",
 }
 
 
