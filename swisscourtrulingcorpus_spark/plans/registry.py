@@ -75,6 +75,15 @@ _ROUND3_NEW: set[str] = {
     "paragraph_dedup_documents",
     "gopher_quality_filter",
     "transitive_cluster_chains",
+    # OLAP completeness pack II (olap_queries2) — completes all 22
+    # classic TPC-H shapes; never driver-verified before r03.
+    "q8_national_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q20_promotion_candidates",
+    "q21_waiting_suppliers",
 }
 
 
@@ -83,6 +92,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import extra_queries
     from swisscourtrulingcorpus_spark.plans import extraction_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries
+    from swisscourtrulingcorpus_spark.plans import olap_queries2
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
@@ -94,6 +104,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += extra_queries.SPECS
     specs += analytics_queries.SPECS
     specs += olap_queries.SPECS
+    specs += olap_queries2.SPECS
     specs += extraction_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
