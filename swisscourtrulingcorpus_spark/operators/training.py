@@ -11,6 +11,12 @@ BASELINE.md north star: the ops a 100 TB LLM-corpus pipeline needs).
   (and any rerun) reproduces bit-for-bit, unlike rand()-based orderings.
   Executed as a parallel range-partitioned sort + partition-offset rank
   (NOT a global window, which would funnel every row through one task).
+- ``pack_sequences``: concat-and-split context packing — documents are
+  laid out in a deterministic hashed order and cut into fixed-size
+  token windows (the GPT-style pretraining batch layout).  The global
+  token prefix-sum uses the same two-phase parallel pattern as the
+  shuffle rank: local cumsums per range partition + a broadcast of the
+  tiny per-partition totals, never a single-partition window.
 """
 
 from __future__ import annotations
@@ -118,4 +124,65 @@ def deterministic_shuffle(
         ranked.join(F.broadcast(offsets), on="__pid")
         .withColumn(rank_col, (F.col("__off") + F.col("__local")).cast("int"))
         .drop("__k", "__pid", "__local", "__off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    context_len: int,
+    seed: str = "pack",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Concat-and-split context packing: documents are concatenated in
+    a deterministic hashed order (``md5(seed|id)``, ties by id) and the
+    token stream is cut into ``context_len`` windows.  Emits, per doc,
+    the window its first token lands in (``pack_id``), the offset
+    inside that window (``pack_offset``), and the global token start —
+    the layout a pretraining loader needs to build fixed-size batches
+    without padding.  A doc may span several windows; ownership of the
+    head position is what's assigned (standard GPT-style packing).
+
+    The global token prefix-sum is the same two-phase parallel shape as
+    :func:`deterministic_shuffle`: range-partition on the hash key,
+    LOCAL cumulative sum per partition, then add the tiny broadcast
+    running total of per-partition token counts.  No single-partition
+    window anywhere, and the result is invariant to where the range
+    boundaries land — identical output at any parallelism.
+    """
+    keyed = df.select(
+        F.col(id_col),
+        F.col(len_col).cast("bigint").alias("__len"),
+        md5_seeded(F.col(id_col).cast("string"), seed).alias("__k"),
+    )
+    range_cols = [F.col("__k"), F.col(id_col)]
+    parts = (
+        keyed.repartitionByRange(num_partitions, *range_cols)
+        if num_partitions is not None
+        else keyed.repartitionByRange(*range_cols)
+    ).withColumn("__pid", F.spark_partition_id())
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summed = parts.withColumn(
+        "__local_start", F.coalesce(F.sum("__len").over(local_w), F.lit(0))
+    )
+    totals = summed.groupBy("__pid").agg(F.sum("__len").alias("__t"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    start = F.col("__off") + F.col("__local_start")
+    return (
+        summed.join(F.broadcast(offsets), on="__pid")
+        .select(
+            id_col,
+            F.col("__len").alias("n_tokens"),
+            start.alias("token_start"),
+            F.floor(start / context_len).cast("bigint").alias("pack_id"),
+            (start % context_len).cast("bigint").alias("pack_offset"),
+        )
     )

@@ -84,6 +84,9 @@ _ROUND3_NEW: set[str] = {
     "q16_supplier_part_counts",
     "q20_promotion_candidates",
     "q21_waiting_suppliers",
+    # training-pipeline additions (training_queries)
+    "sequence_packing_documents",
+    "pii_redaction_documents",
 }
 
 
@@ -93,6 +96,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import extraction_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries2
+    from swisscourtrulingcorpus_spark.plans import training_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
@@ -105,6 +109,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += analytics_queries.SPECS
     specs += olap_queries.SPECS
     specs += olap_queries2.SPECS
+    specs += training_queries.SPECS
     specs += extraction_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"

@@ -1,0 +1,118 @@
+"""Gate queries for the round-3 training-pipeline additions: sequence
+packing and PII redaction.
+
+Both are 100 TB-first designs: packing runs the two-phase parallel
+prefix-sum (no single-partition window), redaction is a pure codegen
+regexp chain (no shuffle at all).  The fixture corpus contains no PII,
+so the redaction gate salts each document with synthetic PII derived
+deterministically from ``doc_id`` — both engines construct the same
+string, so every regex family is exercised on every row instead of
+matching nothing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+from swisscourtrulingcorpus_spark.functions.redaction import (
+    count_pii,
+    oracle_count_sql,
+    oracle_redact_sql,
+    redact_pii,
+)
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+# --- sequence packing ----------------------------------------------------
+
+_CTX = 256
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split packing of the document corpus into 256-token
+    context windows (`operators/training.py::pack_sequences`)."""
+    from swisscourtrulingcorpus_spark.operators.training import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    with_len = docs.select(
+        "doc_id",
+        F.size(F.split(normalize_ws("text"), " ")).alias("__n"),
+    )
+    return pack_sequences(with_len, "__n", "doc_id", context_len=_CTX)
+
+
+PACKING_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+         md5('pack|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents WHERE text IS NOT NULL),
+c AS (
+  SELECT doc_id, n,
+         sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+  FROM t)
+SELECT doc_id,
+       n AS n_tokens,
+       start AS token_start,
+       CAST(floor(start / {_CTX}) AS BIGINT) AS pack_id,
+       CAST(start % {_CTX} AS BIGINT) AS pack_offset
+FROM c
+"""
+
+
+# --- PII redaction -------------------------------------------------------
+
+# Synthetic PII suffix, parameterized by doc_id so every row is unique:
+# one e-mail, one Swiss phone, one AHV number, one IBAN.
+_PII_SUFFIX_SQL = (
+    "' Kontakt: user' || CAST(doc_id AS VARCHAR) || '@example.com, "
+    "Tel. +41 44 123 45 67, AHV 756.1234.5678.90, "
+    "IBAN CH93 0076 2011 6238 5295 7.'"
+)
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and redact all four PII families
+    (`functions/redaction.py`); the redacted text is md5'd so the gate
+    hash-compares the full rewritten string."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" Kontakt: user"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "@example.com, Tel. +41 44 123 45 67, AHV 756.1234.5678.90, "
+            "IBAN CH93 0076 2011 6238 5295 7."
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        count_pii(salted, "EMAIL").alias("n_emails"),
+        count_pii(salted, "PHONE").alias("n_phones"),
+        count_pii(salted, "AHV").alias("n_ahv"),
+        count_pii(salted, "IBAN").alias("n_ibans"),
+        F.md5(redact_pii(salted)).alias("redacted_md5"),
+    )
+
+
+PII_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS salted
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id,
+       {oracle_count_sql('salted', 'EMAIL')} AS n_emails,
+       {oracle_count_sql('salted', 'PHONE')} AS n_phones,
+       {oracle_count_sql('salted', 'AHV')} AS n_ahv,
+       {oracle_count_sql('salted', 'IBAN')} AS n_ibans,
+       md5({oracle_redact_sql('salted')}) AS redacted_md5
+FROM s
+"""
+
+
+SPECS = [
+    QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
+    QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
+]

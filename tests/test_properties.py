@@ -148,3 +148,64 @@ def test_shuffle_rank_partition_invariant():
             baseline = got
         else:
             assert got == baseline, f"ranks differ at num_partitions={n}"
+
+
+# ------------------------------------------- pack_sequences invariants
+
+def test_pack_sequences_partition_invariant_and_contiguous():
+    """pack_sequences must (a) assign the same layout at any
+    parallelism and (b) lay tokens out contiguously: sorted by
+    token_start, each doc starts exactly where the previous one ended,
+    and pack_id/pack_offset are consistent with token_start."""
+    from swisscourtrulingcorpus_spark.operators.training import pack_sequences
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    df = spark.range(0, 101).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 37 + 1).alias("n")
+    )
+    baseline = None
+    for n_parts in (1, 4, 9):
+        rows = pack_sequences(
+            df, "n", "doc_id", context_len=64, num_partitions=n_parts
+        ).collect()
+        got = {r.doc_id: (r.token_start, r.pack_id, r.pack_offset) for r in rows}
+        if baseline is None:
+            baseline = got
+            ordered = sorted(rows, key=lambda r: r.token_start)
+            pos = 0
+            for r in ordered:
+                assert r.token_start == pos
+                assert r.pack_id == pos // 64
+                assert r.pack_offset == pos % 64
+                pos += r.n_tokens
+            assert pos == sum(i % 37 + 1 for i in range(101))
+        else:
+            assert got == baseline, f"layout differs at num_partitions={n_parts}"
+
+
+def test_pii_redaction_families():
+    """Each PII family redacts its canonical Swiss shapes and leaves
+    clean text untouched."""
+    from swisscourtrulingcorpus_spark.functions.redaction import redact_pii
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    cases = [
+        ("a", "Schreiben Sie an hans.muster+ag@bger.ch bitte",
+         "Schreiben Sie an <EMAIL> bitte"),
+        ("b", "Tel. +41 44 123 45 67 oder 0041 21 555 11 22",
+         "Tel. <PHONE> oder <PHONE>"),
+        ("c", "AHV-Nr. 756.9217.0769.85 der Partei",
+         "AHV-Nr. <AHV> der Partei"),
+        ("d", "Konto CH93 0076 2011 6238 5295 7 bei der Bank",
+         "Konto <IBAN> bei der Bank"),
+        ("e", "Urteil vom 12. Juni 2020, BGE 141 III 28",
+         "Urteil vom 12. Juni 2020, BGE 141 III 28"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "id: string, text: string"
+    )
+    got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
