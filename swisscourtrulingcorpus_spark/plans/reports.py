@@ -78,16 +78,23 @@ def label_distribution_by_split(df: DataFrame, label_col: str = "label") -> Data
 
 def export_report_excel(report: DataFrame, path: str, sheet: str = "report") -> bool:
     """S12 Excel sink (`pattern_extractor.py:220-229`): driver-side
-    render of an already-aggregated (tiny) report.  Returns False when
-    no xlsx writer is available (openpyxl/xlsxwriter not installed) —
-    the caller falls back to CSV."""
+    render of an already-aggregated (tiny) report.  Writes a real .xlsx
+    via the stdlib OOXML writer (`sources/ooxml.py`) — no openpyxl
+    needed; pandas' writer is preferred when a third-party engine IS
+    installed (richer typing), the stdlib render is the fallback."""
     pdf = report.toPandas()
     try:
         pdf.to_excel(path, sheet_name=sheet, index=False)
         return True
     except (ImportError, ModuleNotFoundError, ValueError):
-        pdf.to_csv(path.replace(".xlsx", ".csv"), index=False)
-        return False
+        from swisscourtrulingcorpus_spark.sources.ooxml import write_xlsx
+
+        rows = [
+            [None if (isinstance(v, float) and v != v) else v for v in row]
+            for row in pdf.itertuples(index=False)
+        ]
+        write_xlsx(path, [str(c) for c in pdf.columns], rows, sheet=sheet)
+        return True
 
 
 def export_verification_docs(
@@ -101,16 +108,17 @@ def export_verification_docs(
     sections delimited and the extracted judgment outcome highlighted.
 
     The reference renders python-docx with colored section highlights;
-    that library is absent here, so the renderer writes the same
-    structure as Markdown (headings per section, judgments bolded) —
-    the docx call is the one-line seam at the end.  Everything scale-
-    relevant is identical: a DETERMINISTIC md5-keyed sample (same
-    sample on any cluster size — ORDER BY RANDOM() is not reproducible
-    across engines or partitionings), a semi-join so only the sampled
-    decisions' sections are ever collected, and driver-side rendering
-    of an n-row result only.
+    here the renderer writes BOTH a real .docx (stdlib OOXML writer,
+    `sources/ooxml.py` — headings per section, the judgment outcome as
+    a bold highlighted run, matching the reference's colored markers)
+    and the same structure as Markdown for diff-friendly review.
+    Everything scale-relevant is identical: a DETERMINISTIC md5-keyed
+    sample (same sample on any cluster size — ORDER BY RANDOM() is not
+    reproducible across engines or partitionings), a semi-join so only
+    the sampled decisions' sections are ever collected, and driver-side
+    rendering of an n-row result only.
 
-    Returns the output file path.
+    Returns the Markdown output path (the .docx sits beside it).
     """
     import os
 
@@ -141,6 +149,7 @@ def export_verification_docs(
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"verification_{n}.md")
+    paragraphs: list[dict] = []
     with open(path, "w", encoding="utf-8") as f:
         for decision_id in sorted(by_doc):
             rows = by_doc[decision_id]
@@ -149,8 +158,24 @@ def export_verification_docs(
             ) or []
             f.write(f"# decision {decision_id}\n\n")
             f.write(f"**judgment outcome: {', '.join(outcomes) or '—'}**\n\n")
+            paragraphs.append(
+                {"text": f"decision {decision_id}", "style": "Heading1"}
+            )
+            paragraphs.append(
+                {
+                    "text": f"judgment outcome: {', '.join(outcomes) or '—'}",
+                    "bold": True,
+                    "highlight": "yellow",
+                }
+            )
             for r in sorted(rows, key=lambda r: r.section):
                 f.write(f"## [{r.section}]\n\n{r.section_text}\n\n")
+                paragraphs.append({"text": f"[{r.section}]", "style": "Heading2"})
+                paragraphs.append({"text": r.section_text or ""})
+
+    from swisscourtrulingcorpus_spark.sources.ooxml import write_docx
+
+    write_docx(os.path.join(out_dir, f"verification_{n}.docx"), paragraphs)
     return path
 
 

@@ -53,9 +53,48 @@ def test_excel_sink_fallback(spark, sf_dir):
     rep = attribute_distribution(load_table(spark, sf_dir, "region"), "r_name")
     path = os.path.join(tempfile.mkdtemp(prefix="rep_"), "out.xlsx")
     ok = export_report_excel(rep, path)
-    # whichever writer exists, SOME file must land
-    assert os.path.exists(path) or os.path.exists(path.replace(".xlsx", ".csv"))
-    assert ok in (True, False)
+    # a real .xlsx always lands now (pandas engine or stdlib OOXML)
+    assert ok and os.path.exists(path)
+    from swisscourtrulingcorpus_spark.sources.ooxml import read_xlsx_cells
+
+    cells = read_xlsx_cells(path)
+    rep_rows = rep.collect()
+    assert cells[0] == list(rep.columns)
+    assert {tuple(r) for r in cells[1:]} == {
+        tuple(float(v) if isinstance(v, (int, float)) else v for v in row)
+        for row in rep_rows
+    }
+
+
+def test_ooxml_writers_roundtrip(tmp_path):
+    """Stdlib OOXML writers produce parseable, value-exact parts."""
+    from swisscourtrulingcorpus_spark.sources.ooxml import (
+        read_docx_paragraphs,
+        read_xlsx_cells,
+        write_docx,
+        write_xlsx,
+    )
+
+    xp = str(tmp_path / "t.xlsx")
+    write_xlsx(xp, ["name", "n"], [["a & <b>", 3], ["ü", 2.5], [None, None]])
+    got = read_xlsx_cells(xp)
+    assert got[0] == ["name", "n"]
+    assert got[1] == ["a & <b>", 3.0]
+    assert got[2] == ["ü", 2.5]
+
+    dp = str(tmp_path / "t.docx")
+    write_docx(
+        dp,
+        [
+            {"text": "decision X", "style": "Heading1"},
+            {"text": "outcome: approval", "bold": True, "highlight": "yellow"},
+            {"text": "plain <&> body"},
+        ],
+    )
+    paras = read_docx_paragraphs(dp)
+    assert paras[0] == ("Heading1", False, "decision X")
+    assert paras[1] == (None, True, "outcome: approval")
+    assert paras[2] == (None, False, "plain <&> body")
 
 
 def test_verification_docs_sink(spark, tmp_path):
@@ -77,6 +116,13 @@ def test_verification_docs_sink(spark, tmp_path):
     assert t1.count("# decision ") == 10
     assert "## [rulings]" in t1
     assert "**judgment outcome:" in t1
+    # the real .docx twin: heading per decision, highlighted outcome run
+    from swisscourtrulingcorpus_spark.sources.ooxml import read_docx_paragraphs
+
+    paras = read_docx_paragraphs(p1.replace(".md", ".docx"))
+    headings = [t for s, _, t in paras if s == "Heading1"]
+    assert len(headings) == 10 and all(t.startswith("decision ") for t in headings)
+    assert any(b and t.startswith("judgment outcome:") for _, b, t in paras)
 
 
 def test_labels_json_and_kaggle_export(spark, tmp_path):
