@@ -17,6 +17,13 @@ BASELINE.md north star: the ops a 100 TB LLM-corpus pipeline needs).
   token prefix-sum uses the same two-phase parallel pattern as the
   shuffle rank: local cumsums per range partition + a broadcast of the
   tiny per-partition totals, never a single-partition window.
+- ``domain_mix_sample``: deterministic per-group downsampling to target
+  mixture rates — the corpus-mixing step of every pretraining data
+  recipe.  A row survives iff its md5 hash falls under its group's
+  rate threshold: a pure map-side filter (rates broadcast), zero
+  shuffles, reproducible on any engine or cluster size, and stable
+  under corpus growth (a doc's keep/drop never flips when other docs
+  are added — unlike rank-based sampling).
 """
 
 from __future__ import annotations
@@ -186,3 +193,56 @@ def pack_sequences(
             (start % context_len).cast("bigint").alias("pack_offset"),
         )
     )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a row iff the 32-bit hash of
+    its id falls below ``rate(group) * 2^32`` — i.e. each group is
+    downsampled to (approximately) its target rate by a reproducible
+    per-row coin whose outcome depends only on (seed, id).
+
+    Properties the rand()-based ``df.sample`` cannot give:
+    - engine-independent (md5 — the SQL oracle reproduces every row),
+    - cluster-size- and partitioning-independent,
+    - stable under corpus growth: adding documents never flips an
+      existing document's keep/drop (rank/ntile-based sampling does).
+
+    Plan: the rate CASE is a literal expression (broadcast-with-
+    closure), the hash is codegen md5 — a pure map-side filter with
+    zero shuffles, pushed against the scan.
+    """
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(group_col) == value, F.lit(float(r))).otherwise(rate)
+    threshold = F.floor(rate * F.lit(4294967296.0)).cast("bigint")
+    return df.where(h32(F.col(id_col).cast("string"), seed) < threshold)
+
+
+def oracle_domain_mix_predicate(
+    group_col: str,
+    id_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    seed: str = "mix",
+) -> str:
+    """DuckDB WHERE-clause reproducing :func:`domain_mix_sample` (same
+    md5 window, same literal-double threshold arithmetic)."""
+    cases = " ".join(
+        f"WHEN {group_col} = '{v}' THEN {float(r)!r}"
+        for v, r in sorted(rates.items())
+    )
+    rate_sql = f"(CASE {cases} ELSE {float(default_rate)!r} END)"
+    h_sql = (
+        f"CAST(('0x' || substr(md5('{seed}|' || CAST({id_col} AS VARCHAR)), 1, 8)) "
+        f"AS UBIGINT)"
+    )
+    return f"{h_sql} < CAST(floor({rate_sql} * 4294967296.0) AS BIGINT)"

@@ -87,6 +87,7 @@ _ROUND3_NEW: set[str] = {
     # training-pipeline additions (training_queries)
     "sequence_packing_documents",
     "pii_redaction_documents",
+    "domain_mix_documents",
 }
 
 

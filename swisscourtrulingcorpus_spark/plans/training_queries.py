@@ -112,7 +112,34 @@ FROM s
 """
 
 
+# --- domain mixture sampling --------------------------------------------
+
+_MIX_RATES = {"en": 0.5, "zh": 0.0, "fr": 0.25, "de": 1.0}
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus-mixing downsample by language
+    (`operators/training.py::domain_mix_sample`): en halved, zh dropped,
+    fr quartered, de and everything else kept."""
+    from swisscourtrulingcorpus_spark.operators.training import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_mix_sample(docs, "lang", "doc_id", _MIX_RATES).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def _mix_oracle() -> str:
+    from swisscourtrulingcorpus_spark.operators.training import (
+        oracle_domain_mix_predicate,
+    )
+
+    pred = oracle_domain_mix_predicate("lang", "doc_id", _MIX_RATES)
+    return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
+
+
 SPECS = [
     QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
     QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
+    QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
 ]

@@ -209,3 +209,33 @@ def test_pii_redaction_families():
     got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
     for i, _, want in cases:
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_domain_mix_sample_rates_and_stability():
+    """domain_mix_sample hits target rates approximately, drops
+    rate-0 groups exactly, keeps rate-1 groups exactly, and adding
+    rows never flips an existing row's keep/drop."""
+    from swisscourtrulingcorpus_spark.operators.training import domain_mix_sample
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "id: long, grp: string")
+    rates = {"a": 0.5, "b": 0.0, "c": 1.0}
+    kept = domain_mix_sample(df, "grp", "id", rates).collect()
+    by_grp: dict[str, set] = {}
+    for r in kept:
+        by_grp.setdefault(r.grp, set()).add(r.id)
+    assert "b" not in by_grp
+    assert len(by_grp["c"]) == 1000
+    assert abs(len(by_grp["a"]) / 1000 - 0.5) < 0.06
+    # growth stability: the kept set over a prefix is the prefix of the
+    # kept set over the full corpus
+    prefix_kept = {
+        r.id
+        for r in domain_mix_sample(
+            df.where(F.col("id") < 1500), "grp", "id", rates
+        ).collect()
+    }
+    full_kept = {r.id for r in kept}
+    assert prefix_kept == {i for i in full_kept if i < 1500}
