@@ -233,3 +233,51 @@ def value_counts_with_pct(df: DataFrame, attr: str) -> DataFrame:
         F.col("cnt"),
         (F.col("cnt") * 100.0 / F.col("__total")).alias("pct"),
     )
+
+
+def scd2_history(
+    updates: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 build from an update log: one
+    versioned row per genuine attribute CHANGE, with its validity
+    interval.
+
+    The warehouse twin of W6 export versioning (`pipeline.py:62`
+    versions whole exports; this versions individual keys).  Two window
+    passes over the same (key, ts) sort:
+
+    1. change compaction — ``lag(attr)`` drops updates that repeat the
+       current value (an update stream at 100 TB is dominated by
+       no-op heartbeats; compacting FIRST keeps pass 2's input small),
+    2. interval close — ``lead(ts)`` of the surviving changes is each
+       version's ``valid_to`` (NULL = still current).
+
+    Both passes partition by key: the only shuffle is one exchange on
+    the key, reused by the second window (same partitioning — Catalyst
+    plans a single Exchange; sort order is shared too).  Timestamps
+    stay exact integer microseconds end-to-end.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(attr_col).over(w)
+    changes = (
+        updates.withColumn("__prev", prev)
+        .where(F.col("__prev").isNull() | (F.col(attr_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    # same (ts, tiebreak) order as pass 1 — two surviving changes can
+    # share a timestamp, and lead() must be deterministic for parity
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        key_col,
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

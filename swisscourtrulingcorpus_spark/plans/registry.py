@@ -88,6 +88,7 @@ _ROUND3_NEW: set[str] = {
     "sequence_packing_documents",
     "pii_redaction_documents",
     "domain_mix_documents",
+    "scd2_user_state",
 }
 
 

@@ -222,6 +222,40 @@ FROM per
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 temporal versioning of each user's event_type 'state'
+    (`operators/relational.py::scd2_history`): no-op updates compacted
+    away by lag(), validity intervals closed by lead() — one key
+    exchange serves both windows."""
+    from swisscourtrulingcorpus_spark.operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "ts", "event_type", tiebreak_col="event_id")
+    return hist.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+SCD2_ORACLE = """
+WITH changes AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM (SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S') AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM changes
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
     QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
@@ -229,4 +263,5 @@ SPECS = [
     QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
+    QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
 ]

@@ -239,3 +239,29 @@ def test_domain_mix_sample_rates_and_stability():
     }
     full_kept = {r.id for r in kept}
     assert prefix_kept == {i for i in full_kept if i < 1500}
+
+
+def test_scd2_history_semantics():
+    """SCD2: no-op updates compact away, intervals chain exactly, last
+    version per key is current."""
+    from swisscourtrulingcorpus_spark.operators.relational import scd2_history
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    rows = [
+        # key, ts, state, seq   (b at t3 is a no-op repeat)
+        ("u1", 1, "a", 1), ("u1", 2, "b", 2), ("u1", 3, "b", 3),
+        ("u1", 4, "c", 4),
+        ("u2", 5, "x", 5),
+    ]
+    df = spark.createDataFrame(rows, "k: string, t: long, s: string, i: long")
+    got = {
+        (r.k, r.s): (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(df, "k", "t", "s", tiebreak_col="i").collect()
+    }
+    assert got == {
+        ("u1", "a"): (1, 2, False),
+        ("u1", "b"): (2, 4, False),   # t3 repeat compacted; closed by c at t4
+        ("u1", "c"): (4, None, True),
+        ("u2", "x"): (5, None, True),
+    }
