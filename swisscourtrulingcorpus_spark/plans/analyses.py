@@ -146,3 +146,100 @@ def fundamental_importance_summary(
             F.round(F.lit(100.0) * F.col("not_negated") / F.col("total"), 2),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Building-violations analysis (`analyses/building_violations.py:12-102`)
+# ---------------------------------------------------------------------------
+
+# language -> federal office of spatial development party name
+# (`building_violations.py:23-27`)
+ARE_NAMES: dict[str, str] = {
+    "de": "Bundesamt für Raumentwicklung",
+    "fr": "Office fédéral du développement territorial",
+    "it": "Ufficio federale dello sviluppo territoriale",
+}
+
+# language -> spatial-planning law abbreviation (`building_violations.py:28`)
+BUILDING_LAW_ABBRS: dict[str, str] = {"de": "RPG", "fr": "LAT", "it": "LPT"}
+
+
+def _lang_case(mapping: dict[str, str], lang_col: str) -> F.Column:
+    expr = F.lit(None).cast("string")
+    for lang, v in sorted(mapping.items()):
+        expr = F.when(F.col(lang_col) == lang, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def building_violations_cases(
+    df: DataFrame, lang_col: str, considerations_col: str
+) -> DataFrame:
+    """The retrieval predicate (`building_violations.py:43`): decisions
+    whose considerations cite Art. 24b-e of the spatial-planning law,
+    with the law abbreviation in the ruling's own language.  The
+    language-dependent regex is a column-built pattern fed to rlike —
+    still a scan-side JVM predicate, one pass."""
+    pattern = F.concat(
+        F.lit(r"[Aa]rt\. 24[bcde].{1,20}"),
+        _lang_case(BUILDING_LAW_ABBRS, lang_col),
+    )
+    return df.where(F.regexp_like(F.col(considerations_col), pattern))
+
+
+def building_violations_summary(
+    cases: DataFrame,
+    lang_col: str,
+    plaintiff_col: str,
+    defendant_col: str,
+    judgments_col: str,
+) -> DataFrame:
+    """The five-cohort approval summary (`building_violations.py:60-83`):
+    all cases / ARE-is-plaintiff / non-ARE-is-plaintiff /
+    ARE-is-defendant / non-ARE-is-defendant, each with approval count,
+    total and approval percentage.  Outcomes reduce through the REAL
+    F9 binary-judgment conversion (`functions/domain.py::
+    normalize_binary_judgment`); NULL (irreducible/procedural) rows
+    stay in the totals, as in the reference.
+
+    Spark-first: each case emits its three cohort memberships through
+    one literal-array explode (no 5× self-scan as the pandas original
+    does), then a single groupBy — one pass, one small shuffle.
+    Percentage is unrounded exact-int division (the reference rounds
+    to 2 decimals for display; rounding doubles is engine-dependent
+    and belongs in the presentation layer)."""
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        normalize_binary_judgment,
+    )
+
+    are_name = _lang_case(ARE_NAMES, lang_col)
+    is_are_p = F.col(plaintiff_col) == are_name
+    is_are_d = F.col(defendant_col) == are_name
+    binary = normalize_binary_judgment(judgments_col)
+    cohorts = F.array(
+        F.lit("all cases"),
+        F.when(is_are_p, F.lit("ARE is plaintiff")).otherwise(
+            F.lit("non-ARE is plaintiff")
+        ),
+        F.when(is_are_d, F.lit("ARE is defendant")).otherwise(
+            F.lit("non-ARE is defendant")
+        ),
+    )
+    return (
+        cases.select(
+            F.explode(cohorts).alias("cohort"),
+            F.when(binary == "approval", 1).otherwise(0).alias("__app"),
+        )
+        .groupBy("cohort")
+        .agg(
+            F.sum("__app").alias("approvals"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .select(
+            "cohort",
+            "approvals",
+            "total",
+            (F.col("approvals") * 100.0 / F.col("total")).alias(
+                "approval_percentage"
+            ),
+        )
+    )

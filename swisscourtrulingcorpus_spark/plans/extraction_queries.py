@@ -834,3 +834,97 @@ SPECS += [
         "iterative min-label propagation vs provable chain structure",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# building_violations_summary: the third reference analysis, end-to-end
+# ---------------------------------------------------------------------------
+
+def q_building_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Building-violations analysis (`analyses/building_violations.py:
+    12-102`) end-to-end through the REAL engine path: the per-language
+    Art. 24b-e citation regex filter, ARE party-name matching, the F9
+    binary-judgment array reduction, and the five-cohort explode-agg.
+    Inputs are constructed from doc_id arithmetic (even docs cite the
+    law; every 4th plaintiff / 5th defendant is the ARE office; the
+    judgment array cycles six reference shapes incl. two that reduce
+    to NULL) — the oracle recomputes the expected summary from the
+    same arithmetic, independent of the regex/array machinery."""
+    from swisscourtrulingcorpus_spark.plans.analyses import (
+        building_violations_cases,
+        building_violations_summary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    l_idx = (d % 3).cast("int")
+    lang = F.element_at(F.array(F.lit("de"), F.lit("fr"), F.lit("it")), l_idx + 1)
+    abbr = F.element_at(F.array(F.lit("RPG"), F.lit("LAT"), F.lit("LPT")), l_idx + 1)
+    are = F.element_at(
+        F.array(
+            F.lit("Bundesamt für Raumentwicklung"),
+            F.lit("Office fédéral du développement territorial"),
+            F.lit("Ufficio federale dello sviluppo territoriale"),
+        ),
+        l_idx + 1,
+    )
+    considerations = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("Gemäss Art. 24c Abs. 2 "), abbr, F.lit(" ist massgebend.")),
+    ).otherwise(F.lit("Gemäss Art. 699 ZGB ist massgebend."))
+    judgments = F.element_at(
+        F.array(
+            F.array(F.lit("approval")),
+            F.array(F.lit("partial_approval"), F.lit("write_off")),
+            F.array(F.lit("dismissal")),
+            F.array(F.lit("partial_dismissal"), F.lit("inadmissible")),
+            F.array(F.lit("approval"), F.lit("dismissal")),
+            F.array(F.lit("inadmissible")),
+        ),
+        (d % 6).cast("int") + 1,
+    )
+    constructed = docs.select(
+        "doc_id",
+        lang.alias("language"),
+        considerations.alias("considerations"),
+        F.when(d % 4 == 0, are).otherwise(F.lit("A. Muster")).alias("plaintiff"),
+        F.when(d % 5 == 0, are).otherwise(F.lit("B. Beispiel")).alias("defendant"),
+        judgments.alias("judgments"),
+    )
+    cases = building_violations_cases(constructed, "language", "considerations")
+    return building_violations_summary(
+        cases, "language", "plaintiff", "defendant", "judgments"
+    )
+
+
+BUILDING_VIOLATIONS_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 4 = 0 AS is_are_p,
+         doc_id % 5 = 0 AS is_are_d,
+         CASE WHEN doc_id % 6 IN (0, 1) THEN 1 ELSE 0 END AS app
+  FROM documents WHERE doc_id % 2 = 0),
+coh AS (
+  SELECT 'all cases' AS cohort, app FROM base
+  UNION ALL
+  SELECT CASE WHEN is_are_p THEN 'ARE is plaintiff'
+              ELSE 'non-ARE is plaintiff' END, app FROM base
+  UNION ALL
+  SELECT CASE WHEN is_are_d THEN 'ARE is defendant'
+              ELSE 'non-ARE is defendant' END, app FROM base)
+SELECT cohort,
+       sum(app) AS approvals,
+       count(*) AS total,
+       sum(app) * 100.0 / count(*) AS approval_percentage
+FROM coh GROUP BY cohort
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "building_violations_summary",
+        q_building_violations,
+        BUILDING_VIOLATIONS_ORACLE,
+        "building-violations cohort analysis (regex filter + F9 reduction)",
+    ),
+]

@@ -89,6 +89,7 @@ _ROUND3_NEW: set[str] = {
     "pii_redaction_documents",
     "domain_mix_documents",
     "scd2_user_state",
+    "building_violations_summary",
 }
 
 
