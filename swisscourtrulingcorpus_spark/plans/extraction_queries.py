@@ -928,3 +928,66 @@ SPECS += [
         "building-violations cohort analysis (regex filter + F9 reduction)",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# tei_corpus_extracted: external-corpus TEI ingest plumbing
+# ---------------------------------------------------------------------------
+
+def q_tei_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-corpus TEI ingest (`sources/tei.py`,
+    `external_corpus_processor.py:13-101`): TEI XML constructed from
+    doc_id arithmetic (every 7th file deliberately malformed, every
+    5th carries the reference's 'NoDate' sentinel) parses through the
+    real mapInPandas chain; the oracle reconstructs every parsed field
+    from the same arithmetic."""
+    from swisscourtrulingcorpus_spark.sources.tei import tei_corpus_df
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    date = F.when(d % 5 == 0, F.lit("NoDate")).otherwise(
+        F.concat(F.lit("200"), (d % 10).cast("string"), F.lit("-01-15"))
+    )
+    xml = F.concat(
+        F.lit('<TEI><teiHeader><fileDesc><titleStmt><title>Urteil '),
+        d.cast("string"),
+        F.lit("</title></titleStmt><sourceDesc>"
+              '<biblStruct type="decision"><analytic><idno>AZ-'),
+        d.cast("string"),
+        F.lit("</idno><date>"),
+        date,
+        F.lit("</date></analytic></biblStruct></sourceDesc></fileDesc>"
+              "</teiHeader><text><body><p>Erwägung "),
+        d.cast("string"),
+        F.lit(" gilt.</p></body></text></TEI>"),
+    )
+    raw = docs.select(
+        F.concat(F.lit("jureko/"), d.cast("string"), F.lit(".xml")).alias("f"),
+        F.when(d % 7 == 0, F.lit("<TEI><broken")).otherwise(xml).alias("x"),
+    )
+    return tei_corpus_df(raw, "x", "f")
+
+
+TEI_ORACLE = """
+SELECT 'jureko/' || CAST(doc_id AS VARCHAR) || '.xml' AS source_file,
+       CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 'decision' END AS doc_type,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Urteil ' || CAST(doc_id AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'AZ-' || CAST(doc_id AS VARCHAR) END AS file_number,
+       CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+            ELSE '200' || CAST(doc_id % 10 AS VARCHAR) || '-01-15' END AS date,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Erwägung ' || CAST(doc_id AS VARCHAR) || ' gilt.' END AS text
+FROM documents
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "tei_corpus_extracted",
+        q_tei_corpus,
+        TEI_ORACLE,
+        "external-corpus TEI ingest (mapInPandas parse, malformed → null row)",
+    ),
+]

@@ -90,6 +90,7 @@ _ROUND3_NEW: set[str] = {
     "domain_mix_documents",
     "scd2_user_state",
     "building_violations_summary",
+    "tei_corpus_extracted",
 }
 
 

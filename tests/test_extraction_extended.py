@@ -133,3 +133,37 @@ def test_frame_sample_fanout_count(spark, sf_dir):
         F.sum(F.length("payload") % 5 + 1).alias("n")
     ).collect()[0].n
     assert got == want
+
+
+# ------------------------------------------------ external-corpus TEI ingest
+
+def test_tei_parse_reference_shapes():
+    """TEI parse: namespaced and plain headers, NoDate sentinel,
+    malformed XML quarantined to a null row."""
+    from swisscourtrulingcorpus_spark.sources.tei import parse_tei_string
+
+    plain = (
+        "<TEI><teiHeader><fileDesc>"
+        "<titleStmt><title> Urteil X </title></titleStmt>"
+        '<sourceDesc><biblStruct type="decision"><analytic>'
+        "<idno>AZ 42</idno><idno>secondary</idno><date>2001-02-03</date>"
+        "</analytic></biblStruct></sourceDesc></fileDesc></teiHeader>"
+        "<text><body><p>Erster  Satz.</p><p>Zweiter Satz.</p></body></text></TEI>"
+    )
+    got = parse_tei_string(plain, "a.xml")
+    assert got == {
+        "source_file": "a.xml", "doc_type": "decision", "title": "Urteil X",
+        "file_number": "AZ 42",  # FIRST idno, as the reference comments
+        "date": "2001-02-03", "text": "Erster Satz. Zweiter Satz.",
+    }
+
+    namespaced = plain.replace(
+        "<TEI>", '<TEI xmlns="http://www.tei-c.org/ns/1.0">'
+    ).replace("<date>2001-02-03</date>", "<date>NoDate</date>")
+    got = parse_tei_string(namespaced, "b.xml")
+    assert got["title"] == "Urteil X" and got["doc_type"] == "decision"
+    assert got["date"] is None  # NoDate sentinel -> null (jureko_processor.py:63-66)
+
+    broken = parse_tei_string("<TEI><broken", "c.xml")
+    assert broken["source_file"] == "c.xml"
+    assert all(broken[k] is None for k in ("doc_type", "title", "file_number", "date", "text"))
