@@ -121,3 +121,144 @@ def tei_corpus_df(df: DataFrame, xml_col: str, file_col: str) -> DataFrame:
             )
 
     return df.mapInPandas(batches, TEI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WikiExtractor multi-doc files (`wikipedia_processor.py:14-46`)
+# ---------------------------------------------------------------------------
+
+WIKI_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("wiki_id", StringType()),
+        StructField("title", StringType()),
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+_WIKI_DOC = None  # compiled lazily (regex import kept local to executors)
+
+
+def parse_wiki_file(content: str, source_file: str = "") -> list[dict]:
+    """WikiExtractor output: many ``<doc id=.. url=.. title=..>`` blocks
+    per file, with UNESCAPED body text — not well-formed XML (the
+    reference leans on bs4's leniency; here a tolerant regex walk).
+    One file → N article rows."""
+    import html as _html
+    import re
+
+    global _WIKI_DOC
+    if _WIKI_DOC is None:
+        _WIKI_DOC = re.compile(
+            r'<doc\s+id="([^"]*)"\s+url="([^"]*)"\s+title="([^"]*)"\s*>'
+            r"(.*?)</doc>",
+            re.DOTALL,
+        )
+    rows = []
+    for m in _WIKI_DOC.finditer(content):
+        wiki_id, url, title, body = m.groups()
+        rows.append(
+            {
+                "source_file": source_file,
+                "wiki_id": wiki_id,
+                "title": _html.unescape(title),
+                "url": url,
+                "text": " ".join(_html.unescape(body).split()) or None,
+            }
+        )
+    return rows
+
+
+def wiki_corpus_df(df: DataFrame, content_col: str, file_col: str) -> DataFrame:
+    """Distributed WikiExtractor ingest: one raw dump-part row fans out
+    to N article rows inside the Arrow batch (cheap local explode —
+    no shuffle; downstream sees articles, never dump parts)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: list[dict] = []
+            for content, f in zip(pdf[content_col], pdf[file_col]):
+                rows.extend(parse_wiki_file(content, source_file=f))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in WIKI_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, WIKI_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# SLC POS-tagged token XML (`slc_processor.py:30-55`)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+SLC_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("sr", StringType()),
+        StructField("title", StringType()),
+        StructField("lang", StringType()),
+        StructField("tokens", ArrayType(StringType())),
+    ]
+)
+
+
+def parse_slc_string(xml: str, source_file: str = "") -> dict | None:
+    """One SLC file → (sr, title, lang, tokens): legislation number,
+    name and language from ``<meta>``, the token stream from the
+    ``word`` attribute of every ``<t>`` under ``<doc>/<p>``.  The
+    reference keeps the token LIST (the POS corpus is pre-tokenized);
+    so do we — a typed array<string>, not a joined blob.  Missing
+    structure → None (file skipped), as `slc_processor.py:35-49`."""
+    try:
+        root = ET.fromstring(xml)
+    except ET.ParseError:
+        return None
+    text = root if _local(root.tag) == "text" else next(
+        (c for c in root.iter() if _local(c.tag) == "text"), None
+    )
+    if text is None:
+        return None
+    meta = next((c for c in text if _local(c.tag) == "meta"), None)
+    doc = next((c for c in text if _local(c.tag) == "doc"), None)
+    if meta is None or doc is None:
+        return None
+
+    def _meta(tag: str) -> str | None:
+        el = next((c for c in meta if _local(c.tag) == tag), None)
+        return (el.text or "").strip() if el is not None else None
+
+    tokens = [
+        t.get("word")
+        for p in doc
+        if _local(p.tag) == "p"
+        for t in p
+        if _local(t.tag) == "t" and t.get("word") is not None
+    ]
+    if not tokens:
+        return None
+    return {
+        "source_file": source_file,
+        "sr": _meta("sr"),
+        "title": _meta("name"),
+        "lang": _meta("lang"),
+        "tokens": tokens,
+    }
+
+
+def slc_corpus_df(df: DataFrame, xml_col: str, file_col: str) -> DataFrame:
+    """Distributed SLC ingest (mapInPandas; skip-on-malformed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                r
+                for x, f in zip(pdf[xml_col], pdf[file_col])
+                if (r := parse_slc_string(x, source_file=f)) is not None
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SLC_SCHEMA.fields]
+            )
+
+    return df.mapInPandas(batches, SLC_SCHEMA)

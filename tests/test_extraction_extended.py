@@ -167,3 +167,35 @@ def test_tei_parse_reference_shapes():
     broken = parse_tei_string("<TEI><broken", "c.xml")
     assert broken["source_file"] == "c.xml"
     assert all(broken[k] is None for k in ("doc_type", "title", "file_number", "date", "text"))
+
+
+def test_wiki_and_slc_parse():
+    """WikiExtractor multi-doc fan-out (unescaped bodies tolerated) and
+    SLC token-XML parse with skip-on-malformed."""
+    from swisscourtrulingcorpus_spark.sources.tei import (
+        parse_slc_string,
+        parse_wiki_file,
+    )
+
+    wiki = (
+        '<doc id="12" url="https://de.wikipedia.org/wiki?curid=12" title="Recht &amp; Staat">\n'
+        "Recht & Staat ist ein Begriff. 1 < 2 gilt.\n</doc>\n"
+        '<doc id="34" url="u2" title="Gericht">\nEin Gericht urteilt.\n</doc>'
+    )
+    rows = parse_wiki_file(wiki, "AA/wiki_00")
+    assert [r["wiki_id"] for r in rows] == ["12", "34"]
+    assert rows[0]["title"] == "Recht & Staat"
+    assert rows[0]["text"] == "Recht & Staat ist ein Begriff. 1 < 2 gilt."
+    assert rows[1]["text"] == "Ein Gericht urteilt."
+
+    slc = (
+        "<text><meta><sr>101</sr><name>OR</name><lang>de</lang></meta>"
+        '<doc><p><t word="Der"/><t word="Vertrag"/></p><p><t word="gilt"/></p></doc></text>'
+    )
+    got = parse_slc_string(slc, "DE/or.xml")
+    assert got == {
+        "source_file": "DE/or.xml", "sr": "101", "title": "OR",
+        "lang": "de", "tokens": ["Der", "Vertrag", "gilt"],
+    }
+    assert parse_slc_string("<text><meta/></text>") is None
+    assert parse_slc_string("not xml") is None
