@@ -199,3 +199,45 @@ def test_wiki_and_slc_parse():
     }
     assert parse_slc_string("<text><meta/></text>") is None
     assert parse_slc_string("not xml") is None
+
+
+def test_person_registry_enrichment(spark):
+    """Registry matching semantics (`court_composition_extracting_
+    functions.py:592-625`): token-subset match, initial prefix match,
+    exactly-one rule, role gating."""
+    from swisscourtrulingcorpus_spark.extraction.person_registry import (
+        enrich_from_registry,
+    )
+
+    registry = spark.createDataFrame(
+        [
+            ("Vogel Markus", "judge", "male", "lib"),
+            ("Vogel Martina", "judge", "female", "soc"),
+            ("Keller Anna Sophie", "judge", "female", "green"),
+            ("Keller Anna", "clerk", "female", None),
+        ],
+        "name: string, role: string, gender: string, party: string",
+    )
+    extracted = spark.createDataFrame(
+        [
+            (1, "Keller Anna Sophie", "judge"),   # exact subset -> unique
+            (2, "Keller", "judge"),               # subset of one judge -> unique
+            (3, "Vogel", "judge"),                # two candidates -> ambiguous
+            (4, "Vogel M.", "judge"),             # initial M. matches BOTH -> ambiguous
+            (5, "Vogel Martina", "judge"),        # full tokens disambiguate
+            (6, "Keller Anna", "clerk"),          # role gates to the clerk entry
+            (7, "Unbekannt", "judge"),            # no match
+        ],
+        "person_id: long, name: string, role: string",
+    )
+    got = {
+        r.person_id: (r.matched, r.matched_name, r.gender, r.party)
+        for r in enrich_from_registry(extracted, registry).collect()
+    }
+    assert got[1] == (True, "Keller Anna Sophie", "female", "green")
+    assert got[2] == (True, "Keller Anna Sophie", "female", "green")
+    assert got[3][0] is False
+    assert got[4][0] is False
+    assert got[5] == (True, "Vogel Martina", "female", "soc")
+    assert got[6] == (True, "Keller Anna", "female", None)
+    assert got[7][0] is False
