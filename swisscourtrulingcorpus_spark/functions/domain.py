@@ -89,3 +89,33 @@ def normalize_binary_judgment(judgments: Column | str) -> Column:
         .when(F.size(substantive) == 0, F.lit(None).cast("string"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# first digit of a Rechtsgebiete law code -> top-level law area
+# (`chamber_areas_from_law_codes.py:8-13`)
+_CODE_AREAS: dict[str, str] = {
+    "1": "civil_law",
+    "2": "public_law",
+    "3": "penal_law",
+    "4": "social_law",
+}
+
+
+def law_codes_to_area(codes: Column | str) -> Column:
+    """Chamber law-area consensus (`chamber_areas_from_law_codes.py:
+    29-42` ``codes_to_area``) over an ``array<string>`` of law codes
+    ('1.4.', '2.1.', ...): empty/blank lists → NULL, mixed first
+    digits → NULL (no unanimous area), otherwise the area of the
+    single shared first digit (unknown digit → NULL, as the Python
+    ``areas.get`` → nan).  Pure array expressions."""
+    c = F.col(codes) if isinstance(codes, str) else codes
+    nonempty = F.filter(c, lambda x: F.length(x) > 0)
+    firsts = F.array_distinct(F.transform(nonempty, lambda x: F.substring(x, 1, 1)))
+    from itertools import chain
+
+    area_map = F.create_map(
+        *list(chain.from_iterable((F.lit(k), F.lit(v)) for k, v in _CODE_AREAS.items()))
+    )
+    return F.when(F.size(firsts) == 1, area_map[F.element_at(firsts, 1)]).otherwise(
+        F.lit(None).cast("string")
+    )

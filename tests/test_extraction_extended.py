@@ -241,3 +241,22 @@ def test_person_registry_enrichment(spark):
     assert got[5] == (True, "Vogel Martina", "female", "soc")
     assert got[6] == (True, "Keller Anna", "female", None)
     assert got[7][0] is False
+
+
+def test_law_codes_to_area(spark):
+    """codes_to_area consensus (`chamber_areas_from_law_codes.py:29-42`):
+    unanimous first digit -> area, mixed/empty/unknown -> null."""
+    from swisscourtrulingcorpus_spark.functions.domain import law_codes_to_area
+
+    df = spark.createDataFrame(
+        [
+            (1, ["1.4.", "1.2."]), (2, ["2.1."]), (3, ["1.4.", "3.1."]),
+            (4, []), (5, [""]), (6, ["9.9."]), (7, ["4.1.", "4.2.", "4.3."]),
+        ],
+        "id: long, codes: array<string>",
+    )
+    got = {r.id: r.area for r in df.select("id", law_codes_to_area("codes").alias("area")).collect()}
+    assert got == {
+        1: "civil_law", 2: "public_law", 3: None, 4: None,
+        5: None, 6: None, 7: "social_law",
+    }
