@@ -1,0 +1,155 @@
+"""Annotation-campaign operators (reference `scrc/annotation/` subtree).
+
+The reference's judgment-explainability analysis is pandas over
+annotator CSV/JSONL exports; the query semantics re-expressed here
+Spark-first:
+
+- ``explainability_scores`` : occlusion experiments vs. baseline —
+  per-case confidence delta, flip detection, confidence direction and
+  normalized explainability score
+  (`judgment_explainability/analysis/utils/preprocessing.py:554-646`:
+  ``occlusion_preprocessing`` / ``calculate_explainability_score`` /
+  ``find_flipped_cases`` / ``normalize_exp_score_direction:609-631``).
+  The reference loops row-by-row over the baseline frame per occlusion
+  row (`preprocessing.py:643-646`) — a driver-side O(n·m) scan; here it
+  is ONE broadcast-able equi-join on the case id, then pure column
+  arithmetic.  At 100 TB of model outputs the baseline side is one row
+  per case and experiment-partitioned occlusions join map-side.
+
+- ``iaa_pairwise_agreement`` : inter-annotator agreement over token
+  selections (`.../utils/scores.py:106-184``:
+  ``calculate_overlap_min_max`` / ``calculate_jaccard_similarity_
+  distance``): for every annotator pair, overlap-min, overlap-max and
+  Jaccard over the selected-token sets.  Array-native (``array_
+  intersect``/``array_union``) — no UDF, no explode, zero shuffles.
+
+- ``stratified_annotation_pick`` : the prodigy dataset-creation
+  selection (`annotation/prodigy_dataset_creation/prodigy_dataset_
+  creator.py:80-96`` ``filter_dataset``: keep the FIRST case per
+  (year, legal_area, judgment) stratum, input ordered shortest-facts-
+  first per ``db_stream:233-236``).  A rank-1 window per stratum — one
+  shuffle on the stratum key, skew-free because strata are tiny.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BASELINE_LABEL = "Baseline"
+
+
+def explainability_scores(
+    df: DataFrame,
+    id_col: str = "id",
+    label_col: str = "explainability_label",
+    prediction_col: str = "prediction",
+    confidence_col: str = "confidence",
+) -> DataFrame:
+    """Occlusion rows + baseline rows (label == 'Baseline') in one frame
+    -> occlusion rows with ``explainability_score``, ``has_flipped``,
+    ``confidence_direction`` and ``norm_explainability_score``.
+
+    Semantics (reference `preprocessing.py`):
+      - ``explainability_score``  = baseline confidence - occluded
+        confidence for the same case id (``calculate_explainability_
+        score:634-646``; the reference takes ``max()`` over baseline
+        duplicates, mirrored here with ``F.max``).
+      - ``has_flipped``           = occluded prediction != baseline
+        prediction (``find_flipped_cases:677-694``).
+      - ``confidence_direction``  in {-1, 0, 1} and
+        ``norm_explainability_score`` per
+        ``normalize_exp_score_direction:609-631``: for prediction 0 the
+        direction is the sign of the score and the score is kept; for
+        prediction 1 both flip sign (a drop in confidence for the
+        opposite class means MORE confidence in the judgment).
+    """
+    base = (
+        df.where(F.col(label_col) == BASELINE_LABEL)
+        .groupBy(id_col)
+        .agg(
+            F.max(confidence_col).alias("_base_confidence"),
+            F.max(prediction_col).alias("_base_prediction"),
+        )
+    )
+    occ = df.where(F.col(label_col) != BASELINE_LABEL)
+    joined = occ.join(F.broadcast(base), on=id_col, how="left")
+    score = F.col("_base_confidence") - F.col(confidence_col)
+    pred = F.col(prediction_col)
+    sign = F.when(score > 0, F.lit(1)).when(score < 0, F.lit(-1)).otherwise(F.lit(0))
+    direction = F.when(score.isNull() | (score == 0), F.lit(0)).otherwise(
+        F.when(pred == 0, sign).otherwise(-sign)
+    )
+    norm = F.when(pred == 0, score).otherwise(-score)
+    return (
+        joined.withColumn("explainability_score", score)
+        .withColumn(
+            "has_flipped", F.col(prediction_col) != F.col("_base_prediction")
+        )
+        .withColumn("confidence_direction", direction)
+        .withColumn("norm_explainability_score", norm)
+        .drop("_base_confidence", "_base_prediction")
+    )
+
+
+def iaa_pairwise_agreement(
+    df: DataFrame,
+    token_cols: dict[str, str],
+    id_cols: list[str],
+) -> DataFrame:
+    """Pairwise inter-annotator agreement over token-selection arrays.
+
+    ``token_cols`` maps annotator name -> array column.  For every
+    unordered annotator pair emits ``overlap_min_<a>_<b>``,
+    ``overlap_max_<a>_<b>`` and ``jaccard_<a>_<b>`` mirroring the
+    reference's per-pair score columns (`scores.py`:
+    overlap / min(len), overlap / max(len), |∩| / |∪|; empty-vs-empty
+    handled as 0.0 like the reference's NaN->0 fill).
+
+    Pure array expressions — stays inside whole-stage codegen.
+    """
+    out = df
+    for a, b in combinations(sorted(token_cols), 2):
+        ca = F.array_distinct(F.col(token_cols[a]))
+        cb = F.array_distinct(F.col(token_cols[b]))
+        inter = F.size(F.array_intersect(ca, cb)).cast("double")
+        union = F.size(F.array_union(ca, cb)).cast("double")
+        lo = F.least(F.size(ca), F.size(cb)).cast("double")
+        hi = F.greatest(F.size(ca), F.size(cb)).cast("double")
+        out = (
+            out.withColumn(
+                f"overlap_min_{a}_{b}",
+                F.when(lo > 0, inter / lo).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                f"overlap_max_{a}_{b}",
+                F.when(hi > 0, inter / hi).otherwise(F.lit(0.0)),
+            )
+            .withColumn(
+                f"jaccard_{a}_{b}",
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+            )
+        )
+    return out.select(*id_cols, *[c for c in out.columns if c not in df.columns])
+
+
+def stratified_annotation_pick(
+    df: DataFrame,
+    strata: list[str],
+    order_by: list[Column],
+) -> DataFrame:
+    """Keep exactly one row per stratum: the first in ``order_by`` order
+    (the prodigy creator's unique-tuple filter over a shortest-facts-
+    first stream, `prodigy_dataset_creator.py:80-96,233-236`).
+
+    ``order_by`` must be a total order (include a unique id as the last
+    key) so the pick is deterministic on any cluster size.
+    """
+    w = Window.partitionBy(*strata).orderBy(*order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

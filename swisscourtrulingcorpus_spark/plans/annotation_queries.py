@@ -1,0 +1,259 @@
+"""Gate queries for the annotation-campaign operators (reference
+`scrc/annotation/` subtree).
+
+Same construction-arithmetic oracle pattern as `extraction_queries.py`:
+the synthetic ``documents`` table provides only ``doc_id``; every input
+(annotator token selections, model confidences, facts lengths, headers)
+is derived from ``doc_id`` arithmetic on the Spark side, and the DuckDB
+oracle reconstructs the expected OUTPUT independently — closed-form for
+the interval-set IAA scores, window SQL for the stratified pick, plain
+arithmetic for the occlusion deltas.  What the gate therefore proves is
+the operator semantics (join/window/array plumbing), not the fixture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.annotation import (
+    explainability_scores,
+    iaa_pairwise_agreement,
+    stratified_annotation_pick,
+)
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# prodigy_annotation_set — the prodigy dataset-creation selection
+# (`prodigy_dataset_creator.py:80-96` filter_dataset + `:233-236`
+# shortest-facts-first stream + `:200-208` header_preprocessing)
+# ---------------------------------------------------------------------------
+
+# umlaut-free German month names so the extraction regex stays inside
+# RE2's ASCII \w on the oracle side
+_MONTHS = [
+    "Januar", "Februar", "April", "Mai", "Juni", "Juli", "August",
+    "September", "Oktober", "November", "Dezember",
+]
+_AREAS = ["penal_law", "social_law", "civil_law"]  # LEGAL_AREAS, :38
+_HEADER_RX = r"[uU]rteil vom \d{1,2}\. [A-Za-z]+ \d{4}"
+
+
+def q_prodigy_annotation_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One case per (year, legal_area, judgment) stratum, shortest facts
+    first — 6 years x 3 areas x 2 outcomes = 36 rows (mode 'je',
+    `prodigy_dataset_creator.py:125-127`), with the reference's
+    header_preprocessing regex span."""
+    d = F.col("doc_id")
+    # strata digits must be INDEPENDENT (mixed-radix, not three
+    # correlated modulos of the same id) so all 6x3x2 = 36 strata are
+    # populated
+    area_idx = F.expr("doc_id div 6") % 3
+    judgment_idx = F.expr("doc_id div 18") % 2
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(2015) + d % 6).alias("year"),
+        F.element_at(
+            F.array(*[F.lit(a) for a in _AREAS]), (area_idx + 1).cast("int")
+        ).alias("legal_area"),
+        F.when(judgment_idx == 0, F.lit("approval"))
+        .otherwise(F.lit("dismissal"))
+        .alias("judgment"),
+        (F.lit(100) + (d * 37) % 900).alias("facts_len"),
+        F.concat(
+            F.lit("Besetzung Bundesrichter Muster, Gerichtsschreiber Weber. "
+                  "Urteil vom "),
+            (F.lit(1) + d % 28).cast("string"),
+            F.lit(". "),
+            F.element_at(
+                F.array(*[F.lit(m) for m in _MONTHS]), (d % 11 + 1).cast("int")
+            ),
+            F.lit(" "),
+            (F.lit(2015) + d % 6).cast("string"),
+            F.lit(" i.S. Partei A gegen Partei B."),
+        ).alias("header"),
+    )
+    picked = stratified_annotation_pick(
+        base,
+        strata=["year", "legal_area", "judgment"],
+        order_by=[F.col("facts_len"), F.col("doc_id")],
+    )
+    return picked.select(
+        "year",
+        "legal_area",
+        "judgment",
+        "doc_id",
+        "facts_len",
+        F.regexp_extract("header", _HEADER_RX, 0).alias("header_span"),
+    )
+
+
+PRODIGY_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         2015 + doc_id % 6 AS year,
+         ['penal_law', 'social_law', 'civil_law'][CAST((doc_id // 6) % 3 AS INTEGER) + 1] AS legal_area,
+         CASE WHEN (doc_id // 18) % 2 = 0 THEN 'approval' ELSE 'dismissal' END AS judgment,
+         100 + (doc_id * 37) % 900 AS facts_len,
+         'Urteil vom ' || CAST(1 + doc_id % 28 AS VARCHAR) || '. '
+           || ['Januar','Februar','April','Mai','Juni','Juli','August',
+               'September','Oktober','November','Dezember'][CAST(doc_id % 11 AS INTEGER) + 1]
+           || ' ' || CAST(2015 + doc_id % 6 AS VARCHAR) AS header_span
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY year, legal_area, judgment
+           ORDER BY facts_len, doc_id) AS rn
+  FROM base
+)
+SELECT year, legal_area, judgment, doc_id, facts_len, header_span
+FROM ranked WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# iaa_token_agreement — pairwise IAA over token selections
+# (`judgment_explainability/analysis/utils/scores.py`); annotator
+# selections are integer INTERVALS so the oracle has a closed form
+# ---------------------------------------------------------------------------
+
+def q_iaa_token_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.sequence(F.lit(0), (d % 5) + 4).alias("tokens_angela"),
+        F.sequence(d % 3, (d % 3) + 5).alias("tokens_lynn"),
+        F.sequence(F.lit(2), (d % 7) + 2).alias("tokens_thomas"),
+    )
+    return iaa_pairwise_agreement(
+        docs,
+        token_cols={
+            "angela": "tokens_angela",
+            "lynn": "tokens_lynn",
+            "thomas": "tokens_thomas",
+        },
+        id_cols=["doc_id"],
+    )
+
+
+# |[s1,e1] ∩ [s2,e2]| = max(0, min(e1,e2) - max(s1,s2) + 1); all three
+# selections are intervals, so every score is integer arithmetic and the
+# divisions are the same small-int/small-int IEEE doubles in both engines
+IAA_ORACLE = """
+WITH iv AS (
+  SELECT doc_id,
+         0 AS s_a, doc_id % 5 + 4 AS e_a,
+         doc_id % 3 AS s_l, doc_id % 3 + 5 AS e_l,
+         2 AS s_t, doc_id % 7 + 2 AS e_t
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         GREATEST(0, LEAST(e_a, e_l) - GREATEST(s_a, s_l) + 1) AS i_al,
+         GREATEST(0, LEAST(e_a, e_t) - GREATEST(s_a, s_t) + 1) AS i_at,
+         GREATEST(0, LEAST(e_l, e_t) - GREATEST(s_l, s_t) + 1) AS i_lt,
+         e_a - s_a + 1 AS n_a, e_l - s_l + 1 AS n_l, e_t - s_t + 1 AS n_t
+  FROM iv
+)
+SELECT doc_id,
+       CAST(i_al AS DOUBLE) / LEAST(n_a, n_l)        AS overlap_min_angela_lynn,
+       CAST(i_al AS DOUBLE) / GREATEST(n_a, n_l)     AS overlap_max_angela_lynn,
+       CAST(i_al AS DOUBLE) / (n_a + n_l - i_al)     AS jaccard_angela_lynn,
+       CAST(i_at AS DOUBLE) / LEAST(n_a, n_t)        AS overlap_min_angela_thomas,
+       CAST(i_at AS DOUBLE) / GREATEST(n_a, n_t)     AS overlap_max_angela_thomas,
+       CAST(i_at AS DOUBLE) / (n_a + n_t - i_at)     AS jaccard_angela_thomas,
+       CAST(i_lt AS DOUBLE) / LEAST(n_l, n_t)        AS overlap_min_lynn_thomas,
+       CAST(i_lt AS DOUBLE) / GREATEST(n_l, n_t)     AS overlap_max_lynn_thomas,
+       CAST(i_lt AS DOUBLE) / (n_l + n_t - i_lt)     AS jaccard_lynn_thomas
+FROM pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# occlusion_explainability — confidence deltas vs. baseline
+# (`preprocessing.py:554-694`)
+# ---------------------------------------------------------------------------
+
+def q_occlusion_explainability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline + 4 occlusion experiments per case; the operator joins
+    each experiment row back to its baseline and derives score / flip /
+    direction / normalized score."""
+    d = F.col("doc_id")
+    e = F.col("exp")
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(i) for i in range(5)])).alias("exp"),
+        )
+        .select(
+            F.col("doc_id").alias("id"),
+            "exp",
+            F.when(e == 0, F.lit("Baseline"))
+            .otherwise(F.concat(F.lit("occlusion_"), e.cast("string")))
+            .alias("explainability_label"),
+            F.when((e > 0) & ((d + e) % 5 == 0), 1 - d % 2)
+            .otherwise(d % 2)
+            .alias("prediction"),
+            F.when(e == 0, (F.lit(50) + d % 50) / F.lit(100.0))
+            .otherwise((F.lit(30) + (d * (e + 3)) % 70) / F.lit(100.0))
+            .alias("confidence"),
+        )
+    )
+    scored = explainability_scores(rows)
+    return scored.select(
+        "id",
+        "exp",
+        "explainability_score",
+        "has_flipped",
+        F.col("confidence_direction").cast("int").alias("confidence_direction"),
+        "norm_explainability_score",
+    )
+
+
+OCCLUSION_ORACLE = """
+WITH occ AS (
+  SELECT doc_id AS id, e.exp AS exp,
+         CASE WHEN (doc_id + e.exp) % 5 = 0 THEN 1 - doc_id % 2
+              ELSE doc_id % 2 END AS prediction,
+         (50 + doc_id % 50) / 100.0
+           - (30 + (doc_id * (e.exp + 3)) % 70) / 100.0 AS score
+  FROM documents, (SELECT UNNEST([1, 2, 3, 4]) AS exp) e
+)
+SELECT id, exp,
+       score AS explainability_score,
+       prediction != id % 2 AS has_flipped,
+       -- direction/normalization key off the OCCLUSION row's own
+       -- prediction (occlusion_preprocessing splits on df.prediction),
+       -- not the baseline's — they differ exactly on flipped cases
+       CAST(CASE WHEN score = 0 THEN 0
+                 WHEN prediction = 0 THEN CASE WHEN score > 0 THEN 1 ELSE -1 END
+                 ELSE CASE WHEN score > 0 THEN -1 ELSE 1 END
+            END AS INTEGER) AS confidence_direction,
+       CASE WHEN prediction = 0 THEN score ELSE -score END
+         AS norm_explainability_score
+FROM occ
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "prodigy_annotation_set",
+        q_prodigy_annotation_set,
+        PRODIGY_ORACLE,
+        "stratified one-per-(year,area,judgment) annotation pick + header span",
+    ),
+    QuerySpec(
+        "iaa_token_agreement",
+        q_iaa_token_agreement,
+        IAA_ORACLE,
+        "pairwise IAA overlap/Jaccard, closed-form interval oracle",
+    ),
+    QuerySpec(
+        "occlusion_explainability",
+        q_occlusion_explainability,
+        OCCLUSION_ORACLE,
+        "occlusion confidence deltas, flips, direction vs baseline",
+    ),
+]

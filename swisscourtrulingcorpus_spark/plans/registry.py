@@ -91,12 +91,19 @@ _ROUND3_NEW: set[str] = {
     "scd2_user_state",
     "building_violations_summary",
     "tei_corpus_extracted",
+    # annotation-subtree gates (annotation_queries, declared last so the
+    # never-verified backlog keeps its window slots; the first of these
+    # fills slot 50, the rest rotate into the window next round)
+    "prodigy_annotation_set",
+    "iaa_token_agreement",
+    "occlusion_explainability",
 }
 
 
 def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
+    from swisscourtrulingcorpus_spark.plans import annotation_queries
     from swisscourtrulingcorpus_spark.plans import extraction_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries2
@@ -115,6 +122,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += olap_queries2.SPECS
     specs += training_queries.SPECS
     specs += extraction_queries.SPECS
+    specs += annotation_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
 

@@ -1,0 +1,122 @@
+"""Unit tests for the annotation-campaign operators
+(`swisscourtrulingcorpus_spark/operators/annotation.py`), pinning the
+reference semantics on hand-built frames:
+
+- occlusion explainability (`judgment_explainability/analysis/utils/
+  preprocessing.py:554-694`): score = baseline - occluded confidence,
+  flip detection, direction/normalization keyed on the occlusion row's
+  own prediction, max() over duplicated baselines.
+- IAA pairwise agreement (`.../utils/scores.py`): overlap-min/max and
+  Jaccard per annotator pair, empty selections -> 0.0.
+- prodigy stratified pick (`prodigy_dataset_creator.py:80-96`):
+  first-per-stratum with a deterministic total order.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.annotation import (
+    explainability_scores,
+    iaa_pairwise_agreement,
+    stratified_annotation_pick,
+)
+
+
+def test_explainability_scores_semantics(spark):
+    rows = [
+        # id 1: baseline pred 0 conf .8; occlusion drops conf -> score>0,
+        # pred stays 0 -> direction +1, norm = score
+        ("1", "Baseline", 0, 0.8),
+        ("1", "occlusion_1", 0, 0.6),
+        # id 1 second experiment: flipped prediction -> direction/norm
+        # keyed on the OCCLUSION prediction (1), sign flips
+        ("1", "occlusion_2", 1, 0.7),
+        # id 2: duplicated baseline rows -> max() wins (reference .max())
+        ("2", "Baseline", 1, 0.5),
+        ("2", "Baseline", 1, 0.9),
+        ("2", "occlusion_1", 1, 0.9),  # score 0 -> direction 0
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "explainability_label", "prediction", "confidence"]
+    )
+    out = {
+        (r["id"], r["explainability_label"]): r
+        for r in explainability_scores(df).collect()
+    }
+    assert len(out) == 3  # baseline rows are not re-emitted
+
+    r11 = out[("1", "occlusion_1")]
+    assert r11["explainability_score"] == pytest.approx(0.2)
+    assert r11["has_flipped"] is False
+    assert r11["confidence_direction"] == 1
+    assert r11["norm_explainability_score"] == pytest.approx(0.2)
+
+    r12 = out[("1", "occlusion_2")]
+    assert r12["explainability_score"] == pytest.approx(0.1)
+    assert r12["has_flipped"] is True
+    assert r12["confidence_direction"] == -1  # pred 1: sign flipped
+    assert r12["norm_explainability_score"] == pytest.approx(-0.1)
+
+    r21 = out[("2", "occlusion_1")]
+    assert r21["explainability_score"] == pytest.approx(0.0)
+    assert r21["confidence_direction"] == 0
+    assert r21["has_flipped"] is False
+
+
+def test_iaa_pairwise_agreement_scores(spark):
+    df = spark.createDataFrame(
+        [
+            # identical selections -> all scores 1.0
+            (1, [1, 2, 3], [1, 2, 3], [1, 2, 3]),
+            # disjoint a/b, c empty -> zeros (reference NaN->0 fill)
+            (2, [1, 2], [3, 4], []),
+            # partial overlap: a={1,2,3,4}, b={3,4,5,6}: inter 2,
+            # union 6, min/max len 4
+            (3, [1, 2, 3, 4], [3, 4, 5, 6], [1]),
+        ],
+        ["doc_id", "tokens_angela", "tokens_lynn", "tokens_thomas"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in iaa_pairwise_agreement(
+            df,
+            token_cols={
+                "angela": "tokens_angela",
+                "lynn": "tokens_lynn",
+                "thomas": "tokens_thomas",
+            },
+            id_cols=["doc_id"],
+        ).collect()
+    }
+    assert out[1]["jaccard_angela_lynn"] == 1.0
+    assert out[1]["overlap_min_angela_lynn"] == 1.0
+    assert out[2]["jaccard_angela_lynn"] == 0.0
+    assert out[2]["overlap_min_angela_thomas"] == 0.0  # empty side -> 0
+    assert out[3]["jaccard_angela_lynn"] == pytest.approx(2 / 6)
+    assert out[3]["overlap_min_angela_lynn"] == pytest.approx(2 / 4)
+    assert out[3]["overlap_max_angela_lynn"] == pytest.approx(2 / 4)
+    assert out[3]["overlap_min_angela_thomas"] == pytest.approx(1 / 1)
+    assert out[3]["overlap_max_angela_thomas"] == pytest.approx(1 / 4)
+
+
+def test_stratified_annotation_pick_first_per_stratum(spark):
+    df = spark.createDataFrame(
+        [
+            (2015, "penal_law", "approval", 300, 10),
+            (2015, "penal_law", "approval", 100, 11),  # shortest wins
+            (2015, "penal_law", "approval", 100, 12),  # tie -> lower id
+            (2016, "civil_law", "dismissal", 500, 13),
+        ],
+        ["year", "legal_area", "judgment", "facts_len", "doc_id"],
+    )
+    picked = stratified_annotation_pick(
+        df,
+        strata=["year", "legal_area", "judgment"],
+        order_by=[F.col("facts_len"), F.col("doc_id")],
+    ).collect()
+    by_stratum = {(r["year"], r["legal_area"], r["judgment"]): r for r in picked}
+    assert len(picked) == 2
+    assert by_stratum[(2015, "penal_law", "approval")]["doc_id"] == 11
+    assert by_stratum[(2016, "civil_law", "dismissal")]["doc_id"] == 13
