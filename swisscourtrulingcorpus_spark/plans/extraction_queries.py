@@ -991,3 +991,73 @@ SPECS += [
         "external-corpus TEI ingest (mapInPandas parse, malformed → null row)",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# term_definitions_extracted: TERMDAT XML ingest
+# (`term_definitions_converter.py:11-65`) — validated/reliability
+# filters + per-language definition flatten, oracle via construction
+# arithmetic
+# ---------------------------------------------------------------------------
+
+def q_term_definitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One TERMDAT ``<Eintrag>`` per doc: every 11th shard malformed
+    (drops silently), every 7th not-Validiert (status filter), a
+    cycling reliability code (< 3 filtered), two language zones each
+    with one definition (de Haupteintrag / fr Phraseologie)."""
+    from swisscourtrulingcorpus_spark.sources.termdat import term_definitions_df
+
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    status = F.when(d % 7 == 0, F.lit("Entwurf")).otherwise(F.lit("Validiert"))
+    xml = F.concat(
+        F.lit('<xml><Eintraege><Eintrag Id="'), ds, F.lit('"><Kopf>'),
+        F.lit("<BearbeitungsStatus>"), status, F.lit("</BearbeitungsStatus>"),
+        F.lit("<ZuverlaessigkeitsCode>"), (d % 5 + 1).cast("string"),
+        F.lit("</ZuverlaessigkeitsCode><Sammlung>SR-"), (d % 9).cast("string"),
+        F.lit("</Sammlung><Sachgebiete>Recht</Sachgebiete></Kopf><Sprachzonen>"
+              '<Sprachzone Sprache="DE"><Synonym><Definition>'
+              "<Typ>Haupteintrag</Typ><Text>Begriff "), ds,
+        F.lit("</Text></Definition></Synonym></Sprachzone>"
+              '<Sprachzone Sprache="FR"><Synonym><Definition>'
+              "<Typ>Phraseologie</Typ><Text>Terme "), ds,
+        F.lit("</Text></Definition></Synonym></Sprachzone>"
+              "</Sprachzonen></Eintrag></Eintraege></xml>"),
+    )
+    raw = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            F.when(d % 11 == 0, F.lit("<xml><broken")).otherwise(xml).alias("x")
+        )
+    )
+    return term_definitions_df(raw, "x")
+
+
+TERMDAT_ORACLE = """
+WITH ok AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 11 != 0          -- malformed shard: parses to no rows
+    AND doc_id % 7 != 0           -- BearbeitungsStatus != 'Validiert'
+    AND doc_id % 5 + 1 >= 3       -- ZuverlaessigkeitsCode < 3 dropped
+)
+SELECT doc_id AS term_id,
+       'SR-' || CAST(doc_id % 9 AS VARCHAR) AS collection,
+       'Recht' AS areas,
+       CAST(doc_id % 5 + 1 AS INTEGER) AS reliability,
+       l.lang AS lang,
+       CASE l.lang WHEN 'de' THEN 'Haupteintrag' ELSE 'Phraseologie' END AS def_type,
+       CASE l.lang WHEN 'de' THEN 'Begriff ' ELSE 'Terme ' END
+         || CAST(doc_id AS VARCHAR) AS def_text
+FROM ok, (SELECT UNNEST(['de', 'fr']) AS lang) l
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "term_definitions_extracted",
+        q_term_definitions,
+        TERMDAT_ORACLE,
+        "TERMDAT XML ingest: status/reliability filters, per-language flatten",
+    ),
+]

@@ -57,6 +57,10 @@ _FRONT_OF_WINDOW: list[str] = [
     "q19_brand_size_revenue",
     "ntile_customer_spend",
     "cube_order_status_priority",
+    # round-3b: pinned so the annotation-subtree port has a driver row
+    # this round (TEI already covers the mapInPandas-XML shape at slot
+    # 49; term_definitions/iaa/occlusion rotate into the r04 window)
+    "prodigy_annotation_set",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept
@@ -97,6 +101,7 @@ _ROUND3_NEW: set[str] = {
     "prodigy_annotation_set",
     "iaa_token_agreement",
     "occlusion_explainability",
+    "term_definitions_extracted",
 }
 
 
