@@ -119,3 +119,64 @@ def law_codes_to_area(codes: Column | str) -> Column:
     return F.when(F.size(firsts) == 1, area_map[F.element_at(firsts, 1)]).otherwise(
         F.lit(None).cast("string")
     )
+
+
+# ---------------------------------------------------------------------------
+# Court processability lists (`scrc/utils/court_names.py:1-42`): the
+# reference maintains per-failure-mode lists of courts whose dataset
+# creation is known to fail (empty sections / empty judgments / empty
+# labels) and skips them in the per-court creator loop.  Kept here as a
+# broadcast-able exclusion dim; the semantics — get_error_courts(index)
+# concatenates the three error categories, get_empty_courts() the
+# judgments-empty list — are preserved so a reference user's skip
+# behavior carries over.
+# ---------------------------------------------------------------------------
+
+# section loading fails (StopIteration, `court_names.py:7-9`)
+COURT_ERROR_SECTIONS: list[str] = [
+    "CH_VB", "OW_OG", "OW_VG", "OW_VB", "TG_OG", "TI_CRP", "TI_GIAR",
+    "TI_PP", "UR_REB", "ZG_UPL", "BE_UPL", "FR_UPL", "VD_UPL", "ZH_UPL",
+    "LU_UPL",
+]
+# judgments parse empty (`court_names.py:11-12`)
+COURT_ERROR_JUDGMENTS: list[str] = [
+    "AG_OSB", "VD_SR", "AG_AK", "AG_LWRK", "AG_PRG", "AG_SKBG", "AG_SRG",
+]
+# label column empty (`court_names.py:14-16`)
+COURT_ERROR_LABELS: list[str] = ["VS_AG", "ZH_SOBE"]
+# judgments_df empty (`court_names.py:18-24`)
+COURT_EMPTY: list[str] = [
+    "AG_XX", "AI_BZG", "AR_RR", "AR_SRK", "AR_VB", "AR_XX", "BE_XX",
+    "BL_XX", "BS_XX", "CH_XX", "FR_TAMA", "FR_XX", "GE_XX", "GL_XX",
+    "GR_XX", "JU_XX", "LU_RSH", "LU_XX", "NE_XX", "NW_XX", "OW_XX",
+    "SG_XX", "SH_XX", "SO_XX", "SZ_XX", "TG_XX", "TI_GPC", "TI_XX",
+    "UR_XX", "VD_XX", "VS_XX", "ZG_XX", "ZH_XX", "CH_UPL", "AG_UPL",
+    "AG_RR", "AG_JL", "AI_UPL", "AR_UPL", "BL_UPL", "BS_UPL", "GE_UPL",
+    "GL_UPL", "GR_UPL", "JU_UPL", "NE_UPL", "NW_UPL", "OW_UPL", "SG_UPL",
+    "SH_UPL", "SO_UPL", "SZ_UPL", "TI_UPL", "TG_UPL", "UR_UPL", "VS_UPL",
+    "UR_OG", "AI_KG", "BE_AK", "BE_OG", "CH_EDÖB",
+]
+
+
+def get_error_courts(index: int = -1) -> list[str]:
+    """`court_names.py:28-36`: index -1 concatenates all three error
+    categories, 0/1/2 select one."""
+    cats = [COURT_ERROR_SECTIONS, COURT_ERROR_JUDGMENTS, COURT_ERROR_LABELS]
+    if index == -1:
+        return cats[0] + cats[1] + cats[2]
+    return cats[index]
+
+
+def get_empty_courts() -> list[str]:
+    """`court_names.py:39-42`."""
+    return COURT_EMPTY
+
+
+def filter_processable_courts(df, court_col: str = "court"):
+    """Drop rows for courts the reference skips (error + empty lists).
+    A literal isin against ~80 strings — constant-folded by Catalyst,
+    no join, no shuffle."""
+    from pyspark.sql import functions as F
+
+    excluded = set(get_error_courts() + get_empty_courts())
+    return df.where(~F.col(court_col).isin(*sorted(excluded)))

@@ -285,3 +285,22 @@ def test_doc2doc_preprocess_beir_shapes(spark, tables):
         for r in doc2doc_triplets(tables, leading).collect()
     }
     assert {(r.query_id, r.pos_text, r.neg_text) for r in rows} == again
+
+
+def test_filter_processable_courts(spark):
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        filter_processable_courts,
+        get_empty_courts,
+        get_error_courts,
+    )
+
+    assert len(get_error_courts()) == 24  # 15 + 7 + 2 categories
+    assert get_error_courts(2) == ["VS_AG", "ZH_SOBE"]
+    assert "AG_XX" in get_empty_courts()
+
+    df = spark.createDataFrame(
+        [("ZH_VG", 1), ("CH_VB", 2), ("AG_XX", 3), ("CH_BGer", 4)],
+        ["court", "n"],
+    )
+    kept = {r["court"] for r in filter_processable_courts(df).collect()}
+    assert kept == {"ZH_VG", "CH_BGer"}
