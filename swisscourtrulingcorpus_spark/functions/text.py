@@ -127,3 +127,89 @@ def language_id_score(col: Column | str) -> Column:
     for lang in langs:
         expr = expr.when(hits[lang] == max_hits, F.lit(lang))
     return expr.otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# IAA text-similarity scores (reference `scrc/annotation/
+# judgment_explainability/analysis/utils/scores.py`: ROUGE via
+# rouge_scorer, BLEU via nltk.sentence_bleu — neither library exists in
+# this environment, and neither is needed: both scores are counting
+# arithmetic over token n-grams, expressed here as pure array
+# expressions (higher-order functions, JVM-side, no UDF).
+#
+# Annotation spans are short (tens of tokens), so the O(|distinct
+# n-grams| * |tokens|) aggregate-fold for clipped counts is cheap; for
+# document-scale inputs prefer the explode→groupBy n-gram counters in
+# `plans/text_queries.py` (A6), which shuffle instead of folding.
+# ---------------------------------------------------------------------------
+
+def _ngrams(tokens: Column, n: int) -> Column:
+    """Array of n-gram strings (tokens joined with U+0001, a separator
+    that cannot appear in whitespace-tokenized text) from a token-array
+    column; empty when the array has < n tokens."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.array_join(F.slice(tokens, i, n), "\u0001"),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _clipped_overlap(cand_ngrams: Column, ref_ngrams: Column) -> Column:
+    """sum over distinct shared n-grams of min(count_cand, count_ref) —
+    the clipped-count overlap both ROUGE and BLEU's modified precision
+    are built on."""
+    shared = F.array_distinct(F.array_intersect(cand_ngrams, ref_ngrams))
+    return F.aggregate(
+        shared,
+        F.lit(0),
+        lambda acc, g: acc
+        + F.least(
+            F.size(F.filter(cand_ngrams, lambda x: x == g)),
+            F.size(F.filter(ref_ngrams, lambda x: x == g)),
+        ),
+    )
+
+
+def rouge_n_scores(
+    candidate: Column | str, reference: Column | str, n: int = 1
+) -> dict[str, Column]:
+    """ROUGE-N precision/recall/F1 between two token-array columns
+    (clipped n-gram counts; 0.0 on empty sides, mirroring the
+    reference's NaN->0 fill in `scores.py`)."""
+    cand = F.col(candidate) if isinstance(candidate, str) else candidate
+    ref = F.col(reference) if isinstance(reference, str) else reference
+    cg, rg = _ngrams(cand, n), _ngrams(ref, n)
+    overlap = _clipped_overlap(cg, rg).cast("double")
+    p = F.when(F.size(cg) > 0, overlap / F.size(cg)).otherwise(F.lit(0.0))
+    r = F.when(F.size(rg) > 0, overlap / F.size(rg)).otherwise(F.lit(0.0))
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(F.lit(0.0))
+    return {"precision": p, "recall": r, "f1": f1}
+
+
+def bleu_score(
+    candidate: Column | str, reference: Column | str, max_n: int = 4
+) -> Column:
+    """Sentence BLEU (uniform 1..max_n weights, no smoothing — nltk's
+    `sentence_bleu` defaults as used in `scores.py`): geometric mean of
+    clipped n-gram precisions times the brevity penalty
+    min(1, exp(1 - |ref|/|cand|)).  Any zero precision zeroes the
+    whole score, as in unsmoothed BLEU."""
+    cand = F.col(candidate) if isinstance(candidate, str) else candidate
+    ref = F.col(reference) if isinstance(reference, str) else reference
+    log_sum = F.lit(0.0)
+    any_zero = F.lit(False)
+    for n in range(1, max_n + 1):
+        cg, rg = _ngrams(cand, n), _ngrams(ref, n)
+        overlap = _clipped_overlap(cg, rg).cast("double")
+        p_n = F.when(F.size(cg) > 0, overlap / F.size(cg)).otherwise(F.lit(0.0))
+        any_zero = any_zero | (p_n == 0)
+        log_sum = log_sum + F.when(p_n > 0, F.log(p_n)).otherwise(F.lit(0.0))
+    geo = F.exp(log_sum / F.lit(float(max_n)))
+    bp = F.when(F.size(cand) >= F.size(ref), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.size(ref).cast("double") / F.size(cand))
+    )
+    return F.when(
+        any_zero | (F.size(cand) == 0) | (F.size(ref) == 0), F.lit(0.0)
+    ).otherwise(bp * geo)

@@ -237,6 +237,68 @@ FROM occ
 """
 
 
+# ---------------------------------------------------------------------------
+# rouge_token_agreement — the reference's text-similarity IAA scores
+# (`scores.py` ROUGE via rouge_scorer) as array-native expressions.
+# Token selections are CONSECUTIVE-integer intervals, so the clipped
+# n-gram overlap has a closed form the oracle can compute without list
+# functions: two intervals share max(0, min(e1,e2)-max(s1,s2)+2-n)
+# n-grams (consecutive n-tuples lie in both iff all n members do).
+# ---------------------------------------------------------------------------
+
+def q_rouge_token_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from swisscourtrulingcorpus_spark.functions.text import rouge_n_scores
+
+    d = F.col("doc_id")
+
+    def toks(start, end):
+        return F.transform(F.sequence(start, end), lambda x: x.cast("string"))
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        toks(F.lit(0), (d % 5) + 4).alias("tokens_a"),
+        toks(d % 3, (d % 3) + 5).alias("tokens_b"),
+    )
+    r1 = rouge_n_scores("tokens_a", "tokens_b", 1)
+    r2 = rouge_n_scores("tokens_a", "tokens_b", 2)
+    return docs.select(
+        "doc_id",
+        r1["precision"].alias("rouge1_p"),
+        r1["recall"].alias("rouge1_r"),
+        r1["f1"].alias("rouge1_f1"),
+        r2["precision"].alias("rouge2_p"),
+        r2["recall"].alias("rouge2_r"),
+        r2["f1"].alias("rouge2_f1"),
+    )
+
+
+ROUGE_ORACLE = """
+WITH iv AS (
+  SELECT doc_id,
+         0 AS s_a, doc_id % 5 + 4 AS e_a,
+         doc_id % 3 AS s_b, doc_id % 3 + 5 AS e_b
+  FROM documents
+), n AS (
+  SELECT doc_id,
+         GREATEST(0, LEAST(e_a, e_b) - GREATEST(s_a, s_b) + 1) AS i1,
+         GREATEST(0, LEAST(e_a, e_b) - GREATEST(s_a, s_b)) AS i2,
+         e_a - s_a + 1 AS n_a, e_b - s_b + 1 AS n_b
+  FROM iv
+), pr AS (
+  SELECT doc_id,
+         CAST(i1 AS DOUBLE) / n_a AS p1, CAST(i1 AS DOUBLE) / n_b AS r1,
+         CAST(i2 AS DOUBLE) / (n_a - 1) AS p2, CAST(i2 AS DOUBLE) / (n_b - 1) AS r2
+  FROM n
+)
+SELECT doc_id,
+       p1 AS rouge1_p, r1 AS rouge1_r,
+       CASE WHEN p1 + r1 > 0 THEN 2 * p1 * r1 / (p1 + r1) ELSE 0.0 END AS rouge1_f1,
+       p2 AS rouge2_p, r2 AS rouge2_r,
+       CASE WHEN p2 + r2 > 0 THEN 2 * p2 * r2 / (p2 + r2) ELSE 0.0 END AS rouge2_f1
+FROM pr
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "prodigy_annotation_set",
@@ -255,5 +317,11 @@ SPECS: list[QuerySpec] = [
         q_occlusion_explainability,
         OCCLUSION_ORACLE,
         "occlusion confidence deltas, flips, direction vs baseline",
+    ),
+    QuerySpec(
+        "rouge_token_agreement",
+        q_rouge_token_agreement,
+        ROUGE_ORACLE,
+        "ROUGE-1/2 P/R/F1 as array expressions, closed-form interval oracle",
     ),
 ]

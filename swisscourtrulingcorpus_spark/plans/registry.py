@@ -102,6 +102,7 @@ _ROUND3_NEW: set[str] = {
     "iaa_token_agreement",
     "occlusion_explainability",
     "term_definitions_extracted",
+    "rouge_token_agreement",
 }
 
 

@@ -120,3 +120,56 @@ def test_stratified_annotation_pick_first_per_stratum(spark):
     assert len(picked) == 2
     assert by_stratum[(2015, "penal_law", "approval")]["doc_id"] == 11
     assert by_stratum[(2016, "civil_law", "dismissal")]["doc_id"] == 13
+
+
+def test_rouge_and_bleu_scores(spark):
+    from swisscourtrulingcorpus_spark.functions.text import (
+        bleu_score,
+        rouge_n_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # identical -> all 1.0
+            (1, ["a", "b", "c", "d"], ["a", "b", "c", "d"]),
+            # clipped counts: cand the*3 vs ref the,cat ->
+            # overlap min(3,1)=1, p=1/3, r=1/2, f1=0.4
+            (2, ["the", "the", "the"], ["the", "cat"]),
+            # 4/5 unigrams, 3/4 bigrams shared; BLEU =
+            # (0.8 * 0.75 * (2/3) * 0.5)^(1/4) with BP=1
+            (3, ["a", "b", "c", "d", "e"], ["a", "b", "c", "d", "x"]),
+            # disjoint -> zeros
+            (4, ["a", "b"], ["x", "y"]),
+        ],
+        ["i", "cand", "ref"],
+    )
+    r1 = rouge_n_scores("cand", "ref", 1)
+    r2 = rouge_n_scores("cand", "ref", 2)
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            r1["precision"].alias("p1"),
+            r1["recall"].alias("r1"),
+            r1["f1"].alias("f1"),
+            r2["f1"].alias("f2"),
+            bleu_score("cand", "ref").alias("bleu"),
+        ).collect()
+    }
+    assert out[1]["f1"] == 1.0 and out[1]["f2"] == 1.0 and out[1]["bleu"] == 1.0
+    assert out[2]["p1"] == pytest.approx(1 / 3)
+    assert out[2]["r1"] == pytest.approx(1 / 2)
+    assert out[2]["f1"] == pytest.approx(0.4)
+    assert out[2]["bleu"] == 0.0  # no shared bigram -> unsmoothed zero
+    assert out[3]["bleu"] == pytest.approx((0.8 * 0.75 * (2 / 3) * 0.5) ** 0.25)
+    assert out[4]["f1"] == 0.0 and out[4]["bleu"] == 0.0
+
+
+def test_rouge_multichar_tokens_no_boundary_collision(spark):
+    from swisscourtrulingcorpus_spark.functions.text import rouge_n_scores
+
+    # ["ab","c"] vs ["a","bc"] must NOT collide as bigrams (U+0001
+    # separator keeps token boundaries)
+    df = spark.createDataFrame([(["ab", "c"], ["a", "bc"])], ["cand", "ref"])
+    r2 = rouge_n_scores("cand", "ref", 2)
+    assert df.select(r2["f1"].alias("f")).collect()[0]["f"] == 0.0
