@@ -135,6 +135,47 @@ def iaa_pairwise_agreement(
     return out.select(*id_cols, *[c for c in out.columns if c not in df.columns])
 
 
+#: explainability label -> expected confidence direction
+#: (`preprocessing.py:576-588` get_correct_direction: LABELS[1]
+#: 'Supports judgment' -> -1, LABELS[2] 'Opposes judgment' -> 1,
+#: 'Neutral' -> 0)
+NUMERIC_LABELS: dict[str, int] = {
+    "Supports judgment": -1,
+    "Opposes judgment": 1,
+    "Neutral": 0,
+}
+
+
+def correct_direction_counts(
+    df: DataFrame,
+    label_col: str = "explainability_label",
+    direction_col: str = "confidence_direction",
+) -> DataFrame:
+    """The occlusion-analysis correctness rollup
+    (`quantitative_analysis.py:625-630` + `preprocessing.py:576-588`):
+    annotate each occlusion row with whether the model's confidence
+    moved in the direction the human label predicts, then count per
+    (label, correct/incorrect).  Neutral-direction rows (direction 0)
+    are excluded first, as in `quantitative_analysis.py:625-626`.
+
+    One narrow groupBy over tiny keys — the 100 TB shape is dominated
+    by the upstream score join, not this rollup.
+    """
+    label_to_num = F.create_map(
+        *[F.lit(x) for kv in NUMERIC_LABELS.items() for x in kv]
+    )
+    return (
+        df.where(F.col(direction_col) != 0)
+        .withColumn("_numeric_label", label_to_num[F.col(label_col)])
+        .withColumn(
+            "correct_direction",
+            F.col("_numeric_label") == F.col(direction_col),
+        )
+        .groupBy(label_col, "correct_direction")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def stratified_annotation_pick(
     df: DataFrame,
     strata: list[str],

@@ -173,3 +173,30 @@ def test_rouge_multichar_tokens_no_boundary_collision(spark):
     df = spark.createDataFrame([(["ab", "c"], ["a", "bc"])], ["cand", "ref"])
     r2 = rouge_n_scores("cand", "ref", 2)
     assert df.select(r2["f1"].alias("f")).collect()[0]["f"] == 0.0
+
+
+def test_correct_direction_counts(spark):
+    from swisscourtrulingcorpus_spark.operators.annotation import (
+        correct_direction_counts,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # label expects -1; direction -1 -> correct
+            ("Supports judgment", -1),
+            ("Supports judgment", 1),   # incorrect
+            ("Opposes judgment", 1),    # correct
+            ("Opposes judgment", 0),    # neutral direction -> excluded
+            ("Neutral", 1),             # label expects 0 -> incorrect
+        ],
+        ["explainability_label", "confidence_direction"],
+    )
+    out = {
+        (r["explainability_label"], r["correct_direction"]): r["n"]
+        for r in correct_direction_counts(df).collect()
+    }
+    assert out[("Supports judgment", True)] == 1
+    assert out[("Supports judgment", False)] == 1
+    assert out[("Opposes judgment", True)] == 1
+    assert out[("Neutral", False)] == 1
+    assert ("Opposes judgment", False) not in out  # the excluded row
