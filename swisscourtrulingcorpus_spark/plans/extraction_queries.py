@@ -1061,3 +1061,64 @@ SPECS += [
         "TERMDAT XML ingest: status/reliability filters, per-language flatten",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# court_chambers_flattened: the Facetten_alle.json dynamic-key nesting
+# (`create_court_and_chamber_tables.py:13-90`) through from_json
+# map-typed parse + double explode
+# ---------------------------------------------------------------------------
+
+def q_court_chambers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canton→court→2-chambers JSON per doc, keys derived from
+    doc_id; the map-typed from_json + explode chain must reproduce
+    every field."""
+    from swisscourtrulingcorpus_spark.sources.court_chambers import (
+        flatten_court_chambers,
+    )
+
+    d = F.col("doc_id")
+    canton = F.concat(F.lit("K"), (d % 26).cast("string"))
+    court = F.concat(canton, F.lit("_G"), (d % 4).cast("string"))
+    spider = F.concat(F.lit("SP"), (d % 7).cast("string"))
+    j = F.concat(
+        F.lit('{"'), canton, F.lit('":{"de":"Kanton '), (d % 26).cast("string"),
+        F.lit('","gerichte":{"'), court, F.lit('":{"de":"Gericht '),
+        (d % 4).cast("string"), F.lit('","kammern":{"'),
+        court, F.lit('_001":{"spider":"'), spider,
+        F.lit('","de":"Kammer 1"},"'),
+        court, F.lit('_002":{"spider":"'), spider,
+        F.lit('","de":"Kammer 2"}}}}}}'),
+    )
+    raw = load_table(spark, sf_dir, "documents").select(j.alias("j"))
+    return flatten_court_chambers(raw, "j").select(
+        "canton",
+        "court_string",
+        "court_name_de",
+        "chamber_string",
+        "spider",
+        "chamber_name_de",
+    )
+
+
+COURT_CHAMBERS_ORACLE = """
+SELECT 'K' || CAST(doc_id % 26 AS VARCHAR) AS canton,
+       'K' || CAST(doc_id % 26 AS VARCHAR) || '_G' || CAST(doc_id % 4 AS VARCHAR)
+         AS court_string,
+       'Gericht ' || CAST(doc_id % 4 AS VARCHAR) AS court_name_de,
+       'K' || CAST(doc_id % 26 AS VARCHAR) || '_G' || CAST(doc_id % 4 AS VARCHAR)
+         || '_00' || CAST(c.i AS VARCHAR) AS chamber_string,
+       'SP' || CAST(doc_id % 7 AS VARCHAR) AS spider,
+       'Kammer ' || CAST(c.i AS VARCHAR) AS chamber_name_de
+FROM documents, (SELECT UNNEST([1, 2]) AS i) c
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "court_chambers_flattened",
+        q_court_chambers,
+        COURT_CHAMBERS_ORACLE,
+        "dynamic-key nested JSON dim ingest via map-typed from_json + explode",
+    ),
+]

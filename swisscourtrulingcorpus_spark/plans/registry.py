@@ -103,6 +103,7 @@ _ROUND3_NEW: set[str] = {
     "occlusion_explainability",
     "term_definitions_extracted",
     "rouge_token_agreement",
+    "court_chambers_flattened",
 }
 
 
