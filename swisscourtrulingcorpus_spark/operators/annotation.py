@@ -135,6 +135,73 @@ def iaa_pairwise_agreement(
     return out.select(*id_cols, *[c for c in out.columns if c not in df.columns])
 
 
+def occlude_spans(
+    df: DataFrame,
+    text_col: str,
+    spans_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """The occlusion experiment-set fan-out
+    (`judgment_explainability/occlusion/experiment_creator.py:28-51`):
+    one experiment row per annotated span — ``occluded_text`` is the
+    span being removed (the reference's column of that name) and
+    ``text`` is the facts with that span cut out (what the model is
+    re-run on).
+
+    ``spans_col`` is ``array<struct<start:int, length:int,
+    label:string>>`` with 1-based character offsets.  Pure
+    explode + substring arithmetic: the 1→N fan-out happens map-side,
+    and only the narrow experiment rows shuffle downstream.
+    """
+    ex = df.select(
+        *keep_cols,
+        F.col(text_col).alias("_t"),
+        F.explode(F.col(spans_col)).alias("_s"),
+    )
+    start, length = F.col("_s.start"), F.col("_s.length")
+    remaining = F.concat(
+        F.col("_t").substr(F.lit(1), start - 1),
+        F.col("_t").substr(start + length, F.length("_t")),
+    )
+    return ex.select(
+        *keep_cols,
+        F.col("_s.label").alias("explainability_label"),
+        F.col("_t").substr(start, length).alias("occluded_text"),
+        remaining.alias("text"),
+    )
+
+
+def model_near_explanations(
+    df: DataFrame,
+    id_col: str = "id",
+    label_col: str = "explainability_label",
+    score_col: str = "norm_explainability_score",
+) -> DataFrame:
+    """The explanation selection (`judgment_explainability/occlusion/
+    explanation_creator.py:23-62` ``model_agg``/``find_indexes``): per
+    case and label, the model-nearest explanation is the row with the
+    MINIMUM normalized explainability score for 'Supports judgment'
+    and the MAXIMUM for 'Opposes judgment'; ties all survive (the
+    reference keeps every index at the extremum).
+
+    The reference does groupby-to-lists then numpy argmin/argmax per
+    row; here it is one rank window per (id, label) with the sort
+    direction keyed on the label — ties share rank 1 and are all kept.
+    """
+    direction = F.when(
+        F.col(label_col) == "Supports judgment", F.col(score_col)
+    ).otherwise(-F.col(score_col))
+    w = Window.partitionBy(id_col, label_col).orderBy(direction.asc())
+    return (
+        df.where(
+            F.col(label_col).isin("Supports judgment", "Opposes judgment")
+        )
+        .withColumn("_rk", F.rank().over(w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
 #: explainability label -> expected confidence direction
 #: (`preprocessing.py:576-588` get_correct_direction: LABELS[1]
 #: 'Supports judgment' -> -1, LABELS[2] 'Opposes judgment' -> 1,

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from swisscourtrulingcorpus_spark.operators.annotation import (
     explainability_scores,
     iaa_pairwise_agreement,
+    occlude_spans,
     stratified_annotation_pick,
 )
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
@@ -299,6 +300,63 @@ FROM pr
 """
 
 
+# ---------------------------------------------------------------------------
+# occlusion_test_set — the experiment-set fan-out (experiment_creator):
+# one row per annotated span, occluded text by substring arithmetic the
+# oracle reproduces with the same 1-based substr semantics
+# ---------------------------------------------------------------------------
+
+def q_occlusion_test_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    text = F.concat(F.lit("Der Rekurs wird gutgeheissen weil Grund "),
+                    d.cast("string"))
+    span = lambda s, ln, lab: F.struct(  # noqa: E731
+        s.cast("int").alias("start"),
+        ln.cast("int").alias("length"),
+        lab.alias("label"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        text.alias("facts"),
+        F.array(
+            span(
+                F.lit(5) + d % 3,
+                F.lit(6),
+                F.when(d % 2 == 0, F.lit("Supports judgment")).otherwise(
+                    F.lit("Opposes judgment")
+                ),
+            ),
+            span(F.lit(17) + d % 2, F.lit(4), F.lit("Lower court")),
+        ).alias("spans"),
+    )
+    return occlude_spans(docs, "facts", "spans", ["doc_id"])
+
+
+OCCLUSION_SET_ORACLE = """
+WITH base AS (
+  SELECT doc_id,
+         'Der Rekurs wird gutgeheissen weil Grund ' || CAST(doc_id AS VARCHAR)
+           AS t,
+         5 + doc_id % 3 AS s1, 17 + doc_id % 2 AS s2
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Supports judgment'
+            ELSE 'Opposes judgment' END AS explainability_label,
+       substr(t, CAST(s1 AS INTEGER), 6) AS occluded_text,
+       substr(t, 1, CAST(s1 - 1 AS INTEGER))
+         || substr(t, CAST(s1 + 6 AS INTEGER), length(t)) AS text
+FROM base
+UNION ALL
+SELECT doc_id,
+       'Lower court' AS explainability_label,
+       substr(t, CAST(s2 AS INTEGER), 4) AS occluded_text,
+       substr(t, 1, CAST(s2 - 1 AS INTEGER))
+         || substr(t, CAST(s2 + 4 AS INTEGER), length(t)) AS text
+FROM base
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "prodigy_annotation_set",
@@ -323,5 +381,11 @@ SPECS: list[QuerySpec] = [
         q_rouge_token_agreement,
         ROUGE_ORACLE,
         "ROUGE-1/2 P/R/F1 as array expressions, closed-form interval oracle",
+    ),
+    QuerySpec(
+        "occlusion_test_set",
+        q_occlusion_test_set,
+        OCCLUSION_SET_ORACLE,
+        "span-occlusion experiment fan-out, substring-arithmetic oracle",
     ),
 ]

@@ -104,6 +104,7 @@ _ROUND3_NEW: set[str] = {
     "term_definitions_extracted",
     "rouge_token_agreement",
     "court_chambers_flattened",
+    "occlusion_test_set",
 }
 
 

@@ -200,3 +200,57 @@ def test_correct_direction_counts(spark):
     assert out[("Opposes judgment", True)] == 1
     assert out[("Neutral", False)] == 1
     assert ("Opposes judgment", False) not in out  # the excluded row
+
+
+def test_occlude_spans_fanout(spark):
+    from swisscourtrulingcorpus_spark.operators.annotation import occlude_spans
+
+    df = spark.createDataFrame(
+        [
+            (
+                "c1",
+                "Hello brave world",
+                [
+                    {"start": 7, "length": 6, "label": "Supports judgment"},
+                    {"start": 1, "length": 6, "label": "Lower court"},
+                ],
+            )
+        ],
+        "id string, facts string, spans array<struct<start:int,length:int,label:string>>",
+    )
+    out = {
+        r["explainability_label"]: r
+        for r in occlude_spans(df, "facts", "spans", ["id"]).collect()
+    }
+    assert out["Supports judgment"]["occluded_text"] == "brave "
+    assert out["Supports judgment"]["text"] == "Hello world"
+    assert out["Lower court"]["occluded_text"] == "Hello "
+    assert out["Lower court"]["text"] == "brave world"
+
+
+def test_model_near_explanations_extrema_with_ties(spark):
+    from swisscourtrulingcorpus_spark.operators.annotation import (
+        model_near_explanations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # Supports: min wins (two tied minima both kept)
+            ("c1", "Supports judgment", 0.1, "s-a"),
+            ("c1", "Supports judgment", 0.1, "s-b"),
+            ("c1", "Supports judgment", 0.9, "s-c"),
+            # Opposes: max wins
+            ("c1", "Opposes judgment", 0.2, "o-a"),
+            ("c1", "Opposes judgment", 0.8, "o-b"),
+            # other labels are dropped
+            ("c1", "Lower court", 0.5, "lc"),
+        ],
+        ["id", "explainability_label", "norm_explainability_score", "sent"],
+    )
+    out = model_near_explanations(df)
+    got = {(r["explainability_label"], r["sent"]) for r in out.collect()}
+    assert got == {
+        ("Supports judgment", "s-a"),
+        ("Supports judgment", "s-b"),
+        ("Opposes judgment", "o-b"),
+    }
