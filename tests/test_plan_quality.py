@@ -308,3 +308,24 @@ def test_sql_interface_views(spark, sf_dir):
     }
     for r in via_sql:
         assert via_df[(r.l_returnflag, r.l_linestatus)] == r.sum_qty
+
+
+def test_annotation_ops_plan_shapes(spark, sf_dir):
+    """IAA/ROUGE scoring must stay a pure projection (zero shuffles, no
+    Python nodes); the occlusion score join must broadcast the per-case
+    baseline instead of sort-merging the fan-out."""
+    from swisscourtrulingcorpus_spark.plans.annotation_queries import (
+        q_iaa_token_agreement,
+        q_occlusion_explainability,
+        q_rouge_token_agreement,
+    )
+
+    for q in (q_iaa_token_agreement, q_rouge_token_agreement):
+        plan = _static_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    fp = _final_plan(q_occlusion_explainability(spark, sf_dir))
+    assert "BroadcastHashJoin" in fp
+    assert "SortMergeJoin" not in fp
