@@ -135,6 +135,34 @@ def iaa_pairwise_agreement(
     return out.select(*id_cols, *[c for c in out.columns if c not in df.columns])
 
 
+def span_tokens(
+    spans: DataFrame,
+    tokens: DataFrame,
+    on: list[str],
+    start_col: str = "token_start",
+    end_col: str = "token_end",
+    token_id_col: str = "token_id",
+) -> DataFrame:
+    """Span → member-token resolution (`preprocessing.py:287-312`
+    ``get_span_df``: for every annotated span, the token rows whose ids
+    fall in [token_start, token_end] for the same annotation and
+    annotator).
+
+    The reference loops span-by-span re-filtering the whole token frame
+    (O(spans × tokens), with a ``randint`` dict key as a uniqueness
+    hack).  Spark-first the range membership becomes ``explode(
+    sequence(start, end))`` — one (span, token_id) pair per member —
+    followed by a plain equi-join on ``on + [token_id]``: hash-
+    partitionable, no nested-loop range join, cost O(total span length
+    + tokens).  Span lengths are annotation-bounded (sentences), so
+    the explode fan-out is small and map-side.
+    """
+    pairs = spans.withColumn(
+        token_id_col, F.explode(F.sequence(F.col(start_col), F.col(end_col)))
+    ).drop(start_col, end_col)
+    return pairs.join(tokens, on=[*on, token_id_col], how="inner")
+
+
 def occlude_spans(
     df: DataFrame,
     text_col: str,

@@ -20,6 +20,7 @@ from swisscourtrulingcorpus_spark.operators.annotation import (
     explainability_scores,
     iaa_pairwise_agreement,
     occlude_spans,
+    span_tokens,
     stratified_annotation_pick,
 )
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
@@ -357,6 +358,46 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------------------
+# span_token_join — get_span_df as explode + equi-join
+# ---------------------------------------------------------------------------
+
+def q_span_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per doc: a 10-token stream and one 3-token span at an arithmetic
+    offset; the explode+equi-join must recover exactly the member
+    tokens with their text."""
+    d = F.col("doc_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    tokens = docs.select(
+        "doc_id",
+        F.lit("a1").alias("annotator"),
+        F.explode(F.sequence(F.lit(0), F.lit(9))).alias("token_id"),
+    ).withColumn(
+        "token_text", F.concat(F.lit("T"), F.col("token_id").cast("string"))
+    )
+    spans = docs.select(
+        "doc_id",
+        F.lit("a1").alias("annotator"),
+        F.lit("Supports judgment").alias("spans_label"),
+        (d % 3).alias("token_start"),
+        (d % 3 + 2).alias("token_end"),
+    )
+    return span_tokens(
+        spans, tokens, on=["doc_id", "annotator"]
+    ).select("doc_id", "annotator", "spans_label", "token_id", "token_text")
+
+
+SPAN_TOKEN_ORACLE = """
+SELECT doc_id,
+       'a1' AS annotator,
+       'Supports judgment' AS spans_label,
+       UNNEST(generate_series(doc_id % 3, doc_id % 3 + 2)) AS token_id,
+       'T' || CAST(UNNEST(generate_series(doc_id % 3, doc_id % 3 + 2)) AS VARCHAR)
+         AS token_text
+FROM documents
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "prodigy_annotation_set",
@@ -387,5 +428,11 @@ SPECS: list[QuerySpec] = [
         q_occlusion_test_set,
         OCCLUSION_SET_ORACLE,
         "span-occlusion experiment fan-out, substring-arithmetic oracle",
+    ),
+    QuerySpec(
+        "span_token_join",
+        q_span_token_join,
+        SPAN_TOKEN_ORACLE,
+        "span->member-token resolution as explode + equi-join",
     ),
 ]

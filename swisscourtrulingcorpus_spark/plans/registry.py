@@ -105,6 +105,7 @@ _ROUND3_NEW: set[str] = {
     "rouge_token_agreement",
     "court_chambers_flattened",
     "occlusion_test_set",
+    "span_token_join",
 }
 
 

@@ -254,3 +254,25 @@ def test_model_near_explanations_extrema_with_ties(spark):
         ("Supports judgment", "s-b"),
         ("Opposes judgment", "o-b"),
     }
+
+
+def test_span_tokens_membership(spark):
+    from swisscourtrulingcorpus_spark.operators.annotation import span_tokens
+
+    tokens = spark.createDataFrame(
+        [(1, "a1", t, f"w{t}") for t in range(6)]
+        + [(1, "a2", t, f"w{t}") for t in range(6)],
+        ["ann", "annotator", "token_id", "token_text"],
+    )
+    spans = spark.createDataFrame(
+        [
+            (1, "a1", "Supports judgment", 1, 3),
+            (1, "a2", "Opposes judgment", 4, 5),
+        ],
+        ["ann", "annotator", "spans_label", "token_start", "token_end"],
+    )
+    out = span_tokens(spans, tokens, on=["ann", "annotator"]).collect()
+    got = {(r["annotator"], r["token_id"]) for r in out}
+    # a1's span picks tokens 1-3 from a1's stream only; a2's picks 4-5
+    assert got == {("a1", 1), ("a1", 2), ("a1", 3), ("a2", 4), ("a2", 5)}
+    assert all(r["token_text"] == f"w{r['token_id']}" for r in out)
