@@ -29,6 +29,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
@@ -116,3 +117,26 @@ def term_definitions_df(df: DataFrame, xml_col: str) -> DataFrame:
             yield pd.DataFrame(out, columns=cols)
 
     return df.mapInPandas(batches, TERMDAT_SCHEMA)
+
+
+def law_abbreviations_df(term_defs: DataFrame) -> DataFrame:
+    """The LawUtilSingleton abbreviation map
+    (`scrc/utils/law_util_singleton.py:25-45` build_law_abbr_by_lang):
+    definition entries of type 'ab' keyed (language, abbreviation) →
+    the law's TERMDAT id — the id is language-independent, which is how
+    the reference identifies 'OR'/'CO' (de/fr/it names of the same
+    code) as one law.
+
+    A tiny dim: broadcast it into citation resolution
+    (`law_citation.py:60-74` abbreviation → sr_number lookup) instead
+    of the reference's per-row dict access.
+    """
+    return (
+        term_defs.where(F.col("def_type") == "ab")
+        .select(
+            "lang",
+            F.col("def_text").alias("abbreviation"),
+            F.col("term_id").alias("law_id"),
+        )
+        .dropDuplicates(["lang", "abbreviation"])
+    )

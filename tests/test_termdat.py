@@ -76,3 +76,28 @@ def test_distributed_parse(spark):
     out = term_definitions_df(df, "x").collect()
     assert len(out) == 3
     assert {r["term_id"] for r in out} == {9}
+
+
+def test_law_abbreviations_dim(spark):
+    from swisscourtrulingcorpus_spark.sources.termdat import (
+        law_abbreviations_df,
+        term_definitions_df,
+    )
+
+    zone_tpl = (
+        '<Sprachzone Sprache="{lang}"><Synonym>'
+        "<Definition><Typ>ab</Typ><Text>{ab}</Text></Definition>"
+        "<Definition><Typ>vollform</Typ><Text>{full}</Text></Definition>"
+        "</Synonym></Sprachzone>"
+    )
+    zones = zone_tpl.format(lang="DE", ab="OR", full="Obligationenrecht") + \
+        zone_tpl.format(lang="FR", ab="CO", full="Code des obligations")
+    xml = _wrap(_ENTRY.format(id=220, status="Validiert", rel=5, zones=zones))
+    df = spark.createDataFrame([(xml,)], ["x"])
+    abbrs = {
+        (r["lang"], r["abbreviation"]): r["law_id"]
+        for r in law_abbreviations_df(term_definitions_df(df, "x")).collect()
+    }
+    # one language-independent id for both names of the same law; the
+    # non-abbreviation definitions don't leak in
+    assert abbrs == {("de", "OR"): 220, ("fr", "CO"): 220}
