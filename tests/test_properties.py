@@ -265,3 +265,105 @@ def test_scd2_history_semantics():
         ("u1", "c"): (4, None, True),
         ("u2", "x"): (5, None, True),
     }
+
+
+# --------------------------------- ROUGE/BLEU vs pure-python reference
+
+def _py_ngrams(tokens, n):
+    return [tuple(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def _py_clipped(cand, ref):
+    from collections import Counter
+
+    cc, rc = Counter(cand), Counter(ref)
+    return sum(min(cc[g], rc[g]) for g in cc)
+
+
+def _py_rouge_n(cand, ref, n):
+    cg, rg = _py_ngrams(cand, n), _py_ngrams(ref, n)
+    ov = _py_clipped(cg, rg)
+    p = ov / len(cg) if cg else 0.0
+    r = ov / len(rg) if rg else 0.0
+    f1 = 2 * p * r / (p + r) if p + r > 0 else 0.0
+    return p, r, f1
+
+
+def _py_bleu(cand, ref, max_n=4):
+    import math
+
+    if not cand or not ref:
+        return 0.0
+    log_sum = 0.0
+    for n in range(1, max_n + 1):
+        cg, rg = _py_ngrams(cand, n), _py_ngrams(ref, n)
+        p_n = _py_clipped(cg, rg) / len(cg) if cg else 0.0
+        if p_n == 0:
+            return 0.0
+        log_sum += math.log(p_n)
+    bp = 1.0 if len(cand) >= len(ref) else math.exp(1.0 - len(ref) / len(cand))
+    return bp * math.exp(log_sum / max_n)
+
+
+_token = st.sampled_from(["a", "b", "c", "ab", "the", "la"])
+
+
+@given(
+    st.lists(_token, max_size=12),
+    st.lists(_token, max_size=12),
+)
+@settings(max_examples=30, deadline=None)
+def test_rouge_bleu_match_python_reference(cand, ref):
+    # hypothesis can't inject fixtures — grab the session started by
+    # the surrounding run (conftest keeps one per process)
+    from swisscourtrulingcorpus_spark.session import get_spark
+    from swisscourtrulingcorpus_spark.functions.text import (
+        bleu_score,
+        rouge_n_scores,
+    )
+    import math
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [(cand, ref)], "cand array<string>, ref array<string>"
+    )
+    r1 = rouge_n_scores("cand", "ref", 1)
+    r2 = rouge_n_scores("cand", "ref", 2)
+    row = df.select(
+        r1["precision"].alias("p1"),
+        r1["recall"].alias("rr1"),
+        r1["f1"].alias("f1"),
+        r2["f1"].alias("f2"),
+        bleu_score("cand", "ref").alias("bleu"),
+    ).collect()[0]
+    ep1, er1, ef1 = _py_rouge_n(cand, ref, 1)
+    _, _, ef2 = _py_rouge_n(cand, ref, 2)
+    assert math.isclose(row["p1"], ep1, abs_tol=1e-12)
+    assert math.isclose(row["rr1"], er1, abs_tol=1e-12)
+    assert math.isclose(row["f1"], ef1, abs_tol=1e-12)
+    assert math.isclose(row["f2"], ef2, abs_tol=1e-12)
+    assert math.isclose(row["bleu"], _py_bleu(cand, ref), abs_tol=1e-12)
+
+
+# ------------------------------------ span occlusion reconstruction
+
+@given(st.text(alphabet="abc XYZ.", min_size=1, max_size=60), st.data())
+@settings(max_examples=30, deadline=None)
+def test_occlude_spans_reconstruction(text, data):
+    """occluded_text spliced back at `start` reconstructs the input."""
+    from swisscourtrulingcorpus_spark.operators.annotation import occlude_spans
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    start = data.draw(st.integers(min_value=1, max_value=len(text)))
+    length = data.draw(st.integers(min_value=0, max_value=len(text) - start + 1))
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [("c", text, [{"start": start, "length": length, "label": "L"}])],
+        "id string, facts string, "
+        "spans array<struct<start:int,length:int,label:string>>",
+    )
+    row = occlude_spans(df, "facts", "spans", ["id"]).collect()[0]
+    rebuilt = (
+        row["text"][: start - 1] + row["occluded_text"] + row["text"][start - 1:]
+    )
+    assert rebuilt == text
