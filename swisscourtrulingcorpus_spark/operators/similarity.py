@@ -242,3 +242,65 @@ def lsh_bucketed_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_groups(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each coarse bucket
+    (IVF/KMeans assignment), docs whose embedding cosine >= ``threshold``
+    are near-duplicates; keep one representative per near-dup set.
+
+    Same scale shape as ``minhash_dedup_groups`` (`operators/dedup.py`):
+    the representative is the MINIMUM id among a doc's over-threshold
+    neighbors (itself included) — a single bucket self-join + one
+    groupBy, linear in the number of over-threshold pairs within
+    buckets, never a corpus-wide transitive closure.  Chains longer
+    than one hop (a~b~c with cos(a,c) < t) keep multiple
+    representatives; feed the pair list into
+    ``operators.dedup.transitive_dedup_clusters`` when full
+    connected-component semantics are required — at 100 TB the
+    single-pass form is the default because near-dup sets produced by
+    embedding similarity are overwhelmingly cliques, not long chains.
+
+    Returns (id, representative, keep): ``keep`` marks the one row per
+    group that survives dedup.
+    """
+    a = emb.select(
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+        F.col(bucket_col).alias("__bucket"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+        F.col(bucket_col).alias("__bucket"),
+    )
+    neighbors = (
+        a.join(b, on="__bucket")
+        .where(F.col("__ida") != F.col("__idb"))
+        .where(
+            _dot(F.col("__va"), F.col("__vb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= threshold
+        )
+        .select("__ida", "__idb")
+    )
+    min_nb = neighbors.groupBy("__ida").agg(F.min("__idb").alias("__min_nb"))
+    return (
+        emb.select(F.col(id_col).alias("__ida"))
+        .join(min_nb, on="__ida", how="left")
+        .select(
+            F.col("__ida").alias(id_col),
+            F.least(
+                F.col("__ida"), F.coalesce(F.col("__min_nb"), F.col("__ida"))
+            ).alias("representative"),
+        )
+        .withColumn("keep", F.col("representative") == F.col(id_col))
+    )

@@ -106,6 +106,7 @@ _ROUND3_NEW: set[str] = {
     "court_chambers_flattened",
     "occlusion_test_set",
     "span_token_join",
+    "semantic_dedup_groups",
 }
 
 

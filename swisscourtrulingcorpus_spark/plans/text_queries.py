@@ -277,6 +277,38 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style representative per embedding near-dup set (same
+    bucket, cosine >= 0.3) — the linear min-neighbor form of
+    `operators/similarity.py::semantic_dedup_groups`."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        semantic_dedup_groups,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_groups(
+        emb, id_col="vec_id", vec_col="embedding",
+        bucket_col="label", threshold=0.3,
+    )
+
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+nb AS (
+  SELECT a.vec_id AS ida, MIN(b.vec_id) AS min_nb
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+  WHERE list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+        >= 0.3
+  GROUP BY a.vec_id
+)
+SELECT v.vec_id,
+       LEAST(v.vec_id, COALESCE(nb.min_nb, v.vec_id)) AS representative,
+       LEAST(v.vec_id, COALESCE(nb.min_nb, v.vec_id)) = v.vec_id AS keep
+FROM v LEFT JOIN nb ON v.vec_id = nb.ida
+"""
+
+
 EMBEDDING_NEARDUP_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -647,6 +679,7 @@ SPECS = [
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
     QuerySpec("ivf_topk_bucketed", q_ivf_topk, IVF_TOPK_ORACLE, "ANN IVF bucketed"),
     QuerySpec("embedding_neardup_pairs", q_embedding_neardup, EMBEDDING_NEARDUP_ORACLE, "embedding near-dup"),
+    QuerySpec("semantic_dedup_groups", q_semantic_dedup, SEMANTIC_DEDUP_ORACLE, "SemDeDup representative per near-dup set"),
     QuerySpec("language_id_documents", q_language_id, _lang_id_oracle(), "E1 lang id"),
     QuerySpec("quality_features_documents", q_quality_features, _quality_oracle(), "quality scoring"),
     QuerySpec("token_counts_documents", q_token_counts, TOKEN_COUNTS_ORACLE, "A3 token counts"),

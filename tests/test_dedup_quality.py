@@ -116,3 +116,39 @@ def test_transitive_dedup_clusters(spark):
         for r in transitive_dedup_clusters(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_semantic_dedup_groups_collapses_planted_dups(spark):
+    """Planted near-identical embeddings collapse to one representative;
+    distant vectors survive."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        semantic_dedup_groups,
+    )
+
+    rows = [
+        # bucket 0: three near-identical vectors (pairwise cos ~1)
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),
+        (3, [0.998, 0.02, 0.0], 0),
+        # bucket 0: orthogonal vector — survives
+        (4, [0.0, 1.0, 0.0], 0),
+        # bucket 1: identical direction to id 1 but different bucket —
+        # bucket restriction means it is NOT deduped against bucket 0
+        (5, [1.0, 0.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>, label int"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_groups(
+            df, "vec_id", "embedding", "label", threshold=0.95
+        ).collect()
+    }
+    assert out[1]["representative"] == 1 and out[1]["keep"]
+    assert out[2]["representative"] == 1 and not out[2]["keep"]
+    assert out[3]["representative"] == 1 and not out[3]["keep"]
+    assert out[4]["keep"]
+    assert out[5]["keep"]
+    kept = [i for i, r in out.items() if r["keep"]]
+    assert sorted(kept) == [1, 4, 5]
