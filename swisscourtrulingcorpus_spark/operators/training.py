@@ -246,3 +246,42 @@ def oracle_domain_mix_predicate(
         f"AS UBIGINT)"
     )
     return f"{h_sql} < CAST(floor({rate_sql} * 4294967296.0) AS BIGINT)"
+
+
+def group_aware_split(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    seed: str = "split",
+) -> DataFrame:
+    """Leakage-safe random split: the split is assigned from the hash of
+    the GROUP (e.g. the dedup representative from
+    `operators/dedup.py::exact_dedup` / `similarity.py::semantic_dedup_
+    groups`), not the row — so near-duplicate documents can never
+    straddle train/test, the standard guard against train→eval leakage
+    the reference's random 80/10/10 split (`dataset_creator.py:
+    1073-1084`) does not have.
+
+    ``weights`` maps split name → probability (must sum to 1).  The
+    md5 coin is the same engine-portable device as
+    ``training_shuffle_rank``/``domain_mix_sample``: deterministic,
+    cluster-size-independent, stable under corpus growth.  Pure
+    map-side expression — zero shuffles (the group label is already on
+    the row after the dedup join).
+    """
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    total = sum(weights.values())
+    assert abs(total - 1.0) < 1e-9, f"weights sum to {total}, not 1"
+    coin = h32(F.col(group_col).cast("string"), seed)
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        bound = F.lit(int(acc * 4294967296))
+        cond = coin < bound
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)

@@ -107,6 +107,7 @@ _ROUND3_NEW: set[str] = {
     "occlusion_test_set",
     "span_token_join",
     "semantic_dedup_groups",
+    "leakage_safe_split",
 }
 
 

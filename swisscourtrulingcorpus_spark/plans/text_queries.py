@@ -596,6 +596,49 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_rank")
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware (leakage-safe) split: the split coin is thrown on
+    the exact-dedup representative, so byte-identical documents always
+    land in the same split (`operators/training.py::group_aware_split`)."""
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.operators.training import (
+        group_aware_split,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text"))
+    grouped = docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("representative")
+    )
+    return group_aware_split(
+        grouped,
+        group_col="representative",
+        weights={"train": 0.8, "validation": 0.1, "test": 0.1},
+    ).select("doc_id", "representative", "split")
+
+
+def _leakage_split_oracle() -> str:
+    # the SAME bound arithmetic as group_aware_split (int(acc * 2^32)
+    # over name-sorted weights) so the literals cannot drift
+    weights = {"train": 0.8, "validation": 0.1, "test": 0.1}
+    items = sorted(weights.items())
+    coin = "('0x' || substr(md5('split|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT"
+    acc, cases = 0.0, []
+    for name, wt in items[:-1]:
+        acc += wt
+        cases.append(f"WHEN {coin} < {int(acc * 4294967296)} THEN '{name}'")
+    return f"""
+WITH g AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents
+)
+SELECT doc_id, rep AS representative,
+       CASE {' '.join(cases)} ELSE '{items[-1][0]}' END AS split
+FROM g
+"""
+
+
 TRAINING_SHUFFLE_ORACLE = """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS shuffle_rank
@@ -688,5 +731,6 @@ SPECS = [
     QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),
     QuerySpec("chunked_documents", q_chunked_documents, CHUNKED_ORACLE, "token chunking w/ overlap"),
     QuerySpec("training_shuffle_rank", q_training_shuffle, TRAINING_SHUFFLE_ORACLE, "deterministic shuffle"),
+    QuerySpec("leakage_safe_split", q_leakage_safe_split, _leakage_split_oracle(), "group-aware md5 split on dedup representative"),
     QuerySpec("test_set_contamination", q_contamination, CONTAMINATION_ORACLE, "train/eval overlap"),
 ]

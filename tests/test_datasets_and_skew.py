@@ -304,3 +304,33 @@ def test_filter_processable_courts(spark):
     )
     kept = {r["court"] for r in filter_processable_courts(df).collect()}
     assert kept == {"ZH_VG", "CH_BGer"}
+
+
+def test_group_aware_split_no_leakage(spark):
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import (
+        group_aware_split,
+    )
+
+    # 3 dedup groups, each with several member rows
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(30)], ["row_id", "rep"]
+    )
+    out = group_aware_split(
+        df, group_col="rep", weights={"train": 0.8, "validation": 0.1, "test": 0.1}
+    )
+    # every member of a group gets the SAME split (no leakage)
+    per_group = out.groupBy("rep").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    assert all(r["n_splits"] == 1 for r in per_group.collect())
+    # deterministic across invocations
+    a = {r["rep"]: r["split"] for r in out.select("rep", "split").distinct().collect()}
+    b = {
+        r["rep"]: r["split"]
+        for r in group_aware_split(
+            df, "rep", {"train": 0.8, "validation": 0.1, "test": 0.1}
+        ).select("rep", "split").distinct().collect()
+    }
+    assert a == b
