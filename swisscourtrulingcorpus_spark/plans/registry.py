@@ -66,6 +66,14 @@ _FRONT_OF_WINDOW: list[str] = [
 # Round-3 gate queries that also need a driver row this round; kept
 # immediately after the never-verified backlog, still inside the
 # 50-entry window.
+#
+# ROTATION NOTE FOR ROUND 4: the window holds exactly 50; the round-3b
+# additions past slot 50 have local parity green but NO driver row yet.
+# Next round, promote these into _FRONT_OF_WINDOW (everything else is
+# r02/r03-driver-green): term_definitions_extracted,
+# court_chambers_flattened, iaa_token_agreement,
+# occlusion_explainability, rouge_token_agreement, occlusion_test_set,
+# span_token_join, semantic_dedup_groups, leakage_safe_split.
 _ROUND3_NEW: set[str] = {
     "extraction_outcome_counts",
     "citation_relevance_scores",
