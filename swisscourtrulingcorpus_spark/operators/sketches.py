@@ -81,3 +81,75 @@ def approx_quantiles(
             "approx_percentiles"
         )
     )
+
+
+# ----------------------------------------------------------------- CMS
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+    slice_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch as a RELATIONAL table: one row per (depth row,
+    bucket[, slice]) with the collision-summed count.  Buckets come
+    from the portable md5 hash (`functions/hashing.py::h32`) so the
+    sketch is engine- and cluster-size-independent.
+
+    Mergeability is free: the sketch of a union of slices is
+    ``groupBy(d, bucket).sum(cnt)`` over the per-slice rows — same
+    fixed-size-state pattern as the HLL slices above.  Size is
+    depth × width rows regardless of corpus size; the shuffle moves
+    bucket partials, not values.
+    """
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    out = None
+    keep = [slice_col] if slice_col else []
+    for d in range(depth):
+        buckets = df.select(
+            *keep,
+            F.lit(d).alias("d"),
+            (h32(F.col(value_col).cast("string"), f"cms{d}") % width).alias(
+                "bucket"
+            ),
+        )
+        part = buckets.groupBy(*keep, "d", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Frequency estimate for each probe value: min over depth rows of
+    the probe's bucket count (missing bucket → 0).  Guarantees
+    estimate >= true count (never under-counts) — the classic CMS
+    bound, property-tested in `tests/test_sketches.py`.
+
+    The probe side is a broadcast-friendly explode over depth; the join
+    is a plain equi-join on (d, bucket) against the fixed-size sketch.
+    """
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    probe_buckets = None
+    for d in range(depth):
+        p = probes.select(
+            F.col(probe_col),
+            F.lit(d).alias("d"),
+            (h32(F.col(probe_col).cast("string"), f"cms{d}") % width).alias(
+                "bucket"
+            ),
+        )
+        probe_buckets = p if probe_buckets is None else probe_buckets.unionByName(p)
+    joined = probe_buckets.join(
+        F.broadcast(sketch), on=["d", "bucket"], how="left"
+    ).select(probe_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    return joined.groupBy(probe_col).agg(F.min("cnt").alias("estimate"))

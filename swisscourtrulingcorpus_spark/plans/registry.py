@@ -116,6 +116,7 @@ _ROUND3_NEW: set[str] = {
     "span_token_join",
     "semantic_dedup_groups",
     "leakage_safe_split",
+    "cms_token_estimates",
 }
 
 

@@ -596,6 +596,49 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs, "doc_id").select("doc_id", "shuffle_rank")
 
 
+def q_cms_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates for 10 probe values over the
+    doc_id%50 token stream — the sketch bucket arithmetic is portable
+    md5, so DuckDB reproduces the sketch (and thus every estimate)
+    bit-for-bit."""
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).cast("string").alias("token")
+    )
+    sketch = cms_table(docs, "token", width=64, depth=4)
+    probes = spark.range(10).select(F.col("id").cast("string").alias("token"))
+    return cms_estimate(sketch, probes, "token", width=64, depth=4)
+
+
+def _cms_oracle(width: int = 64, depth: int = 4) -> str:
+    def bucket(d: int, expr: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('cms{d}|' || {expr}), 1, 8))::UBIGINT "
+            f"AS BIGINT) % {width}"
+        )
+
+    sketch_parts = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'CAST(doc_id % 50 AS VARCHAR)')} AS bucket, "
+        f"count(*) AS cnt FROM documents GROUP BY 2"
+        for d in range(depth)
+    )
+    probe_parts = " UNION ALL ".join(
+        f"SELECT CAST(i AS VARCHAR) AS token, {d} AS d, "
+        f"{bucket(d, 'CAST(i AS VARCHAR)')} AS bucket FROM range(10) t(i)"
+        for d in range(depth)
+    )
+    return f"""
+WITH sketch AS ({sketch_parts}), probes AS ({probe_parts})
+SELECT p.token, MIN(COALESCE(s.cnt, 0)) AS estimate
+FROM probes p LEFT JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.token
+"""
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-aware (leakage-safe) split: the split coin is thrown on
     the exact-dedup representative, so byte-identical documents always
@@ -732,5 +775,6 @@ SPECS = [
     QuerySpec("chunked_documents", q_chunked_documents, CHUNKED_ORACLE, "token chunking w/ overlap"),
     QuerySpec("training_shuffle_rank", q_training_shuffle, TRAINING_SHUFFLE_ORACLE, "deterministic shuffle"),
     QuerySpec("leakage_safe_split", q_leakage_safe_split, _leakage_split_oracle(), "group-aware md5 split on dedup representative"),
+    QuerySpec("cms_token_estimates", q_cms_token_estimates, _cms_oracle(), "count-min sketch estimates, portable-md5 sketch oracle"),
     QuerySpec("test_set_contamination", q_contamination, CONTAMINATION_ORACLE, "train/eval overlap"),
 ]

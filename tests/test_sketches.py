@@ -80,3 +80,45 @@ def test_approx_quantiles_bounded_error(spark, sf_dir):
     for r in got:
         for a, e in zip(r.approx_percentiles, exact[r.o_orderstatus]):
             assert abs(a - e) / max(abs(e), 1.0) < 0.05, (r.o_orderstatus, a, e)
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    # skewed stream: token t appears (t+1)*3 times, t in 0..19
+    rows = [(str(t),) for t in range(20) for _ in range((t + 1) * 3)]
+    df = spark.createDataFrame(rows, ["v"])
+    probes = spark.createDataFrame([(str(t),) for t in range(20)], ["v"])
+
+    sketch = cms_table(df, "v", width=64, depth=4)
+    est = {
+        r["v"]: r["estimate"]
+        for r in cms_estimate(sketch, probes, "v", width=64, depth=4).collect()
+    }
+    for t in range(20):
+        true = (t + 1) * 3
+        assert est[str(t)] >= true  # CMS never under-counts
+        assert est[str(t)] <= true + len(rows)  # sanity upper bound
+
+    # mergeability: sketch(A) + sketch(B) == sketch(A union B)
+    a, b = df.where(F.col("v").cast("int") < 10), df.where(
+        F.col("v").cast("int") >= 10
+    )
+    merged = (
+        cms_table(a, "v", width=64, depth=4)
+        .unionByName(cms_table(b, "v", width=64, depth=4))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(df, "v", width=64, depth=4)
+    diff = merged.join(
+        whole.withColumnRenamed("cnt", "cnt_w"), on=["d", "bucket"], how="full"
+    ).where(
+        F.coalesce(F.col("cnt"), F.lit(0)) != F.coalesce(F.col("cnt_w"), F.lit(0))
+    )
+    assert diff.count() == 0
