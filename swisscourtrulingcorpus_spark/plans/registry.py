@@ -67,13 +67,15 @@ _FRONT_OF_WINDOW: list[str] = [
 # immediately after the never-verified backlog, still inside the
 # 50-entry window.
 #
-# ROTATION NOTE FOR ROUND 4: the window holds exactly 50; the round-3b
-# additions past slot 50 have local parity green but NO driver row yet.
-# Next round, promote these into _FRONT_OF_WINDOW (everything else is
-# r02/r03-driver-green): term_definitions_extracted,
-# court_chambers_flattened, iaa_token_agreement,
-# occlusion_explainability, rouge_token_agreement, occlusion_test_set,
-# span_token_join, semantic_dedup_groups, leakage_safe_split.
+# ROTATION NOTE FOR ROUND 4: the window holds exactly 50 and round 3
+# declared more never-verified queries than fit.  The 10 entries at
+# slots 51-60 have local parity green but NO driver row yet — promote
+# them into _FRONT_OF_WINDOW next round (everything else will be
+# r02/r03-driver-green): transitive_cluster_chains,
+# building_violations_summary, tei_corpus_extracted,
+# term_definitions_extracted, court_chambers_flattened,
+# iaa_token_agreement, occlusion_explainability, rouge_token_agreement,
+# occlusion_test_set, span_token_join.
 _ROUND3_NEW: set[str] = {
     "extraction_outcome_counts",
     "citation_relevance_scores",
