@@ -329,3 +329,28 @@ def test_annotation_ops_plan_shapes(spark, sf_dir):
     fp = _final_plan(q_occlusion_explainability(spark, sf_dir))
     assert "BroadcastHashJoin" in fp
     assert "SortMergeJoin" not in fp
+
+
+def test_llm_pipeline_ops_plan_shapes(spark, sf_dir):
+    """CMS estimates broadcast the fixed-size sketch; the leakage-safe
+    split is map-side after its dedup window; semantic dedup joins on
+    the bucket key (no cartesian)."""
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        q_cms_token_estimates,
+        q_leakage_safe_split,
+        q_semantic_dedup,
+    )
+
+    cms = _final_plan(q_cms_token_estimates(spark, sf_dir))
+    assert "BroadcastHashJoin" in cms
+    assert "CartesianProduct" not in cms
+
+    split_plan = _static_plan(q_leakage_safe_split(spark, sf_dir))
+    # one Exchange for the dedup-representative window; the split
+    # assignment itself adds none
+    assert split_plan.count("Exchange") <= 2
+    assert "BatchEvalPython" not in split_plan
+
+    sem = _final_plan(q_semantic_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in sem
+    assert "BroadcastNestedLoopJoin" not in sem
