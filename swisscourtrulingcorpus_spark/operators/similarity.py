@@ -270,18 +270,22 @@ def semantic_dedup_groups(
     Returns (id, representative, keep): ``keep`` marks the one row per
     group that survives dedup.
     """
+    # Zero-norm vectors (empty/failed embeddings) have no defined
+    # cosine: exclude them from the neighbor join BEFORE the division
+    # (ANSI mode raises DIVIDE_BY_ZERO otherwise) — they fall through
+    # the left join below and survive as their own representatives.
     a = emb.select(
         F.col(id_col).alias("__ida"),
         F.col(vec_col).alias("__va"),
         _norm(F.col(vec_col)).alias("__na"),
         F.col(bucket_col).alias("__bucket"),
-    )
+    ).where(F.col("__na") > 0)
     b = emb.select(
         F.col(id_col).alias("__idb"),
         F.col(vec_col).alias("__vb"),
         _norm(F.col(vec_col)).alias("__nb"),
         F.col(bucket_col).alias("__bucket"),
-    )
+    ).where(F.col("__nb") > 0)
     neighbors = (
         a.join(b, on="__bucket")
         .where(F.col("__ida") != F.col("__idb"))

@@ -152,3 +152,28 @@ def test_semantic_dedup_groups_collapses_planted_dups(spark):
     assert out[5]["keep"]
     kept = [i for i, r in out.items() if r["keep"]]
     assert sorted(kept) == [1, 4, 5]
+
+
+def test_semantic_dedup_zero_norm_vectors_survive(spark):
+    """Zero-norm (empty/failed) embeddings must not crash the ANSI
+    division and must survive as their own representatives."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        semantic_dedup_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.999, 0.001], 0),
+            (3, [0.0, 0.0], 0),  # zero vector, same bucket
+        ],
+        "vec_id int, embedding array<double>, label int",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_groups(
+            df, "vec_id", "embedding", "label", threshold=0.95
+        ).collect()
+    }
+    assert out[3]["keep"] and out[3]["representative"] == 3
+    assert out[1]["keep"] and not out[2]["keep"]
