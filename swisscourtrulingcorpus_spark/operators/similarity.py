@@ -67,18 +67,20 @@ def cosine_topk_bruteforce(
     folds to one (the dot product).  The division uses the same doubles
     in the same order, so oracle values are bit-identical.
     """
+    # zero-norm vectors have no defined cosine — filter them out before
+    # the pair projection (ANSI division would raise otherwise)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
             _norm(F.col(vec_col)).alias("__qn"),
-        )
+        ).where(F.col("__qn") > 0)
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
-    )
+    ).where(F.col("__cn") > 0)
     scored = (
         c.crossJoin(q)
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -167,7 +169,7 @@ def hyperplane_lsh_topk(
             F.col(vec_col).alias(f"__{role}v"),
             _norm(F.col(vec_col)).alias(f"__{role}n"),
             F.posexplode(buckets).alias("__table", "__bucket"),
-        )
+        ).where(F.col(f"__{role}n") > 0)
 
     c = _tabled(corpus, "neighbor")
     q = F.broadcast(_tabled(queries, "query"))
@@ -214,13 +216,13 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
         F.col(bucket_col).alias("__bucket"),
-    )
+    ).where(F.col("__qn") > 0)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
         F.col(bucket_col).alias("__bucket"),
-    )
+    ).where(F.col("__cn") > 0)
     scored = (
         c.join(F.broadcast(q), on="__bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))

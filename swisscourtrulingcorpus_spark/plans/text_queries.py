@@ -205,8 +205,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COSINE_TOPK_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id < 8 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv) /
@@ -225,8 +227,10 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 IVF_TOPK_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label FROM embeddings
+           WHERE vec_id < 8 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
 scored AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv) /
@@ -250,18 +254,19 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Norms are per-ROW projections ahead of the join (one fold per
     # vector, not three folds per PAIR) — same doubles, same order, so
     # the oracle values are unchanged.
+    # zero-norm guard mirrored in the oracle's v CTE
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("__va"),
         _norm(F.col("embedding")).alias("__na"),
         F.col("label").alias("__bucket"),
-    )
+    ).where(F.col("__na") > 0)
     b = emb.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("__vb"),
         _norm(F.col("embedding")).alias("__nb"),
         F.col("label").alias("__bucket"),
-    )
+    ).where(F.col("__nb") > 0)
     return (
         a.join(b, on="__bucket")
         .where(F.col("id_a") < F.col("id_b"))
@@ -294,9 +299,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMANTIC_DEDUP_ORACLE = """
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+vn AS (SELECT * FROM v WHERE list_dot_product(e, e) > 0),
 nb AS (
   SELECT a.vec_id AS ida, MIN(b.vec_id) AS min_nb
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id != b.vec_id
+  FROM vn a JOIN vn b ON a.label = b.label AND a.vec_id != b.vec_id
   WHERE list_dot_product(a.e, b.e) /
         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
         >= 0.3
@@ -310,7 +316,8 @@ FROM v LEFT JOIN nb ON v.vec_id = nb.ida
 
 
 EMBEDDING_NEARDUP_ORACLE = """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings
+           WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        list_dot_product(a.e, b.e) /
        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
