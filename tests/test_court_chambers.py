@@ -116,3 +116,25 @@ def test_append_missing_dim_rows(spark):
     # rerun is a no-op
     again = append_missing_dim_rows(out, incoming, "court_string", "court_id")
     assert again.count() == 4
+
+
+def test_enum_dims_reference_ids(spark):
+    from swisscourtrulingcorpus_spark.sources.enums import (
+        JUDGMENT_IDS,
+        citation_type_dim,
+        judgment_dim,
+        language_dim,
+        section_type_dim,
+    )
+
+    langs = {r["iso_code"]: r["language_id"] for r in language_dim(spark).collect()}
+    assert langs == {"de": 1, "fr": 2, "it": 3, "en": 4}
+    secs = {r["name"]: r["section_type_id"] for r in section_type_dim(spark).collect()}
+    assert secs["full_text"] == 1 and secs["footer"] == 7
+    # the reference's non-sequential judgment numbering is preserved
+    assert JUDGMENT_IDS["partial_approval"] == 4
+    assert JUDGMENT_IDS["dismissal"] == 2
+    j = {r["text"]: r["judgment_id"] for r in judgment_dim(spark).collect()}
+    assert j == JUDGMENT_IDS
+    c = {r["name"]: r["citation_type_id"] for r in citation_type_dim(spark).collect()}
+    assert c == {"ruling": 1, "law": 2, "commentary": 3}
