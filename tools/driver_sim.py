@@ -1,0 +1,97 @@
+"""Simulate the round driver's CORRECTNESS gate locally.
+
+Runs the FIRST 50 `__spark_entry__.queries()` entries at sf0.01 against
+their `oracle_sql()` through DuckDB, comparing row count, column-sorted
+schema, and an order-insensitive value hash — the same three signals
+the driver records.  Prints one summary line per query and exits
+non-zero on any mismatch.
+
+Usage: python tools/driver_sim.py [N] [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Same normalization as tests/test_oracle_parity.py: numerics to
+    float64, everything else to str (nulls -> None)."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_numeric_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        else:
+            df[c] = df[c].astype("object").where(df[c].notna(), None)
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = _normalize(df)
+    rows = sorted(
+        tuple(repr(v) for v in r)
+        for r in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entry
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="driver-sim")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    names = list(qs)[:n]
+    failures = 0
+    for name in names:
+        try:
+            got = qs[name](spark, sf_dir).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows-only rows={len(got)}")
+                continue
+            want = duck.execute(oracles[name]).fetchdf()
+            rows_ok = len(got) == len(want)
+            schema_ok = sorted(got.columns) == sorted(want.columns)
+            hash_ok = rows_ok and schema_ok and value_hash(got) == value_hash(want)
+            status = "OK" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+            print(
+                f"{name}: {status} rows={len(got)}/{len(want)} "
+                f"schema={schema_ok} hash={hash_ok}"
+            )
+        except Exception as e:  # driver records err rows the same way
+            failures += 1
+            print(f"{name}: ERROR {type(e).__name__}: {e}")
+    print(f"\n{len(names) - failures}/{len(names)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
