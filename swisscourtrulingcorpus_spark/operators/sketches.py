@@ -136,8 +136,20 @@ def cms_estimate(
 
     The probe side is a broadcast-friendly explode over depth; the join
     is a plain equi-join on (d, bucket) against the fixed-size sketch.
+
+    A sketch built with ``slice_col`` must be merged first
+    (``groupBy('d', 'bucket').sum('cnt')``) — estimating against the
+    per-slice rows would silently take the min across slices instead of
+    the min across depth rows.
     """
     from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    extra = set(sketch.columns) - {"d", "bucket", "cnt"}
+    if extra:
+        raise ValueError(
+            f"sketch has slice columns {sorted(extra)}; merge slices first: "
+            "sketch.groupBy('d','bucket').agg(F.sum('cnt').alias('cnt'))"
+        )
 
     probe_buckets = None
     for d in range(depth):

@@ -122,3 +122,18 @@ def test_cms_never_undercounts_and_merges(spark):
         F.coalesce(F.col("cnt"), F.lit(0)) != F.coalesce(F.col("cnt_w"), F.lit(0))
     )
     assert diff.count() == 0
+
+
+def test_cms_estimate_rejects_unmerged_sliced_sketch(spark):
+    import pytest
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    df = spark.createDataFrame([("a", "s1"), ("a", "s2")], ["v", "day"])
+    sliced = cms_table(df, "v", width=16, depth=2, slice_col="day")
+    probes = spark.createDataFrame([("a",)], ["v"])
+    with pytest.raises(ValueError, match="merge slices first"):
+        cms_estimate(sliced, probes, "v", width=16, depth=2)
