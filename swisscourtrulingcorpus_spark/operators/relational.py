@@ -202,6 +202,39 @@ def date_stratified_split(
     )
 
 
+SUB_DATASET_BOUNDARIES = [0, 512, 1024, 2048, 4096, 8192]
+
+
+def input_length_bucket(
+    num_tokens: Column | str,
+    boundaries: list[int] | None = None,
+) -> Column:
+    """The sub-dataset input-length slicing (`dataset_creator.py:
+    955-961` ``create_sub_datasets``): bucket label
+    ``between(lower,higher)`` with the reference's zero-padded bounds
+    and (boundary, boundary+1] interval convention; tokens above the
+    last boundary -> null (the reference materializes no bucket for
+    them).
+
+    The reference materializes one sub-DataFrame per (metadata value,
+    split) — dozens of copies of the corpus.  Spark-first this is a
+    DERIVED COLUMN + ``write.partitionBy('split', bucket)``: partition
+    pruning serves any sub-dataset for free, nothing is copied, and
+    the same pattern covers the year / legal_area / origin_* slicings
+    (`:963-1004`) with their natural columns.
+    """
+    bounds = boundaries or SUB_DATASET_BOUNDARIES
+    c = F.col(num_tokens) if isinstance(num_tokens, str) else num_tokens
+    expr = F.lit(None).cast("string")
+    for i in range(len(bounds) - 1, 0, -1):
+        lower, higher = bounds[i - 1] + 1, bounds[i]
+        expr = F.when(
+            (c >= lower) & (c <= higher),
+            F.lit(f"between({lower:04d},{higher:04d})"),
+        ).otherwise(expr)
+    return expr
+
+
 def cutoff_filter(
     df: DataFrame,
     cutoffs: DataFrame,

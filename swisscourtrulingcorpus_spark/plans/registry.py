@@ -119,6 +119,7 @@ _ROUND3_NEW: set[str] = {
     "semantic_dedup_groups",
     "leakage_safe_split",
     "cms_token_estimates",
+    "input_length_buckets",
 }
 
 

@@ -399,6 +399,40 @@ FROM documents
 """
 
 
+def q_input_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-dataset input-length slicing as a derived partition column
+    (`operators/relational.py::input_length_bucket`)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        input_length_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return docs.select(
+        "doc_id",
+        "n_tokens",
+        input_length_bucket("n_tokens").alias("length_bucket"),
+    )
+
+
+INPUT_LENGTH_BUCKETS_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens BETWEEN 1 AND 512 THEN 'between(0001,0512)'
+            WHEN n_tokens BETWEEN 513 AND 1024 THEN 'between(0513,1024)'
+            WHEN n_tokens BETWEEN 1025 AND 2048 THEN 'between(1025,2048)'
+            WHEN n_tokens BETWEEN 2049 AND 4096 THEN 'between(2049,4096)'
+            WHEN n_tokens BETWEEN 4097 AND 8192 THEN 'between(4097,8192)'
+            ELSE NULL END AS length_bucket
+FROM t
+"""
+
+
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 n-gram frequency mining (`pattern_extractor.py:154-187`:
     count >= 5 threshold): all 3-gram occurrences across the corpus."""
@@ -783,5 +817,6 @@ SPECS = [
     QuerySpec("training_shuffle_rank", q_training_shuffle, TRAINING_SHUFFLE_ORACLE, "deterministic shuffle"),
     QuerySpec("leakage_safe_split", q_leakage_safe_split, _leakage_split_oracle(), "group-aware md5 split on dedup representative"),
     QuerySpec("cms_token_estimates", q_cms_token_estimates, _cms_oracle(), "count-min sketch estimates, portable-md5 sketch oracle"),
+    QuerySpec("input_length_buckets", q_input_length_buckets, INPUT_LENGTH_BUCKETS_ORACLE, "sub-dataset length-bucket partition column"),
     QuerySpec("test_set_contamination", q_contamination, CONTAMINATION_ORACLE, "train/eval overlap"),
 ]

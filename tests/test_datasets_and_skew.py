@@ -334,3 +334,24 @@ def test_group_aware_split_no_leakage(spark):
         ).select("rep", "split").distinct().collect()
     }
     assert a == b
+
+
+def test_input_length_bucket_labels(spark):
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        input_length_bucket,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (512,), (513,), (8192,), (8193,)], ["n"]
+    )
+    out = dict(
+        df.select("n", input_length_bucket("n").alias("b")).collect()
+    )
+    assert out[1] == "between(0001,0512)"
+    assert out[512] == "between(0001,0512)"
+    assert out[513] == "between(0513,1024)"
+    assert out[8192] == "between(4097,8192)"
+    assert out[0] is None  # below the first (boundary, next] interval
+    assert out[8193] is None  # beyond the last boundary
