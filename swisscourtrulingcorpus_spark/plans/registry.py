@@ -68,14 +68,12 @@ _FRONT_OF_WINDOW: list[str] = [
 # 50-entry window.
 #
 # ROTATION NOTE FOR ROUND 4: the window holds exactly 50 and round 3
-# declared more never-verified queries than fit.  The 10 entries at
-# slots 51-60 have local parity green but NO driver row yet — promote
-# them into _FRONT_OF_WINDOW next round (everything else will be
-# r02/r03-driver-green): transitive_cluster_chains,
-# building_violations_summary, tei_corpus_extracted,
-# term_definitions_extracted, court_chambers_flattened,
-# iaa_token_agreement, occlusion_explainability, rouge_token_agreement,
-# occlusion_test_set, span_token_join.
+# declared more never-verified queries than fit.  Run
+# ``python -c "from swisscourtrulingcorpus_spark.plans.registry import
+# unverified_backlog; print(unverified_backlog())"`` to list the
+# entries that still need a driver row (local parity green, slots 51+),
+# and promote them into _FRONT_OF_WINDOW — everything else will be
+# r02/r03-driver-green.
 _ROUND3_NEW: set[str] = {
     "extraction_outcome_counts",
     "citation_relevance_scores",
@@ -174,3 +172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {s.name: s.oracle for s in QUERY_SPECS if s.oracle is not None}
+
+
+def unverified_backlog() -> list[str]:
+    """Round-3-new queries outside the driver's 50-entry window — the
+    promotion list for the next round's _FRONT_OF_WINDOW."""
+    return [s.name for s in QUERY_SPECS[50:] if s.name in _ROUND3_NEW]
