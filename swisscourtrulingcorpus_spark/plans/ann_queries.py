@@ -1,0 +1,190 @@
+"""Gate queries for the learned ANN layer (`operators/clustering.py`)
+and frequency-ranked vocabulary building.
+
+Determinism contract shared by the IVF/PQ gates: centroids/codewords
+are the vectors of the smallest ids (exactly what
+``kmeans_fit``/``pq_codebooks_from_rows`` use as their deterministic
+init), so the oracle can reconstruct them relationally and the argmin
+comparisons run over bit-identical doubles on both engines — the
+squared-L2 surrogate ``c.c - 2 a.c`` is two flops over the
+sequential-fold dot product already verified to match DuckDB's
+``list_dot_product``.  Trained (post-Lloyd) centroids go through the
+same ``assign_clusters`` plan; ``kmeans_fit`` itself is iterative and
+covered by pytest (`tests/test_clustering.py`), not SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+_K = 8  # IVF centroids
+_M = 4  # PQ subspaces
+_KSUB = 4  # PQ codewords per subspace
+_DIM = 64
+_MIN_FREQ = 2
+_VOCAB_TOP = 1000
+
+
+def _seed_centroids(emb: DataFrame, k: int) -> list[list[float]]:
+    rows = (
+        emb.where(F.col("embedding").isNotNull())
+        .orderBy("vec_id")
+        .select("embedding")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r[0]] for r in rows]
+
+
+def q_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer (`operators/clustering.py::assign_clusters`)
+    with the deterministic seed centroids (vectors of the 8 smallest
+    ids).  One broadcast argmin scan — the per-row cluster id every
+    IVF/SemDeDup path downstream consumes."""
+    from swisscourtrulingcorpus_spark.operators.clustering import assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _seed_centroids(emb, _K)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    return assign_clusters(vecs, cents, "__v", "vec_id").select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster")
+    )
+
+
+IVF_ASSIGNMENT_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {_K}),
+sc AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(c.cvec, c.cvec)
+           - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS score
+  FROM embeddings e CROSS JOIN c),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+  FROM sc)
+SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+"""
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding
+    (`operators/clustering.py::pq_encode`): 64-dim floats -> 4 codes
+    from 4-codeword seed codebooks, exploded to (vec_id, s, code) so
+    the gate hashes plain ints."""
+    from swisscourtrulingcorpus_spark.operators.clustering import (
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks_from_rows(emb, "embedding", "vec_id", _DIM, _M, _KSUB)
+    codes = pq_encode(emb, cbs, "embedding", "vec_id")
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("s", "code")
+    ).select("vec_id", F.col("s").cast("int"), F.col("code").cast("int"))
+
+
+_SUB = _DIM // _M
+
+PQ_CODES_ORACLE = f"""
+WITH sub AS (SELECT CAST(s AS INTEGER) AS s FROM generate_series(0, {_M - 1}) t(s)),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         embedding
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {_KSUB}),
+cb AS (
+  SELECT sub.s, seed.code,
+         CAST(array_slice(seed.embedding, sub.s * {_SUB} + 1, sub.s * {_SUB} + {_SUB}) AS DOUBLE[]) AS cvec
+  FROM seed CROSS JOIN sub),
+v AS (
+  SELECT e.vec_id, sub.s,
+         CAST(array_slice(e.embedding, sub.s * {_SUB} + 1, sub.s * {_SUB} + {_SUB}) AS DOUBLE[]) AS svec
+  FROM embeddings e CROSS JOIN sub),
+sc AS (
+  SELECT v.vec_id, v.s, cb.code,
+         list_dot_product(cb.cvec, cb.cvec) - 2 * list_dot_product(v.svec, cb.cvec) AS score
+  FROM v JOIN cb ON v.s = cb.s),
+r AS (
+  SELECT vec_id, s, code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY score, code) AS rn
+  FROM sc)
+SELECT vec_id, s, code FROM r WHERE rn = 1
+"""
+
+
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary build: whitespace tokens of the
+    lowercased corpus, ``min_freq`` floor, id = dense rank by
+    (freq DESC, token ASC), top-{_VOCAB_TOP}.
+
+    The training-pipeline primitive behind token-id datasets: the heavy
+    part (token counting) is a map-side-combined groupBy; the global
+    rank runs over the *vocabulary* (<< corpus, bounded further by the
+    frequency floor), never over the corpus itself."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    counts = (
+        docs.select(
+            F.explode(F.split(normalize_ws("text"), " ")).alias("token")
+        )
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= _MIN_FREQ)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("token").asc())
+    return (
+        counts.withColumn("vocab_id", F.row_number().over(w))
+        .where(F.col("vocab_id") <= _VOCAB_TOP)
+        .select("token", "freq", "vocab_id")
+    )
+
+
+VOCAB_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT token, count(*) AS freq FROM toks
+  WHERE len(token) > 0 GROUP BY token HAVING count(*) >= {_MIN_FREQ}),
+ranked AS (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS vocab_id
+  FROM counts)
+SELECT token, freq, vocab_id FROM ranked WHERE vocab_id <= {_VOCAB_TOP}
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec(
+        name="ivf_assignment",
+        spark=q_ivf_assignment,
+        oracle=IVF_ASSIGNMENT_ORACLE,
+        doc="IVF coarse assignment, broadcast argmin (clustering.py)",
+    ),
+    QuerySpec(
+        name="pq_codes_embeddings",
+        spark=q_pq_codes,
+        oracle=PQ_CODES_ORACLE,
+        doc="Product-quantization encoding (clustering.py::pq_encode)",
+    ),
+    QuerySpec(
+        name="vocab_top_tokens",
+        spark=q_vocab_top_tokens,
+        oracle=VOCAB_ORACLE,
+        doc="Frequency-ranked vocabulary build",
+    ),
+]

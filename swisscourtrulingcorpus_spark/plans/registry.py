@@ -118,11 +118,16 @@ _ROUND3_NEW: set[str] = {
     "leakage_safe_split",
     "cms_token_estimates",
     "input_length_buckets",
+    # round-3c ANN layer (ann_queries)
+    "ivf_assignment",
+    "pq_codes_embeddings",
+    "vocab_top_tokens",
 }
 
 
 def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
+    from swisscourtrulingcorpus_spark.plans import ann_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
     from swisscourtrulingcorpus_spark.plans import annotation_queries
     from swisscourtrulingcorpus_spark.plans import extraction_queries
@@ -144,6 +149,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += training_queries.SPECS
     specs += extraction_queries.SPECS
     specs += annotation_queries.SPECS
+    specs += ann_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
 

@@ -1,0 +1,116 @@
+"""K-means / IVF / PQ layer (`operators/clustering.py`): numeric
+cross-checks against numpy on the collected fixture (500 x 64 — tiny),
+recall floors vs the exact brute-force path, and plan-shape assertions
+(broadcast centroids, equi-join candidate generation)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators import clustering as C
+from swisscourtrulingcorpus_spark.operators.similarity import cosine_topk_bruteforce
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def test_kmeans_converges_and_partitions(emb):
+    cents, inertia = C.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=5)
+    assert len(cents) == 4 and all(len(c) == 64 for c in cents)
+    assert np.isfinite(inertia)
+    _, inertia1 = C.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=1)
+    assert inertia <= inertia1 + 1e-9  # Lloyd's never increases inertia
+
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    asg = C.assign_clusters(vecs, cents, "v", "vec_id")
+    assert asg.count() == emb.count()
+    sizes = {r.cluster: r["count"] for r in asg.groupBy("cluster").count().collect()}
+    assert set(sizes) <= {0, 1, 2, 3} and sum(sizes.values()) == emb.count()
+
+
+def test_assignment_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    cents = mat[:8]
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    got = {
+        r.vec_id: r.cluster
+        for r in C.assign_clusters(vecs, cents.tolist(), "v", "vec_id").collect()
+    }
+    d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    want = d2.argmin(axis=1)
+    mismatch = sum(got[i] != want[n] for n, i in enumerate(ids))
+    assert mismatch == 0
+
+
+def test_ivf_recall_floor(emb):
+    cents, _ = C.kmeans_fit(emb, "embedding", "vec_id", k=8, max_iter=5)
+    queries = emb.limit(20)
+    approx = C.ivf_topk(emb, queries, cents, "embedding", "vec_id", k=5, nprobe=3)
+    exact = cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6  # measured 0.76 on the fixture
+
+
+def test_pq_encode_matches_numpy(emb, emb_np):
+    ids, mat = emb_np
+    m, sub, ksub = 4, 16, 8
+    cbs = C.pq_codebooks_from_rows(emb, "embedding", "vec_id", 64, m, ksub)
+    got = {r.vec_id: list(r.codes) for r in C.pq_encode(emb, cbs, "embedding", "vec_id").collect()}
+    for n, i in enumerate(ids[:50]):
+        codes = []
+        for s in range(m):
+            sl = mat[n, s * sub : (s + 1) * sub]
+            cb = np.array(cbs[s])
+            codes.append(int(((sl[None, :] - cb) ** 2).sum(axis=1).argmin()))
+        assert got[i] == codes, f"vec {i}"
+
+
+def test_pq_adc_beats_random(emb, emb_np):
+    ids, mat = emb_np
+    cbs = C.pq_codebooks_from_rows(emb, "embedding", "vec_id", 64, 4, 8)
+    codes = C.pq_encode(emb, cbs, "embedding", "vec_id")
+    queries = emb.limit(20)
+    adc = C.pq_topk_adc(codes, queries, cbs, "embedding", "vec_id", k=20)
+    a = {(r.query_id, r.neighbor_id) for r in adc.collect()}
+    # exact L2 top-20 per query from numpy (PQ approximates L2)
+    e = set()
+    id_pos = {i: n for n, i in enumerate(ids)}
+    for q in [r.vec_id for r in queries.collect()]:
+        d2 = ((mat - mat[id_pos[q]]) ** 2).sum(axis=1)
+        order = [ids[j] for j in d2.argsort() if ids[j] != q][:20]
+        e |= {(q, n) for n in order}
+    recall = len(a & e) / len(e)
+    # random recall@20 over 500 docs ~= 0.04; untrained seed codebooks
+    # measured ~0.2 — assert comfortably above chance
+    assert recall >= 0.10, recall
+
+
+def test_assign_plan_broadcasts_centroids(emb):
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = C.assign_clusters(vecs, cents, "v", "vec_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ivf_candidates_equi_join(emb):
+    cents, _ = C.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=1)
+    df = C.ivf_topk(emb, emb.limit(3), cents, "embedding", "vec_id", k=3, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the corpus-side candidate join must key on the cluster id — a
+    # cartesian against the corpus would be the brute-force plan
+    assert "cluster" in plan
+    assert "CartesianProduct" not in plan
