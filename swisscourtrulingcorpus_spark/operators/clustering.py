@@ -272,6 +272,35 @@ def pq_codebooks_from_rows(
     ]
 
 
+def pq_codebooks_trained(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+    max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Trained PQ codebooks: per-subspace Lloyd's k-means (seeded from
+    the smallest-id slices, like FAISS's default train-on-sample).
+    m index-build passes over the sliced corpus — offline cost; the
+    encode/search plans are identical to the seeded variant."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    out: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = df.select(
+            id_col,
+            F.slice(F.col(vec_col).cast("array<double>"), s * sub + 1, sub).alias(
+                "__sv"
+            ),
+        )
+        cents, _ = kmeans_fit(sliced, "__sv", id_col, ksub, max_iter=max_iter)
+        out.append(cents)
+    return out
+
+
 def _codebook_df(spark: SparkSession, codebooks: list[list[list[float]]]) -> DataFrame:
     rows = [
         (s, code, [float(x) for x in cvec])

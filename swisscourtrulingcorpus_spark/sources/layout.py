@@ -1,0 +1,119 @@
+"""Physical file-layout operators: range-clustered writes, footer-stats
+data skipping, and small-file compaction.
+
+At 100 TB the dominant cost of a selective query is how many files the
+scan can SKIP, and the dominant operational failure is millions of tiny
+files from incremental appends.  Three primitives cover this:
+
+- ``write_sorted_by``: repartitionByRange + sortWithinPartitions before
+  the write, so every output file owns a disjoint key range and its
+  parquet footer min/max actually prunes (a hash-partitioned write
+  spreads every key everywhere — footer stats then span the full
+  domain and skip nothing).
+- ``file_skipping_stats`` / ``files_for_range``: read ONLY the parquet
+  footers (pyarrow metadata, no row groups) and compute which files a
+  range predicate touches — the same min/max pruning Spark's reader
+  applies; exposed as a table so tests and capacity planning can
+  measure skipping instead of guessing.
+- ``compact_small_files``: rewrite a directory to size-targeted files
+  with the staged-rename pattern (`streaming/jobs.py::stream_upsert_job`)
+  so a crash never leaves a partial table.
+
+Reference parity: the reference caches per-court parquet without layout
+control (`dataset_creator.py:543` df.to_parquet) — fine at GB scale,
+not at 100 TB; this module is the Spark-first replacement.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_sorted_by(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int,
+) -> None:
+    """Range-clustered parquet write: ``num_files`` files, each owning a
+    disjoint ``sort_cols`` range (sampled range boundaries), rows sorted
+    within each file so row-group stats prune at sub-file granularity
+    too."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_skipping_stats(path: str, column: str) -> list[dict]:
+    """Per-file (min, max, rows) for ``column`` from parquet footers
+    only — no data pages are read.  Driver-side by design: one footer
+    per file, the same metadata a table format (Delta/Iceberg) would
+    keep in its manifest."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.read_metadata(os.path.join(path, name))
+        lo, hi = None, None
+        for rg in range(meta.num_row_groups):
+            for ci in range(meta.num_columns):
+                col = meta.row_group(rg).column(ci)
+                if col.path_in_schema != column or col.statistics is None:
+                    continue
+                st = col.statistics
+                if st.has_min_max:
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+        out.append(
+            {"file": name, "min": lo, "max": hi, "rows": meta.num_rows}
+        )
+    return out
+
+
+def files_for_range(stats: list[dict], lo, hi) -> list[str]:
+    """Files a ``BETWEEN lo AND hi`` predicate must read — footer
+    min/max pruning, matching the reader's skipping rule (a file with
+    unknown stats must be read)."""
+    keep = []
+    for s in stats:
+        if s["min"] is None or s["max"] is None:
+            keep.append(s["file"])
+        elif not (s["max"] < lo or s["min"] > hi):
+            keep.append(s["file"])
+    return keep
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path`` into ceil(total/target)-sized files.  The
+    rewrite lands fully in a staging dir, then replaces the table with
+    two renames — readers see either the old or the new layout, never a
+    partial one.  Returns the new file count."""
+    total = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    staging = path.rstrip("/") + ".compact_staging"
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(staging)
+        os.rename(path, old)
+        os.rename(staging, path)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    return n

@@ -98,6 +98,18 @@ def test_pq_adc_beats_random(emb, emb_np):
     assert recall >= 0.10, recall
 
 
+def test_pq_trained_codebooks_shape_and_quality(emb):
+    cbs = C.pq_codebooks_trained(emb, "embedding", "vec_id", 64, 4, 4, max_iter=2)
+    assert len(cbs) == 4
+    assert all(len(sub) == 4 and all(len(c) == 16 for c in sub) for sub in cbs)
+    # trained codewords are per-cluster means, not raw corpus slices —
+    # encoding still covers every row with in-range codes
+    codes = C.pq_encode(emb, cbs, "embedding", "vec_id")
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    assert all(len(r.codes) == 4 and all(0 <= c < 4 for c in r.codes) for r in rows)
+
+
 def test_assign_plan_broadcasts_centroids(emb):
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = [[0.0] * 64, [1.0] * 64]

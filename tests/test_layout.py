@@ -1,0 +1,58 @@
+"""File-layout operators (`sources/layout.py`): disjoint ranges from
+sorted writes, footer-stats skipping arithmetic, crash-safe compaction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.sources import layout
+
+
+def test_sorted_write_produces_disjoint_ranges(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_sorted")
+    layout.write_sorted_by(docs, out, ["doc_id"], num_files=4)
+    stats = [s for s in layout.file_skipping_stats(out, "doc_id") if s["rows"]]
+    assert len(stats) >= 2
+    spans = sorted((s["min"], s["max"]) for s in stats)
+    for (_, hi_a), (lo_b, _) in zip(spans, spans[1:]):
+        assert hi_a < lo_b, "range-partitioned files must not overlap"
+    assert sum(s["rows"] for s in stats) == docs.count()
+
+
+def test_point_range_touches_one_file(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_point")
+    layout.write_sorted_by(docs, out, ["doc_id"], num_files=4)
+    stats = [s for s in layout.file_skipping_stats(out, "doc_id") if s["rows"]]
+    some_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    touched = layout.files_for_range(stats, some_id, some_id)
+    assert len(touched) == 1
+    # a full-domain range reads everything
+    lo = min(s["min"] for s in stats)
+    hi = max(s["max"] for s in stats)
+    assert len(layout.files_for_range(stats, lo, hi)) == len(stats)
+
+
+def test_unknown_stats_must_be_read():
+    stats = [
+        {"file": "a", "min": 0, "max": 10, "rows": 5},
+        {"file": "b", "min": None, "max": None, "rows": 5},
+    ]
+    assert layout.files_for_range(stats, 100, 200) == ["b"]
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    out = str(tmp_path / "fragmented")
+    docs.repartition(16).write.parquet(out)
+    import os
+
+    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert before >= 8
+    n = layout.compact_small_files(spark, out, target_bytes=1 << 30)
+    after = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    assert after == n == 1
+    assert spark.read.parquet(out).count() == 200
+    assert not os.path.exists(out + ".compact_staging")
+    assert not os.path.exists(out + ".compact_old")
