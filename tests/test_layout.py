@@ -34,6 +34,33 @@ def test_point_range_touches_one_file(spark, sf_dir, tmp_path):
     assert len(layout.files_for_range(stats, lo, hi)) == len(stats)
 
 
+def test_zorder_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    zp, sp = str(tmp_path / "z"), str(tmp_path / "s")
+    layout.write_zordered(orders, zp, ["o_orderkey", "o_custkey"], num_files=16)
+    layout.write_sorted_by(orders, sp, ["o_orderkey"], num_files=16)
+
+    def avg_span(path, col):
+        st = [s for s in layout.file_skipping_stats(path, col) if s["rows"]]
+        return sum(s["max"] - s["min"] for s in st) / len(st)
+
+    glob = {
+        c: (
+            orders.agg(F.max(c) - F.min(c)).collect()[0][0]
+        )
+        for c in ["o_orderkey", "o_custkey"]
+    }
+    # single-column sort: first col prunes hard, second col spans ~full range
+    assert avg_span(sp, "o_orderkey") < 0.2 * glob["o_orderkey"]
+    assert avg_span(sp, "o_custkey") > 0.8 * glob["o_custkey"]
+    # z-order: BOTH columns prune (each well under half the global range)
+    assert avg_span(zp, "o_orderkey") < 0.5 * glob["o_orderkey"]
+    assert avg_span(zp, "o_custkey") < 0.5 * glob["o_custkey"]
+    assert spark.read.parquet(zp).count() == orders.count()
+
+
 def test_unknown_stats_must_be_read():
     stats = [
         {"file": "a", "min": 0, "max": 10, "rows": 5},
