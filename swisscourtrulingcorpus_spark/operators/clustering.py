@@ -7,13 +7,14 @@ fixture ``label`` standing in for a coarse assignment).  This module
 supplies the remaining production ANN layer a 100 TB corpus needs:
 
 - ``kmeans_fit``: Lloyd's iterations expressed as DataFrame programs —
-  centroids broadcast to executors (k x dim doubles, bounded), the
-  assignment an argmin over a broadcast join, the recompute a
-  posexplode + per-(cluster, dimension) average.  Only k x dim numbers
-  ever return to the driver per iteration; the corpus streams.
-- ``assign_clusters``: one scan, broadcast centroids, deterministic
-  argmin (ties break to the smallest cluster id via struct-min) — the
-  IVF coarse quantizer.
+  the centroid matrix unrolls into a literal argmin EXPRESSION (k x dim
+  doubles, kilobytes), so assignment is a pure map with no join or row
+  multiplication; the recompute is a posexplode + per-(cluster,
+  dimension) average with map-side combine.  Only k x dim numbers ever
+  return to the driver per iteration; the corpus streams.
+- ``assign_clusters`` / ``ivf_index``: one scan, literal-centroid
+  argmin, deterministic ties (first minimum = smallest cluster id) —
+  the IVF coarse quantizer; index once, persist, search many.
 - ``ivf_topk``: multi-probe IVF search — each query probes its
   ``nprobe`` nearest centroids, candidates come from an equi-join on
   the cluster id (never a cross join against the corpus).
@@ -35,7 +36,7 @@ oracle-identical folds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from swisscourtrulingcorpus_spark.operators.similarity import _dot, _norm
@@ -46,20 +47,63 @@ def _ranked_topk(df: DataFrame, order: list, k: int) -> DataFrame:
     return df.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _centroid_df(
-    spark: SparkSession, centroids: list[list[float]], prefix: str = "c"
-) -> DataFrame:
-    """(cluster, cvec, cnorm2) literal DataFrame for broadcasting.
-    ``cnorm2`` is the self-dot computed with the same fold the oracle
-    uses, so downstream scores stay bit-comparable."""
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    df = spark.createDataFrame(rows, f"{prefix}id int, cvec array<double>")
-    return df.withColumn("cnorm2", _dot(F.col("cvec"), F.col("cvec")))
+def _lit_vec(c: list[float]) -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in c])
 
 
-def _score(vec_col: str) -> F.Column:
-    """Rank-equivalent squared L2 to the joined centroid: c.c - 2 a.c."""
-    return F.col("cnorm2") - F.lit(2.0) * _dot(F.col(vec_col), F.col("cvec"))
+def _self_dot(c: list[float]) -> float:
+    """Driver-side c.c with the SAME sequential left-fold order as the
+    Spark ``aggregate`` / DuckDB ``list_dot_product`` evaluation —
+    identical IEEE-754 operation sequence, identical double.  (Spark's
+    higher-order ``aggregate`` is not constant-foldable, so an
+    expression-side self-dot would re-evaluate k literal folds per
+    row.)"""
+    s = 0.0
+    for x in c:
+        x = float(x)
+        s += x * x
+    return s
+
+
+def centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
+    """Array of rank-equivalent squared L2 scores (c.c - 2 a.c) to each
+    centroid, as ONE map-side expression over literal centroid arrays —
+    no join, no shuffle, no row multiplication; one distance fold per
+    centroid per row.  Every score is bit-identical to the oracle's
+    ``list_dot_product`` arithmetic."""
+    return F.array(
+        *[
+            F.lit(_self_dot(c)) - F.lit(2.0) * _dot(vec, _lit_vec(c))
+            for c in centroids
+        ]
+    )
+
+
+def _min_struct(scores: F.Column) -> F.Column:
+    """Single-scan (score, index) minimum over a scores array; strict
+    ``<`` keeps the FIRST minimum, so ties break to the smallest
+    cluster id — matching the oracle's ORDER BY score, cid.
+
+    Why a fold and not ``array_position(s, array_min(s))``: that form
+    references the scores expression twice, and CollapseProject
+    re-inlines projections so the k distance folds evaluate twice per
+    row (measured — the plan showed every fold duplicated).  The
+    ``aggregate`` form scans once and references ``scores`` once."""
+    return F.aggregate(
+        F.transform(
+            scores, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+        ),
+        F.struct(
+            F.lit(float("inf")).alias("s"), F.lit(-1).alias("i")
+        ),
+        lambda acc, x: F.when(x["s"] < acc["s"], x).otherwise(acc),
+    )
+
+
+def _argmin_of(scores: F.Column) -> F.Column:
+    """First index of the array minimum (ties -> smallest cluster id);
+    single scan, ``scores`` referenced once."""
+    return _min_struct(scores)["i"].cast("int")
 
 
 def assign_clusters(
@@ -69,21 +113,18 @@ def assign_clusters(
     id_col: str,
 ) -> DataFrame:
     """IVF coarse assignment: nearest centroid per row, ties to the
-    smallest cluster id.  Broadcast join (centroids are k x dim — always
-    driver-bounded) + struct-min argmin; the corpus is scanned once and
-    never shuffled."""
-    spark = df.sparkSession
-    cents = _centroid_df(spark, centroids)
-    scored = df.join(F.broadcast(cents)).select(
+    smallest cluster id.
+
+    Pure projection — the centroid matrix unrolls into the expression
+    tree (k x dim literals; fine through k*dim ~ tens of thousands, the
+    IVF coarse-quantizer regime) so the corpus is scanned once with NO
+    join, shuffle, or aggregation.  An earlier broadcast-join + min
+    formulation materialized k struct rows per vector and OOM'd at
+    500k x 64 on the test box — the expression form replaced it
+    (SCALE.md)."""
+    return df.select(
         id_col,
-        F.struct(_score(vec_col).alias("score"), F.col("cid").alias("cluster")).alias(
-            "__sc"
-        ),
-    )
-    return (
-        scored.groupBy(id_col)
-        .agg(F.min("__sc").alias("__best"))
-        .select(id_col, F.col("__best.cluster").alias("cluster"))
+        _argmin_of(centroid_scores(F.col(vec_col), centroids)).alias("cluster"),
     )
 
 
@@ -123,42 +164,67 @@ def kmeans_fit(
     prev_inertia = None
     inertia = float("inf")
     for _ in range(max_iter):
-        assigned = vecs.join(
-            assign_clusters(vecs, centroids, "__v", id_col), on=id_col
+        # one map-side pass: cluster id + full squared distance per row.
+        # The (score, index) pair comes from ONE fold; referencing the
+        # struct twice re-evaluates the fold (projection collapse), so
+        # accept 2x here — training-time only; the corpus-scale paths
+        # (assign/encode) are single-eval.
+        best = _min_struct(centroid_scores(F.col("__v"), centroids))
+        assigned = vecs.select(
+            "__v",
+            best["i"].cast("int").alias("cluster"),
+            (best["s"] + _dot(F.col("__v"), F.col("__v"))).alias("d2"),
         )
+        # recompute + inertia in ONE aggregation over (cluster, pos)
+        # partials — map-side combine applies, the shuffle carries
+        # k x dim groups, not the corpus
         new_rows = (
-            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            assigned.select("cluster", "d2", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.avg("val").alias("m"),
+                F.sum(F.when(F.col("pos") == 0, F.col("d2"))).alias("d2p"),
+            )
             .groupBy("cluster")
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
                     lambda s: s["m"],
-                ).alias("cvec")
+                ).alias("cvec"),
+                F.sum("d2p").alias("d2sum"),
             )
             .collect()
         )
+        inertia = float(sum(r["d2sum"] for r in new_rows))
         for r in new_rows:
             centroids[r["cluster"]] = [float(x) for x in r["cvec"]]
-        cents = _centroid_df(vecs.sparkSession, centroids)
-        inertia = (
-            assigned.join(F.broadcast(cents), assigned["cluster"] == cents["cid"])
-            .select(
-                (
-                    _score("__v")
-                    + _dot(F.col("__v"), F.col("__v"))
-                ).alias("d2")
-            )
-            .agg(F.sum("d2"))
-            .collect()[0][0]
-        )
         if prev_inertia is not None and abs(prev_inertia - inertia) <= tol * max(
             prev_inertia, 1.0
         ):
             break
         prev_inertia = inertia
     return centroids, float(inertia)
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Build the IVF index: the corpus with its ``cluster`` assignment
+    column.  ONE broadcast-argmin scan — write/persist the result (e.g.
+    ``layout.write_sorted_by(..., ["cluster"])`` so each inverted list
+    is contiguous and cluster-pruned at scan time); search calls then
+    skip the assignment entirely.  Measured at 50k x 64: assignment is the
+    bulk of a cold ``ivf_topk`` call — indexing once is what makes IVF
+    beat brute force (see SCALE.md)."""
+    vecs = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    return corpus.join(
+        assign_clusters(vecs, centroids, "__v", id_col), on=id_col
+    )
 
 
 def ivf_topk(
@@ -173,57 +239,49 @@ def ivf_topk(
     """Multi-probe IVF search: per query, candidates come from the
     ``nprobe`` nearest centroids' inverted lists.
 
-    Plan shape at scale: the corpus is assigned once (broadcast argmin,
-    no shuffle), the probe list is a per-query array exploded to
-    (query, cluster) rows, and candidates arrive through an equi-join
-    on the cluster id — cost is corpus/k * nprobe per query instead of
-    the brute-force full scan.  Output matches
-    ``similarity.cosine_topk_bruteforce``: (query_id, neighbor_id,
-    cosine, rank)."""
-    spark = corpus.sparkSession
-    cents = _centroid_df(spark, centroids)
-
+    If ``corpus`` already carries a ``cluster`` column (built by
+    ``ivf_index`` — the intended production path), it is used as-is;
+    otherwise the corpus is assigned on the fly (convenience for
+    one-shot calls; at scale always index once).  The probe list is a
+    per-query array exploded to (query, cluster) rows, and candidates
+    arrive through an equi-join on the cluster id — cost is
+    corpus/k * nprobe per query instead of the brute-force full scan.
+    Output matches ``similarity.cosine_topk_bruteforce``: (query_id,
+    neighbor_id, cosine, rank)."""
+    if "cluster" not in corpus.columns:
+        corpus = ivf_index(corpus, centroids, vec_col, id_col)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col)).alias("__cn"),
+        "cluster",
     ).where(F.col("__cn") > 0)
-    c = c.join(
-        assign_clusters(
-            corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("__v")),
-            centroids,
-            "__v",
-            id_col,
-        ).withColumnRenamed(id_col, "neighbor_id"),
-        on="neighbor_id",
-    )
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn"),
     ).where(F.col("__qn") > 0)
-    probes = (
-        q.join(F.broadcast(cents))
-        .select(
-            "query_id",
-            F.struct(_score("__qv").alias("score"), F.col("cid")).alias("__sc"),
-        )
-        .groupBy("query_id")
-        .agg(
-            F.slice(
-                F.transform(
-                    F.array_sort(F.collect_list("__sc")), lambda s: s["cid"]
-                ),
-                1,
-                nprobe,
-            ).alias("__probes")
-        )
-        .select("query_id", F.explode("__probes").alias("cluster"))
+    # probe list = nprobe nearest centroids, map-side over the same
+    # literal-centroid score expression (no join, no aggregation)
+    scores = centroid_scores(F.col("__qv").cast("array<double>"), centroids)
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(
+                scores, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
+            )
+        ),
+        lambda x: x["i"],
+    )
+    probes = q.select(
+        "query_id",
+        "__qv",
+        "__qn",
+        F.explode(F.slice(ranked, 1, nprobe)).alias("cluster"),
     )
 
     scored = (
-        c.join(F.broadcast(probes.join(q, on="query_id")), on="cluster")
+        c.join(F.broadcast(probes), on="cluster")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -301,73 +359,31 @@ def pq_codebooks_trained(
     return out
 
 
-def _codebook_df(spark: SparkSession, codebooks: list[list[list[float]]]) -> DataFrame:
-    rows = [
-        (s, code, [float(x) for x in cvec])
-        for s, sub in enumerate(codebooks)
-        for code, cvec in enumerate(sub)
-    ]
-    df = spark.createDataFrame(rows, "s int, code int, cvec array<double>")
-    return df.withColumn("cnorm2", _dot(F.col("cvec"), F.col("cvec")))
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Encode each vector as m codebook indices: slice per subspace,
-    broadcast-join the (s, code) codebook, struct-min argmin per
-    (row, subspace), re-assemble the code array in subspace order.
-    Output: (id, codes array<int>) — the compressed representation a
-    100 TB ANN index actually stores."""
-    spark = df.sparkSession
+    """Encode each vector as m codebook indices: per-subspace argmin
+    over the literal codebooks, as ONE projection — the encode pass is
+    a pure map over the corpus with no join, shuffle, or aggregation
+    (an earlier explode + broadcast-join + two-groupBy version was
+    replaced; at 100 TB an extra corpus shuffle in the encode pass is
+    the whole cost).  Output: (id, codes array<int>) — the compressed
+    representation an ANN index actually stores."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cb = _codebook_df(spark, codebooks)
-    sliced = df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("s"),
-                    F.slice(
-                        F.col(vec_col).cast("array<double>"),
-                        s * sub + 1,
-                        sub,
-                    ).alias("svec"),
-                ),
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.array(
+        *[
+            _argmin_of(
+                centroid_scores(F.slice(v, s * sub + 1, sub), codebooks[s])
             )
-        ).alias("__e"),
-    ).select(id_col, F.col("__e.s").alias("s"), F.col("__e.svec").alias("svec"))
-    best = (
-        sliced.join(F.broadcast(cb), on="s")
-        .select(
-            id_col,
-            "s",
-            F.struct(
-                (
-                    F.col("cnorm2")
-                    - F.lit(2.0) * _dot(F.col("svec"), F.col("cvec"))
-                ).alias("score"),
-                F.col("code"),
-            ).alias("__sc"),
-        )
-        .groupBy(id_col, "s")
-        .agg(F.min("__sc").alias("__best"))
-        .select(id_col, "s", F.col("__best.code").alias("code"))
+            for s in range(m)
+        ]
     )
-    return (
-        best.groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("s", "code"))),
-                lambda x: x["code"],
-            ).alias("codes")
-        )
-    )
+    return df.select(id_col, codes.alias("codes"))
 
 
 def pq_topk_adc(
@@ -381,48 +397,51 @@ def pq_topk_adc(
     """Asymmetric-distance top-k over PQ codes.
 
     Per query, the (subspace, code) -> partial squared distance lookup
-    table is m x ksub rows — tiny, built by one broadcast centroid
-    join and broadcast again against the code table.  The corpus scan
-    touches only the code arrays: posexplode to (id, s, code), join
-    the lookup, sum partials per (query, id), top-k.  No float vectors
-    move after encoding — this is the PQ promise at scale."""
-    spark = corpus_codes.sparkSession
-    cb = _codebook_df(spark, codebooks)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    table is m x ksub doubles, flattened to ONE array per query and
+    broadcast.  The corpus-side work per (query, code-row) is then m
+    ``element_at`` lookups folded with ``aggregate`` — ~dim/m times
+    less arithmetic than the brute-force dot product, with no
+    posexplode fan-out and no join on (s, code) (an earlier join-shaped
+    version shuffled corpus x m rows and lost to brute force; see
+    SCALE.md).  No float vectors move after encoding — the scan reads
+    m bytes of codes per row, the PQ promise at scale."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    lut = (
-        q.join(F.broadcast(cb))
-        .select(
-            "query_id",
-            "s",
-            "code",
-            (
-                F.col("cnorm2")
-                - F.lit(2.0)
-                * _dot(
-                    F.slice(F.col("__qv"), F.col("s") * sub + 1, sub),
-                    F.col("cvec"),
-                )
-            ).alias("pdist"),
-        )
+    ksub = len(codebooks[0])
+    qv = F.col(vec_col).cast("array<double>")
+    # per-query flat LUT: lut[s * ksub + code] = partial distance —
+    # one projection over the literal codebooks, no join/agg
+    lut_expr = F.array(
+        *[
+            F.lit(_self_dot(c))
+            - F.lit(2.0) * _dot(F.slice(qv, s * sub + 1, sub), _lit_vec(c))
+            for s in range(m)
+            for c in codebooks[s]
+        ]
     )
-    exploded = corpus_codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("s", "code"),
+    lut = queries.select(
+        F.col(id_col).alias("query_id"), lut_expr.alias("__lut")
+    )
+    c = corpus_codes.select(
+        F.col(id_col).alias("neighbor_id"), "codes"
     )
     scored = (
-        exploded.join(F.broadcast(lut), on=["s", "code"])
+        c.join(F.broadcast(lut))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("pdist").alias("adc"), F.count(F.lit(1)).alias("__m"))
-        # a neighbor missing a subspace lookup row would sum fewer than
-        # m partials and rank incorrectly low — require all m
-        .where(F.col("__m") == m)
-        .drop("__m")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda code, s: F.element_at(
+                        F.col("__lut"), (s * ksub + code + 1).cast("int")
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("adc"),
+        )
     )
     return _ranked_topk(
         scored, [F.col("adc").asc(), F.col("neighbor_id").asc()], k

@@ -21,6 +21,12 @@ from pyspark.sql import SparkSession
 # Defaults chosen for the driver's local[32] / 128 GiB box; on a real
 # cluster these come from spark-submit conf, not code.
 _DEFAULT_CONFS = {
+    # local[32] runs driver+executors in ONE JVM: the default 1g heap
+    # leaves ~32 MB per concurrent task and OOM'd a 500k x 64-double
+    # map-only job.  24g on the 128 GiB box ≈ 750 MB/task — in line
+    # with a real cluster's per-core allotment.  (Only effective at
+    # JVM launch; ignored when attaching to a live session.)
+    "spark.driver.memory": "24g",
     # Runtime re-planning: coalesce post-shuffle partitions, split skewed
     # ones (the CH_BGer-style skew in SURVEY.md §4), re-plan joins.
     "spark.sql.adaptive.enabled": "true",

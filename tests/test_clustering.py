@@ -110,12 +110,13 @@ def test_pq_trained_codebooks_shape_and_quality(emb):
     assert all(len(r.codes) == 4 and all(0 <= c < 4 for c in r.codes) for r in rows)
 
 
-def test_assign_plan_broadcasts_centroids(emb):
+def test_assign_plan_is_pure_projection(emb):
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = [[0.0] * 64, [1.0] * 64]
     plan = C.assign_clusters(vecs, cents, "v", "vec_id")._jdf.queryExecution().executedPlan().toString()
-    assert "Broadcast" in plan
-    assert "SortMergeJoin" not in plan
+    # the literal-centroid argmin must not join, shuffle, or aggregate
+    for bad in ("Join", "Exchange", "Aggregate", "Sort"):
+        assert bad not in plan, f"{bad} in assignment plan"
 
 
 def test_ivf_candidates_equi_join(emb):
