@@ -1,0 +1,143 @@
+"""Data-quality expectations: declarative constraint checks that
+compile to the minimum number of passes over the data.
+
+A 100 TB pipeline runs validation between every stage; the design
+constraint is pass-count, not expressiveness:
+
+- Row-level expectations (not-null, range, accepted-values, regex)
+  against ONE table all fold into a SINGLE aggregation scan —
+  ``sum(when(violated, 1))`` per check plus the row total, melted to
+  one row per check via an explode of literal structs.  N checks on a
+  table cost exactly one scan regardless of N.
+- Set-level expectations need their own shuffle and are separate
+  builders: ``expect_unique`` (one groupBy), ``expect_foreign_key``
+  (broadcast-or-shuffle anti-join — Catalyst picks by parent size).
+
+Every check emits the same schema (check, violations, total), so the
+report is a ``unionByName`` and lands in one small table — the shape
+an orchestration layer alerts on.
+
+Reference parity: the reference validates ad hoc (asserts in
+`text_to_database.py`, coverage reports in `report_creator.py`); this
+module is the systematic replacement the Spark engine needs to run
+unattended at scale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class RowCheck:
+    """A named row-level violation predicate (True = row violates)."""
+
+    name: str
+    violated: Column
+
+
+def not_null(col: str) -> RowCheck:
+    return RowCheck(f"not_null:{col}", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> RowCheck:
+    """Violated when outside [lo, hi]; nulls do not violate (compose
+    with ``not_null`` when nulls are also illegal)."""
+    c = F.col(col)
+    return RowCheck(
+        f"in_range:{col}", c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi))
+    )
+
+
+def accepted_values(col: str, values: list) -> RowCheck:
+    c = F.col(col)
+    return RowCheck(
+        f"accepted_values:{col}", c.isNotNull() & ~c.isin(*values)
+    )
+
+
+def matches_regex(col: str, pattern: str) -> RowCheck:
+    c = F.col(col)
+    return RowCheck(
+        f"matches_regex:{col}", c.isNotNull() & ~c.rlike(pattern)
+    )
+
+
+def table_expectations(df: DataFrame, table: str, checks: list[RowCheck]) -> DataFrame:
+    """All row-level checks in ONE aggregation scan.  Output: one row
+    per check — (check, violations, total)."""
+    aggs = [
+        F.sum(F.when(c.violated, F.lit(1)).otherwise(F.lit(0))).alias(f"__v{i}")
+        for i, c in enumerate(checks)
+    ] + [F.count(F.lit(1)).alias("__total")]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f"{table}.{c.name}").alias("check"),
+                F.col(f"__v{i}").cast("bigint").alias("violations"),
+                F.col("__total").cast("bigint").alias("total"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return row.select(F.explode(entries).alias("__e")).select("__e.*")
+
+
+def expect_unique(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+    """Duplicate-key count: rows beyond the first per key (0 when the
+    key is unique).  One groupBy shuffle on the key."""
+    name = f"{table}.unique:{','.join(cols)}"
+    dup = (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("violations"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("total"),
+        )
+    )
+    return dup.select(
+        F.lit(name).alias("check"),
+        F.col("violations").cast("bigint"),
+        F.col("total").cast("bigint"),
+    )
+
+
+def expect_foreign_key(
+    child: DataFrame,
+    table: str,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+) -> DataFrame:
+    """Orphaned-row count: child rows (with non-null key) whose key has
+    no parent.  Anti-join — broadcast when the parent is dim-sized,
+    shuffle otherwise; null keys are not orphans (compose with
+    ``not_null``)."""
+    name = f"{table}.fk:{child_key}"
+    total = child.agg(F.count(F.lit(1)).alias("total"))
+    orphans = (
+        child.where(F.col(child_key).isNotNull())
+        .join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            on=child_key,
+            how="left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("violations"))
+    )
+    return orphans.crossJoin(total).select(
+        F.lit(name).alias("check"),
+        F.col("violations").cast("bigint"),
+        F.col("total").cast("bigint"),
+    )
+
+
+def quality_report(parts: list[DataFrame]) -> DataFrame:
+    """Union the per-check results into the one small report table."""
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -168,6 +168,88 @@ SELECT token, freq, vocab_id FROM ranked WHERE vocab_id <= {_VOCAB_TOP}
 """
 
 
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-validation report (`operators/expectations.py`): all
+    row-level checks per table in ONE aggregation scan, uniqueness via
+    one groupBy, referential integrity via anti-joins — the
+    between-stage validation pass a 100 TB pipeline runs unattended."""
+    from swisscourtrulingcorpus_spark.operators import expectations as X
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return X.quality_report(
+        [
+            X.table_expectations(
+                orders,
+                "orders",
+                [
+                    X.not_null("o_custkey"),
+                    X.in_range("o_totalprice", 0, 1000000),
+                    X.accepted_values("o_orderstatus", ["O", "F", "P"]),
+                ],
+            ),
+            X.table_expectations(
+                lineitem,
+                "lineitem",
+                [
+                    X.not_null("l_quantity"),
+                    X.in_range("l_discount", 0.0, 0.1),
+                ],
+            ),
+            X.expect_unique(orders, "orders", ["o_orderkey"]),
+            X.expect_foreign_key(
+                orders, "orders", "o_custkey", customer, "c_custkey"
+            ),
+            X.expect_foreign_key(
+                lineitem, "lineitem", "l_orderkey", orders, "o_orderkey"
+            ),
+        ]
+    )
+
+
+DATA_QUALITY_ORACLE = """
+SELECT 'orders.not_null:o_custkey' AS check,
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS total FROM orders
+UNION ALL
+SELECT 'orders.in_range:o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                      AND o_totalprice NOT BETWEEN 0 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders.accepted_values:o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'lineitem.not_null:l_quantity',
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'lineitem.in_range:l_discount',
+       CAST(sum(CASE WHEN l_discount IS NOT NULL
+                      AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM lineitem
+UNION ALL
+SELECT 'orders.unique:o_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       CAST(count(*) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'orders.fk:o_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.fk:l_orderkey',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE l.l_orderkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         name="ivf_assignment",
@@ -186,5 +268,11 @@ SPECS: list[QuerySpec] = [
         spark=q_vocab_top_tokens,
         oracle=VOCAB_ORACLE,
         doc="Frequency-ranked vocabulary build",
+    ),
+    QuerySpec(
+        name="data_quality_report",
+        spark=q_data_quality,
+        oracle=DATA_QUALITY_ORACLE,
+        doc="Single-pass constraint validation (expectations.py)",
     ),
 ]

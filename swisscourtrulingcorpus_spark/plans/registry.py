@@ -118,10 +118,11 @@ _ROUND3_NEW: set[str] = {
     "leakage_safe_split",
     "cms_token_estimates",
     "input_length_buckets",
-    # round-3c ANN layer (ann_queries)
+    # round-3c ANN layer + data quality (ann_queries)
     "ivf_assignment",
     "pq_codes_embeddings",
     "vocab_top_tokens",
+    "data_quality_report",
 }
 
 
