@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 # single-judge (Einzelrichter) prefixes plus the gendered fr/it titles.
 _JUDGE_PREFIX = (
     r"(?:Bundes|Ober|Verwaltungs|Ersatzober|Ersatz|Einzel|Schieds|"
-    r"Sozialversicherungs|Bau|Kassations|Handels|Bezirks)?"
+    r"Sozialversicherungs|Bau|Kassations|Handels|Bezirks|Steuer)?"
 )
 _ROLE_MARKERS = [
     (_JUDGE_PREFIX + r"[Rr]ichterin(?:nen)?", "judge", "f"),
@@ -41,6 +41,9 @@ _ROLE_MARKERS = [
     # chair titles used as judge markers by the ZG/ZH courts
     (r"Abteilungs(?:vize)?präsidentin(?:nen)?|Vizepräsidentin(?:nen)?", "judge", "f"),
     (r"Abteilungs(?:vize)?präsident(?!in)|Vizepräsident(?!in)", "judge", "m"),
+    # lay members of the ZH_Steuerrekurs bench count as judges with
+    # unknown gender (`court_composition_extracting_functions.py:458-460`)
+    (r"Ersatzmitglied(?:er)?|Mitglied(?:er)?", "judge", None),
     (r"Gerichtsschreiberin(?:nen)?", "clerk", "f"),
     (r"Gerichtsschreiber(?!in)", "clerk", "m"),
     (r"(?:Gerichts)?[Ss]ekretärin(?:nen)?", "clerk", "f"),

@@ -822,3 +822,21 @@ Demnach erkennt das Bundesgericht."""
     assert "Vorinstanz" in got["facts"]
     assert "grundsätzlicher" in got["considerations"]
     assert "erkennt" in got["rulings"]
+
+
+def test_composition_zh_steuerrekurs_titles():
+    """ZH_Steuerrekurs bench: Steuerrichter + lay (Ersatz)Mitglied with
+    unknown gender (`court_composition_extracting_functions.py:435-478`)."""
+    from swisscourtrulingcorpus_spark.extraction.composition import (
+        extract_composition_py,
+    )
+
+    got = extract_composition_py(
+        "Mitwirkend: Abteilungsvizepräsident Huber, Steuerrichterin Meier, "
+        "Ersatzmitglied Keller, Gerichtsschreiber Frei. In Sachen"
+    )
+    roles = {j["name"]: j["gender"] for j in got["judges"]}
+    assert roles.get("Huber") == "m"
+    assert roles.get("Meier") == "f"
+    assert "Keller" in roles and roles["Keller"] is None
+    assert got["clerks"][0]["name"] == "Frei"
