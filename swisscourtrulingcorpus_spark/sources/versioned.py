@@ -1,0 +1,154 @@
+"""Minimal versioned table format: atomic snapshot commits, time
+travel, vacuum — the manifest layer a 100 TB table needs over plain
+parquet.
+
+Directory layout::
+
+    table/
+      data/<commit-uuid>/part-*.parquet   immutable data files
+      v3.json                             manifest: file list of v3
+      v3.json.tmp                         crash debris (ignored)
+
+The COMMIT POINT is the atomic ``os.rename`` of the manifest from
+``.tmp`` to ``v{n}.json``: readers resolve the latest version by
+listing manifests, so a crashed writer leaves only an orphaned data
+dir + tmp file — never a partially-visible table.  Version numbers are
+claimed with exclusive-create (``open(..., 'x')``), so two concurrent
+writers cannot both commit the same version (the loser retries with
+the next number).
+
+This generalizes the staged-rename upsert in `streaming/jobs.py`
+(`stream_upsert_job`) from "replace the one table" to "every commit is
+a readable snapshot": incremental pipelines (SURVEY §2.10 —
+process_new_files_only, id-list reprocessing) get reproducible
+point-in-time reads of any earlier corpus state, and ``vacuum``
+reclaims data dirs no kept manifest references.
+
+On a real deployment this role is played by Delta/Iceberg; the module
+exists so the engine is complete WITHOUT them while keeping the same
+semantics (snapshot isolation, atomic commit, time travel, retention).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RX = re.compile(r"^v(\d+)\.json$")
+
+
+def _manifests(table_dir: str) -> dict[int, str]:
+    out = {}
+    for name in os.listdir(table_dir):
+        m = _MANIFEST_RX.match(name)
+        if m:
+            out[int(m.group(1))] = os.path.join(table_dir, name)
+    return out
+
+
+def versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending."""
+    return sorted(_manifests(table_dir))
+
+
+_CLAIM_RX = re.compile(r"^v(\d+)\.claim$")
+
+
+def _next_version(table_dir: str) -> int:
+    """Next free version number, counting live claims so a crashed
+    writer's claim permanently skips one number instead of livelocking
+    the retry loop."""
+    taken = set(_manifests(table_dir))
+    for name in os.listdir(table_dir):
+        m = _CLAIM_RX.match(name)
+        if m:
+            taken.add(int(m.group(1)))
+    return max(taken, default=0) + 1
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next snapshot.  Data lands fully in a fresh
+    ``data/<uuid>`` dir first; the manifest rename is the atomic commit
+    point.  Returns the committed version number."""
+    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    commit_id = uuid.uuid4().hex
+    data_dir = os.path.join(table_dir, "data", commit_id)
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        f"data/{commit_id}/{f}"
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = {"files": files, "commit": commit_id}
+    while True:
+        version = _next_version(table_dir)
+        claim = os.path.join(table_dir, f"v{version}.claim")
+        try:
+            # exclusive claim: fails if a concurrent writer took v{n};
+            # the claim is a separate file so the manifest itself only
+            # ever appears via the atomic rename below
+            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            continue  # _next_version counts claims — the retry advances
+        os.close(fd)
+        tmp = os.path.join(table_dir, f"v{version}.json.tmp.{commit_id}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(table_dir, f"v{version}.json"))
+        os.remove(claim)
+        return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (latest when ``version`` is None).  Only files
+    named by that version's manifest are scanned — concurrent commits
+    and crash debris are invisible."""
+    known = _manifests(table_dir)
+    if not known:
+        raise FileNotFoundError(f"no committed versions in {table_dir}")
+    v = max(known) if version is None else version
+    if v not in known:
+        raise FileNotFoundError(f"version {v} not in {sorted(known)}")
+    with open(known[v]) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(table_dir, f) for f in manifest["files"]]
+    return spark.read.parquet(*paths)
+
+
+def vacuum(table_dir: str, keep: int = 2) -> list[str]:
+    """Drop all but the ``keep`` newest manifests, then delete every
+    data dir (and tmp debris) no surviving manifest references.
+    Returns the removed paths."""
+    known = _manifests(table_dir)
+    kept = sorted(known)[-keep:] if keep > 0 else []
+    removed: list[str] = []
+    for v, path in known.items():
+        if v not in kept:
+            os.remove(path)
+            removed.append(path)
+    referenced: set[str] = set()
+    for v in kept:
+        with open(os.path.join(table_dir, f"v{v}.json")) as fh:
+            for f in json.load(fh)["files"]:
+                referenced.add(f.split("/")[1])
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed.append(os.path.join(data_root, d))
+    for name in os.listdir(table_dir):
+        # tmp manifests and claims are debris of crashed writers; only
+        # vacuum while no writer is active (retention contract, same as
+        # any table format)
+        if ".json.tmp." in name or _CLAIM_RX.match(name):
+            os.remove(os.path.join(table_dir, name))
+            removed.append(os.path.join(table_dir, name))
+    return removed

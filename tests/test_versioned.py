@@ -1,0 +1,67 @@
+"""Versioned table format (`sources/versioned.py`): atomic commits,
+time travel, crash debris invisibility, vacuum retention."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.sources import versioned as V
+
+
+def test_commit_and_time_travel(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    df1 = spark.range(10).withColumn("tag", F.lit("a"))
+    df2 = spark.range(25).withColumn("tag", F.lit("b"))
+    v1 = V.commit_version(df1, table)
+    v2 = V.commit_version(df2, table)
+    assert (v1, v2) == (1, 2)
+    assert V.versions(table) == [1, 2]
+    assert V.read_version(spark, table).count() == 25  # latest
+    old = V.read_version(spark, table, 1)
+    assert old.count() == 10
+    assert old.select("tag").distinct().collect()[0][0] == "a"
+
+
+def test_crash_debris_is_invisible(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(5), table)
+    # simulate a crashed writer: data landed, tmp manifest + claim left
+    os.makedirs(os.path.join(table, "data", "deadbeef"))
+    with open(os.path.join(table, "v2.json.tmp.deadbeef"), "w") as fh:
+        json.dump({"files": ["data/deadbeef/missing.parquet"]}, fh)
+    open(os.path.join(table, "v2.claim"), "w").close()
+    assert V.versions(table) == [1]
+    assert V.read_version(spark, table).count() == 5
+    # the next committer skips the claimed number — no livelock
+    v = V.commit_version(spark.range(7), table)
+    assert v == 3
+    assert V.read_version(spark, table).count() == 7
+
+
+def test_vacuum_keeps_referenced_data(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    for n in (3, 6, 9):
+        V.commit_version(spark.range(n), table)
+    removed = V.vacuum(table, keep=2)
+    assert V.versions(table) == [2, 3]
+    assert any("v1.json" in p for p in removed)
+    # v1's data dir is gone, survivors still read
+    assert len(os.listdir(os.path.join(table, "data"))) == 2
+    assert V.read_version(spark, table, 2).count() == 6
+    assert V.read_version(spark, table, 3).count() == 9
+
+
+def test_read_missing_version_raises(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(3), table)
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        V.read_version(spark, table, 99)
