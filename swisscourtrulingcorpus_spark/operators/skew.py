@@ -19,6 +19,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def skew_report(df: DataFrame, key: str) -> DataFrame:
+    """Key-skew diagnostics ahead of a join/agg on ``key``: row and
+    distinct-key counts, the heaviest key's share, and the max/avg
+    ratio — the number that decides between a plain shuffle, AQE skew
+    split, and the salted two-phase agg below.
+
+    Two passes over the key column only (one groupBy + one aggregate
+    of the per-key counts); emits (metric, value) rows so pipelines
+    can threshold-alert on it like the data-quality report."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
+    row = counts.agg(
+        F.sum("__n").alias("rows"),
+        F.count(F.lit(1)).alias("keys"),
+        F.max("__n").alias("max_key"),
+        F.min("__n").alias("min_key"),
+    ).select(
+        "rows",
+        "keys",
+        "max_key",
+        "min_key",
+        (F.col("max_key") / (F.col("rows") / F.col("keys"))).alias("skew_ratio"),
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("metric"),
+                F.col(name).cast("double").alias("value"),
+            )
+            for name in ["rows", "keys", "max_key", "min_key", "skew_ratio"]
+        ]
+    )
+    return row.select(F.explode(entries).alias("__e")).select("__e.*")
+
+
 def salted_collect_agg(
     df: DataFrame,
     key: str,

@@ -250,6 +250,32 @@ SELECT 'lineitem.fk:l_orderkey',
 """
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostics on orders.o_custkey
+    (`operators/skew.py::skew_report`) — the pre-join measurement that
+    picks plain shuffle vs AQE skew split vs the salted two-phase
+    agg."""
+    from swisscourtrulingcorpus_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "orders"), "o_custkey")
+
+
+SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS rows_, CAST(count(*) AS BIGINT) AS keys_,
+         CAST(max(n) AS BIGINT) AS max_key_, CAST(min(n) AS BIGINT) AS min_key_
+  FROM counts)
+SELECT 'rows' AS metric, CAST(rows_ AS DOUBLE) AS value FROM agg
+UNION ALL SELECT 'keys', CAST(keys_ AS DOUBLE) FROM agg
+UNION ALL SELECT 'max_key', CAST(max_key_ AS DOUBLE) FROM agg
+UNION ALL SELECT 'min_key', CAST(min_key_ AS DOUBLE) FROM agg
+UNION ALL SELECT 'skew_ratio',
+  CAST(max_key_ AS DOUBLE) / (CAST(rows_ AS DOUBLE) / CAST(keys_ AS DOUBLE)) FROM agg
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         name="ivf_assignment",
@@ -274,5 +300,11 @@ SPECS: list[QuerySpec] = [
         spark=q_data_quality,
         oracle=DATA_QUALITY_ORACLE,
         doc="Single-pass constraint validation (expectations.py)",
+    ),
+    QuerySpec(
+        name="skew_report_orders",
+        spark=q_skew_report,
+        oracle=SKEW_REPORT_ORACLE,
+        doc="Key-skew diagnostics (skew.py::skew_report)",
     ),
 ]

@@ -123,6 +123,7 @@ _ROUND3_NEW: set[str] = {
     "pq_codes_embeddings",
     "vocab_top_tokens",
     "data_quality_report",
+    "skew_report_orders",
 }
 
 

@@ -276,6 +276,47 @@ def stream_upsert_job(
     )
 
 
+def stream_versioned_upsert_job(
+    stream: DataFrame,
+    table_dir: str,
+    checkpoint: str,
+    keys: list[str],
+):
+    """Streaming merge into the VERSIONED table (`sources/versioned.py`):
+    each micro-batch upserts against the latest snapshot and commits
+    the merged result as a NEW version — readers get snapshot isolation
+    and time travel over the ingest history, and the atomic manifest
+    rename replaces the directory-swap dance of ``stream_upsert_job``
+    (crash debris is just an orphaned data dir; ``vacuum`` reclaims
+    it).  Delivery is at-least-once with idempotent replay: a replayed
+    batch re-merges the same keys into an extra (identical) version."""
+    import os
+
+    from swisscourtrulingcorpus_spark.sources.sinks import upsert_by_key
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        commit_version,
+        read_version,
+        versions,
+    )
+
+    os.makedirs(table_dir, exist_ok=True)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if versions(table_dir):
+            merged = upsert_by_key(read_version(spark, table_dir), batch, keys)
+        else:
+            merged = batch
+        commit_version(merged, table_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sliding_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Sliding windows on a stream (1 h length, 30 min slide): each
     event lands in two window states; the watermark finalizes and

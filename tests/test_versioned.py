@@ -65,3 +65,46 @@ def test_read_missing_version_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         V.read_version(spark, table, 99)
+
+
+def test_stream_versioned_upsert(spark, sf_dir, tmp_path):
+    """Streaming merge committing each micro-batch as a snapshot:
+    latest reflects the upsert, earlier versions remain readable."""
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_versioned_upsert_job,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    table = str(tmp_path / "versioned_events")
+
+    def deliver(df, ckpt):
+        stage = str(tmp_path / f"in_{ckpt}")
+        df.write.parquet(stage)
+        stream = spark.readStream.schema(
+            spark.read.parquet(stage).schema
+        ).parquet(stage)
+        q = stream_versioned_upsert_job(
+            stream, table, str(tmp_path / f"ck_{ckpt}"), ["event_id"]
+        )
+        q.awaitTermination()
+
+    first = ev.where(F.col("event_id") < 200)
+    deliver(first, "a")
+    second = ev.withColumn("value", F.col("value") + 1000).where(
+        (F.col("event_id") >= 100) & (F.col("event_id") < 300)
+    )
+    deliver(second, "b")
+
+    assert V.versions(table) == [1, 2]
+    assert V.read_version(spark, table, 1).count() == first.count()
+    latest = V.read_version(spark, table)
+    assert latest.count() == ev.count()
+    overlap = latest.where((F.col("event_id") >= 100) & (F.col("event_id") < 200))
+    old = ev.select("event_id", F.col("value").alias("old_value"))
+    assert (
+        overlap.join(old, "event_id")
+        .where(F.col("value") != F.col("old_value") + 1000)
+        .count()
+        == 0
+    )
