@@ -276,6 +276,92 @@ UNION ALL SELECT 'skew_ratio',
 """
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rules (the family `gopher_quality_filter`'s
+    length/stopword rules don't cover): fraction of tokens inside the
+    most-common 2-gram and fraction of tokens whose word repeats.
+
+    Shape at scale: two explode+groupBy passes keyed on (doc, gram) —
+    the count table is corpus-sized but partial-aggregates map-side;
+    fractions are exact int/int division so the oracle hash-matches
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = docs.select(
+        "doc_id", F.split(normalize_ws("text"), " ").alias("__w")
+    ).where(F.size("__w") > 0)
+    grams = words.select(
+        "doc_id",
+        F.size("__w").alias("n_words"),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__w"), 1, F.size("__w") - 1),
+                F.slice(F.col("__w"), 2, F.size("__w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("gram"),
+    )
+    top2 = (
+        grams.groupBy("doc_id", "n_words", "gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id", "n_words")
+        .agg(F.max("__c").alias("top_bigram_count"))
+    )
+    dupw = (
+        words.select("doc_id", F.explode("__w").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0))).alias(
+                "dup_word_tokens"
+            )
+        )
+    )
+    out = top2.join(dupw, on="doc_id")
+    top_frac = (F.lit(2) * F.col("top_bigram_count")) / F.col("n_words")
+    dup_frac = F.col("dup_word_tokens") / F.col("n_words")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "top_bigram_count",
+        "dup_word_tokens",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_word_frac"),
+        ((top_frac <= 0.20) & (dup_frac <= 0.90)).alias("keep"),
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+  FROM documents WHERE text IS NOT NULL),
+base AS (SELECT doc_id, words, len(words) AS n_words FROM w WHERE len(words) > 0),
+grams AS (
+  SELECT doc_id, n_words, words[i] || ' ' || words[i + 1] AS gram
+  FROM base, unnest(range(1, n_words)) t(i)),
+top2 AS (
+  SELECT doc_id, n_words, max(c) AS top_bigram_count FROM (
+    SELECT doc_id, n_words, gram, count(*) AS c
+    FROM grams GROUP BY doc_id, n_words, gram) g
+  GROUP BY doc_id, n_words),
+dupw AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_word_tokens
+  FROM (
+    SELECT doc_id, w, count(*) AS c FROM (
+      SELECT doc_id, unnest(words) AS w FROM base) u
+    GROUP BY doc_id, w) wc
+  GROUP BY doc_id)
+SELECT t.doc_id, t.n_words, t.top_bigram_count, d.dup_word_tokens,
+       (2 * t.top_bigram_count) / t.n_words AS top_bigram_frac,
+       d.dup_word_tokens / t.n_words AS dup_word_frac,
+       ((2 * t.top_bigram_count) / t.n_words <= 0.20
+        AND d.dup_word_tokens / t.n_words <= 0.90) AS keep
+FROM top2 t JOIN dupw d USING (doc_id)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         name="ivf_assignment",
@@ -306,5 +392,11 @@ SPECS: list[QuerySpec] = [
         spark=q_skew_report,
         oracle=SKEW_REPORT_ORACLE,
         doc="Key-skew diagnostics (skew.py::skew_report)",
+    ),
+    QuerySpec(
+        name="repetition_filter_documents",
+        spark=q_repetition_filter,
+        oracle=REPETITION_ORACLE,
+        doc="Gopher repetition rules: top-2-gram / duplicate-word fractions",
     ),
 ]

@@ -124,6 +124,7 @@ _ROUND3_NEW: set[str] = {
     "vocab_top_tokens",
     "data_quality_report",
     "skew_report_orders",
+    "repetition_filter_documents",
 }
 
 
