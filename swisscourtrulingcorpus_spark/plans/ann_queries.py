@@ -168,6 +168,48 @@ SELECT token, freq, vocab_id FROM ranked WHERE vocab_id <= {_VOCAB_TOP}
 """
 
 
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application — the tokenizer stage after
+    ``vocab_top_tokens``: tokens map to their frequency-ranked ids
+    (OOV -> 0) through a LITERAL map expression, so the corpus pass is
+    a pure projection (tokenizer vocabularies always fit the driver —
+    even a 100k-entry BPE table is megabytes).  Exploded to
+    (doc_id, pos, token_id) for the gate hash."""
+    vocab_rows = q_vocab_top_tokens(spark, sf_dir).collect()  # bounded: top-N
+    mapping = F.create_map(
+        *[F.lit(x) for r in vocab_rows for x in (r["token"], r["vocab_id"])]
+    )
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ids = F.transform(
+        F.split(normalize_ws("text"), " "),
+        lambda w: F.coalesce(F.element_at(mapping, w), F.lit(0)),
+    )
+    return docs.select(
+        "doc_id", F.posexplode(ids).alias("pos", "token_id")
+    ).select("doc_id", "pos", F.col("token_id").cast("int"))
+
+
+TOKEN_IDS_ORACLE = rf"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT token, count(*) AS freq FROM toks
+  WHERE len(token) > 0 GROUP BY token HAVING count(*) >= {_MIN_FREQ}),
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY freq DESC, token ASC) AS INTEGER) AS vocab_id
+  FROM counts QUALIFY vocab_id <= {_VOCAB_TOP}),
+docw AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w,
+         unnest(range(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')))) AS pos
+  FROM documents WHERE text IS NOT NULL)
+SELECT d.doc_id, CAST(d.pos AS INTEGER) AS pos,
+       CAST(coalesce(v.vocab_id, 0) AS INTEGER) AS token_id
+FROM docw d LEFT JOIN vocab v ON d.w = v.token
+"""
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint-validation report (`operators/expectations.py`): all
     row-level checks per table in ONE aggregation scan, uniqueness via
@@ -398,5 +440,11 @@ SPECS: list[QuerySpec] = [
         spark=q_repetition_filter,
         oracle=REPETITION_ORACLE,
         doc="Gopher repetition rules: top-2-gram / duplicate-word fractions",
+    ),
+    QuerySpec(
+        name="token_ids_documents",
+        spark=q_token_ids,
+        oracle=TOKEN_IDS_ORACLE,
+        doc="Vocabulary application: literal-map tokenizer projection",
     ),
 ]

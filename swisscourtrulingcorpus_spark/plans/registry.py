@@ -125,6 +125,7 @@ _ROUND3_NEW: set[str] = {
     "data_quality_report",
     "skew_report_orders",
     "repetition_filter_documents",
+    "token_ids_documents",
 }
 
 
