@@ -1,5 +1,7 @@
-"""Gate queries for the learned ANN layer (`operators/clustering.py`)
-and frequency-ranked vocabulary building.
+"""Round-3c gate queries: the learned ANN layer
+(`operators/clustering.py`), vocabulary building/application, data
+quality + skew diagnostics, Gopher repetition rules, and the trained
+char-trigram language classifier.
 
 Determinism contract shared by the IVF/PQ gates: centroids/codewords
 are the vectors of the smallest ids (exactly what
@@ -404,6 +406,105 @@ FROM top2 t JOIN dupw d USING (doc_id)
 """
 
 
+_TRI_TOP = 200  # model size per language
+
+
+def q_trained_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language ID, train + apply in one DataFrame program —
+    the E1 upgrade path beyond the stopword heuristic
+    (`functions/text.py:100`): a char-trigram frequency model per
+    language (top {_TRI_TOP} trigrams from the labeled corpus) applied
+    back as an equi-join + integer-sum argmax.
+
+    The model is the fastText-shape (character n-gram evidence) with
+    INTEGER scores, so train and apply are both exactly
+    oracle-checkable — no floating log-probs to diverge on.  At scale
+    the model table is tiny (langs x {_TRI_TOP} rows, broadcast) and
+    training is one explode + two aggregations over the labeled
+    sample, not the full corpus."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    return trained_language_id(docs)
+
+
+def trained_language_id(docs: DataFrame) -> DataFrame:
+    """Train-and-apply over a (doc_id, lang, text) frame — see
+    ``q_trained_language_id`` for the design; reusable so the
+    multilingual fixture corpus tests real accuracy."""
+    docs = docs.select("doc_id", "lang", F.lower("text").alias("__t"))
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("__t") - 2, F.lit(0))),
+                lambda i: F.col("__t").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tri").asc()
+    )
+    model = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= _TRI_TOP)
+        .select(F.col("lang").alias("mlang"), "tri", "cnt")
+    )
+    scores = (
+        tris.join(F.broadcast(model), on="tri")
+        .groupBy("doc_id", "lang", "mlang")
+        .agg(F.sum("cnt").alias("score"))
+    )
+    w2 = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("mlang").asc()
+    )
+    return (
+        scores.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") == 1)
+        .select(
+            "doc_id",
+            F.col("mlang").alias("pred_lang"),
+            "score",
+            F.col("lang").alias("actual_lang"),
+            (F.col("mlang") == F.col("lang")).alias("correct"),
+        )
+    )
+
+
+TRAINED_LID_ORACLE = rf"""
+WITH docs AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+  WHERE text IS NOT NULL AND lang IS NOT NULL),
+tris AS (
+  SELECT doc_id, lang, substring(t, i, 3) AS tri
+  FROM docs, unnest(range(1, greatest(length(t) - 2, 0) + 1)) u(i)),
+model AS (
+  SELECT lang AS mlang, tri, cnt FROM (
+    SELECT lang, tri, count(*) AS cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tri ASC) AS rn
+    FROM tris GROUP BY lang, tri) m
+  WHERE rn <= {_TRI_TOP}),
+scores AS (
+  SELECT t.doc_id, t.lang, m.mlang, CAST(sum(m.cnt) AS BIGINT) AS score
+  FROM tris t JOIN model m ON t.tri = m.tri
+  GROUP BY t.doc_id, t.lang, m.mlang),
+ranked AS (
+  SELECT doc_id, mlang, score, lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
+  FROM scores)
+SELECT doc_id, mlang AS pred_lang, score, lang AS actual_lang,
+       (mlang = lang) AS correct
+FROM ranked WHERE rn = 1
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         name="ivf_assignment",
@@ -446,5 +547,11 @@ SPECS: list[QuerySpec] = [
         spark=q_token_ids,
         oracle=TOKEN_IDS_ORACLE,
         doc="Vocabulary application: literal-map tokenizer projection",
+    ),
+    QuerySpec(
+        name="trained_language_id",
+        spark=q_trained_language_id,
+        oracle=TRAINED_LID_ORACLE,
+        doc="Char-trigram language model: train + apply, integer-exact",
     ),
 ]

@@ -126,6 +126,7 @@ _ROUND3_NEW: set[str] = {
     "skew_report_orders",
     "repetition_filter_documents",
     "token_ids_documents",
+    "trained_language_id",
 }
 
 

@@ -127,3 +127,22 @@ def test_ivf_candidates_equi_join(emb):
     # cartesian against the corpus would be the brute-force plan
     assert "cluster" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_trained_lid_on_multilingual_fixture(spark):
+    """On genuinely tri-lingual text (the domain fixture corpus) the
+    trained char-trigram classifier is perfect — the E1 upgrade's
+    accuracy evidence; the driver gate checks the same program's
+    arithmetic bit-for-bit on the synthetic corpus."""
+    from swisscourtrulingcorpus_spark.plans.ann_queries import trained_language_id
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import build_raw_corpus
+
+    corpus = build_raw_corpus(n_decisions=60)
+    docs = spark.createDataFrame(
+        [(i, d["lang"], d["raw_text"]) for i, d in enumerate(corpus)],
+        "doc_id bigint, lang string, text string",
+    )
+    res = trained_language_id(docs).collect()
+    assert len(res) == 60
+    acc = sum(r.correct for r in res) / len(res)
+    assert acc == 1.0
