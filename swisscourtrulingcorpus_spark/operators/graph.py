@@ -1,0 +1,104 @@
+"""Graph analytics over edge tables: PageRank (power iteration) and
+degree statistics.
+
+Motivation from the reference: criticality ranks rulings by raw
+weighted citation counts (`criticality_dataset_creator.py:303-320`,
+ported as `citation_frequency`/`time_decay`) — PageRank is the
+authority-score generalization a doc2doc retrieval corpus wants, and
+the second iterative-algorithm shape in the engine next to
+label-propagation connected components
+(`operators/dedup.py::transitive_dedup_clusters`).
+
+Scale shape per iteration: one equi-join ranks⋈edges on src (ranks is
+(nodes, 2 cols) — co-partition or broadcast by size), one groupBy(dst)
+sum, plus two scalar aggregates (dangling mass, delta) that reduce to
+the driver.  Lineage is truncated every iteration with an EAGER
+``localCheckpoint`` — without it the plan doubles per iteration and
+the optimizer chokes long before 20 iterations (the classic iterative-
+DataFrame pitfall).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def degree_stats(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(node, out_degree, in_degree) — one pass per direction."""
+    out = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    inn = edges.groupBy(F.col(dst).alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree")
+    )
+    return (
+        out.join(inn, on="node", how="full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """PageRank with dangling-mass redistribution; ranks sum to 1.
+    Returns (node, rank).  Converges when the L1 delta drops under
+    ``tol`` (checked each iteration — two cheap scalar aggregates)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        with_deg = ranks.join(
+            outdeg, ranks["node"] == outdeg["src"], "left"
+        ).select("node", "rank", "outdeg")
+        dangling = (
+            with_deg.where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contribs = (
+            e.join(with_deg.where(F.col("outdeg").isNotNull()),
+                   e["src"] == F.col("node"))
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), on="node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
