@@ -386,6 +386,144 @@ def pq_encode(
     return df.select(id_col, codes.alias("codes"))
 
 
+def _lit_matrix(vectors: list[list[float]]) -> F.Column:
+    return F.array(*[_lit_vec(v) for v in vectors])
+
+
+def _residual(vec: F.Column, cluster: F.Column, centroids: list[list[float]]) -> F.Column:
+    """vec - centroids[cluster], with the centroid matrix inlined as a
+    literal array-of-arrays indexed by the cluster column."""
+    cent = F.element_at(_lit_matrix(centroids), (cluster + 1).cast("int"))
+    return F.zip_with(vec, cent, lambda a, c: a - c)
+
+
+def ivfpq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    m: int,
+    ksub: int,
+    dim: int,
+    max_iter: int = 5,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVF-PQ index: coarse centroids via Lloyd's, then PQ
+    codebooks on the RESIDUALS (vec - assigned centroid) — the FAISS
+    IVFPQ recipe; residuals are much smaller than raw vectors, so the
+    same code budget quantizes far more precisely."""
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    centroids, _ = kmeans_fit(vecs, "__v", id_col, k, max_iter=max_iter)
+    best = _min_struct(centroid_scores(F.col("__v"), centroids))
+    residuals = vecs.select(
+        id_col,
+        _residual(F.col("__v"), best["i"], centroids).alias("__r"),
+    )
+    codebooks = pq_codebooks_trained(
+        residuals, "__r", id_col, dim, m, ksub, max_iter=max_iter
+    )
+    return centroids, codebooks
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Encode as (id, cluster, codes): coarse argmin + per-subspace
+    argmin over the RESIDUAL — one projection over the corpus (the
+    cluster fold evaluates twice because the residual references it;
+    still no join/shuffle/row multiplication)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    best = _min_struct(centroid_scores(F.col("__v"), centroids))
+    cluster = best["i"].cast("int")
+    res = _residual(F.col("__v"), best["i"], centroids)
+    codes = F.array(
+        *[
+            _argmin_of(
+                centroid_scores(F.slice(res, s * sub + 1, sub), codebooks[s])
+            )
+            for s in range(m)
+        ]
+    )
+    return vecs.select(id_col, cluster.alias("cluster"), codes.alias("codes"))
+
+
+def ivfpq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ ADC search: probe ``nprobe`` clusters per query; per
+    (query, probed cluster) the RESIDUAL lookup table (m x ksub partial
+    distances + the residual self-term, which differs across clusters
+    and must not be dropped) broadcasts; candidates come from the
+    equi-join on the cluster id and are scored by m table lookups.
+    The scan touches (cluster, codes) only — never the float vectors."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    scores = centroid_scores(F.col("__qv"), centroids)
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(scores, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        ),
+        lambda x: x["i"],
+    )
+    probes = q.select(
+        "query_id", "__qv", F.explode(F.slice(ranked, 1, nprobe)).alias("cluster")
+    ).withColumn("__qr", _residual(F.col("__qv"), F.col("cluster"), centroids))
+    lut_expr = F.array(
+        *[
+            F.lit(_self_dot(c))
+            - F.lit(2.0) * _dot(F.slice(F.col("__qr"), s * sub + 1, sub), _lit_vec(c))
+            for s in range(m)
+            for c in codebooks[s]
+        ]
+    )
+    luts = probes.select(
+        "query_id",
+        "cluster",
+        lut_expr.alias("__lut"),
+        _dot(F.col("__qr"), F.col("__qr")).alias("__qr2"),
+    )
+    scored = (
+        corpus_codes.join(F.broadcast(luts), on="cluster")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            (
+                F.col("__qr2")
+                + F.aggregate(
+                    F.transform(
+                        F.col("codes"),
+                        lambda code, s: F.element_at(
+                            F.col("__lut"), (s * ksub + code + 1).cast("int")
+                        ),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ).alias("adc"),
+        )
+    )
+    return _ranked_topk(scored, [F.col("adc").asc(), F.col("neighbor_id").asc()], k)
+
+
 def pq_topk_adc(
     corpus_codes: DataFrame,
     queries: DataFrame,
