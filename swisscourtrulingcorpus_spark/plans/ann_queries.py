@@ -126,6 +126,79 @@ SELECT vec_id, s, code FROM r WHERE rn = 1
 """
 
 
+def q_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ encoding (`operators/clustering.py::ivfpq_encode`) with
+    the deterministic seed construction end-to-end: coarse centroids =
+    vectors of the 8 smallest ids, residual codebooks = residual
+    slices of the 4 smallest ids.  Every compared double is a
+    composition of the verified fold + exact elementwise subtraction,
+    so cluster AND code assignments hash-match the oracle bit-for-bit."""
+    from swisscourtrulingcorpus_spark.operators.clustering import (
+        _min_struct,
+        _residual,
+        centroid_scores,
+        ivfpq_encode,
+        pq_codebooks_from_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _seed_centroids(emb, _K)
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
+    )
+    best = _min_struct(centroid_scores(F.col("__v"), cents))
+    residuals = vecs.select(
+        "vec_id", _residual(F.col("__v"), best["i"], cents).alias("__r")
+    )
+    cbs = pq_codebooks_from_rows(residuals, "__r", "vec_id", _DIM, _M, _KSUB)
+    codes = ivfpq_encode(emb, cents, cbs, "embedding", "vec_id")
+    return codes.select(
+        "vec_id",
+        F.col("cluster").cast("int"),
+        F.posexplode("codes").alias("s", "code"),
+    ).select("vec_id", "cluster", F.col("s").cast("int"), F.col("code").cast("int"))
+
+
+IVFPQ_CODES_ORACLE = f"""
+WITH c AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE embedding IS NOT NULL
+  ORDER BY vec_id LIMIT {_K}),
+a AS (
+  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_dot_product(c.cvec, c.cvec)
+             - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec),
+           c.cid) AS rn
+  FROM embeddings e CROSS JOIN c),
+asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
+res AS (
+  SELECT asg.vec_id, asg.cid,
+         list_transform(asg.v, (x, i) -> x - c2.cvec[i]) AS r
+  FROM asg JOIN c c2 ON asg.cid = c2.cid),
+sub AS (SELECT CAST(s AS INTEGER) AS s FROM generate_series(0, {_M - 1}) t(s)),
+seed AS (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT {_KSUB}),
+cb AS (
+  SELECT sub.s,
+         CAST(row_number() OVER (PARTITION BY sub.s ORDER BY seed.vec_id) - 1 AS INTEGER) AS code,
+         array_slice(seed.r, sub.s * {_SUB} + 1, sub.s * {_SUB} + {_SUB}) AS cvec
+  FROM seed CROSS JOIN sub),
+v2 AS (
+  SELECT res.vec_id, res.cid, sub.s,
+         array_slice(res.r, sub.s * {_SUB} + 1, sub.s * {_SUB} + {_SUB}) AS svec
+  FROM res CROSS JOIN sub),
+sc AS (
+  SELECT v2.vec_id, v2.cid, v2.s, cb.code,
+         row_number() OVER (PARTITION BY v2.vec_id, v2.s ORDER BY
+           list_dot_product(cb.cvec, cb.cvec)
+             - 2 * list_dot_product(v2.svec, cb.cvec),
+           cb.code) AS rn
+  FROM v2 JOIN cb ON v2.s = cb.s)
+SELECT vec_id, cid AS cluster, s, code FROM sc WHERE rn = 1
+"""
+
+
 def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary build: whitespace tokens of the
     lowercased corpus, ``min_freq`` floor, id = dense rank by
@@ -553,5 +626,11 @@ SPECS: list[QuerySpec] = [
         spark=q_trained_language_id,
         oracle=TRAINED_LID_ORACLE,
         doc="Char-trigram language model: train + apply, integer-exact",
+    ),
+    QuerySpec(
+        name="ivfpq_codes_embeddings",
+        spark=q_ivfpq_codes,
+        oracle=IVFPQ_CODES_ORACLE,
+        doc="IVF-PQ residual encoding, bit-exact (clustering.py)",
     ),
 ]

@@ -127,6 +127,7 @@ _ROUND3_NEW: set[str] = {
     "repetition_filter_documents",
     "token_ids_documents",
     "trained_language_id",
+    "ivfpq_codes_embeddings",
 }
 
 
