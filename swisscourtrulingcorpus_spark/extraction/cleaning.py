@@ -56,6 +56,28 @@ SPIDER_CLEANING_RULES: dict[str, list[tuple[str, str]]] = {
         (r"Seite\s+\d+\s+http://www\.bl\.ch/kantonsgericht", ""),
     ],
     "BE_ZivilStraf": [(r"^\s*Briefkopf", "")],
+    # batch 3 — the remaining cleaning_regexes.json spiders
+    "AR_Gerichte": [(r"Seite\s+\d+", "")],
+    "SZ_Gerichte": [(r"Kantonsgericht Schwyz\s+\d+", "")],
+    "ZG_Verwaltungsgericht": [
+        (r"\n\d+\n", ""),
+        (r"^\s*Normal\.dotx?\s*", ""),
+    ],
+    "FR_Gerichte": [
+        (r"Kantonsgericht KG|Tribunal cantonal TC", ""),
+        (r"Page\s+\d+\s+de\s+\d+", ""),
+    ],
+    "SH_OG": [
+        (r"\n\d+\n", ""),
+        # the reference interpolates the decision's own year
+        # ("\n{date.year}\n"); a standalone 4-digit-year line is the
+        # same artifact without needing the date threaded through
+        (r"\n(19|20)\d{2}\n", ""),
+        (r"^Microsoft Word.+\.docx?\n", ""),
+    ],
+    # PDF extraction spaces out emphasized words ("U r t e i l") —
+    # collapse single spaces inside such runs
+    "CH_BGer": [(r"((?<=\w)\s)(?=[a-z]\s)", "")],
 }
 _COMPILED_RULES: dict[str, list[tuple[re.Pattern, str]]] = {
     spider: [

@@ -840,3 +840,23 @@ def test_composition_zh_steuerrekurs_titles():
     assert roles.get("Meier") == "f"
     assert "Keller" in roles and roles["Keller"] is None
     assert got["clerks"][0]["name"] == "Frei"
+
+
+def test_cleaning_batch3_spiders():
+    """Batch-3 cleaning rules (`cleaning_regexes.json`: AR/SZ/ZG/FR/
+    SH/CH_BGer) — page numbers, export artifacts, spaced-letter PDF
+    emphasis."""
+    from swisscourtrulingcorpus_spark.extraction.cleaning import clean_text_py
+
+    assert "Seite 3" not in clean_text_py("Der Entscheid. Seite 3", "AR_Gerichte")
+    assert "Schwyz 7" not in clean_text_py(
+        "Begründung. Kantonsgericht Schwyz 7", "SZ_Gerichte"
+    )
+    got = clean_text_py("Normal.dotx Urteil folgt.\n4\nWeiter.", "ZG_Verwaltungsgericht")
+    assert "Normal.dot" not in got and "\n4\n" not in got
+    got = clean_text_py("Tribunal cantonal TC arrêt Page 2 de 9 suite", "FR_Gerichte")
+    assert "Tribunal cantonal TC" not in got and "Page 2 de 9" not in got
+    got = clean_text_py("Microsoft Word - urteil.docx\nEntscheid\n2019\nGrund.", "SH_OG")
+    assert "Microsoft Word" not in got and "2019" not in got
+    # spaced-letter emphasis collapses back into the word
+    assert "Urteil" in clean_text_py("U r t e i l vom 3. Mai", "CH_BGer")
