@@ -29,29 +29,100 @@ _BLOCK_TAGS = {
     "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "table", "section",
 }
 _SKIP_TAGS = {"script", "style", "head"}
+_VOID_TAGS = {"br", "img", "hr", "input", "meta", "link", "col", "area"}
+
+# Per-spider HTML node rules (the reference's `spider_specific/
+# cleaning_functions.py` BeautifulSoup cleanups, re-expressed for the
+# streaming stdlib parser):
+#   content: (tag, class-or-None, which) — keep ONLY text inside the
+#     first/last matching subtree (CH_BGer div.content :10,
+#     ZH_Sozialversicherungsgericht div.cell :19,
+#     ZH_Verwaltungsgericht last table :15)
+#   drop: [(tag, class-or-None)] — decompose matching subtrees
+#     (CH_BGE pagebreak divs :23, VD_FindInfo logo tables :29,
+#     AG_Gerichte header divs :35)
+SPIDER_HTML_RULES: dict[str, dict] = {
+    "CH_BGer": {"content": ("div", "content", "first")},
+    "ZH_Sozialversicherungsgericht": {"content": ("div", "cell small-12", "first")},
+    "ZH_Verwaltungsgericht": {"content": ("table", None, "last")},
+    "CH_BGE": {"drop": [("div", "center pagebreak")]},
+    "VD_FindInfo": {"drop": [("table", None)]},
+    "AG_Gerichte": {"drop": [("div", "header")]},
+}
+
+
+def _cls_match(rule_cls: str | None, attrs) -> bool:
+    if rule_cls is None:
+        return True
+    got = dict(attrs).get("class") or ""
+    return set(rule_cls.split()) <= set(got.split())
 
 
 class _TextCollector(HTMLParser):
-    def __init__(self) -> None:
+    def __init__(self, rules: dict | None = None) -> None:
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self._skip_depth = 0
+        self._rules = rules or {}
+        self._drop_depth = 0
+        self._content_depth = 0
+        self._stack: list[tuple[bool, bool]] = []  # (drop_root, content_root)
+        self.segments: list[list[str]] = []  # one per content match
 
     def handle_starttag(self, tag, attrs):
         if tag in _SKIP_TAGS:
             self._skip_depth += 1
-        elif tag in _BLOCK_TAGS:
+            return
+        drop_root = content_root = False
+        if self._drop_depth == 0:
+            for dtag, dcls in self._rules.get("drop", []):
+                if tag == dtag and _cls_match(dcls, attrs):
+                    drop_root = True
+                    break
+        content = self._rules.get("content")
+        if content and self._content_depth == 0 and not drop_root:
+            ctag, ccls, _ = content
+            if tag == ctag and _cls_match(ccls, attrs):
+                content_root = True
+                self.parts = []
+                self.segments.append(self.parts)
+        if tag not in _VOID_TAGS:
+            self._stack.append((drop_root, content_root))
+            if drop_root:
+                self._drop_depth += 1
+            if content_root:
+                self._content_depth += 1
+        if tag in _BLOCK_TAGS and not self._drop_depth:
             self.parts.append("\n")
 
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
-        elif tag in _BLOCK_TAGS:
+            return
+        if tag in _BLOCK_TAGS and not self._drop_depth:
             self.parts.append("\n")
+        if tag not in _VOID_TAGS and self._stack:
+            drop_root, content_root = self._stack.pop()
+            if drop_root:
+                self._drop_depth -= 1
+            if content_root:
+                self._content_depth -= 1
+                self.parts = []  # outside-content text is discarded
 
     def handle_data(self, data):
-        if not self._skip_depth:
-            self.parts.append(data)
+        if self._skip_depth or self._drop_depth:
+            return
+        if self._rules.get("content") and self._content_depth == 0:
+            return
+        self.parts.append(data)
+
+    def text_parts(self) -> list[str]:
+        content = self._rules.get("content")
+        if not content:
+            return self.parts
+        if not self.segments:
+            return []
+        return self.segments[0] if content[2] == "first" else self.segments[-1]
 
 
 class _CitationCollector(HTMLParser):
@@ -83,12 +154,12 @@ class _CitationCollector(HTMLParser):
             self._active["text"] += data
 
 
-def html_to_text_py(html: str | None) -> str | None:
+def html_to_text_py(html: str | None, spider: str | None = None) -> str | None:
     if html is None:
         return None
-    collector = _TextCollector()
+    collector = _TextCollector(SPIDER_HTML_RULES.get(spider or ""))
     collector.feed(html)
-    text = "".join(collector.parts)
+    text = "".join(collector.text_parts())
     lines = [ln.strip() for ln in text.split("\n")]
     return "\n".join(ln for ln in lines if ln)
 
@@ -132,6 +203,15 @@ HTML_CITATION_SCHEMA = ArrayType(
 @pandas_udf(StringType())
 def html_to_text_udf(html: pd.Series) -> pd.Series:
     return html.map(html_to_text_py)
+
+
+@pandas_udf(StringType())
+def html_to_text_spider_udf(html: pd.Series, spider: pd.Series) -> pd.Series:
+    """Spider-dispatching variant applying SPIDER_HTML_RULES (content
+    selection / node drops) before text assembly."""
+    return pd.Series(
+        [html_to_text_py(h, s) for h, s in zip(html, spider)], dtype=object
+    )
 
 
 @pandas_udf(ArrayType(StringType()))

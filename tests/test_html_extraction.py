@@ -73,3 +73,46 @@ def test_html_pipeline_distributed(spark):
         extract_judgments_udf("text", F.lit("de")).alias("j")
     ).first()
     assert out.j == ["dismissal"]
+
+
+def test_spider_html_node_rules():
+    """Per-spider HTML node rules (`cleaning_functions.py` cleanups):
+    content-subtree selection (first/last) and node drops."""
+    from swisscourtrulingcorpus_spark.extraction.html import html_to_text_py
+
+    doc = (
+        "<html><body><div class='nav'>Menu</div>"
+        "<div class='content'><p>Urteil vom 3. Mai.</p></div>"
+        "<div class='footer'>Impressum</div></body></html>"
+    )
+    got = html_to_text_py(doc, "CH_BGer")
+    assert "Urteil" in got and "Menu" not in got and "Impressum" not in got
+
+    doc2 = (
+        "<body><p>Kopf</p><div class='center pagebreak'>Seite 3</div>"
+        "<p>Erwägungen</p></body>"
+    )
+    got2 = html_to_text_py(doc2, "CH_BGE")
+    assert "Seite 3" not in got2 and "Erwägungen" in got2 and "Kopf" in got2
+
+    doc3 = (
+        "<body><table><tr><td>Logo Gericht</td></tr></table>"
+        "<p>Considérants</p></body>"
+    )
+    got3 = html_to_text_py(doc3, "VD_FindInfo")
+    assert "Logo" not in got3 and "Considérants" in got3
+
+    doc4 = (
+        "<body><table><tr><td>Kopfzeile</td></tr></table>"
+        "<table><tr><td>Entscheidtext</td></tr></table></body>"
+    )
+    got4 = html_to_text_py(doc4, "ZH_Verwaltungsgericht")
+    assert "Entscheidtext" in got4 and "Kopfzeile" not in got4
+
+    # class-subset matching: extra classes on the element still match
+    doc5 = "<div class='cell small-12 extra'><p>Inhalt</p></div><p>aussen</p>"
+    got5 = html_to_text_py(doc5, "ZH_Sozialversicherungsgericht")
+    assert "Inhalt" in got5 and "aussen" not in got5
+
+    # no rules: unchanged default behavior
+    assert "Menu" in html_to_text_py(doc)
