@@ -38,6 +38,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _MANIFEST_RX = re.compile(r"^v(\d+)\.json$")
 
@@ -120,6 +121,56 @@ def read_version(
         manifest = json.load(fh)
     paths = [os.path.join(table_dir, f) for f in manifest["files"]]
     return spark.read.parquet(*paths)
+
+
+def optimize_table(
+    spark: SparkSession,
+    table_dir: str,
+    zorder_cols: list[str] | None = None,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Maintenance pass over the latest snapshot: rewrite it into
+    size-targeted files, Z-order-clustered when ``zorder_cols`` is
+    given (multi-dimension footer skipping — `sources/layout.py`), and
+    commit the rewrite as a NEW version.  Readers keep snapshot
+    isolation throughout; the pre-optimize version stays time-travel
+    readable until ``vacuum``.  This is the OPTIMIZE/ZORDER job every
+    large table needs on a schedule.  Returns the committed version."""
+    import math
+
+    from swisscourtrulingcorpus_spark.sources import layout
+
+    df = read_version(spark, table_dir)
+    known = _manifests(table_dir)
+    latest = max(known)
+    with open(known[latest]) as fh:
+        files = json.load(fh)["files"]
+    total = sum(
+        os.path.getsize(os.path.join(table_dir, f))
+        for f in files
+        if os.path.exists(os.path.join(table_dir, f))
+    )
+    n = max(1, math.ceil(total / target_bytes))
+    if zorder_cols:
+        aggs = []
+        for c in zorder_cols:
+            aggs += [
+                F.min(c).alias(f"__lo_{c}"),
+                F.max(c).alias(f"__hi_{c}"),
+            ]
+        r = df.agg(*aggs).collect()[0]
+        mins = [int(r[f"__lo_{c}"]) for c in zorder_cols]
+        maxs = [int(r[f"__hi_{c}"]) for c in zorder_cols]
+        z = layout.zorder_value(zorder_cols, mins, maxs)
+        df = (
+            df.withColumn("__z", z)
+            .repartitionByRange(n, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
+    else:
+        df = df.coalesce(n)
+    return commit_version(df, table_dir)
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[str]:

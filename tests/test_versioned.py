@@ -108,3 +108,40 @@ def test_stream_versioned_upsert(spark, sf_dir, tmp_path):
         .count()
         == 0
     )
+
+
+def test_optimize_table_zorder_commit(spark, sf_dir, tmp_path):
+    """OPTIMIZE commits a clustered rewrite as a new snapshot; the
+    pre-optimize version stays readable, and the new layout's footer
+    stats prune on both z-ordered columns."""
+    from swisscourtrulingcorpus_spark.sources import layout, versioned
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    versioned.commit_version(orders.repartition(8), table)
+    v = versioned.optimize_table(
+        spark, table, zorder_cols=["o_orderkey", "o_custkey"],
+        target_bytes=1 << 14,
+    )
+    assert v == 2
+    assert versioned.read_version(spark, table, 1).count() == orders.count()
+    opt = versioned.read_version(spark, table, 2)
+    assert opt.count() == orders.count()
+    # the optimized files' spans narrow on BOTH columns
+    import json as _json
+
+    with open(os.path.join(table, "v2.json")) as fh:
+        commit = _json.load(fh)["commit"]
+    data_dir = os.path.join(table, "data", commit)
+    for col in ("o_orderkey", "o_custkey"):
+        st = [s for s in layout.file_skipping_stats(data_dir, col) if s["rows"]]
+        if len(st) < 2:
+            continue
+        glob_span = (
+            orders.agg(F.max(col) - F.min(col)).collect()[0][0]
+        )
+        avg_span = sum(s["max"] - s["min"] for s in st) / len(st)
+        assert avg_span < 0.8 * glob_span, col
