@@ -139,7 +139,13 @@ def kmeans_fit(
     """Lloyd's k-means over an embedding column.
 
     Deterministic init — the vectors of the ``k`` smallest ids (k rows
-    collected; bounded).  Each iteration: broadcast-assign, then
+    collected; bounded).  NOTE: the init and assignment are exactly
+    deterministic, but the per-iteration centroid AVERAGES are only
+    deterministic up to floating summation order (partition order in
+    the groupBy), like any distributed mean — so trained centroids may
+    differ in final ulps across runs.  The driver gate therefore
+    verifies the seeded-assignment path (bit-exact); tests check
+    trained-path invariants (inertia monotonicity, coverage), not bits.  Each iteration: broadcast-assign, then
     recompute centroids as the per-(cluster, dimension) mean via
     ``posexplode`` (map-side partial aggregation applies; the shuffle
     carries (cluster, pos, sum, count) partials — k x dim groups, not

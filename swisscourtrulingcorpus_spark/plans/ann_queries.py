@@ -285,6 +285,78 @@ FROM docw d LEFT JOIN vocab v ON d.w = v.token
 """
 
 
+_HASH_DIM = 64
+
+
+def q_hashed_bow_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words embedder: text -> a dense
+    {_HASH_DIM}-dim integer count vector, token index = md5 mod dim —
+    the model-free bridge from the documents table into the ANN layer
+    (cosine/IVF/PQ all consume the resulting array directly).
+
+    Shape: explode -> (doc, index) count -> map_from_entries ->
+    dense transform.  Counts are integers, so the gate hash-matches
+    exactly; emitted exploded as (doc_id, dim, value)."""
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("token"),
+    ).where(F.length("token") > 0)
+    counts = (
+        toks.select(
+            "doc_id", (h32(F.col("token")) % _HASH_DIM).cast("int").alias("idx")
+        )
+        .groupBy("doc_id", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = (
+        counts.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("idx", "cnt")))
+            ).alias("__m")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_HASH_DIM - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+                ),
+            ).alias("vec"),
+        )
+    )
+    return dense.select(
+        "doc_id", F.posexplode("vec").alias("dim", "value")
+    ).select("doc_id", F.col("dim").cast("int"), F.col("value").cast("bigint"))
+
+
+def _h32_sql(expr: str) -> str:
+    """DuckDB twin of functions.hashing.h32 — first 8 hex chars of md5
+    as an unsigned 32-bit int (matches the verified existing oracles)."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 8)) AS UBIGINT)"
+
+
+HASHED_BOW_ORACLE = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+  FROM documents WHERE text IS NOT NULL),
+counts AS (
+  SELECT doc_id, CAST({_h32_sql('token')} % {_HASH_DIM} AS INTEGER) AS idx,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE len(token) > 0 GROUP BY doc_id, idx),
+dims AS (SELECT CAST(d AS INTEGER) AS dim FROM generate_series(0, {_HASH_DIM - 1}) t(d)),
+docs AS (SELECT DISTINCT doc_id FROM counts)
+SELECT docs.doc_id, dims.dim,
+       CAST(coalesce(c.cnt, 0) AS BIGINT) AS value
+FROM docs CROSS JOIN dims
+LEFT JOIN counts c ON c.doc_id = docs.doc_id AND c.idx = dims.dim
+"""
+
+
 def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint-validation report (`operators/expectations.py`): all
     row-level checks per table in ONE aggregation scan, uniqueness via
@@ -632,5 +704,11 @@ SPECS: list[QuerySpec] = [
         spark=q_ivfpq_codes,
         oracle=IVFPQ_CODES_ORACLE,
         doc="IVF-PQ residual encoding, bit-exact (clustering.py)",
+    ),
+    QuerySpec(
+        name="hashed_bow_embeddings",
+        spark=q_hashed_bow_embeddings,
+        oracle=HASHED_BOW_ORACLE,
+        doc="Hashing-trick BoW embedder: text -> dense count vector",
     ),
 ]

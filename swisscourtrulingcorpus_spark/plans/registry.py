@@ -128,6 +128,7 @@ _ROUND3_NEW: set[str] = {
     "token_ids_documents",
     "trained_language_id",
     "ivfpq_codes_embeddings",
+    "hashed_bow_embeddings",
 }
 
 
