@@ -191,3 +191,47 @@ def test_ivfpq_beats_plain_pq_floor(emb, emb_np):
         d2 = ((mat - mat[id_pos[q]]) ** 2).sum(axis=1)
         e10 |= {(q, ids[j]) for j in d2.argsort()[:11] if ids[j] != q}
     assert len(a & e10) / len(e10) >= 0.15
+
+
+def test_text_to_ann_loop_finds_exact_dups(spark, sf_dir, tmp_path):
+    """End-to-end: documents -> hashing-trick BoW embedding -> cosine
+    top-1 rediscovers exact duplicates (cosine == 1.0) — the text and
+    ANN layers compose without an external model.  The fixture corpus
+    has no exact dups, so a shifted-id copy of 10 docs is planted."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from swisscourtrulingcorpus_spark.plans.ann_queries import (
+        q_hashed_bow_embeddings,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    table_dir = str(tmp_path / "sf_dup")
+    import os
+
+    os.makedirs(table_dir)
+    # single-file parquet like the driver fixtures (catalog sniffs footers)
+    docs.unionByName(planted).toPandas().to_parquet(
+        f"{table_dir}/documents.parquet"
+    )
+
+    vecs = (
+        q_hashed_bow_embeddings(spark, table_dir)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "value"))),
+                lambda x: x["value"].cast("double"),
+            ).alias("embedding")
+        )
+    )
+    queries = vecs.where(F.col("doc_id") >= 1_000_000)
+    top = cosine_topk_bruteforce(vecs, queries, "doc_id", "embedding", k=1)
+    rows = top.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert abs(r["cosine"] - 1.0) < 1e-12, r
+        assert r["neighbor_id"] == r["query_id"] - 1_000_000, r
