@@ -72,14 +72,17 @@ def _next_version(table_dir: str) -> int:
     return max(taken, default=0) + 1
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
-    """Write ``df`` as the next snapshot.  Data lands fully in a fresh
-    ``data/<uuid>`` dir first; the manifest rename is the atomic commit
-    point.  Returns the committed version number."""
+def _stage_data(df: DataFrame, table_dir: str) -> tuple[str, str]:
+    """Land the snapshot's data files in a fresh ``data/<uuid>`` dir;
+    invisible to readers until a manifest names them."""
     os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
     commit_id = uuid.uuid4().hex
     data_dir = os.path.join(table_dir, "data", commit_id)
     df.write.mode("overwrite").parquet(data_dir)
+    return commit_id, data_dir
+
+
+def _commit_manifest(table_dir: str, commit_id: str, data_dir: str) -> int:
     files = sorted(
         f"data/{commit_id}/{f}"
         for f in os.listdir(data_dir)
@@ -103,6 +106,14 @@ def commit_version(df: DataFrame, table_dir: str) -> int:
         os.rename(tmp, os.path.join(table_dir, f"v{version}.json"))
         os.remove(claim)
         return version
+
+
+def commit_version(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next snapshot.  Data lands fully in a fresh
+    ``data/<uuid>`` dir first; the manifest rename is the atomic commit
+    point.  Returns the committed version number."""
+    commit_id, data_dir = _stage_data(df, table_dir)
+    return _commit_manifest(table_dir, commit_id, data_dir)
 
 
 def read_version(
@@ -171,6 +182,32 @@ def optimize_table(
     else:
         df = df.coalesce(n)
     return commit_version(df, table_dir)
+
+
+def publish_if_valid(
+    df: DataFrame,
+    table_dir: str,
+    checks: list[DataFrame],
+) -> tuple[int | None, list[tuple[str, int]]]:
+    """Write-audit-publish: stage the snapshot's data files, run the
+    audit checks (DataFrames in the `operators/expectations.py` report
+    schema — typically built against the STAGED data), and commit the
+    manifest ONLY if every check reports zero violations.
+
+    Returns (version, violations): version is None when the audit
+    failed — the staged data dir is left as an orphan (invisible to
+    readers; ``vacuum`` reclaims it), so a bad batch can never become
+    readable.  This is the WAP pattern production tables gate ingest
+    with, expressed over the same manifest commit."""
+    commit_id, data_dir = _stage_data(df, table_dir)
+    failures: list[tuple[str, int]] = []
+    for report in checks:
+        for row in report.collect():
+            if row["violations"]:
+                failures.append((row["check"], int(row["violations"])))
+    if failures:
+        return None, failures
+    return _commit_manifest(table_dir, commit_id, data_dir), []
 
 
 def vacuum(table_dir: str, keep: int = 2) -> list[str]:

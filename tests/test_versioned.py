@@ -145,3 +145,31 @@ def test_optimize_table_zorder_commit(spark, sf_dir, tmp_path):
         )
         avg_span = sum(s["max"] - s["min"] for s in st) / len(st)
         assert avg_span < 0.8 * glob_span, col
+
+
+def test_write_audit_publish(spark, tmp_path):
+    """WAP: a batch failing its audit never becomes a readable
+    version; a clean batch publishes."""
+    from swisscourtrulingcorpus_spark.operators import expectations as X
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, amount double")
+    bad = spark.createDataFrame([(3, -5.0), (None, 1.0)], "id bigint, amount double")
+
+    v, fails = V.publish_if_valid(
+        good, table, [X.table_expectations(good, "t", [X.not_null("id"), X.in_range("amount", 0, 100)])]
+    )
+    assert v == 1 and fails == []
+
+    v2, fails2 = V.publish_if_valid(
+        bad, table, [X.table_expectations(bad, "t", [X.not_null("id"), X.in_range("amount", 0, 100)])]
+    )
+    assert v2 is None
+    assert {c for c, _ in fails2} == {"t.not_null:id", "t.in_range:amount"}
+    # the failed batch is invisible; table still reads version 1
+    assert V.versions(table) == [1]
+    assert V.read_version(spark, table).count() == 2
+    # ...and its orphaned staging data is vacuumable
+    removed = V.vacuum(table, keep=1)
+    assert any("data/" in p for p in removed)
