@@ -135,6 +135,39 @@ def expect_foreign_key(
     )
 
 
+def table_profile(df: DataFrame, table: str, columns: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics in ONE aggregation pass: per
+    column — rows, nulls, exact distinct count, min/max (as strings so
+    the report schema is uniform).  These are the statistics that feed
+    broadcast-vs-shuffle decisions and data-skipping expectations; the
+    exact NDV is a full count-distinct (the profile job is periodic,
+    not per-query — use `sketches.approx_distinct_by` when a cheap
+    estimate suffices)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
+    for i, c in enumerate(columns):
+        aggs += [
+            F.count(c).alias(f"__nn{i}"),
+            F.countDistinct(c).alias(f"__ndv{i}"),
+            F.min(c).cast("string").alias(f"__min{i}"),
+            F.max(c).cast("string").alias(f"__max{i}"),
+        ]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(f"{table}.{c}").alias("column"),
+                F.col("__rows").cast("bigint").alias("n_rows"),
+                (F.col("__rows") - F.col(f"__nn{i}")).cast("bigint").alias("n_nulls"),
+                F.col(f"__ndv{i}").cast("bigint").alias("ndv"),
+                F.col(f"__min{i}").alias("min_value"),
+                F.col(f"__max{i}").alias("max_value"),
+            )
+            for i, c in enumerate(columns)
+        ]
+    )
+    return row.select(F.explode(entries).alias("__e")).select("__e.*")
+
+
 def quality_report(parts: list[DataFrame]) -> DataFrame:
     """Union the per-check results into the one small report table."""
     out = parts[0]

@@ -439,6 +439,47 @@ SELECT 'lineitem.fk:l_orderkey',
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics
+    (`operators/expectations.py::table_profile`) on orders — rows,
+    nulls, exact NDV, min/max per column in one aggregation pass."""
+    from swisscourtrulingcorpus_spark.operators.expectations import table_profile
+
+    return table_profile(
+        load_table(spark, sf_dir, "orders"),
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+
+
+TABLE_PROFILE_ORACLE = """
+SELECT 'orders.' || col AS column,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_nulls AS BIGINT) AS n_nulls,
+       CAST(ndv AS BIGINT) AS ndv,
+       min_value, max_value
+FROM (
+  SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_nulls,
+         count(DISTINCT o_orderkey) AS ndv,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus),
+         min(o_orderstatus), max(o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority),
+         min(o_orderpriority), max(o_orderpriority) FROM orders
+) t
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-skew diagnostics on orders.o_custkey
     (`operators/skew.py::skew_report`) — the pre-join measurement that
@@ -710,5 +751,11 @@ SPECS: list[QuerySpec] = [
         spark=q_hashed_bow_embeddings,
         oracle=HASHED_BOW_ORACLE,
         doc="Hashing-trick BoW embedder: text -> dense count vector",
+    ),
+    QuerySpec(
+        name="table_profile_orders",
+        spark=q_table_profile,
+        oracle=TABLE_PROFILE_ORACLE,
+        doc="ANALYZE-style column stats in one pass (expectations.py)",
     ),
 ]

@@ -129,6 +129,7 @@ _ROUND3_NEW: set[str] = {
     "trained_language_id",
     "ivfpq_codes_embeddings",
     "hashed_bow_embeddings",
+    "table_profile_orders",
 }
 
 
