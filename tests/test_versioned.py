@@ -173,3 +173,31 @@ def test_write_audit_publish(spark, tmp_path):
     # ...and its orphaned staging data is vacuumable
     removed = V.vacuum(table, keep=1)
     assert any("data/" in p for p in removed)
+
+
+def test_concurrent_commits_unique_versions(spark, tmp_path):
+    """The claim protocol under concurrency: parallel committers never
+    share a version number and every snapshot stays readable."""
+    import threading
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    results: list[int] = []
+    lock = threading.Lock()
+    dfs = {n: spark.range(n + 1).toPandas() for n in range(8)}
+
+    def commit(n):
+        df = spark.createDataFrame(dfs[n])
+        v = V.commit_version(df, table)
+        with lock:
+            results.append(v)
+
+    threads = [threading.Thread(target=commit, args=(n,)) for n in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sorted(results) == V.versions(table)
+    assert len(set(results)) == 8
+    counts = sorted(V.read_version(spark, table, v).count() for v in results)
+    assert counts == [1, 2, 3, 4, 5, 6, 7, 8]
