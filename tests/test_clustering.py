@@ -235,3 +235,41 @@ def test_text_to_ann_loop_finds_exact_dups(spark, sf_dir, tmp_path):
     for r in rows:
         assert abs(r["cosine"] - 1.0) < 1e-12, r
         assert r["neighbor_id"] == r["query_id"] - 1_000_000, r
+
+
+def test_assignment_composes_with_streaming(spark, sf_dir, tmp_path):
+    """The literal-centroid argmin is a stateless projection, so the
+    SAME expression runs unchanged in Structured Streaming — streaming
+    assignment equals batch assignment row-for-row."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.orderBy("vec_id").limit(4).collect()
+    ]
+    batch = {
+        r.vec_id: r.cluster
+        for r in C.assign_clusters(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+            cents, "v", "vec_id",
+        ).collect()
+    }
+
+    stage = str(tmp_path / "in")
+    emb.write.parquet(stage)
+    stream = spark.readStream.schema(emb.schema).parquet(stage)
+    assigned = C.assign_clusters(
+        stream.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        cents, "v", "vec_id",
+    )
+    q = (
+        assigned.writeStream.format("memory")
+        .queryName("stream_assign")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.vec_id: r.cluster for r in spark.sql("SELECT * FROM stream_assign").collect()
+    }
+    assert got == batch
