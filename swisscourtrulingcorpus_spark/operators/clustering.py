@@ -20,10 +20,13 @@ supplies the remaining production ANN layer a 100 TB corpus needs:
   the cluster id (never a cross join against the corpus).
 - ``pq_codebooks_from_rows`` / ``pq_encode`` / ``pq_topk_adc``:
   product quantization — vectors become m small codes; search scans
-  codes with a broadcast (subspace, code) -> partial-distance lookup
-  table (asymmetric distance computation).  At 100 TB the code table
-  is ~64x smaller than the raw embeddings and the scan never touches
-  the float vectors.
+  codes with a broadcast per-query flat partial-distance lookup array
+  (asymmetric distance computation, m ``element_at`` lookups per
+  candidate).  At 100 TB the code table is ~64x smaller than the raw
+  embeddings and the scan never touches the float vectors.
+- ``ivfpq_train`` / ``ivfpq_encode`` / ``ivfpq_topk``: the composed
+  FAISS-style index — PQ over residuals to the coarse centroid, probed
+  search over the inverted lists.
 
 Distance arithmetic reuses the sequential-fold dot product from
 `operators/similarity.py` (verified bit-identical to DuckDB's
@@ -139,18 +142,20 @@ def kmeans_fit(
     """Lloyd's k-means over an embedding column.
 
     Deterministic init — the vectors of the ``k`` smallest ids (k rows
-    collected; bounded).  NOTE: the init and assignment are exactly
-    deterministic, but the per-iteration centroid AVERAGES are only
-    deterministic up to floating summation order (partition order in
-    the groupBy), like any distributed mean — so trained centroids may
-    differ in final ulps across runs.  The driver gate therefore
-    verifies the seeded-assignment path (bit-exact); tests check
-    trained-path invariants (inertia monotonicity, coverage), not bits.  Each iteration: broadcast-assign, then
-    recompute centroids as the per-(cluster, dimension) mean via
+    collected; bounded).  Each iteration: one map-side argmin pass,
+    then centroids recomputed as the per-(cluster, dimension) mean via
     ``posexplode`` (map-side partial aggregation applies; the shuffle
     carries (cluster, pos, sum, count) partials — k x dim groups, not
-    the corpus).  Returns (centroids, inertia) where inertia is the
-    summed full squared distance at the final assignment.
+    the corpus).  Returns (centroids, inertia); inertia is the summed
+    squared distance under the centroids the LAST assignment used.
+
+    NOTE on determinism: init and assignment are exactly
+    deterministic, but the centroid AVERAGES are deterministic only up
+    to floating summation order (partition order in the groupBy), like
+    any distributed mean — trained centroids can differ in final ulps
+    across runs.  The driver gate therefore verifies the
+    seeded-assignment path (bit-exact); tests check trained-path
+    invariants (inertia monotonicity, coverage), not bits.
 
     Empty clusters keep their previous centroid (the reference point
     for re-seeding strategies; at k << n with real data this is rare).
@@ -219,7 +224,7 @@ def ivf_index(
     id_col: str,
 ) -> DataFrame:
     """Build the IVF index: the corpus with its ``cluster`` assignment
-    column.  ONE broadcast-argmin scan — write/persist the result (e.g.
+    column.  ONE expression-argmin scan — write/persist the result (e.g.
     ``layout.write_sorted_by(..., ["cluster"])`` so each inverted list
     is contiguous and cluster-pruned at scan time); search calls then
     skip the assignment entirely.  Measured at 50k x 64: assignment is the
