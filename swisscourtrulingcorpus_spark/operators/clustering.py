@@ -109,6 +109,37 @@ def _argmin_of(scores: F.Column) -> F.Column:
     return _min_struct(scores)["i"].cast("int")
 
 
+def _probe_clusters(
+    vec: F.Column, centroids: list[list[float]], nprobe: int
+) -> F.Column:
+    """The ``nprobe`` nearest centroid ids for a query vector, as one
+    map-side expression (sort the (score, index) pairs, slice)."""
+    scores = centroid_scores(vec, centroids)
+    ranked = F.transform(
+        F.array_sort(
+            F.transform(scores, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
+        ),
+        lambda x: x["i"],
+    )
+    return F.slice(ranked, 1, nprobe)
+
+
+def _adc_lut(vec: F.Column, codebooks: list[list[list[float]]]) -> F.Column:
+    """Flat ADC lookup array: lut[s * ksub + code] = partial squared
+    distance of ``vec``'s s-th slice to that codeword (rank-equivalent
+    c.c - 2 a.c form) — one projection over the literal codebooks."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    return F.array(
+        *[
+            F.lit(_self_dot(c))
+            - F.lit(2.0) * _dot(F.slice(vec, s * sub + 1, sub), _lit_vec(c))
+            for s in range(m)
+            for c in codebooks[s]
+        ]
+    )
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
@@ -124,8 +155,13 @@ def assign_clusters(
     join, shuffle, or aggregation.  An earlier broadcast-join + min
     formulation materialized k struct rows per vector and OOM'd at
     500k x 64 on the test box — the expression form replaced it
-    (SCALE.md)."""
-    return df.select(
+    (SCALE.md).
+
+    NULL vectors are EXCLUDED (a null embedding has no nearest
+    centroid; the fold would otherwise emit the -1 seed, a cluster no
+    probe ever reaches — surface nulls with the data-quality
+    ``not_null`` check instead)."""
+    return df.where(F.col(vec_col).isNotNull()).select(
         id_col,
         _argmin_of(centroid_scores(F.col(vec_col), centroids)).alias("cluster"),
     )
@@ -171,7 +207,9 @@ def kmeans_fit(
     if len(centroids) < k:
         raise ValueError(f"need >= {k} non-null vectors, got {len(centroids)}")
 
-    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
     prev_inertia = None
     inertia = float("inf")
     for _ in range(max_iter):
@@ -229,12 +267,13 @@ def ivf_index(
     is contiguous and cluster-pruned at scan time); search calls then
     skip the assignment entirely.  Measured at 50k x 64: assignment is the
     bulk of a cold ``ivf_topk`` call — indexing once is what makes IVF
-    beat brute force (see SCALE.md)."""
-    vecs = corpus.select(
-        id_col, F.col(vec_col).cast("array<double>").alias("__v")
-    )
-    return corpus.join(
-        assign_clusters(vecs, centroids, "__v", id_col), on=id_col
+    beat brute force (see SCALE.md).  Null vectors are excluded (see
+    ``assign_clusters``)."""
+    return corpus.where(F.col(vec_col).isNotNull()).withColumn(
+        "cluster",
+        _argmin_of(
+            centroid_scores(F.col(vec_col).cast("array<double>"), centroids)
+        ),
     )
 
 
@@ -275,20 +314,13 @@ def ivf_topk(
     ).where(F.col("__qn") > 0)
     # probe list = nprobe nearest centroids, map-side over the same
     # literal-centroid score expression (no join, no aggregation)
-    scores = centroid_scores(F.col("__qv").cast("array<double>"), centroids)
-    ranked = F.transform(
-        F.array_sort(
-            F.transform(
-                scores, lambda s, i: F.struct(s.alias("s"), i.alias("i"))
-            )
-        ),
-        lambda x: x["i"],
-    )
     probes = q.select(
         "query_id",
         "__qv",
         "__qn",
-        F.explode(F.slice(ranked, 1, nprobe)).alias("cluster"),
+        F.explode(
+            _probe_clusters(F.col("__qv").cast("array<double>"), centroids, nprobe)
+        ).alias("cluster"),
     )
 
     scored = (
@@ -382,7 +414,8 @@ def pq_encode(
     (an earlier explode + broadcast-join + two-groupBy version was
     replaced; at 100 TB an extra corpus shuffle in the encode pass is
     the whole cost).  Output: (id, codes array<int>) — the compressed
-    representation an ANN index actually stores."""
+    representation an ANN index actually stores.  Null vectors are
+    excluded (see ``assign_clusters``)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
     v = F.col(vec_col).cast("array<double>")
@@ -394,7 +427,7 @@ def pq_encode(
             for s in range(m)
         ]
     )
-    return df.select(id_col, codes.alias("codes"))
+    return df.where(F.col(vec_col).isNotNull()).select(id_col, codes.alias("codes"))
 
 
 def _lit_matrix(vectors: list[list[float]]) -> F.Column:
@@ -422,7 +455,9 @@ def ivfpq_train(
     codebooks on the RESIDUALS (vec - assigned centroid) — the FAISS
     IVFPQ recipe; residuals are much smaller than raw vectors, so the
     same code budget quantizes far more precisely."""
-    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
     centroids, _ = kmeans_fit(vecs, "__v", id_col, k, max_iter=max_iter)
     best = _min_struct(centroid_scores(F.col("__v"), centroids))
     residuals = vecs.select(
@@ -448,7 +483,9 @@ def ivfpq_encode(
     still no join/shuffle/row multiplication)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
     best = _min_struct(centroid_scores(F.col("__v"), centroids))
     cluster = best["i"].cast("int")
     res = _residual(F.col("__v"), best["i"], centroids)
@@ -479,36 +516,23 @@ def ivfpq_topk(
     and must not be dropped) broadcasts; candidates come from the
     equi-join on the cluster id and are scored by m table lookups.
     The scan touches (cluster, codes) only — never the float vectors."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     ksub = len(codebooks[0])
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    scores = centroid_scores(F.col("__qv"), centroids)
-    ranked = F.transform(
-        F.array_sort(
-            F.transform(scores, lambda s, i: F.struct(s.alias("s"), i.alias("i")))
-        ),
-        lambda x: x["i"],
-    )
     probes = q.select(
-        "query_id", "__qv", F.explode(F.slice(ranked, 1, nprobe)).alias("cluster")
+        "query_id",
+        "__qv",
+        F.explode(_probe_clusters(F.col("__qv"), centroids, nprobe)).alias(
+            "cluster"
+        ),
     ).withColumn("__qr", _residual(F.col("__qv"), F.col("cluster"), centroids))
-    lut_expr = F.array(
-        *[
-            F.lit(_self_dot(c))
-            - F.lit(2.0) * _dot(F.slice(F.col("__qr"), s * sub + 1, sub), _lit_vec(c))
-            for s in range(m)
-            for c in codebooks[s]
-        ]
-    )
     luts = probes.select(
         "query_id",
         "cluster",
-        lut_expr.alias("__lut"),
+        _adc_lut(F.col("__qr"), codebooks).alias("__lut"),
         _dot(F.col("__qr"), F.col("__qr")).alias("__qr2"),
     )
     scored = (
@@ -554,22 +578,12 @@ def pq_topk_adc(
     version shuffled corpus x m rows and lost to brute force; see
     SCALE.md).  No float vectors move after encoding — the scan reads
     m bytes of codes per row, the PQ promise at scale."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     ksub = len(codebooks[0])
     qv = F.col(vec_col).cast("array<double>")
     # per-query flat LUT: lut[s * ksub + code] = partial distance —
     # one projection over the literal codebooks, no join/agg
-    lut_expr = F.array(
-        *[
-            F.lit(_self_dot(c))
-            - F.lit(2.0) * _dot(F.slice(qv, s * sub + 1, sub), _lit_vec(c))
-            for s in range(m)
-            for c in codebooks[s]
-        ]
-    )
     lut = queries.select(
-        F.col(id_col).alias("query_id"), lut_expr.alias("__lut")
+        F.col(id_col).alias("query_id"), _adc_lut(qv, codebooks).alias("__lut")
     )
     c = corpus_codes.select(
         F.col(id_col).alias("neighbor_id"), "codes"

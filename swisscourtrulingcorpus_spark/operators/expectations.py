@@ -70,7 +70,11 @@ def table_expectations(df: DataFrame, table: str, checks: list[RowCheck]) -> Dat
     """All row-level checks in ONE aggregation scan.  Output: one row
     per check — (check, violations, total)."""
     aggs = [
-        F.sum(F.when(c.violated, F.lit(1)).otherwise(F.lit(0))).alias(f"__v{i}")
+        # coalesce: sum over ZERO rows is NULL — an empty table must
+        # report 0 violations, not unknown
+        F.coalesce(
+            F.sum(F.when(c.violated, F.lit(1)).otherwise(F.lit(0))), F.lit(0)
+        ).alias(f"__v{i}")
         for i, c in enumerate(checks)
     ] + [F.count(F.lit(1)).alias("__total")]
     row = df.agg(*aggs)

@@ -70,7 +70,7 @@ sc AS (
   SELECT e.vec_id, c.cid,
          list_dot_product(c.cvec, c.cvec)
            - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS score
-  FROM embeddings e CROSS JOIN c),
+  FROM embeddings e CROSS JOIN c WHERE e.embedding IS NOT NULL),
 r AS (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
@@ -113,7 +113,7 @@ cb AS (
 v AS (
   SELECT e.vec_id, sub.s,
          CAST(array_slice(e.embedding, sub.s * {_SUB} + 1, sub.s * {_SUB} + {_SUB}) AS DOUBLE[]) AS svec
-  FROM embeddings e CROSS JOIN sub),
+  FROM embeddings e CROSS JOIN sub WHERE e.embedding IS NOT NULL),
 sc AS (
   SELECT v.vec_id, v.s, cb.code,
          list_dot_product(cb.cvec, cb.cvec) - 2 * list_dot_product(v.svec, cb.cvec) AS score
@@ -143,7 +143,7 @@ def q_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _seed_centroids(emb, _K)
-    vecs = emb.select(
+    vecs = emb.where(F.col("embedding").isNotNull()).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("__v")
     )
     best = _min_struct(centroid_scores(F.col("__v"), cents))
@@ -171,7 +171,7 @@ a AS (
            list_dot_product(c.cvec, c.cvec)
              - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec),
            c.cid) AS rn
-  FROM embeddings e CROSS JOIN c),
+  FROM embeddings e CROSS JOIN c WHERE e.embedding IS NOT NULL),
 asg AS (SELECT vec_id, v, cid FROM a WHERE rn = 1),
 res AS (
   SELECT asg.vec_id, asg.cid,

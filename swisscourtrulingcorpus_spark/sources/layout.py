@@ -60,10 +60,16 @@ def zorder_value(cols: list, mins: list[int], maxs: list[int], bits: int = 16):
 
     Linear scaling keeps the key rank-equivalent for roughly uniform
     key domains (ids, dates); for heavily skewed domains substitute
-    quantile bucket ids before calling (the interleave is agnostic)."""
+    quantile bucket ids before calling (the interleave is agnostic).
+
+    ``bits`` is clamped so n * bits <= 63 — interleaving into the long
+    sign bit would order the largest keys FIRST (negative z), and
+    shifts >= 64 wrap in the JVM; e.g. 4 columns get at most 15 bits
+    each."""
     from pyspark.sql import functions as F
 
     n = len(cols)
+    bits = min(bits, 63 // n)
     scaled = []
     for c, lo, hi in zip(cols, mins, maxs):
         col = F.col(c) if isinstance(c, str) else c
@@ -83,6 +89,36 @@ def zorder_value(cols: list, mins: list[int], maxs: list[int], bits: int = 16):
     return z
 
 
+def zorder_cluster(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = 16,
+) -> DataFrame:
+    """Cluster ``df`` by the Morton key: range-partition into
+    ``num_files`` + sort within.  Column ranges come from one min/max
+    aggregate (a single short job).  An empty table, or one where a
+    clustered column is all-null, has no range to scale — it falls
+    back to a plain coalesce instead of crashing on int(None)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    if any(r[f"__lo_{c}"] is None or r[f"__hi_{c}"] is None for c in cols):
+        return df.coalesce(max(1, num_files))
+    mins = [int(r[f"__lo_{c}"]) for c in cols]
+    maxs = [int(r[f"__hi_{c}"]) for c in cols]
+    z = zorder_value(cols, mins, maxs, bits)
+    return (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -94,25 +130,8 @@ def write_zordered(
     the multi-column key space instead of slabs of one column, so
     footer min/max prunes on EVERY clustered column at once — the
     layout a 100 TB table wants when queries filter on more than one
-    dimension.  Column ranges come from one min/max aggregate (a single
-    short job)."""
-    from pyspark.sql import functions as F
-
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-    r = df.agg(*aggs).collect()[0]
-    mins = [int(r[f"__lo_{c}"]) for c in cols]
-    maxs = [int(r[f"__hi_{c}"]) for c in cols]
-    z = zorder_value(cols, mins, maxs, bits)
-    (
-        df.withColumn("__z", z)
-        .repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    dimension."""
+    zorder_cluster(df, cols, num_files, bits).write.mode("overwrite").parquet(path)
 
 
 def file_skipping_stats(path: str, column: str) -> list[dict]:
@@ -126,15 +145,25 @@ def file_skipping_stats(path: str, column: str) -> list[dict]:
             continue
         meta = pq.read_metadata(os.path.join(path, name))
         lo, hi = None, None
+        all_known = True
         for rg in range(meta.num_row_groups):
+            found = False
             for ci in range(meta.num_columns):
                 col = meta.row_group(rg).column(ci)
-                if col.path_in_schema != column or col.statistics is None:
+                if col.path_in_schema != column:
                     continue
                 st = col.statistics
-                if st.has_min_max:
+                if st is not None and st.has_min_max:
+                    found = True
                     lo = st.min if lo is None else min(lo, st.min)
                     hi = st.max if hi is None else max(hi, st.max)
+            if not found:
+                # a row group WITHOUT stats may hold values outside the
+                # other groups' range — the whole file's range must be
+                # unknown or files_for_range would wrongly skip it
+                all_known = False
+        if not all_known:
+            lo = hi = None
         out.append(
             {"file": name, "min": lo, "max": hi, "rows": meta.num_rows}
         )
@@ -175,8 +204,15 @@ def compact_small_files(
     try:
         spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(staging)
         os.rename(path, old)
-        os.rename(staging, path)
+        try:
+            os.rename(staging, path)
+        except BaseException:
+            # failed swap: restore the original before surfacing — the
+            # backup is the ONLY copy and must never be deleted unless
+            # the new layout is in place
+            os.rename(old, path)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
     return n

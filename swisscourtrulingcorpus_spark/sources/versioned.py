@@ -163,22 +163,7 @@ def optimize_table(
     )
     n = max(1, math.ceil(total / target_bytes))
     if zorder_cols:
-        aggs = []
-        for c in zorder_cols:
-            aggs += [
-                F.min(c).alias(f"__lo_{c}"),
-                F.max(c).alias(f"__hi_{c}"),
-            ]
-        r = df.agg(*aggs).collect()[0]
-        mins = [int(r[f"__lo_{c}"]) for c in zorder_cols]
-        maxs = [int(r[f"__hi_{c}"]) for c in zorder_cols]
-        z = layout.zorder_value(zorder_cols, mins, maxs)
-        df = (
-            df.withColumn("__z", z)
-            .repartitionByRange(n, "__z")
-            .sortWithinPartitions("__z")
-            .drop("__z")
-        )
+        df = layout.zorder_cluster(df, zorder_cols, n)
     else:
         df = df.coalesce(n)
     return commit_version(df, table_dir)
@@ -187,12 +172,18 @@ def optimize_table(
 def publish_if_valid(
     df: DataFrame,
     table_dir: str,
-    checks: list[DataFrame],
+    check_builders: list,
 ) -> tuple[int | None, list[tuple[str, int]]]:
     """Write-audit-publish: stage the snapshot's data files, run the
-    audit checks (DataFrames in the `operators/expectations.py` report
-    schema — typically built against the STAGED data), and commit the
-    manifest ONLY if every check reports zero violations.
+    audit against the STAGED files, and commit the manifest ONLY if
+    every check reports zero violations.
+
+    ``check_builders`` are callables ``staged_df -> report_df`` in the
+    `operators/expectations.py` report schema.  Auditing the staged
+    parquet (not the input lineage) is what makes the guarantee hold:
+    a non-deterministic input (rand()/sample, a source mutating
+    between write and audit) is audited exactly as written, and the
+    input pipeline is not recomputed a second time.
 
     Returns (version, violations): version is None when the audit
     failed — the staged data dir is left as an orphan (invisible to
@@ -200,9 +191,10 @@ def publish_if_valid(
     readable.  This is the WAP pattern production tables gate ingest
     with, expressed over the same manifest commit."""
     commit_id, data_dir = _stage_data(df, table_dir)
+    staged = df.sparkSession.read.parquet(data_dir)
     failures: list[tuple[str, int]] = []
-    for report in checks:
-        for row in report.collect():
+    for build in check_builders:
+        for row in build(staged).collect():
             if row["violations"]:
                 failures.append((row["check"], int(row["violations"])))
     if failures:

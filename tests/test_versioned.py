@@ -157,14 +157,15 @@ def test_write_audit_publish(spark, tmp_path):
     good = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id bigint, amount double")
     bad = spark.createDataFrame([(3, -5.0), (None, 1.0)], "id bigint, amount double")
 
-    v, fails = V.publish_if_valid(
-        good, table, [X.table_expectations(good, "t", [X.not_null("id"), X.in_range("amount", 0, 100)])]
-    )
+    def audit(staged):
+        return X.table_expectations(
+            staged, "t", [X.not_null("id"), X.in_range("amount", 0, 100)]
+        )
+
+    v, fails = V.publish_if_valid(good, table, [audit])
     assert v == 1 and fails == []
 
-    v2, fails2 = V.publish_if_valid(
-        bad, table, [X.table_expectations(bad, "t", [X.not_null("id"), X.in_range("amount", 0, 100)])]
-    )
+    v2, fails2 = V.publish_if_valid(bad, table, [audit])
     assert v2 is None
     assert {c for c, _ in fails2} == {"t.not_null:id", "t.in_range:amount"}
     # the failed batch is invisible; table still reads version 1
