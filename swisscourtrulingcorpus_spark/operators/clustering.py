@@ -470,6 +470,29 @@ def ivfpq_train(
     return centroids, codebooks
 
 
+def ivfpq_seed(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    m: int,
+    ksub: int,
+) -> list[list[list[float]]]:
+    """Seed (untrained) residual codebooks for given coarse centroids:
+    residuals of the ``ksub`` smallest-id vectors, sliced per subspace
+    — ``ivfpq_train`` minus the Lloyd iterations.  This is the
+    deterministic construction the driver gate verifies bit-for-bit."""
+    vecs = df.where(F.col(vec_col).isNotNull()).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    best = _min_struct(centroid_scores(F.col("__v"), centroids))
+    residuals = vecs.select(
+        id_col, _residual(F.col("__v"), best["i"], centroids).alias("__r")
+    )
+    return pq_codebooks_from_rows(residuals, "__r", id_col, dim, m, ksub)
+
+
 def ivfpq_encode(
     df: DataFrame,
     centroids: list[list[float]],

@@ -53,16 +53,28 @@ def pagerank(
     """PageRank with dangling-mass redistribution; ranks sum to 1.
     Returns (node, rank).  Converges when the L1 delta drops under
     ``tol`` (checked each iteration — two cheap scalar aggregates)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the loop-invariant frames ONCE — without this every
+    # iteration re-runs the edge scan + distinct and the union+distinct
+    # of nodes (the checkpoint also truncates their lineage)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
 
     for _ in range(max_iter):

@@ -134,23 +134,13 @@ def q_ivfpq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition of the verified fold + exact elementwise subtraction,
     so cluster AND code assignments hash-match the oracle bit-for-bit."""
     from swisscourtrulingcorpus_spark.operators.clustering import (
-        _min_struct,
-        _residual,
-        centroid_scores,
         ivfpq_encode,
-        pq_codebooks_from_rows,
+        ivfpq_seed,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _seed_centroids(emb, _K)
-    vecs = emb.where(F.col("embedding").isNotNull()).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("__v")
-    )
-    best = _min_struct(centroid_scores(F.col("__v"), cents))
-    residuals = vecs.select(
-        "vec_id", _residual(F.col("__v"), best["i"], cents).alias("__r")
-    )
-    cbs = pq_codebooks_from_rows(residuals, "__r", "vec_id", _DIM, _M, _KSUB)
+    cbs = ivfpq_seed(emb, cents, "embedding", "vec_id", _DIM, _M, _KSUB)
     codes = ivfpq_encode(emb, cents, cbs, "embedding", "vec_id")
     return codes.select(
         "vec_id",
@@ -421,9 +411,13 @@ SELECT 'lineitem.in_range:l_discount',
                       AND l_discount NOT BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS BIGINT),
        CAST(count(*) AS BIGINT) FROM lineitem
 UNION ALL
+-- per-group (n-1) sum, NOT count(*) - count(DISTINCT ...): DISTINCT
+-- drops NULL keys, but expect_unique's groupBy counts the NULL group
+-- like any other (k null rows = k-1 duplicates, not k)
 SELECT 'orders.unique:o_orderkey',
-       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
-       CAST(count(*) AS BIGINT) FROM orders
+       CAST(coalesce(sum(n - 1), 0) AS BIGINT),
+       CAST(coalesce(sum(n), 0) AS BIGINT)
+FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey) g
 UNION ALL
 SELECT 'orders.fk:o_custkey',
        CAST((SELECT count(*) FROM orders o
@@ -531,9 +525,9 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     top2 = (
-        grams.groupBy("doc_id", "n_words", "gram")
+        grams.groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("doc_id", "n_words")
+        .groupBy("doc_id")
         .agg(F.max("__c").alias("top_bigram_count"))
     )
     dupw = (
@@ -547,7 +541,17 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = top2.join(dupw, on="doc_id")
+    # LEFT join from the all-docs base: a single-word doc has no
+    # bigrams but must still get a verdict (top_bigram_count = 0) —
+    # an inner join would silently drop it from the kept set
+    base = words.select("doc_id", F.size("__w").alias("n_words"))
+    out = (
+        base.join(dupw, on="doc_id")
+        .join(top2, on="doc_id", how="left")
+        .withColumn(
+            "top_bigram_count", F.coalesce("top_bigram_count", F.lit(0))
+        )
+    )
     top_frac = (F.lit(2) * F.col("top_bigram_count")) / F.col("n_words")
     dup_frac = F.col("dup_word_tokens") / F.col("n_words")
     return out.select(
@@ -568,13 +572,13 @@ WITH w AS (
   FROM documents WHERE text IS NOT NULL),
 base AS (SELECT doc_id, words, len(words) AS n_words FROM w WHERE len(words) > 0),
 grams AS (
-  SELECT doc_id, n_words, words[i] || ' ' || words[i + 1] AS gram
+  SELECT doc_id, words[i] || ' ' || words[i + 1] AS gram
   FROM base, unnest(range(1, n_words)) t(i)),
 top2 AS (
-  SELECT doc_id, n_words, max(c) AS top_bigram_count FROM (
-    SELECT doc_id, n_words, gram, count(*) AS c
-    FROM grams GROUP BY doc_id, n_words, gram) g
-  GROUP BY doc_id, n_words),
+  SELECT doc_id, max(c) AS top_bigram_count FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM grams GROUP BY doc_id, gram) g
+  GROUP BY doc_id),
 dupw AS (
   SELECT doc_id,
          CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_word_tokens
@@ -583,12 +587,14 @@ dupw AS (
       SELECT doc_id, unnest(words) AS w FROM base) u
     GROUP BY doc_id, w) wc
   GROUP BY doc_id)
-SELECT t.doc_id, t.n_words, t.top_bigram_count, d.dup_word_tokens,
-       (2 * t.top_bigram_count) / t.n_words AS top_bigram_frac,
-       d.dup_word_tokens / t.n_words AS dup_word_frac,
-       ((2 * t.top_bigram_count) / t.n_words <= 0.20
-        AND d.dup_word_tokens / t.n_words <= 0.90) AS keep
-FROM top2 t JOIN dupw d USING (doc_id)
+SELECT b.doc_id, b.n_words,
+       coalesce(t.top_bigram_count, 0) AS top_bigram_count,
+       d.dup_word_tokens,
+       (2 * coalesce(t.top_bigram_count, 0)) / b.n_words AS top_bigram_frac,
+       d.dup_word_tokens / b.n_words AS dup_word_frac,
+       ((2 * coalesce(t.top_bigram_count, 0)) / b.n_words <= 0.20
+        AND d.dup_word_tokens / b.n_words <= 0.90) AS keep
+FROM base b JOIN dupw d USING (doc_id) LEFT JOIN top2 t USING (doc_id)
 """
 
 
@@ -621,6 +627,10 @@ def trained_language_id(docs: DataFrame) -> DataFrame:
     ``q_trained_language_id`` for the design; reusable so the
     multilingual fixture corpus tests real accuracy."""
     docs = docs.select("doc_id", "lang", F.lower("text").alias("__t"))
+    # texts shorter than 3 chars have no trigrams: F.sequence(1, 0)
+    # would yield DESCENDING [1, 0] and fabricate short/empty
+    # "trigrams" the oracle's range(1, 1) never produces — filter first
+    docs = docs.where(F.length("__t") >= 3)
     tris = docs.select(
         "doc_id",
         "lang",

@@ -39,8 +39,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
-    if not os.path.islink(link):
+    try:
         os.symlink(path, link)
+    except FileExistsError:
+        pass  # concurrent caller (or a prior run) already staged it
     raw_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)
     return ensure_event_time(stream, "ts")
@@ -67,6 +69,7 @@ def tumbling_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> Dat
     """Tumbling 1-hour counts + value sums per event_type, with a
     watermark bounding state: windows older than the watermark are
     finalized and evicted (late rows beyond it are dropped)."""
+    stream = ensure_event_time(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -89,6 +92,7 @@ def session_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> Data
     """Session windows (30-min gap) per user under watermark — the
     stateful-streaming shape (`applyInPandasWithState`-class problems
     solved with the built-in session_window operator)."""
+    stream = ensure_event_time(stream, "ts")
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes").alias("w"))
@@ -236,7 +240,12 @@ def stream_upsert_job(
         parent, name = os.path.dirname(base) or ".", os.path.basename(base)
         if not os.path.isdir(parent):
             return
-        olds = sorted(f for f in os.listdir(parent) if f.startswith(name + ".old_"))
+        # numeric batch order: lexicographic would rank '.old_9' above
+        # '.old_12' and restore a STALE snapshot while sweeping the new
+        olds = sorted(
+            (f for f in os.listdir(parent) if f.startswith(name + ".old_")),
+            key=lambda f: int(f.rsplit("_", 1)[1]),
+        )
         if not os.path.isdir(base) and olds:
             os.rename(os.path.join(parent, olds.pop()), base)
         for leftover in olds + [
