@@ -66,7 +66,11 @@ class _TextCollector(HTMLParser):
         self._rules = rules or {}
         self._drop_depth = 0
         self._content_depth = 0
-        self._stack: list[tuple[bool, bool]] = []  # (drop_root, content_root)
+        # (tag, drop_root, content_root) — the tag name makes end-tag
+        # pairing robust to unclosed elements (<p>, <li>, ... are
+        # routinely left open in scraped court HTML; BeautifulSoup
+        # auto-closes them in the reference)
+        self._stack: list[tuple[str, bool, bool]] = []
         self.segments: list[list[str]] = []  # one per content match
 
     def handle_starttag(self, tag, attrs):
@@ -87,7 +91,7 @@ class _TextCollector(HTMLParser):
                 self.parts = []
                 self.segments.append(self.parts)
         if tag not in _VOID_TAGS:
-            self._stack.append((drop_root, content_root))
+            self._stack.append((tag, drop_root, content_root))
             if drop_root:
                 self._drop_depth += 1
             if content_root:
@@ -95,19 +99,34 @@ class _TextCollector(HTMLParser):
         if tag in _BLOCK_TAGS and not self._drop_depth:
             self.parts.append("\n")
 
+    def _pop_frame(self) -> None:
+        _, drop_root, content_root = self._stack.pop()
+        if drop_root:
+            self._drop_depth -= 1
+        if content_root:
+            self._content_depth -= 1
+            self.parts = []  # outside-content text is discarded
+
     def handle_endtag(self, tag):
         if tag in _SKIP_TAGS and self._skip_depth > 0:
             self._skip_depth -= 1
             return
         if tag in _BLOCK_TAGS and not self._drop_depth:
             self.parts.append("\n")
-        if tag not in _VOID_TAGS and self._stack:
-            drop_root, content_root = self._stack.pop()
-            if drop_root:
-                self._drop_depth -= 1
-            if content_root:
-                self._content_depth -= 1
-                self.parts = []  # outside-content text is discarded
+        if tag in _VOID_TAGS:
+            return
+        # Pop to the NEAREST frame with a matching tag name, implicitly
+        # closing any unclosed elements stacked above it (e.g.
+        # "<div class=content><p>a<p>b</div>" must close BOTH implied
+        # <p> frames AND the content div — an unconditional single pop
+        # would leave the content root open and leak all following
+        # text, footers included, into the extracted body).  A stray
+        # end tag with no matching open frame is ignored.
+        for idx in range(len(self._stack) - 1, -1, -1):
+            if self._stack[idx][0] == tag:
+                while len(self._stack) > idx:
+                    self._pop_frame()
+                return
 
     def handle_data(self, data):
         if self._skip_depth or self._drop_depth:

@@ -82,6 +82,19 @@ def centroid_scores(vec: F.Column, centroids: list[list[float]]) -> F.Column:
     )
 
 
+def _valid_vec(vec_col: str) -> F.Column:
+    """Row guard shared by every assignment/encode entry point: the
+    vector is non-null AND every component is a finite number.  A NaN
+    (or null-element) component makes its distance score NaN, and
+    ``_min_struct``'s strict ``<`` against the +inf seed never selects
+    a NaN — the row would silently land in cluster/code -1, a bucket
+    no probe ever reaches and the DuckDB oracle never produces.
+    Excluding the row (like nulls) keeps assignment total over its
+    domain; surface bad embeddings with the data-quality checks."""
+    c = F.col(vec_col)
+    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull() | F.isnan(x))
+
+
 def _min_struct(scores: F.Column) -> F.Column:
     """Single-scan (score, index) minimum over a scores array; strict
     ``<`` keeps the FIRST minimum, so ties break to the smallest
@@ -161,7 +174,7 @@ def assign_clusters(
     centroid; the fold would otherwise emit the -1 seed, a cluster no
     probe ever reaches — surface nulls with the data-quality
     ``not_null`` check instead)."""
-    return df.where(F.col(vec_col).isNotNull()).select(
+    return df.where(_valid_vec(vec_col)).select(
         id_col,
         _argmin_of(centroid_scores(F.col(vec_col), centroids)).alias("cluster"),
     )
@@ -197,7 +210,7 @@ def kmeans_fit(
     for re-seeding strategies; at k << n with real data this is rare).
     """
     init_rows = (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(_valid_vec(vec_col))
         .orderBy(id_col)
         .select(vec_col)
         .limit(k)
@@ -207,7 +220,7 @@ def kmeans_fit(
     if len(centroids) < k:
         raise ValueError(f"need >= {k} non-null vectors, got {len(centroids)}")
 
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
+    vecs = df.where(_valid_vec(vec_col)).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     prev_inertia = None
@@ -269,7 +282,7 @@ def ivf_index(
     bulk of a cold ``ivf_topk`` call — indexing once is what makes IVF
     beat brute force (see SCALE.md).  Null vectors are excluded (see
     ``assign_clusters``)."""
-    return corpus.where(F.col(vec_col).isNotNull()).withColumn(
+    return corpus.where(_valid_vec(vec_col)).withColumn(
         "cluster",
         _argmin_of(
             centroid_scores(F.col(vec_col).cast("array<double>"), centroids)
@@ -359,7 +372,7 @@ def pq_codebooks_from_rows(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     rows = (
-        df.where(F.col(vec_col).isNotNull())
+        df.where(_valid_vec(vec_col))
         .orderBy(id_col)
         .select(vec_col)
         .limit(ksub)
@@ -427,7 +440,7 @@ def pq_encode(
             for s in range(m)
         ]
     )
-    return df.where(F.col(vec_col).isNotNull()).select(id_col, codes.alias("codes"))
+    return df.where(_valid_vec(vec_col)).select(id_col, codes.alias("codes"))
 
 
 def _lit_matrix(vectors: list[list[float]]) -> F.Column:
@@ -455,7 +468,7 @@ def ivfpq_train(
     codebooks on the RESIDUALS (vec - assigned centroid) — the FAISS
     IVFPQ recipe; residuals are much smaller than raw vectors, so the
     same code budget quantizes far more precisely."""
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
+    vecs = df.where(_valid_vec(vec_col)).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     centroids, _ = kmeans_fit(vecs, "__v", id_col, k, max_iter=max_iter)
@@ -483,7 +496,7 @@ def ivfpq_seed(
     residuals of the ``ksub`` smallest-id vectors, sliced per subspace
     — ``ivfpq_train`` minus the Lloyd iterations.  This is the
     deterministic construction the driver gate verifies bit-for-bit."""
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
+    vecs = df.where(_valid_vec(vec_col)).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     best = _min_struct(centroid_scores(F.col("__v"), centroids))
@@ -506,7 +519,7 @@ def ivfpq_encode(
     still no join/shuffle/row multiplication)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    vecs = df.where(F.col(vec_col).isNotNull()).select(
+    vecs = df.where(_valid_vec(vec_col)).select(
         id_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     best = _min_struct(centroid_scores(F.col("__v"), centroids))

@@ -1,9 +1,12 @@
 """Additional operator-coverage queries: semi-structured JSON, regex
 predicates (P6), counter roll-ups (A4/F14), multimodal binary columns,
-and deterministic UUIDv5 ids (rows-only check — no SQL uuid5 exists).
+and deterministic UUIDv5 ids (value-checked against a precomputed
+fixture parquet — DuckDB has no sha1/uuid5 built-in).
 """
 
 from __future__ import annotations
+
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -243,13 +246,15 @@ FROM f
 """
 
 
-# --- deterministic UUIDv5 ids (rows-only: no SQL uuid5) ----------------
+# --- deterministic UUIDv5 ids ------------------------------------------
 
 def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference id semantics (`sql_select_utils.py:168`): uuid5 with
-    namespace UUID(int=0) over a name — non-SQL-expressible, so the
-    driver records the weaker rows-only check; determinism is asserted
-    in tests/test_extraction.py against Python's uuid5."""
+    namespace UUID(int=0) over a name.  DuckDB has no sha1/uuid5, so
+    the oracle joins a precomputed fixture parquet
+    (`resources/uuid5_doc_ids.parquet`, doc_id 0..4999, generated once
+    by Python's stdlib ``uuid.uuid5``) — a real value check instead of
+    the rows-only fallback."""
     from swisscourtrulingcorpus_spark.extraction.ids import uuid5_udf
 
     docs = load_table(spark, sf_dir, "documents")
@@ -259,6 +264,19 @@ def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decision_id"
         ),
     )
+
+
+_UUID5_FIXTURE = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "resources",
+    "uuid5_doc_ids.parquet",
+)
+
+UUID5_ORACLE = f"""
+SELECT d.doc_id, f.decision_id
+FROM documents d
+JOIN '{_UUID5_FIXTURE}' f ON d.doc_id = f.doc_id
+"""
 
 
 # --- W4/S15: seeded random verification sample -------------------------
@@ -296,5 +314,5 @@ SPECS = [
     QuerySpec("multimodal_frame_sample", multimodal_frame_sample, FRAME_SAMPLE_ORACLE, "1→N frame fan-out"),
     QuerySpec("hourly_spine_gap_fill", hourly_spine_gap_fill, SPINE_ORACLE, "date-spine densify"),
     QuerySpec("unpivot_doc_stats", unpivot_doc_stats, UNPIVOT_ORACLE, "wide→long melt"),
-    QuerySpec("uuid5_document_ids", uuid5_document_ids, None, "UUIDv5 ids (rows-only)"),
+    QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
 ]

@@ -223,15 +223,17 @@ def q_citation_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CITATION_TYPE_ORACLE = """
 SELECT 'ruling' AS cit_type, count(*) AS n,
-       sum(doc_id % 60 + 100) AS year_sum,
-       sum(doc_id % 400 + 1) AS page_sum,
-       0 AS article_sum, 0 AS para_sum
+       CAST(sum(doc_id % 60 + 100) AS BIGINT) AS year_sum,
+       CAST(sum(doc_id % 400 + 1) AS BIGINT) AS page_sum,
+       CAST(0 AS BIGINT) AS article_sum, CAST(0 AS BIGINT) AS para_sum
 FROM documents
 UNION ALL
-SELECT 'bger', count(*), sum(doc_id % 15 + 2010), 0, 0, 0 FROM documents
+SELECT 'bger', count(*), CAST(sum(doc_id % 15 + 2010) AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM documents
 UNION ALL
-SELECT 'law', count(*), 0, 0,
-       sum(doc_id % 250 + 1), sum(doc_id % 4 + 1)
+SELECT 'law', count(*), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(sum(doc_id % 250 + 1) AS BIGINT), CAST(sum(doc_id % 4 + 1) AS BIGINT)
 FROM documents
 """
 
@@ -659,10 +661,10 @@ def q_fundamental_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNDAMENTAL_IMPORTANCE_ORACLE = """
 SELECT CAST(doc_id % 20 + 2000 AS INT) AS year,
-       sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS negated,
-       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS not_negated,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS negated,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS not_negated,
        count(*) AS total,
-       round(100.0 * sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) / count(*), 2) AS not_negated_percentage
+       CAST(round(100.0 * sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) / count(*), 2) AS DOUBLE) AS not_negated_percentage
 FROM documents
 GROUP BY 1
 """
@@ -913,9 +915,9 @@ coh AS (
   SELECT CASE WHEN is_are_d THEN 'ARE is defendant'
               ELSE 'non-ARE is defendant' END, app FROM base)
 SELECT cohort,
-       sum(app) AS approvals,
+       CAST(sum(app) AS BIGINT) AS approvals,
        count(*) AS total,
-       sum(app) * 100.0 / count(*) AS approval_percentage
+       CAST(sum(app) AS BIGINT) * CAST(100.0 AS DOUBLE) / count(*) AS approval_percentage
 FROM coh GROUP BY cohort
 """
 

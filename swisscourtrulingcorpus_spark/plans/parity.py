@@ -1,0 +1,57 @@
+"""Dtype-sensitive value comparison shared by the local correctness
+replica (`tools/driver_sim.py`) and `tests/test_oracle_parity.py`.
+
+The round driver's value hash distinguishes ``3882`` (int64) from
+``3882.0`` (float64) — DuckDB ``sum(int)`` returns HUGEINT which pandas
+renders as float64, while Spark's ``sum(bigint)`` arrives as int64, so
+an oracle that forgets ``CAST(sum(...) AS BIGINT)`` hashes differently
+even when every value is numerically equal.  Round 3 shipped a replica
+that coerced all numerics to float64 before hashing, which masked
+exactly that class of bug (4 driver-red gates).  This module models the
+driver faithfully: values are converted to *Python* scalars (so int32
+vs int64 compare equal, but int vs float do not) and hashed via
+``repr``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and convert cells to Python scalars.
+
+    - bool / integer / float columns keep their *kind* (``repr(3882)``
+      != ``repr(3882.0)``), but width is erased (int32 == int64);
+    - everything else becomes ``str`` (``None`` for nulls), matching
+      the driver's treatment of dates/timestamps/strings.
+    """
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_bool_dtype(col):
+            df[c] = col.map(lambda v: None if pd.isna(v) else bool(v))
+        elif pd.api.types.is_integer_dtype(col):
+            df[c] = col.map(lambda v: None if pd.isna(v) else int(v))
+        elif pd.api.types.is_float_dtype(col):
+            df[c] = col.map(lambda v: None if pd.isna(v) else float(v))
+        else:
+            col = col.astype("object").where(col.notna(), None)
+            df[c] = col.map(lambda v: None if v is None else str(v))
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Order-insensitive md5 over the normalized cell reprs."""
+    df = normalize(df)
+    rows = sorted(
+        tuple(repr(v) for v in r)
+        for r in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.md5()
+    for r in rows:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()

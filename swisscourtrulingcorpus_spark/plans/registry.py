@@ -29,38 +29,50 @@ class QuerySpec:
 # The driver's correctness gate evaluates only the FIRST 50 registry
 # entries each round.  Entries named here are pulled to the front (in
 # this order) so queries that have never had a driver CORRECTNESS row
-# get one before already-green queries are re-verified.  r02 verified
-# registry[:50]; everything below was declared but unchecked in r02.
+# get one before already-green queries are re-verified.
+#
+# Round-4 window: the 22 queries that never received a driver row in
+# r01–r03 (all of round-3c's ANN/quality layer + the round-3
+# annotation/analysis gates), the 4 gates that were driver-RED in r03
+# (integer-sum dtype mismatch, now cast on both sides), the re-fixed
+# building_violations_summary (same dtype class, caught by the now
+# dtype-sensitive local replica), and uuid5_document_ids (3 rounds of
+# no_oracle — now value-checked against a fixture parquet).
+# tests/test_registry_window.py asserts this invariant mechanically.
 _FRONT_OF_WINDOW: list[str] = [
-    # round-2 work with no driver row yet
-    "hourly_spine_gap_fill",
-    "unpivot_doc_stats",
-    "uuid5_document_ids",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_supplier_volume",
-    "q18_large_orders",
-    "q14_promo_revenue",
-    "q4_order_priority",
-    "range_join_first_window",
-    "mask_tokens_documents",
-    "regeste_split_documents",
-    "dispersion_order_value",
-    "rolling_30d_spend",
-    "q13_order_count_distribution",
-    "q22_dormant_valuable_customers",
-    "q6_revenue_delta",
-    "q7_nation_trade_volume",
-    "q10_returned_revenue_topk",
+    # never driver-checked (r01–r03)
+    "gopher_quality_filter",
+    "transitive_cluster_chains",
+    "building_violations_summary",
+    "tei_corpus_extracted",
+    "term_definitions_extracted",
+    "court_chambers_flattened",
+    "iaa_token_agreement",
+    "occlusion_explainability",
+    "rouge_token_agreement",
+    "occlusion_test_set",
+    "span_token_join",
+    "ivf_assignment",
+    "pq_codes_embeddings",
+    "vocab_top_tokens",
+    "data_quality_report",
+    "skew_report_orders",
+    "repetition_filter_documents",
+    "token_ids_documents",
+    "trained_language_id",
+    "ivfpq_codes_embeddings",
+    "hashed_bow_embeddings",
+    "table_profile_orders",
+    # driver-RED in r03, dtype fix needs a green driver row
     "q12_late_shipment_priority",
-    "q17_small_quantity_revenue",
-    "q19_brand_size_revenue",
-    "ntile_customer_spend",
-    "cube_order_status_priority",
-    # round-3b: pinned so the annotation-subtree port has a driver row
-    # this round (TEI already covers the mapInPandas-XML shape at slot
-    # 49; term_definitions/iaa/occlusion rotate into the r04 window)
-    "prodigy_annotation_set",
+    "citation_type_counts",
+    "sequence_packing_documents",
+    "fundamental_importance_by_year",
+    # err: no_oracle in r01–r03, now has a fixture-backed oracle
+    "uuid5_document_ids",
+    # round-4 new gates
+    "lemma_counts_documents",
+    "png_decode_stats",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept
@@ -188,7 +200,27 @@ def oracle_sql() -> dict[str, str]:
     return {s.name: s.oracle for s in QUERY_SPECS if s.oracle is not None}
 
 
+def driver_checked_names(repo_root: str | None = None) -> set[str]:
+    """Names with at least one driver CORRECTNESS row (any round),
+    read from the committed CORRECTNESS_r*.json files."""
+    import glob
+    import json
+    import os
+
+    root = repo_root or os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        with open(p) as f:
+            seen |= set(json.load(f))
+    return seen
+
+
 def unverified_backlog() -> list[str]:
-    """Round-3-new queries outside the driver's 50-entry window — the
-    promotion list for the next round's _FRONT_OF_WINDOW."""
-    return [s.name for s in QUERY_SPECS[50:] if s.name in _ROUND3_NEW]
+    """Queries outside the driver's 50-entry window that have never had
+    a driver CORRECTNESS row — the promotion list for the next round's
+    _FRONT_OF_WINDOW.  tests/test_registry_window.py asserts this is
+    empty (every never-checked query fits in the current window)."""
+    checked = driver_checked_names()
+    return [s.name for s in QUERY_SPECS[50:] if s.name not in checked]

@@ -52,7 +52,7 @@ WITH t AS (
   FROM documents WHERE text IS NOT NULL),
 c AS (
   SELECT doc_id, n,
-         sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n AS start
+         CAST(sum(n) OVER (ORDER BY k, doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start
   FROM t)
 SELECT doc_id,
        n AS n_tokens,

@@ -74,11 +74,20 @@ def zorder_value(cols: list, mins: list[int], maxs: list[int], bits: int = 16):
     for c, lo, hi in zip(cols, mins, maxs):
         col = F.col(c) if isinstance(c, str) else c
         span = max(1, hi - lo)
+        # Ratio-first in DOUBLE: multiplying (col - lo) by the 2^bits-1
+        # scale in LONG overflows 64-bit once the span reaches ~2^47
+        # and corrupts the Morton order; the double ratio keeps rank
+        # order (53-bit mantissa ≫ the ≤16 bucket bits that survive).
+        # Clamp BOTH ends — caller-supplied mins above actual values
+        # would otherwise go negative and poison the bit interleave.
+        ratio = (col.cast("double") - F.lit(float(lo))) / F.lit(float(span))
         scaled.append(
-            F.least(
-                F.lit((1 << bits) - 1),
-                ((col.cast("long") - F.lit(lo)) * F.lit((1 << bits) - 1) / F.lit(span))
-                .cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit((1 << bits) - 1).cast("long"),
+                    (ratio * F.lit(float((1 << bits) - 1))).cast("long"),
+                ),
             )
         )
     z = F.lit(0).cast("long")
@@ -190,8 +199,21 @@ def compact_small_files(
 ) -> int:
     """Rewrite ``path`` into ceil(total/target)-sized files.  The
     rewrite lands fully in a staging dir, then replaces the table with
-    two renames — readers see either the old or the new layout, never a
-    partial one.  Returns the new file count."""
+    two renames.  The swap is NOT one atomic op, so a hard crash
+    between the two renames can leave no table at ``path`` with the
+    only copy parked at ``.compact_old`` — the entry sweep below
+    restores it (mirroring ``stream_upsert_job._recover``), so the
+    contract "readers see either the old or the new layout" holds
+    across process deaths, not just in-process exceptions.  Returns
+    the new file count."""
+    old = path.rstrip("/") + ".compact_old"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            # crashed mid-swap: the backup is the only copy — restore
+            os.rename(old, path)
+        else:
+            # crashed after a completed swap, before backup cleanup
+            shutil.rmtree(old, ignore_errors=True)
     total = sum(
         os.path.getsize(os.path.join(path, f))
         for f in os.listdir(path)
@@ -199,7 +221,6 @@ def compact_small_files(
     )
     n = max(1, math.ceil(total / target_bytes))
     staging = path.rstrip("/") + ".compact_staging"
-    old = path.rstrip("/") + ".compact_old"
     shutil.rmtree(staging, ignore_errors=True)
     try:
         spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(staging)

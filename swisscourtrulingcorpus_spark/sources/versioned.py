@@ -43,6 +43,13 @@ from pyspark.sql import functions as F
 _MANIFEST_RX = re.compile(r"^v(\d+)\.json$")
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Raised by a base-version-checked commit when another writer
+    committed (or is in flight) since the snapshot was computed —
+    committing anyway would silently drop that writer's rows from the
+    new latest snapshot (lost update)."""
+
+
 def _manifests(table_dir: str) -> dict[int, str]:
     out = {}
     for name in os.listdir(table_dir):
@@ -82,13 +89,18 @@ def _stage_data(df: DataFrame, table_dir: str) -> tuple[str, str]:
     return commit_id, data_dir
 
 
-def _commit_manifest(table_dir: str, commit_id: str, data_dir: str) -> int:
+def _commit_manifest(
+    table_dir: str,
+    commit_id: str,
+    data_dir: str,
+    base_version: int | None = None,
+) -> int:
     files = sorted(
         f"data/{commit_id}/{f}"
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    manifest = {"files": files, "commit": commit_id}
+    manifest = {"files": files, "commit": commit_id, "base": base_version}
     while True:
         version = _next_version(table_dir)
         claim = os.path.join(table_dir, f"v{version}.claim")
@@ -100,6 +112,30 @@ def _commit_manifest(table_dir: str, commit_id: str, data_dir: str) -> int:
         except FileExistsError:
             continue  # _next_version counts claims — the retry advances
         os.close(fd)
+        if os.path.exists(os.path.join(table_dir, f"v{version}.json")):
+            # Lost race despite the exclusive create: a writer that
+            # listed the dir concurrently can claim, commit, and
+            # RELEASE v{n}.claim before we try it — the exclusive
+            # create then succeeds against the already-committed
+            # number and the manifest rename would silently overwrite
+            # v{n}.json.  Committed manifests appear (atomic rename)
+            # BEFORE their claim is released, so this check while
+            # holding the claim is race-free: no new v{n}.json can
+            # appear until we release it.
+            os.remove(claim)
+            continue
+        if base_version is not None and version != base_version + 1:
+            # Optimistic-concurrency check: `_next_version` counts both
+            # committed manifests and in-flight claims, so winning a
+            # claim > base+1 proves another writer landed (or is about
+            # to land) a version this snapshot was not merged against.
+            # Release the number and surface the conflict — the caller
+            # re-reads latest and re-merges.
+            os.remove(claim)
+            raise ConcurrentWriteError(
+                f"snapshot staged against v{base_version} but "
+                f"v{version - 1} exists (or is in flight) in {table_dir}"
+            )
         tmp = os.path.join(table_dir, f"v{version}.json.tmp.{commit_id}")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
@@ -108,12 +144,27 @@ def _commit_manifest(table_dir: str, commit_id: str, data_dir: str) -> int:
         return version
 
 
-def commit_version(df: DataFrame, table_dir: str) -> int:
+def latest_version(table_dir: str) -> int:
+    """Highest committed version, 0 when the table is empty (the base
+    to pass to a checked ``commit_version`` before any commit exists)."""
+    known = _manifests(table_dir)
+    return max(known) if known else 0
+
+
+def commit_version(
+    df: DataFrame, table_dir: str, base_version: int | None = None
+) -> int:
     """Write ``df`` as the next snapshot.  Data lands fully in a fresh
     ``data/<uuid>`` dir first; the manifest rename is the atomic commit
-    point.  Returns the committed version number."""
+    point.  Returns the committed version number.
+
+    ``base_version`` (capture via :func:`latest_version` BEFORE reading
+    the snapshot being merged against) enables the optimistic-
+    concurrency check: the commit fails with :class:`ConcurrentWriteError`
+    instead of silently discarding a concurrent writer's rows.  Leave
+    it ``None`` only for blind-overwrite semantics."""
     commit_id, data_dir = _stage_data(df, table_dir)
-    return _commit_manifest(table_dir, commit_id, data_dir)
+    return _commit_manifest(table_dir, commit_id, data_dir, base_version)
 
 
 def read_version(

@@ -303,20 +303,33 @@ def stream_versioned_upsert_job(
 
     from swisscourtrulingcorpus_spark.sources.sinks import upsert_by_key
     from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
         commit_version,
+        latest_version,
         read_version,
-        versions,
     )
 
     os.makedirs(table_dir, exist_ok=True)
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        if versions(table_dir):
-            merged = upsert_by_key(read_version(spark, table_dir), batch, keys)
-        else:
-            merged = batch
-        commit_version(merged, table_dir)
+        # Optimistic concurrency: capture the base BEFORE reading the
+        # snapshot we merge against; a concurrent writer landing a
+        # version in between fails the checked commit and we re-merge
+        # against the new latest instead of silently dropping its rows.
+        while True:
+            base = latest_version(table_dir)
+            if base:
+                merged = upsert_by_key(
+                    read_version(spark, table_dir, base), batch, keys
+                )
+            else:
+                merged = batch
+            try:
+                commit_version(merged, table_dir, base_version=base)
+                return
+            except ConcurrentWriteError:
+                continue
 
     return (
         stream.writeStream.foreachBatch(_merge)

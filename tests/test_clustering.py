@@ -273,3 +273,26 @@ def test_assignment_composes_with_streaming(spark, sf_dir, tmp_path):
         r.vec_id: r.cluster for r in spark.sql("SELECT * FROM stream_assign").collect()
     }
     assert got == batch
+
+
+def test_nan_vectors_excluded_from_assignment(spark):
+    """A NaN (or null-element) component makes every distance score
+    NaN; the strict-< fold would emit the -1 seed — an unreachable
+    cluster diverging from the oracle (ADVICE r03).  Such rows are
+    excluded like nulls."""
+    from swisscourtrulingcorpus_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [float("nan"), 0.0]),
+        (3, None),
+        (4, [0.5, None]),
+        (5, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "id: long, vec: array<double>")
+    got = assign_clusters(df, [[0.0, 0.0], [3.0, 3.0]], "vec", "id")
+    out = {r["id"]: r["cluster"] for r in got.collect()}
+    assert set(out) == {1, 5}, out
+    assert -1 not in out.values()

@@ -116,3 +116,23 @@ def test_spider_html_node_rules():
 
     # no rules: unchanged default behavior
     assert "Menu" in html_to_text_py(doc)
+
+
+def test_unclosed_block_tags_do_not_leak_footer():
+    """Scraped court HTML routinely leaves <p>/<li> unclosed; the
+    end-tag pop must close implied-open frames up to the matching tag
+    or the content-root frame never pops and footer text leaks
+    (ADVICE r03, medium)."""
+    from swisscourtrulingcorpus_spark.extraction.html import html_to_text_py
+
+    t = html_to_text_py(
+        '<div class="content"><p>a<p>b</div>'
+        '<div class="footer">Impressum</div>',
+        "CH_BGer",
+    )
+    assert "a" in t and "b" in t
+    assert "Impressum" not in t
+
+    # stray end tag is ignored, not popped against an unrelated frame
+    t2 = html_to_text_py('</p><div class="content">z</div>tail', "CH_BGer")
+    assert "z" in t2 and "tail" not in t2

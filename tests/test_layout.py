@@ -83,3 +83,43 @@ def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == 200
     assert not os.path.exists(out + ".compact_staging")
     assert not os.path.exists(out + ".compact_old")
+
+
+def test_compaction_recovers_from_crashed_swap(spark, tmp_path):
+    """Hard-crash between the two swap renames leaves no table at
+    `path` and the only copy at `.compact_old` — the entry sweep must
+    restore it (ADVICE r03)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "t")
+    spark.range(100).write.parquet(out)
+    # simulate the post-crash state: table parked at .compact_old
+    os.rename(out, out + ".compact_old")
+    n = layout.compact_small_files(spark, out, target_bytes=1 << 30)
+    assert n == 1
+    assert spark.read.parquet(out).count() == 100
+    assert not os.path.exists(out + ".compact_old")
+
+    # crash AFTER a completed swap (debris backup + live table):
+    # backup is removed, table untouched
+    shutil.copytree(out, out + ".compact_old")
+    layout.compact_small_files(spark, out, target_bytes=1 << 30)
+    assert spark.read.parquet(out).count() == 100
+    assert not os.path.exists(out + ".compact_old")
+
+
+def test_zorder_value_wide_span_no_overflow(spark):
+    """Morton key for a column spanning >= 2^47: the old long-side
+    multiply overflowed and corrupted the ordering (ADVICE r03); the
+    double-ratio form must keep bucket rank order and clamp below."""
+    vals = [0, 1 << 50, 1 << 55, 1 << 60, (1 << 62) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "x: long")
+    z = layout.zorder_value(["x"], [0], [(1 << 62) - 1], bits=16)
+    got = [r["z"] for r in df.select(z.alias("z")).collect()]
+    assert got == sorted(got), got
+    assert all(0 <= v < (1 << 16) for v in got), got
+    # caller-supplied min above actual values: clamped to 0, not negative
+    z2 = layout.zorder_value(["x"], [1 << 55], [(1 << 62) - 1], bits=16)
+    got2 = [r["z"] for r in df.select(z2.alias("z")).collect()]
+    assert all(v >= 0 for v in got2), got2

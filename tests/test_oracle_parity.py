@@ -14,22 +14,17 @@ import math
 import pandas as pd
 import pytest
 
+from swisscourtrulingcorpus_spark.plans.parity import normalize
 from swisscourtrulingcorpus_spark.plans.registry import QUERY_SPECS
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        # nullable int columns arrive as float on the pandas side or as
-        # object — normalize numerics to float64, everything else to str
-        if pd.api.types.is_numeric_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        else:
-            df[c] = df[c].astype("object").where(df[c].notna(), None)
-            df[c] = df[c].map(lambda v: None if v is None else str(v))
-    return df.sort_values(by=list(df.columns), na_position="first").reset_index(
-        drop=True
-    )
+    df = normalize(df)
+    # repr-keyed row sort: deterministic over mixed None/scalar object
+    # columns, identical pairing on both sides when values match
+    key = df.apply(lambda col: col.map(repr))
+    order = key.sort_values(by=list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 ORACLE_SPECS = [s for s in QUERY_SPECS if s.oracle is not None]
@@ -51,12 +46,15 @@ def test_matches_oracle(spec, spark, duck, sf_dir):
     for c in g.columns:
         gv, wv = g[c].tolist(), w[c].tolist()
         for i, (a, b) in enumerate(zip(gv, wv)):
-            if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
-                assert a == b, f"{spec.name}.{c}[{i}]: {a!r} != {b!r}"
-            else:
-                assert a == b, f"{spec.name}.{c}[{i}]: {a!r} != {b!r}"
+            # dtype-sensitive like the driver's hash: int 3882 is NOT
+            # float 3882.0 (see plans/parity.py)
+            assert type(a) is type(b), (
+                f"{spec.name}.{c}[{i}]: dtype {type(a).__name__} "
+                f"({a!r}) != {type(b).__name__} ({b!r})"
+            )
+            if isinstance(a, float) and math.isnan(a) and math.isnan(b):
+                continue
+            assert a == b, f"{spec.name}.{c}[{i}]: {a!r} != {b!r}"
 
 
 @pytest.mark.parametrize("spec", NO_ORACLE_SPECS, ids=[s.name for s in NO_ORACLE_SPECS] or ["none"])

@@ -202,3 +202,23 @@ def test_concurrent_commits_unique_versions(spark, tmp_path):
     assert len(set(results)) == 8
     counts = sorted(V.read_version(spark, table, v).count() for v in results)
     assert counts == [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def test_checked_commit_detects_concurrent_writer(spark, tmp_path):
+    """Optimistic concurrency (ADVICE r03): a writer that staged
+    against vN must NOT silently commit over a concurrent vN+1."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    v1 = V.commit_version(spark.range(5), table, base_version=0)
+    assert v1 == 1
+    base = V.latest_version(table)
+    # concurrent writer lands v2 while we are staged against v1
+    V.commit_version(spark.range(7), table)
+    with pytest.raises(V.ConcurrentWriteError):
+        V.commit_version(spark.range(3), table, base_version=base)
+    # the failed attempt released its claim: next commit takes v3
+    assert V.commit_version(spark.range(9), table, base_version=2) == 3
+    assert V.versions(table) == [1, 2, 3]
+    assert V.read_version(spark, table).count() == 9

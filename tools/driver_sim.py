@@ -11,45 +11,19 @@ Usage: python tools/driver_sim.py [N] [SF_DIR]
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
 import duckdb
-import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from swisscourtrulingcorpus_spark.plans.parity import value_hash  # noqa: E402
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Same normalization as tests/test_oracle_parity.py: numerics to
-    float64, everything else to str (nulls -> None)."""
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if pd.api.types.is_numeric_dtype(df[c]):
-            df[c] = df[c].astype("float64")
-        else:
-            df[c] = df[c].astype("object").where(df[c].notna(), None)
-            df[c] = df[c].map(lambda v: None if v is None else str(v))
-    return df
-
-
-def value_hash(df: pd.DataFrame) -> str:
-    df = _normalize(df)
-    rows = sorted(
-        tuple(repr(v) for v in r)
-        for r in df.itertuples(index=False, name=None)
-    )
-    h = hashlib.md5()
-    for r in rows:
-        h.update("\x1f".join(r).encode())
-        h.update(b"\x1e")
-    return h.hexdigest()
 
 
 def main() -> int:
