@@ -6,12 +6,15 @@ alongside; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so bytes never leave the executor
 and batch size bounds memory.
 
-The actual codecs (PIL/libav/soundfile) are NOT in this container, so
-the decode step is STUBBED: ``decode_image_stub`` computes real,
-deterministic features of the payload bytes (length, md5) and raises
-``NotImplementedError`` from ``decode_image_real`` where the codec
-would plug in.  Everything Spark-side — schema, UDF signature, Arrow
-batch shape, partitioning — is real and tested.
+PNG (8-bit non-interlaced) and BMP (24-bit uncompressed) decode FOR
+REAL via the pure-stdlib codec in `extraction/imagecodec.py` —
+``decode_image_real`` returns actual pixel statistics out of the
+payload bytes, and ``decode_image_features`` is the mapInPandas stage
+over it.  Codecs that genuinely need native libraries (JPEG/video/
+audio) remain stubbed: ``decode_image_stub`` computes deterministic
+byte features (length, md5) with the same scheduling shape.
+Everything Spark-side — schema, UDF signature, Arrow batch shape,
+partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -67,11 +70,117 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Where PIL/OpenCV would decode; codecs absent in this container."""
-    raise NotImplementedError(
-        "image decode requires PIL/OpenCV which are not installed; "
-        "use decode_image_stub (deterministic byte features) instead"
+    """Real decode for PNG/BMP payloads (`extraction/imagecodec.py`,
+    pure stdlib): width/height/channels come from the headers, the
+    pixel stats from the fully unfiltered/unpadded pixel buffer.
+    Raises ``UnsupportedImageError`` for formats that need native
+    codec libraries (JPEG etc.) — callers fall back to
+    ``decode_image_stub``'s byte features."""
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import decode_image
+
+    width, height, channels, px = decode_image(payload)
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixel_sum": sum(px),
+        "px_min": min(px) if px else None,
+        "px_max": max(px) if px else None,
+    }
+
+
+PIXEL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+
+def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            fmt = (
+                "png"
+                if payload[:8] == b"\x89PNG\r\n\x1a\n"
+                else "bmp" if payload[:2] == b"BM" else "other"
+            )
+            feats = decode_image_real(bytes(payload))
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "fmt": fmt,
+                    "width": feats["width"],
+                    "height": feats["height"],
+                    "channels": feats["channels"],
+                    "pixel_sum": feats["pixel_sum"],
+                    "px_min": feats["px_min"],
+                    "px_max": feats["px_max"],
+                }
+            )
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+PAYLOAD_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+)
+
+
+def _image_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        encode_bmp24,
+        encode_png,
     )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 4 + 2, d % 3 + 2
+            nch = 4 if (d % 2 == 0 and d % 4 == 0) else 3
+            px = bytes(
+                (d + 7 * x + 13 * y + 29 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(nch)
+            )
+            if d % 2 == 0:
+                payloads.append(
+                    encode_png(w, h, nch, px, filter_for_row=lambda y, d=d: (d + y) % 5)
+                )
+            else:
+                payloads.append(encode_bmp24(w, h, px))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_image_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic image corpus from row ids: even ids become real
+    PNGs (RGBA when id % 4 == 0 else RGB, scanline filter cycling
+    through all five types), odd ids 24-bit BMPs; pixel (x, y, c) =
+    (id + 7x + 13y + 29c) % 256 so an independent oracle can recompute
+    every statistic from arithmetic alone — the encode→decode round
+    trip through real bytes is what the gate verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _image_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+def decode_image_features(media: DataFrame) -> DataFrame:
+    """REAL pixel-statistics extraction over binary image payloads via
+    mapInPandas — the decode stage of a multimodal training pipeline.
+    Input needs (doc_id, payload); PNG/BMP payloads are decoded by the
+    stdlib codec, anything else raises (route mixed corpora through a
+    format filter, or use ``decode_image_stub`` for byte features)."""
+    return media.mapInPandas(_pixel_feature_batches, PIXEL_FEATURE_SCHEMA)
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

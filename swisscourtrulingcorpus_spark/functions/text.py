@@ -213,3 +213,110 @@ def bleu_score(
     return F.when(
         any_zero | (F.size(cand) == 0) | (F.size(ref) == 0), F.lit(0.0)
     ).otherwise(bp * geo)
+
+
+# ---------------------------------------------------------------------------
+# E11 lemma-counter fidelity: rule-based suffix-stripping lemmatizer
+# ---------------------------------------------------------------------------
+#
+# The reference counts CASEFOLDED SPACY LEMMAS with POS exclusions
+# {NUM, PUNCT, SYM, X} and an alpha filter
+# (`scrc/preprocessors/abstract_preprocessor.py:387-410`).  spaCy is not
+# in this container and a statistical tagger is not reproducible across
+# engines, so the approximation is (a) alpha-only lowercase tokens
+# (which already excludes NUM/PUNCT/SYM exactly as isalpha() does),
+# (b) a function-word exclusion list standing in for the closed-class
+# POS filter, and (c) ORDERED suffix-stripping rules per language.
+# Rules are DATA (suffix, replacement, min-remaining-stem) and compile
+# to one CASE expression string valid in BOTH Spark SQL and DuckDB —
+# the oracle runs the identical logic, so the gate verifies the
+# pipeline (tokenize -> exclude -> lemmatize -> count), not a tagger.
+# Deviation from spacy lemma_ fidelity is documented in COVERAGE.md.
+
+LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
+    # German: plural/derivational endings; -ungen/-heiten/-keiten keep
+    # their singular suffix, plain declension endings strip
+    "de": [
+        ("ungen", "ung", 3),
+        ("heiten", "heit", 3),
+        ("keiten", "keit", 3),
+        ("innen", "in", 3),
+        ("en", "", 3),
+        ("er", "", 3),
+        ("es", "", 3),
+        ("e", "", 3),
+        ("n", "", 3),
+        ("s", "", 3),
+    ],
+    # French: plural -s/-x, -aux -> -al, derivational -ations/-ements
+    "fr": [
+        ("ations", "ation", 3),
+        ("ements", "ement", 3),
+        ("aux", "al", 2),
+        ("x", "", 3),
+        ("s", "", 3),
+    ],
+    # Italian: -ioni/-menti singulars, masculine plural -i -> -o
+    "it": [
+        ("ioni", "ione", 3),
+        ("menti", "mento", 3),
+        ("i", "o", 3),
+        ("e", "", 3),
+    ],
+}
+
+# Closed-class function words (determiners, pronouns, prepositions,
+# conjunctions, auxiliaries) — the POS-exclusion proxy.
+LEMMA_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": (
+        "der", "die", "das", "den", "dem", "des", "ein", "eine", "einer",
+        "und", "oder", "nicht", "ist", "sind", "war", "wird", "werden",
+        "mit", "von", "zu", "im", "in", "auf", "bei", "aus", "nach",
+        "hat", "haben", "als", "auch", "sich", "er", "sie", "es",
+    ),
+    "fr": (
+        "le", "la", "les", "un", "une", "des", "du", "de", "et", "ou",
+        "est", "sont", "ne", "pas", "avec", "pour", "que", "qui",
+        "dans", "sur", "par", "au", "aux", "il", "elle", "ce", "cette",
+        "a", "ont",
+    ),
+    "it": (
+        "il", "lo", "la", "i", "gli", "le", "un", "una", "di", "e",
+        "o", "sono", "non", "con", "per", "che", "in", "su", "da",
+        "al", "ai", "nel", "della", "ha", "hanno",
+    ),
+}
+
+LEMMA_TOKEN_SPLIT = "[^a-zäöüßéèêëàâçîïôùûœ]+"
+
+
+def lemma_case_sql(token_expr: str, lang_expr: str) -> str:
+    """One CASE expression applying the per-language suffix rules to an
+    (already lowercase, alpha-only) token — the string is valid Spark
+    SQL AND DuckDB SQL, so both engines run literally the same logic."""
+    lang_branches = []
+    for lang, rules in LEMMA_SUFFIX_RULES.items():
+        arms = []
+        for suffix, repl, min_stem in rules:
+            cond = (
+                f"{token_expr} LIKE '%{suffix}' "
+                f"AND length({token_expr}) >= {len(suffix) + min_stem}"
+            )
+            val = (
+                f"substr({token_expr}, 1, length({token_expr}) - {len(suffix)})"
+                + (f" || '{repl}'" if repl else "")
+            )
+            arms.append(f"WHEN {cond} THEN {val}")
+        inner = "CASE " + " ".join(arms) + f" ELSE {token_expr} END"
+        lang_branches.append(f"WHEN {lang_expr} = '{lang}' THEN {inner}")
+    return "CASE " + " ".join(lang_branches) + f" ELSE {token_expr} END"
+
+
+def lemma_stopword_sql(token_expr: str, lang_expr: str) -> str:
+    """TRUE when the token is a function word of the row's language —
+    same dual-dialect property as ``lemma_case_sql``."""
+    branches = []
+    for lang, words in LEMMA_STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        branches.append(f"WHEN {lang_expr} = '{lang}' THEN {token_expr} IN ({lst})")
+    return "CASE " + " ".join(branches) + " ELSE FALSE END"

@@ -285,3 +285,56 @@ def group_aware_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn("split", expr)
+
+
+LITERAL_VOCAB_MAX = 1024
+
+
+def apply_token_vocab(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    tokens_col,
+    literal_max: int = LITERAL_VOCAB_MAX,
+) -> DataFrame:
+    """Tokenizer vocabulary application: every token position becomes
+    its frequency-ranked vocab id (OOV -> 0), output
+    ``(id_col, pos, token_id)``.
+
+    Two plans by vocabulary size:
+
+    - ``<= literal_max`` entries: collect and inline as a literal
+      ``create_map`` — the corpus pass is a pure zero-shuffle
+      projection.  Right for small demo vocabularies.
+    - larger (a real 50k-100k BPE table): posexplode + BROADCAST hash
+      join against the vocab DataFrame.  Inlining that many literals
+      bloats the plan/codegen (r03 VERDICT item 8); the broadcast
+      join moves the table once per executor instead of into the
+      expression tree, and the probe stays map-side (no shuffle of
+      the corpus).
+
+    ``vocab`` must be bounded (top-N by construction) with columns
+    (token, vocab_id).
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    n = vocab.limit(literal_max + 1).count()  # size probe, never a full count
+    if n <= literal_max:
+        rows = vocab.collect()
+        mapping = F.create_map(
+            *[F.lit(x) for r in rows for x in (r["token"], r["vocab_id"])]
+        )
+        ids = F.transform(
+            tokens, lambda w: F.coalesce(F.element_at(mapping, w), F.lit(0))
+        )
+        return docs.select(
+            id_col, F.posexplode(ids).alias("pos", "token_id")
+        ).select(id_col, "pos", F.col("token_id").cast("int"))
+    ex = docs.select(id_col, F.posexplode(tokens).alias("pos", "w"))
+    return (
+        ex.join(F.broadcast(vocab), ex["w"] == vocab["token"], "left")
+        .select(
+            id_col,
+            "pos",
+            F.coalesce(F.col("vocab_id"), F.lit(0)).cast("int").alias("token_id"),
+        )
+    )

@@ -236,22 +236,21 @@ SELECT token, freq, vocab_id FROM ranked WHERE vocab_id <= {_VOCAB_TOP}
 def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary application — the tokenizer stage after
     ``vocab_top_tokens``: tokens map to their frequency-ranked ids
-    (OOV -> 0) through a LITERAL map expression, so the corpus pass is
-    a pure projection (tokenizer vocabularies always fit the driver —
-    even a 100k-entry BPE table is megabytes).  Exploded to
+    (OOV -> 0) via `operators/training.py::apply_token_vocab`, which
+    picks the plan by vocabulary size: a literal-map projection for
+    small vocabularies (this gate's top-1000), a posexplode +
+    broadcast hash join for real 50k-100k BPE tables (inlining those
+    as literals bloats plan/codegen).  Exploded to
     (doc_id, pos, token_id) for the gate hash."""
-    vocab_rows = q_vocab_top_tokens(spark, sf_dir).collect()  # bounded: top-N
-    mapping = F.create_map(
-        *[F.lit(x) for r in vocab_rows for x in (r["token"], r["vocab_id"])]
+    from swisscourtrulingcorpus_spark.operators.training import (
+        apply_token_vocab,
     )
+
+    vocab = q_vocab_top_tokens(spark, sf_dir).select("token", "vocab_id")
     docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    ids = F.transform(
-        F.split(normalize_ws("text"), " "),
-        lambda w: F.coalesce(F.element_at(mapping, w), F.lit(0)),
+    return apply_token_vocab(
+        docs, vocab, "doc_id", F.split(normalize_ws("text"), " ")
     )
-    return docs.select(
-        "doc_id", F.posexplode(ids).alias("pos", "token_id")
-    ).select("doc_id", "pos", F.col("token_id").cast("int"))
 
 
 TOKEN_IDS_ORACLE = rf"""

@@ -266,6 +266,49 @@ def uuid5_document_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- real PNG/BMP decode (retires the r03 multimodal stub) -------------
+
+def png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star multimodal gate: deterministic PNG/BMP payloads are
+    ENCODED from doc_id arithmetic in one mapInPandas stage, cross the
+    Arrow boundary as a binary column, and are DECODED for real
+    (stdlib zlib inflate + scanline unfilter incl. Paeth; BMP BGR
+    un-padding) in a second stage (`extraction/imagecodec.py`,
+    `extraction/multimodal.py::decode_image_features`).  The oracle
+    recomputes every pixel statistic from the same arithmetic without
+    ever touching bytes — a broken filter branch or row-order bug
+    changes pixel_sum/min/max and fails the hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+        generate_image_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(generate_image_fixture(docs))
+
+
+PNG_DECODE_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+gx AS (SELECT doc_id, unnest(generate_series(0, doc_id % 4 + 1)) AS x FROM p),
+gy AS (SELECT doc_id, x, unnest(generate_series(0, doc_id % 3 + 1)) AS y FROM gx),
+gc AS (
+  SELECT doc_id, x, y,
+         unnest(generate_series(
+           0, CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN 3 ELSE 2 END)) AS c
+  FROM gy)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       doc_id % 4 + 2 AS width,
+       doc_id % 3 + 2 AS height,
+       CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN 4 ELSE 3 END AS channels,
+       CAST(sum((doc_id + 7*x + 13*y + 29*c) % 256) AS BIGINT) AS pixel_sum,
+       min((doc_id + 7*x + 13*y + 29*c) % 256) AS px_min,
+       max((doc_id + 7*x + 13*y + 29*c) % 256) AS px_max
+FROM gc
+GROUP BY doc_id
+"""
+
+
 _UUID5_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "resources",
@@ -315,4 +358,5 @@ SPECS = [
     QuerySpec("hourly_spine_gap_fill", hourly_spine_gap_fill, SPINE_ORACLE, "date-spine densify"),
     QuerySpec("unpivot_doc_stats", unpivot_doc_stats, UNPIVOT_ORACLE, "wide→long melt"),
     QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
+    QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
 ]

@@ -794,8 +794,58 @@ FROM w
 """
 
 
+def q_lemma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 lemma-counter fidelity: casefolded ALPHA tokens (the
+    reference's isalpha()+POS proxy), function-word exclusion, and the
+    rule-based per-language suffix stripper — counted per (lang,
+    lemma).  The suffix/stopword rules compile from one data table
+    into a CASE expression string valid in both engines
+    (`functions/text.py::lemma_case_sql`), so the oracle runs
+    LITERALLY the same logic.  Reference semantics:
+    `abstract_preprocessor.py:387-410` (spacy lemma_ casefold + POS
+    exclusions; rule-based approximation documented in COVERAGE.md)."""
+    from swisscourtrulingcorpus_spark.functions.text import (
+        LEMMA_TOKEN_SPLIT,
+        lemma_case_sql,
+        lemma_stopword_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), LEMMA_TOKEN_SPLIT)).alias("t"),
+    ).where((F.length("t") >= 2) & ~F.expr(lemma_stopword_sql("t", "lang")))
+    return (
+        toks.select("lang", F.expr(lemma_case_sql("t", "lang")).alias("lemma"))
+        .groupBy("lang", "lemma")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _lemma_counts_oracle() -> str:
+    from swisscourtrulingcorpus_spark.functions.text import (
+        LEMMA_TOKEN_SPLIT,
+        lemma_case_sql,
+        lemma_stopword_sql,
+    )
+
+    return f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split_regex(lower(text), '{LEMMA_TOKEN_SPLIT}')) AS t
+  FROM documents)
+SELECT lang, {lemma_case_sql("t", "lang")} AS lemma, count(*) AS n
+FROM toks
+WHERE length(t) >= 2 AND NOT ({lemma_stopword_sql("t", "lang")})
+GROUP BY 1, 2
+"""
+
+
+LEMMA_COUNTS_ORACLE = _lemma_counts_oracle()
+
+
 SPECS = [
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
+    QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
     QuerySpec("lexical_diversity_documents", lexical_diversity_documents, LEXICAL_DIVERSITY_ORACLE, "Gopher-style repetition score"),
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
