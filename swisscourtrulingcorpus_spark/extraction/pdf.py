@@ -76,8 +76,14 @@ def extract_pdf_text_py(data: bytes | None) -> str | None:
     texts: list[str] = []
     for m in _STREAM_RX.finditer(data):
         dict_bytes, stream = m.group(1), m.group(2)
-        # stream bytes run to 'endstream'; strip the trailing EOL
-        stream = stream.rstrip(b"\r\n")
+        # Stream bytes run to 'endstream' preceded by ONE optional EOL
+        # (PDF 32000-1 §7.3.8).  Strip at most that one marker —
+        # rstrip(b"\r\n") would also eat 0x0A/0x0D bytes that are
+        # legitimate trailing DATA of a Flate stream and break inflate.
+        if stream.endswith(b"\r\n"):
+            stream = stream[:-2]
+        elif stream.endswith((b"\n", b"\r")):
+            stream = stream[:-1]
         if b"FlateDecode" in dict_bytes:
             try:
                 stream = zlib.decompress(stream)
