@@ -73,6 +73,7 @@ _FRONT_OF_WINDOW: list[str] = [
     # round-4 new gates
     "lemma_counts_documents",
     "png_decode_stats",
+    "pos_proxy_counts",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

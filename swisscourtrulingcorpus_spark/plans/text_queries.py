@@ -822,6 +822,74 @@ def q_lemma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pos_proxy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11 counter_pos/counter_tag counterpart
+    (`abstract_preprocessor.py:404-409`: per-token POS/tag counts).
+    Without a statistical tagger the classes are deterministic word
+    shapes — NUM (leading digit), PUNCT (no alphanumerics), FUNC
+    (closed-class function words, the same list as the lemma gate),
+    PROPN (capitalized), WORD (rest) — which preserves the operator
+    shape (tokenize → classify → count per language) and is
+    engine-reproducible.  Text is salted with a digits/punctuation/
+    capitalized suffix so every class is exercised at every SF."""
+    from swisscourtrulingcorpus_spark.functions.text import (
+        lemma_stopword_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" Bundesgericht Art. "),
+        (F.col("doc_id") % 250 + 1).cast("string"),
+        F.lit(" BGG , 4C.55/2003 !"),
+    )
+    toks = docs.select(
+        "lang", F.explode(F.split(salted, r"\s+")).alias("t")
+    ).where(F.length("t") > 0)
+    is_func = F.expr(lemma_stopword_sql("lower(t)", "lang"))
+    cls = (
+        F.when(F.col("t").rlike("^[0-9]"), F.lit("NUM"))
+        .when(~F.col("t").rlike("[0-9A-Za-zÀ-ÿ]"), F.lit("PUNCT"))
+        .when(is_func, F.lit("FUNC"))
+        .when(F.col("t").rlike("^[A-ZÄÖÜÉÈÀ]"), F.lit("PROPN"))
+        .otherwise(F.lit("WORD"))
+    )
+    return (
+        toks.select("lang", cls.alias("pos_class"))
+        .groupBy("lang", "pos_class")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _pos_proxy_oracle() -> str:
+    from swisscourtrulingcorpus_spark.functions.text import (
+        lemma_stopword_sql,
+    )
+
+    stop = lemma_stopword_sql("lower(t)", "lang")
+    return rf"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(
+           text || ' Bundesgericht Art. ' || CAST(doc_id % 250 + 1 AS VARCHAR)
+                || ' BGG , 4C.55/2003 !', '\s+')) AS t
+  FROM documents)
+SELECT lang,
+       CASE WHEN regexp_matches(t, '^[0-9]') THEN 'NUM'
+            WHEN NOT regexp_matches(t, '[0-9A-Za-zÀ-ÿ]') THEN 'PUNCT'
+            WHEN {stop} THEN 'FUNC'
+            WHEN regexp_matches(t, '^[A-ZÄÖÜÉÈÀ]') THEN 'PROPN'
+            ELSE 'WORD' END AS pos_class,
+       count(*) AS n
+FROM toks
+WHERE length(t) > 0
+GROUP BY 1, 2
+"""
+
+
+POS_PROXY_ORACLE = _pos_proxy_oracle()
+
+
 def _lemma_counts_oracle() -> str:
     from swisscourtrulingcorpus_spark.functions.text import (
         LEMMA_TOKEN_SPLIT,
@@ -846,6 +914,7 @@ LEMMA_COUNTS_ORACLE = _lemma_counts_oracle()
 SPECS = [
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
     QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
+    QuerySpec("pos_proxy_counts", q_pos_proxy_counts, POS_PROXY_ORACLE, "E11 counter_pos/tag shape proxy"),
     QuerySpec("lexical_diversity_documents", lexical_diversity_documents, LEXICAL_DIVERSITY_ORACLE, "Gopher-style repetition score"),
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),

@@ -128,6 +128,12 @@ def scan_landing_zone(spark: SparkSession, root: str) -> DataFrame:
         .option("pathGlobFilter", "*.{json,html,htm,pdf,txt}")
         .load(os.path.join(root, "*"))
     )
+    return parse_file_paths(files)
+
+
+def parse_file_paths(files: DataFrame) -> DataFrame:
+    """binaryFile rows -> (spider, name, ext, content); shared by the
+    batch scan and the streaming file source."""
     return files.select(
         F.regexp_extract("path", r"/([^/]+)/[^/]+$", 1).alias("spider"),
         F.regexp_extract("path", r"/([^/]+)\.[A-Za-z]+$", 1).alias("name"),
@@ -136,16 +142,12 @@ def scan_landing_zone(spark: SparkSession, root: str) -> DataFrame:
     )
 
 
-def ingest_landing_zone(
-    spark: SparkSession,
-    root: str,
-    manifest: DataFrame | None = None,
+def docs_from_scanned_files(
+    files: DataFrame, manifest: DataFrame | None = None
 ) -> DataFrame:
-    """Landing zone -> one typed row per DOCUMENT:
-    (spider, name, signatur, num, datum, html_url, pdf_url, text,
-    source_format).  ``manifest`` (spider, name) keys are skipped —
-    re-running over an unchanged tree ingests nothing.
-    """
+    """(spider, name, ext, content) file rows -> one typed row per
+    DOCUMENT — the shared transformation behind the batch ingest and
+    the per-micro-batch body of the streaming ingest job."""
     from swisscourtrulingcorpus_spark.extraction.html import (
         html_to_text_spider_udf,
     )
@@ -155,8 +157,7 @@ def ingest_landing_zone(
     from swisscourtrulingcorpus_spark.sources.manifest import new_rows_only
 
     by_doc = (
-        scan_landing_zone(spark, root)
-        .groupBy("spider", "name")
+        files.groupBy("spider", "name")
         .agg(
             F.max(F.when(F.col("ext") == "json", F.col("content"))).alias("__json"),
             F.max(
@@ -186,6 +187,19 @@ def ingest_landing_zone(
         .otherwise(F.lit("metadata-only"))
         .alias("source_format"),
     )
+
+
+def ingest_landing_zone(
+    spark: SparkSession,
+    root: str,
+    manifest: DataFrame | None = None,
+) -> DataFrame:
+    """Landing zone -> one typed row per DOCUMENT:
+    (spider, name, signatur, num, datum, html_url, pdf_url, text,
+    source_format).  ``manifest`` (spider, name) keys are skipped —
+    re-running over an unchanged tree ingests nothing.
+    """
+    return docs_from_scanned_files(scan_landing_zone(spark, root), manifest)
 
 
 def main() -> None:  # pragma: no cover - demo CLI

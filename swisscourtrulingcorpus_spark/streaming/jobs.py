@@ -355,3 +355,63 @@ def sliding_counts_stream(stream: DataFrame, watermark: str = "2 hours") -> Data
             "cnt",
         )
     )
+
+
+def stream_ingest_landing_zone_job(
+    spark,
+    root: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """S1 as Structured Streaming (SURVEY §2.10's sanctioned mapping):
+    the landing zone becomes a binaryFile FILE SOURCE — the checkpoint
+    tracks which files each micro-batch has seen, so re-running the
+    job over an unchanged tree ingests nothing and newly-landed files
+    ingest exactly once (the scraper's incremental skip, delegated to
+    the engine's source offsets instead of a hand-kept manifest).
+    Each micro-batch runs the SAME transformation as the batch ingest
+    (`sources/ingest.py::docs_from_scanned_files`) and appends typed
+    document rows to ``out_dir``.  Trigger.AvailableNow: drains
+    everything currently available, then stops — the daily-cron batch
+    shape, restartable as a continuous stream unchanged."""
+    import os
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from swisscourtrulingcorpus_spark.sources.ingest import (
+        docs_from_scanned_files,
+        parse_file_paths,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.{json,html,htm,pdf,txt}")
+        .load(os.path.join(root, "*"))
+    )
+
+    def _ingest(batch, batch_id: int) -> None:
+        docs = docs_from_scanned_files(parse_file_paths(batch))
+        docs.write.mode("append").parquet(out_dir)
+
+    return (
+        files.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -89,3 +89,47 @@ def test_pdf_stream_ending_in_eol_byte_survives():
     )
     text = extract_pdf_text_py(pdf)
     assert text is not None and "Das Gesuch wird abgewiesen." in text
+
+
+def test_streaming_ingest_exactly_once(spark, tmp_path):
+    """The streaming twin of the batch ingest: checkpointed file
+    source = engine-managed incremental skip.  Unchanged tree ->
+    nothing re-ingested; newly landed files -> exactly their rows
+    appended; rows match the batch ingest byte for byte."""
+    from swisscourtrulingcorpus_spark.sources.ingest import (
+        write_fixture_tree,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_ingest_landing_zone_job,
+    )
+
+    root = str(tmp_path / "lz")
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    write_fixture_tree(root, n_docs=4)
+
+    q = stream_ingest_landing_zone_job(spark, root, out, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    assert first.count() == 8
+
+    # batch/stream equivalence on the typed rows
+    batch = ingest_landing_zone(spark, root)
+    cols = ["spider", "name", "signatur", "text", "source_format"]
+    assert sorted(map(tuple, first.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+
+    # unchanged tree: the restarted job ingests nothing
+    q2 = stream_ingest_landing_zone_job(spark, root, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == 8
+
+    # a newly-landed file ingests exactly once
+    with open(os.path.join(root, "CH_BGer", "CH_BGer_7777.json"), "w") as fh:
+        fh.write('{"Signatur": "CH_BGer.7777", "Num": "X", "Datum": "2021-02-03"}')
+    q3 = stream_ingest_landing_zone_job(spark, root, out, ckpt)
+    q3.awaitTermination()
+    final = spark.read.parquet(out)
+    assert final.count() == 9
+    assert final.where("name = 'CH_BGer_7777'").count() == 1
