@@ -26,6 +26,9 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
 _STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
+# direct-integer /Length only — `/Length 5 0 R` (indirect object
+# reference) must NOT match, its value lives elsewhere in the file
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _TEXT_BLOCK_RX = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # a literal string, or a line-advancing operator
 _TOKEN_RX = re.compile(rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|(?P<nl>T\*|Td|TD)")
@@ -76,11 +79,23 @@ def extract_pdf_text_py(data: bytes | None) -> str | None:
     texts: list[str] = []
     for m in _STREAM_RX.finditer(data):
         dict_bytes, stream = m.group(1), m.group(2)
-        # Stream bytes run to 'endstream' preceded by ONE optional EOL
-        # (PDF 32000-1 §7.3.8).  Strip at most that one marker —
-        # rstrip(b"\r\n") would also eat 0x0A/0x0D bytes that are
-        # legitimate trailing DATA of a Flate stream and break inflate.
-        if stream.endswith(b"\r\n"):
+        # Prefer the dict's direct /Length for an EXACT slice — the
+        # only unambiguous boundary.  Fallback: stream bytes run to
+        # 'endstream' preceded by ONE optional EOL (PDF 32000-1
+        # §7.3.8); strip at most that marker — rstrip(b"\r\n") would
+        # eat 0x0A/0x0D bytes that are legitimate trailing DATA of a
+        # Flate stream, and even single-marker stripping guesses wrong
+        # when the data itself ends in 0x0D before a bare-\n EOL.
+        lm = _LENGTH_RX.search(dict_bytes)
+        n = int(lm.group(1)) if lm else -1
+        if 0 <= n <= len(stream) and stream[n:] in (b"", b"\n", b"\r", b"\r\n"):
+            # /Length is trusted only when CONSISTENT with the
+            # endstream boundary (remainder is exactly the optional
+            # EOL marker) — scanned court PDFs carry wrong or
+            # placeholder Lengths, and slicing by a lying value would
+            # truncate real data
+            stream = stream[:n]
+        elif stream.endswith(b"\r\n"):
             stream = stream[:-2]
         elif stream.endswith((b"\n", b"\r")):
             stream = stream[:-1]

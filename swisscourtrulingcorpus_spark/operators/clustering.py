@@ -90,9 +90,15 @@ def _valid_vec(vec_col: str) -> F.Column:
     a NaN — the row would silently land in cluster/code -1, a bucket
     no probe ever reaches and the DuckDB oracle never produces.
     Excluding the row (like nulls) keeps assignment total over its
-    domain; surface bad embeddings with the data-quality checks."""
+    domain; surface bad embeddings with the data-quality checks.
+    ±Infinity components are excluded too: a -inf score also ties or
+    beats every finite distance through inf arithmetic (inf - inf =
+    NaN), landing in the same unreachable -1 bucket."""
     c = F.col(vec_col)
-    return c.isNotNull() & ~F.exists(c, lambda x: x.isNull() | F.isnan(x))
+    return c.isNotNull() & ~F.exists(
+        c,
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
 
 
 def _min_struct(scores: F.Column) -> F.Column:

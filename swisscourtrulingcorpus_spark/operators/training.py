@@ -317,9 +317,12 @@ def apply_token_vocab(
     (token, vocab_id).
     """
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
-    n = vocab.limit(literal_max + 1).count()  # size probe, never a full count
-    if n <= literal_max:
-        rows = vocab.collect()
+    # ONE probe doubles as the literal-path collect: take() pulls at
+    # most literal_max+1 rows, so a small vocab is materialized in a
+    # single execution of its (potentially expensive) plan instead of
+    # a count() job followed by a collect() job (r04 review finding).
+    rows = vocab.take(literal_max + 1)
+    if len(rows) <= literal_max:
         mapping = F.create_map(
             *[F.lit(x) for r in rows for x in (r["token"], r["vocab_id"])]
         )

@@ -36,7 +36,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(col):
             df[c] = col.map(lambda v: None if pd.isna(v) else int(v))
         elif pd.api.types.is_float_dtype(col):
-            df[c] = col.map(lambda v: None if pd.isna(v) else float(v))
+            # Keep NaN as NaN (repr 'nan'), do NOT fold it into None:
+            # pandas float64 already stores SQL NULL as NaN on both
+            # sides (toPandas and fetchdf), so None would never appear
+            # here anyway — but an explicit None mapping would also
+            # have silently equated an engine's genuine NaN (0.0/0.0)
+            # with the other's NULL in object columns promoted to
+            # float.  NULL-vs-NaN cannot be distinguished at the
+            # pandas-float level; that limitation is inherent to the
+            # driver's own comparison, not introduced here.
+            df[c] = col.map(
+                lambda v: float("nan") if pd.isna(v) else float(v)
+            )
         else:
             col = col.astype("object").where(col.notna(), None)
             df[c] = col.map(lambda v: None if v is None else str(v))

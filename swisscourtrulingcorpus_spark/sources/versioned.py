@@ -89,29 +89,101 @@ def _stage_data(df: DataFrame, table_dir: str) -> tuple[str, str]:
     return commit_id, data_dir
 
 
+# A claim is only held between staging completion and the manifest
+# rename — sub-second work — so a claim older than this is a crashed
+# writer's debris and may be broken by a checked committer.
+CLAIM_TTL_SECONDS = 60.0
+
+
+def _write_manifest(
+    table_dir: str, version: int, manifest: dict, commit_id: str
+) -> None:
+    tmp = os.path.join(table_dir, f"v{version}.json.tmp.{commit_id}")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, os.path.join(table_dir, f"v{version}.json"))
+
+
+def _claim(table_dir: str, version: int) -> bool:
+    """Exclusive-create v{n}.claim; the claim file is separate from the
+    manifest so the manifest itself only ever appears via atomic
+    rename."""
+    try:
+        fd = os.open(
+            os.path.join(table_dir, f"v{version}.claim"),
+            os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+        )
+    except FileExistsError:
+        return False
+    os.close(fd)
+    return True
+
+
 def _commit_manifest(
     table_dir: str,
     commit_id: str,
     data_dir: str,
     base_version: int | None = None,
 ) -> int:
+    import time
+
     files = sorted(
         f"data/{commit_id}/{f}"
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
     manifest = {"files": files, "commit": commit_id, "base": base_version}
+
+    if base_version is not None:
+        # CHECKED commit: must become exactly v{base+1}.  Claiming that
+        # specific number is what serializes checked committers — two
+        # writers staged against the same base race for ONE claim, the
+        # loser re-merges.  (A latest-committed comparison alone has a
+        # check-then-rename window where two passers both commit.)
+        version = base_version + 1
+        claim = os.path.join(table_dir, f"v{version}.claim")
+        target = os.path.join(table_dir, f"v{version}.json")
+        while True:
+            if latest_version(table_dir) != base_version or os.path.exists(target):
+                raise ConcurrentWriteError(
+                    f"snapshot staged against v{base_version} but the "
+                    f"table has advanced in {table_dir}"
+                )
+            if _claim(table_dir, version):
+                if os.path.exists(target):
+                    # the previous holder committed and released before
+                    # our exclusive create succeeded
+                    os.remove(claim)
+                    raise ConcurrentWriteError(
+                        f"v{version} was committed concurrently in {table_dir}"
+                    )
+                _write_manifest(table_dir, version, manifest, commit_id)
+                os.remove(claim)
+                return version
+            # Claim held by another writer: either it commits (our next
+            # latest_version check raises — re-merge), or it crashed —
+            # break the claim after CLAIM_TTL (claims are only held for
+            # the sub-second stage->rename window, see constant above).
+            # This is what keeps a crashed writer from LIVELOCKING every
+            # future checked commit (r04 review finding).
+            try:
+                age = time.time() - os.path.getmtime(claim)
+            except OSError:
+                continue  # released between _claim and getmtime
+            if age > CLAIM_TTL_SECONDS:
+                try:
+                    os.remove(claim)
+                except OSError:
+                    pass
+            else:
+                time.sleep(0.05)
+
+    # UNCHECKED commit (blind overwrite): take the next free number.
     while True:
         version = _next_version(table_dir)
-        claim = os.path.join(table_dir, f"v{version}.claim")
-        try:
-            # exclusive claim: fails if a concurrent writer took v{n};
-            # the claim is a separate file so the manifest itself only
-            # ever appears via the atomic rename below
-            fd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
+        if not _claim(table_dir, version):
             continue  # _next_version counts claims — the retry advances
-        os.close(fd)
+        claim = os.path.join(table_dir, f"v{version}.claim")
         if os.path.exists(os.path.join(table_dir, f"v{version}.json")):
             # Lost race despite the exclusive create: a writer that
             # listed the dir concurrently can claim, commit, and
@@ -124,22 +196,7 @@ def _commit_manifest(
             # appear until we release it.
             os.remove(claim)
             continue
-        if base_version is not None and version != base_version + 1:
-            # Optimistic-concurrency check: `_next_version` counts both
-            # committed manifests and in-flight claims, so winning a
-            # claim > base+1 proves another writer landed (or is about
-            # to land) a version this snapshot was not merged against.
-            # Release the number and surface the conflict — the caller
-            # re-reads latest and re-merges.
-            os.remove(claim)
-            raise ConcurrentWriteError(
-                f"snapshot staged against v{base_version} but "
-                f"v{version - 1} exists (or is in flight) in {table_dir}"
-            )
-        tmp = os.path.join(table_dir, f"v{version}.json.tmp.{commit_id}")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(table_dir, f"v{version}.json"))
+        _write_manifest(table_dir, version, manifest, commit_id)
         os.remove(claim)
         return version
 
@@ -160,9 +217,22 @@ def commit_version(
 
     ``base_version`` (capture via :func:`latest_version` BEFORE reading
     the snapshot being merged against) enables the optimistic-
-    concurrency check: the commit fails with :class:`ConcurrentWriteError`
-    instead of silently discarding a concurrent writer's rows.  Leave
-    it ``None`` only for blind-overwrite semantics."""
+    concurrency check: the commit becomes exactly v{base+1} — claiming
+    that one number serializes checked committers — and fails with
+    :class:`ConcurrentWriteError` instead of silently discarding a
+    concurrent writer's rows.  A crashed writer's stale claim is
+    broken after ``CLAIM_TTL_SECONDS`` (claims are held only for the
+    sub-second manifest-rename window; the usual lease caveat applies:
+    a writer paused longer than the TTL *inside* that window could be
+    overtaken).  Leave ``base_version`` ``None`` only for
+    blind-overwrite semantics."""
+    if base_version is not None and latest_version(table_dir) != base_version:
+        # fail fast BEFORE paying the full snapshot write — each retry
+        # would otherwise stage (and orphan) a complete table copy
+        raise ConcurrentWriteError(
+            f"snapshot staged against v{base_version} but the table "
+            f"has advanced in {table_dir}"
+        )
     commit_id, data_dir = _stage_data(df, table_dir)
     return _commit_manifest(table_dir, commit_id, data_dir, base_version)
 

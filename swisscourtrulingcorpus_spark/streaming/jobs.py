@@ -224,38 +224,13 @@ def stream_upsert_job(
     only a replayable batch.  Returns the started query; caller awaits
     termination.
     """
-    import os
-    import shutil
-
     from swisscourtrulingcorpus_spark.sources.sinks import upsert_by_key
 
     base = table_path.rstrip("/")
 
-    def _recover_and_sweep() -> None:
-        # Crash between the two swap renames leaves the table at
-        # .old_*; restore it before merging so no batch is lost.  Any
-        # .staging_* present here is debris from a crashed batch (that
-        # batch will replay) — sweep it so a long-running stream can't
-        # grow disk unboundedly.
-        parent, name = os.path.dirname(base) or ".", os.path.basename(base)
-        if not os.path.isdir(parent):
-            return
-        # numeric batch order: lexicographic would rank '.old_9' above
-        # '.old_12' and restore a STALE snapshot while sweeping the new
-        olds = sorted(
-            (f for f in os.listdir(parent) if f.startswith(name + ".old_")),
-            key=lambda f: int(f.rsplit("_", 1)[1]),
-        )
-        if not os.path.isdir(base) and olds:
-            os.rename(os.path.join(parent, olds.pop()), base)
-        for leftover in olds + [
-            f for f in os.listdir(parent) if f.startswith(name + ".staging_")
-        ]:
-            shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
-
     def _merge(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        _recover_and_sweep()
+        _recover_and_sweep(base)
         if os.path.isdir(base) and any(
             f.endswith(".parquet") for f in os.listdir(base)
         ):
@@ -263,19 +238,7 @@ def stream_upsert_job(
             merged = upsert_by_key(existing, batch, keys)
         else:
             merged = batch
-        # land the merged result fully in staging (the plan reads the
-        # live table, so an in-place overwrite would clobber its own
-        # input mid-job), then swap by rename — never a partial table
-        staging = base + f".staging_{batch_id}"
-        old = base + f".old_{batch_id}"
-        try:
-            merged.write.mode("overwrite").parquet(staging)
-            if os.path.isdir(base):
-                os.rename(base, old)
-            os.rename(staging, base)
-            shutil.rmtree(old, ignore_errors=True)
-        finally:
-            shutil.rmtree(staging, ignore_errors=True)
+        _staged_swap(merged, base, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -283,6 +246,49 @@ def stream_upsert_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _recover_and_sweep(base: str) -> None:
+    """Crash between the two swap renames leaves the table at
+    ``.old_*``; restore it before merging so no batch is lost.  Any
+    ``.staging_*`` present here is debris from a crashed batch (that
+    batch will replay) — sweep it so a long-running stream can't grow
+    disk unboundedly."""
+    import shutil
+
+    parent, name = os.path.dirname(base) or ".", os.path.basename(base)
+    if not os.path.isdir(parent):
+        return
+    # numeric batch order: lexicographic would rank '.old_9' above
+    # '.old_12' and restore a STALE snapshot while sweeping the new
+    olds = sorted(
+        (f for f in os.listdir(parent) if f.startswith(name + ".old_")),
+        key=lambda f: int(f.rsplit("_", 1)[1]),
+    )
+    if not os.path.isdir(base) and olds:
+        os.rename(os.path.join(parent, olds.pop()), base)
+    for leftover in olds + [
+        f for f in os.listdir(parent) if f.startswith(name + ".staging_")
+    ]:
+        shutil.rmtree(os.path.join(parent, leftover), ignore_errors=True)
+
+
+def _staged_swap(merged: DataFrame, base: str, batch_id: int) -> None:
+    """Land the merged result fully in staging (the plan reads the
+    live table, so an in-place overwrite would clobber its own input
+    mid-job), then swap by rename — never a partial table."""
+    import shutil
+
+    staging = base + f".staging_{batch_id}"
+    old = base + f".old_{batch_id}"
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(staging, base)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def stream_versioned_upsert_job(
@@ -370,10 +376,18 @@ def stream_ingest_landing_zone_job(
     ingest exactly once (the scraper's incremental skip, delegated to
     the engine's source offsets instead of a hand-kept manifest).
     Each micro-batch runs the SAME transformation as the batch ingest
-    (`sources/ingest.py::docs_from_scanned_files`) and appends typed
-    document rows to ``out_dir``.  Trigger.AvailableNow: drains
-    everything currently available, then stops — the daily-cron batch
-    shape, restartable as a continuous stream unchanged."""
+    (`sources/ingest.py::docs_from_scanned_files`) and MERGES the
+    typed rows into ``out_dir`` by (spider, name) with column-level
+    coalesce: a document whose .json metadata and .html/.pdf payload
+    land in DIFFERENT micro-batches converges to one complete row
+    (each batch contributes its non-null fields), and a replayed batch
+    re-merges to the identical table — idempotent under foreachBatch's
+    at-least-once delivery, where a blind append would duplicate rows
+    (r04 review findings).  The table is only ever replaced by the
+    crash-safe staged swap shared with ``stream_upsert_job``.
+    Trigger.AvailableNow: drains everything currently available, then
+    stops — the daily-cron batch shape, restartable as a continuous
+    stream unchanged."""
     import os
 
     from pyspark.sql.types import (
@@ -405,13 +419,53 @@ def stream_ingest_landing_zone_job(
         .load(os.path.join(root, "*"))
     )
 
+    base = out_dir.rstrip("/")
+
     def _ingest(batch, batch_id: int) -> None:
+        batch_spark = batch.sparkSession
+        _recover_and_sweep(base)
         docs = docs_from_scanned_files(parse_file_paths(batch))
-        docs.write.mode("append").parquet(out_dir)
+        if os.path.isdir(base) and any(
+            f.endswith(".parquet") for f in os.listdir(base)
+        ):
+            existing = batch_spark.read.parquet(base)
+            merged = _coalesce_merge_docs(existing, docs)
+        else:
+            merged = docs
+        _staged_swap(merged, base, batch_id)
 
     return (
         files.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def _coalesce_merge_docs(existing, incoming):
+    """Full-outer merge of typed document rows on (spider, name):
+    every data column takes the incoming side's non-null value first
+    (a later batch carrying the payload fills a metadata-only row and
+    vice versa); ``source_format`` follows whichever side actually has
+    text, so a json-only batch can never demote an already-extracted
+    document back to metadata-only."""
+    e = existing.alias("e")
+    i = incoming.alias("i")
+    joined = e.join(i, on=["spider", "name"], how="full_outer")
+    data_cols = ["signatur", "num", "datum", "html_url", "pdf_url", "text"]
+    fmt = (
+        F.when(F.col("i.text").isNotNull(), F.col("i.source_format"))
+        .when(F.col("e.text").isNotNull(), F.col("e.source_format"))
+        .otherwise(
+            F.coalesce(F.col("i.source_format"), F.col("e.source_format"))
+        )
+    )
+    return joined.select(
+        "spider",
+        "name",
+        *[
+            F.coalesce(F.col(f"i.{c}"), F.col(f"e.{c}")).alias(c)
+            for c in data_cols
+        ],
+        fmt.alias("source_format"),
     )

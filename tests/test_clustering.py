@@ -296,3 +296,22 @@ def test_nan_vectors_excluded_from_assignment(spark):
     out = {r["id"]: r["cluster"] for r in got.collect()}
     assert set(out) == {1, 5}, out
     assert -1 not in out.values()
+
+
+def test_infinity_vectors_excluded_from_assignment(spark):
+    """±Infinity components defeat the strict-< fold the same way NaN
+    does (inf - inf = NaN, -inf ties every score) — excluded like NaN
+    (r04 review)."""
+    from swisscourtrulingcorpus_spark.operators.clustering import (
+        assign_clusters,
+    )
+
+    rows = [
+        (1, [1.0, 2.0]),
+        (2, [float("inf"), 0.0]),
+        (3, [float("-inf"), 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "id: long, vec: array<double>")
+    got = assign_clusters(df, [[0.0, 0.0], [3.0, 3.0]], "vec", "id")
+    out = {r["id"]: r["cluster"] for r in got.collect()}
+    assert out == {1: 0}

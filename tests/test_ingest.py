@@ -133,3 +133,55 @@ def test_streaming_ingest_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 9
     assert final.where("name = 'CH_BGer_7777'").count() == 1
+    assert (
+        final.where("name = 'CH_BGer_7777'").first()["source_format"]
+        == "metadata-only"
+    )
+
+    # split arrival: the payload lands batches AFTER the metadata —
+    # the merge must converge to ONE complete row (r04 review), not a
+    # duplicate partial pair, and never demote an extracted doc
+    with open(os.path.join(root, "CH_BGer", "CH_BGer_7777.html"), "w") as fh:
+        fh.write('<div class="content"><p>Nachgereichtes Urteil.</p></div>')
+    q4 = stream_ingest_landing_zone_job(spark, root, out, ckpt)
+    q4.awaitTermination()
+    merged = spark.read.parquet(out)
+    assert merged.count() == 9  # still one row per document
+    row = merged.where("name = 'CH_BGer_7777'").first()
+    assert row["signatur"] == "CH_BGer.7777"  # metadata kept
+    assert "Nachgereichtes Urteil." in row["text"]  # payload merged in
+    assert row["source_format"] == "html"
+
+
+def test_pdf_length_preferred_when_consistent_ignored_when_lying():
+    """/Length gives the exact stream boundary when consistent with
+    endstream (solves the data-ends-in-CR-before-bare-LF ambiguity the
+    EOL heuristic cannot); an inconsistent /Length (placeholder 0 in
+    hand-built fixtures, wrong values in scanned PDFs) must fall back
+    to the heuristic instead of truncating real data."""
+    from swisscourtrulingcorpus_spark.extraction.pdf import (
+        extract_pdf_text_py,
+    )
+
+    # data whose LAST byte is \r, followed by the producer's \n EOL:
+    # heuristic alone strips both; /Length disambiguates
+    content = b"BT (A) Tj ET\r"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text_py(pdf) == "A"
+
+    # lying /Length 0: heuristic fallback still recovers the text
+    pdf0 = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 0 >>\nstream\n"
+        b"BT (B) Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text_py(pdf0) == "B"
+
+    # indirect /Length (5 0 R) must not be parsed as direct length 5
+    pdfr = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length 5 0 R >>\nstream\n"
+        b"BT (CCCCCCCCCC) Tj ET\nendstream\nendobj\n"
+    )
+    assert extract_pdf_text_py(pdfr) == "CCCCCCCCCC"

@@ -222,3 +222,35 @@ def test_checked_commit_detects_concurrent_writer(spark, tmp_path):
     assert V.commit_version(spark.range(9), table, base_version=2) == 3
     assert V.versions(table) == [1, 2, 3]
     assert V.read_version(spark, table).count() == 9
+
+
+def test_stale_claim_does_not_livelock_checked_commit(spark, tmp_path, monkeypatch):
+    """r04 review: a crashed writer's leftover v2.claim made every
+    checked commit raise forever (base never advanced).  The checked
+    path now claims exactly v{base+1} and BREAKS claims older than the
+    TTL."""
+    monkeypatch.setattr(V, "CLAIM_TTL_SECONDS", 0.2)
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(5), table)  # v1
+    # crashed writer debris: stale claim on the next version
+    stale = os.path.join(table, "v2.claim")
+    open(stale, "w").close()
+    os.utime(stale, (1, 1))  # ancient mtime -> immediately past TTL
+    v = V.commit_version(spark.range(7), table, base_version=1)
+    assert v == 2
+    assert V.read_version(spark, table).count() == 7
+    assert not os.path.exists(stale)
+
+
+def test_checked_commit_still_conflicts_after_staleclaim_fix(spark, tmp_path):
+    """The TTL break must not weaken conflict detection: a COMMITTED
+    newer version still raises."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(5), table)  # v1
+    V.commit_version(spark.range(6), table)  # v2
+    with pytest.raises(V.ConcurrentWriteError):
+        V.commit_version(spark.range(3), table, base_version=1)
