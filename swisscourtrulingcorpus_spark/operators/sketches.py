@@ -165,3 +165,92 @@ def cms_estimate(
         F.broadcast(sketch), on=["d", "bucket"], how="left"
     ).select(probe_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
     return joined.groupBy(probe_col).agg(F.min("cnt").alias("estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: mergeable membership sketch for join pruning
+# ---------------------------------------------------------------------------
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter over ``df[key_col]`` as a RELATIONAL sketch:
+    one row per 64-bit word, ``(word_idx, word)``, only non-zero words
+    present.
+
+    Scale shape: each key maps to ``k`` bit positions via the portable
+    md5 hash family (`functions/hashing.py::h32`), positions shuffle as
+    (word_idx, bit) pairs — fixed-width, key text never moves — and
+    ``bit_or`` aggregates map-side.  Because OR is associative and
+    commutative, per-partition / per-day filter slices merge by the
+    same groupBy — the streaming/incremental build is the same code.
+
+    The classic use at 100 TB: build over the small(er) side's join
+    keys, broadcast the words (m_bits/64 longs, kilobytes), and
+    pre-filter the huge side BEFORE the shuffle join — rows that can't
+    match never enter the exchange.  False positives only (bounded by
+    the standard (1-e^{-kn/m})^k), never false negatives.
+    """
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    key = F.col(key_col).cast("string")
+    positions = F.array(
+        *[h32(key, seed=f"bloom{j}") % m_bits for j in range(k)]
+    )
+    return (
+        df.select(F.explode(positions).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("word_idx"),
+            # shiftleft's python API takes only a literal shift count;
+            # the column-operand form needs the SQL function
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    bloom_words: list[tuple[int, int]],
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Filter ``probe`` to rows whose key MIGHT be in the Bloom filter
+    (all ``k`` bits set).  ``bloom_words`` is the collected
+    ``bloom_build`` output (bounded: m_bits/64 longs — kilobytes, the
+    broadcast-dim regime); membership tests run as a pure map-side
+    expression over a literal word map, zero shuffles, full codegen."""
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    words = F.create_map(
+        *[
+            F.lit(x)
+            for idx, word in sorted(bloom_words)
+            for x in (int(idx), int(word))
+        ]
+    )
+    key = F.col(key_col).cast("string")
+    tmp = probe
+    pos_cols = []
+    checks = []
+    for j in range(k):
+        pc = f"__bloom_pos_{j}"
+        pos_cols.append(pc)
+        tmp = tmp.withColumn(pc, h32(key, seed=f"bloom{j}") % m_bits)
+        word = F.coalesce(
+            F.element_at(words, (F.col(pc) / 64).cast("int")),
+            F.lit(0).cast("bigint"),
+        )
+        bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({pc} % 64 AS INT))")
+        checks.append(word.bitwiseAND(bit) != 0)
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return tmp.where(cond).drop(*pos_cols)

@@ -341,3 +341,48 @@ def apply_token_vocab(
             F.coalesce(F.col("vocab_id"), F.lit(0)).cast("int").alias("token_id"),
         )
     )
+
+
+def length_grouped_shards(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Equal-frequency length bucketing: rows sorted by (length, id)
+    split into ``n_shards`` contiguous shards — the padding-efficiency
+    / curriculum grouping trainers apply before batching (documents of
+    similar token count batch together, so per-batch padding waste is
+    minimized and shard order doubles as a length curriculum).
+
+    Shard of rank r (1-based) in t rows is ``(r-1) * n DIV t + 1`` —
+    the balanced contiguous split, integer-exact in any engine.  The
+    global rank uses the SAME two-phase parallel pattern as
+    :func:`deterministic_shuffle` (range-partition on the sort key,
+    local row_number, add the tiny broadcast partition offsets) — no
+    single-partition window, identical output at any parallelism."""
+    slim = df.select(F.col(id_col), F.col(len_col).cast("bigint").alias("__len"))
+    parts = slim.repartitionByRange(
+        F.col("__len"), F.col(id_col)
+    ).withColumn("__pid", F.spark_partition_id())
+    local_w = Window.partitionBy("__pid").orderBy(
+        F.col("__len").asc(), F.col(id_col).asc()
+    )
+    ranked = parts.withColumn("__local", F.row_number().over(local_w))
+    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
+    )
+    total = counts.agg(F.sum("__n").alias("__total"))
+    return (
+        ranked.join(F.broadcast(offsets), on="__pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.col("__len").alias(len_col),
+            (
+                F.expr(f"(__off + __local - 1) * {n_shards} DIV __total") + 1
+            ).cast("int").alias("shard"),
+        )
+    )

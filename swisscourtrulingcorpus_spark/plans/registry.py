@@ -74,6 +74,8 @@ _FRONT_OF_WINDOW: list[str] = [
     "lemma_counts_documents",
     "png_decode_stats",
     "pos_proxy_counts",
+    "bloom_prefilter_orders",
+    "length_grouped_shards",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

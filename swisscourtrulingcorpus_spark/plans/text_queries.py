@@ -822,6 +822,73 @@ def q_lemma_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (`operators/sketches.py::bloom_build/
+    bloom_might_contain`): build the filter over BUILDING-segment
+    customer keys, pre-filter the orders FACT side map-side with the
+    broadcast word array, then count candidates vs exact members.
+    The oracle models the filter as the equivalent distinct-bit-set
+    (word packing is an implementation detail; the bit set is the
+    semantics), so both the hash family and the false-positive set
+    must match bit for bit.  At 100 TB the point is the shape: rows
+    that cannot join never enter the exchange."""
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    words = [
+        (r["word_idx"], r["word"])
+        for r in bloom_build(keys, "c_custkey", _BLOOM_M, _BLOOM_K).collect()
+    ]
+    orders = load_table(spark, sf_dir, "orders")
+    cand = bloom_might_contain(orders, words, "o_custkey", _BLOOM_M, _BLOOM_K)
+    marked = cand.join(
+        F.broadcast(keys.withColumn("__m", F.lit(1))),
+        cand["o_custkey"] == keys["c_custkey"],
+        "left",
+    )
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("__m").alias("n_exact"),
+        (F.count(F.lit(1)) - F.count("__m")).alias("n_false_positives"),
+    )
+
+
+def _bloom_oracle() -> str:
+    def h(j: str, key: str) -> str:
+        return (
+            f"CAST(CAST(('0x' || substr(md5('bloom{j}|' || CAST({key} AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            f"% {_BLOOM_M} AS BIGINT)"
+        )
+
+    probes = " AND ".join(
+        f"{h(j, 'o_custkey')} IN (SELECT p FROM bits)" for j in range(_BLOOM_K)
+    )
+    inserts = " UNION ALL ".join(
+        f"SELECT {h(j, 'c_custkey')} AS p FROM keys" for j in range(_BLOOM_K)
+    )
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+bits AS (SELECT DISTINCT p FROM ({inserts})),
+cand AS (SELECT o_custkey FROM orders WHERE {probes})
+SELECT count(*) AS n_candidates,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM keys) THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM keys) THEN 0 ELSE 1 END) AS BIGINT) AS n_false_positives
+FROM cand
+"""
+
+
+BLOOM_PREFILTER_ORACLE = _bloom_oracle()
+
+
 def q_pos_proxy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 counter_pos/counter_tag counterpart
     (`abstract_preprocessor.py:404-409`: per-token POS/tag counts).
@@ -915,6 +982,7 @@ SPECS = [
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
     QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
     QuerySpec("pos_proxy_counts", q_pos_proxy_counts, POS_PROXY_ORACLE, "E11 counter_pos/tag shape proxy"),
+    QuerySpec("bloom_prefilter_orders", q_bloom_prefilter, BLOOM_PREFILTER_ORACLE, "Bloom-filter join pruning vs bit-set oracle"),
     QuerySpec("lexical_diversity_documents", lexical_diversity_documents, LEXICAL_DIVERSITY_ORACLE, "Gopher-style repetition score"),
     QuerySpec("exact_dedup_documents", q_exact_dedup, EXACT_DEDUP_ORACLE, "exact dedup"),
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),

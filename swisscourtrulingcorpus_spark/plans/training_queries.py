@@ -138,8 +138,40 @@ def _mix_oracle() -> str:
     return f"SELECT doc_id, lang, source FROM documents WHERE {pred}"
 
 
+_N_SHARDS = 16
+
+
+def q_length_grouped_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency length grouping
+    (`operators/training.py::length_grouped_shards`): documents ranked
+    by (token count, doc_id) split into 16 contiguous shards via the
+    two-phase parallel rank — similar lengths batch together."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        length_grouped_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    with_len = docs.select(
+        "doc_id", F.size(F.split(normalize_ws("text"), " ")).alias("n_tokens")
+    )
+    return length_grouped_shards(with_len, "n_tokens", "doc_id", _N_SHARDS)
+
+
+LENGTH_SHARDS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+  FROM documents WHERE text IS NOT NULL)
+SELECT doc_id, n_tokens,
+       CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1) * {_N_SHARDS}
+            // (count(*) OVER ()) + 1 AS INT) AS shard
+FROM t
+"""
+
+
 SPECS = [
     QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
+    QuerySpec("length_grouped_shards", q_length_grouped_shards, LENGTH_SHARDS_ORACLE, "padding-efficiency length bucketing"),
     QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
     QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
 ]

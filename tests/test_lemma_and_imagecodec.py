@@ -182,3 +182,32 @@ def test_apply_token_vocab_paths_agree(spark):
             mode="formatted"
         )
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_length_shards_monotone_and_balanced(spark):
+    """Shards are contiguous in length order, sizes differ by at most
+    one, and the result is identical at different parallelism (the
+    two-phase rank is boundary-invariant)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import (
+        length_grouped_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 200 + 1) for i in range(333)], "doc_id: long, n: long"
+    )
+    out = length_grouped_shards(df, "n", "doc_id", n_shards=8).collect()
+    rows = sorted(((r["n"], r["doc_id"]), r["shard"]) for r in out)
+    shards = [s for _, s in rows]
+    assert shards == sorted(shards)  # contiguous in length order
+    from collections import Counter
+
+    sizes = Counter(shards)
+    assert set(sizes) == set(range(1, 9))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+    redist = length_grouped_shards(
+        df.repartition(13), "n", "doc_id", n_shards=8
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, redist))

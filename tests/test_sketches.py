@@ -137,3 +137,68 @@ def test_cms_estimate_rejects_unmerged_sliced_sketch(spark):
     probes = spark.createDataFrame([("a",)], ["v"])
     with pytest.raises(ValueError, match="merge slices first"):
         cms_estimate(sliced, probes, "v", width=16, depth=2)
+
+
+def test_bloom_no_false_negatives_and_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 200).select(F.col("id").alias("k"))
+    words = [
+        (r["word_idx"], r["word"])
+        for r in bloom_build(keys, "k", m_bits=1 << 12, k=4).collect()
+    ]
+    probe = spark.range(0, 2000).select(F.col("id").alias("k"))
+    got = {
+        r["k"]
+        for r in bloom_might_contain(
+            probe, words, "k", m_bits=1 << 12, k=4
+        ).collect()
+    }
+    assert set(range(200)) <= got  # NEVER a false negative
+    fp = len(got) - 200
+    assert fp < 400  # ~((1-e^{-4*200/4096})^4) ≈ 0.06% .. loose bound
+
+    # mergeability: filter(A ∪ B) == bit_or of filter(A), filter(B)
+    a = spark.range(0, 100).select(F.col("id").alias("k"))
+    b = spark.range(100, 200).select(F.col("id").alias("k"))
+    merged = (
+        bloom_build(a, "k", 1 << 12, 4)
+        .unionByName(bloom_build(b, "k", 1 << 12, 4))
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+    whole = bloom_build(keys, "k", 1 << 12, 4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The membership test must be a pure projection+filter — no
+    exchange, no join: the whole point is pruning BEFORE the shuffle."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 50).select(F.col("id").alias("k"))
+    words = [
+        (r["word_idx"], r["word"]) for r in bloom_build(keys, "k").collect()
+    ]
+    probe = spark.range(0, 500).select(F.col("id").alias("k"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bloom_might_contain(probe, words, "k").explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
