@@ -386,3 +386,30 @@ def length_grouped_shards(
             ).cast("int").alias("shard"),
         )
     )
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: str = "strat",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer only when the
+    stratum is smaller), selected by seeded md5 order — the eval-set /
+    annotation-batch builder.  Differs from ``domain_mix_sample`` (rate
+    x hash threshold: unbiased but only EXPECTED counts) when the
+    contract is a hard per-group quota.
+
+    Scale shape: one shuffle partitioned BY STRATUM (the window's
+    partition key), rank within each, keep the top n.  Deterministic
+    on any engine/cluster (md5 order, ties by id), and stable per
+    stratum under growth of OTHER strata (adding documents to stratum
+    A never changes stratum B's sample)."""
+    key = md5_seeded(F.col(id_col).cast("string"), seed)
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

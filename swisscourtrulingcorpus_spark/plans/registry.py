@@ -76,6 +76,7 @@ _FRONT_OF_WINDOW: list[str] = [
     "pos_proxy_counts",
     "bloom_prefilter_orders",
     "length_grouped_shards",
+    "stratified_sample_documents",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

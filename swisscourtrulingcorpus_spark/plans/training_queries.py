@@ -175,3 +175,40 @@ SPECS = [
     QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
     QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
 ]
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling
+    (`operators/training.py::stratified_sample_exact`): 20 documents
+    per language by seeded md5 order — hard per-stratum counts, unlike
+    the rate-based domain mix."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        stratified_sample_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return stratified_sample_exact(docs, "lang", "doc_id", 20)
+
+
+STRATIFIED_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents)
+SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "stratified_sample_documents",
+        q_stratified_sample,
+        STRATIFIED_ORACLE,
+        "exact per-stratum quota sample (seeded md5 order)",
+    ),
+]
