@@ -201,7 +201,11 @@ def bloom_build(
         *[h32(key, seed=f"bloom{j}") % m_bits for j in range(k)]
     )
     return (
-        df.select(F.explode(positions).alias("pos"))
+        # NULL keys have no hash (md5(NULL) is NULL) — without the
+        # filter they emit a (null, null) word row that crashes the
+        # collected-words sort in bloom_might_contain (r04 review)
+        df.where(F.col(key_col).isNotNull())
+        .select(F.explode(positions).alias("pos"))
         .select(
             (F.col("pos") / 64).cast("int").alias("word_idx"),
             # shiftleft's python API takes only a literal shift count;

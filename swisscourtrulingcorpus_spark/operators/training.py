@@ -81,6 +81,52 @@ def chunk_documents(
     )
 
 
+
+def parallel_prefix_sum(
+    df: DataFrame,
+    sort_cols: list,
+    value,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE prefix sum of ``value`` over the total order given by
+    ``sort_cols`` (which must form a unique key), without ever putting
+    the whole dataset through one window task: range-partition on the
+    sort key (the parallel total sort), LOCAL running sum per
+    partition, then add each partition's starting offset — a running
+    total over the tiny one-row-per-partition table, broadcast back.
+    The result is independent of where the range boundaries land, so
+    output is identical at any parallelism (property-tested).
+
+    This is the shared skeleton behind :func:`deterministic_shuffle`
+    (value=1 -> global rank), :func:`pack_sequences` (value=token
+    count -> token offsets) and :func:`length_grouped_shards`
+    (value=1 -> length rank); keeping it in ONE place means a fix to
+    the pattern lands everywhere (r04 review)."""
+    parts = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*sort_cols)
+    ).withColumn("__pid", F.spark_partition_id())
+    with_val = parts.withColumn("__val", value.cast("bigint"))
+    local_w = (
+        Window.partitionBy("__pid")
+        .orderBy(*[c.asc() for c in sort_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = with_val.withColumn("__local", F.sum("__val").over(local_w))
+    totals = local.groupBy("__pid").agg(F.sum("__val").alias("__t"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__pid", "__val", "__local", "__off")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,
@@ -107,31 +153,14 @@ def deterministic_shuffle(
     keyed = df.select(
         df["*"], md5_seeded(F.col(id_col).cast("string"), seed).alias("__k")
     )
-    range_cols = [F.col("__k"), F.col(id_col)]
-    parts = (
-        keyed.repartitionByRange(num_partitions, *range_cols)
-        if num_partitions is not None
-        else keyed.repartitionByRange(*range_cols)
-    ).withColumn("__pid", F.spark_partition_id())
-    local_w = Window.partitionBy("__pid").orderBy(
-        F.col("__k").asc(), F.col(id_col).asc()
+    ranked = parallel_prefix_sum(
+        keyed,
+        [F.col("__k"), F.col(id_col)],
+        F.lit(1),
+        rank_col,
+        num_partitions,
     )
-    ranked = parts.withColumn("__local", F.row_number().over(local_w))
-    # offsets: rows in all partitions BEFORE this one; the aggregate is
-    # one row per partition, so this window input is tiny at any scale
-    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    off_w = (
-        Window.orderBy("__pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
-    )
-    return (
-        ranked.join(F.broadcast(offsets), on="__pid")
-        .withColumn(rank_col, (F.col("__off") + F.col("__local")).cast("int"))
-        .drop("__k", "__pid", "__local", "__off")
-    )
+    return ranked.withColumn(rank_col, F.col(rank_col).cast("int")).drop("__k")
 
 
 def pack_sequences(
@@ -163,35 +192,20 @@ def pack_sequences(
         F.col(len_col).cast("bigint").alias("__len"),
         md5_seeded(F.col(id_col).cast("string"), seed).alias("__k"),
     )
-    range_cols = [F.col("__k"), F.col(id_col)]
-    parts = (
-        keyed.repartitionByRange(num_partitions, *range_cols)
-        if num_partitions is not None
-        else keyed.repartitionByRange(*range_cols)
-    ).withColumn("__pid", F.spark_partition_id())
-    local_w = (
-        Window.partitionBy("__pid")
-        .orderBy(F.col("__k").asc(), F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+    summed = parallel_prefix_sum(
+        keyed,
+        [F.col("__k"), F.col(id_col)],
+        F.col("__len"),
+        "__incl",
+        num_partitions,
     )
-    summed = parts.withColumn(
-        "__local_start", F.coalesce(F.sum("__len").over(local_w), F.lit(0))
-    )
-    totals = summed.groupBy("__pid").agg(F.sum("__len").alias("__t"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
-    )
-    start = F.col("__off") + F.col("__local_start")
-    return (
-        summed.join(F.broadcast(offsets), on="__pid")
-        .select(
-            id_col,
-            F.col("__len").alias("n_tokens"),
-            start.alias("token_start"),
-            F.floor(start / context_len).cast("bigint").alias("pack_id"),
-            (start % context_len).cast("bigint").alias("pack_offset"),
-        )
+    start = F.col("__incl") - F.col("__len")  # exclusive prefix
+    return summed.select(
+        id_col,
+        F.col("__len").alias("n_tokens"),
+        start.alias("token_start"),
+        F.floor(start / context_len).cast("bigint").alias("pack_id"),
+        (start % context_len).cast("bigint").alias("pack_offset"),
     )
 
 
@@ -362,27 +376,17 @@ def length_grouped_shards(
     local row_number, add the tiny broadcast partition offsets) — no
     single-partition window, identical output at any parallelism."""
     slim = df.select(F.col(id_col), F.col(len_col).cast("bigint").alias("__len"))
-    parts = slim.repartitionByRange(
-        F.col("__len"), F.col(id_col)
-    ).withColumn("__pid", F.spark_partition_id())
-    local_w = Window.partitionBy("__pid").orderBy(
-        F.col("__len").asc(), F.col(id_col).asc()
+    ranked = parallel_prefix_sum(
+        slim, [F.col("__len"), F.col(id_col)], F.lit(1), "__rank"
     )
-    ranked = parts.withColumn("__local", F.row_number().over(local_w))
-    counts = ranked.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off")
-    )
-    total = counts.agg(F.sum("__n").alias("__total"))
+    total = slim.agg(F.count(F.lit(1)).alias("__total"))
     return (
-        ranked.join(F.broadcast(offsets), on="__pid")
-        .crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
             id_col,
             F.col("__len").alias(len_col),
             (
-                F.expr(f"(__off + __local - 1) * {n_shards} DIV __total") + 1
+                F.expr(f"(__rank - 1) * {n_shards} DIV __total") + 1
             ).cast("int").alias("shard"),
         )
     )
@@ -401,15 +405,33 @@ def stratified_sample_exact(
     x hash threshold: unbiased but only EXPECTED counts) when the
     contract is a hard per-group quota.
 
-    Scale shape: one shuffle partitioned BY STRATUM (the window's
-    partition key), rank within each, keep the top n.  Deterministic
-    on any engine/cluster (md5 order, ties by id), and stable per
-    stratum under growth of OTHER strata (adding documents to stratum
-    A never changes stratum B's sample)."""
+    Scale shape — TWO phases, so a low-cardinality stratum column
+    (languages, domains: a handful of values over a 100 TB corpus)
+    never funnels a whole stratum through one window task:
+
+    1. LOCAL top-n per (input partition, stratum): each task keeps at
+       most n candidates per stratum it sees — map-side, no shuffle,
+       output bounded by n × P × strata rows.
+    2. Global per-stratum top-n over only those candidates.  A row in
+       the true global top n is necessarily in its partition's local
+       top n, so phase 1 discards no winner; the phase-2 window sorts
+       n × P rows per stratum, not the stratum itself.
+
+    Deterministic on any engine/cluster (md5 order, ties by id), and
+    stable per stratum under growth of OTHER strata (adding documents
+    to stratum A never changes stratum B's sample)."""
     key = md5_seeded(F.col(id_col).cast("string"), seed)
+    local_w = Window.partitionBy(
+        F.spark_partition_id(), F.col(strata_col)
+    ).orderBy(key.asc(), F.col(id_col).asc())
+    candidates = (
+        df.withColumn("__lrk", F.row_number().over(local_w))
+        .where(F.col("__lrk") <= n_per_stratum)
+        .drop("__lrk")
+    )
     w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
     return (
-        df.withColumn("__rk", F.row_number().over(w))
+        candidates.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )

@@ -169,14 +169,6 @@ FROM t
 """
 
 
-SPECS = [
-    QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
-    QuerySpec("length_grouped_shards", q_length_grouped_shards, LENGTH_SHARDS_ORACLE, "padding-efficiency length bucketing"),
-    QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
-    QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
-]
-
-
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-quota stratified sampling
     (`operators/training.py::stratified_sample_exact`): 20 documents
@@ -204,11 +196,10 @@ SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
 """
 
 
-SPECS += [
-    QuerySpec(
-        "stratified_sample_documents",
-        q_stratified_sample,
-        STRATIFIED_ORACLE,
-        "exact per-stratum quota sample (seeded md5 order)",
-    ),
+SPECS = [
+    QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
+    QuerySpec("length_grouped_shards", q_length_grouped_shards, LENGTH_SHARDS_ORACLE, "padding-efficiency length bucketing"),
+    QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
+    QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
+    QuerySpec("stratified_sample_documents", q_stratified_sample, STRATIFIED_ORACLE, "exact per-stratum quota sample (seeded md5 order)"),
 ]

@@ -202,3 +202,24 @@ def test_bloom_probe_is_map_side(spark):
     plan = buf.getvalue()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """NULL build keys used to emit a (null, null) word row that
+    crashed the collected-words sort in bloom_might_contain (r04
+    review) — they are garbage (md5(NULL) is NULL) and are dropped."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    keys = spark.createDataFrame([(1,), (None,), (2,)], "k: long")
+    words = [
+        (r["word_idx"], r["word"]) for r in bloom_build(keys, "k").collect()
+    ]
+    assert all(i is not None and w is not None for i, w in words)
+    probe = spark.range(0, 50).select(F.col("id").alias("k"))
+    got = {r["k"] for r in bloom_might_contain(probe, words, "k").collect()}
+    assert {1, 2} <= got
