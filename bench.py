@@ -8,7 +8,7 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
 Each query executes via .count() on the final plan (full execution, no
 driver-side row transfer).  A tiny warmup query first so JVM/codegen
 startup isn't billed to the first headline query; each headline query
-then runs twice and reports the faster run — steady-state throughput,
+then runs three times and reports the fastest run — steady-state throughput,
 so one-time whole-stage-codegen compilation (~2s for the widest dedup
 plans, amortized to nothing over a real corpus) isn't billed either.
 """
@@ -66,7 +66,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        # best-of-3: a single GC pause or JIT recompile in one run no
+        # longer lands in the recorded number (r03->r04 drift was pure
+        # run-to-run noise; see SCALE.md bench-drift bisect)
+        for _ in range(3):
             t0 = time.perf_counter()
             q[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

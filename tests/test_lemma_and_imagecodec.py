@@ -211,3 +211,54 @@ def test_length_shards_monotone_and_balanced(spark):
         df.repartition(13), "n", "doc_id", n_shards=8
     ).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, redist))
+
+
+def test_png_codec_property_random_images():
+    """Property: encode->decode is the identity for random pixel
+    buffers, sizes, channel counts and per-row filter choices."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 9),
+        nch=st.sampled_from([1, 2, 3, 4]),
+        data=st.data(),
+    )
+    def check(w, h, nch, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255),
+                    min_size=w * h * nch,
+                    max_size=w * h * nch,
+                )
+            )
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        enc = encode_png(w, h, nch, px, filter_for_row=lambda y: filters[y])
+        got_w, got_h, got_c, out = decode_png(enc)
+        assert (got_w, got_h, got_c) == (w, h, nch)
+        assert bytes(out) == px
+
+    check()
+
+
+def test_bmp_codec_property_random_images():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(w=st.integers(1, 9), h=st.integers(1, 6), data=st.data())
+    def check(w, h, data):
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        assert bytes(decode_bmp(encode_bmp24(w, h, px))[3]) == px
+
+    check()
