@@ -41,3 +41,19 @@ def duck(sf_dir):
         )
     yield con
     con.close()
+
+
+@pytest.fixture(scope="session")
+def explain_plan():
+    """Public-API plan dump (classic + Spark Connect safe) — use
+    instead of df._jdf.queryExecution()."""
+    import contextlib
+    import io
+
+    def _explain(df, mode: str = "formatted") -> str:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode=mode)
+        return buf.getvalue()
+
+    return _explain

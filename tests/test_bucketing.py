@@ -5,7 +5,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir):
+def test_bucketed_join_has_no_exchange(spark, sf_dir, explain_plan):
     from swisscourtrulingcorpus_spark.sources.bucketing import (
         bucketed_join,
         write_bucketed,
@@ -42,7 +42,8 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
 
     # inspect the EXECUTED aggregation plan (the join sits inside it):
     # the groupBy needs one Exchange; the co-bucketed join needs NONE
-    plan = agg._jdf.queryExecution().executedPlan().toString()
+    agg.collect()  # AQE: the final plan exists after execution
+    plan = explain_plan(agg, "extended")
     final = plan.split("== Initial Plan ==")[0]
     assert "SortMergeJoin" in final, final
     assert final.count("Exchange") == 1, final

@@ -110,19 +110,19 @@ def test_pq_trained_codebooks_shape_and_quality(emb):
     assert all(len(r.codes) == 4 and all(0 <= c < 4 for c in r.codes) for r in rows)
 
 
-def test_assign_plan_is_pure_projection(emb):
+def test_assign_plan_is_pure_projection(emb, explain_plan):
     vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = [[0.0] * 64, [1.0] * 64]
-    plan = C.assign_clusters(vecs, cents, "v", "vec_id")._jdf.queryExecution().executedPlan().toString()
+    plan = explain_plan(C.assign_clusters(vecs, cents, "v", "vec_id"))
     # the literal-centroid argmin must not join, shuffle, or aggregate
     for bad in ("Join", "Exchange", "Aggregate", "Sort"):
         assert bad not in plan, f"{bad} in assignment plan"
 
 
-def test_ivf_candidates_equi_join(emb):
+def test_ivf_candidates_equi_join(emb, explain_plan):
     cents, _ = C.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iter=1)
     df = C.ivf_topk(emb, emb.limit(3), cents, "embedding", "vec_id", k=3, nprobe=2)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = explain_plan(df)
     # the corpus-side candidate join must key on the cluster id — a
     # cartesian against the corpus would be the brute-force plan
     assert "cluster" in plan

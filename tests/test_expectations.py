@@ -52,7 +52,7 @@ def test_unique_and_fk(spark):
     assert (fk.violations, fk.total) == (2, 5)
 
 
-def test_row_checks_single_scan(spark, sf_dir):
+def test_row_checks_single_scan(spark, sf_dir, explain_plan):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     rep = X.table_expectations(
         orders,
@@ -64,9 +64,13 @@ def test_row_checks_single_scan(spark, sf_dir):
             X.matches_regex("o_orderpriority", r"^\d-"),
         ],
     )
-    plan = rep._jdf.queryExecution().executedPlan().toString()
-    # four checks, ONE scan of the table
-    assert plan.count("FileScan") == 1
+    plan = explain_plan(rep)
+    # four checks, ONE scan of the table: formatted mode prints each
+    # node in the tree AND the details section, so count the numbered
+    # detail entries ("(n) Scan parquet") — exactly one per scan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
 
 
 def test_clean_fixture_reports_zero_violations(spark, sf_dir):

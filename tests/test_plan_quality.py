@@ -18,24 +18,41 @@ import pyspark.sql.functions as F
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 
+def _explain(df, mode: str) -> str:
+    """Public-API plan dump (works on classic AND Spark Connect —
+    `df.explain` is the one supported surface; `_jdf`/`_jvm` are not,
+    r02/r04 advice)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
 def _static_plan(df) -> str:
     """Pre-execution formatted plan (pushdown/pruning live here)."""
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return _explain(df, "formatted")
 
 
 def _final_plan(df) -> str:
-    """Post-execution adaptive plan (join strategy/codegen live here).
-    The dump repeats the pre-AQE plan under '== Initial Plan ==' — keep
-    only the final section."""
+    """Post-execution adaptive plan (join strategy/codegen live here):
+    with AQE, explain on an already-executed DataFrame reflects the
+    final adaptive plan (isFinalPlan=true).  The dump repeats the
+    pre-AQE plan under '== Initial Plan ==' — keep only the final
+    section."""
     df.collect()
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _explain(df, "extended")
     return plan.split("== Initial Plan ==")[0]
 
 
 def _optimized_logical(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+    plan = _explain(df, "extended")
+    # section between '== Optimized Logical Plan ==' and '== Physical Plan =='
+    return plan.split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
