@@ -254,3 +254,38 @@ def test_checked_commit_still_conflicts_after_staleclaim_fix(spark, tmp_path):
     V.commit_version(spark.range(6), table)  # v2
     with pytest.raises(V.ConcurrentWriteError):
         V.commit_version(spark.range(3), table, base_version=1)
+
+
+def test_concurrent_checked_commits_one_winner(spark, tmp_path):
+    """Two checked committers staged against the SAME base: exactly
+    one wins v{base+1}; the loser gets ConcurrentWriteError (the
+    v{base+1} claim serializes them — no silent double-commit)."""
+    import threading
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(4), table)  # v1
+    dfs = {n: spark.range(n + 10).toPandas() for n in range(4)}
+    outcomes: list[tuple[int, object]] = []
+    lock = threading.Lock()
+
+    def commit(n):
+        df = spark.createDataFrame(dfs[n])
+        try:
+            v = V.commit_version(df, table, base_version=1)
+            res: object = ("ok", v)
+        except V.ConcurrentWriteError:
+            res = ("conflict", None)
+        with lock:
+            outcomes.append((n, res))
+
+    threads = [threading.Thread(target=commit, args=(n,)) for n in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wins = [r for _, r in outcomes if r[0] == "ok"]
+    conflicts = [r for _, r in outcomes if r[0] == "conflict"]
+    assert len(wins) == 1 and wins[0][1] == 2
+    assert len(conflicts) == 3
+    assert V.versions(table) == [1, 2]
