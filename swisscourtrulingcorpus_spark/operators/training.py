@@ -102,7 +102,17 @@ def parallel_prefix_sum(
     (value=1 -> global rank), :func:`pack_sequences` (value=token
     count -> token offsets) and :func:`length_grouped_shards`
     (value=1 -> length rank); keeping it in ONE place means a fix to
-    the pattern lands everywhere (r04 review)."""
+    the pattern lands everywhere (r04 review).
+
+    ``value`` must be non-null for every row (a NULL contribution
+    would poison every later prefix in its partition) — coalesce at
+    the call site if the source column is nullable."""
+    reserved = {"__pid", "__val", "__local", "__off", out_col}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        # fail LOUDLY: withColumn would silently replace and drop the
+        # caller's columns of these names (r04 review)
+        raise ValueError(f"parallel_prefix_sum reserves columns {clash}")
     parts = (
         df.repartitionByRange(num_partitions, *sort_cols)
         if num_partitions is not None
@@ -195,11 +205,14 @@ def pack_sequences(
     summed = parallel_prefix_sum(
         keyed,
         [F.col("__k"), F.col(id_col)],
-        F.col("__len"),
+        # a NULL length occupies zero tokens but KEEPS its defined
+        # position in the pack layout (n_tokens stays NULL below) — a
+        # raw NULL value would poison every later prefix (r04 review)
+        F.coalesce(F.col("__len"), F.lit(0)),
         "__incl",
         num_partitions,
     )
-    start = F.col("__incl") - F.col("__len")  # exclusive prefix
+    start = F.col("__incl") - F.coalesce(F.col("__len"), F.lit(0))
     return summed.select(
         id_col,
         F.col("__len").alias("n_tokens"),
@@ -379,7 +392,10 @@ def length_grouped_shards(
     ranked = parallel_prefix_sum(
         slim, [F.col("__len"), F.col(id_col)], F.lit(1), "__rank"
     )
-    total = slim.agg(F.count(F.lit(1)).alias("__total"))
+    # total = max rank (value is 1): derived from the RANKED branch so
+    # its subtree shares the range exchange (ReuseExchange) instead of
+    # executing the upstream lineage a second time (r04 review)
+    total = ranked.agg(F.max("__rank").alias("__total"))
     return (
         ranked.crossJoin(F.broadcast(total))
         .select(
@@ -405,33 +421,38 @@ def stratified_sample_exact(
     x hash threshold: unbiased but only EXPECTED counts) when the
     contract is a hard per-group quota.
 
-    Scale shape — TWO phases, so a low-cardinality stratum column
-    (languages, domains: a handful of values over a 100 TB corpus)
-    never funnels a whole stratum through one window task:
+    Scale shape — both phases run over a SLIM (id, stratum)
+    projection, so a low-cardinality stratum column (languages,
+    domains: a handful of values over a 100 TB corpus) never funnels
+    the corpus — or even one wide stratum — through one window task:
 
-    1. LOCAL top-n per (input partition, stratum): each task keeps at
-       most n candidates per stratum it sees — map-side, no shuffle,
-       output bounded by n × P × strata rows.
-    2. Global per-stratum top-n over only those candidates.  A row in
-       the true global top n is necessarily in its partition's local
-       top n, so phase 1 discards no winner; the phase-2 window sorts
-       n × P rows per stratum, not the stratum itself.
+    1. Local top-n per (input partition, stratum) over the slim
+       projection: the required exchange carries only fixed-width
+       (id, stratum) pairs, never the document columns.
+    2. Global per-stratum top-n over the surviving candidates —
+       bounded by n × P × strata rows.  A row in the true global top
+       n is necessarily in its partition's local top n, so phase 1
+       discards no winner.
+    3. The winning ids BROADCAST-semi-join back to ``df`` to fetch the
+       full rows — the corpus itself is never shuffled.
 
     Deterministic on any engine/cluster (md5 order, ties by id), and
     stable per stratum under growth of OTHER strata (adding documents
     to stratum A never changes stratum B's sample)."""
     key = md5_seeded(F.col(id_col).cast("string"), seed)
+    slim = df.select(id_col, strata_col)
     local_w = Window.partitionBy(
         F.spark_partition_id(), F.col(strata_col)
     ).orderBy(key.asc(), F.col(id_col).asc())
     candidates = (
-        df.withColumn("__lrk", F.row_number().over(local_w))
+        slim.withColumn("__lrk", F.row_number().over(local_w))
         .where(F.col("__lrk") <= n_per_stratum)
         .drop("__lrk")
     )
     w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
-    return (
+    winners = (
         candidates.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= n_per_stratum)
-        .drop("__rk")
+        .select(id_col)
     )
+    return df.join(F.broadcast(winners), on=id_col, how="left_semi")

@@ -43,17 +43,20 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.fixture(scope="session")
-def explain_plan():
+def explain_plan_str(df, mode: str = "formatted") -> str:
     """Public-API plan dump (classic + Spark Connect safe) — use
-    instead of df._jdf.queryExecution()."""
+    instead of df._jdf.queryExecution().  Importable from test modules
+    (``from conftest import explain_plan_str``) as well as via the
+    ``explain_plan`` fixture."""
     import contextlib
     import io
 
-    def _explain(df, mode: str = "formatted") -> str:
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain(mode=mode)
-        return buf.getvalue()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
 
-    return _explain
+
+@pytest.fixture(scope="session")
+def explain_plan():
+    return explain_plan_str

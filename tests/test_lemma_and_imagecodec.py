@@ -262,3 +262,36 @@ def test_bmp_codec_property_random_images():
         assert bytes(decode_bmp(encode_bmp24(w, h, px))[3]) == px
 
     check()
+
+
+def test_parallel_prefix_sum_rejects_reserved_columns(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "id: long, __val: long")
+    with pytest.raises(ValueError, match="__val"):
+        parallel_prefix_sum(df, [F.col("id")], F.lit(1), "rank")
+
+
+def test_pack_sequences_null_length_keeps_position(spark):
+    """A NULL-length doc occupies zero tokens but keeps a DEFINED
+    position (token_start/pack_id non-null; n_tokens stays NULL) — the
+    refactor briefly made all three NULL (r04 review)."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 7)], "doc_id: long, n: long"
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(df, "n", "doc_id", 8).collect()}
+    assert rows[2]["n_tokens"] is None
+    assert rows[2]["token_start"] is not None
+    assert rows[2]["pack_id"] is not None and rows[2]["pack_offset"] is not None
+    # zero-width: the next doc in hash order starts at the same token
+    starts = sorted(r["token_start"] for r in rows.values())
+    assert len(set(starts)) <= 3

@@ -18,17 +18,7 @@ import pyspark.sql.functions as F
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 
-def _explain(df, mode: str) -> str:
-    """Public-API plan dump (works on classic AND Spark Connect —
-    `df.explain` is the one supported surface; `_jdf`/`_jvm` are not,
-    r02/r04 advice)."""
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain(mode=mode)
-    return buf.getvalue()
+from conftest import explain_plan_str as _explain  # noqa: E402
 
 
 def _static_plan(df) -> str:
