@@ -367,3 +367,33 @@ def test_occlude_spans_reconstruction(text, data):
         row["text"][: start - 1] + row["occluded_text"] + row["text"][start - 1:]
     )
     assert rebuilt == text
+
+
+def test_parallel_prefix_sum_matches_naive(spark):
+    """Property: the two-phase prefix sum equals the naive sequential
+    prefix over the sorted order, for random values and any
+    parallelism (it now underpins shuffle rank, packing and length
+    shards)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id: long, v: long")
+    for parts in (None, 3, 17):
+        got = {
+            r["id"]: r["pfx"]
+            for r in parallel_prefix_sum(
+                df, [F.col("id")], F.col("v"), "pfx", parts
+            ).collect()
+        }
+        acc = 0
+        for i, v in sorted(rows):
+            acc += v
+            assert got[i] == acc, (parts, i)

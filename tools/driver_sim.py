@@ -6,7 +6,10 @@ schema, and an order-insensitive value hash — the same three signals
 the driver records.  Prints one summary line per query and exits
 non-zero on any mismatch.
 
-Usage: python tools/driver_sim.py [N] [SF_DIR]
+Usage: python tools/driver_sim.py [N] [SF_DIR] [--only name1,name2]
+
+``--only`` restricts the run to the named queries (ignoring N) — the
+fast loop while iterating on one gate.
 """
 
 from __future__ import annotations
@@ -27,8 +30,14 @@ TABLES = [
 
 
 def main() -> int:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: list[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i : i + 2]
+    n = int(args[0]) if args else 50
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
     import __spark_entry__ as entry
     from swisscourtrulingcorpus_spark.session import get_spark
@@ -41,7 +50,14 @@ def main() -> int:
         )
 
     qs, oracles = entry.queries(), entry.oracle_sql()
-    names = list(qs)[:n]
+    if only is not None:
+        unknown = [x for x in only if x not in qs]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 1
+        names = only
+    else:
+        names = list(qs)[:n]
     failures = 0
     for name in names:
         try:
