@@ -549,3 +549,66 @@ def transitive_dedup_clusters(
         if changed == 0:
             break
     return labels
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    store_sig: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+    spread: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing signature STORE — the
+    ingestion-time shape at 100 TB: history is never re-scanned, only
+    its fixed-width signature table (``minhash_signatures`` schema,
+    one short row per historic doc) joins against the new batch.
+
+    Three relational steps, all linear (no pair materialization):
+
+    1. new-batch signatures — the zero-shuffle map;
+    2. batch-internal representative per LSH bucket (min id over every
+       bucket a doc occupies — the ``minhash_dedup_groups`` linear
+       form): only self-representatives go on;
+    3. banded anti-join against the store: an internal representative
+       sharing ANY band bucket with a stored signature duplicates
+       history and drops.
+
+    Returns ``(survivors, updated_store)``: the surviving new ids and
+    ``store_sig ∪ survivors' signatures`` — commit the updated store
+    through `sources/versioned.py::commit_version` (base-checked) for
+    snapshot-isolated, lost-update-safe history.
+    """
+    new_sig = minhash_signatures(
+        new_docs, text_col, id_col, k, num_hashes, spread=spread
+    )
+    new_banded = _banded(new_sig, id_col, num_hashes, bands).repartition(
+        F.col("band"), F.col("band_key")
+    )
+    bucket_min = new_banded.groupBy("band", "band_key").agg(
+        F.min(id_col).alias("__rep")
+    )
+    internal = (
+        new_banded.join(bucket_min, on=["band", "band_key"])
+        .groupBy(id_col)
+        .agg(F.min("__rep").alias("__r"))
+        .where(F.col("__r") == F.col(id_col))
+        .select(id_col)
+    )
+    store_buckets = (
+        _banded(store_sig, id_col, num_hashes, bands)
+        .select("band", "band_key")
+        .distinct()
+    )
+    matched = (
+        new_banded.join(store_buckets, on=["band", "band_key"], how="left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    survivors = internal.join(matched, on=id_col, how="left_anti")
+    updated = store_sig.unionByName(
+        new_sig.join(survivors, on=id_col, how="left_semi")
+    )
+    return survivors, updated

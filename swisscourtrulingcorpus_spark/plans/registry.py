@@ -77,6 +77,7 @@ _FRONT_OF_WINDOW: list[str] = [
     "bloom_prefilter_orders",
     "length_grouped_shards",
     "stratified_sample_documents",
+    "incremental_minhash_dedup",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

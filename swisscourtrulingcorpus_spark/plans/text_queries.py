@@ -1007,3 +1007,68 @@ SPECS = [
     QuerySpec("input_length_buckets", q_input_length_buckets, INPUT_LENGTH_BUCKETS_ORACLE, "sub-dataset length-bucket partition column"),
     QuerySpec("test_set_contamination", q_contamination, CONTAMINATION_ORACLE, "train/eval overlap"),
 ]
+
+
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup (`operators/dedup.py::
+    incremental_minhash_dedup`): even doc_ids are the historic corpus
+    (present only as their SIGNATURE table — history is never
+    re-scanned), odd doc_ids arrive as the new batch.  A new doc
+    survives iff it is its own batch-internal LSH representative AND
+    shares no band bucket with any stored signature."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store_docs = docs.where(F.col("doc_id") % 2 == 0)
+    new_docs = docs.where(F.col("doc_id") % 2 == 1)
+    store_sig = minhash_signatures(store_docs, "text", "doc_id", spread=True)
+    survivors, updated = incremental_minhash_dedup(
+        new_docs, store_sig, "text", "doc_id", spread=True
+    )
+    # gate both outputs in one result: surviving ids + the updated
+    # store's total signature count (proves the union side too)
+    total = updated.agg(F.count(F.lit(1)).alias("store_rows"))
+    return survivors.crossJoin(F.broadcast(total)).select(
+        "doc_id", "store_rows"
+    )
+
+
+def _incremental_dedup_oracle() -> str:
+    rows = NUM_MINHASH // LSH_BANDS
+    band_exprs = ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)
+        )
+        for b in range(LSH_BANDS)
+    )
+    return (
+        _minhash_sql_cte()
+        + f""",
+bn AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig WHERE doc_id % 2 = 1),
+bs AS (SELECT DISTINCT unnest([{band_exprs}]) AS band_key FROM sig WHERE doc_id % 2 = 0),
+bucket_min AS (SELECT band_key, min(doc_id) AS rep FROM bn GROUP BY band_key),
+internal AS (
+  SELECT b.doc_id FROM bn b JOIN bucket_min m ON b.band_key = m.band_key
+  GROUP BY b.doc_id HAVING min(m.rep) = b.doc_id),
+matched AS (SELECT DISTINCT doc_id FROM bn WHERE band_key IN (SELECT band_key FROM bs)),
+survivors AS (
+  SELECT doc_id FROM internal WHERE doc_id NOT IN (SELECT doc_id FROM matched)),
+total AS (
+  SELECT (SELECT count(*) FROM sig WHERE doc_id % 2 = 0)
+       + (SELECT count(*) FROM survivors) AS store_rows)
+SELECT s.doc_id, t.store_rows FROM survivors s, total t
+"""
+    )
+
+
+SPECS += [
+    QuerySpec(
+        "incremental_minhash_dedup",
+        q_incremental_minhash_dedup,
+        _incremental_dedup_oracle(),
+        "new-batch dedup against a signature store (history never re-scanned)",
+    ),
+]

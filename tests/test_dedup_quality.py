@@ -177,3 +177,52 @@ def test_semantic_dedup_zero_norm_vectors_survive(spark):
     }
     assert out[3]["keep"] and out[3]["representative"] == 3
     assert out[1]["keep"] and not out[2]["keep"]
+
+
+def test_incremental_minhash_dedup_two_batch_loop(spark, tmp_path):
+    """Ingestion loop: batch 1 seeds the signature store; batch 2
+    contains (a) near-dups of batch-1 docs, (b) internal dups, (c)
+    fresh docs.  History is only ever touched through its signature
+    table, and the store update composes with the versioned commit."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh1 = "one two three four five six seven eight nine ten"
+    fresh2 = "red green blue yellow purple orange pink brown black white"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, fresh1)], "doc_id: long, text: string"
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, base),          # exact dup of historic doc 1
+            (11, base + " X"),   # near-dup of historic doc 1
+            (12, fresh2),        # fresh
+            (13, fresh2),        # internal dup of 12
+        ],
+        "doc_id: long, text: string",
+    )
+
+    table = str(tmp_path / "sigstore")
+    os.makedirs(table)
+    store0 = minhash_signatures(b1, "text", "doc_id")
+    V.commit_version(store0, table, base_version=0)
+
+    store = V.read_version(spark, table)
+    survivors, updated = incremental_minhash_dedup(b2, store, "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [12]  # 10/11 duplicate history, 13 duplicates 12
+    V.commit_version(updated, table, base_version=1)
+
+    # replaying batch 2 against the updated store yields nothing new
+    store2 = V.read_version(spark, table)
+    again, _ = incremental_minhash_dedup(b2, store2, "text", "doc_id")
+    assert again.count() == 0
+    assert store2.count() == 3  # docs 1, 2, 12
