@@ -469,3 +469,91 @@ def _coalesce_merge_docs(existing, incoming):
         ],
         fmt.alias("source_format"),
     )
+
+
+def stream_minhash_dedup_job(
+    stream: DataFrame,
+    store_table: str,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming near-duplicate-free ingest: each micro-batch runs
+    `operators/dedup.py::incremental_minhash_dedup` against the
+    versioned signature STORE (`sources/versioned.py`), appends the
+    surviving documents to ``out_dir`` (per-batch subdir, overwrite —
+    idempotent under replay), and commits the updated store as the
+    next version with the base check — a concurrent committer forces a
+    re-dedup instead of a lost update.  History is only ever touched
+    through its signature table; the corpus is never re-scanned.
+    Trigger.AvailableNow, restartable as a continuous stream."""
+    import os
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+
+    def _dedup(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.where(F.col(text_col).isNotNull())
+        while True:
+            base = latest_version(store_table)
+            if base:
+                store = read_version(spark, store_table, base)
+                survivors, updated = incremental_minhash_dedup(
+                    batch, store, text_col, id_col
+                )
+            else:
+                from swisscourtrulingcorpus_spark.operators.dedup import (
+                    minhash_dedup_groups,
+                )
+
+                reps = minhash_dedup_groups(batch, text_col, id_col).where(
+                    F.col("keep")
+                ).select(F.col(id_col))
+                survivors = reps
+                updated = minhash_signatures(
+                    batch.join(reps, on=id_col, how="left_semi"),
+                    text_col,
+                    id_col,
+                )
+            # Docs too short to shingle have NO signature, hence no
+            # dedup identity — they must PASS THROUGH, not silently
+            # vanish (dropping data the fingerprint can't see is worse
+            # than admitting a short dup).
+            fingerprintable = minhash_signatures(
+                batch, text_col, id_col
+            ).select(id_col)
+            unfingerprintable = batch.join(
+                fingerprintable, on=id_col, how="left_anti"
+            )
+            kept = batch.join(survivors, on=id_col, how="left_semi").unionByName(
+                unfingerprintable
+            )
+            # per-batch overwrite subdir: a replayed batch rewrites the
+            # same files instead of appending duplicates
+            kept.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"ingest_batch={batch_id}")
+            )
+            try:
+                commit_version(updated, store_table, base_version=base)
+                return
+            except ConcurrentWriteError:
+                continue  # re-dedup against the new latest store
+
+    return (
+        stream.writeStream.foreachBatch(_dedup)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

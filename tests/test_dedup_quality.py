@@ -226,3 +226,93 @@ def test_incremental_minhash_dedup_two_batch_loop(spark, tmp_path):
     again, _ = incremental_minhash_dedup(b2, store2, "text", "doc_id")
     assert again.count() == 0
     assert store2.count() == 3  # docs 1, 2, 12
+
+
+def test_stream_minhash_dedup_job(spark, tmp_path):
+    """Streaming near-dup-free ingest: a file stream of document
+    batches drains through incremental dedup; dup docs (exact, near,
+    cross-batch) never reach the output and the signature store
+    versions forward."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_minhash_dedup_job,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base + " X"), (3, fresh)],
+        "doc_id: long, text: string",
+    )
+    b1.write.parquet(os.path.join(src, "b1"))
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = spark.readStream.schema(schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(src)
+    q = stream_minhash_dedup_job(stream, store, out, ckpt)
+    q.awaitTermination()
+
+    kept1 = spark.read.parquet(out)
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == [1, 3]  # doc 2 is a near-dup of 1 within the batch
+    assert V.versions(store) == [1]
+
+    # second drop: a near-dup of HISTORY + one genuinely new doc
+    b2 = spark.createDataFrame(
+        [(10, base + " Y"), (11, "red green blue yellow purple orange pink brown")],
+        "doc_id: long, text: string",
+    )
+    b2.write.parquet(os.path.join(src, "b2"))
+    q2 = stream_minhash_dedup_job(
+        spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(src),
+        store, out, ckpt,
+    )
+    q2.awaitTermination()
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 3, 11]  # 10 duplicates historic doc 1
+    assert V.versions(store) == [1, 2]
+    assert V.read_version(spark, store).count() == 3
+
+
+def test_stream_minhash_dedup_short_docs_pass_through(spark, tmp_path):
+    """Docs too short to shingle (no signature, no dedup identity)
+    must pass through the streaming dedup, not vanish."""
+    import os
+
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_minhash_dedup_job,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "ok"), (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id: long, text: string",
+    ).write.parquet(os.path.join(src, "b1"))
+    q = stream_minhash_dedup_job(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("recursiveFileLookup", "true")
+        .parquet(src),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert ids == [1, 2]
