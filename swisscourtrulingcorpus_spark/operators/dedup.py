@@ -584,6 +584,21 @@ def incremental_minhash_dedup(
     new_sig = minhash_signatures(
         new_docs, text_col, id_col, k, num_hashes, spread=spread
     )
+    return incremental_minhash_dedup_sig(
+        new_sig, store_sig, id_col, num_hashes, bands
+    )
+
+
+def incremental_minhash_dedup_sig(
+    new_sig: DataFrame,
+    store_sig: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Signature-level core of :func:`incremental_minhash_dedup` — for
+    callers that already computed the batch signatures (the streaming
+    job computes them once and reuses them for the pass-through set)."""
     new_banded = _banded(new_sig, id_col, num_hashes, bands).repartition(
         F.col("band"), F.col("band_key")
     )

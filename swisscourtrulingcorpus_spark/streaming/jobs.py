@@ -491,7 +491,7 @@ def stream_minhash_dedup_job(
     import os
 
     from swisscourtrulingcorpus_spark.operators.dedup import (
-        incremental_minhash_dedup,
+        incremental_minhash_dedup_sig,
         minhash_signatures,
     )
     from swisscourtrulingcorpus_spark.sources.versioned import (
@@ -506,36 +506,35 @@ def stream_minhash_dedup_job(
     def _dedup(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.where(F.col(text_col).isNotNull())
+        # computed ONCE per batch, reused for dedup AND the
+        # pass-through set; cached because the OCC loop may re-merge
+        sig = minhash_signatures(batch, text_col, id_col).cache()
+        try:
+            _dedup_loop(batch, batch_id, sig)
+        finally:
+            sig.unpersist()
+
+    def _dedup_loop(batch: DataFrame, batch_id: int, sig: DataFrame) -> None:
+        spark = batch.sparkSession
         while True:
             base = latest_version(store_table)
             if base:
                 store = read_version(spark, store_table, base)
-                survivors, updated = incremental_minhash_dedup(
-                    batch, store, text_col, id_col
+                survivors, updated = incremental_minhash_dedup_sig(
+                    sig, store, id_col
                 )
             else:
-                from swisscourtrulingcorpus_spark.operators.dedup import (
-                    minhash_dedup_groups,
-                )
-
-                reps = minhash_dedup_groups(batch, text_col, id_col).where(
-                    F.col("keep")
-                ).select(F.col(id_col))
-                survivors = reps
-                updated = minhash_signatures(
-                    batch.join(reps, on=id_col, how="left_semi"),
-                    text_col,
-                    id_col,
+                # empty store: batch-internal dedup only — seed the
+                # store with the empty-signature schema as "history"
+                survivors, updated = incremental_minhash_dedup_sig(
+                    sig, sig.limit(0), id_col
                 )
             # Docs too short to shingle have NO signature, hence no
             # dedup identity — they must PASS THROUGH, not silently
             # vanish (dropping data the fingerprint can't see is worse
             # than admitting a short dup).
-            fingerprintable = minhash_signatures(
-                batch, text_col, id_col
-            ).select(id_col)
             unfingerprintable = batch.join(
-                fingerprintable, on=id_col, how="left_anti"
+                sig.select(id_col), on=id_col, how="left_anti"
             )
             kept = batch.join(survivors, on=id_col, how="left_semi").unionByName(
                 unfingerprintable
