@@ -259,6 +259,18 @@ def minhash_dedup_groups(
     quadratic term.
     """
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=spread)
+    return dedup_groups_from_signatures(sig, id_col, num_hashes, bands)
+
+
+def dedup_groups_from_signatures(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """Signature-level core of :func:`minhash_dedup_groups` — shared
+    with :func:`incremental_minhash_dedup_sig` so the representative
+    logic (tie-breaks, skew handling) lives in ONE place."""
     # Same ReusedExchange trick as minhash_lsh_candidates: the explicit
     # band_key shuffle is computed once and feeds BOTH the bucket-min
     # aggregation (no further exchange — already partitioned on the
@@ -574,7 +586,10 @@ def incremental_minhash_dedup(
        form): only self-representatives go on;
     3. banded anti-join against the store: an internal representative
        sharing ANY band bucket with a stored signature duplicates
-       history and drops.
+       history and drops.  (Single-pass chain caveat, as in
+       ``minhash_dedup_groups``: a representative whose only link to
+       history runs THROUGH a dropped batch-mate survives — a
+       transitive near-dup may be admitted.)
 
     Returns ``(survivors, updated_store)``: the surviving new ids and
     ``store_sig ∪ survivors' signatures`` — commit the updated store
@@ -598,19 +613,26 @@ def incremental_minhash_dedup_sig(
 ) -> tuple[DataFrame, DataFrame]:
     """Signature-level core of :func:`incremental_minhash_dedup` — for
     callers that already computed the batch signatures (the streaming
-    job computes them once and reuses them for the pass-through set)."""
-    new_banded = _banded(new_sig, id_col, num_hashes, bands).repartition(
-        F.col("band"), F.col("band_key")
-    )
-    bucket_min = new_banded.groupBy("band", "band_key").agg(
-        F.min(id_col).alias("__rep")
-    )
-    internal = (
-        new_banded.join(bucket_min, on=["band", "band_key"])
-        .groupBy(id_col)
-        .agg(F.min("__rep").alias("__r"))
-        .where(F.col("__r") == F.col(id_col))
-        .select(id_col)
+    job computes them once and reuses them for the pass-through set).
+
+    Same single-pass chain approximation as
+    :func:`minhash_dedup_groups`: a batch-internal representative is
+    only checked against the store DIRECTLY — if it shares a bucket
+    with a batch-mate that matches history but none with history
+    itself, it survives (a transitive near-dup of history may be
+    admitted; the standard one-hop trade of linear LSH dedup).
+    """
+    internal = dedup_groups_from_signatures(
+        new_sig, id_col, num_hashes, bands
+    ).where(F.col("keep")).select(id_col)
+    # only representatives can survive — shrink the store probe to
+    # their band rows (a 10k-copy boilerplate group probes once, not
+    # 10k times)
+    rep_banded = _banded(
+        new_sig.join(internal, on=id_col, how="left_semi"),
+        id_col,
+        num_hashes,
+        bands,
     )
     store_buckets = (
         _banded(store_sig, id_col, num_hashes, bands)
@@ -618,7 +640,7 @@ def incremental_minhash_dedup_sig(
         .distinct()
     )
     matched = (
-        new_banded.join(store_buckets, on=["band", "band_key"], how="left_semi")
+        rep_banded.join(store_buckets, on=["band", "band_key"], how="left_semi")
         .select(id_col)
         .distinct()
     )

@@ -124,6 +124,7 @@ def _commit_manifest(
     commit_id: str,
     data_dir: str,
     base_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     import time
 
@@ -132,7 +133,12 @@ def _commit_manifest(
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    manifest = {"files": files, "commit": commit_id, "base": base_version}
+    manifest = {
+        "files": files,
+        "commit": commit_id,
+        "base": base_version,
+        "meta": meta or {},
+    }
 
     if base_version is not None:
         # CHECKED commit: must become exactly v{base+1}.  Claiming that
@@ -208,8 +214,22 @@ def latest_version(table_dir: str) -> int:
     return max(known) if known else 0
 
 
+def version_meta(table_dir: str, version: int) -> dict:
+    """The ``meta`` dict recorded with a commit (empty for commits that
+    passed none) — e.g. the streaming dedup job's batch_id marker that
+    makes a crash-replayed micro-batch detectable."""
+    known = _manifests(table_dir)
+    if version not in known:
+        raise FileNotFoundError(f"version {version} not in {sorted(known)}")
+    with open(known[version]) as fh:
+        return json.load(fh).get("meta", {}) or {}
+
+
 def commit_version(
-    df: DataFrame, table_dir: str, base_version: int | None = None
+    df: DataFrame,
+    table_dir: str,
+    base_version: int | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Write ``df`` as the next snapshot.  Data lands fully in a fresh
     ``data/<uuid>`` dir first; the manifest rename is the atomic commit
@@ -234,7 +254,7 @@ def commit_version(
             f"has advanced in {table_dir}"
         )
     commit_id, data_dir = _stage_data(df, table_dir)
-    return _commit_manifest(table_dir, commit_id, data_dir, base_version)
+    return _commit_manifest(table_dir, commit_id, data_dir, base_version, meta)
 
 
 def read_version(

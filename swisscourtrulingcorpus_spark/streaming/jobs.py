@@ -499,15 +499,26 @@ def stream_minhash_dedup_job(
         commit_version,
         latest_version,
         read_version,
+        version_meta,
     )
 
     os.makedirs(store_table, exist_ok=True)
 
     def _dedup(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        batch = batch.where(F.col(text_col).isNotNull())
-        # computed ONCE per batch, reused for dedup AND the
-        # pass-through set; cached because the OCC loop may re-merge
+        # CRASH-REPLAY GUARD: foreachBatch is at-least-once.  If the
+        # store commit for THIS batch landed but the checkpoint did
+        # not, the replay would dedup the batch against its own
+        # committed signatures, find zero survivors, and overwrite the
+        # batch's output subdir with nothing — permanent data loss.
+        # The commit records its batch_id; a replay of an
+        # already-committed batch is a no-op (output subdir was
+        # written before the commit, so it is complete).
+        latest = latest_version(store_table)
+        if latest and version_meta(store_table, latest).get("batch_id") == batch_id:
+            return
+        # computed ONCE per batch (null text yields no signature and
+        # falls into the pass-through set — never silently dropped),
+        # cached because the OCC loop may re-merge
         sig = minhash_signatures(batch, text_col, id_col).cache()
         try:
             _dedup_loop(batch, batch_id, sig)
@@ -545,7 +556,12 @@ def stream_minhash_dedup_job(
                 os.path.join(out_dir, f"ingest_batch={batch_id}")
             )
             try:
-                commit_version(updated, store_table, base_version=base)
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={"batch_id": batch_id},
+                )
                 return
             except ConcurrentWriteError:
                 continue  # re-dedup against the new latest store

@@ -316,3 +316,49 @@ def test_stream_minhash_dedup_short_docs_pass_through(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert ids == [1, 2]
+
+
+def test_stream_minhash_dedup_crash_replay_is_noop(spark, tmp_path):
+    """Crash between store commit and checkpoint commit: the replayed
+    batch must NOT re-dedup against its own committed signatures and
+    wipe its output subdir (r04 review — the batch_id recorded in the
+    commit meta detects the replay)."""
+    import os
+
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_minhash_dedup_job,
+    )
+
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, None)],
+        "doc_id: long, text: string",
+    ).write.parquet(os.path.join(src, "b1"))
+
+    schema = "doc_id BIGINT, text STRING"
+
+    def run(ckpt):
+        q = stream_minhash_dedup_job(
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            store, out, ckpt,
+        )
+        q.awaitTermination()
+
+    run(str(tmp_path / "ckpt1"))
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]  # null-text doc passes through, never vanishes
+    assert V.versions(store) == [1]
+    assert V.version_meta(store, 1) == {"batch_id": 0}
+
+    # fresh checkpoint = the engine replays batch 0 (crash-replay
+    # shape); guard must keep output AND store unchanged
+    run(str(tmp_path / "ckpt2"))
+    ids2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids2 == [1, 2]
+    assert V.versions(store) == [1]

@@ -34,6 +34,9 @@ def main() -> int:
     only: list[str] | None = None
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("usage: driver_sim.py [N] [SF_DIR] [--only name1,name2]")
+            return 1
         only = args[i + 1].split(",")
         del args[i : i + 2]
     n = int(args[0]) if args else 50
