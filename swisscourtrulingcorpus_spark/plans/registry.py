@@ -78,6 +78,7 @@ _FRONT_OF_WINDOW: list[str] = [
     "length_grouped_shards",
     "stratified_sample_documents",
     "incremental_minhash_dedup",
+    "ngram_lm_counts",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

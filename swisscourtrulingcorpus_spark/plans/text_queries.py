@@ -1072,3 +1072,47 @@ SPECS += [
         "new-batch dedup against a signature store (history never re-scanned)",
     ),
 ]
+
+
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter, integer-exact half
+    (`operators/lm.py::doc_bigram_counts`): every document position
+    joined to the corpus unigram/bigram count tables.  The double
+    score (avg ln P(w2|w1)) depends on float summation order no engine
+    pins, so the gate hashes the COUNT attachment; `lm_score` is
+    unit-tested to tolerance."""
+    from swisscourtrulingcorpus_spark.operators.lm import doc_bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_bigram_counts(docs, "text", "doc_id")
+
+
+NGRAM_LM_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+uni AS (
+  SELECT t AS w1, count(*) AS c1
+  FROM (SELECT unnest(w) AS t FROM w) GROUP BY t),
+pos AS (
+  SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w),
+bgflat AS (
+  SELECT doc_id, CAST(pos AS INT) AS pos, w[pos] AS w1, w[pos + 1] AS w2
+  FROM pos),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bgflat GROUP BY w1, w2)
+SELECT b.doc_id, b.pos, b.w1, b.w2, u.c1, i.c2
+FROM bgflat b
+JOIN bi i ON b.w1 = i.w1 AND b.w2 = i.w2
+JOIN uni u ON b.w1 = u.w1
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "ngram_lm_counts",
+        q_ngram_lm_counts,
+        NGRAM_LM_ORACLE,
+        "bigram LM count attachment (CCNet-style quality filter, exact half)",
+    ),
+]

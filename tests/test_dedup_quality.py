@@ -362,3 +362,44 @@ def test_stream_minhash_dedup_crash_replay_is_noop(spark, tmp_path):
     ids2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids2 == [1, 2]
     assert V.versions(store) == [1]
+
+
+def test_lm_score_reference_corpus_separates_junk(spark):
+    """CCNet shape: scoring against a REFERENCE corpus — junk text has
+    near-zero bigram coverage, in-domain text scores its exact
+    hand-computed log-prob; self-corpus mode flags repeated
+    boilerplate as highly predictable."""
+    import math
+
+    import pytest
+
+    from swisscourtrulingcorpus_spark.operators.lm import lm_score
+
+    boiler = "the court dismisses the appeal"
+    ref = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id: long, text: string"
+    )
+    score_df = spark.createDataFrame(
+        [(1, boiler), (2, "zxq wvu tsr qpo nml")],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in lm_score(score_df, "text", "doc_id", reference=ref).collect()
+    }
+    # in-domain doc: 4 bigrams, all seen; unigram 'the' occurs 20x in
+    # the reference, each bigram 10x -> avg = (2*ln(10/20) + 2*ln(1))/4
+    assert got[1]["n_bigrams"] == 4 and got[1]["n_scored"] == 4
+    assert got[1]["coverage"] == 1.0
+    assert got[1]["avg_logprob"] == pytest.approx(math.log(0.5) / 2)
+    # junk doc: zero coverage, no score
+    assert got[2]["n_bigrams"] == 4 and got[2]["n_scored"] == 0
+    assert got[2]["coverage"] == 0.0
+    assert got[2]["avg_logprob"] is None
+
+    # self-corpus mode: repeated boilerplate is highly predictable
+    self_scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm_score(ref, "text", "doc_id").collect()
+    }
+    assert all(v == pytest.approx(math.log(0.5) / 2) for v in self_scores.values())
