@@ -79,6 +79,7 @@ _FRONT_OF_WINDOW: list[str] = [
     "stratified_sample_documents",
     "incremental_minhash_dedup",
     "ngram_lm_counts",
+    "lm_coverage_documents",
 ]
 
 # Round-3 gate queries that also need a driver row this round; kept

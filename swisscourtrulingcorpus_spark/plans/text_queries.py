@@ -1116,3 +1116,49 @@ SPECS += [
         "bigram LM count attachment (CCNet-style quality filter, exact half)",
     ),
 ]
+
+
+def q_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/lm.py::lm_score` through the driver gate, integer
+    half: even doc_ids form the REFERENCE corpus, odd doc_ids are
+    scored against it — per doc the total and reference-seen bigram
+    counts (the coverage signal).  avg_logprob is excluded from the
+    hash (float summation order, see lm.py docstring)."""
+    from swisscourtrulingcorpus_spark.operators.lm import lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    scored = docs.where(F.col("doc_id") % 2 == 1)
+    return lm_score(scored, "text", "doc_id", reference=ref).select(
+        "doc_id", "n_bigrams", "n_scored"
+    )
+
+
+LM_COVERAGE_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+refbg AS (
+  SELECT DISTINCT w[pos] AS w1, w[pos + 1] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 0)),
+newbg AS (
+  SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 1))
+SELECT n.doc_id,
+       count(*) AS n_bigrams,
+       CAST(sum(CASE WHEN r.w1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
+FROM newbg n
+LEFT JOIN refbg r ON n.w1 = r.w1 AND n.w2 = r.w2
+GROUP BY n.doc_id
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "lm_coverage_documents",
+        q_lm_coverage,
+        LM_COVERAGE_ORACLE,
+        "reference-LM bigram coverage (integer half of lm_score)",
+    ),
+]
