@@ -69,26 +69,48 @@ def _initial_symbols(words: DataFrame) -> DataFrame:
 
 def _merge_expr(a: str, b: str):
     """Greedy left-to-right merge of adjacent (a, b) -> a+b inside a
-    symbol array, as ONE aggregate fold (array scanned once)."""
-    merged = a + b
-    return F.expr(
-        f"""
-        aggregate(
-          syms,
-          struct(CAST(array() AS ARRAY<STRING>) AS res, CAST(NULL AS STRING) AS prev),
-          (acc, x) -> CASE
-            WHEN acc.prev = {a!r} AND x = {b!r}
-              THEN struct(array_append(acc.res, {merged!r}) AS res,
-                          CAST(NULL AS STRING) AS prev)
-            WHEN acc.prev IS NULL
-              THEN struct(acc.res AS res, CAST(x AS STRING) AS prev)
-            ELSE struct(array_append(acc.res, acc.prev) AS res,
-                        CAST(x AS STRING) AS prev)
-          END,
-          acc -> CASE WHEN acc.prev IS NULL THEN acc.res
-                      ELSE array_append(acc.res, acc.prev) END
+    symbol array, as ONE aggregate fold (array scanned once).
+
+    Built with the HOF API and ``F.lit``-bound symbols — NEVER by
+    interpolating the symbols into SQL text: ``repr`` escapes like
+    ``\\x01`` are not SQL string escapes, so a control-char symbol
+    (present in real scraped corpora) would compare against the wrong
+    literal, the merge would silently never apply, and the trainer
+    would relearn the same pair forever (r04 review, confirmed live)."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(a + b)
+    null_s = F.lit(None).cast("string")
+
+    def step(acc, x):
+        return (
+            F.when(
+                (acc["prev"] == la) & (x == lb),
+                F.struct(
+                    F.array_append(acc["res"], lm).alias("res"),
+                    null_s.alias("prev"),
+                ),
+            )
+            .when(
+                acc["prev"].isNull(),
+                F.struct(acc["res"].alias("res"), x.alias("prev")),
+            )
+            .otherwise(
+                F.struct(
+                    F.array_append(acc["res"], acc["prev"]).alias("res"),
+                    x.alias("prev"),
+                )
+            )
         )
-        """
+
+    init = F.struct(
+        F.array().cast("array<string>").alias("res"), null_s.alias("prev")
+    )
+    return F.aggregate(
+        F.col("syms"),
+        init,
+        step,
+        lambda acc: F.when(acc["prev"].isNull(), acc["res"]).otherwise(
+            F.array_append(acc["res"], acc["prev"])
+        ),
     )
 
 

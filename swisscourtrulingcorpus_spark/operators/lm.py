@@ -53,11 +53,19 @@ def _doc_bigrams(words: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_counts(
-    df: DataFrame, text_col: str, id_col: str
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    words: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The corpus LM: (unigram_counts(token, c1), bigram_counts(w1, w2,
-    c2)), counted over every document position (not distinct)."""
-    words = _doc_words(df, text_col, id_col)
+    c2)), counted over every document position (not distinct).  Pass
+    an already-tokenized ``words`` relation (``_doc_words`` shape) to
+    bind the regexp+split ONCE — callers that also need the per-doc
+    positions would otherwise tokenize the corpus three times (r04
+    review)."""
+    if words is None:
+        words = _doc_words(df, text_col, id_col)
     uni = (
         words.select(F.explode("__w").alias("token"))
         .groupBy("token")
@@ -77,7 +85,7 @@ def doc_bigram_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     that the LM join is right.  ``c1`` counts occurrences of ``w1``
     (the conditioning context) corpus-wide; ``c2`` the bigram."""
     words = _doc_words(df, text_col, id_col)
-    uni, bi = ngram_counts(df, text_col, id_col)
+    uni, bi = ngram_counts(df, text_col, id_col, words=words)
     pos = _doc_bigrams(words, id_col)
     return (
         pos.join(bi, on=["w1", "w2"])
@@ -109,15 +117,31 @@ def lm_score(
     ``avg_logprob`` as a measurement, not a reproducible hash (see
     module docstring)."""
     words = _doc_words(df, text_col, id_col)
-    uni, bi = ngram_counts(reference if reference is not None else df, text_col, id_col)
+    if reference is None:
+        uni, bi = ngram_counts(df, text_col, id_col, words=words)
+    else:
+        uni, bi = ngram_counts(reference, text_col, id_col)
     pos = _doc_bigrams(words, id_col)
     attached = pos.join(bi, on=["w1", "w2"], how="left").join(
         uni.withColumnRenamed("token", "w1"), on="w1", how="left"
     )
     lp = F.log(F.col("c2") / F.col("c1"))
-    return attached.groupBy(id_col).agg(
+    scores = attached.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.count("c2").alias("n_scored"),
         (F.count("c2") / F.count(F.lit(1))).alias("coverage"),
         F.avg(lp).alias("avg_logprob"),
+    )
+    # Degenerate docs (null text / fewer than two tokens) have no
+    # bigrams and would otherwise VANISH from the output — exactly the
+    # documents a quality gate must not silently pass.  Emit them
+    # explicitly: n_bigrams = 0, coverage = NULL (no signal, distinct
+    # from "all bigrams unseen").
+    every = df.select(F.col(id_col)).distinct()
+    return every.join(scores, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+        "coverage",
+        "avg_logprob",
     )

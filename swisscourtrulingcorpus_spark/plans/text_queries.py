@@ -71,6 +71,20 @@ def _h32_window_sql(expr: str, window: int) -> str:
     )
 
 
+def _band_exprs() -> str:
+    """The LSH band-key expressions of the `sig` CTE, shared by every
+    MinHash oracle (pair join, dedup groups, incremental store probe) —
+    one definition so a banding change cannot silently diverge
+    between oracles."""
+    rows = NUM_MINHASH // LSH_BANDS
+    return ", ".join(
+        "'" + str(b) + "|' || " + " || '|' || ".join(
+            f"mh{b * rows + r}" for r in range(rows)
+        )
+        for b in range(LSH_BANDS)
+    )
+
+
 def _minhash_sql_cte() -> str:
     mins = ", ".join(
         f"min({_h32_window_sql(repr(str(j // 4) + '|') + ' || shingle', j % 4)}) AS mh{j}"
@@ -110,13 +124,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_oracle() -> str:
-    rows = NUM_MINHASH // LSH_BANDS
-    band_exprs = ", ".join(
-        "'" + str(b) + "|' || " + " || '|' || ".join(
-            f"mh{b * rows + r}" for r in range(rows)
-        )
-        for b in range(LSH_BANDS)
-    )
+    band_exprs = _band_exprs()
     return (
         _minhash_sql_cte()
         + f""",
@@ -133,13 +141,7 @@ def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_groups_oracle() -> str:
-    rows = NUM_MINHASH // LSH_BANDS
-    band_exprs = ", ".join(
-        "'" + str(b) + "|' || " + " || '|' || ".join(
-            f"mh{b * rows + r}" for r in range(rows)
-        )
-        for b in range(LSH_BANDS)
-    )
+    band_exprs = _band_exprs()
     return (
         _minhash_sql_cte()
         + f""",
@@ -1037,13 +1039,7 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_dedup_oracle() -> str:
-    rows = NUM_MINHASH // LSH_BANDS
-    band_exprs = ", ".join(
-        "'" + str(b) + "|' || " + " || '|' || ".join(
-            f"mh{b * rows + r}" for r in range(rows)
-        )
-        for b in range(LSH_BANDS)
-    )
+    band_exprs = _band_exprs()
     return (
         _minhash_sql_cte()
         + f""",
@@ -1144,13 +1140,19 @@ refbg AS (
   FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 0)),
 newbg AS (
   SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2
-  FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 1))
-SELECT n.doc_id,
-       count(*) AS n_bigrams,
-       CAST(sum(CASE WHEN r.w1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
-FROM newbg n
-LEFT JOIN refbg r ON n.w1 = r.w1 AND n.w2 = r.w2
-GROUP BY n.doc_id
+  FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 1)),
+g AS (
+  SELECT n.doc_id,
+         count(*) AS n_bigrams,
+         CAST(sum(CASE WHEN r.w1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
+  FROM newbg n
+  LEFT JOIN refbg r ON n.w1 = r.w1 AND n.w2 = r.w2
+  GROUP BY n.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(g.n_scored, 0) AS BIGINT) AS n_scored
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN g ON d.doc_id = g.doc_id
 """
 
 

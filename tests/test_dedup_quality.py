@@ -319,49 +319,52 @@ def test_stream_minhash_dedup_short_docs_pass_through(spark, tmp_path):
 
 
 def test_stream_minhash_dedup_crash_replay_is_noop(spark, tmp_path):
-    """Crash between store commit and checkpoint commit: the replayed
-    batch must NOT re-dedup against its own committed signatures and
-    wipe its output subdir (r04 review — the batch_id recorded in the
-    commit meta detects the replay)."""
+    """TRUE at-least-once replay: the engine re-invokes the batch body
+    with the same (run, batch_id) after the store commit landed but
+    the checkpoint did not.  The marker recorded with the commit must
+    make the replay a no-op — without it the batch re-dedups against
+    its own committed signatures and wipes its output (r04 review).
+    A DIFFERENT run (fresh checkpoint) with the same batch_id is NOT a
+    replay and must reprocess without touching the old run's output."""
     import os
 
     from swisscourtrulingcorpus_spark.sources import versioned as V
     from swisscourtrulingcorpus_spark.streaming.jobs import (
-        stream_minhash_dedup_job,
+        minhash_dedup_batch,
     )
 
-    src = str(tmp_path / "src")
     store = str(tmp_path / "store")
     out = str(tmp_path / "out")
-    os.makedirs(src)
-    spark.createDataFrame(
+    os.makedirs(store)
+    batch = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, None)],
         "doc_id: long, text: string",
-    ).write.parquet(os.path.join(src, "b1"))
+    )
 
-    schema = "doc_id BIGINT, text STRING"
-
-    def run(ckpt):
-        q = stream_minhash_dedup_job(
-            spark.readStream.schema(schema)
-            .option("recursiveFileLookup", "true")
-            .parquet(src),
-            store, out, ckpt,
-        )
-        q.awaitTermination()
-
-    run(str(tmp_path / "ckpt1"))
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]  # null-text doc passes through, never vanishes
     assert V.versions(store) == [1]
-    assert V.version_meta(store, 1) == {"batch_id": 0}
+    assert V.version_meta(store, 1) == {"run": "runA", "batch_id": 0}
 
-    # fresh checkpoint = the engine replays batch 0 (crash-replay
-    # shape); guard must keep output AND store unchanged
-    run(str(tmp_path / "ckpt2"))
-    ids2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
-    assert ids2 == [1, 2]
+    # replay: same run + batch id -> no-op (output intact, no new version)
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
     assert V.versions(store) == [1]
+
+    # replay detection must survive a concurrent committer landing a
+    # NEWER version after our commit (marker scan covers all versions)
+    V.commit_version(V.read_version(spark, store), store)
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert V.versions(store) == [1, 2]
+
+    # DIFFERENT run, same batch_id: reprocesses (everything duplicates
+    # history -> own empty output dir), old run's output untouched
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runB")
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == [1, 2]
+    assert os.path.isdir(os.path.join(out, "ingest_batch=runA_0"))
+    assert os.path.isdir(os.path.join(out, "ingest_batch=runB_0"))
 
 
 def test_lm_score_reference_corpus_separates_junk(spark):
@@ -403,3 +406,21 @@ def test_lm_score_reference_corpus_separates_junk(spark):
         for r in lm_score(ref, "text", "doc_id").collect()
     }
     assert all(v == pytest.approx(math.log(0.5) / 2) for v in self_scores.values())
+
+
+def test_lm_score_emits_degenerate_docs(spark):
+    """Null-text / sub-2-token docs must appear in the score output
+    with n_bigrams=0 and NULL coverage — the quality gate cannot
+    silently pass the degenerate docs (r04 review)."""
+    from swisscourtrulingcorpus_spark.operators.lm import lm_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "ok"), (3, None), (4, "")],
+        "doc_id: long, text: string",
+    )
+    got = {r["doc_id"]: r for r in lm_score(df, "text", "doc_id").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for d in (2, 3, 4):
+        assert got[d]["n_bigrams"] == 0 and got[d]["n_scored"] == 0
+        assert got[d]["coverage"] is None and got[d]["avg_logprob"] is None
+    assert got[1]["n_bigrams"] == 2
