@@ -82,17 +82,17 @@ _FRONT_OF_WINDOW: list[str] = [
     "lm_coverage_documents",
 ]
 
-# Round-3 gate queries that also need a driver row this round; kept
-# immediately after the never-verified backlog, still inside the
-# 50-entry window.
+# Round-3 gate queries, kept immediately after the front-of-window
+# block (driver-green in r03; they backfill the window's remaining
+# slots in stable order).
 #
-# ROTATION NOTE FOR ROUND 4: the window holds exactly 50 and round 3
-# declared more never-verified queries than fit.  Run
+# ROTATION NOTE FOR ROUND 5: after CORRECTNESS_r04.json lands, run
 # ``python -c "from swisscourtrulingcorpus_spark.plans.registry import
-# unverified_backlog; print(unverified_backlog())"`` to list the
-# entries that still need a driver row (local parity green, slots 51+),
-# and promote them into _FRONT_OF_WINDOW — everything else will be
-# r02/r03-driver-green.
+# unverified_backlog; print(unverified_backlog())"`` — any name it
+# prints has no driver row yet and must be promoted into
+# _FRONT_OF_WINDOW (tests/test_registry_window.py enforces this
+# mechanically; every round-4 gate sits inside the current window, so
+# the expected backlog is empty).
 _ROUND3_NEW: set[str] = {
     "extraction_outcome_counts",
     "citation_relevance_scores",
