@@ -471,6 +471,75 @@ def _coalesce_merge_docs(existing, incoming):
     )
 
 
+_LEDGER_FILE = "replay_ledger.json"
+
+
+def _read_replay_ledger(store_table: str) -> dict[str, int]:
+    """{run_tag: highest committed batch_id} for the store.
+
+    Primary home: the sidecar file (updated atomically after every
+    commit; vacuum never touches it).  Fallback: scan version metas
+    NEWEST-first for the cumulative ``runs`` map our commits carry
+    forward — covers a crash between commit and sidecar write.
+    Foreign commits (optimize_table, other jobs) have no ``runs`` map
+    and are skipped; our next commit re-embeds the full ledger, so the
+    scan normally stops within a few versions."""
+    import json
+
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        version_meta,
+        versions,
+    )
+
+    ledger: dict[str, int] = {}
+    sidecar = os.path.join(store_table, _LEDGER_FILE)
+    try:
+        with open(sidecar) as fh:
+            ledger = {str(k): int(v) for k, v in json.load(fh).items()}
+    except (OSError, ValueError):
+        ledger = {}
+    for v in sorted(versions(store_table), reverse=True):
+        m = version_meta(store_table, v)
+        runs = m.get("runs")
+        if runs is not None:
+            for k, n in runs.items():
+                if ledger.get(k, -1) < int(n):
+                    ledger[k] = int(n)
+            break  # cumulative map: the newest one is complete
+    return ledger
+
+
+def _write_replay_ledger(store_table: str, ledger: dict[str, int]) -> None:
+    import json
+    import uuid as _uuid
+
+    sidecar = os.path.join(store_table, _LEDGER_FILE)
+    tmp = sidecar + "." + _uuid.uuid4().hex
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh)
+    os.replace(tmp, sidecar)
+
+
+def checkpoint_run_tag(checkpoint: str) -> str:
+    """Identity of this checkpoint INSTANCE: a uuid minted on first use
+    and stored inside the checkpoint dir — deleting and recreating the
+    checkpoint (the standard force-reprocess move) yields a NEW tag, so
+    the restarted run's batch 0 is never mistaken for the old run's
+    batch 0 (a path-derived tag would be; r04 review)."""
+    import uuid as _uuid
+
+    os.makedirs(checkpoint, exist_ok=True)
+    tag_file = os.path.join(checkpoint, "spark_graft_run_id")
+    try:
+        fd = os.open(tag_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as fh:
+            fh.write(_uuid.uuid4().hex[:12])
+    except FileExistsError:
+        pass
+    with open(tag_file) as fh:
+        return fh.read().strip()
+
+
 def minhash_dedup_batch(
     batch: DataFrame,
     batch_id: int,
@@ -492,12 +561,15 @@ def minhash_dedup_batch(
     nothing — permanent data loss.  Each commit records
     (run, batch_id); a replay of an already-committed batch is a no-op
     (the output subdir was written before the commit, so it is
-    complete).  ALL versions are scanned, not just the latest — a
-    concurrent committer (another job, optimize_table) landing after
-    our commit must not mask the marker; and batch ids are only unique
-    WITHIN a checkpoint, so the marker carries the run tag (a
-    fresh-checkpoint reprocess is a new run, never a "replay")
-    (r04 review)."""
+    complete).  The marker ledger {run: max batch_id} is carried
+    cumulatively in every commit's meta AND cached in a sidecar file
+    (`replay_ledger.json`) the vacuum never touches — a concurrent
+    committer landing after our commit cannot mask it, store
+    maintenance cannot erase it, and the common path reads one file
+    plus at most a few manifests.  Batch ids are only unique WITHIN a
+    checkpoint instance, so the tag comes from
+    :func:`checkpoint_run_tag` (a fresh/recreated checkpoint is a new
+    run, never a "replay") (r04 review, two passes)."""
     from swisscourtrulingcorpus_spark.operators.dedup import (
         incremental_minhash_dedup_sig,
         minhash_signatures,
@@ -507,14 +579,12 @@ def minhash_dedup_batch(
         commit_version,
         latest_version,
         read_version,
-        version_meta,
-        versions,
     )
 
-    for v in versions(store_table):
-        m = version_meta(store_table, v)
-        if m.get("run") == run_tag and m.get("batch_id") == batch_id:
-            return
+    os.makedirs(store_table, exist_ok=True)
+    ledger = _read_replay_ledger(store_table)
+    if ledger.get(run_tag, -1) >= batch_id:
+        return
     spark = batch.sparkSession
     # computed ONCE per batch (null text yields no signature and falls
     # into the pass-through set — never silently dropped), cached
@@ -547,7 +617,7 @@ def minhash_dedup_batch(
             kept = batch.join(survivors, on=id_col, how="left_semi").unionByName(
                 unfingerprintable
             )
-            sentinels = unfingerprintable.select(id_col).select(
+            sentinels = unfingerprintable.select(
                 id_col,
                 *[
                     F.lit(None).cast("bigint").alias(c)
@@ -562,15 +632,26 @@ def minhash_dedup_batch(
                 os.path.join(out_dir, f"ingest_batch={run_tag}_{batch_id}")
             )
             try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
                 commit_version(
                     updated,
                     store_table,
                     base_version=base,
-                    meta={"run": run_tag, "batch_id": batch_id},
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
                 )
+                _write_replay_ledger(store_table, new_ledger)
                 return
             except ConcurrentWriteError:
-                continue  # re-dedup against the new latest store
+                # re-dedup against the new latest store; refresh the
+                # ledger too (the concurrent writer may be a sibling
+                # run of this job)
+                ledger = _read_replay_ledger(store_table)
+                continue
     finally:
         sig.unpersist()
 
@@ -590,10 +671,8 @@ def stream_minhash_dedup_job(
     concurrency contract.  History is only ever touched through its
     signature table; the corpus is never re-scanned.
     Trigger.AvailableNow, restartable as a continuous stream."""
-    import hashlib
-
     os.makedirs(store_table, exist_ok=True)
-    run_tag = hashlib.md5(os.path.abspath(checkpoint).encode()).hexdigest()[:10]
+    run_tag = checkpoint_run_tag(checkpoint)
 
     def _dedup(batch: DataFrame, batch_id: int) -> None:
         minhash_dedup_batch(

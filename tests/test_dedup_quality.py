@@ -345,7 +345,9 @@ def test_stream_minhash_dedup_crash_replay_is_noop(spark, tmp_path):
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]  # null-text doc passes through, never vanishes
     assert V.versions(store) == [1]
-    assert V.version_meta(store, 1) == {"run": "runA", "batch_id": 0}
+    meta = V.version_meta(store, 1)
+    assert meta["run"] == "runA" and meta["batch_id"] == 0
+    assert meta["runs"] == {"runA": 0}  # cumulative replay ledger
 
     # replay: same run + batch id -> no-op (output intact, no new version)
     minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
@@ -424,3 +426,54 @@ def test_lm_score_emits_degenerate_docs(spark):
         assert got[d]["n_bigrams"] == 0 and got[d]["n_scored"] == 0
         assert got[d]["coverage"] is None and got[d]["avg_logprob"] is None
     assert got[1]["n_bigrams"] == 2
+
+
+def test_replay_marker_survives_vacuum_and_foreign_commits(spark, tmp_path):
+    """Routine store maintenance (foreign commits + vacuum) between a
+    batch's store commit and its replay must not erase the replay
+    marker — the sidecar ledger is vacuum-proof (r04 review)."""
+    import os
+
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        minhash_dedup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id: long, text: string",
+    )
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
+    assert spark.read.parquet(out).count() == 1
+
+    # maintenance: two foreign commits (no runs meta), then vacuum
+    # keeps only the newest two manifests — v1's marker manifest dies
+    V.commit_version(V.read_version(spark, store), store)
+    V.commit_version(V.read_version(spark, store), store)
+    V.vacuum(store, keep=2)
+    assert V.versions(store) == [2, 3]
+
+    # crash replay of batch 0: still a no-op (sidecar ledger)
+    minhash_dedup_batch(batch, 0, store, out, run_tag="runA")
+    assert spark.read.parquet(out).count() == 1
+    assert V.versions(store) == [2, 3]
+
+
+def test_checkpoint_run_tag_is_instance_scoped(tmp_path):
+    """Deleting and recreating a checkpoint at the SAME path must mint
+    a NEW run tag (path-derived tags misclassified the standard
+    force-reprocess move as a replay; r04 review)."""
+    import shutil
+
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        checkpoint_run_tag,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    t1 = checkpoint_run_tag(ckpt)
+    assert checkpoint_run_tag(ckpt) == t1  # stable within the instance
+    shutil.rmtree(ckpt)
+    t2 = checkpoint_run_tag(ckpt)
+    assert t2 != t1
