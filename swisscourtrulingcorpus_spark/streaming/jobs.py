@@ -483,7 +483,14 @@ def _read_replay_ledger(store_table: str) -> dict[str, int]:
     forward — covers a crash between commit and sidecar write.
     Foreign commits (optimize_table, other jobs) have no ``runs`` map
     and are skipped; our next commit re-embeds the full ledger, so the
-    scan normally stops within a few versions."""
+    scan normally stops within a few versions.
+
+    The ledger keeps one ~30-byte entry per run tag forever (a new tag
+    per force-reprocess).  There is deliberately NO automatic eviction
+    — any heuristic risks evicting a live run's marker and re-opening
+    the replay data-loss hole; hundreds of reprocess cycles cost
+    kilobytes.  Prune manually by editing the sidecar if a store ever
+    accumulates thousands of dead runs."""
     import json
 
     from swisscourtrulingcorpus_spark.sources.versioned import (
@@ -514,7 +521,9 @@ def _write_replay_ledger(store_table: str, ledger: dict[str, int]) -> None:
     import uuid as _uuid
 
     sidecar = os.path.join(store_table, _LEDGER_FILE)
-    tmp = sidecar + "." + _uuid.uuid4().hex
+    # ".json.tmp." infix: a crash-orphaned tmp matches the vacuum
+    # debris sweep in sources/versioned.py and gets reclaimed
+    tmp = sidecar + ".tmp." + _uuid.uuid4().hex
     with open(tmp, "w") as fh:
         json.dump(ledger, fh)
     os.replace(tmp, sidecar)
@@ -530,14 +539,28 @@ def checkpoint_run_tag(checkpoint: str) -> str:
 
     os.makedirs(checkpoint, exist_ok=True)
     tag_file = os.path.join(checkpoint, "spark_graft_run_id")
-    try:
-        fd = os.open(tag_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as fh:
+    while True:
+        try:
+            with open(tag_file) as fh:
+                tag = fh.read().strip()
+            if tag:
+                return tag
+            # a crash between create and write left an empty file —
+            # repair it (an empty tag shared across checkpoints would
+            # alias their ledger entries)
+            os.remove(tag_file)
+        except FileNotFoundError:
+            pass
+        # write-then-rename: the tag file only ever appears complete
+        tmp = tag_file + "." + _uuid.uuid4().hex
+        with open(tmp, "w") as fh:
             fh.write(_uuid.uuid4().hex[:12])
-    except FileExistsError:
-        pass
-    with open(tag_file) as fh:
-        return fh.read().strip()
+        try:
+            os.link(tmp, tag_file)  # exclusive: fails if another won
+        except FileExistsError:
+            pass
+        finally:
+            os.remove(tmp)
 
 
 def minhash_dedup_batch(
@@ -582,8 +605,7 @@ def minhash_dedup_batch(
     )
 
     os.makedirs(store_table, exist_ok=True)
-    ledger = _read_replay_ledger(store_table)
-    if ledger.get(run_tag, -1) >= batch_id:
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
         return
     spark = batch.sparkSession
     # computed ONCE per batch (null text yields no signature and falls
@@ -593,6 +615,17 @@ def minhash_dedup_batch(
     try:
         while True:
             base = latest_version(store_table)
+            # Ledger read AFTER base capture: the OCC base check then
+            # guarantees a successful commit saw every marker up to
+            # its base — a sibling run's commit between read and
+            # commit raises ConcurrentWriteError instead of being
+            # clobbered out of the cumulative map (r04 review).
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                # a concurrent twin of THIS batch (zombie driver +
+                # restarted driver) already committed it — its output
+                # is complete; rewriting would wipe it
+                return
             if base:
                 store = read_version(spark, store_table, base)
             else:
@@ -647,11 +680,7 @@ def minhash_dedup_batch(
                 _write_replay_ledger(store_table, new_ledger)
                 return
             except ConcurrentWriteError:
-                # re-dedup against the new latest store; refresh the
-                # ledger too (the concurrent writer may be a sibling
-                # run of this job)
-                ledger = _read_replay_ledger(store_table)
-                continue
+                continue  # loop re-reads base AND ledger, re-checks guard
     finally:
         sig.unpersist()
 

@@ -477,3 +477,35 @@ def test_checkpoint_run_tag_is_instance_scoped(tmp_path):
     shutil.rmtree(ckpt)
     t2 = checkpoint_run_tag(ckpt)
     assert t2 != t1
+
+
+def test_sibling_runs_preserve_each_others_markers(spark, tmp_path):
+    """Two runs ingesting into one store: each run's replay marker must
+    survive the other's commits (the cumulative ledger is re-read
+    after base capture, so a successful commit embeds every marker up
+    to its base; r04 review)."""
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        _read_replay_ledger,
+        minhash_dedup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id: long, text: string",
+    )
+    b = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")],
+        "doc_id: long, text: string",
+    )
+    minhash_dedup_batch(a, 0, store, out, run_tag="runA")
+    minhash_dedup_batch(b, 0, store, out, run_tag="runB")
+    ledger = _read_replay_ledger(store)
+    assert ledger == {"runA": 0, "runB": 0}
+
+    # both replays are no-ops
+    minhash_dedup_batch(a, 0, store, out, run_tag="runA")
+    minhash_dedup_batch(b, 0, store, out, run_tag="runB")
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]
