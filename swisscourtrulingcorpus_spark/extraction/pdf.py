@@ -27,8 +27,11 @@ from pyspark.sql.types import StringType
 
 _STREAM_RX = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.DOTALL)
 # direct-integer /Length only — `/Length 5 0 R` (indirect object
-# reference) must NOT match, its value lives elsewhere in the file
-_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# reference) must NOT match, its value lives elsewhere in the file.
+# The (?!\d) digit boundary keeps backtracking from splitting the
+# number: without it, `/Length 123 0 R` backtracks (\d+) to `12`
+# (char `3` fails the lookahead's \s+) and matches n=12.
+_LENGTH_RX = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _TEXT_BLOCK_RX = re.compile(rb"BT(.*?)ET", re.DOTALL)
 # a literal string, or a line-advancing operator
 _TOKEN_RX = re.compile(rb"\((?P<lit>(?:[^()\\]|\\.)*)\)|(?P<nl>T\*|Td|TD)")

@@ -104,10 +104,13 @@ def _write_manifest(
     os.rename(tmp, os.path.join(table_dir, f"v{version}.json"))
 
 
-def _claim(table_dir: str, version: int) -> bool:
+def _claim(table_dir: str, version: int, token: str = "") -> bool:
     """Exclusive-create v{n}.claim; the claim file is separate from the
     manifest so the manifest itself only ever appears via atomic
-    rename."""
+    rename.  ``token`` (the writer's commit_id) is written into the
+    claim so a writer can later verify the claim is still *its own*
+    before renaming the manifest — a TTL-broken-and-reclaimed claim
+    holds the overtaker's token instead."""
     try:
         fd = os.open(
             os.path.join(table_dir, f"v{version}.claim"),
@@ -115,8 +118,40 @@ def _claim(table_dir: str, version: int) -> bool:
         )
     except FileExistsError:
         return False
-    os.close(fd)
+    try:
+        os.write(fd, token.encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
     return True
+
+
+def _write_manifest_owned(
+    table_dir: str, version: int, manifest: dict, commit_id: str
+) -> None:
+    """Manifest rename guarded by a claim-ownership re-check: if this
+    writer stalled past CLAIM_TTL, a committer may have broken the
+    claim, reclaimed it (its token now in the file), and committed —
+    renaming anyway would silently clobber the overtaker's v{n}.json
+    with a manifest naming different data files.  Re-verifying the
+    token immediately before the rename shrinks the lease caveat from
+    the whole stage->rename window to the check->rename microseconds
+    (ADVICE r04)."""
+    if _claim_token(table_dir, version) != commit_id:
+        raise ConcurrentWriteError(
+            f"claim on v{version} was broken (writer paused past "
+            f"CLAIM_TTL) and retaken in {table_dir}"
+        )
+    _write_manifest(table_dir, version, manifest, commit_id)
+
+
+def _claim_token(table_dir: str, version: int) -> str | None:
+    """Current content of v{n}.claim, or None when no claim exists."""
+    try:
+        with open(os.path.join(table_dir, f"v{version}.claim")) as fh:
+            return fh.read()
+    except OSError:
+        return None
 
 
 def _commit_manifest(
@@ -155,7 +190,7 @@ def _commit_manifest(
                     f"snapshot staged against v{base_version} but the "
                     f"table has advanced in {table_dir}"
                 )
-            if _claim(table_dir, version):
+            if _claim(table_dir, version, token=commit_id):
                 if os.path.exists(target):
                     # the previous holder committed and released before
                     # our exclusive create succeeded
@@ -163,7 +198,7 @@ def _commit_manifest(
                     raise ConcurrentWriteError(
                         f"v{version} was committed concurrently in {table_dir}"
                     )
-                _write_manifest(table_dir, version, manifest, commit_id)
+                _write_manifest_owned(table_dir, version, manifest, commit_id)
                 os.remove(claim)
                 return version
             # Claim held by another writer: either it commits (our next
@@ -187,7 +222,7 @@ def _commit_manifest(
     # UNCHECKED commit (blind overwrite): take the next free number.
     while True:
         version = _next_version(table_dir)
-        if not _claim(table_dir, version):
+        if not _claim(table_dir, version, token=commit_id):
             continue  # _next_version counts claims — the retry advances
         claim = os.path.join(table_dir, f"v{version}.claim")
         if os.path.exists(os.path.join(table_dir, f"v{version}.json")):
@@ -202,7 +237,7 @@ def _commit_manifest(
             # appear until we release it.
             os.remove(claim)
             continue
-        _write_manifest(table_dir, version, manifest, commit_id)
+        _write_manifest_owned(table_dir, version, manifest, commit_id)
         os.remove(claim)
         return version
 
@@ -242,9 +277,13 @@ def commit_version(
     :class:`ConcurrentWriteError` instead of silently discarding a
     concurrent writer's rows.  A crashed writer's stale claim is
     broken after ``CLAIM_TTL_SECONDS`` (claims are held only for the
-    sub-second manifest-rename window; the usual lease caveat applies:
-    a writer paused longer than the TTL *inside* that window could be
-    overtaken).  Leave ``base_version`` ``None`` only for
+    sub-second manifest-rename window).  A writer paused past the TTL
+    inside that window is OVERTAKEN, not clobbering: each claim holds
+    its writer's commit_id token and the writer re-verifies ownership
+    immediately before the manifest rename, raising
+    :class:`ConcurrentWriteError` when the claim was broken and
+    retaken (the residual lease caveat is now only the check->rename
+    microseconds).  Leave ``base_version`` ``None`` only for
     blind-overwrite semantics."""
     if base_version is not None and latest_version(table_dir) != base_version:
         # fail fast BEFORE paying the full snapshot write — each retry

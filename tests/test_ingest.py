@@ -185,3 +185,18 @@ def test_pdf_length_preferred_when_consistent_ignored_when_lying():
         b"BT (CCCCCCCCCC) Tj ET\nendstream\nendobj\n"
     )
     assert extract_pdf_text_py(pdfr) == "CCCCCCCCCC"
+
+
+def test_pdf_length_indirect_ref_no_backtrack_match():
+    """ADVICE r04: `/Length 123 0 R` used to backtrack-match n=12 (the
+    lookahead only rejected the full number).  The digit-boundary
+    assertion makes indirect references match NOTHING, so extraction
+    falls back to the endstream-delimited bytes."""
+    from swisscourtrulingcorpus_spark.extraction.pdf import _LENGTH_RX
+
+    assert _LENGTH_RX.search(b"/Length 123 0 R") is None
+    assert _LENGTH_RX.search(b"/Length 5 0 R") is None
+    m = _LENGTH_RX.search(b"/Length 123")
+    assert m and m.group(1) == b"123"
+    m = _LENGTH_RX.search(b"/Length 123\n/Filter /FlateDecode")
+    assert m and m.group(1) == b"123"

@@ -1,12 +1,13 @@
-"""Driver-window hygiene (VERDICT r03 item 10).
+"""Driver-window hygiene (VERDICT r03 item 10, r04 item 1).
 
 The round driver evaluates only the first 50 registry entries.  Round 3
 declared more new queries than fit, so 22 gates went three rounds with
-no driver CORRECTNESS row.  This test makes that impossible to repeat
-silently: every query that has never appeared in a committed
-CORRECTNESS_r*.json must sit inside the 50-entry window (or the backlog
-must genuinely exceed the window, in which case the front of the window
-must be entirely never-checked names — no wasted slots).
+no driver CORRECTNESS row; round 4 closed that backlog but left 50
+gates whose last driver evidence was from round 2.  Round 5 replaced
+the manually curated promotion list with a self-rotating STALENESS
+ordering: specs sort by the round of their last verified driver row
+(never-verified first), so each round the driver re-checks exactly the
+50 queries with the oldest evidence.  These tests pin that invariant.
 """
 
 from __future__ import annotations
@@ -14,8 +15,27 @@ from __future__ import annotations
 from swisscourtrulingcorpus_spark.plans.registry import (
     QUERY_SPECS,
     driver_checked_names,
+    last_verified_round,
     unverified_backlog,
 )
+
+
+def test_registry_is_ordered_stalest_first():
+    """The registry ordering IS the rotation policy: last-verified
+    round must be non-decreasing along QUERY_SPECS, so the driver's
+    50-entry window always holds the stalest evidence."""
+    last = last_verified_round()
+    rounds = [last.get(s.name, -1) for s in QUERY_SPECS]
+    assert rounds == sorted(rounds), (
+        "registry not sorted stalest-first; first offenders: "
+        + str(
+            [
+                (QUERY_SPECS[i].name, rounds[i], rounds[i + 1])
+                for i in range(len(rounds) - 1)
+                if rounds[i] > rounds[i + 1]
+            ][:5]
+        )
+    )
 
 
 def test_never_checked_queries_fit_in_driver_window():
@@ -24,9 +44,8 @@ def test_never_checked_queries_fit_in_driver_window():
     backlog = unverified_backlog()
     if len(never) <= 50:
         assert backlog == [], (
-            f"{len(backlog)} never-driver-checked queries sit outside the "
-            f"50-entry window despite fitting: {backlog} — promote them "
-            "into registry._FRONT_OF_WINDOW"
+            f"{len(backlog)} never-driver-checked queries sit outside "
+            f"the 50-entry window despite fitting: {backlog}"
         )
     else:
         window_names = {s.name for s in QUERY_SPECS[:50]}
@@ -35,6 +54,52 @@ def test_never_checked_queries_fit_in_driver_window():
             f"backlog ({len(never)}) exceeds the window but already-"
             f"checked queries occupy slots: {sorted(wasted)}"
         )
+
+
+def test_max_staleness_bounded():
+    """With the backlog empty, no gate's last verified driver row may
+    be older than ceil(n_specs / 50) rounds behind the newest committed
+    CORRECTNESS file — the steady-state bound of a 50-wide rotation.
+    (Window occupants are exempt: they are being re-checked this
+    round.)"""
+    last = last_verified_round()
+    if not last or unverified_backlog():
+        return
+    newest = max(last.values())
+    bound = -(-len(QUERY_SPECS) // 50)  # ceil
+    stale = [
+        (s.name, last[s.name])
+        for s in QUERY_SPECS[50:]
+        if s.name in last and newest - last[s.name] > bound
+    ]
+    assert stale == [], (
+        f"gates outside the window with driver evidence older than "
+        f"{bound} rounds (newest file r{newest:02d}): {stale}"
+    )
+
+
+def test_err_rows_do_not_count_as_verified():
+    """ADVICE r04: a row with a non-null err (e.g. no_oracle) must not
+    mark a query as driver-checked."""
+    import json
+
+    checked = driver_checked_names("/tmp/_nonexistent_repo_root")
+    assert checked == set()
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        with open(os.path.join(root, "CORRECTNESS_r01.json"), "w") as f:
+            json.dump(
+                {
+                    "good": {"err": None, "hash_match": True},
+                    "bad": {"err": "no_oracle"},
+                },
+                f,
+            )
+        assert driver_checked_names(root) == {"good"}
+        assert last_verified_round(root) == {"good": 1}
 
 
 def test_registry_has_no_duplicate_names():

@@ -289,3 +289,45 @@ def test_concurrent_checked_commits_one_winner(spark, tmp_path):
     assert len(wins) == 1 and wins[0][1] == 2
     assert len(conflicts) == 3
     assert V.versions(table) == [1, 2]
+
+def test_overtaken_writer_raises_instead_of_clobbering(spark, tmp_path):
+    """ADVICE r04: a checked writer paused past CLAIM_TTL between
+    _claim and the manifest rename used to silently overwrite the
+    overtaker's v{n}.json.  The claim now carries the writer's
+    commit_id token and the rename re-verifies ownership."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(5), table)  # v1
+    # Writer A: stage data and claim v2 with its token, then "pause"
+    cid_a, _ = V._stage_data(spark.range(7), table)
+    assert V._claim(table, 2, token=cid_a)
+    # Overtaker B breaks the stale claim and commits v2
+    os.remove(os.path.join(table, "v2.claim"))
+    assert V.commit_version(spark.range(9), table, base_version=1) == 2
+    # Writer A resumes INSIDE the critical section (past the
+    # latest-version and target-exists checks) at the guarded rename:
+    manifest_a = {"files": [], "commit": cid_a, "base": 1, "meta": {}}
+    with pytest.raises(V.ConcurrentWriteError):
+        V._write_manifest_owned(table, 2, manifest_a, cid_a)
+    # B's manifest is intact — no silent clobber
+    assert V.read_version(spark, table, 2).count() == 9
+
+
+def test_retaken_claim_token_mismatch(spark, tmp_path):
+    """Same scenario but the overtaker still HOLDS the retaken claim:
+    the token in the file belongs to B, so A's rename must refuse."""
+    import pytest
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    V.commit_version(spark.range(3), table)  # v1
+    cid_a, _ = V._stage_data(spark.range(4), table)
+    assert V._claim(table, 2, token=cid_a)
+    # TTL break + retake by B (claim now holds B's token)
+    os.remove(os.path.join(table, "v2.claim"))
+    assert V._claim(table, 2, token="writer-b")
+    with pytest.raises(V.ConcurrentWriteError):
+        V._write_manifest_owned(table, 2, {"files": []}, cid_a)
+    assert V._claim_token(table, 2) == "writer-b"
