@@ -225,12 +225,16 @@ def encode_bmp24(width: int, height: int, pixels: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
-    """Sniff + decode.  PNG and 24-bit BMP decode for real; anything
-    else raises ``UnsupportedImageError`` (JPEG et al. need codec
-    libraries absent from this container — callers fall back to the
-    byte-stat stub)."""
+    """Sniff + decode.  PNG, 24-bit BMP and baseline JPEG decode for
+    real; anything else (progressive/arithmetic JPEG, video, audio)
+    raises ``UnsupportedImageError`` — callers fall back to the
+    byte-stat stub."""
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from swisscourtrulingcorpus_spark.extraction.jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload)
     raise UnsupportedImageError("unknown or unsupported image format")

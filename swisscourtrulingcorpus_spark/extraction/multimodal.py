@@ -6,13 +6,15 @@ alongside; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so bytes never leave the executor
 and batch size bounds memory.
 
-PNG (8-bit non-interlaced) and BMP (24-bit uncompressed) decode FOR
-REAL via the pure-stdlib codec in `extraction/imagecodec.py` —
+PNG (8-bit non-interlaced), BMP (24-bit uncompressed) and baseline
+sequential JPEG decode FOR REAL via the pure-stdlib codecs in
+`extraction/imagecodec.py` and `extraction/jpegcodec.py` —
 ``decode_image_real`` returns actual pixel statistics out of the
 payload bytes, and ``decode_image_features`` is the mapInPandas stage
-over it.  Codecs that genuinely need native libraries (JPEG/video/
-audio) remain stubbed: ``decode_image_stub`` computes deterministic
-byte features (length, md5) with the same scheduling shape.
+over it.  Codecs that genuinely need native libraries (progressive/
+arithmetic JPEG, video, audio) remain stubbed: ``decode_image_stub``
+computes deterministic byte features (length, md5) with the same
+scheduling shape.
 Everything Spark-side — schema, UDF signature, Arrow batch shape,
 partitioning — is real and tested either way.
 """
@@ -110,7 +112,11 @@ def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
             fmt = (
                 "png"
                 if payload[:8] == b"\x89PNG\r\n\x1a\n"
-                else "bmp" if payload[:2] == b"BM" else "other"
+                else "bmp"
+                if payload[:2] == b"BM"
+                else "jpeg"
+                if payload[:2] == b"\xff\xd8"
+                else "other"
             )
             feats = decode_image_real(bytes(payload))
             rows.append(
@@ -160,6 +166,39 @@ def _image_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 payloads.append(encode_bmp24(w, h, px))
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def _jpeg_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import encode_jpeg_gray
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 21 + 4, d % 13 + 4
+            px = [
+                (3 * d + 11 * (x // 8) + 17 * (y // 8)) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            payloads.append(encode_jpeg_gray(w, h, px, restart_interval=d % 3))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_jpeg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic baseline-JPEG corpus from row ids: grayscale,
+    sizes 4..24 × 4..16 (non-multiples of 8 exercise edge-replication
+    padding), restart interval cycling 0/1/2, pixel (x, y) =
+    (3·id + 11·(x//8) + 17·(y//8)) % 256.  Constant 8×8 blocks + the
+    encoder's flat quant table make the DCT round trip BIT-EXACT (only
+    the DC coefficient survives; 8·v is exact in binary float), so an
+    independent oracle recomputes every pixel statistic from arithmetic
+    alone — the full marker-parse → Huffman → dequant → IDCT path
+    through real bytes is what the gate verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _jpeg_fixture_batches, PAYLOAD_SCHEMA
+    )
 
 
 def generate_image_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -309,6 +309,42 @@ GROUP BY doc_id
 """
 
 
+def jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closes the codec family next to `png_decode_stats`: baseline
+    JPEGs are ENCODED from doc_id arithmetic (constant 8×8 blocks +
+    flat quant table = bit-exact DCT round trip; restart interval
+    cycles 0/1/2; widths/heights off the 8-grid exercise padding) and
+    DECODED for real (`extraction/jpegcodec.py`: marker parse, Huffman
+    entropy decode, DC prediction, zigzag dequant, IDCT).  The oracle
+    recomputes every pixel statistic from the same arithmetic without
+    touching bytes — a Huffman, predictor, restart or IDCT bug changes
+    pixel_sum/min/max and fails the hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+        generate_jpeg_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(generate_jpeg_fixture(docs))
+
+
+JPEG_DECODE_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+gx AS (SELECT doc_id, unnest(generate_series(0, doc_id % 21 + 3)) AS x FROM p),
+gy AS (SELECT doc_id, x, unnest(generate_series(0, doc_id % 13 + 3)) AS y FROM gx)
+SELECT doc_id,
+       'jpeg' AS fmt,
+       CAST(doc_id % 21 + 4 AS BIGINT) AS width,
+       CAST(doc_id % 13 + 4 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(sum((3*doc_id + 11*(x//8) + 17*(y//8)) % 256) AS BIGINT) AS pixel_sum,
+       min((3*doc_id + 11*(x//8) + 17*(y//8)) % 256) AS px_min,
+       max((3*doc_id + 11*(x//8) + 17*(y//8)) % 256) AS px_max
+FROM gy
+GROUP BY doc_id
+"""
+
+
 _UUID5_FIXTURE = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     "resources",
@@ -359,4 +395,5 @@ SPECS = [
     QuerySpec("unpivot_doc_stats", unpivot_doc_stats, UNPIVOT_ORACLE, "wide→long melt"),
     QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
     QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
+    QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
 ]

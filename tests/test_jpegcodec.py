@@ -1,0 +1,180 @@
+"""Baseline JPEG codec (`extraction/jpegcodec.py`): round trips,
+entropy-layer properties, honesty boundary (VERDICT r04 item 2)."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+    UnsupportedImageError,
+    decode_image,
+)
+from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_color,
+    encode_jpeg_gray,
+)
+
+
+def _blocky(d: int, w: int, h: int) -> list[int]:
+    return [
+        (3 * d + 11 * (x // 8) + 17 * (y // 8)) % 256
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def test_zigzag_is_a_permutation_with_known_anchors():
+    assert sorted(ZIGZAG) == list(range(64))
+    # first and last anti-diagonals per T.81 figure A.6
+    assert ZIGZAG[:10] == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert ZIGZAG[-4:] == [47, 55, 62, 63]
+
+
+def test_constant_block_gray_roundtrip_bit_exact():
+    """Flat quant + constant 8×8 blocks -> only the DC coefficient
+    survives and 8·v is exact in binary float: decode == source.  Off-
+    grid sizes exercise edge-replication padding; restart intervals
+    0/1/2 exercise the RST sync + predictor reset."""
+    for d in range(40):
+        w, h = d % 21 + 4, d % 13 + 4
+        px = _blocky(d, w, h)
+        data = encode_jpeg_gray(w, h, px, restart_interval=d % 3)
+        got = decode_jpeg(data)
+        assert got == (w, h, 1, bytearray(px)), f"doc {d}"
+
+
+def test_gradient_gray_near_lossless_with_flat_quant():
+    px = [(x * 7 + y * 13) % 256 for y in range(24) for x in range(17)]
+    _, _, _, out = decode_jpeg(encode_jpeg_gray(17, 24, px))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 3
+
+
+def test_restart_markers_do_not_change_pixels():
+    px = [(x * 7 + y * 13) % 256 for y in range(24) for x in range(17)]
+    base = decode_jpeg(encode_jpeg_gray(17, 24, px))
+    for interval in (1, 2, 3, 5):
+        assert decode_jpeg(encode_jpeg_gray(17, 24, px, restart_interval=interval)) == base
+
+
+def test_nonflat_quant_bounded_error():
+    """Real quantization loses information proportionally to the step:
+    constant blocks quantize only the DC coefficient, so max error is
+    q0/16 rounded."""
+    px = _blocky(9, 16, 16)
+    _, _, _, out = decode_jpeg(encode_jpeg_gray(16, 16, px, quant=[16] * 64))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+    px2 = [(x * 31 + y * 7) % 256 for y in range(16) for x in range(16)]
+    _, _, _, out2 = decode_jpeg(encode_jpeg_gray(16, 16, px2, quant=[16] * 64))
+    assert max(abs(a - b) for a, b in zip(px2, out2)) <= 40  # lossy but sane
+
+
+def test_color_444_and_420_roundtrip():
+    rgb = [
+        (x * 5 + y * 3 + c * 11) % 256
+        for y in range(10)
+        for x in range(9)
+        for c in range(3)
+    ]
+    for sub in ((1, 1), (2, 2)):
+        w, h, ch, out = decode_jpeg(encode_jpeg_color(9, 10, rgb, subsample=sub))
+        assert (w, h, ch) == (9, 10, 3)
+        err = max(abs(a - b) for a, b in zip(rgb, out))
+        # 4:2:0 averages chroma over 2x2 -> higher but bounded error on
+        # a smooth gradient
+        assert err <= (2 if sub == (1, 1) else 24), (sub, err)
+
+
+def test_constant_color_is_color_transform_exact():
+    """A constant image survives subsampling exactly; the only loss is
+    the RGB->YCbCr->RGB integer rounding (≤2 per channel)."""
+    for color in [(200, 30, 90), (0, 0, 0), (255, 255, 255), (17, 203, 64)]:
+        rgb = [c for _ in range(16 * 16) for c in color]
+        _, _, _, out = decode_jpeg(encode_jpeg_color(16, 16, rgb, subsample=(2, 2)))
+        assert max(abs(a - b) for a, b in zip(rgb, out)) <= 2, color
+
+
+def test_entropy_layer_roundtrip_exercises_zrl_and_eob():
+    """Coefficient-domain round trip through the Huffman layer with a
+    sparse high-frequency block (15+ zero runs -> ZRL) — pixel-domain
+    tests can't reliably hit those symbols."""
+    import random
+
+    from swisscourtrulingcorpus_spark.extraction import jpegcodec as J
+
+    rng = random.Random(7)
+    blocks = []
+    for _ in range(20):
+        zz = [0] * 64
+        zz[0] = rng.randint(-200, 200)
+        for _ in range(rng.randint(0, 4)):
+            zz[rng.randint(40, 63)] = rng.randint(-100, 100)  # long runs
+        blocks.append(zz)
+    dc_b, dc_v = J._fixed_length_table(J._block_symbols(blocks)[0])
+    ac_b, ac_v = J._fixed_length_table(J._block_symbols(blocks)[1])
+    w = J._BitWriter()
+    J._write_blocks(w, blocks, J._encode_map(dc_b, dc_v), J._encode_map(ac_b, ac_v), 0)
+    w.flush()
+    r = J._BitReader(bytes(w.out) + b"\xff\xd9", 0)
+    dec_dc = J._decode_map(dc_b, dc_v)
+    dec_ac = J._decode_map(ac_b, ac_v)
+    pred = 0
+    for zz in blocks:
+        coef, pred = J._decode_block(r, dec_dc, dec_ac, [1] * 64, pred)
+        want = [0] * 64
+        for k in range(64):
+            want[J.ZIGZAG[k]] = zz[k]
+        assert coef == want
+
+
+def test_unsupported_variants_raise():
+    def frame(marker):
+        return (
+            b"\xff\xd8"
+            + bytes([0xFF, marker])
+            + struct.pack(">H", 11)
+            + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
+        )
+
+    for marker, kind in [(0xC2, "progressive"), (0xC9, "arithmetic"), (0xC3, "lossless")]:
+        with pytest.raises(UnsupportedImageError, match=kind):
+            decode_jpeg(frame(marker))
+    # 12-bit precision
+    twelve = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0])
+    )
+    with pytest.raises(UnsupportedImageError, match="12-bit"):
+        decode_jpeg(twelve)
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_decode_image_dispatch_sniffs_jpeg():
+    px = _blocky(3, 12, 9)
+    data = encode_jpeg_gray(12, 9, px)
+    assert decode_image(data) == (12, 9, 1, bytearray(px))
+
+
+def test_decode_image_features_jpeg_spark(spark):
+    """The mapInPandas decode stage labels and decodes JPEG payloads."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+        generate_jpeg_fixture,
+    )
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_features(generate_jpeg_fixture(docs)).collect()
+    }
+    assert len(rows) == 12
+    for d, r in rows.items():
+        w, h = d % 21 + 4, d % 13 + 4
+        px = _blocky(d, w, h)
+        assert r["fmt"] == "jpeg"
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        assert r["pixel_sum"] == sum(px)
+        assert r["px_min"] == min(px) and r["px_max"] == max(px)
