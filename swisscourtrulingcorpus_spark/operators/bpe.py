@@ -26,9 +26,12 @@ case the repo's UDF policy sanctions; the merge table is a broadcast
 closure (kilobytes).
 
 The merge sequence depends on the whole corpus, so there is no static
-SQL oracle; correctness is pinned by golden tests against the
+SQL oracle; correctness is pinned three ways: golden tests against the
 hand-computed classic example and a pure-Python reference
-implementation (`tests/test_bpe.py`).
+implementation (`tests/test_bpe.py`), plus the driver-gated frozen-
+corpus fixtures (`bpe_merges_corpus` / `bpe_encode_documents` in
+`plans/extra_queries.py`: an independent offline trainer's merge table
+and encoded output, the `uuid5_document_ids` fixture pattern).
 """
 
 from __future__ import annotations

@@ -345,11 +345,83 @@ GROUP BY doc_id
 """
 
 
-_UUID5_FIXTURE = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "resources",
-    "uuid5_doc_ids.parquet",
+_RESOURCES = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "resources"
 )
+_UUID5_FIXTURE = _os.path.join(_RESOURCES, "uuid5_doc_ids.parquet")
+_BPE_MERGES_FIXTURE = _os.path.join(_RESOURCES, "bpe_fixture_merges.parquet")
+_BPE_ENCODED_FIXTURE = _os.path.join(_RESOURCES, "bpe_fixture_encoded.parquet")
+
+
+# --- BPE vs frozen fixture (VERDICT r04 item 5) -------------------------
+
+def bpe_merges_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE trainer (`operators/bpe.py::bpe_train` —
+    iterative, whole-corpus-dependent, so no static SQL oracle exists)
+    value-checked the `uuid5_document_ids` way: a frozen doc_id-
+    arithmetic corpus (`plans/bpe_fixture.py`, identical at every SF)
+    is trained in Spark, and the oracle reads the merge table an
+    INDEPENDENT pure-Python reference trainer produced offline
+    (`tools/make_bpe_fixture.py`).  Any drift in pair counting,
+    tie-breaking (count desc, pair asc) or the greedy fold rewrite
+    changes some (rank, a, b) row and fails the hash."""
+    from swisscourtrulingcorpus_spark.operators.bpe import bpe_train
+    from swisscourtrulingcorpus_spark.plans.bpe_fixture import (
+        BPE_FIXTURE_DOCS,
+        BPE_FIXTURE_MERGES,
+        bpe_fixture_text_col,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < BPE_FIXTURE_DOCS)
+    )
+    corpus = docs.select(bpe_fixture_text_col("doc_id").alias("text"))
+    merges = bpe_train(corpus, "text", num_merges=BPE_FIXTURE_MERGES)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string",
+    )
+
+
+BPE_MERGES_ORACLE = f"""
+SELECT rank, a, b FROM '{_BPE_MERGES_FIXTURE}'
+"""
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched BPE encoder over the frozen merge table: the
+    fixture corpus is reconstructed JVM-side, encoded through
+    `bpe_encode_udf` (broadcast merge ranks, greedy lowest-rank-first),
+    and compared against offline-encoded output.  Verifies the encode
+    path end-to-end through the Arrow boundary — tokenization drift of
+    a single word on one doc fails the hash."""
+    from swisscourtrulingcorpus_spark.operators.bpe import bpe_encode_udf
+    from swisscourtrulingcorpus_spark.plans.bpe_fixture import (
+        BPE_FIXTURE_DOCS,
+        bpe_fixture_text_col,
+    )
+
+    merges = [
+        (r["a"], r["b"])
+        for r in spark.read.parquet(_BPE_MERGES_FIXTURE).orderBy("rank").collect()
+    ]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") < BPE_FIXTURE_DOCS)
+    )
+    corpus = docs.select("doc_id", bpe_fixture_text_col("doc_id").alias("text"))
+    return corpus.select(
+        "doc_id",
+        F.concat_ws(" ", bpe_encode_udf(merges)("text")).alias("tokens"),
+    )
+
+
+BPE_ENCODE_ORACLE = f"""
+SELECT doc_id, tokens FROM '{_BPE_ENCODED_FIXTURE}'
+"""
 
 UUID5_ORACLE = f"""
 SELECT d.doc_id, f.decision_id
@@ -396,4 +468,6 @@ SPECS = [
     QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
     QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
+    QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
+    QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),
 ]
