@@ -235,12 +235,16 @@ def bleu_score(
 
 LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
     # German: plural/derivational endings; -ungen/-heiten/-keiten keep
-    # their singular suffix, plain declension endings strip
+    # their singular suffix; -den/-gen plurals of weak -e nouns keep
+    # the e (beschwerden/gemeinden/unterlagen/klagen — r05 fidelity
+    # measurement); plain declension endings strip
     "de": [
         ("ungen", "ung", 3),
         ("heiten", "heit", 3),
         ("keiten", "keit", 3),
         ("innen", "in", 3),
+        ("den", "de", 3),
+        ("gen", "ge", 3),
         ("en", "", 3),
         ("er", "", 3),
         ("es", "", 3),
@@ -248,18 +252,34 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
         ("n", "", 3),
         ("s", "", 3),
     ],
-    # French: plural -s/-x, -aux -> -al, derivational -ations/-ements
+    # French: plural -s/-x, -aux -> -al, derivational -ations/-ements;
+    # -cours nouns (recours, secours, discours, concours) are invariant
+    # — the identity rule fires before the generic -s strip ("jours"
+    # does NOT match it and still strips to "jour")
     "fr": [
+        ("cours", "cours", 1),
         ("ations", "ation", 3),
         ("ements", "ement", 3),
         ("aux", "al", 2),
         ("x", "", 3),
         ("s", "", 3),
     ],
-    # Italian: -ioni/-menti singulars, masculine plural -i -> -o
+    # Italian: -ioni/-menti singulars first, then the -e-class plurals
+    # the bare i -> o default gets wrong (r05 fidelity measurement:
+    # sentenze/mesi/valori/termini/parti/giudici/uffici/principi/
+    # cancellieri), then masculine plural -i -> -o
     "it": [
         ("ioni", "ione", 3),
         ("menti", "mento", 3),
+        ("nze", "nza", 2),
+        ("esi", "ese", 1),
+        ("dici", "dice", 2),
+        ("fici", "ficio", 2),
+        ("cipi", "cipio", 2),
+        ("ieri", "iere", 2),
+        ("ori", "ore", 2),
+        ("ini", "ine", 2),
+        ("rti", "rte", 2),
         ("i", "o", 3),
         ("e", "", 3),
     ],

@@ -891,6 +891,23 @@ FROM cand
 BLOOM_PREFILTER_ORACLE = _bloom_oracle()
 
 
+def pos_proxy_class_col(token: str = "t", lang: str = "lang"):
+    """The deterministic POS-proxy classifier over a token column —
+    factored out so the fidelity test (`tests/test_fidelity.py`) can
+    measure per-token agreement against hand-labeled spaCy-style gold
+    classes with exactly the expression the gate uses."""
+    from swisscourtrulingcorpus_spark.functions.text import lemma_stopword_sql
+
+    is_func = F.expr(lemma_stopword_sql(f"lower({token})", lang))
+    return (
+        F.when(F.col(token).rlike("^[0-9]"), F.lit("NUM"))
+        .when(~F.col(token).rlike("[0-9A-Za-zÀ-ÿ]"), F.lit("PUNCT"))
+        .when(is_func, F.lit("FUNC"))
+        .when(F.col(token).rlike("^[A-ZÄÖÜÉÈÀ]"), F.lit("PROPN"))
+        .otherwise(F.lit("WORD"))
+    )
+
+
 def q_pos_proxy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E11 counter_pos/counter_tag counterpart
     (`abstract_preprocessor.py:404-409`: per-token POS/tag counts).
@@ -915,16 +932,8 @@ def q_pos_proxy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split(salted, r"\s+")).alias("t")
     ).where(F.length("t") > 0)
-    is_func = F.expr(lemma_stopword_sql("lower(t)", "lang"))
-    cls = (
-        F.when(F.col("t").rlike("^[0-9]"), F.lit("NUM"))
-        .when(~F.col("t").rlike("[0-9A-Za-zÀ-ÿ]"), F.lit("PUNCT"))
-        .when(is_func, F.lit("FUNC"))
-        .when(F.col("t").rlike("^[A-ZÄÖÜÉÈÀ]"), F.lit("PROPN"))
-        .otherwise(F.lit("WORD"))
-    )
     return (
-        toks.select("lang", cls.alias("pos_class"))
+        toks.select("lang", pos_proxy_class_col().alias("pos_class"))
         .groupBy("lang", "pos_class")
         .agg(F.count(F.lit(1)).alias("n"))
     )

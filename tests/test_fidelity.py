@@ -1,0 +1,123 @@
+"""E1/E11 model-fidelity measurement (VERDICT r04 item 4).
+
+The reference uses fastText lid.176 for language ID
+(`scrc/preprocessors/language_identifier.py:18-58`) and spaCy
+lemma_/pos_ counters (`scrc/preprocessors/abstract_preprocessor.py:
+387-410`); this repo's documented deviations are a trained
+char-trigram model + stopword heuristic (E1) and a rule-based suffix
+stripper + word-shape POS proxy (E11).  These tests QUANTIFY the
+deviations against a hand-labeled tri-lingual fixture corpus
+(`tests/fixtures/trilingual_fidelity.json` — fresh Swiss-court-register
+sentences; gold lemma/POS labels are what a statistical model would
+produce, deliberately independent of the repo's rules).
+
+Thresholds are set just below the r05 measured values (recorded in
+each test) so a silent regression in the rules or models fails here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "trilingual_fidelity.json")
+
+
+@pytest.fixture(scope="module")
+def fidelity():
+    with open(_FIXTURE) as fh:
+        return json.load(fh)
+
+
+def test_fixture_shape(fidelity):
+    langs = {s["lang"] for s in fidelity["sentences"]}
+    assert langs == {"de", "fr", "it"}
+    for lang in langs:
+        assert sum(s["lang"] == lang for s in fidelity["sentences"]) >= 15
+        assert sum(r["lang"] == lang for r in fidelity["lemmas"]) >= 20
+        assert sum(p["lang"] == lang for p in fidelity["pos"]) >= 10
+
+
+def test_trained_language_id_accuracy(fidelity, spark):
+    """E1 trigram model: measured 54/54 = 1.00 in-sample on the
+    fixture corpus (r05).  Threshold 0.95 — court-register sentences
+    of ~10-15 words must be near-perfectly separable by character
+    trigrams or the model has regressed."""
+    from swisscourtrulingcorpus_spark.plans.ann_queries import trained_language_id
+
+    docs = spark.createDataFrame(
+        [(i, s["lang"], s["text"]) for i, s in enumerate(fidelity["sentences"])],
+        "doc_id long, lang string, text string",
+    )
+    rows = trained_language_id(docs).collect()
+    assert len(rows) == len(fidelity["sentences"])
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc >= 0.95, f"trained language-ID accuracy regressed: {acc:.3f}"
+
+
+def test_heuristic_language_id_accuracy(fidelity, spark):
+    """E1 stopword heuristic (the untrained fallback): measured 0.815
+    on the fixture (r05) — short sentences sometimes carry too few
+    stopwords and yield 'und'.  Threshold 0.75; misclassifications to
+    a WRONG language (rather than 'und') are held to < 10%."""
+    from swisscourtrulingcorpus_spark.functions.text import language_id_score
+
+    docs = spark.createDataFrame(
+        [(s["lang"], s["text"]) for s in fidelity["sentences"]],
+        "lang string, text string",
+    )
+    rows = docs.select("lang", language_id_score("text").alias("pred")).collect()
+    acc = sum(r["lang"] == r["pred"] for r in rows) / len(rows)
+    wrong = sum(r["pred"] not in (r["lang"], "und") for r in rows) / len(rows)
+    assert acc >= 0.75, f"heuristic language-ID accuracy regressed: {acc:.3f}"
+    assert wrong < 0.10, f"heuristic misassigns a wrong language too often: {wrong:.3f}"
+
+
+def test_lemma_rule_agreement(fidelity, spark):
+    """E11 suffix stripper vs hand-labeled spaCy-style lemmas.
+    Measured r05 (after the -den/-gen/-cours/Italian-e-class rules):
+    de 20/22 = 0.91, fr 21/23 = 0.91, it 19/20 = 0.95, overall 0.92.
+    Residual known misses: umlaut plurals (anträge), -en nouns whose
+    lemma keeps -en (verfahren), French invariants frais/mois, Italian
+    -e feminines (spese).  Thresholds: 0.85 per language, 0.88
+    overall."""
+    from swisscourtrulingcorpus_spark.functions.text import lemma_case_sql
+
+    gold = spark.createDataFrame(
+        [(r["lang"], r["token"], r["lemma"]) for r in fidelity["lemmas"]],
+        "lang string, t string, gold string",
+    )
+    rows = gold.select(
+        "lang", "gold", F.expr(lemma_case_sql("t", "lang")).alias("pred")
+    ).collect()
+    by_lang: dict[str, list[bool]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r["pred"] == r["gold"])
+    for lang, oks in by_lang.items():
+        acc = sum(oks) / len(oks)
+        assert acc >= 0.85, f"lemma agreement for {lang} regressed: {acc:.3f}"
+    overall = sum(r["pred"] == r["gold"] for r in rows) / len(rows)
+    assert overall >= 0.88, f"overall lemma agreement regressed: {overall:.3f}"
+
+
+def test_pos_proxy_agreement(fidelity, spark):
+    """E11 word-shape POS proxy vs spaCy-UPOS-mapped gold classes.
+    Measured 31/33 = 0.94 (r05); the two known misses are German
+    capitalized common nouns read as PROPN — the documented limit of
+    a shape heuristic on German.  Threshold 0.90; NUM/PUNCT/FUNC
+    classes must be perfect (they are deterministic shapes)."""
+    from swisscourtrulingcorpus_spark.plans.text_queries import pos_proxy_class_col
+
+    gold = spark.createDataFrame(
+        [(p["lang"], p["token"], p["pos"]) for p in fidelity["pos"]],
+        "lang string, t string, gold string",
+    )
+    rows = gold.select("lang", "t", "gold", pos_proxy_class_col().alias("pred")).collect()
+    acc = sum(r["pred"] == r["gold"] for r in rows) / len(rows)
+    assert acc >= 0.90, f"POS-proxy agreement regressed: {acc:.3f}"
+    for r in rows:
+        if r["gold"] in ("NUM", "PUNCT", "FUNC"):
+            assert r["pred"] == r["gold"], (r["t"], r["pred"], r["gold"])

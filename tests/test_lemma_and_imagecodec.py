@@ -50,11 +50,14 @@ def _is_stop(token: str, lang: str) -> bool:
         ("considérations", "fr", "considération"),
         ("jugements", "fr", "jugement"),
         ("tribunaux", "fr", "tribunal"),
-        ("recours", "fr", "recour"),
+        ("recours", "fr", "recours"),  # -cours invariant (r05)
+        ("jours", "fr", "jour"),  # ...but -ours still strips
         # Italian
         ("decisioni", "it", "decisione"),
         ("documenti", "it", "documento"),
-        ("giudici", "it", "giudico"),
+        ("giudici", "it", "giudice"),  # -dici class (r05)
+        ("sentenze", "it", "sentenza"),
+        ("uffici", "it", "ufficio"),
         # unknown language: pass-through
         ("tables", "en", "tables"),
     ],
