@@ -341,3 +341,84 @@ def test_stream_upsert_crash_recovery(spark, sf_dir, tmp_path):
     assert not os.path.isdir(table + ".old_7")
     leftovers = [f for f in os.listdir(tmp_path) if ".staging_" in f or ".old_" in f]
     assert leftovers == []
+
+
+def test_sibling_runs_race_no_lost_output_no_double_ingest(spark, tmp_path):
+    """VERDICT r04 item 7 — black-box concurrency pin on the replay
+    ledger: two LIVE streaming jobs (distinct checkpoint instances =
+    distinct run tags) ingest overlapping corpora against ONE
+    signature store, racing batch-for-batch from separate threads.
+    Required outcome whatever the interleaving: every batch's output
+    dir exists (no lost batch), near-dup pairs never BOTH survive (no
+    double-ingest — the OCC retry re-dedups against the winner), and
+    the cumulative {run: max batch_id} ledger carries both runs so a
+    subsequent replay of ANY batch is a no-op."""
+    import os
+    import threading
+
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+    from swisscourtrulingcorpus_spark.streaming.jobs import minhash_dedup_batch
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    os.makedirs(store)
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten"
+    later = "red green blue yellow purple orange pink brown black white"
+    # round 0: docs 1/11 are near-dups of each other ACROSS the runs
+    batches = {
+        ("runA", 0): [(1, base), (2, fresh)],
+        ("runB", 0): [(11, base + " X"), (12, later)],
+        # round 1: docs 21/31 near-dup each other; 22 dups history
+        ("runA", 1): [(21, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"), (22, fresh + " Y")],
+        ("runB", 1): [(31, "lorem ipsum dolor sit amet consectetur adipiscing elit sed Z")],
+    }
+    dfs = {
+        k: spark.createDataFrame(rows, "doc_id: long, text: string")
+        for k, rows in batches.items()
+    }
+
+    errors: list[BaseException] = []
+
+    def run(tag_batch):
+        tag, bid = tag_batch
+        try:
+            minhash_dedup_batch(dfs[tag_batch], bid, store, out, run_tag=tag)
+        except BaseException as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    for rnd in (0, 1):
+        threads = [
+            threading.Thread(target=run, args=((tag, rnd),))
+            for tag in ("runA", "runB")
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    assert errors == [], errors
+
+    # no lost batch: all four output dirs exist
+    for (tag, bid) in batches:
+        assert os.path.isdir(os.path.join(out, f"ingest_batch={tag}_{bid}")), (tag, bid)
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    # no double-ingest: exactly one of each near-dup pair survives
+    assert sum(i in ids for i in (1, 11)) == 1, ids
+    assert sum(i in ids for i in (21, 31)) == 1, ids
+    # fresh docs always survive; 22 near-dups doc 2's history
+    assert 2 in ids and 12 in ids
+    assert 22 not in ids
+    assert len(ids) == 4, ids
+
+    # ledger carries both runs at their max batch id
+    ledger = V.version_meta(store, V.latest_version(store))["runs"]
+    assert ledger == {"runA": 1, "runB": 1}
+
+    # replaying every batch is a no-op: same output, no new versions
+    versions_before = V.versions(store)
+    for (tag, bid), df in dfs.items():
+        minhash_dedup_batch(df, bid, store, out, run_tag=tag)
+    assert V.versions(store) == versions_before
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == ids
