@@ -55,6 +55,7 @@ METADATA_SCHEMA = StructType(
         StructField("Signatur", StringType()),
         StructField("Num", StringType()),
         StructField("Datum", StringType()),
+        StructField("Abteilung", StringType()),  # chamber
         StructField(
             "HTML", StructType([StructField("URL", StringType())])
         ),
@@ -119,6 +120,125 @@ def write_fixture_tree(root: str, n_docs: int = 24, spiders=("CH_BGer", "CH_BGE"
     return written
 
 
+def _pdf_with_text(text: str) -> bytes:
+    """A minimal FlateDecode PDF whose content stream renders ``text``
+    line by line — what the fixture landing zone uses so the REAL pdf
+    extractor (`extraction/pdf.py`) exercises against marker-structured
+    court text.  Latin-1 only; (, ), \\ and non-ASCII escape per the
+    PDF literal-string rules."""
+    import zlib
+
+    def esc(line: str) -> str:
+        out = []
+        for ch in line:
+            o = ord(ch)
+            if ch in "()\\":
+                out.append("\\" + ch)
+            elif 32 <= o < 127:
+                out.append(ch)
+            elif o < 256:
+                out.append("\\%03o" % o)
+            else:
+                out.append("?")
+        return "".join(out)
+
+    body = (
+        "BT /F1 12 Tf 50 720 Td "
+        + " ".join(f"({esc(ln)}) Tj 0 -14 Td" for ln in text.split("\n"))
+        + " ET"
+    )
+    stream = zlib.compress(body.encode("latin-1"))
+    return (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(stream)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n"
+        + stream
+        + b"\nendstream\nendobj\ntrailer\n<<>>\n%%EOF"
+    )
+
+
+def write_rich_fixture_tree(root: str, n_docs: int = 120) -> list[str]:
+    """Landing zone with FULL marker-structured court text (VERDICT r04
+    item 8): the domain fixture corpus (`sources/domain_fixtures.py::
+    build_raw_corpus` — headers, facts/considerations/rulings markers,
+    citations, outcomes in three languages) written as raw FILES the
+    way the reference's scraper lands them: per doc a ``.json``
+    metadata file plus an ``.html`` (even ids) or FlateDecode ``.pdf``
+    (odd ids) payload, and a PNG attachment every 5th doc (pixel
+    (x,y,c) = (id + 3x + 7y + 11c) % 256, 6×4 RGB).  Returns the list
+    of document names written."""
+    import html as _html
+
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_png
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import (
+        build_raw_corpus,
+    )
+
+    names: list[str] = []
+    for i, row in enumerate(build_raw_corpus(n_docs)):
+        spider = row["spider"]
+        d = os.path.join(root, spider)
+        os.makedirs(d, exist_ok=True)
+        name = os.path.splitext(row["file_name"])[0]
+        meta = {
+            "Signatur": f"{spider}.{i:05d}",
+            "Num": f"{i % 9}C_{100 + i}/{row['date'][:4]}",
+            "Datum": row["date"],
+            "Abteilung": row["chamber"],
+            "HTML": {"URL": f"https://example.invalid/{name}.html"}
+            if i % 2 == 0
+            else None,
+            "PDF": {"URL": f"https://example.invalid/{name}.pdf"}
+            if i % 2 == 1
+            else None,
+        }
+        with open(os.path.join(d, f"{name}.json"), "w") as fh:
+            json.dump(meta, fh, sort_keys=True)
+        if i % 2 == 0:
+            paras = "".join(
+                f"<p>{_html.escape(ln)}</p>"
+                for ln in row["raw_text"].split("\n")
+                if ln
+            )
+            body = f'<div class="content">{paras}</div>'
+            if spider == "CH_BGer":
+                # the content rule selects div.content; the footer must
+                # NOT leak into the text (r04 ADVICE repro)
+                body += '<div class="footer">Impressum</div>'
+            with open(os.path.join(d, f"{name}.html"), "w") as fh:
+                fh.write(body)
+        else:
+            with open(os.path.join(d, f"{name}.pdf"), "wb") as fh:
+                fh.write(_pdf_with_text(row["raw_text"]))
+        if i % 5 == 0:
+            px = bytes(
+                (i + 3 * x + 7 * y + 11 * c) % 256
+                for y in range(4)
+                for x in range(6)
+                for c in range(3)
+            )
+            with open(os.path.join(d, f"{name}.png"), "wb") as fh:
+                fh.write(encode_png(6, 4, 3, px))
+        names.append(name)
+    return names
+
+
+def scan_media_attachments(spark: SparkSession, root: str) -> DataFrame:
+    """Landing-zone image attachments as (doc_id, payload) rows for
+    `extraction/multimodal.py::decode_image_features` — doc_id is the
+    fixture's trailing integer; a real ingest would join attachments
+    to documents on (spider, name)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(os.path.join(root, "*"))
+    )
+    return files.select(
+        F.regexp_extract("path", r"_(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+
+
 def scan_landing_zone(spark: SparkSession, root: str) -> DataFrame:
     """One row per landing-zone FILE: (spider, name, ext, content).
     binaryFile reads bytes executor-side; the path parses with plain
@@ -178,6 +298,7 @@ def docs_from_scanned_files(
         meta["Signatur"].alias("signatur"),
         meta["Num"].alias("num"),
         meta["Datum"].alias("datum"),
+        meta["Abteilung"].alias("chamber"),
         meta["HTML"]["URL"].alias("html_url"),
         meta["PDF"]["URL"].alias("pdf_url"),
         # html preferred over pdf, like text_to_database.py:238-254

@@ -42,3 +42,92 @@ def test_build_corpus_incremental_and_datasets(spark, tmp_path):
 
     # manifest staging dir is cleaned up after the rewrite
     assert not (tmp_path / "corpus/_manifest_tmp").exists()
+
+
+def test_build_corpus_from_raw_landing_zone(spark, tmp_path):
+    """VERDICT r04 item 8 — the full `python -m scrc.main` counterpart
+    from RAW FILES: scraper-layout landing zone (json metadata +
+    html/pdf payloads + png attachments) → binaryFile scan → real
+    HTML/PDF text extraction → extraction DAG → datasets + coverage
+    report, with incremental rerun a no-op."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+    )
+    from swisscourtrulingcorpus_spark.pipeline import (
+        build_corpus_from_landing_zone,
+        build_datasets,
+        load_tables,
+    )
+    from swisscourtrulingcorpus_spark.sources.ingest import (
+        scan_media_attachments,
+        write_rich_fixture_tree,
+    )
+
+    root = str(tmp_path / "lz")
+    out = str(tmp_path / "corpus")
+    names = write_rich_fixture_tree(root, n_docs=120)
+    assert len(names) == 120
+
+    t0 = time.time()
+    counts = build_corpus_from_landing_zone(spark, root, out)
+    elapsed = time.time() - t0
+    assert counts["decision"] == 120
+    assert counts["section"] > 0 and counts["judgment"] > 0
+    print(f"landing-zone corpus build: 120 docs in {elapsed:.1f}s")
+
+    # pdf-sourced docs must carry text too (not just the html half)
+    tables = load_tables(spark, out)
+    langs = {
+        r["language"]
+        for r in tables["decision"].select("language").distinct().collect()
+    }
+    assert {"de", "fr", "it"} <= langs
+    assert tables["decision"].where(F.col("raw_text").isNull()).count() == 0
+    # the CH_BGer footer must not leak into extracted text (r04 ADVICE)
+    assert (
+        tables["decision"]
+        .where(F.col("raw_text").contains("Impressum"))
+        .count()
+        == 0
+    )
+
+    # coverage report: the marker-structured corpus must extract at
+    # high coverage on every stage, per spider
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import coverage_report
+
+    cov = {r["spider"]: r for r in coverage_report(tables).collect()}
+    assert set(cov) == {"CH_BGer", "ZH_VG", "VD_TC", "TI_TA"}
+    for spider, r in cov.items():
+        assert r["judgment_pct"] >= 90.0, (spider, r)
+        assert r["rulings_pct"] >= 90.0, (spider, r)
+
+    # incremental rerun over the unchanged tree: no-op
+    counts2 = build_corpus_from_landing_zone(spark, root, out)
+    assert all(v == 0 for v in counts2.values())
+    assert load_tables(spark, out)["decision"].count() == 120
+
+    # dataset exports come out of the raw-file-built tables
+    ds = build_datasets(spark, out)
+    assert ds["judgment_prediction"] > 0 and ds["pretraining"] > 0
+
+    # PNG attachments decode for real through the multimodal stage
+    feats = {
+        r["doc_id"]: r
+        for r in decode_image_features(
+            scan_media_attachments(spark, root)
+        ).collect()
+    }
+    assert len(feats) == 24  # every 5th of 120
+    for d, r in feats.items():
+        px = [
+            (d + 3 * x + 7 * y + 11 * c) % 256
+            for y in range(4)
+            for x in range(6)
+            for c in range(3)
+        ]
+        assert (r["fmt"], r["width"], r["height"], r["channels"]) == ("png", 6, 4, 3)
+        assert r["pixel_sum"] == sum(px), d
