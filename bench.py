@@ -108,6 +108,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # provenance so recorded numbers are comparable: the
+                # driver's BENCH_r*.json is the number of record; any
+                # locally quoted figure must carry this metadata
+                # (r04 verdict item 5/6)
+                "run_meta": {
+                    "jvm": "fresh per invocation, warmup query before timing",
+                    "runs_per_query": 3,
+                    "aggregation": "best",
+                },
                 "extras": {
                     "domain_pipeline_docs": n_docs,
                     "domain_pipeline_sec": round(pipeline_sec, 3),

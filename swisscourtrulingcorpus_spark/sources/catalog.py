@@ -53,6 +53,16 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     footer read per path, cached; driver-side only."""
     import pyarrow.parquet as pq
 
+    if os.path.isdir(path):
+        # Spark-written table: every part file shares the schema; read
+        # the first footer (the driver generator writes single files,
+        # but synthetic scale corpora come out of Spark)
+        parts = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not parts:
+            return ()
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
     return tuple(
         f.name

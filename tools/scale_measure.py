@@ -1,0 +1,264 @@
+"""Two-SF empirical scale measurement (VERDICT r04 item 1/#3).
+
+SCALE.md argues the dedup/ANN/packing family is ~linear by
+construction; this tool MEASURES it.  It synthesizes a 10× corpus
+(each replica of the sf0.1 documents/embeddings tables perturbed with
+a replica-unique token / offset, so the per-replica duplicate
+structure is identical and the TRUE scaling of every linear claim is
+exactly 10×), runs the representative registry queries at both scales
+in one Spark app with the public event log enabled, and reports per
+query: wall seconds, output rows, and shuffle read/write bytes (the
+deltas of the event-log task metrics between queries — public
+`spark.eventLog.*` config, no JVM internals).
+
+    python tools/scale_measure.py [OUT_JSON]
+
+Scaling exponents: alpha = log10(metric_10x / metric_1x); ~1.0 is
+linear, ~2.0 quadratic.  Results are committed into SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+QUERIES = [
+    # (name, what the linear claim is)
+    ("exact_dedup_documents", "hash groupBy, text never shuffles"),
+    ("minhash_signatures_documents", "zero-shuffle map-side signatures"),
+    ("minhash_lsh_pairs", "band-bucket equi-join, no all-pairs"),
+    ("minhash_dedup_groups", "linear representative form"),
+    ("simhash_documents", "map-side fingerprints"),
+    ("ngram_jaccard_pairs", "inverted index + stop-shingle guard (the guarded quadratic)"),
+    ("incremental_minhash_dedup", "store probe over signatures only"),
+    ("sequence_packing_documents", "two-phase parallel prefix sum"),
+    ("test_set_contamination", "distinct-hash join per corpus"),
+    ("ivf_assignment", "broadcast-centroid argmin"),
+    ("semantic_dedup_groups", "within-IVF-bucket cosine"),
+]
+
+
+def synth_10x(spark, src: str, dst: str) -> None:
+    """10 replicas; texts get a replica token appended (replica dup
+    structure == source's, no cross-replica near-dups), embeddings a
+    tiny deterministic per-replica offset.  Other tables symlink."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        link = os.path.join(dst, f"{t}.parquet")
+        if t in ("documents", "embeddings") or os.path.exists(link):
+            continue
+        os.symlink(os.path.join(src, f"{t}.parquet"), link)
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+    # Replica transform must be a BIJECTION on texts (within-replica
+    # dup/near-dup structure identical to the source) with ZERO
+    # cross-replica shingle overlap (no cross-replica near-dups) —
+    # suffix every word with the replica id.  A weak perturbation
+    # (one appended token) leaves cross-replica Jaccard ≈ 1 and the
+    # corpus stops being linear-structured.
+    big = (
+        docs.crossJoin(reps)
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n)
+        .withColumn(
+            "text",
+            F.when(
+                (F.col("text").isNotNull()) & (F.col("rep") > 0),
+                F.regexp_replace(
+                    F.col("text"),
+                    F.lit(r"(\S+)"),
+                    F.concat(F.lit("$1x"), F.col("rep").cast("string")),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .drop("rep")
+    )
+    big.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    ne = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    # decorrelate replicas HARD (cosine(v, v') far from 1): elementwise
+    # offsets of ~2x the mean |component|, varying with (rep, i)
+    scale = (
+        emb.select(
+            F.avg(
+                F.aggregate(
+                    F.transform("embedding", lambda v: F.abs(v)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.size("embedding")
+            )
+        ).collect()[0][0]
+        or 1.0
+    )
+    bige = (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * ne)
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda v, i: F.when(F.col("rep") == 0, v).otherwise(
+                    v
+                    + (
+                        ((F.col("rep") * 31 + i) % 7 - 3).cast("double")
+                        * F.lit(2.0 * scale)
+                    ).cast(
+                        "float"
+                    )
+                ),
+            ),
+        )
+        .drop("rep")
+    )
+    bige.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(dst, "embeddings.parquet")
+    )
+
+
+def _shuffle_totals(event_dir: str, app_id: str) -> tuple[int, int]:
+    """(read_bytes, write_bytes) summed over all TaskEnd events so far.
+    Handles both the flat single-file layout and the rolling v2
+    directory layout (compression is disabled in the session conf so
+    the JSON is directly readable)."""
+    paths: list[str] = []
+    for cand in os.listdir(event_dir):
+        if app_id not in cand:
+            continue
+        full = os.path.join(event_dir, cand)
+        if os.path.isdir(full):
+            paths += [
+                os.path.join(full, f)
+                for f in sorted(os.listdir(full))
+                if f.startswith("events")
+            ]
+        else:
+            paths.append(full)
+    read = write = 0
+    for path in paths:
+        with open(path) as fh:
+            _tally(fh, totals := [0, 0])
+            read += totals[0]
+            write += totals[1]
+    return read, write
+
+
+def _tally(fh, totals: list[int]) -> None:
+    for line in fh:
+            if '"SparkListenerTaskEnd"' not in line:
+                continue
+            try:
+                ev = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # partially-flushed tail line
+            tm = ev.get("Task Metrics") or {}
+            srm = tm.get("Shuffle Read Metrics") or {}
+            swm = tm.get("Shuffle Write Metrics") or {}
+            totals[0] += (srm.get("Remote Bytes Read") or 0) + (
+                srm.get("Local Bytes Read") or 0
+            )
+            totals[1] += swm.get("Shuffle Bytes Written") or 0
+
+
+def main() -> None:
+    out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALE_MEASURE.json"
+    event_dir = "/tmp/scale_eventlog"
+    os.makedirs(event_dir, exist_ok=True)
+
+    from pyspark.sql import SparkSession
+
+    from swisscourtrulingcorpus_spark.plans import registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("scale-measure")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{event_dir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+    app_id = spark.sparkContext.applicationId
+
+    big_dir = "/tmp/scale_sf1"
+    if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
+        print("synthesizing 10x corpus ...", flush=True)
+        synth_10x(spark, SF_DIR, big_dir)
+
+    qs = registry.queries()
+    results: dict[str, dict] = {}
+    # warm the JVM/codegen once so the first measured query isn't
+    # billed for startup
+    qs["exact_dedup_documents"](spark, SF_DIR).count()
+    for sf_label, sf_dir in (("1x", SF_DIR), ("10x", big_dir)):
+        for name, claim in QUERIES:
+            # warm run first (codegen compile for this plan), then the
+            # measured run with shuffle-byte deltas around it
+            qs[name](spark, sf_dir).count()
+            spark.sparkContext.setJobGroup(name, f"{name}@{sf_label}")
+            time.sleep(1.0)  # settle async event-log flush
+            r0, w0 = _shuffle_totals(event_dir, app_id)
+            t0 = time.time()
+            rows = qs[name](spark, sf_dir).count()
+            wall = time.time() - t0
+            time.sleep(1.0)
+            r1, w1 = _shuffle_totals(event_dir, app_id)
+            rec = results.setdefault(name, {"claim": claim})
+            rec[sf_label] = {
+                "wall_s": round(wall, 2),
+                "rows": rows,
+                "shuffle_read_mb": round((r1 - r0) / 1e6, 2),
+                "shuffle_write_mb": round((w1 - w0) / 1e6, 2),
+            }
+            print(
+                f"{sf_label:>3} {name:32s} {wall:7.2f}s rows={rows:>9} "
+                f"shW={(w1 - w0) / 1e6:8.2f}MB",
+                flush=True,
+            )
+
+    import math
+
+    for name, rec in results.items():
+        a, b = rec["1x"], rec["10x"]
+        rec["alpha_wall"] = round(math.log10(max(b["wall_s"], 0.01) / max(a["wall_s"], 0.01)), 2)
+        rec["alpha_rows"] = round(
+            math.log10(max(b["rows"], 1) / max(a["rows"], 1)), 2
+        )
+        sw_a, sw_b = a["shuffle_write_mb"], b["shuffle_write_mb"]
+        rec["alpha_shuffle"] = (
+            round(math.log10(max(sw_b, 0.01) / max(sw_a, 0.01)), 2)
+            if sw_a > 0.05
+            else None
+        )
+    with open(out_json, "w") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"\nwrote {out_json}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
