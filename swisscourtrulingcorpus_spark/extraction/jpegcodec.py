@@ -246,7 +246,26 @@ _SOF_UNSUPPORTED = {
 def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     """Decode a baseline sequential JFIF/JPEG.  Returns
     ``(width, height, channels, pixels)`` — channels 1 (grayscale) or
-    3 (RGB after YCbCr conversion), pixels flat row-major."""
+    3 (RGB after YCbCr conversion), pixels flat row-major.
+
+    Contract: EVERY undecodable payload raises
+    ``UnsupportedImageError`` — unsupported variants explicitly, and
+    malformed/truncated streams via the blanket translation below — so
+    `imagecodec.decode_image` callers can implement the documented
+    byte-stat fallback with one except clause (r05 review: CMYK,
+    missing-table and truncated JPEGs used to leak ValueError/
+    KeyError/struct.error and crash the Spark task)."""
+    try:
+        return _decode_jpeg(data)
+    except UnsupportedImageError:
+        raise
+    except (KeyError, IndexError, ValueError, struct.error) as e:
+        raise UnsupportedImageError(
+            f"malformed JPEG ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     if data[:2] != b"\xff\xd8":
         raise UnsupportedImageError("not a JPEG (no SOI)")
     pos = 2
@@ -277,6 +296,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise UnsupportedImageError(f"{precision}-bit JPEG unsupported")
+            if ncomp not in (1, 3):
+                raise UnsupportedImageError(
+                    f"{ncomp}-component JPEG unsupported (grayscale/YCbCr only)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -320,6 +343,13 @@ def _decode_scan(data, pos, frame, sos, quant, huff, restart_interval):
     for i in range(nscan):
         cid, tdta = sos[1 + 2 * i : 3 + 2 * i]
         tabs[cid] = (huff[(0, tdta >> 4)], huff[(1, tdta & 0x0F)])
+    if nscan == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and blocks come in raster order over
+        # the component's own block grid, regardless of the sampling
+        # factors declared in SOF (r05 review: a grayscale frame with
+        # 0x22 factors used to be tiled as 2×2 MCUs and garbled)
+        comps = [(cid, 1, 1, tq) for (cid, _h, _v, tq) in comps]
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -407,10 +437,8 @@ class _BitWriter:
 
 def _quantize_plane(plane: list[int], pw: int, ph: int, qz: list[int]):
     """FDCT + quantize every 8×8 block of a padded plane.  Returns
-    blocks in row-major block order as zigzag coefficient lists."""
-    qnat = [0] * 64
-    for k in range(64):
-        qnat[ZIGZAG[k]] = qz[k]
+    blocks in row-major block order as zigzag coefficient lists
+    (``qz`` is already zigzag-ordered, so it divides positionally)."""
     blocks = []
     for by in range(ph // 8):
         for bx in range(pw // 8):
@@ -421,7 +449,7 @@ def _quantize_plane(plane: list[int], pw: int, ph: int, qz: list[int]):
             ]
             coef = _fdct(shifted)
             blocks.append(
-                [int(round(coef[ZIGZAG[k]] / qnat[ZIGZAG[k]])) for k in range(64)]
+                [int(round(coef[ZIGZAG[k]] / qz[k])) for k in range(64)]
             )
     return blocks
 
@@ -484,11 +512,18 @@ def _write_blocks(writer, blocks, dc_map, ac_map, pred: int) -> int:
     return pred
 
 
-def _pad_plane(pixels, width, height, mult) -> tuple[list[int], int, int]:
-    """Edge-replicate to multiples of ``mult`` (T.81 A.2.4 recommends
-    replication so padded blocks compress to nothing new)."""
-    pw = -(-width // mult) * mult
-    ph = -(-height // mult) * mult
+def _pad_plane(
+    pixels, width, height, multx, multy=None
+) -> tuple[list[int], int, int]:
+    """Edge-replicate to multiples of ``multx`` / ``multy`` per axis
+    (T.81 A.2.4 recommends replication so padded blocks compress to
+    nothing new).  Separate axis multiples matter for asymmetric
+    chroma subsampling — (2, 1) needs width padded to 16 but height
+    only to 8 (r05 review)."""
+    if multy is None:
+        multy = multx
+    pw = -(-width // multx) * multx
+    ph = -(-height // multy) * multy
     out = [0] * (pw * ph)
     for y in range(ph):
         sy = min(y, height - 1)
@@ -587,7 +622,7 @@ def encode_jpeg_color(
             255,
             max(0, int(round(0.5 * r - 0.418688 * g - 0.081312 * b + 128))),
         )
-    yplane, ypw, yph = _pad_plane(ny, width, height, 8 * sh)
+    yplane, ypw, yph = _pad_plane(ny, width, height, 8 * sh, 8 * sv)
     # box-filter subsample chroma, then pad to 8
     cw, chh = -(-width // sh), -(-height // sv)
     sub_cb = [0] * (cw * chh)

@@ -72,11 +72,13 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
 
 
 def decode_image_real(payload: bytes) -> dict:
-    """Real decode for PNG/BMP payloads (`extraction/imagecodec.py`,
-    pure stdlib): width/height/channels come from the headers, the
-    pixel stats from the fully unfiltered/unpadded pixel buffer.
-    Raises ``UnsupportedImageError`` for formats that need native
-    codec libraries (JPEG etc.) — callers fall back to
+    """Real decode for PNG/BMP/baseline-JPEG payloads
+    (`extraction/imagecodec.py` + `extraction/jpegcodec.py`, pure
+    stdlib): width/height/channels come from the headers, the pixel
+    stats from the fully decoded pixel buffer.  Raises
+    ``UnsupportedImageError`` for formats that need native codec
+    libraries (progressive/arithmetic JPEG, video, audio) and for
+    malformed payloads — callers fall back to
     ``decode_image_stub``'s byte features."""
     from swisscourtrulingcorpus_spark.extraction.imagecodec import decode_image
 

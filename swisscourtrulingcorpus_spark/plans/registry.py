@@ -41,11 +41,14 @@ class QuerySpec:
 
 
 def last_verified_round(repo_root: str | None = None) -> dict[str, int]:
-    """name -> highest round number with a VERIFIED driver row (a
-    CORRECTNESS_r*.json entry whose ``err`` is null).  Rows that
-    errored (e.g. uuid5_document_ids' r01–r03 ``no_oracle`` rows) do
-    not count — such a query stays at the front of the window until a
-    real value check lands (ADVICE r04)."""
+    """name -> highest round number with a VERIFIED driver row: a
+    CORRECTNESS_r*.json entry whose ``err`` is null AND whose value
+    hash matched.  Rows that errored (uuid5_document_ids' r01–r03
+    ``no_oracle`` rows) and rows that ran but came back RED
+    (hash_match false — r03 had four) do not count, so a broken or
+    never-value-checked gate stays at the FRONT of the window and gets
+    re-checked the round after its fix instead of rotating to the back
+    as freshly-checked (ADVICE r04 + r05 review)."""
     import glob
     import json
     import os
@@ -63,7 +66,11 @@ def last_verified_round(repo_root: str | None = None) -> dict[str, int]:
         with open(p) as f:
             rows = json.load(f)
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("err") is None:
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("hash_match") is True
+            ):
                 last[name] = max(last.get(name, -1), rnd)
     return last
 

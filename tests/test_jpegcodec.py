@@ -178,3 +178,61 @@ def test_decode_image_features_jpeg_spark(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
         assert r["pixel_sum"] == sum(px)
         assert r["px_min"] == min(px) and r["px_max"] == max(px)
+
+
+def test_malformed_payloads_raise_unsupported_only():
+    """r05 review: every undecodable FFD8 payload must surface as
+    UnsupportedImageError (the decode_image fallback contract), never
+    ValueError/KeyError/struct.error."""
+    px = _blocky(1, 16, 16)
+    good = encode_jpeg_gray(16, 16, px)
+    # 4-component (CMYK-style) SOF
+    cmyk = (
+        b"\xff\xd8\xff\xc0"
+        + struct.pack(">H", 20)
+        + bytes([8, 0, 16, 0, 16, 4])
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    )
+    # SOS referencing an undefined Huffman table
+    def with_bad_sos(data: bytes) -> bytes:
+        i = data.find(b"\xff\xda")
+        return data[: i + 5] + bytes([0x23]) + data[i + 6 :]
+
+    for payload in [
+        cmyk,
+        with_bad_sos(good),
+        good[: len(good) // 2],  # truncated entropy stream
+        good[:9],  # truncated header
+        b"\xff\xd8\xff\xd9",  # SOI+EOI, no frame
+    ]:
+        with pytest.raises(UnsupportedImageError):
+            decode_jpeg(payload)
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2.2: one-component scans are non-interleaved — a
+    grayscale frame declaring 2x2 sampling factors must decode
+    identically to the 1x1 encoding (r05 review: it was tiled as MCUs
+    and garbled)."""
+    px = _blocky(5, 32, 16)
+    data = encode_jpeg_gray(32, 16, px)
+    # patch the SOF component sampling byte 0x11 -> 0x22
+    i = data.find(b"\xff\xc0")
+    assert data[i + 11] == 0x11
+    patched = data[: i + 11] + bytes([0x22]) + data[i + 12 :]
+    assert decode_jpeg(patched) == (32, 16, 1, bytearray(px))
+
+
+def test_asymmetric_chroma_subsampling_roundtrip():
+    """r05 review: (2,1)/(1,2) subsampling crashed with IndexError
+    because the Y plane padded both axes by 8*sh."""
+    rgb = [
+        (x * 5 + y * 3 + c * 11) % 256
+        for y in range(8)
+        for x in range(24)
+        for c in range(3)
+    ]
+    for sub in ((2, 1), (1, 2)):
+        w, h, ch, out = decode_jpeg(encode_jpeg_color(24, 8, rgb, subsample=sub))
+        assert (w, h, ch) == (24, 8, 3)
+        assert max(abs(a - b) for a, b in zip(rgb, out)) <= 24, sub

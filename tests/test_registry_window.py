@@ -95,6 +95,10 @@ def test_err_rows_do_not_count_as_verified():
                 {
                     "good": {"err": None, "hash_match": True},
                     "bad": {"err": "no_oracle"},
+                    # ran but came back RED (the r03 dtype class): must
+                    # NOT count as verified or the broken gate rotates
+                    # to the back of the window (r05 review)
+                    "red": {"err": None, "hash_match": False, "rows_match": True},
                 },
                 f,
             )
