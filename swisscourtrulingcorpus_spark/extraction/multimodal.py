@@ -108,6 +108,10 @@ PIXEL_FEATURE_SCHEMA = StructType(
 
 
 def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        UnsupportedImageError,
+    )
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -120,7 +124,24 @@ def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 if payload[:2] == b"\xff\xd8"
                 else "other"
             )
-            feats = decode_image_real(bytes(payload))
+            try:
+                feats = decode_image_real(bytes(payload))
+            except UnsupportedImageError:
+                # A real 100 TB corpus always contains undecodable
+                # payloads (progressive JPEGs, truncated files, videos
+                # mis-sniffed as images) — one of them must NOT kill
+                # the Spark task.  Such rows pass through with null
+                # pixel stats and a *_undecodable fmt so downstream
+                # can route them to the byte-stat stub (r05 review).
+                feats = {
+                    "width": None,
+                    "height": None,
+                    "channels": None,
+                    "pixel_sum": None,
+                    "px_min": None,
+                    "px_max": None,
+                }
+                fmt = f"{fmt}_undecodable" if fmt != "other" else "other"
             rows.append(
                 {
                     "doc_id": doc_id,
@@ -218,9 +239,11 @@ def generate_image_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def decode_image_features(media: DataFrame) -> DataFrame:
     """REAL pixel-statistics extraction over binary image payloads via
     mapInPandas — the decode stage of a multimodal training pipeline.
-    Input needs (doc_id, payload); PNG/BMP payloads are decoded by the
-    stdlib codec, anything else raises (route mixed corpora through a
-    format filter, or use ``decode_image_stub`` for byte features)."""
+    Input needs (doc_id, payload); PNG/BMP/baseline-JPEG payloads are
+    decoded by the stdlib codecs; undecodable rows survive with null
+    pixel stats and fmt '<fmt>_undecodable'/'other' (a mixed corpus
+    never kills the task — route those rows to ``decode_image_stub``
+    for byte features)."""
     return media.mapInPandas(_pixel_feature_batches, PIXEL_FEATURE_SCHEMA)
 
 

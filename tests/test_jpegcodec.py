@@ -236,3 +236,37 @@ def test_asymmetric_chroma_subsampling_roundtrip():
         w, h, ch, out = decode_jpeg(encode_jpeg_color(24, 8, rgb, subsample=sub))
         assert (w, h, ch) == (24, 8, 3)
         assert max(abs(a - b) for a, b in zip(rgb, out)) <= 24, sub
+
+
+def test_mixed_corpus_with_undecodable_payloads_survives(spark):
+    """r05 review: one bad payload in a mixed media corpus must not
+    kill the decode stage — undecodable rows pass through with null
+    stats and a routable fmt label."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_png
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+    )
+
+    good_jpeg = encode_jpeg_gray(8, 8, _blocky(2, 8, 8))
+    good_png = encode_png(2, 2, 3, bytes(range(12)))
+    rows = [
+        (1, good_jpeg),
+        (2, good_png),
+        (3, good_jpeg[: len(good_jpeg) // 2]),  # truncated JPEG
+        (4, b"\x00\x01\x02video-bytes"),  # not an image at all
+    ]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_features(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    }
+    assert out[1]["fmt"] == "jpeg" and out[1]["pixel_sum"] is not None
+    assert out[2]["fmt"] == "png" and out[2]["pixel_sum"] == sum(range(12))
+    assert out[3]["fmt"] == "jpeg_undecodable" and out[3]["pixel_sum"] is None
+    assert out[4]["fmt"] == "other" and out[4]["width"] is None
