@@ -46,6 +46,18 @@ QUERIES = [
     ("test_set_contamination", "distinct-hash join per corpus"),
     ("ivf_assignment", "broadcast-centroid argmin"),
     ("semantic_dedup_groups", "within-IVF-bucket cosine"),
+    # round-5 extension: quality/tokenize/sample/ANN families
+    ("gopher_quality_filter", "pure JVM column math, zero shuffles"),
+    ("repetition_filter_documents", "per-doc n-gram counts, one shuffle of (doc, gram)"),
+    ("tfidf_top_terms", "explode + two aggs, vocab-sized DF table"),
+    ("token_ids_documents", "posexplode + broadcast vocab join"),
+    ("pii_redaction_documents", "chained codegen regexp, map-side"),
+    ("chunked_documents", "fixed fan-out explode"),
+    ("training_shuffle_rank", "two-phase parallel prefix sum"),
+    ("stratified_sample_documents", "slim (id, stratum) shuffle + semi-join back"),
+    ("length_grouped_shards", "range partition + local rank"),
+    ("cosine_topk_bruteforce", "broadcast query side, O(n·q) scan"),
+    ("ivf_topk_bucketed", "bucket equi-join candidates only"),
 ]
 
 
