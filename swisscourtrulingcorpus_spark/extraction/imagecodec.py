@@ -228,13 +228,29 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
     """Sniff + decode.  PNG, 24-bit BMP and baseline JPEG decode for
     real; anything else (progressive/arithmetic JPEG, video, audio)
     raises ``UnsupportedImageError`` — callers fall back to the
-    byte-stat stub."""
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload)
-    if payload[:2] == b"BM":
-        return decode_bmp(payload)
-    if payload[:2] == b"\xff\xd8":
-        from swisscourtrulingcorpus_spark.extraction.jpegcodec import decode_jpeg
+    byte-stat stub.
 
-        return decode_jpeg(payload)
+    THIS dispatch is the error-contract point: malformed payloads of
+    any sniffed format (truncated IDAT -> zlib.error, short headers ->
+    struct/IndexError, ...) are translated to ``UnsupportedImageError``
+    here, so a caller's single except clause covers all codecs (r05
+    review — the JPEG path had the translation, PNG/BMP leaked raw
+    errors)."""
+    try:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if payload[:2] == b"\xff\xd8":
+            from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+                decode_jpeg,
+            )
+
+            return decode_jpeg(payload)
+    except UnsupportedImageError:
+        raise
+    except (zlib.error, struct.error, ValueError, IndexError, KeyError) as e:
+        raise UnsupportedImageError(
+            f"malformed image payload ({type(e).__name__}: {e})"
+        ) from e
     raise UnsupportedImageError("unknown or unsupported image format")

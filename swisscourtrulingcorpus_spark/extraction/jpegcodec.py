@@ -259,7 +259,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
         return _decode_jpeg(data)
     except UnsupportedImageError:
         raise
-    except (KeyError, IndexError, ValueError, struct.error) as e:
+    except (
+        KeyError,
+        IndexError,
+        ValueError,
+        ZeroDivisionError,
+        struct.error,
+    ) as e:
         raise UnsupportedImageError(
             f"malformed JPEG ({type(e).__name__}: {e})"
         ) from e
@@ -300,10 +306,26 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
                 raise UnsupportedImageError(
                     f"{ncomp}-component JPEG unsupported (grayscale/YCbCr only)"
                 )
+            if w == 0 or h == 0:
+                raise UnsupportedImageError("zero-dimension JPEG")
+            if w * h > 100_000_000:
+                # plausibility cap (~A4 @ 1200 dpi): a corrupt 200-byte
+                # payload with 0xFFFF dims must not allocate GB-scale
+                # planes before the first entropy byte is validated —
+                # an executor OOM is the one failure mode no except
+                # clause downstream can translate (r05 review)
+                raise UnsupportedImageError(
+                    f"implausible dimensions {w}x{h} (>100M pixels)"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                ch, cv = hv >> 4, hv & 0x0F
+                if ch == 0 or cv == 0:
+                    raise UnsupportedImageError(
+                        "zero sampling factor in SOF (corrupt header)"
+                    )
+                comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
         elif marker == 0xDB:  # DQT
             i = 0

@@ -112,9 +112,23 @@ def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
         UnsupportedImageError,
     )
 
+    null_stats = {
+        "width": None,
+        "height": None,
+        "channels": None,
+        "pixel_sum": None,
+        "px_min": None,
+        "px_max": None,
+    }
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # nullable binary column: a NULL payload is the most
+                # common bad row of all — it must emit the null-stats
+                # row, not TypeError at the sniff (r05 review)
+                rows.append({"doc_id": doc_id, "fmt": "missing", **null_stats})
+                continue
             fmt = (
                 "png"
                 if payload[:8] == b"\x89PNG\r\n\x1a\n"
@@ -132,15 +146,11 @@ def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 # mis-sniffed as images) — one of them must NOT kill
                 # the Spark task.  Such rows pass through with null
                 # pixel stats and a *_undecodable fmt so downstream
-                # can route them to the byte-stat stub (r05 review).
-                feats = {
-                    "width": None,
-                    "height": None,
-                    "channels": None,
-                    "pixel_sum": None,
-                    "px_min": None,
-                    "px_max": None,
-                }
+                # can route them to the byte-stat stub (r05 review;
+                # the decode_image dispatch translates every codec's
+                # malformed-payload errors to UnsupportedImageError,
+                # so this one except clause really covers all three).
+                feats = dict(null_stats)
                 fmt = f"{fmt}_undecodable" if fmt != "other" else "other"
             rows.append(
                 {

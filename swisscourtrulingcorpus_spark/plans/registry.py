@@ -34,10 +34,10 @@ class QuerySpec:
 # round -1, ties broken by declaration order).  Each round the driver
 # therefore re-checks exactly the 50 queries whose evidence is oldest —
 # new gates (never checked) automatically enter the window, and no
-# gate's driver row can silently age out: with 131 specs and a
-# 50-entry window, steady-state max staleness is ceil(131/50) = 3
-# rounds.  tests/test_registry_window.py asserts the ordering invariant
-# mechanically.
+# gate's driver row can silently age out: with a 50-entry window the
+# steady-state max staleness is ceil(n_specs/50) rounds (3 at the
+# current 134 specs).  tests/test_registry_window.py asserts the
+# ordering invariant mechanically.
 
 
 def last_verified_round(repo_root: str | None = None) -> dict[str, int]:
@@ -130,7 +130,9 @@ def oracle_sql() -> dict[str, str]:
 
 def driver_checked_names(repo_root: str | None = None) -> set[str]:
     """Names with at least one VERIFIED driver CORRECTNESS row (any
-    round; rows whose ``err`` is non-null do not count — ADVICE r04)."""
+    round).  Verified = ``err`` null AND ``hash_match`` true: errored
+    rows (ADVICE r04) and driver-RED rows (r05 review) both keep the
+    query unchecked."""
     return set(last_verified_round(repo_root))
 
 

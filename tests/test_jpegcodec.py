@@ -270,3 +270,66 @@ def test_mixed_corpus_with_undecodable_payloads_survives(spark):
     assert out[2]["fmt"] == "png" and out[2]["pixel_sum"] == sum(range(12))
     assert out[3]["fmt"] == "jpeg_undecodable" and out[3]["pixel_sum"] is None
     assert out[4]["fmt"] == "other" and out[4]["width"] is None
+
+
+def test_malformed_png_bmp_payloads_raise_unsupported_only():
+    """r05 review pass 2: the error contract lives in decode_image —
+    truncated/corrupt PNG and BMP must also surface as
+    UnsupportedImageError, not zlib.error/struct.error."""
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_png
+
+    good_png = encode_png(4, 4, 3, bytes(range(48)))
+    i = good_png.find(b"IDAT")
+    corrupt_idat = good_png[: i + 6] + b"\x00" * 8 + good_png[i + 14 :]
+    bad = [
+        good_png[:20],  # truncated IHDR/IDAT
+        corrupt_idat,  # zeroed zlib stream -> zlib.error
+        b"BM" + bytes(10),  # BMP header shorter than BITMAPINFOHEADER
+        b"BM" + bytes(40),  # zeroed header fields
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedImageError):
+            decode_image(payload)
+
+
+def test_corrupt_sof_guards():
+    """Zero sampling factors (ZeroDivisionError class) and implausible
+    dimensions (GB-scale allocation class) must both raise before any
+    plane is allocated."""
+    px = _blocky(1, 8, 8)
+    data = encode_jpeg_gray(8, 8, px)
+    i = data.find(b"\xff\xc0")
+    zero_sampling = data[: i + 11] + bytes([0x01]) + data[i + 12 :]
+    zero_sampling = zero_sampling[: i + 11] + bytes([0x10]) + zero_sampling[i + 12 :]
+    with pytest.raises(UnsupportedImageError):
+        decode_jpeg(data[: i + 11] + bytes([0x01]) + data[i + 12 :])
+    # height/width words sit at SOF offset +5/+7
+    huge = data[: i + 5] + b"\xff\xff\xff\xff" + data[i + 9 :]
+    with pytest.raises(UnsupportedImageError, match="implausible"):
+        decode_jpeg(huge)
+    zero_dim = data[: i + 5] + b"\x00\x00\x00\x08" + data[i + 9 :]
+    with pytest.raises(UnsupportedImageError, match="zero-dimension"):
+        decode_jpeg(zero_dim)
+
+
+def test_null_payload_rows_survive_decode_stage(spark):
+    """A NULL payload cell emits a 'missing' row instead of killing
+    the Arrow batch (r05 review pass 2)."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    good = encode_jpeg_gray(8, 8, _blocky(4, 8, 8))
+    out = {
+        r["doc_id"]: r
+        for r in decode_image_features(
+            spark.createDataFrame([(1, None), (2, good)], schema)
+        ).collect()
+    }
+    assert out[1]["fmt"] == "missing" and out[1]["pixel_sum"] is None
+    assert out[2]["fmt"] == "jpeg" and out[2]["pixel_sum"] is not None

@@ -115,6 +115,10 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         "participation_extracted",
         "bge_reference_extracted",
         "pdf_text_extracted",
+        # r05: the Arrow-batched BPE encoder (broadcast merge ranks,
+        # inherently per-word-sequential — the sanctioned UDF class)
+        # IS the operator under test
+        "bpe_encode_documents",
     }
     for spec in QUERY_SPECS:
         if spec.name in python_ok:
