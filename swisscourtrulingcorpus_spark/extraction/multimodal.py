@@ -219,6 +219,51 @@ def _jpeg_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+def _mixed_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        encode_bmp24,
+        encode_png,
+    )
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import encode_jpeg_gray
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            kind = d % 4
+            if kind == 3:  # undecodable row: mis-sniffed "video" bytes
+                payloads.append(b"\x00RIFFfake-video" + bytes([d % 256]) * 8)
+                continue
+            w, h = d % 5 + 2, d % 3 + 2
+            if kind == 2:  # grayscale JPEG, constant blocks (bit-exact)
+                px = [(d + 5 * (x // 8) + 9 * (y // 8)) % 256 for y in range(h) for x in range(w)]
+                payloads.append(encode_jpeg_gray(w, h, px))
+                continue
+            px3 = bytes(
+                (d + 7 * x + 13 * y + 29 * c) % 256
+                for y in range(h)
+                for x in range(w)
+                for c in range(3)
+            )
+            payloads.append(
+                encode_png(w, h, 3, px3, filter_for_row=lambda y, d=d: (d + y) % 5)
+                if kind == 0
+                else encode_bmp24(w, h, px3)
+            )
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_mixed_media_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """A MIXED media corpus from row ids — PNG / BMP / grayscale JPEG /
+    deliberately-undecodable payload cycling by doc_id % 4 — the shape
+    `decode_image_features` must survive at 100 TB: every codec
+    dispatched in one scan, bad rows passing through as 'other'."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _mixed_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def generate_jpeg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic baseline-JPEG corpus from row ids: grayscale,
     sizes 4..24 × 4..16 (non-multiples of 8 exercise edge-replication

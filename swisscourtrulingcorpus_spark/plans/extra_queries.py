@@ -345,6 +345,61 @@ GROUP BY doc_id
 """
 
 
+def mixed_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB multimodal decode SHAPE in one gate: a mixed corpus
+    (PNG / BMP / grayscale JPEG / deliberately-undecodable payload,
+    cycling doc_id % 4) through ONE `decode_image_features` scan — all
+    three codecs dispatch, the bad rows pass through as 'other' with
+    null stats instead of killing the task (r05 review contract).  The
+    oracle recomputes every branch arithmetically: RGB stats for
+    PNG/BMP, the constant-block closed form for JPEG (images ≤6×4 are
+    one DC-only block: every pixel = doc_id % 256), typed NULLs for
+    the undecodable quarter."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+        generate_mixed_media_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(generate_mixed_media_fixture(docs))
+
+
+MIXED_IMAGE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 AS kind, doc_id % 5 + 2 AS w, doc_id % 3 + 2 AS h
+  FROM documents),
+gx AS (SELECT doc_id, kind, w, h, unnest(generate_series(0, w - 1)) AS x
+       FROM dims WHERE kind IN (0, 1)),
+gy AS (SELECT doc_id, kind, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+gc AS (SELECT doc_id, kind, x, y, unnest(generate_series(0, 2)) AS c FROM gy),
+rgb AS (
+  SELECT g.doc_id,
+         CASE WHEN g.kind = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+         CAST(d.w AS BIGINT) AS width,
+         CAST(d.h AS BIGINT) AS height,
+         CAST(3 AS BIGINT) AS channels,
+         CAST(sum((g.doc_id + 7*g.x + 13*g.y + 29*g.c) % 256) AS BIGINT) AS pixel_sum,
+         min((g.doc_id + 7*g.x + 13*g.y + 29*g.c) % 256) AS px_min,
+         max((g.doc_id + 7*g.x + 13*g.y + 29*g.c) % 256) AS px_max
+  FROM gc g JOIN dims d USING (doc_id)
+  GROUP BY g.doc_id, g.kind, d.w, d.h),
+jp AS (
+  SELECT doc_id, 'jpeg' AS fmt,
+         CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         CAST(1 AS BIGINT) AS channels,
+         CAST(w * h * (doc_id % 256) AS BIGINT) AS pixel_sum,
+         doc_id % 256 AS px_min, doc_id % 256 AS px_max
+  FROM dims WHERE kind = 2),
+oth AS (
+  SELECT doc_id, 'other' AS fmt,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS channels, CAST(NULL AS BIGINT) AS pixel_sum,
+         CAST(NULL AS BIGINT) AS px_min, CAST(NULL AS BIGINT) AS px_max
+  FROM dims WHERE kind = 3)
+SELECT * FROM rgb UNION ALL SELECT * FROM jp UNION ALL SELECT * FROM oth
+"""
+
+
 _RESOURCES = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "resources"
 )
@@ -470,4 +525,5 @@ SPECS = [
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),
+    QuerySpec("mixed_image_decode_stats", mixed_image_decode_stats, MIXED_IMAGE_ORACLE, "mixed PNG/BMP/JPEG/undecodable corpus through one decode scan"),
 ]
