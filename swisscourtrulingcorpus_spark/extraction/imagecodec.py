@@ -82,9 +82,17 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
             break
     if width is None:
         raise UnsupportedImageError("missing IHDR")
-    raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # Corrupt-dims / zlib-bomb OOM guard (r05 review, same contract as
+    # the JPEG SOF guard): zlib inflates at most ~1032:1, so an IHDR
+    # claiming more raw output than the IDAT bytes could possibly
+    # yield is malformed — reject BEFORE any allocation, and bound the
+    # inflate itself so a crafted stream can't expand past `expected`.
+    if expected > len(idat) * 1032 + 4096:
+        raise UnsupportedImageError("IHDR dims exceed IDAT capacity")
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise UnsupportedImageError("IDAT length mismatch")
     out = bytearray(stride * height)
     prior = bytearray(stride)
@@ -185,10 +193,17 @@ def decode_bmp(data: bytes) -> tuple[int, int, int, bytearray]:
     (compression,) = struct.unpack("<I", data[30:34])
     if bpp != 24 or compression != 0:
         raise UnsupportedImageError(f"BMP bpp={bpp} compression={compression}")
+    if width < 0:
+        raise UnsupportedImageError("negative BMP width")
     top_down = height < 0
     height = abs(height)
     row_bytes = width * 3
     padded = (row_bytes + 3) & ~3
+    # Corrupt-dims OOM guard (r05 review): the claimed pixel plane must
+    # actually be present in the payload BEFORE the output plane is
+    # allocated, bounding the allocation by len(data).
+    if height and offset + (height - 1) * padded + row_bytes > len(data):
+        raise UnsupportedImageError("BMP dims exceed payload")
     out = bytearray(row_bytes * height)
     for y in range(height):
         src_row = y if top_down else height - 1 - y

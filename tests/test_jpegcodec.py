@@ -299,10 +299,11 @@ def test_corrupt_sof_guards():
     px = _blocky(1, 8, 8)
     data = encode_jpeg_gray(8, 8, px)
     i = data.find(b"\xff\xc0")
-    zero_sampling = data[: i + 11] + bytes([0x01]) + data[i + 12 :]
-    zero_sampling = zero_sampling[: i + 11] + bytes([0x10]) + zero_sampling[i + 12 :]
-    with pytest.raises(UnsupportedImageError):
-        decode_jpeg(data[: i + 11] + bytes([0x01]) + data[i + 12 :])
+    zero_h = data[: i + 11] + bytes([0x01]) + data[i + 12 :]  # h factor == 0
+    zero_v = data[: i + 11] + bytes([0x10]) + data[i + 12 :]  # v factor == 0
+    for payload in (zero_h, zero_v):
+        with pytest.raises(UnsupportedImageError):
+            decode_jpeg(payload)
     # height/width words sit at SOF offset +5/+7
     huge = data[: i + 5] + b"\xff\xff\xff\xff" + data[i + 9 :]
     with pytest.raises(UnsupportedImageError, match="implausible"):
@@ -310,6 +311,38 @@ def test_corrupt_sof_guards():
     zero_dim = data[: i + 5] + b"\x00\x00\x00\x08" + data[i + 9 :]
     with pytest.raises(UnsupportedImageError, match="zero-dimension"):
         decode_jpeg(zero_dim)
+
+
+def test_corrupt_dims_guards_png_bmp():
+    """Implausible claimed dims in a tiny payload must raise before any
+    plane is allocated — the JPEG-only OOM guard extended to PNG/BMP
+    (r05 review): a ~60-byte BMP claiming a 50000x50000 plane, and a
+    PNG whose IHDR claims more raw output than its IDAT could inflate."""
+    import struct
+
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        encode_bmp24,
+        encode_png,
+    )
+
+    bomb_bmp = bytearray(encode_bmp24(2, 2, bytes(12)))
+    struct.pack_into("<ii", bomb_bmp, 18, 50000, 50000)
+    with pytest.raises(UnsupportedImageError, match="exceed"):
+        decode_image(bytes(bomb_bmp))
+
+    bomb_png = bytearray(encode_png(2, 2, 3, bytes(12)))
+    ihdr = bytes(bomb_png).find(b"IHDR")
+    struct.pack_into(">II", bomb_png, ihdr + 4, 40000, 40000)
+    with pytest.raises(UnsupportedImageError, match="exceed"):
+        decode_image(bytes(bomb_png))
+
+    # dims claiming LESS than the stream inflates to -> bounded inflate
+    # stops at expected+1 and reports the mismatch, never over-allocates
+    small_dims = bytearray(encode_png(4, 4, 1, bytes(16)))
+    ihdr = bytes(small_dims).find(b"IHDR")
+    struct.pack_into(">II", small_dims, ihdr + 4, 2, 2)
+    with pytest.raises(UnsupportedImageError, match="mismatch"):
+        decode_image(bytes(small_dims))
 
 
 def test_null_payload_rows_survive_decode_stage(spark):
