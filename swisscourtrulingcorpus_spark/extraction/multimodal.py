@@ -6,17 +6,18 @@ alongside; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages so bytes never leave the executor
 and batch size bounds memory.
 
-PNG (8-bit non-interlaced), BMP (24-bit uncompressed) and baseline
-sequential JPEG decode FOR REAL via the pure-stdlib codecs in
-`extraction/imagecodec.py` and `extraction/jpegcodec.py` —
-``decode_image_real`` returns actual pixel statistics out of the
-payload bytes, and ``decode_image_features`` is the mapInPandas stage
-over it.  Codecs that genuinely need native libraries (progressive/
-arithmetic JPEG, video, audio) remain stubbed: ``decode_image_stub``
-computes deterministic byte features (length, md5) with the same
-scheduling shape.
-Everything Spark-side — schema, UDF signature, Arrow batch shape,
-partitioning — is real and tested either way.
+PNG (8-bit non-interlaced), BMP (24-bit uncompressed), baseline
+sequential JPEG, 16-bit PCM WAV and uncompressed-DIB AVI decode FOR
+REAL via the pure-stdlib codecs in `extraction/imagecodec.py`,
+`jpegcodec.py`, `audiocodec.py` and `videocodec.py` —
+``decode_image_features`` / ``decode_audio_features`` /
+``sample_video_frames`` are the mapInPandas stages over them, pulling
+actual pixel/sample statistics out of the payload bytes.  Codecs that
+genuinely need native libraries (progressive/arithmetic JPEG,
+MP3/AAC audio, MJPG/H.264 video) raise Unsupported*Error and fall back
+to the byte-stat stub (``decode_image_stub``) with the same scheduling
+shape.  Everything Spark-side — schema, UDF signature, Arrow batch
+shape, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -300,6 +301,233 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     never kills the task — route those rows to ``decode_image_stub``
     for byte features)."""
     return media.mapInPandas(_pixel_feature_batches, PIXEL_FEATURE_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("amp_sum", LongType()),
+        StructField("amp_min", LongType()),
+        StructField("amp_max", LongType()),
+    ]
+)
+
+_AUDIO_NULL_STATS = {
+    "sample_rate": None,
+    "channels": None,
+    "n_frames": None,
+    "duration_ms": None,
+    "amp_sum": None,
+    "amp_min": None,
+    "amp_max": None,
+}
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                rows.append({"doc_id": doc_id, "fmt": "missing", **_AUDIO_NULL_STATS})
+                continue
+            is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+            try:
+                if not is_wav:
+                    raise UnsupportedAudioError("not WAV")
+                sr, ch, nf, samples = decode_wav(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "fmt": "wav",
+                        "sample_rate": sr,
+                        "channels": ch,
+                        "n_frames": nf,
+                        "duration_ms": nf * 1000 // sr,
+                        "amp_sum": sum(samples),
+                        "amp_min": min(samples) if samples else None,
+                        "amp_max": max(samples) if samples else None,
+                    }
+                )
+            except UnsupportedAudioError:
+                # same pass-through contract as decode_image_features:
+                # one undecodable payload must not kill the task
+                fmt = "wav_undecodable" if is_wav else "other"
+                rows.append({"doc_id": doc_id, "fmt": fmt, **_AUDIO_NULL_STATS})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL sample-statistics extraction over binary WAV payloads via
+    mapInPandas (`extraction/audiocodec.py`, pure stdlib).  Integer
+    stats only (amp_sum/min/max, floor-division duration) so the DuckDB
+    oracle recomputes them bit-exactly; undecodable/compressed/missing
+    payloads pass through with null stats like the image stage."""
+    return media.mapInPandas(_audio_feature_batches, AUDIO_FEATURE_SCHEMA)
+
+
+def _wav_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
+
+    rates = (8000, 16000, 44100)
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            if d % 7 == 3:  # undecodable row: RIFF/WAVE with float PCM tag
+                import struct as _s
+
+                body = b"WAVE" + b"fmt " + _s.pack("<I", 16) + _s.pack(
+                    "<HHIIHH", 3, 1, 8000, 32000, 4, 32
+                )
+                payloads.append(b"RIFF" + _s.pack("<I", len(body)) + body)
+                continue
+            ch = d % 2 + 1
+            n = d % 50 + 10
+            samples = [
+                ((d * 31 + 7 * i) % 65536) - 32768 for i in range(n * ch)
+            ]
+            payloads.append(encode_wav(rates[d % 3], ch, samples))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_wav_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic WAV corpus from row ids: sample rate cycling
+    8k/16k/44.1k, 1-2 channels, 10..59 frames, flat sample value
+    i -> ((id·31 + 7i) mod 65536) − 32768; every 7th id (mod 7 == 3) is
+    a float-PCM WAV the decoder must reject, exercising the
+    pass-through contract.  An independent oracle recomputes every
+    statistic from arithmetic alone — the RIFF parse → PCM unpack path
+    through real bytes is what the gate verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _wav_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("ts_ms", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("pixel_sum", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+    ]
+)
+
+_VIDEO_NULL_STATS = {
+    "frame_idx": None,
+    "ts_ms": None,
+    "width": None,
+    "height": None,
+    "pixel_sum": None,
+    "px_min": None,
+    "px_max": None,
+}
+
+
+def _video_frame_batches(stride: int):
+    from swisscourtrulingcorpus_spark.extraction.videocodec import (
+        UnsupportedVideoError,
+        decode_avi,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"doc_id": doc_id, "fmt": "missing", **_VIDEO_NULL_STATS}
+                    )
+                    continue
+                is_avi = payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+                try:
+                    if not is_avi:
+                        raise UnsupportedVideoError("not AVI")
+                    w, h, us, frames = decode_avi(bytes(payload))
+                    for idx in range(0, len(frames), stride):
+                        px = frames[idx]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "fmt": "avi",
+                                "frame_idx": idx,
+                                "ts_ms": idx * us // 1000,
+                                "width": w,
+                                "height": h,
+                                "pixel_sum": sum(px),
+                                "px_min": min(px) if px else None,
+                                "px_max": max(px) if px else None,
+                            }
+                        )
+                except UnsupportedVideoError:
+                    fmt = "avi_undecodable" if is_avi else "other"
+                    rows.append({"doc_id": doc_id, "fmt": fmt, **_VIDEO_NULL_STATS})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return gen
+
+
+def sample_video_frames(media: DataFrame, stride: int = 1) -> DataFrame:
+    """REAL frame sampling over binary AVI payloads via mapInPandas
+    (`extraction/videocodec.py`, pure stdlib): the 1→N UDTF-shaped
+    multimodal stage — every ``stride``-th uncompressed-DIB frame comes
+    out with integer pixel stats and its container timestamp.
+    Compressed/undecodable/missing payloads pass through as ONE null
+    row so a mixed corpus never kills the task (same contract as
+    `decode_image_features`); `sample_frames_stub` remains the
+    byte-stat fallback shape for codecs needing native libraries."""
+    return media.mapInPandas(_video_frame_batches(stride), VIDEO_FRAME_SCHEMA)
+
+
+def _avi_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n, w, h = d % 4 + 1, d % 3 + 2, d % 2 + 2
+            frames = [
+                bytes(
+                    (d + 3 * f + 7 * x + 13 * y + 29 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                for f in range(n)
+            ]
+            payloads.append(encode_avi(w, h, frames, us_per_frame=40000))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_avi_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI corpus from row ids: 1-4 uncompressed-DIB
+    frames of 2-4 × 2-3 RGB at 25 fps, pixel (f, x, y, c) =
+    (id + 3f + 7x + 13y + 29c) % 256 — an independent oracle recomputes
+    every per-frame statistic from arithmetic alone; the RIFF walk →
+    DIB plane → BGR→RGB path through real bytes is what the gate
+    verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _avi_fixture_batches, PAYLOAD_SCHEMA
+    )
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -400,6 +400,92 @@ SELECT * FROM rgb UNION ALL SELECT * FROM jp UNION ALL SELECT * FROM oth
 """
 
 
+def wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through Spark: a deterministic WAV corpus
+    (16-bit PCM, mixed rates/channels, every 7th payload a float-PCM
+    reject exercising the pass-through contract) through the
+    `decode_audio_features` mapInPandas stage.  The oracle recomputes
+    every integer sample statistic arithmetically — sample i of doc d
+    is ((31d + 7i) mod 65536) − 32768 — so the RIFF parse → PCM unpack
+    path through real bytes is what's verified."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        generate_wav_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_features(generate_wav_fixture(docs))
+
+
+WAV_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+         doc_id % 2 + 1 AS ch,
+         doc_id % 50 + 10 AS n
+  FROM documents),
+vals AS (
+  SELECT doc_id, sr, ch, n,
+         (doc_id * 31 + 7 * unnest(generate_series(0, n * ch - 1))) % 65536 - 32768
+           AS v
+  FROM dims WHERE doc_id % 7 <> 3),
+ok AS (
+  SELECT doc_id, 'wav' AS fmt,
+         CAST(sr AS BIGINT) AS sample_rate, CAST(ch AS BIGINT) AS channels,
+         CAST(n AS BIGINT) AS n_frames,
+         CAST(n * 1000 // sr AS BIGINT) AS duration_ms,
+         CAST(sum(v) AS BIGINT) AS amp_sum,
+         CAST(min(v) AS BIGINT) AS amp_min, CAST(max(v) AS BIGINT) AS amp_max
+  FROM vals GROUP BY doc_id, sr, ch, n),
+bad AS (
+  SELECT doc_id, 'wav_undecodable' AS fmt,
+         CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS channels,
+         CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS BIGINT) AS duration_ms,
+         CAST(NULL AS BIGINT) AS amp_sum,
+         CAST(NULL AS BIGINT) AS amp_min, CAST(NULL AS BIGINT) AS amp_max
+  FROM dims WHERE doc_id % 7 = 3)
+SELECT * FROM ok UNION ALL SELECT * FROM bad
+"""
+
+
+def avi_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling through Spark: a deterministic
+    uncompressed-DIB AVI corpus (1-4 frames each) through the
+    `sample_video_frames` 1→N mapInPandas stage at stride 2.  The
+    oracle recomputes every sampled frame's integer pixel statistics
+    arithmetically — pixel (f, x, y, c) of doc d is
+    (d + 3f + 7x + 13y + 29c) mod 256 — so the RIFF walk → bottom-up
+    DIB plane → BGR→RGB path through real bytes is what's verified."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_avi_fixture,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(generate_avi_fixture(docs), stride=2)
+
+
+AVI_FRAME_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 4 + 1 AS n, doc_id % 3 + 2 AS w, doc_id % 2 + 2 AS h
+  FROM documents),
+fr AS (SELECT doc_id, w, h, unnest(generate_series(0, n - 1)) AS f FROM dims),
+sampled AS (SELECT * FROM fr WHERE f % 2 = 0),
+gx AS (SELECT doc_id, w, h, f, unnest(generate_series(0, w - 1)) AS x FROM sampled),
+gy AS (SELECT doc_id, w, h, f, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+gc AS (SELECT doc_id, w, h, f, x, y, unnest(generate_series(0, 2)) AS c FROM gy)
+SELECT doc_id, 'avi' AS fmt,
+       CAST(f AS BIGINT) AS frame_idx,
+       CAST(f * 40 AS BIGINT) AS ts_ms,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum((doc_id + 3*f + 7*x + 13*y + 29*c) % 256) AS BIGINT) AS pixel_sum,
+       CAST(min((doc_id + 3*f + 7*x + 13*y + 29*c) % 256) AS BIGINT) AS px_min,
+       CAST(max((doc_id + 3*f + 7*x + 13*y + 29*c) % 256) AS BIGINT) AS px_max
+FROM gc
+GROUP BY doc_id, f, w, h
+"""
+
+
 _RESOURCES = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "resources"
 )
@@ -526,4 +612,6 @@ SPECS = [
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),
     QuerySpec("mixed_image_decode_stats", mixed_image_decode_stats, MIXED_IMAGE_ORACLE, "mixed PNG/BMP/JPEG/undecodable corpus through one decode scan"),
+    QuerySpec("wav_decode_stats", wav_decode_stats, WAV_DECODE_ORACLE, "real 16-bit PCM WAV decode vs arithmetic oracle"),
+    QuerySpec("avi_frame_sample_stats", avi_frame_sample_stats, AVI_FRAME_ORACLE, "real AVI frame sampling (stride 2) vs arithmetic oracle"),
 ]

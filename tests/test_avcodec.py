@@ -1,0 +1,139 @@
+"""WAV / AVI codec tests: round trips through real bytes, malformed-
+payload guards (incl. the corrupt-dims OOM class), and the Spark-stage
+pass-through contract for undecodable and NULL payloads."""
+
+import struct
+
+import pytest
+
+from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+    UnsupportedAudioError,
+    decode_wav,
+    encode_wav,
+)
+from swisscourtrulingcorpus_spark.extraction.videocodec import (
+    UnsupportedVideoError,
+    decode_avi,
+    encode_avi,
+)
+
+
+def test_wav_round_trip_stereo():
+    samples = [((31 * i) % 65536) - 32768 for i in range(60)]
+    data = encode_wav(16000, 2, samples)
+    sr, ch, nf, out = decode_wav(data)
+    assert (sr, ch, nf) == (16000, 2, 30)
+    assert out == samples
+    assert struct.unpack("<I", data[4:8])[0] == len(data) - 8  # exact RIFF size
+
+
+def test_wav_odd_length_chunk_padding():
+    # a 1-sample data chunk is odd-length -> RIFF pads to even; the
+    # decoder must honor the pad when walking chunks
+    data = encode_wav(8000, 1, [-7])
+    assert decode_wav(data) == (8000, 1, 1, [-7])
+
+
+def test_wav_guards():
+    good = encode_wav(8000, 1, [1, 2, 3])
+    float_pcm = bytearray(good)
+    struct.pack_into("<H", float_pcm, good.find(b"fmt ") + 8, 3)  # IEEE float tag
+    bad = [
+        b"OggS" + bytes(40),                  # not RIFF
+        b"RIFF\x08\x00\x00\x00AVI " + bytes(8),  # RIFF but not WAVE
+        good[:20],                            # truncated before data
+        bytes(float_pcm),                     # float PCM -> unsupported
+        good.replace(b"fmt ", b"fmtX"),       # missing fmt chunk
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedAudioError):
+            decode_wav(payload)
+
+
+def _avi_frames(d, n, w, h):
+    return [
+        bytes(
+            (d + 3 * f + 7 * x + 13 * y + 29 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        for f in range(n)
+    ]
+
+
+def test_avi_round_trip():
+    frames = _avi_frames(9, 3, 5, 3)
+    avi = encode_avi(5, 3, frames, us_per_frame=40000)
+    w, h, us, out = decode_avi(avi)
+    assert (w, h, us, len(out)) == (5, 3, 40000, 3)
+    assert [bytes(f) for f in out] == frames
+    assert struct.unpack("<I", avi[4:8])[0] == len(avi) - 8  # exact RIFF size
+
+
+def test_avi_guards():
+    avi = encode_avi(2, 2, _avi_frames(1, 1, 2, 2))
+    bomb = bytearray(avi)
+    struct.pack_into("<II", bomb, avi.find(b"avih") + 8 + 32, 50000, 50000)
+    bad = [
+        avi[:30],                            # truncated header
+        bytes(bomb),                         # GB-scale claimed dims, tiny frame
+        avi.replace(b"00db", b"00dc"),       # compressed frame chunk
+        avi.replace(b"DIB ", b"MJPG"),       # compressed handler
+        b"RIFF\x04\x00\x00\x00WAVE",         # wrong RIFF type
+    ]
+    for payload in bad:
+        with pytest.raises(UnsupportedVideoError):
+            decode_avi(payload)
+
+
+def test_audio_video_stage_passthrough(spark):
+    """Undecodable and NULL payloads survive both mapInPandas stages
+    with null stats (same contract as decode_image_features)."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        sample_video_frames,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    wav = encode_wav(8000, 1, [100, -100])
+    avi = encode_avi(2, 2, _avi_frames(3, 2, 2, 2), us_per_frame=40000)
+    rows = [(1, None), (2, b"garbage-bytes"), (3, wav), (4, avi)]
+    adf = {r["doc_id"]: r for r in decode_audio_features(
+        spark.createDataFrame(rows, schema)).collect()}
+    assert adf[1]["fmt"] == "missing" and adf[1]["amp_sum"] is None
+    assert adf[2]["fmt"] == "other" and adf[2]["n_frames"] is None
+    assert adf[3]["fmt"] == "wav" and adf[3]["amp_sum"] == 0
+    assert adf[3]["duration_ms"] == 0  # 2 frames / 8000 Hz floors to 0 ms
+    assert adf[4]["fmt"] == "other"  # AVI payload is not audio
+
+    vdf = sample_video_frames(spark.createDataFrame(rows, schema), stride=1).collect()
+    by_doc = {}
+    for r in vdf:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc[1][0]["fmt"] == "missing" and by_doc[1][0]["pixel_sum"] is None
+    assert by_doc[2][0]["fmt"] == "other"
+    assert by_doc[3][0]["fmt"] == "other"  # WAV payload is not video
+    assert [r["frame_idx"] for r in sorted(by_doc[4], key=lambda r: r["frame_idx"])] == [0, 1]
+    assert all(r["ts_ms"] == r["frame_idx"] * 40 for r in by_doc[4])
+
+
+def test_video_stride_sampling(spark):
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        sample_video_frames,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    avi = encode_avi(2, 2, _avi_frames(0, 4, 2, 2))
+    out = sample_video_frames(
+        spark.createDataFrame([(1, avi)], schema), stride=2
+    ).collect()
+    assert sorted(r["frame_idx"] for r in out) == [0, 2]
