@@ -58,6 +58,13 @@ QUERIES = [
     ("length_grouped_shards", "range partition + local rank"),
     ("cosine_topk_bruteforce", "broadcast query side, O(n·q) scan"),
     ("ivf_topk_bucketed", "bucket equi-join candidates only"),
+    # round-5b extension: streaming/window family (10x events corpus =
+    # 10 replicas with shifted user/event ids, per-replica session
+    # structure identical to the source)
+    ("tumbling_hourly_events", "partial agg: map-side combine, window-key shuffle only"),
+    ("session_windows_events", "per-user sessionization, (user) key shuffle"),
+    ("first_event_per_user", "top-1 per key via min-struct partial agg"),
+    ("event_gap_stats", "per-user lag window over slim columns"),
 ]
 
 
@@ -70,10 +77,37 @@ def synth_10x(spark, src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         link = os.path.join(dst, f"{t}.parquet")
-        if t in ("documents", "embeddings") or os.path.exists(link):
+        if os.path.islink(link) and t in ("documents", "embeddings", "events"):
+            os.unlink(link)  # stale symlink from a pre-r05b run
+        if t in ("documents", "embeddings", "events") or os.path.exists(link):
             continue
         os.symlink(os.path.join(src, f"{t}.parquet"), link)
 
+    # events: shift user/event ids per replica, keep timestamps — the
+    # per-replica window/session structure is IDENTICAL to the source,
+    # so per-user outputs scale exactly 10x and window-keyed aggs see
+    # 10x input over the same window keys.  load_table converts the
+    # source's TIMESTAMP(NANOS) to real timestamps; the rewritten
+    # table carries plain TIMESTAMP and loads through the same path.
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    if not os.path.exists(os.path.join(dst, "events.parquet")):
+        ev = load_table(spark, src, "events")
+        nu = ev.agg(F.max("user_id")).collect()[0][0] + 1
+        nev = ev.agg(F.max("event_id")).collect()[0][0] + 1
+        reps0 = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+        (
+            ev.crossJoin(reps0)
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * nu)
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * nev)
+            .drop("rep")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst, "events.parquet"))
+        )
+
+    if os.path.exists(os.path.join(dst, "documents.parquet")):
+        return  # pre-r05b corpus already synthesized (idempotent rerun)
     docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
     reps = spark.range(REPLICAS).withColumnRenamed("id", "rep")
@@ -190,7 +224,13 @@ def _tally(fh, totals: list[int]) -> None:
 
 
 def main() -> None:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALE_MEASURE.json"
+    args = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    out_json = args[0] if args else "SCALE_MEASURE.json"
     event_dir = "/tmp/scale_eventlog"
     os.makedirs(event_dir, exist_ok=True)
 
@@ -217,17 +257,21 @@ def main() -> None:
     app_id = spark.sparkContext.applicationId
 
     big_dir = "/tmp/scale_sf1"
-    if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
-        print("synthesizing 10x corpus ...", flush=True)
-        synth_10x(spark, SF_DIR, big_dir)
+    print("synthesizing 10x corpus (idempotent per table) ...", flush=True)
+    synth_10x(spark, SF_DIR, big_dir)
 
     qs = registry.queries()
     results: dict[str, dict] = {}
+    if only is not None and os.path.exists(out_json):
+        # --only: measure a subset, merge over the existing file
+        with open(out_json) as fh:
+            results = json.load(fh)
+    todo = [(n, c) for n, c in QUERIES if only is None or n in only]
     # warm the JVM/codegen once so the first measured query isn't
     # billed for startup
     qs["exact_dedup_documents"](spark, SF_DIR).count()
     for sf_label, sf_dir in (("1x", SF_DIR), ("10x", big_dir)):
-        for name, claim in QUERIES:
+        for name, claim in todo:
             # warm run first (codegen compile for this plan), then the
             # measured run with shuffle-byte deltas around it
             qs[name](spark, sf_dir).count()
