@@ -20,16 +20,18 @@ them bit-exactly (no float RMS in the gated surface).
 from __future__ import annotations
 
 import struct
+import sys
+from array import array
 
 
 class UnsupportedAudioError(ValueError):
     """Payload is not a decodable 16-bit PCM WAV."""
 
 
-def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+def decode_wav(data: bytes) -> tuple[int, int, int, "array"]:
     """Decode a 16-bit PCM RIFF/WAVE payload.  Returns
-    ``(sample_rate, channels, n_frames, samples)`` with ``samples`` the
-    flat interleaved list of signed 16-bit values (length
+    ``(sample_rate, channels, n_frames, samples)`` with ``samples`` a
+    flat interleaved ``array('h')`` of signed 16-bit values (length
     ``n_frames * channels``)."""
     try:
         if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -63,9 +65,13 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
             raise UnsupportedAudioError("missing fmt or data chunk")
         n_values = len(pcm) // 2
         n_frames = n_values // channels
-        samples = list(
-            struct.unpack(f"<{n_frames * channels}h", pcm[: n_frames * channels * 2])
-        )
+        # array('h'), not a boxed-int list: the executor decode path
+        # only needs sum/min/max and a 100 MB payload must not balloon
+        # to ~1.4 GB of PyObjects (r05 review); ~2 bytes/sample instead
+        samples = array("h")
+        samples.frombytes(pcm[: n_frames * channels * 2])
+        if sys.byteorder == "big":
+            samples.byteswap()  # WAV PCM is little-endian
         return sample_rate, channels, n_frames, samples
     except UnsupportedAudioError:
         raise

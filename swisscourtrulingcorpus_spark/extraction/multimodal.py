@@ -460,6 +460,15 @@ def _video_frame_batches(stride: int):
                     if not is_avi:
                         raise UnsupportedVideoError("not AVI")
                     w, h, us, frames = decode_avi(bytes(payload))
+                    if not frames:
+                        # a well-formed container with an empty movi
+                        # list still yields ONE row — per-doc
+                        # accounting never silently drops a doc_id
+                        # (r05 review)
+                        rows.append(
+                            {"doc_id": doc_id, "fmt": "avi", **_VIDEO_NULL_STATS}
+                        )
+                        continue
                     for idx in range(0, len(frames), stride):
                         px = frames[idx]
                         rows.append(

@@ -28,18 +28,24 @@ class UnsupportedVideoError(ValueError):
 
 
 def _walk_chunks(data: bytes, pos: int, end: int):
-    """Yield (fourcc, body) over a RIFF chunk sequence, recursing into
-    LIST chunks (yielded as ('LIST:<type>', body) then their children)."""
-    while pos + 8 <= end:
-        cid = data[pos : pos + 4]
-        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body_start = pos + 8
-        body_end = min(body_start + length, end)
-        if cid == b"LIST" and length >= 4:
-            yield from _walk_chunks(data, body_start + 4, body_end)
-        else:
-            yield cid, data[body_start:body_end]
-        pos = body_start + length + (length & 1)  # RIFF pads to even
+    """Yield (fourcc, body) over a RIFF chunk sequence, descending into
+    LIST chunks.  Iterative (explicit stack) — a crafted payload with
+    thousands of nested LIST headers must exhaust the malformed-payload
+    contract, not Python's recursion limit (r05 review)."""
+    stack = [(pos, end)]
+    while stack:
+        pos, end = stack.pop()
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + length, end)
+            pos = body_start + length + (length & 1)  # RIFF pads to even
+            if cid == b"LIST" and length >= 4:
+                stack.append((pos, end))  # resume parent after the LIST
+                pos, end = body_start + 4, body_end
+            else:
+                yield cid, data[body_start:body_end]
 
 
 def decode_avi(data: bytes) -> tuple[int, int, int, list[bytearray]]:
@@ -50,18 +56,22 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytearray]]:
         if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
             raise UnsupportedVideoError("not a RIFF/AVI payload")
         width = height = us_per_frame = None
+        cur_stream = None  # fccType of the strl being walked
         raw_frames: list[bytes] = []
         for cid, body in _walk_chunks(data, 12, len(data)):
             if cid == b"avih":
                 (us_per_frame,) = struct.unpack("<I", body[0:4])
                 width, height = struct.unpack("<II", body[32:40])
             elif cid == b"strh":
-                fcc_type, handler = body[0:4], body[4:8]
-                if fcc_type == b"vids" and handler not in (b"DIB ", b"\x00" * 4):
+                cur_stream, handler = body[0:4], body[4:8]
+                if cur_stream == b"vids" and handler not in (b"DIB ", b"\x00" * 4):
                     raise UnsupportedVideoError(
                         f"compressed video handler {handler!r} unsupported"
                     )
-            elif cid == b"strf":
+            elif cid == b"strf" and cur_stream == b"vids":
+                # only the VIDEO stream's format chunk is a
+                # BITMAPINFOHEADER — an accompanying 'auds' strf is a
+                # WAVEFORMATEX and must not be misparsed (r05 review)
                 (bpp,) = struct.unpack("<H", body[14:16])
                 (compression,) = struct.unpack("<I", body[16:20])
                 if bpp != 24 or compression != 0:
@@ -74,8 +84,6 @@ def decode_avi(data: bytes) -> tuple[int, int, int, list[bytearray]]:
                 raw_frames.append(body)
         if width is None or us_per_frame is None:
             raise UnsupportedVideoError("missing avih header")
-        if width < 0 or height is None:
-            raise UnsupportedVideoError("bad avih dims")
         row_bytes = width * 3
         padded = (row_bytes + 3) & ~3
         frames: list[bytearray] = []

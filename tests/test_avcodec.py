@@ -23,15 +23,15 @@ def test_wav_round_trip_stereo():
     data = encode_wav(16000, 2, samples)
     sr, ch, nf, out = decode_wav(data)
     assert (sr, ch, nf) == (16000, 2, 30)
-    assert out == samples
+    assert list(out) == samples
     assert struct.unpack("<I", data[4:8])[0] == len(data) - 8  # exact RIFF size
 
 
 def test_wav_odd_length_chunk_padding():
     # a 1-sample data chunk is odd-length -> RIFF pads to even; the
     # decoder must honor the pad when walking chunks
-    data = encode_wav(8000, 1, [-7])
-    assert decode_wav(data) == (8000, 1, 1, [-7])
+    sr, ch, nf, out = decode_wav(encode_wav(8000, 1, [-7]))
+    assert (sr, ch, nf, list(out)) == (8000, 1, 1, [-7])
 
 
 def test_wav_guards():
@@ -85,6 +85,62 @@ def test_avi_guards():
     for payload in bad:
         with pytest.raises(UnsupportedVideoError):
             decode_avi(payload)
+
+
+def test_avi_deep_nested_lists_stay_in_contract():
+    """~1000 nested LIST headers must raise UnsupportedVideoError (or
+    decode to nothing useful), never RecursionError — the iterative
+    walk keeps the malformed-payload contract (r05 review)."""
+    depth = 1200
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"fake" + inner
+    payload = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(UnsupportedVideoError):
+        decode_avi(payload)
+
+
+def test_avi_with_audio_track_decodes_video():
+    """An 'auds' strl whose strf is a WAVEFORMATEX (not a
+    BITMAPINFOHEADER) must not be misparsed as video format — the DIB
+    frames still decode (r05 review)."""
+    from swisscourtrulingcorpus_spark.extraction.videocodec import _chunk, _list
+
+    frames = _avi_frames(4, 2, 2, 2)
+    avi = encode_avi(2, 2, frames)
+    # splice an audio strl (strh 'auds' + 16-byte WAVEFORMATEX strf)
+    # into hdrl, right before the movi LIST
+    auds = _list(
+        b"strl",
+        _chunk(b"strh", b"auds" + bytes(52))
+        + _chunk(b"strf", struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)),
+    )
+    i = avi.find(b"movi") - 8  # start of the movi LIST header
+    with_audio = avi[:i] + auds + avi[i:]
+    w, h, us, out = decode_avi(with_audio)
+    assert (w, h, len(out)) == (2, 2, 2)
+    assert [bytes(f) for f in out] == frames
+
+
+def test_avi_empty_movi_emits_one_row(spark):
+    """A well-formed container with zero frames must still yield ONE
+    output row — per-doc accounting never drops a doc_id (r05
+    review)."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        sample_video_frames,
+    )
+
+    empty = encode_avi(2, 2, [])
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    out = sample_video_frames(
+        spark.createDataFrame([(7, empty)], schema), stride=1
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["fmt"] == "avi" and out[0]["frame_idx"] is None
 
 
 def test_audio_video_stage_passthrough(spark):

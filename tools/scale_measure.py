@@ -266,6 +266,12 @@ def main() -> None:
         # --only: measure a subset, merge over the existing file
         with open(out_json) as fh:
             results = json.load(fh)
+    if only is not None:
+        unknown = only - {n for n, _ in QUERIES}
+        if unknown:
+            # fail fast — a typo must not silently rewrite the JSON
+            # with zero new measurements (r05 review)
+            raise SystemExit(f"--only names not in QUERIES: {sorted(unknown)}")
     todo = [(n, c) for n, c in QUERIES if only is None or n in only]
     # warm the JVM/codegen once so the first measured query isn't
     # billed for startup
