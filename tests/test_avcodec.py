@@ -193,3 +193,63 @@ def test_video_stride_sampling(spark):
         spark.createDataFrame([(1, avi)], schema), stride=2
     ).collect()
     assert sorted(r["frame_idx"] for r in out) == [0, 2]
+
+
+def test_wav_codec_property_random_audio():
+    """Property: encode->decode is the identity for random sample
+    buffers, rates and channel counts."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sr=st.sampled_from([8000, 16000, 22050, 44100]),
+        ch=st.integers(1, 3),
+        frames=st.integers(0, 40),
+        data=st.data(),
+    )
+    def check(sr, ch, frames, data):
+        samples = data.draw(
+            st.lists(
+                st.integers(-32768, 32767),
+                min_size=frames * ch,
+                max_size=frames * ch,
+            )
+        )
+        got_sr, got_ch, got_nf, out = decode_wav(encode_wav(sr, ch, samples))
+        assert (got_sr, got_ch, got_nf) == (sr, ch, frames)
+        assert list(out) == samples
+
+    check()
+
+
+def test_avi_codec_property_random_videos():
+    """Property: encode->decode is the identity for random frame
+    stacks, dims and frame rates."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 7),
+        h=st.integers(1, 5),
+        n=st.integers(0, 4),
+        us=st.sampled_from([33333, 40000, 100000]),
+        data=st.data(),
+    )
+    def check(w, h, n, us, data):
+        frames = [
+            bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * 3,
+                        max_size=w * h * 3,
+                    )
+                )
+            )
+            for _ in range(n)
+        ]
+        got_w, got_h, got_us, out = decode_avi(encode_avi(w, h, frames, us))
+        assert (got_w, got_h, got_us, len(out)) == (w, h, us, n)
+        assert [bytes(f) for f in out] == frames
+
+    check()
