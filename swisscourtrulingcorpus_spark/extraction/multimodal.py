@@ -415,6 +415,90 @@ def generate_wav_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("window_idx", LongType()),
+        StructField("start_ms", LongType()),
+        StructField("n_values", LongType()),
+        StructField("energy_sum", LongType()),
+        StructField("amp_peak", LongType()),
+    ]
+)
+
+_AUDIO_WINDOW_NULLS = {
+    "window_idx": None,
+    "start_ms": None,
+    "n_values": None,
+    "energy_sum": None,
+    "amp_peak": None,
+}
+
+
+def _audio_window_batches(frame_ms: int):
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"doc_id": doc_id, "fmt": "missing", **_AUDIO_WINDOW_NULLS}
+                    )
+                    continue
+                is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+                try:
+                    if not is_wav:
+                        raise UnsupportedAudioError("not WAV")
+                    sr, ch, nf, samples = decode_wav(bytes(payload))
+                    spf = sr * frame_ms // 1000  # sample frames per window
+                    if spf == 0 or nf == 0:
+                        # sub-ms rates or empty audio: one accounting row
+                        rows.append(
+                            {"doc_id": doc_id, "fmt": "wav", **_AUDIO_WINDOW_NULLS}
+                        )
+                        continue
+                    for w in range((nf + spf - 1) // spf):
+                        lo, hi = w * spf * ch, min((w + 1) * spf, nf) * ch
+                        win = samples[lo:hi]
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "fmt": "wav",
+                                "window_idx": w,
+                                "start_ms": w * frame_ms,
+                                "n_values": hi - lo,
+                                "energy_sum": sum(abs(v) for v in win),
+                                "amp_peak": max(abs(v) for v in win),
+                            }
+                        )
+                except UnsupportedAudioError:
+                    fmt = "wav_undecodable" if is_wav else "other"
+                    rows.append({"doc_id": doc_id, "fmt": fmt, **_AUDIO_WINDOW_NULLS})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return gen
+
+
+def audio_frame_energy(media: DataFrame, frame_ms: int = 1) -> DataFrame:
+    """Windowed audio energy (1→N fan-out): each decodable WAV payload
+    yields one row per fixed ``frame_ms`` window — integer |sample| sum
+    and peak over the window's interleaved values — the segmentation
+    primitive (VAD thresholding, silence trimming, loudness bucketing)
+    of a speech-data pipeline.  Window boundaries are integer sample
+    frames (``sr * frame_ms // 1000``), so a DuckDB oracle recomputes
+    every row arithmetically.  Undecodable/missing payloads pass
+    through as ONE null row (same contract as the other media
+    stages)."""
+    return media.mapInPandas(_audio_window_batches(frame_ms), AUDIO_WINDOW_SCHEMA)
+
+
 VIDEO_FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -448,6 +448,53 @@ SELECT * FROM ok UNION ALL SELECT * FROM bad
 """
 
 
+def audio_frame_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The speech-pipeline segmentation primitive through Spark: the
+    WAV fixture corpus through `audio_frame_energy` at 1 ms windows —
+    a 1→N fan-out whose per-window |sample| sums/peaks the oracle
+    recomputes arithmetically (window of flat value i =
+    (i // ch) // (sr // 1000); sample value ((31d + 7i) mod 65536) −
+    32768), with the float-PCM quarter passing through as null rows."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        audio_frame_energy,
+        generate_wav_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return audio_frame_energy(generate_wav_fixture(docs), frame_ms=1)
+
+
+AUDIO_ENERGY_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+         doc_id % 2 + 1 AS ch,
+         doc_id % 50 + 10 AS n
+  FROM documents),
+vals AS (
+  SELECT doc_id,
+         abs((doc_id * 31 + 7 * i) % 65536 - 32768) AS av,
+         (i // ch) // (sr // 1000) AS w
+  FROM (SELECT doc_id, sr, ch, n,
+               unnest(generate_series(0, n * ch - 1)) AS i
+        FROM dims WHERE doc_id % 7 <> 3)),
+ok AS (
+  SELECT doc_id, 'wav' AS fmt,
+         CAST(w AS BIGINT) AS window_idx, CAST(w AS BIGINT) AS start_ms,
+         CAST(count(*) AS BIGINT) AS n_values,
+         CAST(sum(av) AS BIGINT) AS energy_sum,
+         CAST(max(av) AS BIGINT) AS amp_peak
+  FROM vals GROUP BY doc_id, w),
+bad AS (
+  SELECT doc_id, 'wav_undecodable' AS fmt,
+         CAST(NULL AS BIGINT) AS window_idx, CAST(NULL AS BIGINT) AS start_ms,
+         CAST(NULL AS BIGINT) AS n_values, CAST(NULL AS BIGINT) AS energy_sum,
+         CAST(NULL AS BIGINT) AS amp_peak
+  FROM dims WHERE doc_id % 7 = 3)
+SELECT * FROM ok UNION ALL SELECT * FROM bad
+"""
+
+
 def avi_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video frame sampling through Spark: a deterministic
     uncompressed-DIB AVI corpus (1-4 frames each) through the
@@ -614,4 +661,5 @@ SPECS = [
     QuerySpec("mixed_image_decode_stats", mixed_image_decode_stats, MIXED_IMAGE_ORACLE, "mixed PNG/BMP/JPEG/undecodable corpus through one decode scan"),
     QuerySpec("wav_decode_stats", wav_decode_stats, WAV_DECODE_ORACLE, "real 16-bit PCM WAV decode vs arithmetic oracle"),
     QuerySpec("avi_frame_sample_stats", avi_frame_sample_stats, AVI_FRAME_ORACLE, "real AVI frame sampling (stride 2) vs arithmetic oracle"),
+    QuerySpec("audio_frame_energy_windows", audio_frame_energy_windows, AUDIO_ENERGY_ORACLE, "windowed audio energy fan-out vs arithmetic oracle"),
 ]

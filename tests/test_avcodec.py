@@ -253,3 +253,51 @@ def test_avi_codec_property_random_videos():
         assert [bytes(f) for f in out] == frames
 
     check()
+
+
+def test_audio_frame_energy_edge_rows(spark):
+    """Empty audio and sub-ms sample rates yield ONE accounting row
+    (fmt 'wav', null window stats) instead of vanishing."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        audio_frame_energy,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    empty = encode_wav(8000, 1, [])
+    subms = encode_wav(500, 1, [1, 2, 3])  # 500 Hz -> spf = 0 at 1 ms
+    out = {r["doc_id"]: r for r in audio_frame_energy(
+        spark.createDataFrame([(1, empty), (2, subms)], schema), frame_ms=1
+    ).collect()}
+    assert out[1]["fmt"] == "wav" and out[1]["window_idx"] is None
+    assert out[2]["fmt"] == "wav" and out[2]["energy_sum"] is None
+
+
+def test_audio_frame_energy_windows_values(spark):
+    """Window boundaries and integer energy across a 2-channel WAV."""
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        audio_frame_energy,
+    )
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("payload", BinaryType())]
+    )
+    # sr=2000 -> spf=2 at 1 ms; 5 frames x 2ch = 10 values -> 3 windows
+    samples = [10, -20, 30, -40, 50, -60, 70, -80, 90, -100]
+    wav = encode_wav(2000, 2, samples)
+    rows = sorted(
+        audio_frame_energy(
+            spark.createDataFrame([(1, wav)], schema), frame_ms=1
+        ).collect(),
+        key=lambda r: r["window_idx"],
+    )
+    assert [r["window_idx"] for r in rows] == [0, 1, 2]
+    assert [r["n_values"] for r in rows] == [4, 4, 2]
+    assert [r["energy_sum"] for r in rows] == [10 + 20 + 30 + 40, 50 + 60 + 70 + 80, 90 + 100]
+    assert [r["amp_peak"] for r in rows] == [40, 80, 100]
+    assert [r["start_ms"] for r in rows] == [0, 1, 2]
