@@ -219,22 +219,52 @@ def write_rich_fixture_tree(root: str, n_docs: int = 120) -> list[str]:
             )
             with open(os.path.join(d, f"{name}.png"), "wb") as fh:
                 fh.write(encode_png(6, 4, 3, px))
+        if i % 6 == 0:  # audio attachment (hearing recording shape)
+            from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+                encode_wav,
+            )
+
+            samples = [
+                ((i * 17 + 5 * j) % 65536) - 32768 for j in range(i % 20 + 5)
+            ]
+            with open(os.path.join(d, f"{name}.wav"), "wb") as fh:
+                fh.write(encode_wav(8000, 1, samples))
+        if i % 8 == 0:  # video attachment (proceedings clip shape)
+            from swisscourtrulingcorpus_spark.extraction.videocodec import (
+                encode_avi,
+            )
+
+            frames = [
+                bytes(
+                    (i + 5 * f + 7 * x + 11 * y + 13 * c) % 256
+                    for y in range(2)
+                    for x in range(3)
+                    for c in range(3)
+                )
+                for f in range(i % 3 + 1)
+            ]
+            with open(os.path.join(d, f"{name}.avi"), "wb") as fh:
+                fh.write(encode_avi(3, 2, frames))
         names.append(name)
     return names
 
 
 def scan_media_attachments(spark: SparkSession, root: str) -> DataFrame:
-    """Landing-zone image attachments as (doc_id, payload) rows for
-    `extraction/multimodal.py::decode_image_features` — doc_id is the
-    fixture's trailing integer; a real ingest would join attachments
-    to documents on (spider, name)."""
+    """Landing-zone media attachments as (doc_id, kind, payload) rows
+    for the `extraction/multimodal.py` decode stages (image / audio /
+    video routed on ``kind``) — doc_id is the fixture's trailing
+    integer; a real ingest would join attachments to documents on
+    (spider, name)."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.png")
+        .option("pathGlobFilter", "*.{png,wav,avi}")
         .load(os.path.join(root, "*"))
     )
     return files.select(
-        F.regexp_extract("path", r"_(\d+)\.png$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("path", r"_(\d+)\.(?:png|wav|avi)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("path", r"\.(png|wav|avi)$", 1).alias("kind"),
         F.col("content").alias("payload"),
     )
 

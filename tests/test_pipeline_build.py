@@ -114,11 +114,13 @@ def test_build_corpus_from_raw_landing_zone(spark, tmp_path):
     ds = build_datasets(spark, out)
     assert ds["judgment_prediction"] > 0 and ds["pretraining"] > 0
 
-    # PNG attachments decode for real through the multimodal stage
+    # media attachments decode for real through the multimodal stages,
+    # each kind routed to its decoder off ONE binaryFile scan
+    media = scan_media_attachments(spark, root).cache()
     feats = {
         r["doc_id"]: r
         for r in decode_image_features(
-            scan_media_attachments(spark, root)
+            media.filter("kind = 'png'").drop("kind")
         ).collect()
     }
     assert len(feats) == 24  # every 5th of 120
@@ -131,3 +133,39 @@ def test_build_corpus_from_raw_landing_zone(spark, tmp_path):
         ]
         assert (r["fmt"], r["width"], r["height"], r["channels"]) == ("png", 6, 4, 3)
         assert r["pixel_sum"] == sum(px), d
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        sample_video_frames,
+    )
+
+    audio = {
+        r["doc_id"]: r
+        for r in decode_audio_features(
+            media.filter("kind = 'wav'").drop("kind")
+        ).collect()
+    }
+    assert len(audio) == 20  # every 6th of 120
+    for d, r in audio.items():
+        samples = [((d * 17 + 5 * j) % 65536) - 32768 for j in range(d % 20 + 5)]
+        assert (r["fmt"], r["sample_rate"], r["channels"]) == ("wav", 8000, 1)
+        assert (r["n_frames"], r["amp_sum"]) == (len(samples), sum(samples)), d
+
+    video: dict[int, list] = {}
+    for r in sample_video_frames(
+        media.filter("kind = 'avi'").drop("kind"), stride=1
+    ).collect():
+        video.setdefault(r["doc_id"], []).append(r)
+    assert len(video) == 15  # every 8th of 120
+    for d, rows in video.items():
+        assert len(rows) == d % 3 + 1
+        for r in rows:
+            f = r["frame_idx"]
+            px = [
+                (d + 5 * f + 7 * x + 11 * y + 13 * c) % 256
+                for y in range(2)
+                for x in range(3)
+                for c in range(3)
+            ]
+            assert (r["fmt"], r["width"], r["height"]) == ("avi", 3, 2)
+            assert r["pixel_sum"] == sum(px), (d, f)
