@@ -714,3 +714,90 @@ def stream_minhash_dedup_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_media_decode_job(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    checkpoint: str,
+):
+    """The multimodal decode stages as Structured Streaming: media
+    attachments (png/wav/avi) become a binaryFile FILE SOURCE, and each
+    micro-batch routes its rows through the SAME mapInPandas stages as
+    batch (`extraction/multimodal.py::decode_image_features` /
+    `decode_audio_features` / `sample_video_frames`), so streaming and
+    batch feature rows are identical by construction (test-asserted).
+
+    Exactly-once shape: the decode stages are per-row pure functions,
+    so no merge is needed — each kind's features land in a PER-BATCH
+    directory (`<out>/<kind>/batch=<id>`) written with overwrite.  A
+    replayed micro-batch (foreachBatch is at-least-once) rewrites the
+    same directory with the same rows instead of appending duplicates,
+    and the file-source checkpoint guarantees newly-landed media files
+    are decoded exactly once across restarts.  Trigger.AvailableNow:
+    the daily-cron batch shape, restartable as a continuous stream."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+        sample_video_frames,
+    )
+
+    schema = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("modificationTime", TimestampType()),
+            StructField("length", LongType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.{png,wav,avi}")
+        .load(os.path.join(root, "*"))
+    )
+
+    def _decode(batch, batch_id: int) -> None:
+        media = batch.select(
+            F.regexp_extract("path", r"_(\d+)\.(?:png|wav|avi)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.regexp_extract("path", r"\.(png|wav|avi)$", 1).alias("kind"),
+            F.col("content").alias("payload"),
+        ).cache()
+        stages = {
+            "image": decode_image_features(
+                media.filter("kind = 'png'").drop("kind")
+            ),
+            "audio": decode_audio_features(
+                media.filter("kind = 'wav'").drop("kind")
+            ),
+            "video": sample_video_frames(
+                media.filter("kind = 'avi'").drop("kind"), stride=1
+            ),
+        }
+        for kind, df in stages.items():
+            df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, kind, f"batch={batch_id}")
+            )
+        media.unpersist()
+
+    return (
+        files.writeStream.foreachBatch(_decode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -422,3 +422,70 @@ def test_sibling_runs_race_no_lost_output_no_double_ingest(spark, tmp_path):
         minhash_dedup_batch(df, bid, store, out, run_tag=tag)
     assert V.versions(store) == versions_before
     assert sorted(r["doc_id"] for r in spark.read.parquet(out).collect()) == ids
+
+
+def test_stream_media_decode_matches_batch(spark, tmp_path):
+    """The media decode stages composed with a streaming binaryFile
+    source produce EXACTLY the batch stages' rows (per-row pure
+    transforms), a restart over the unchanged tree decodes nothing
+    new, and newly-landed files decode exactly once."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+        sample_video_frames,
+    )
+    from swisscourtrulingcorpus_spark.sources.ingest import (
+        scan_media_attachments,
+        write_rich_fixture_tree,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_media_decode_job,
+    )
+
+    root = str(tmp_path / "zone")
+    out = str(tmp_path / "features")
+    ckpt = str(tmp_path / "ckpt")
+    write_rich_fixture_tree(root, n_docs=48)
+
+    q = stream_media_decode_job(spark, root, out, ckpt)
+    q.awaitTermination()
+
+    media = scan_media_attachments(spark, root).cache()
+    batch = {
+        "image": decode_image_features(media.filter("kind = 'png'").drop("kind")),
+        "audio": decode_audio_features(media.filter("kind = 'wav'").drop("kind")),
+        "video": sample_video_frames(
+            media.filter("kind = 'avi'").drop("kind"), stride=1
+        ),
+    }
+    for kind, bdf in batch.items():
+        got = spark.read.parquet(f"{out}/{kind}/batch=*")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, bdf.collect())
+        ), kind
+
+    # restart over the unchanged tree: the file-source checkpoint skips
+    # everything — no new batch directories appear
+    import os
+
+    dirs_before = {
+        k: sorted(os.listdir(os.path.join(out, k))) for k in batch
+    }
+    q2 = stream_media_decode_job(spark, root, out, ckpt)
+    q2.awaitTermination()
+    for k in batch:
+        assert sorted(os.listdir(os.path.join(out, k))) == dirs_before[k]
+
+    # a newly-landed file is decoded exactly once on the next run
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_png
+
+    late = os.path.join(root, "CH_BGer", "late_doc_9999.png")
+    with open(late, "wb") as fh:
+        fh.write(encode_png(2, 2, 3, bytes(range(12))))
+    q3 = stream_media_decode_job(spark, root, out, ckpt)
+    q3.awaitTermination()
+    img = spark.read.parquet(f"{out}/image/batch=*")
+    late_rows = img.filter("doc_id = 9999").collect()
+    assert len(late_rows) == 1 and late_rows[0]["fmt"] == "png"
+    assert img.count() == batch["image"].count() + 1
+    media.unpersist()
