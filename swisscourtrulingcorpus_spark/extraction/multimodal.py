@@ -328,41 +328,48 @@ _AUDIO_NULL_STATS = {
 }
 
 
-def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _wav_stage_rows(doc_id, payload, nulls: dict, body) -> list[dict]:
+    """The audio pass-through contract in ONE place (r05 review; same
+    contract as decode_image_features): NULL payload → one 'missing'
+    row; non-WAV / undecodable payload → one null-stat row; decodable
+    WAV → ``body(sr, ch, nf, samples)``'s stage-specific rows.  One
+    bad payload never kills the task."""
     from swisscourtrulingcorpus_spark.extraction.audiocodec import (
         UnsupportedAudioError,
         decode_wav,
     )
 
+    if payload is None:
+        return [{"doc_id": doc_id, "fmt": "missing", **nulls}]
+    is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    try:
+        if not is_wav:
+            raise UnsupportedAudioError("not WAV")
+        sr, ch, nf, samples = decode_wav(bytes(payload))
+    except UnsupportedAudioError:
+        fmt = "wav_undecodable" if is_wav else "other"
+        return [{"doc_id": doc_id, "fmt": fmt, **nulls}]
+    return [{"doc_id": doc_id, "fmt": "wav", **r} for r in body(sr, ch, nf, samples)]
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def body(sr, ch, nf, samples):
+        return [
+            {
+                "sample_rate": sr,
+                "channels": ch,
+                "n_frames": nf,
+                "duration_ms": nf * 1000 // sr,
+                "amp_sum": sum(samples),
+                "amp_min": min(samples) if samples else None,
+                "amp_max": max(samples) if samples else None,
+            }
+        ]
+
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if payload is None:
-                rows.append({"doc_id": doc_id, "fmt": "missing", **_AUDIO_NULL_STATS})
-                continue
-            is_wav = payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
-            try:
-                if not is_wav:
-                    raise UnsupportedAudioError("not WAV")
-                sr, ch, nf, samples = decode_wav(bytes(payload))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "fmt": "wav",
-                        "sample_rate": sr,
-                        "channels": ch,
-                        "n_frames": nf,
-                        "duration_ms": nf * 1000 // sr,
-                        "amp_sum": sum(samples),
-                        "amp_min": min(samples) if samples else None,
-                        "amp_max": max(samples) if samples else None,
-                    }
-                )
-            except UnsupportedAudioError:
-                # same pass-through contract as decode_image_features:
-                # one undecodable payload must not kill the task
-                fmt = "wav_undecodable" if is_wav else "other"
-                rows.append({"doc_id": doc_id, "fmt": fmt, **_AUDIO_NULL_STATS})
+            rows.extend(_wav_stage_rows(doc_id, payload, _AUDIO_NULL_STATS, body))
         if rows:
             yield pd.DataFrame(rows)
 

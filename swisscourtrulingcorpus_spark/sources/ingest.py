@@ -164,9 +164,12 @@ def write_rich_fixture_tree(root: str, n_docs: int = 120) -> list[str]:
     citations, outcomes in three languages) written as raw FILES the
     way the reference's scraper lands them: per doc a ``.json``
     metadata file plus an ``.html`` (even ids) or FlateDecode ``.pdf``
-    (odd ids) payload, and a PNG attachment every 5th doc (pixel
-    (x,y,c) = (id + 3x + 7y + 11c) % 256, 6×4 RGB).  Returns the list
-    of document names written."""
+    (odd ids) payload, plus media attachments: a PNG every 5th doc
+    (pixel (x,y,c) = (id + 3x + 7y + 11c) % 256, 6×4 RGB), a WAV every
+    6th (8 kHz mono, id%20+5 frames, sample j = ((17·id + 5j) mod
+    65536) − 32768) and an AVI every 8th (id%3+1 DIB frames of 3×2,
+    pixel (f,x,y,c) = (id + 5f + 7x + 11y + 13c) % 256).  Returns the
+    list of document names written."""
     import html as _html
 
     from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_png
@@ -249,6 +252,23 @@ def write_rich_fixture_tree(root: str, n_docs: int = 120) -> list[str]:
     return names
 
 
+MEDIA_GLOB = "*.{png,wav,avi}"
+
+
+def parse_media_paths(files: DataFrame) -> DataFrame:
+    """binaryFile rows -> (doc_id, kind, payload); shared by the batch
+    media scan and the streaming media decode job (the
+    `parse_file_paths` pattern — one projection, two sources, so batch
+    and streaming cannot silently diverge on a new media kind)."""
+    return files.select(
+        F.regexp_extract("path", r"_(\d+)\.(?:png|wav|avi)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("path", r"\.(png|wav|avi)$", 1).alias("kind"),
+        F.col("content").alias("payload"),
+    )
+
+
 def scan_media_attachments(spark: SparkSession, root: str) -> DataFrame:
     """Landing-zone media attachments as (doc_id, kind, payload) rows
     for the `extraction/multimodal.py` decode stages (image / audio /
@@ -257,16 +277,10 @@ def scan_media_attachments(spark: SparkSession, root: str) -> DataFrame:
     (spider, name)."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.{png,wav,avi}")
+        .option("pathGlobFilter", MEDIA_GLOB)
         .load(os.path.join(root, "*"))
     )
-    return files.select(
-        F.regexp_extract("path", r"_(\d+)\.(?:png|wav|avi)$", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.regexp_extract("path", r"\.(png|wav|avi)$", 1).alias("kind"),
-        F.col("content").alias("payload"),
-    )
+    return parse_media_paths(files)
 
 
 def scan_landing_zone(spark: SparkSession, root: str) -> DataFrame:

@@ -739,7 +739,6 @@ def stream_media_decode_job(
     the daily-cron batch shape, restartable as a continuous stream."""
     import os
 
-    from pyspark.sql import functions as F
     from pyspark.sql.types import (
         BinaryType,
         LongType,
@@ -754,6 +753,10 @@ def stream_media_decode_job(
         decode_image_features,
         sample_video_frames,
     )
+    from swisscourtrulingcorpus_spark.sources.ingest import (
+        MEDIA_GLOB,
+        parse_media_paths,
+    )
 
     schema = StructType(
         [
@@ -766,34 +769,32 @@ def stream_media_decode_job(
     files = (
         spark.readStream.format("binaryFile")
         .schema(schema)
-        .option("pathGlobFilter", "*.{png,wav,avi}")
+        .option("pathGlobFilter", MEDIA_GLOB)
         .load(os.path.join(root, "*"))
     )
 
     def _decode(batch, batch_id: int) -> None:
-        media = batch.select(
-            F.regexp_extract("path", r"_(\d+)\.(?:png|wav|avi)$", 1)
-            .cast("long")
-            .alias("doc_id"),
-            F.regexp_extract("path", r"\.(png|wav|avi)$", 1).alias("kind"),
-            F.col("content").alias("payload"),
-        ).cache()
-        stages = {
-            "image": decode_image_features(
-                media.filter("kind = 'png'").drop("kind")
-            ),
-            "audio": decode_audio_features(
-                media.filter("kind = 'wav'").drop("kind")
-            ),
-            "video": sample_video_frames(
-                media.filter("kind = 'avi'").drop("kind"), stride=1
-            ),
-        }
-        for kind, df in stages.items():
-            df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, kind, f"batch={batch_id}")
-            )
-        media.unpersist()
+        media = parse_media_paths(batch).cache()
+        try:
+            stages = {
+                "image": decode_image_features(
+                    media.filter("kind = 'png'").drop("kind")
+                ),
+                "audio": decode_audio_features(
+                    media.filter("kind = 'wav'").drop("kind")
+                ),
+                "video": sample_video_frames(
+                    media.filter("kind = 'avi'").drop("kind"), stride=1
+                ),
+            }
+            for kind, df in stages.items():
+                df.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, kind, f"batch={batch_id}")
+                )
+        finally:
+            # a failed write must not leave the cached micro-batch
+            # pinned across foreachBatch retries (r05 review)
+            media.unpersist()
 
     return (
         files.writeStream.foreachBatch(_decode)
