@@ -1,0 +1,128 @@
+"""Behavioral event analytics: ordered funnel conversion and cohort
+retention over the `events` stream table.
+
+The reference's pipeline reports aggregate progress tables per stage
+(`coverage` counts in `abstract_preprocessor.py` and the per-chamber
+progress reports); these two queries are the event-log generalization —
+the standard product-analytics shapes a 100 TB event store is queried
+with.  All outputs are ints/strings (timestamps never leave the plan),
+so the driver's dtype-sensitive hash compares exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+_STAGES = ["view", "click", "signup", "purchase"]
+
+
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered funnel view -> click -> signup -> purchase.
+
+    A user converts stage k only with an event of that type STRICTLY
+    AFTER their stage-(k-1) conversion time; conversion time is the
+    earliest such event.  Computed as a chain of filtered min-
+    aggregations joined on user_id — each stage's input is the events
+    scan filtered to ONE type (predicate reaches the parquet scan) and
+    each join is an equi-join on the user key, so at 100 TB every step
+    is a co-partitioned shuffle of (user, ts) pairs, never of event
+    payloads, and AQE can broadcast the shrinking stage table (stage
+    tables only lose users as k grows).  Output: one row of funnel
+    counts.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stage = (
+        ev.where(F.col("event_type") == _STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [stage.agg(F.count(F.lit(1)).alias("n_view"))]
+    for k, name in enumerate(_STAGES[1:], start=1):
+        stage = (
+            ev.where(F.col("event_type") == name)
+            .join(stage, on="user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(stage.agg(F.count(F.lit(1)).alias(f"n_{name}")))
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(F.broadcast(c))
+    return out
+
+
+FUNNEL_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'signup' AND e.ts > s2.t GROUP BY 1),
+s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+SELECT (SELECT count(*) FROM s1) AS n_view,
+       (SELECT count(*) FROM s2) AS n_click,
+       (SELECT count(*) FROM s3) AS n_signup,
+       (SELECT count(*) FROM s4) AS n_purchase
+"""
+
+
+def retention_cohorts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-ever event
+    day, counted distinct in each subsequent week offset
+    (floor(days-since-first / 7)).
+
+    Two aggregations over the same (user, day) projection: first-day
+    per user (map-side combinable min), then a distinct count per
+    (cohort_day, week_offset) after an equi-join on user_id.  Nothing
+    wider than (user_id, date) ever shuffles; the cohort table is
+    |users| rows.  Dates leave the plan as 'yyyy-MM-dd' strings so
+    both engines hash identical values.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("d0"))
+    return (
+        ev.join(first, on="user_id")
+        .select(
+            F.date_format("d0", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+RETENTION_ORACLE = """
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+first AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1)
+SELECT strftime(first.d0, '%Y-%m-%d') AS cohort_day,
+       CAST(floor(date_diff('day', first.d0, ev.d) / 7.0) AS INTEGER) AS week_offset,
+       count(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN first USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "funnel_conversion_events",
+        funnel_conversion_events,
+        FUNNEL_ORACLE,
+        "strictly-ordered 4-stage funnel counts",
+    ),
+    QuerySpec(
+        "retention_cohorts_events",
+        retention_cohorts_events,
+        RETENTION_ORACLE,
+        "weekly cohort retention triangle",
+    ),
+]

@@ -78,7 +78,9 @@ def last_verified_round(repo_root: str | None = None) -> dict[str, int]:
 def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
     from swisscourtrulingcorpus_spark.plans import ann_queries
+    from swisscourtrulingcorpus_spark.plans import behavior_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
+    from swisscourtrulingcorpus_spark.plans import retrieval_queries
     from swisscourtrulingcorpus_spark.plans import annotation_queries
     from swisscourtrulingcorpus_spark.plans import extraction_queries
     from swisscourtrulingcorpus_spark.plans import olap_queries
@@ -100,6 +102,8 @@ def _collect_specs() -> list[QuerySpec]:
     specs += extraction_queries.SPECS
     specs += annotation_queries.SPECS
     specs += ann_queries.SPECS
+    specs += retrieval_queries.SPECS
+    specs += behavior_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
 

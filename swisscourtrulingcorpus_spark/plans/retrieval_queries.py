@@ -1,0 +1,194 @@
+"""Retrieval-ranking and record-linkage queries.
+
+BM25 term ranking (the classic lexical-retrieval scorer the reference's
+doc2doc IR dataset feeds into — `doc2doc_ir_dataset_creator.py:287-325`
+stops at tf-idf; BM25 is its standard production upgrade) and a
+SymSpell-style deletion-neighborhood fuzzy match (entity resolution /
+vocab normalization for a training-data pipeline).
+
+Both follow the registry's double-discipline: floating-point scores are
+used ONLY for ordering; every output column is an int or string, so the
+driver's dtype-sensitive value hash compares exact values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+# --- BM25 top terms ----------------------------------------------------
+
+_K1 = "1.2"
+_B = "0.75"
+
+
+def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 terms per document for doc_id < 20.
+
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), k1=1.2, b=0.75.
+
+    Same scale shape as `tfidf_top_terms`: the tf branch carries the
+    doc_id predicate down to the scan (20 docs, broadcastable), while
+    df / dl / avgdl stay corpus-wide — df is vocabulary-sized, dl is
+    one count per doc (map-side partial agg), avgdl is a 1-row scalar.
+    The corpus-wide tables are probed by the broadcast tf side, so
+    nothing document-sized ever shuffles.  The double score orders
+    rows only; output columns are all ints.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _words(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+            ).alias("term"),
+        )
+
+    tf = (
+        _words(docs.where(F.col("doc_id") < 20))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    all_words = _words(docs)
+    df_ = all_words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    dl = all_words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    scored = (
+        df_.join(F.broadcast(tf), on="term")
+        .join(F.broadcast(dl.where(F.col("doc_id") < 20)), on="doc_id")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn(
+            "score",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.expr(f"{_K1} + 1"))
+            / (
+                F.col("tf")
+                + F.expr(_K1)
+                * (
+                    F.lit(1.0)
+                    - F.expr(_B)
+                    + F.expr(_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df", "dl", "rank")
+    )
+
+
+BM25_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words WHERE doc_id < 20 GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, dl.dl,
+         ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)) AS score
+  FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN scalars s)
+SELECT doc_id, term, tf, df, dl, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+"""
+
+
+# --- SymSpell deletion-neighborhood fuzzy match ------------------------
+
+def fuzzy_name_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct part-name pairs within Levenshtein distance 2, found
+    the SymSpell way: every name spawns its <=2-deletion neighborhood
+    (1 + L + L*(L-1)/2 variants), candidate pairs share a variant,
+    and only candidates pay the exact levenshtein check.
+
+    This is the linear-scale fuzzy self-join: work is
+    names x neighborhood (~70 variants at L=11), never names**2 — the
+    all-pairs form the DuckDB oracle runs is exactly the quadratic
+    this operator exists to avoid at 100 TB.  The deletion-key
+    property guarantees recall: lev(a, b) <= 2 implies some common
+    string in del<=2(a) ∩ del<=2(b), so the candidate set is a
+    superset of the true pair set and the verify step makes the
+    result exact, not approximate.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+    )
+    # del1(s) = drop char i (1-based); del2 = del1 of every del1
+    # variant; the full neighborhood is {s} ∪ del1 ∪ del2, deduped.
+    # One SQL expression (nested lambdas) so the whole fan-out stays
+    # inside codegen — no Python touches a single variant.
+    neighborhood = F.expr(
+        "array_distinct(flatten(array("
+        " array(name),"
+        " transform(sequence(1, length(name)),"
+        "   i -> concat(substring(name, 1, i - 1), substring(name, i + 1))),"
+        " flatten(transform("
+        "   transform(sequence(1, length(name)),"
+        "     i -> concat(substring(name, 1, i - 1), substring(name, i + 1))),"
+        "   v -> transform(sequence(1, length(v)),"
+        "     j -> concat(substring(v, 1, j - 1), substring(v, j + 1)))))"
+        ")))"
+    )
+    keyed = names.select(
+        "name", F.explode(neighborhood).alias("variant")
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), on="variant")
+        .where(F.col("a.name") < F.col("b.name"))
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 2)
+    )
+    return pairs
+
+
+FUZZY_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+FROM names a, names b
+WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "bm25_top_terms",
+        bm25_top_terms,
+        BM25_ORACLE,
+        "Okapi BM25 top-5 terms per doc (A12 upgrade)",
+    ),
+    QuerySpec(
+        "fuzzy_name_dedup_pairs",
+        fuzzy_name_dedup_pairs,
+        FUZZY_ORACLE,
+        "SymSpell deletion-neighborhood fuzzy match, lev <= 2",
+    ),
+]
