@@ -310,3 +310,43 @@ def semantic_dedup_groups(
         )
         .withColumn("keep", F.col("representative") == F.col(id_col))
     )
+
+
+def int8_quantize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_codes"
+) -> DataFrame:
+    """Per-vector scalar int8 quantization: each component maps to
+    floor((x - min) * 255 / (max - min)) in [0, 255] against the
+    VECTOR'S OWN min/max (the per-row scale a 100 TB embedding store
+    keeps next to the codes for dequantization).
+
+    4x storage reduction with zero shuffles: one codegen'd projection
+    per row — array_min/array_max and the transform all evaluate
+    JVM-side.  Degenerate constant vectors (max == min) quantize to
+    all-zero codes rather than dividing by zero.  Floats widen to
+    DOUBLE before any arithmetic (exact) and the expression shape is
+    ratio-last — (x-mn)*255.0/(mx-mn) — mirrored verbatim by the
+    DuckDB oracle so the integral doubles agree bit-for-bit.  Rows
+    with NaN/±Inf/null components pass through with NULL codes (the
+    clustering family's `_valid_vec` contract: surface bad embeddings
+    via data-quality checks, don't invent codes for them).
+    """
+    from swisscourtrulingcorpus_spark.operators.clustering import _valid_vec
+
+    c = F.col(vec_col)
+    mn = F.array_min(c).cast("double")
+    mx = F.array_max(c).cast("double")
+    codes = F.transform(
+        c,
+        lambda x: F.when(mx == mn, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(255.0),
+                F.floor((x.cast("double") - mn) * F.lit(255.0) / (mx - mn)),
+            )
+        )
+        .cast("int"),
+    )
+    return df.withColumn(
+        out_col, F.when(_valid_vec(vec_col), codes).otherwise(F.lit(None))
+    )

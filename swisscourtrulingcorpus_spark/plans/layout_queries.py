@@ -1,0 +1,145 @@
+"""Physical-layout and embedding-compression gates.
+
+`sources/layout.py::zorder_value` and
+`operators/similarity.py::int8_quantize` are scale infrastructure (file
+clustering, embedding storage); these gates pin their ARITHMETIC to
+DuckDB oracles so the layout key and the quantized codes are
+value-checked, not just exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+_BITS = 16
+_MASK = (1 << _BITS) - 1  # 65535
+
+
+def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key locality report over orders clustered on
+    (o_custkey, floor(o_totalprice)): per top-byte z-bucket, the row
+    count and the min/max of both dimensions.
+
+    This is the measurement a layout decision needs: compact per-bucket
+    dim ranges mean parquet footer min/max prunes on BOTH columns at
+    once (`sources/layout.py::write_zordered`).  The domain bounds come
+    from one 1-row aggregate (the `zorder_cluster` collect pattern —
+    bounded, driver-side, same as centroid collects); everything else
+    is one codegen'd projection + one groupBy on a 256-value key.
+    """
+    from swisscourtrulingcorpus_spark.sources.layout import zorder_value
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    r = o.agg(
+        F.min("x").alias("lox"),
+        F.max("x").alias("hix"),
+        F.min("y").alias("loy"),
+        F.max("y").alias("hiy"),
+    ).collect()[0]
+    z = zorder_value(
+        ["x", "y"], [int(r["lox"]), int(r["loy"])], [int(r["hix"]), int(r["hiy"])], _BITS
+    )
+    return (
+        o.withColumn("bucket", F.shiftright(z, 2 * _BITS - 8).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_price"),
+            F.max("y").alias("max_price"),
+        )
+    )
+
+
+# trunc-then-cast mirrors Spark's double->long cast (truncation toward
+# zero); DuckDB's bare CAST(double AS BIGINT) ROUNDS and would disagree
+# on every non-integral ratio.
+ZORDER_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey AS x, CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+r AS (SELECT min(x) AS lox, max(x) AS hix, min(y) AS loy, max(y) AS hiy FROM o),
+s AS (
+  SELECT x, y,
+    greatest(CAST(0 AS BIGINT), least(CAST({_MASK} AS BIGINT),
+      CAST(trunc((CAST(x AS DOUBLE) - CAST(lox AS DOUBLE))
+                 / CAST(greatest(1, hix - lox) AS DOUBLE) * {_MASK}.0) AS BIGINT))) AS sx,
+    greatest(CAST(0 AS BIGINT), least(CAST({_MASK} AS BIGINT),
+      CAST(trunc((CAST(y AS DOUBLE) - CAST(loy AS DOUBLE))
+                 / CAST(greatest(1, hiy - loy) AS DOUBLE) * {_MASK}.0) AS BIGINT))) AS sy
+  FROM o, r),
+z AS (
+  SELECT x, y,
+         CAST(list_sum(list_transform(generate_series(0, {_BITS - 1}),
+           i -> (((sx >> i) & 1) << (2 * i)) + (((sy >> i) & 1) << (2 * i + 1))))
+           AS BIGINT) AS zkey
+  FROM s)
+SELECT CAST(zkey >> {2 * _BITS - 8} AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       min(x) AS min_cust, max(x) AS max_cust,
+       min(y) AS min_price, max(y) AS max_price
+FROM z
+GROUP BY 1
+"""
+
+
+def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 codes for every embedding vector
+    (`operators/similarity.py::int8_quantize`), plus the saturation
+    count (codes pinned at 255 — exactly the argmax components)."""
+    from swisscourtrulingcorpus_spark.operators.similarity import int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = int8_quantize(emb, "embedding", "q_codes")
+    return q.select(
+        "vec_id",
+        "q_codes",
+        F.size(F.filter("q_codes", lambda v: v == 255)).alias("n_sat"),
+    )
+
+
+INT8_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, embedding,
+         embedding IS NOT NULL AND len(list_filter(embedding,
+           x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0 AS ok,
+         CAST(list_min(embedding) AS DOUBLE) AS mn,
+         CAST(list_max(embedding) AS DOUBLE) AS mx
+  FROM embeddings),
+q AS (
+  SELECT vec_id,
+         CASE WHEN ok THEN list_transform(embedding,
+           x -> CASE WHEN mx = mn THEN 0
+                     ELSE CAST(least(255.0, floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn))) AS INTEGER)
+                END)
+         END AS q_codes
+  FROM e)
+SELECT vec_id, q_codes,
+       CASE WHEN q_codes IS NULL THEN NULL
+            ELSE CAST(len(list_filter(q_codes, v -> v = 255)) AS INTEGER)
+       END AS n_sat
+FROM q
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "zorder_locality_orders",
+        zorder_locality_orders,
+        ZORDER_ORACLE,
+        "Morton-key bucket locality report (layout.py::zorder_value)",
+    ),
+    QuerySpec(
+        "int8_quantize_embeddings",
+        int8_quantize_embeddings,
+        INT8_QUANTIZE_ORACLE,
+        "per-vector scalar int8 quantization (similarity.py::int8_quantize)",
+    ),
+]

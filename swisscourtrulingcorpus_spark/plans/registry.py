@@ -80,6 +80,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import ann_queries
     from swisscourtrulingcorpus_spark.plans import behavior_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
+    from swisscourtrulingcorpus_spark.plans import layout_queries
     from swisscourtrulingcorpus_spark.plans import retrieval_queries
     from swisscourtrulingcorpus_spark.plans import annotation_queries
     from swisscourtrulingcorpus_spark.plans import extraction_queries
@@ -104,6 +105,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += ann_queries.SPECS
     specs += retrieval_queries.SPECS
     specs += behavior_queries.SPECS
+    specs += layout_queries.SPECS
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), "duplicate query names"
 
