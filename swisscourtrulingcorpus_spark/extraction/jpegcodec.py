@@ -229,7 +229,6 @@ def _decode_block(
 
 
 _SOF_UNSUPPORTED = {
-    0xC2: "progressive",
     0xC3: "lossless",
     0xC5: "differential sequential",
     0xC6: "differential progressive",
@@ -279,6 +278,8 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (W, H, [(cid, h, v, tq)])
+    progressive = False
+    store = None  # progressive: per-component zigzag coefficient grids
     while pos < len(data):
         if data[pos] != 0xFF:
             raise UnsupportedImageError(f"expected marker at byte {pos}")
@@ -289,7 +290,9 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
             continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # no payload
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if progressive and store is not None:
+                return _assemble_progressive(frame, store, quant)
             break
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -298,7 +301,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
             raise UnsupportedImageError(
                 f"{_SOF_UNSUPPORTED[marker]} JPEG unsupported (baseline only)"
             )
-        if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        if marker in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             precision, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise UnsupportedImageError(f"{precision}-bit JPEG unsupported")
@@ -327,6 +330,7 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
                     )
                 comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
+            progressive = marker == 0xC2
         elif marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):
@@ -349,10 +353,21 @@ def _decode_jpeg(data: bytes) -> tuple[int, int, int, bytearray]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise UnsupportedImageError("SOS before SOF")
-            return _decode_scan(
-                data, pos, frame, seg, quant, huff, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, seg, quant, huff, restart_interval
+                )
+            if store is None:
+                store = _init_progressive_store(frame)
+            pos = _decode_progressive_scan(
+                data, pos, frame, seg, huff, store, restart_interval
             )
         # APPn / COM / others: skipped
+    if progressive and store is not None:
+        # stream truncated before EOI but at least one scan landed:
+        # treat like the baseline truncation case — refuse, don't
+        # return a half-built image silently
+        raise UnsupportedImageError("progressive JPEG truncated before EOI")
     raise UnsupportedImageError("no SOS marker found")
 
 
@@ -405,6 +420,13 @@ def _decode_scan(data, pos, frame, sos, quant, huff, restart_interval):
                                 block[y * 8 : y * 8 + 8]
                             )
             mcu += 1
+    return _planes_to_image(w, h, comps, planes, hmax, vmax)
+
+
+def _planes_to_image(w, h, comps, planes, hmax, vmax):
+    """Crop/upsample decoded component planes into the output image —
+    shared by the baseline single-pass path and the progressive
+    assembler."""
     if len(comps) == 1:
         plane, pw = planes[0]
         out = bytearray(w * h)
@@ -428,6 +450,247 @@ def _decode_scan(data, pos, frame, sos, quant, huff, restart_interval):
             out[o + 1] = 0 if g < 0 else 255 if g > 255 else g
             out[o + 2] = 0 if b < 0 else 255 if b > 255 else b
     return w, h, 3, out
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 annex G: spectral selection + successive
+# approximation).  Coefficients accumulate QUANTIZED, in ZIGZAG order,
+# across scans; dequant + IDCT happen once at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _progressive_grids(frame):
+    """Per-component block-grid geometry.
+
+    ``(bw_full, bh_full)`` is the MCU-padded grid interleaved DC scans
+    cover; ``(bw, bh)`` is the component's OWN grid — ceil of the
+    scaled dimensions over 8 — which is all a NON-interleaved scan
+    visits (T.81 A.2.2: padding blocks right of / below the component
+    data exist only so MCUs tile; progressive AC scans never code
+    them)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    grids = []
+    for cid, ch, cv, tq in comps:
+        bw_full, bh_full = mcux * ch, mcuy * cv
+        comp_w = -(-(w * ch) // hmax)  # ceil-scaled component dims
+        comp_h = -(-(h * cv) // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+        grids.append((bw_full, bh_full, bw, bh))
+    return hmax, vmax, mcux, mcuy, grids
+
+
+def _init_progressive_store(frame):
+    _, _, _, _, grids = _progressive_grids(frame)
+    return [
+        [[0] * 64 for _ in range(bw_full * bh_full)]
+        for (bw_full, bh_full, _, _) in grids
+    ]
+
+
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Advance past any residual entropy bytes / fill bytes to the next
+    real marker (scan boundaries are delimited by the following marker,
+    not by a length field)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF:
+            nxt = data[p + 1]
+            if nxt == 0x00:  # stuffed data byte
+                p += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                p += 1
+                continue
+            return p
+        p += 1
+    raise UnsupportedImageError("progressive scan ran past end of stream")
+
+
+def _decode_progressive_scan(data, pos, frame, sos, huff, store, restart_interval):
+    w, h, comps = frame
+    nscan = sos[0]
+    specs = []  # (comp_index, dc_table_id, ac_table_id)
+    cids = [c[0] for c in comps]
+    for i in range(nscan):
+        cid, tdta = sos[1 + 2 * i : 3 + 2 * i]
+        if cid not in cids:
+            raise UnsupportedImageError("scan references unknown component")
+        specs.append((cids.index(cid), tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = sos[1 + 2 * nscan : 4 + 2 * nscan]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss > se or se > 63 or al > 13:
+        raise UnsupportedImageError("corrupt progressive scan header")
+    hmax, vmax, mcux, mcuy, grids = _progressive_grids(frame)
+    reader = _BitReader(data, pos)
+
+    if ss == 0:  # DC scan (first or refinement); may be interleaved
+        if se != 0:
+            raise UnsupportedImageError("DC scan with nonzero Se")
+        if nscan == 1:
+            # T.81 A.2.2 again: a single-component scan is ALWAYS
+            # non-interleaved — one block per MCU, raster over the
+            # component's OWN grid, whatever SOF's sampling factors say
+            ci0 = specs[0][0]
+            bw_full, _, bw, bh = grids[ci0]
+            units = [(ci0, by * bw_full + bx) for by in range(bh) for bx in range(bw)]
+            per_mcu = 1
+        elif nscan != len(comps):
+            raise UnsupportedImageError(
+                "partially-interleaved DC scan unsupported"
+            )
+        else:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for si, (ci, _, _) in enumerate(specs):
+                        _, ch, cv, _ = comps[ci]
+                        bw_full = grids[ci][0]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                units.append(
+                                    (ci, (my * cv + by) * bw_full + mx * ch + bx)
+                                )
+            per_mcu = sum(comps[ci][1] * comps[ci][2] for ci, _, _ in specs)
+        preds = [0] * len(comps)
+        tabs = {ci: huff.get((0, td)) for ci, td, _ in specs}
+        for u, (ci, bi) in enumerate(units):
+            if restart_interval and u and u % per_mcu == 0:
+                mcu = u // per_mcu
+                if mcu % restart_interval == 0:
+                    reader.sync_restart((mcu // restart_interval - 1) % 8)
+                    preds = [0] * len(comps)
+            blk = store[ci][bi]
+            if ah == 0:  # first DC scan: huffman diff, scaled by 2^al
+                tab = tabs[ci]
+                if tab is None:
+                    raise UnsupportedImageError("missing DC table for scan")
+                s = _decode_huff(reader, tab)
+                preds[ci] += _extend(reader.bits(s), s)
+                blk[0] = preds[ci] << al
+            else:  # refinement: one bit per block
+                if reader.bit():
+                    blk[0] |= 1 << al
+    else:  # AC scan: T.81 G.1.1.1.1 — always non-interleaved
+        if nscan != 1:
+            raise UnsupportedImageError("interleaved AC scan (corrupt stream)")
+        ci, _, ta = specs[0]
+        ac_tab = huff.get((1, ta))
+        bw_full, _, bw, bh = grids[ci]
+        eobrun = 0
+        nblk = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and nblk and nblk % restart_interval == 0:
+                    reader.sync_restart((nblk // restart_interval - 1) % 8)
+                    eobrun = 0
+                nblk += 1
+                blk = store[ci][by * bw_full + bx]
+                if ah == 0:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    if ac_tab is None:
+                        raise UnsupportedImageError("missing AC table for scan")
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huff(reader, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise UnsupportedImageError("AC run past band end")
+                        blk[k] = _extend(reader.bits(s), s) << al
+                        k += 1
+                else:
+                    eobrun = _refine_ac(reader, ac_tab, blk, ss, se, al, eobrun)
+    return _next_marker_pos(data, reader.pos)
+
+
+def _refine_ac(reader, ac_tab, blk, ss, se, al, eobrun):
+    """AC successive-approximation refinement for one block
+    (T.81 G.1.2.3 / figure G.7): newly-significant coefficients arrive
+    as ±1<<al; every already-nonzero coefficient in the visited range
+    consumes one correction bit.  Python's two's-complement semantics
+    make the magnitude test ``blk[k] & p1`` correct for negatives."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            if ac_tab is None:
+                raise UnsupportedImageError("missing AC table for scan")
+            rs = _decode_huff(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise UnsupportedImageError(
+                        "refinement scan with magnitude > 1"
+                    )
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    if reader.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                if reader.bit() and (blk[k] & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _assemble_progressive(frame, store, quant):
+    """Dequantize + IDCT every accumulated block, then crop/upsample
+    exactly like the baseline path."""
+    w, h, comps = frame
+    hmax, vmax, mcux, mcuy, grids = _progressive_grids(frame)
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        bw_full, bh_full, _, _ = grids[ci]
+        pw, ph = bw_full * 8, bh_full * 8
+        plane = bytearray(pw * ph)
+        qz = quant.get(tq)
+        if qz is None:
+            raise UnsupportedImageError("missing quant table for component")
+        for bi, zz in enumerate(store[ci]):
+            coef = [0] * 64
+            for k in range(64):
+                if zz[k]:
+                    coef[ZIGZAG[k]] = zz[k] * qz[k]
+            block = _idct(coef)
+            ox, oy = (bi % bw_full) * 8, (bi // bw_full) * 8
+            for y in range(8):
+                row = (oy + y) * pw + ox
+                plane[row : row + 8] = bytes(block[y * 8 : y * 8 + 8])
+        planes.append((plane, pw))
+    return _planes_to_image(w, h, comps, planes, hmax, vmax)
 
 
 # ---------------------------------------------------------------------------
@@ -616,20 +879,11 @@ def encode_jpeg_gray(
     return bytes(out)
 
 
-def encode_jpeg_color(
-    width: int,
-    height: int,
-    rgb,
-    quant: list[int] | None = None,
-    subsample: tuple[int, int] = (2, 2),
-) -> bytes:
-    """Encode RGB as baseline YCbCr JPEG with (h, v) chroma subsampling
-    — (1, 1) = 4:4:4, (2, 2) = 4:2:0.  One shared quant table (default
-    all-1s), per-image canonical Huffman tables shared by all three
-    components."""
-    sh, sv = subsample
-    qz = quant or [1] * 64
-    # color transform (JFIF / BT.601 full range)
+def _color_blocks(width, height, rgb, qz, sh, sv):
+    """RGB -> quantized YCbCr component blocks (raster block order per
+    component): color transform (JFIF / BT.601 full range), box-filter
+    chroma subsample, pad, FDCT + quantize.  Shared by the baseline and
+    progressive color encoders."""
     ny = [0] * (width * height)
     ncb = [0] * (width * height)
     ncr = [0] * (width * height)
@@ -667,6 +921,25 @@ def encode_jpeg_color(
     yb = _quantize_plane(yplane, ypw, yph, qz)
     cbb = _quantize_plane(cbplane, cpw, cph, qz)
     crb = _quantize_plane(crplane, cpw, cph, qz)
+    return yb, cbb, crb, ypw, yph, cpw, cph
+
+
+def encode_jpeg_color(
+    width: int,
+    height: int,
+    rgb,
+    quant: list[int] | None = None,
+    subsample: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Encode RGB as baseline YCbCr JPEG with (h, v) chroma subsampling
+    — (1, 1) = 4:4:4, (2, 2) = 4:2:0.  One shared quant table (default
+    all-1s), per-image canonical Huffman tables shared by all three
+    components."""
+    sh, sv = subsample
+    qz = quant or [1] * 64
+    yb, cbb, crb, ypw, yph, cpw, cph = _color_blocks(
+        width, height, rgb, qz, sh, sv
+    )
 
     # interleave into MCU order: sh*sv Y blocks, 1 Cb, 1 Cr per MCU
     mcux, mcuy = ypw // (8 * sh), yph // (8 * sv)
@@ -679,7 +952,8 @@ def encode_jpeg_color(
                     mcu_blocks[0].append(yb[(my * sv + by) * ybx + mx * sh + bx])
             mcu_blocks[1].append(cbb[my * (cpw // 8) + mx])
             mcu_blocks[2].append(crb[my * (cpw // 8) + mx])
-
+    ncb = [0] * (width * height)
+    ncr = [0] * (width * height)
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     for comp in mcu_blocks:

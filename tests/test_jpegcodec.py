@@ -139,9 +139,13 @@ def test_unsupported_variants_raise():
             + bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0])
         )
 
-    for marker, kind in [(0xC2, "progressive"), (0xC9, "arithmetic"), (0xC3, "lossless")]:
+    for marker, kind in [(0xC9, "arithmetic"), (0xC3, "lossless")]:
         with pytest.raises(UnsupportedImageError, match=kind):
             decode_jpeg(frame(marker))
+    # SOF2 is now SUPPORTED — a progressive frame with no scans must
+    # fail as truncated, not as an unsupported variant
+    with pytest.raises(UnsupportedImageError, match="no SOS"):
+        decode_jpeg(frame(0xC2) + b"\xff\xd9")
     # 12-bit precision
     twelve = (
         b"\xff\xd8\xff\xc0" + struct.pack(">H", 11) + bytes([12, 0, 8, 0, 8, 1, 1, 0x11, 0])
