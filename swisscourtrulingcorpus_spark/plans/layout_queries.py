@@ -98,9 +98,13 @@ def int8_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = int8_quantize(emb, "embedding", "q_codes")
+    # The driver's value-hash canonicalizer cannot hash array cells, so
+    # the codes are emitted as one comma-joined string per vector (the
+    # same contract as minhash_signatures(spread=True) and the other
+    # array-producing gates).
     return q.select(
         "vec_id",
-        "q_codes",
+        F.array_join("q_codes", ",").alias("q_codes_csv"),
         F.size(F.filter("q_codes", lambda v: v == 255)).alias("n_sat"),
     )
 
@@ -121,7 +125,10 @@ q AS (
                 END)
          END AS q_codes
   FROM e)
-SELECT vec_id, q_codes,
+SELECT vec_id,
+       CASE WHEN q_codes IS NULL THEN NULL
+            ELSE array_to_string(q_codes, ',')
+       END AS q_codes_csv,
        CASE WHEN q_codes IS NULL THEN NULL
             ELSE CAST(len(list_filter(q_codes, v -> v = 255)) AS INTEGER)
        END AS n_sat

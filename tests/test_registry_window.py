@@ -109,3 +109,24 @@ def test_err_rows_do_not_count_as_verified():
 def test_registry_has_no_duplicate_names():
     names = [s.name for s in QUERY_SPECS]
     assert len(names) == len(set(names))
+
+
+def test_no_array_or_map_columns_in_gate_output(spark, sf_dir):
+    """VERDICT r05 item 1: the driver's value-hash canonicalizer sorts
+    output cells through pandas and cannot hash list/dict cells, so a
+    gate emitting a raw ArrayType/MapType column can never be
+    value-verified (int8_quantize_embeddings was red all of r05 for
+    exactly this).  Array-valued results must be spread to scalar
+    columns or joined to a string before leaving the gate."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for s in QUERY_SPECS:
+        schema = s.spark(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append((s.name, f.name, f.dataType.simpleString()))
+    assert offenders == [], (
+        "gates with un-hashable output columns (spread or array_join "
+        f"them): {offenders}"
+    )
