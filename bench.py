@@ -64,16 +64,26 @@ def main() -> None:
     q["coverage_by_region"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
-        best = float("inf")
         # best-of-3: a single GC pause or JIT recompile in one run no
         # longer lands in the recorded number (r03->r04 drift was pure
-        # run-to-run noise; see SCALE.md bench-drift bisect)
+        # run-to-run noise; see SCALE.md bench-drift bisect).  The full
+        # min/median/max spread is recorded too (VERDICT r05 item 4) so
+        # a sub-second delta can be judged against the run-to-run noise
+        # band instead of being indistinguishable from regression.
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             q[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spread[name] = {
+            "min": round(runs[0], 3),
+            "median": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
 
     total = round(sum(timings.values()), 3)
 
@@ -88,17 +98,29 @@ def main() -> None:
     from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
 
     # warmup: fork the Python UDF workers + compile the UDF plans so the
-    # measurement is steady-state throughput, not process startup
-    judgment_dataset(run_extraction_pipeline(raw_corpus_df(spark, 200))).count()
-
+    # measurement is steady-state throughput, not process startup.
+    # TWO full-size warmup passes, not a 200-doc one: the r05 "22%
+    # pipeline regression" bisected to nothing — identical code at r04
+    # and r05 measured 1383..2000 docs/s depending on how many
+    # full-size iterations had already run (python-worker reuse + JIT
+    # keep improving through ~4 passes).  A 200-doc warmup + 2 runs
+    # samples the steep part of that curve; full-size warmups + 3 runs
+    # sample the plateau the pipeline would live on over a real corpus.
     n_docs = 5000
-    pipeline_sec = float("inf")
     for _ in range(2):
+        judgment_dataset(
+            run_extraction_pipeline(raw_corpus_df(spark, n_docs))
+        ).count()
+
+    pipe_runs = []
+    for _ in range(3):
         t0 = time.perf_counter()
         judgment_dataset(
             run_extraction_pipeline(raw_corpus_df(spark, n_docs))
         ).count()
-        pipeline_sec = min(pipeline_sec, time.perf_counter() - t0)
+        pipe_runs.append(time.perf_counter() - t0)
+    pipe_runs.sort()
+    pipeline_sec = pipe_runs[0]
 
     print(
         json.dumps(
@@ -116,11 +138,18 @@ def main() -> None:
                     "jvm": "fresh per invocation, warmup query before timing",
                     "runs_per_query": 3,
                     "aggregation": "best",
+                    "pipeline_warmup": "2 full-size passes before timing",
                 },
+                "spread": spread,
                 "extras": {
                     "domain_pipeline_docs": n_docs,
                     "domain_pipeline_sec": round(pipeline_sec, 3),
                     "domain_pipeline_docs_per_sec": round(n_docs / pipeline_sec, 1),
+                    "domain_pipeline_sec_spread": {
+                        "min": round(pipe_runs[0], 3),
+                        "median": round(pipe_runs[len(pipe_runs) // 2], 3),
+                        "max": round(pipe_runs[-1], 3),
+                    },
                 },
             }
         )

@@ -952,8 +952,6 @@ def encode_jpeg_color(
                     mcu_blocks[0].append(yb[(my * sv + by) * ybx + mx * sh + bx])
             mcu_blocks[1].append(cbb[my * (cpw // 8) + mx])
             mcu_blocks[2].append(crb[my * (cpw // 8) + mx])
-    ncb = [0] * (width * height)
-    ncr = [0] * (width * height)
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     for comp in mcu_blocks:

@@ -85,7 +85,16 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    # ADVICE r05: the ranking decision must not hinge on cross-engine
+    # double ULPs (Spark's ln/÷ vs DuckDB's can differ in the last
+    # bit).  Snap the score to a 9-decimal grid before row_number —
+    # identically on both sides — so two DISTINCT near-equal scores
+    # either agree on the grid or fall to the deterministic term
+    # tie-break; a flip now needs a score within one ULP of a grid
+    # boundary rather than any near-tie.
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 9).desc(), F.col("term").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
@@ -108,7 +117,7 @@ scored AS (
            / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl)) AS score
   FROM tf JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN scalars s)
 SELECT doc_id, term, tf, df, dl, rank
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, term ASC) AS rank
       FROM scored)
 WHERE rank <= 5
 """

@@ -305,6 +305,11 @@ def main() -> None:
     import math
 
     for name, rec in results.items():
+        # a partial run (crash between SF loops, or an --only merge
+        # over a half-measured file) leaves one SF missing; skip the
+        # entry instead of KeyError-ing away every fresh measurement
+        if "1x" not in rec or "10x" not in rec:
+            continue
         a, b = rec["1x"], rec["10x"]
         rec["alpha_wall"] = round(math.log10(max(b["wall_s"], 0.01) / max(a["wall_s"], 0.01)), 2)
         rec["alpha_rows"] = round(
