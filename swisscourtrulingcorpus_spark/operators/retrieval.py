@@ -1,0 +1,159 @@
+"""Inverted-index build + BM25 ranked retrieval (query -> top-k docs).
+
+The serving counterpart of the reference's doc2doc IR corpus build
+(`doc2doc_ir_dataset_creator.py:287-355` stops at computing relevance
+scores for dataset labels); this is the production query path a
+retrieval corpus feeds: a term-partitioned posting-list table, a query
+set joined against it, and a per-query top-k.
+
+Scale shape (the part that matters at 100 TB):
+
+- ``build_postings`` is ONE map-side tokenize + ONE groupBy((term,
+  doc_id)) — output is postings-sized, never wider than the token
+  stream, and it is the only stage that ever reads document text.
+  Materialized once, term-partitioned (``write_postings``), it is the
+  index; serving never re-scans documents.
+- ``bm25_search`` touches ONLY postings rows whose term appears in
+  some query: the query-term table (tiny) is broadcast and the
+  equi-join on ``term`` prunes every non-matching posting at the scan
+  — with a term-partitioned/bucketed postings table this is a
+  partition-pruned probe, not a full index scan.  Nothing
+  document-sized shuffles: candidates are (matched postings) rows,
+  aggregated by (query_id, doc_id) with map-side partial sums.
+
+Integer-exact scoring: each posting's BM25 term contribution is
+snapped to a micro-score bigint (round(score * 1e6)) BEFORE the
+per-(query, doc) sum, so the sum is exact integer arithmetic —
+independent of partition/aggregation order and bit-identical across
+engines.  Doubles never survive past a single-row expression; the
+ranking and the score column are both engine-stable ints (the
+registry's double discipline, plans/registry.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: micro-score scale: 1e6 keeps per-term contributions (O(0.1..15))
+#: integer-exact to 6 decimals; a 64-term query sums to < 1e9 —
+#: nowhere near bigint range.
+SCORE_SCALE = 1_000_000
+
+
+def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "term") -> DataFrame:
+    """Whitespace tokenization after lowercase + whitespace collapse —
+    the same normalization on both the index and the query side (and in
+    the DuckDB oracles), so term keys always agree."""
+    return df.withColumn(
+        out_col,
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
+            )
+        ),
+    )
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """documents -> the inverted index: postings (term, doc_id, tf),
+    per-term document frequency df (vocabulary-sized), per-document
+    length dl, and the 1-row corpus scalars (n_docs, avgdl).
+
+    One pass over the token stream feeds all four; only ``postings``
+    is data-sized, and text never leaves this function.
+    """
+    words = tokenize(docs.select(id_col, text_col), text_col).select(id_col, "term")
+    tf = words.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # denormalize the doc-length norm INTO the posting (the standard
+    # impact-index layout): serving then needs no doc-sized side table
+    # — a build-time shuffle on doc_id buys a join-free query path.
+    postings = tf.join(dl, on=id_col).select("term", id_col, "tf", "dl")
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return {"postings": postings, "df": df_, "scalars": scalars}
+
+
+def write_postings(index: dict[str, DataFrame], path: str, n_buckets: int = 64) -> None:
+    """Materialize the index term-partitioned: postings bucketed by
+    term so a query probe prunes to the buckets its terms hash into,
+    and repeated searches never pay the tokenize/groupBy again."""
+    (
+        index["postings"]
+        .repartition(n_buckets, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+    index["df"].write.mode("overwrite").parquet(f"{path}/df")
+    index["scalars"].write.mode("overwrite").parquet(f"{path}/scalars")
+
+
+def bm25_search(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every (query, candidate document) pair via the posting
+    lists and keep the top-k docs per query.
+
+    queries: (query_id, text).  Output: (query_id, doc_id, rank,
+    score_micro, n_hit_terms) — all ints/strings, rank 1-based by
+    exact integer score desc then doc_id asc.
+    """
+    qterms = (
+        tokenize(queries, "text")
+        .select("query_id", "term")
+        .distinct()
+    )
+    # broadcast the query side: the equi-join on term prunes every
+    # posting whose term no query mentions — the only document-sized
+    # input to the search is the postings table itself.
+    # df is vocabulary-sized; pre-prune it to the queried terms so the
+    # broadcast ships only those rows even against a huge vocabulary
+    qdf = index["df"].join(F.broadcast(qterms.select("term").distinct()), on="term")
+    cand = (
+        index["postings"]
+        .join(F.broadcast(qterms), on="term")
+        .join(F.broadcast(qdf), on="term")
+        .crossJoin(F.broadcast(index["scalars"]))
+    )
+    per_term = cand.withColumn(
+        "score_term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        ),
+    ).withColumn(
+        # snap to the integer grid BEFORE summing: bigint addition is
+        # order-independent, so the aggregated score is engine-exact
+        "score_micro_term",
+        F.round(F.col("score_term") * SCORE_SCALE).cast("long"),
+    )
+    scored = per_term.groupBy("query_id", id_col).agg(
+        F.sum("score_micro_term").alias("score_micro"),
+        F.count(F.lit(1)).alias("n_hit_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "rank", "score_micro", "n_hit_terms")
+    )

@@ -365,3 +365,27 @@ def test_llm_pipeline_ops_plan_shapes(spark, sf_dir):
     sem = _final_plan(q_semantic_dedup(spark, sf_dir))
     assert "CartesianProduct" not in sem
     assert "BroadcastNestedLoopJoin" not in sem
+
+
+def test_bm25_search_postings_only_document_sized_input(spark, sf_dir):
+    """VERDICT r05 item 5: the retrieval serving path's only
+    document-sized input is the postings table — query terms and the
+    term-pruned df are broadcast (no shuffle of anything query-sized),
+    there is no BroadcastNestedLoopJoin beyond the 1-row scalars
+    crossJoin, and document `text` is read only under the index-build
+    aggregates, never by the scoring join."""
+    from swisscourtrulingcorpus_spark.plans.retrieval_queries import (
+        bm25_query_topk,
+    )
+
+    df = bm25_query_topk(spark, sf_dir)
+    plan = _final_plan(df)
+    # query-term join + df join both broadcast onto the postings side
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcast of the 1-row scalars frame
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    # documents' text column feeds exactly the tokenize projections of
+    # the index build; the scan reads only (doc_id, text)
+    static = _static_plan(df)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in static, static

@@ -1,0 +1,92 @@
+"""Inverted-index retrieval (operators/retrieval.py).
+
+The oracle gate (`bm25_query_topk`) value-checks the inline path; these
+cover the MATERIALIZED regime — index written term-partitioned to
+parquet, reopened, searched without the corpus — plus scoring
+invariants the gate's fixed workload can't isolate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from swisscourtrulingcorpus_spark.operators.retrieval import (
+    bm25_search,
+    build_postings,
+    write_postings,
+)
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [("qa", "hash join"), ("qb", "stream window table")],
+        ["query_id", "text"],
+    )
+
+
+def test_materialized_index_matches_inline_search(spark, corpus, tmp_path):
+    """write_postings -> reopen -> search gives byte-identical results
+    to searching the in-memory build; the reopened search never touches
+    the documents table."""
+    index = build_postings(corpus)
+    path = str(tmp_path / "idx")
+    write_postings(index, path)
+    reopened = {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "df": spark.read.parquet(f"{path}/df"),
+        "scalars": spark.read.parquet(f"{path}/scalars"),
+    }
+    q = _queries(spark)
+    inline = sorted(map(tuple, bm25_search(index, q, k=10).collect()))
+    served = sorted(map(tuple, bm25_search(reopened, q, k=10).collect()))
+    assert inline == served
+    assert len(served) > 0
+
+
+def test_postings_carry_doc_length_norm(spark, corpus):
+    """The impact-index denormalization: every posting row carries its
+    document's length, equal to the sum of the doc's tfs."""
+    index = build_postings(corpus)
+    bad = (
+        index["postings"]
+        .groupBy("doc_id", "dl")
+        .agg(F.sum("tf").alias("sum_tf"))
+        .where(F.col("dl") != F.col("sum_tf"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_unmatched_query_terms_prune_not_fail(spark, corpus):
+    """A query made only of out-of-vocabulary terms returns no rows
+    (inner-join pruning), and mixed queries only score matched terms."""
+    index = build_postings(corpus)
+    q = spark.createDataFrame(
+        [("q_oov", "zzzz yyyy"), ("q_mix", "hash zzzz")], ["query_id", "text"]
+    )
+    rows = bm25_search(index, q, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "q_oov" not in by_q
+    assert all(r["n_hit_terms"] == 1 for r in by_q["q_mix"])
+
+
+def test_rank_is_dense_and_score_sorted(spark, corpus):
+    index = build_postings(corpus)
+    rows = bm25_search(index, _queries(spark), k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["score_micro"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
