@@ -243,6 +243,11 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
         ("heiten", "heit", 3),
         ("keiten", "keit", 3),
         ("innen", "in", 3),
+        # umlaut plural -äge -> -ag (anträge/beiträge/verträge); the
+        # verb-noun family -fahren is invariant (verfahren/erfahren)
+        # while -ahren alone would wrongly freeze jahren (r05 fidelity)
+        ("äge", "ag", 2),
+        ("fahren", "fahren", 1),
         ("den", "de", 3),
         ("gen", "ge", 3),
         ("en", "", 3),
@@ -258,6 +263,10 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
     # does NOT match it and still strips to "jour")
     "fr": [
         ("cours", "cours", 1),
+        # invariants: -rais (frais/vrais — NOT délais, which ends
+        # -lais and still strips) and mois itself (r05 fidelity)
+        ("rais", "rais", 1),
+        ("mois", "mois", 0),
         ("ations", "ation", 3),
         ("ements", "ement", 3),
         ("aux", "al", 2),
@@ -280,6 +289,12 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
         ("ori", "ore", 2),
         ("ini", "ine", 2),
         ("rti", "rte", 2),
+        # feminine -esa-class plurals: spese/difese/imprese -> -esa;
+        # kept narrower than a bare -ese rule, which would corrupt
+        # -ese singulars like paese (r05 fidelity)
+        ("pese", "pesa", 1),
+        ("fese", "fesa", 1),
+        ("rese", "resa", 1),
         ("i", "o", 3),
         ("e", "", 3),
     ],

@@ -160,6 +160,40 @@ LEFT JOIN (
 """
 
 
+def salted_map_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe twin of `map_join_orders` (VERDICT r05 item 6):
+    same denormalization through `operators/skew.py::salted_collect_agg`
+    — phase-1 collect on (key, salt) spreads a hot key over 8 reducers,
+    phase-2 merges per key, sort makes the result salt-invariant.
+    Value-identical to the plain path by construction; this gate proves
+    it against the SAME oracle, so the CH_BGer-style skew fix
+    (`dataset_creator.py:424-439`: one court holds 40%+ of the corpus)
+    is hash-checked, not just unit-tested."""
+    from swisscourtrulingcorpus_spark.operators.skew import salted_collect_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    item = F.concat_ws(
+        ":", F.col("l_linenumber").cast("string"), F.col("l_partkey").cast("string")
+    )
+    agg = salted_collect_agg(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), item.alias("__item")),
+        key="o_orderkey",
+        value=F.col("__item"),
+        alias="__items_arr",
+        num_salts=8,
+    )
+    return (
+        orders.select("o_orderkey", "o_orderstatus")
+        .join(agg, on="o_orderkey", how="left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.coalesce(F.concat_ws(",", "__items_arr"), F.lit("")).alias("items"),
+        )
+    )
+
+
 # --- P2/P3: chained semi-join membership predicate ----------------------
 
 def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -664,6 +698,12 @@ SPECS = [
     QuerySpec("union_yearly_activity", union_yearly_activity, UNION_ORACLE, "U1 union"),
     QuerySpec("coverage_by_region", coverage_by_region, COVERAGE_ORACLE, "J1/J10 flagship"),
     QuerySpec("map_join_orders", map_join_orders, MAP_JOIN_ORACLE, "J2 map_join"),
+    QuerySpec(
+        "salted_map_join_orders",
+        salted_map_join_orders,
+        MAP_JOIN_ORACLE,
+        "J2 map_join, skew-salted two-phase agg (value-identical)",
+    ),
     QuerySpec("semi_join_membership", semi_join_membership, SEMI_JOIN_ORACLE, "P2 semi-join chain"),
     QuerySpec("anti_join_inactive_customers", anti_join_inactive_customers, ANTI_JOIN_ORACLE, "J7 anti-join"),
     QuerySpec("asof_purchase_attribution", asof_purchase_attribution, ASOF_ORACLE, "J6 as-of w/ tolerance"),
