@@ -223,6 +223,134 @@ def _tally(fh, totals: list[int]) -> None:
             totals[1] += swm.get("Shuffle Bytes Written") or 0
 
 
+# --- streaming state-scale measurement (VERDICT r05 item 8) -----------
+#
+# The batch section measures shuffle bytes; the streaming analog of
+# "does this scale" is STATE-STORE growth under watermark: session
+# windows hold one row per open (user, session), the stream-stream
+# interval join buffers both sides until watermark + join-window pass.
+# Measured from StreamingQueryProgress.stateOperators (public API) at
+# both SFs, over multi-batch AvailableNow runs so watermark eviction
+# actually executes between micro-batches.
+
+STREAM_QUERIES = [
+    (
+        "stream_session_windows",
+        "state rows == open (user, session) pairs; closed sessions evicted at watermark",
+    ),
+    (
+        "stream_tumbling_counts",
+        "state rows == open window keys (time-bounded, independent of input size)",
+    ),
+    (
+        "stream_interval_join",
+        "buffered rows bounded by watermark + 30-min join window on both sides",
+    ),
+]
+
+
+def _events_stream(spark, sf_dir: str, max_files: int):
+    """Streaming events read with a files-per-trigger cap so an
+    AvailableNow run executes several micro-batches (watermark advances
+    and evicts between them) instead of one mega-batch."""
+    import hashlib
+    import tempfile
+
+    from swisscourtrulingcorpus_spark.streaming.jobs import ensure_event_time
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        # multi-part table (the synthesized 10x corpus): already a
+        # directory the file source can list — stream it directly
+        stage = path
+    else:
+        # single-file fixture: the file source needs a directory, so
+        # stage a deterministic symlink dir (same trick as
+        # streaming/jobs.py::read_events_stream)
+        key = hashlib.md5(path.encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(path, link)
+    raw_schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(stage)
+    )
+    return ensure_event_time(stream, "ts")
+
+
+def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=None) -> None:
+    import tempfile
+    import time as _t
+
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        purchase_attribution_stream,
+        session_counts_stream,
+        tumbling_counts_stream,
+    )
+
+    makers = {
+        "stream_session_windows": session_counts_stream,
+        "stream_tumbling_counts": tumbling_counts_stream,
+        "stream_interval_join": purchase_attribution_stream,
+    }
+    claims = dict(STREAM_QUERIES)
+    # the 10x events table is written as a 32-part directory, the 1x
+    # fixture is one file; cap files/trigger so both run >= 1 batch and
+    # the 10x run sees ~8 watermark advances
+    for name, maker in makers.items():
+        if names is not None and name not in names:
+            continue
+        stream = _events_stream(spark, sf_dir, max_files=4)
+        out = maker(stream)
+        ckpt = tempfile.mkdtemp(prefix=f"ckpt_sm_{name}_{sf_label}_")
+        t0 = _t.time()
+        q = (
+            out.writeStream.format("noop")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = _t.time() - t0
+        progresses = q.recentProgress
+        state_rows_max = 0
+        state_mb_max = 0.0
+        input_rows = 0
+        batches = 0
+        for p in progresses:
+            if isinstance(p, str):
+                p = json.loads(p)
+            batches += 1
+            input_rows += int(p.get("numInputRows") or 0)
+            ops = p.get("stateOperators") or []
+            rows = sum(int(op.get("numRowsTotal") or 0) for op in ops)
+            mem = sum(int(op.get("memoryUsedBytes") or 0) for op in ops)
+            state_rows_max = max(state_rows_max, rows)
+            state_mb_max = max(state_mb_max, mem / 1e6)
+        rec = results.setdefault(name, {"claim": claims[name]})
+        rec[sf_label] = {
+            "wall_s": round(wall, 2),
+            "rows": input_rows,
+            "batches": batches,
+            "state_rows_max": state_rows_max,
+            "state_mb_max": round(state_mb_max, 2),
+            # generic alpha pass reads shuffle_write_mb; state bytes
+            # are the streaming analog of bytes moved
+            "shuffle_write_mb": round(state_mb_max, 2),
+        }
+        print(
+            f"{sf_label:>3} {name:32s} {wall:7.2f}s in={input_rows:>9} "
+            f"batches={batches} stateRows={state_rows_max:>8} "
+            f"stateMB={state_mb_max:8.2f}",
+            flush=True,
+        )
+
+
 def main() -> None:
     args = list(sys.argv[1:])
     only: set[str] | None = None
@@ -267,12 +395,13 @@ def main() -> None:
         with open(out_json) as fh:
             results = json.load(fh)
     if only is not None:
-        unknown = only - {n for n, _ in QUERIES}
+        unknown = only - {n for n, _ in QUERIES} - {n for n, _ in STREAM_QUERIES}
         if unknown:
             # fail fast — a typo must not silently rewrite the JSON
             # with zero new measurements (r05 review)
             raise SystemExit(f"--only names not in QUERIES: {sorted(unknown)}")
     todo = [(n, c) for n, c in QUERIES if only is None or n in only]
+    stream_todo = [n for n, _ in STREAM_QUERIES if only is None or n in only]
     # warm the JVM/codegen once so the first measured query isn't
     # billed for startup
     qs["exact_dedup_documents"](spark, SF_DIR).count()
@@ -301,6 +430,8 @@ def main() -> None:
                 f"shW={(w1 - w0) / 1e6:8.2f}MB",
                 flush=True,
             )
+        if stream_todo:
+            measure_streaming(spark, sf_label, sf_dir, results, stream_todo)
 
     import math
 
@@ -315,6 +446,10 @@ def main() -> None:
         rec["alpha_rows"] = round(
             math.log10(max(b["rows"], 1) / max(a["rows"], 1)), 2
         )
+        if "state_rows_max" in a and "state_rows_max" in b:
+            rec["alpha_state_rows"] = round(
+                math.log10(max(b["state_rows_max"], 1) / max(a["state_rows_max"], 1)), 2
+            )
         sw_a, sw_b = a["shuffle_write_mb"], b["shuffle_write_mb"]
         rec["alpha_shuffle"] = (
             round(math.log10(max(sw_b, 0.01) / max(sw_a, 0.01)), 2)
