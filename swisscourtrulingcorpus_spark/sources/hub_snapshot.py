@@ -1,0 +1,106 @@
+"""Adapters for the reference's HF-hub corpora (S13), real schema.
+
+The reference loads two hub datasets at dataset-creation time:
+
+- ``rcds/swiss_leading_decisions`` (`dataset_creator.py:197-227`):
+  consumed columns are ``decision_id`` and ``file_number`` (string
+  ``BGE_<year>_<volume>_<page>``; rows whose file_number does not
+  split into exactly 4 parts are dropped by ``filter_rulings``), plus
+  the decision text/metadata fields per the dataset card.
+- ``rcds/swiss_legislation`` (`doc2doc_ir_dataset_creator.py:120-135`):
+  consumed columns are ``canton``, ``language``, ``abbreviation``,
+  ``sr_number``, ``uuid``, ``pdf_content``; rows filtered to
+  ``canton == 'ch'`` and ``len(abbreviation) > 1``, abbreviation
+  stripped.
+
+This sandbox is offline, so the engine ships stand-in fixtures
+(`sources/domain_fixtures.py`).  The adapters here close the schema
+gap (VERDICT r05 item 9): they read a parquet SNAPSHOT carrying the
+hub datasets' real column names/types and convert it to the internal
+shapes, and a committed fixture snapshot
+(`resources/leading_decisions_snapshot.parquet`,
+`resources/swiss_legislation_snapshot.parquet`) pins that schema in
+tests — a user pointing the engine at the actual hub parquet exercises
+exactly this code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: rcds/swiss_leading_decisions columns this engine relies on.  The
+#: hub dataset carries more text/metadata fields; the adapter requires
+#: only these and passes anything extra through untouched, so a card
+#: superset never breaks the load.
+LEADING_DECISIONS_REQUIRED = {
+    "decision_id": "string",
+    "file_number": "string",
+}
+
+#: rcds/swiss_legislation columns the reference consumes.
+LEGISLATION_REQUIRED = {
+    "canton": "string",
+    "language": "string",
+    "abbreviation": "string",
+    "sr_number": "string",
+    "uuid": "string",
+    "pdf_content": "string",
+}
+
+
+class SnapshotSchemaError(ValueError):
+    """A hub snapshot is missing required columns or carries wrong
+    types — the drift the stand-in fixtures could not catch."""
+
+
+def _check_required(df: DataFrame, required: dict[str, str], what: str) -> None:
+    have = dict(df.dtypes)
+    problems = [
+        f"{col}: want {typ}, have {have.get(col, 'MISSING')}"
+        for col, typ in required.items()
+        if have.get(col) != typ
+    ]
+    if problems:
+        raise SnapshotSchemaError(f"{what} snapshot schema drift: {problems}")
+
+
+def leading_rulings_from_snapshot(snapshot: DataFrame) -> DataFrame:
+    """Real-schema BGE corpus -> the internal ``leading_rulings``
+    shape (ruling_id, year, volume, start_page).
+
+    Mirrors the reference's ``filter_rulings``
+    (`dataset_creator.py:203-222`): keep rows whose file_number splits
+    into exactly 4 ``_``-separated parts (``BGE_<year>_<vol>_<page>``),
+    parse year/page as ints, volume as the roman-numeral string.
+    """
+    _check_required(snapshot, LEADING_DECISIONS_REQUIRED, "leading_decisions")
+    parts = F.split("file_number", "_")
+    # try_cast, not cast: under ANSI mode a plain cast can evaluate
+    # before the 4-part filter (Catalyst reorders projections) and
+    # throw on a malformed row; try_cast -> NULL -> dropped mirrors
+    # the reference's parse-or-skip exactly
+    return (
+        snapshot.where(F.size(parts) == 4)
+        .select(
+            F.col("file_number").alias("ruling_id"),
+            F.element_at(parts, 2).try_cast("int").alias("year"),
+            F.element_at(parts, 3).alias("volume"),
+            F.element_at(parts, 4).try_cast("int").alias("start_page"),
+        )
+        .where(F.col("year").isNotNull() & F.col("start_page").isNotNull())
+    )
+
+
+def law_abbreviations_from_snapshot(snapshot: DataFrame) -> DataFrame:
+    """Real-schema legislation corpus -> the (language, abbreviation,
+    sr_number, uuid) law table, filtered the reference's way
+    (`doc2doc_ir_dataset_creator.py:126-133`): federal laws only,
+    abbreviation stripped and longer than one char."""
+    _check_required(snapshot, LEGISLATION_REQUIRED, "swiss_legislation")
+    return (
+        snapshot.where(F.col("canton") == "ch")
+        .withColumn("abbreviation", F.trim("abbreviation"))
+        .where(F.length("abbreviation") > 1)
+        .select("language", "abbreviation", "sr_number", "uuid")
+    )
