@@ -73,9 +73,59 @@ def build_postings(
     # — a build-time shuffle on doc_id buys a join-free query path.
     postings = tf.join(dl, on=id_col).select("term", id_col, "tf", "dl")
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # scalars carry the MERGEABLE pair (n_docs, total_dl); avgdl is
+    # derived so two indexes can combine without touching either corpus
     scalars = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return {"postings": postings, "df": df_, "scalars": scalars}
+
+
+def merge_postings(
+    base: dict[str, DataFrame], delta: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Incremental index maintenance: fold a delta index (built from
+    NEW documents only) into an existing index without rescanning the
+    base corpus — the retrieval analog of the incremental-dedup
+    signature store (`operators/dedup.py::incremental`).
+
+    Requires disjoint doc sets (new documents; an update is
+    delete+insert like `sources/sinks.py::upsert_by_key`).  Postings
+    union (disjoint docs never collide on (term, doc)); df adds
+    per-term; scalars add the mergeable pair and re-derive avgdl.
+    Everything touched is index-sized — base document text is never
+    read, which is the whole point at 100 TB.
+    """
+    postings = base["postings"].unionByName(delta["postings"])
+    df_ = (
+        base["df"]
+        .withColumnRenamed("df", "df_a")
+        .join(
+            delta["df"].withColumnRenamed("df", "df_b"), on="term", how="full_outer"
+        )
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df_a"), F.lit(0))
+                + F.coalesce(F.col("df_b"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    a = base["scalars"].select(
+        F.col("n_docs").alias("n_a"), F.col("total_dl").alias("t_a")
+    )
+    b = delta["scalars"].select(
+        F.col("n_docs").alias("n_b"), F.col("total_dl").alias("t_b")
+    )
+    scalars = (
+        a.crossJoin(b)
+        .select(
+            (F.col("n_a") + F.col("n_b")).alias("n_docs"),
+            (F.col("t_a") + F.col("t_b")).alias("total_dl"),
+        )
+        .withColumn("avgdl", F.col("total_dl").cast("double") / F.col("n_docs"))
     )
     return {"postings": postings, "df": df_, "scalars": scalars}
 

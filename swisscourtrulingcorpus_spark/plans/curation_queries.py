@@ -1,0 +1,149 @@
+"""Corpus-curation gates: DSIR importance resampling weights.
+
+Another piece of the LLM-training-data layer:
+
+- ``dsir_importance_weights`` — Data Selection via Importance
+  Resampling (Xie et al., 2023, public): score every document by the
+  hashed-n-gram log-likelihood ratio between a target domain and the
+  rest of the corpus.  The standard way to up-sample "looks like the
+  target distribution" data at pretraining scale.
+
+Integer discipline: DSIR's per-bucket log-ratio is snapped to a micro
+bigint BEFORE the per-doc sum (same trick as the BM25 micro-scores in
+`operators/retrieval.py`), so document weights are exact integer sums
+— engine- and order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.hashing import h32, normalize_ws
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+_B = 1024  # hash-feature buckets
+_TARGET_LANG = "en"
+
+
+def _bigram_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket, cnt): hashed word-bigram occurrences.
+    Guarded sequence: F.sequence(1, 0) is DESCENDING in Spark, not
+    empty, so single-word docs take the explicit empty-array branch."""
+    w = F.split(normalize_ws("text"), " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", "lang", F.explode(bigrams).alias("shingle"))
+        .select("doc_id", "lang", (h32("shingle", "dsir") % _B).alias("bucket"))
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance weight for target ``lang == 'en'``:
+    weight = sum over bigram occurrences of
+    ln(p_target(bucket) / p_source(bucket)), add-one smoothed over
+    _B hashed buckets, micro-scaled to an exact bigint.
+
+    Scale shape: the feature pass is map-side (tokenize + hash) into
+    one (doc, bucket) groupBy; the bucket language models are two
+    _B-row tables (broadcast); the scoring join is feats ⨝ broadcast
+    ratio — document text is read once, nothing document-sized
+    shuffles twice.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    feats = _bigram_features(docs)
+    tgt = (
+        feats.where(F.col("lang") == _TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_t"))
+    )
+    src = (
+        feats.where(F.col("lang") != _TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("c_s"))
+    )
+    totals = (
+        tgt.agg(F.coalesce(F.sum("c_t"), F.lit(0)).alias("t_total"))
+        .crossJoin(src.agg(F.coalesce(F.sum("c_s"), F.lit(0)).alias("s_total")))
+    )
+    ratio = (
+        tgt.join(src, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("t_total") + F.lit(float(_B)))
+                    )
+                    / (
+                        (F.coalesce(F.col("c_s"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("s_total") + F.lit(float(_B)))
+                    )
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("long")
+            .alias("r_micro"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("r_micro")).alias("weight_micro"),
+        )
+    )
+
+
+_BIGRAM_CTE = (
+    "words AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), "
+    r"'\s+', ' ', 'g')), ' ') AS w FROM documents), "
+    "bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, greatest(len(w),1)), "
+    "i -> w[i]||' '||w[i+1])) AS shingle FROM words), "
+    "feats AS (SELECT doc_id, lang, "
+    "CAST(('0x' || substr(md5('dsir|'||shingle),1,8))::UBIGINT AS BIGINT) % 1024 AS bucket, "
+    "count(*) AS cnt FROM bg GROUP BY 1, 2, 3)"
+)
+
+DSIR_ORACLE = f"""
+WITH {_BIGRAM_CTE},
+tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_t FROM feats WHERE lang = '{_TARGET_LANG}' GROUP BY 1),
+src AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_s FROM feats WHERE lang != '{_TARGET_LANG}' GROUP BY 1),
+totals AS (
+  SELECT (SELECT coalesce(CAST(sum(c_t) AS BIGINT), 0) FROM tgt) AS t_total,
+         (SELECT coalesce(CAST(sum(c_s) AS BIGINT), 0) FROM src) AS s_total),
+ratio AS (
+  SELECT coalesce(tgt.bucket, src.bucket) AS bucket,
+         CAST(round(ln(
+           ((coalesce(c_t, 0) + 1.0) / (t_total + 1024.0))
+           / ((coalesce(c_s, 0) + 1.0) / (s_total + 1024.0))
+         ) * 1000000.0) AS BIGINT) AS r_micro
+  FROM tgt FULL OUTER JOIN src ON tgt.bucket = src.bucket CROSS JOIN totals)
+SELECT f.doc_id,
+       CAST(sum(f.cnt) AS BIGINT) AS n_feats,
+       CAST(sum(f.cnt * r.r_micro) AS BIGINT) AS weight_micro
+FROM feats f JOIN ratio r ON f.bucket = r.bucket
+GROUP BY 1
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "dsir_importance_weights",
+        dsir_importance_weights,
+        DSIR_ORACLE,
+        "DSIR hashed-bigram importance weights vs target domain",
+    ),
+]

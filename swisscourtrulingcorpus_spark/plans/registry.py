@@ -79,6 +79,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import analytics_queries
     from swisscourtrulingcorpus_spark.plans import ann_queries
     from swisscourtrulingcorpus_spark.plans import behavior_queries
+    from swisscourtrulingcorpus_spark.plans import curation_queries
     from swisscourtrulingcorpus_spark.plans import extra_queries
     from swisscourtrulingcorpus_spark.plans import layout_queries
     from swisscourtrulingcorpus_spark.plans import retrieval_queries
@@ -106,8 +107,12 @@ def _collect_specs() -> list[QuerySpec]:
     specs += retrieval_queries.SPECS
     specs += behavior_queries.SPECS
     specs += layout_queries.SPECS
+    specs += curation_queries.SPECS
+    from collections import Counter
+
     names = [s.name for s in specs]
-    assert len(names) == len(set(names)), "duplicate query names"
+    dups = [n for n, c in Counter(names).items() if c > 1]
+    assert not dups, f"duplicate query names: {dups}"
 
     # Stalest-first: never-verified gates (round -1) lead, then the
     # oldest driver evidence; declaration order breaks ties so the

@@ -201,6 +201,209 @@ WHERE rank <= 10
 """
 
 
+# --- Incremental posting-list maintenance ------------------------------
+
+def postings_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index maintenance without rescanning history: build the index
+    over 90% of the corpus, index the remaining docs separately, and
+    `operators/retrieval.py::merge_postings` the two — this gate
+    hash-checks the merged per-term statistics against a FULL REBUILD
+    oracle, proving merge == rebuild while only ever touching the
+    delta corpus + index-sized tables (the retrieval twin of
+    `incremental_minhash_dedup`)."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        build_postings,
+        merge_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = build_postings(docs.where(F.col("doc_id") % 10 != 0))
+    delta = build_postings(docs.where(F.col("doc_id") % 10 == 0))
+    merged = merge_postings(base, delta)
+    per_term = (
+        merged["postings"]
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_postings"), F.sum("tf").alias("sum_tf"))
+    )
+    return (
+        per_term.join(merged["df"], on="term")
+        .crossJoin(F.broadcast(merged["scalars"].select("n_docs", "total_dl")))
+        .select("term", "df", "n_postings", "sum_tf", "n_docs", "total_dl")
+    )
+
+
+POSTINGS_MERGE_ORACLE = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl FROM dl)
+SELECT term,
+       count(*) AS df,
+       count(*) AS n_postings,
+       CAST(sum(tf) AS BIGINT) AS sum_tf,
+       s.n_docs, s.total_dl
+FROM tf CROSS JOIN scalars s
+GROUP BY term, s.n_docs, s.total_dl
+"""
+
+
+# --- Hybrid retrieval: BM25 + embedding cosine, RRF-fused ---------------
+
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+
+
+def rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc2doc hybrid retrieval for query docs 0-4: lexical BM25 over
+    the inverted index + embedding cosine over the vectors, fused by
+    Reciprocal Rank Fusion (Cormack et al. 2009, public):
+    score = sum over systems of 1/(60 + rank).
+
+    Each 1/(60+rank) term is snapped to a micro bigint before the sum
+    (exactly like the BM25 micro-scores), so the fused score and final
+    ranking are engine-exact integers.  Scale shape: both per-system
+    rankings are the already-gated operators (postings probe /
+    broadcast-query brute force); the fusion itself joins two
+    (n_queries x k)-row frames — negligible at any corpus size.
+    """
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        bm25_search,
+        build_postings,
+    )
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdocs = docs.where(F.col("doc_id") < 5).select(
+        F.col("doc_id").cast("string").alias("query_id"), "text"
+    )
+    # lexical: rank with the query doc itself still in the pool (it
+    # matches at rank 1 by construction), drop it, close the rank gap
+    # with a second window — mirrored verbatim in the oracle
+    lex = (
+        bm25_search(build_postings(docs), qdocs, k=11)
+        .where(F.col("doc_id") != F.col("query_id").cast("long"))
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("score_micro").desc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .where(F.col("lex_rank") <= 10)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("doc_id"),
+            "lex_rank",
+        )
+    )
+    sem = (
+        cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 5), k=10)
+        .select(
+            F.col("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, on=["query_id", "doc_id"], how="full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(
+                    F.round(
+                        F.lit(float(_RRF_SCALE)) / (F.lit(_RRF_K) + F.col("lex_rank"))
+                    ).cast("long"),
+                    F.lit(0),
+                )
+                + F.coalesce(
+                    F.round(
+                        F.lit(float(_RRF_SCALE)) / (F.lit(_RRF_K) + F.col("sem_rank"))
+                    ).cast("long"),
+                    F.lit(0),
+                )
+            ).alias("rrf_micro"),
+            (
+                F.col("lex_rank").isNotNull().cast("int")
+                + F.col("sem_rank").isNotNull().cast("int")
+            ).alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "rank", "rrf_micro", "n_systems")
+    )
+
+
+RRF_HYBRID_ORACLE = f"""
+WITH qterms AS (
+  SELECT DISTINCT doc_id AS qid,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents WHERE doc_id < 5),
+words AS (
+  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+per_term AS (
+  SELECT qt.qid, tf.doc_id,
+         CAST(round((ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) * 1000000)
+           AS BIGINT) AS sm
+  FROM tf JOIN qterms qt USING (term) JOIN dfr USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN scalars s),
+lex_scored AS (
+  SELECT qid, doc_id, CAST(sum(sm) AS BIGINT) AS score_micro
+  FROM per_term GROUP BY 1, 2),
+lex_r1 AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS r1
+  FROM lex_scored),
+lex AS (
+  SELECT qid AS query_id, doc_id,
+         row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS lex_rank
+  FROM lex_r1 WHERE r1 <= 11 AND doc_id != qid
+  QUALIFY lex_rank <= 10),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 5 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+c AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+sem AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qv, cv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+           doc_id ASC) AS sem_rank
+  FROM c, q WHERE doc_id != query_id
+  QUALIFY sem_rank <= 10),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(CAST(round({_RRF_SCALE}.0 / ({_RRF_K} + l.lex_rank)) AS BIGINT), 0)
+           + coalesce(CAST(round({_RRF_SCALE}.0 / ({_RRF_K} + s.sem_rank)) AS BIGINT), 0)
+           AS rrf_micro,
+         CAST((l.lex_rank IS NOT NULL)::INT + (s.sem_rank IS NOT NULL)::INT AS INTEGER) AS n_systems
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+SELECT query_id, doc_id, rank, rrf_micro, n_systems
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC) AS rank
+      FROM fused)
+WHERE rank <= 5
+"""
+
+
 # --- SymSpell deletion-neighborhood fuzzy match ------------------------
 
 def fuzzy_name_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,5 +486,17 @@ SPECS = [
         bm25_query_topk,
         BM25_TOPK_ORACLE,
         "BM25 ranked retrieval over an inverted index, top-10 per query",
+    ),
+    QuerySpec(
+        "postings_incremental_merge",
+        postings_incremental_merge,
+        POSTINGS_MERGE_ORACLE,
+        "incremental index merge == full rebuild (per-term stats)",
+    ),
+    QuerySpec(
+        "rrf_hybrid_topk",
+        rrf_hybrid_topk,
+        RRF_HYBRID_ORACLE,
+        "hybrid BM25 + cosine retrieval fused by integer-exact RRF",
     ),
 ]

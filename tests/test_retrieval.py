@@ -90,3 +90,28 @@ def test_rank_is_dense_and_score_sorted(spark, corpus):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         scores = [r["score_micro"] for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_merge_postings_equals_rebuild(spark, corpus):
+    """merge(base, delta) must equal build(all) on every table —
+    including the mergeable scalar pair — so incremental maintenance
+    can run forever without drifting from a rebuild."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import merge_postings
+
+    base = build_postings(corpus.where(F.col("doc_id") % 3 != 0))
+    delta = build_postings(corpus.where(F.col("doc_id") % 3 == 0))
+    merged = merge_postings(base, delta)
+    full = build_postings(corpus)
+    for key in ("postings", "df"):
+        got = sorted(map(tuple, merged[key].collect()))
+        want = sorted(map(tuple, full[key].collect()))
+        assert got == want, key
+    ms = merged["scalars"].collect()[0]
+    fs = full["scalars"].collect()[0]
+    assert (ms["n_docs"], ms["total_dl"]) == (fs["n_docs"], fs["total_dl"])
+    assert ms["avgdl"] == fs["avgdl"]
+    # search over the merged index == search over the rebuilt index
+    q = _queries(spark)
+    assert sorted(map(tuple, bm25_search(merged, q, k=5).collect())) == sorted(
+        map(tuple, bm25_search(full, q, k=5).collect())
+    )
