@@ -247,7 +247,9 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
         # verb-noun family -fahren is invariant (verfahren/erfahren)
         # while -ahren alone would wrongly freeze jahren (r05 fidelity)
         ("äge", "ag", 2),
-        ("fahren", "fahren", 1),
+        # min_stem 0: the bare verb-noun "fahren" is itself invariant
+        # (min_stem 1 made it fall through to the -en strip; r06 review)
+        ("fahren", "fahren", 0),
         ("den", "de", 3),
         ("gen", "ge", 3),
         ("en", "", 3),
@@ -262,10 +264,12 @@ LEMMA_SUFFIX_RULES: dict[str, list[tuple[str, str, int]]] = {
     # — the identity rule fires before the generic -s strip ("jours"
     # does NOT match it and still strips to "jour")
     "fr": [
-        ("cours", "cours", 1),
-        # invariants: -rais (frais/vrais — NOT délais, which ends
-        # -lais and still strips) and mois itself (r05 fidelity)
-        ("rais", "rais", 1),
+        # invariant identity rules use min_stem 0 so the bare word
+        # matches too: "cours"/"frais"/"mois" are their own lemmas
+        # (min_stem 1 sent "cours" -> "cour"; r06 review).  -rais does
+        # NOT catch délais (ends -lais), which still strips.
+        ("cours", "cours", 0),
+        ("rais", "rais", 0),
         ("mois", "mois", 0),
         ("ations", "ation", 3),
         ("ements", "ement", 3),

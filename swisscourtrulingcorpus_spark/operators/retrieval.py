@@ -14,10 +14,12 @@ Scale shape (the part that matters at 100 TB):
   Materialized once, term-partitioned (``write_postings``), it is the
   index; serving never re-scans documents.
 - ``bm25_search`` touches ONLY postings rows whose term appears in
-  some query: the query-term table (tiny) is broadcast and the
-  equi-join on ``term`` prunes every non-matching posting at the scan
-  — with a term-partitioned/bucketed postings table this is a
-  partition-pruned probe, not a full index scan.  Nothing
+  some query: the query-term table (tiny) is broadcast for the
+  equi-join, and the same term list is ALSO pushed as a literal
+  ``term IN`` scan predicate (``prune_terms``) — against a
+  `write_postings`-materialized index (term-sorted row groups) the
+  footer min/max stats skip every non-matching row group, so the
+  probe reads matching slices, not the full index.  Nothing
   document-sized shuffles: candidates are (matched postings) rows,
   aggregated by (query_id, doc_id) with map-side partial sums.
 
@@ -35,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+
 #: micro-score scale: 1e6 keeps per-term contributions (O(0.1..15))
 #: integer-exact to 6 decimals; a 64-term query sums to < 1e9 —
 #: nowhere near bigint range.
@@ -42,16 +46,12 @@ SCORE_SCALE = 1_000_000
 
 
 def tokenize(df: DataFrame, text_col: str = "text", out_col: str = "term") -> DataFrame:
-    """Whitespace tokenization after lowercase + whitespace collapse —
-    the same normalization on both the index and the query side (and in
-    the DuckDB oracles), so term keys always agree."""
+    """Whitespace tokenization after the repo's ONE shared
+    normalization (`functions/hashing.py::normalize_ws`) — the same on
+    the index side, the query side, and the DuckDB oracles, so term
+    keys always agree."""
     return df.withColumn(
-        out_col,
-        F.explode(
-            F.split(
-                F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "
-            )
-        ),
+        out_col, F.explode(F.split(normalize_ws(text_col), " "))
     )
 
 
@@ -67,7 +67,11 @@ def build_postings(
     """
     words = tokenize(docs.select(id_col, text_col), text_col).select(id_col, "term")
     tf = words.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # dl derives from tf (sum of a doc's term frequencies), NOT from a
+    # second aggregation over `words`: tokenize+explode — the dominant
+    # map-side cost — runs exactly once, and the dl aggregation's
+    # input is postings-sized, not token-stream-sized (r06 review).
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     # denormalize the doc-length norm INTO the posting (the standard
     # impact-index layout): serving then needs no doc-sized side table
     # — a build-time shuffle on doc_id buys a join-free query path.
@@ -131,9 +135,14 @@ def merge_postings(
 
 
 def write_postings(index: dict[str, DataFrame], path: str, n_buckets: int = 64) -> None:
-    """Materialize the index term-partitioned: postings bucketed by
-    term so a query probe prunes to the buckets its terms hash into,
-    and repeated searches never pay the tokenize/groupBy again."""
+    """Materialize the index: postings hash-distributed over
+    ``n_buckets`` files and SORTED BY TERM within each file, so every
+    parquet row-group carries tight term min/max footer stats.  Plain
+    ``spark.read.parquet`` keeps no bucketing metadata — the pruning
+    contract is `bm25_search`'s pushed ``term IN (...)`` scan filter
+    (``prune_terms``), which skips non-matching row groups via those
+    stats instead of scanning the whole index (r06 review: the earlier
+    docstring claimed bucket pruning the reopened path cannot do)."""
     (
         index["postings"]
         .repartition(n_buckets, "term")
@@ -152,6 +161,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     id_col: str = "doc_id",
+    prune_terms: bool = True,
 ) -> DataFrame:
     """Score every (query, candidate document) pair via the posting
     lists and keep the top-k docs per query.
@@ -159,12 +169,25 @@ def bm25_search(
     queries: (query_id, text).  Output: (query_id, doc_id, rank,
     score_micro, n_hit_terms) — all ints/strings, rank 1-based by
     exact integer score desc then doc_id asc.
+
+    ``prune_terms`` collects the (bounded, query-set-sized) distinct
+    term list driver-side and applies it as a literal ``term IN``
+    predicate on the postings side.  A broadcast join alone pushes no
+    filter into a parquet scan; the IN predicate reaches the footer
+    stats, so a `write_postings`-materialized index (term-sorted row
+    groups) skips every non-matching row group instead of scanning
+    the whole index.  Same bounded-collect pattern as the k-means
+    centroid and z-order bound collects.
     """
     qterms = (
         tokenize(queries, "text")
         .select("query_id", "term")
         .distinct()
     )
+    postings = index["postings"]
+    if prune_terms:
+        term_list = [r["term"] for r in qterms.select("term").distinct().collect()]
+        postings = postings.where(F.col("term").isin(term_list))
     # broadcast the query side: the equi-join on term prunes every
     # posting whose term no query mentions — the only document-sized
     # input to the search is the postings table itself.
@@ -172,7 +195,7 @@ def bm25_search(
     # broadcast ships only those rows even against a huge vocabulary
     qdf = index["df"].join(F.broadcast(qterms.select("term").distinct()), on="term")
     cand = (
-        index["postings"]
+        postings
         .join(F.broadcast(qterms), on="term")
         .join(F.broadcast(qdf), on="term")
         .crossJoin(F.broadcast(index["scalars"]))

@@ -107,13 +107,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# _B is interpolated (not hardcoded) so retuning the bucket count can
+# never silently diverge the oracle from the Spark side (r06 review)
 _BIGRAM_CTE = (
     "words AS (SELECT doc_id, lang, string_split(trim(regexp_replace(lower(text), "
     r"'\s+', ' ', 'g')), ' ') AS w FROM documents), "
     "bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, greatest(len(w),1)), "
     "i -> w[i]||' '||w[i+1])) AS shingle FROM words), "
     "feats AS (SELECT doc_id, lang, "
-    "CAST(('0x' || substr(md5('dsir|'||shingle),1,8))::UBIGINT AS BIGINT) % 1024 AS bucket, "
+    f"CAST(('0x' || substr(md5('dsir|'||shingle),1,8))::UBIGINT AS BIGINT) % {_B} AS bucket, "
     "count(*) AS cnt FROM bg GROUP BY 1, 2, 3)"
 )
 
@@ -127,8 +129,8 @@ totals AS (
 ratio AS (
   SELECT coalesce(tgt.bucket, src.bucket) AS bucket,
          CAST(round(ln(
-           ((coalesce(c_t, 0) + 1.0) / (t_total + 1024.0))
-           / ((coalesce(c_s, 0) + 1.0) / (s_total + 1024.0))
+           ((coalesce(c_t, 0) + 1.0) / (t_total + {_B}.0))
+           / ((coalesce(c_s, 0) + 1.0) / (s_total + {_B}.0))
          ) * 1000000.0) AS BIGINT) AS r_micro
   FROM tgt FULL OUTER JOIN src ON tgt.bucket = src.bucket CROSS JOIN totals)
 SELECT f.doc_id,

@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files: int | None = None
+) -> DataFrame:
     """Streaming read of the events table.  Schema is pinned from the
     batch reader (a streaming source must never infer), and the
     TIMESTAMP(NANOS) column arrives as nano-BIGINT (nanosAsLong) and is
@@ -27,24 +29,36 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The file source requires a *directory* (it lists files per
     micro-batch); the fixture is a single parquet file, so stage a
-    symlink directory — zero-copy, works at any file size.  The staging
-    path is DETERMINISTIC per source path: a checkpoint records the
-    source basePath, so a fresh random dir per call would break resume
-    ("Wrong basePath" on the second run).
+    symlink directory — zero-copy, works at any file size.  A
+    multi-part table (already a directory) streams directly.  The
+    staging path is DETERMINISTIC per source path: a checkpoint records
+    the source basePath, so a fresh random dir per call would break
+    resume ("Wrong basePath" on the second run).
+
+    ``max_files`` caps files per trigger so an AvailableNow run over a
+    multi-file table executes several micro-batches (watermark advances
+    and state eviction runs between them) — used by
+    tools/scale_measure.py's streaming state measurement.
     """
     import hashlib
 
     path = os.path.join(sf_dir, "events.parquet")
-    key = hashlib.md5(path.encode()).hexdigest()[:12]
-    stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    try:
-        os.symlink(path, link)
-    except FileExistsError:
-        pass  # concurrent caller (or a prior run) already staged it
+    if os.path.isdir(path):
+        stage = path
+    else:
+        key = hashlib.md5(path.encode()).hexdigest()[:12]
+        stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "events.parquet")
+        try:
+            os.symlink(path, link)
+        except FileExistsError:
+            pass  # concurrent caller (or a prior run) already staged it
     raw_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files)
+    stream = reader.parquet(stage)
     return ensure_event_time(stream, "ts")
 
 

@@ -115,3 +115,22 @@ def test_merge_postings_equals_rebuild(spark, corpus):
     assert sorted(map(tuple, bm25_search(merged, q, k=5).collect())) == sorted(
         map(tuple, bm25_search(full, q, k=5).collect())
     )
+
+
+def test_materialized_search_pushes_term_filter_to_scan(spark, corpus, tmp_path):
+    """r06 review: a broadcast join pushes nothing into a parquet scan
+    — the prune_terms IN predicate must reach the postings scan's
+    PushedFilters so the term-sorted row groups can be skipped."""
+    from conftest import explain_plan_str
+
+    index = build_postings(corpus)
+    path = str(tmp_path / "idx2")
+    write_postings(index, path)
+    reopened = {
+        "postings": spark.read.parquet(f"{path}/postings"),
+        "df": spark.read.parquet(f"{path}/df"),
+        "scalars": spark.read.parquet(f"{path}/scalars"),
+    }
+    df = bm25_search(reopened, _queries(spark), k=5)
+    plan = explain_plan_str(df, "formatted")
+    assert "In(term, [" in plan, plan

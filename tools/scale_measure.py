@@ -249,39 +249,6 @@ STREAM_QUERIES = [
 ]
 
 
-def _events_stream(spark, sf_dir: str, max_files: int):
-    """Streaming events read with a files-per-trigger cap so an
-    AvailableNow run executes several micro-batches (watermark advances
-    and evicts between them) instead of one mega-batch."""
-    import hashlib
-    import tempfile
-
-    from swisscourtrulingcorpus_spark.streaming.jobs import ensure_event_time
-
-    path = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(path):
-        # multi-part table (the synthesized 10x corpus): already a
-        # directory the file source can list — stream it directly
-        stage = path
-    else:
-        # single-file fixture: the file source needs a directory, so
-        # stage a deterministic symlink dir (same trick as
-        # streaming/jobs.py::read_events_stream)
-        key = hashlib.md5(path.encode()).hexdigest()[:12]
-        stage = os.path.join(tempfile.gettempdir(), f"events_stream_{key}")
-        os.makedirs(stage, exist_ok=True)
-        link = os.path.join(stage, "events.parquet")
-        if not os.path.exists(link):
-            os.symlink(path, link)
-    raw_schema = spark.read.parquet(path).schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", max_files)
-        .parquet(stage)
-    )
-    return ensure_event_time(stream, "ts")
-
-
 def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=None) -> None:
     import tempfile
     import time as _t
@@ -291,6 +258,8 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
         session_counts_stream,
         tumbling_counts_stream,
     )
+
+    from swisscourtrulingcorpus_spark.streaming.jobs import read_events_stream
 
     makers = {
         "stream_session_windows": session_counts_stream,
@@ -304,7 +273,7 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
     for name, maker in makers.items():
         if names is not None and name not in names:
             continue
-        stream = _events_stream(spark, sf_dir, max_files=4)
+        stream = read_events_stream(spark, sf_dir, max_files=4)
         out = maker(stream)
         ckpt = tempfile.mkdtemp(prefix=f"ckpt_sm_{name}_{sf_label}_")
         t0 = _t.time()
@@ -399,7 +368,9 @@ def main() -> None:
         if unknown:
             # fail fast — a typo must not silently rewrite the JSON
             # with zero new measurements (r05 review)
-            raise SystemExit(f"--only names not in QUERIES: {sorted(unknown)}")
+            raise SystemExit(
+                f"--only names not in QUERIES/STREAM_QUERIES: {sorted(unknown)}"
+            )
     todo = [(n, c) for n, c in QUERIES if only is None or n in only]
     stream_todo = [n for n, _ in STREAM_QUERIES if only is None or n in only]
     # warm the JVM/codegen once so the first measured query isn't
