@@ -230,3 +230,18 @@ def bm25_search(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "rank", "score_micro", "n_hit_terms")
     )
+
+
+def index_from_postings(postings: DataFrame, id_col: str = "doc_id") -> dict[str, DataFrame]:
+    """Reconstruct the full index dict from the postings table alone —
+    df and the scalars are index-sized derivations (postings carry the
+    dl norm), so a store that versions ONLY postings (the streaming
+    maintenance job) never needs the corpus to serve searches."""
+    df_ = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    scalars = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    return {"postings": postings, "df": df_, "scalars": scalars}

@@ -816,3 +816,106 @@ def stream_media_decode_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def postings_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming inverted-index maintenance:
+    build the delta index from the batch's NEW documents only
+    (`operators/retrieval.py::build_postings`) and union it into the
+    versioned postings store — the base corpus is never rescanned
+    (`merge_postings` contract), and df/scalars are re-derived from
+    the stored postings at read time (`index_from_postings`), so the
+    store versions exactly ONE table.
+
+    Same crash-replay + OCC contract as :func:`minhash_dedup_batch`:
+    at-least-once foreachBatch replays are no-ops via the
+    (run, batch_id) ledger, and a concurrent sibling committer raises
+    ConcurrentWriteError -> re-read base + ledger and retry."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import build_postings
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    delta = build_postings(batch, id_col=id_col, text_col=text_col)[
+        "postings"
+    ].cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return  # concurrent twin of this batch already landed
+            if base:
+                stored = read_version(spark, store_table, base)
+                # delete+insert semantics for re-ingested doc ids: a
+                # REPROCESSED document (fresh checkpoint over an
+                # overlapping corpus) replaces its old postings instead
+                # of double-counting them
+                stored = stored.join(
+                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
+                ).select(*delta.columns)
+                updated = stored.unionByName(delta)
+            else:
+                updated = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue
+    finally:
+        delta.unpersist()
+
+
+def stream_postings_maintenance_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous inverted-index maintenance: each micro-batch of new
+    documents folds into the versioned postings store via
+    :func:`postings_maintenance_batch`; serving reopens the store with
+    `operators/retrieval.py::index_from_postings` + `bm25_search`.
+    Trigger.AvailableNow — the reference's "process everything new,
+    then stop" cron semantics, restartable as a continuous stream."""
+    os.makedirs(store_table, exist_ok=True)
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        postings_maintenance_batch(
+            batch, batch_id, store_table, run_tag, text_col, id_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

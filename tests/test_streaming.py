@@ -489,3 +489,92 @@ def test_stream_media_decode_matches_batch(spark, tmp_path):
     assert len(late_rows) == 1 and late_rows[0]["fmt"] == "png"
     assert img.count() == batch["image"].count() + 1
     media.unpersist()
+
+
+def test_stream_postings_maintenance_equals_batch_rebuild(spark, sf_dir, tmp_path):
+    """Streaming index maintenance == batch rebuild: stream the
+    documents corpus in micro-batches into the versioned postings
+    store, then search over `index_from_postings(store)` and over a
+    fresh `build_postings(all docs)` — identical results.  A rerun
+    over the same checkpoint (no new files) must be a no-op, and a
+    direct replay of an already-committed batch id must not
+    double-count postings."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        bm25_search,
+        build_postings,
+        index_from_postings,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        checkpoint_run_tag,
+        postings_maintenance_batch,
+        stream_postings_maintenance_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = str(tmp_path / "docs_in")
+    docs.repartition(4).write.parquet(stage)
+    store = str(tmp_path / "postings_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_postings_maintenance_job(stream, store, ckpt)
+        q.awaitTermination()
+
+    _run()
+    v1 = latest_version(store)
+    stored = read_version(spark, store, v1)
+    served = index_from_postings(stored)
+    full = build_postings(docs)
+    queries = spark.createDataFrame(
+        [("qa", "hash join"), ("qb", "stream window table")],
+        ["query_id", "text"],
+    )
+    got = sorted(map(tuple, bm25_search(served, queries, k=10).collect()))
+    want = sorted(map(tuple, bm25_search(full, queries, k=10).collect()))
+    assert got == want and len(got) > 0
+
+    # restart over the same checkpoint: nothing new -> no new version
+    _run()
+    assert latest_version(store) == v1
+
+    # crash-replay: re-applying an already-committed batch id is a no-op
+    run_tag = checkpoint_run_tag(ckpt)
+    postings_maintenance_batch(docs.limit(7), 0, store, run_tag)
+    assert latest_version(store) == v1
+    n_postings = read_version(spark, store, v1).count()
+    assert n_postings == full["postings"].count()
+
+
+def test_stream_postings_reprocess_replaces_not_duplicates(spark, sf_dir, tmp_path):
+    """A fresh checkpoint over an overlapping corpus (reprocessing)
+    must REPLACE a document's postings, not double-count them —
+    delete+insert semantics, mirroring `sources/sinks.py::upsert_by_key`."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import build_postings
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        postings_maintenance_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    store = str(tmp_path / "store2")
+    postings_maintenance_batch(docs, 0, store, "runA")
+    # reprocess the same docs under a DIFFERENT run tag (fresh
+    # checkpoint): postings must stay identical, not double
+    postings_maintenance_batch(docs, 0, store, "runB")
+    stored = read_version(spark, store, latest_version(store))
+    want = build_postings(docs)["postings"]
+    assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, want.collect()))
