@@ -315,3 +315,30 @@ def test_infinity_vectors_excluded_from_assignment(spark):
     got = assign_clusters(df, [[0.0, 0.0], [3.0, 3.0]], "vec", "id")
     out = {r["id"]: r["cluster"] for r in got.collect()}
     assert out == {1: 0}
+
+
+def test_int8_dot_topk_recall_vs_float(spark, sf_dir):
+    """Symmetric int8 code dot product must track the float ranker:
+    recall@5 measured 0.98 on the fixture corpus (r06; the rejected
+    shifted/unsigned scheme measured 0.03 — ranking by component sums).
+    Threshold 0.90."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        int8_dot_topk,
+        max_abs_bound,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, q, k=5).collect()
+    quant = int8_dot_topk(emb, q, max_abs_bound(emb), k=5).collect()
+    e, g = {}, {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        g.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(e[k] & g[k]) / len(e[k]) for k in e]
+    assert sum(recalls) / len(recalls) >= 0.90, recalls
