@@ -649,3 +649,79 @@ def incremental_minhash_dedup_sig(
         new_sig.join(survivors, on=id_col, how="left_semi")
     )
     return survivors, updated
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Substring-level exact-duplicate detection (the suffix-array-free
+    Spark shape of Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better", public): find every maximal span of a
+    document whose k-token windows also occur elsewhere in the corpus
+    (or again in the same document), and report per-document span
+    statistics — the signal a pretraining pipeline uses to CUT repeated
+    boilerplate out of otherwise-unique documents, which doc-level
+    MinHash cannot see.
+
+    Plan shape: positional k-token windows are hashed map-side (8-byte
+    keys, same portable md5 trick as the n-gram Jaccard index); one
+    groupBy finds hashes occurring >= 2 times; matched positions join
+    back (co-partitioned on the hash) and collapse into maximal islands
+    with a lag + running-sum window — every shuffled row is (id, pos)
+    or (hash, count), never text.  Output per doc (only docs with at
+    least one duplicated window): n_dup_windows, n_spans,
+    covered_tokens (exact union size of the [pos, pos+k-1] intervals),
+    longest_span — all ints.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
+    ).where(F.size("__w") >= k)
+    wins = words.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (k - 1)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    h32(
+                        F.concat_ws(" ", F.slice("__w", i, k)), "span"
+                    ).alias("h"),
+                ),
+            )
+        ).alias("u"),
+    ).select(id_col, F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
+    matched = wins.join(dup.select("h"), on="h").select(id_col, "pos").distinct()
+    wp = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        matched.withColumn("prev", F.lag("pos").over(wp))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > k), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    spans = islands.groupBy(id_col, "island").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        (F.max("pos") + F.lit(k - 1) - F.min("pos") + F.lit(1))
+        .cast("long")
+        .alias("span_len"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.sum("n_windows").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("covered_tokens"),
+        F.max("span_len").alias("longest_span"),
+    )

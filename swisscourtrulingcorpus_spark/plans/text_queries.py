@@ -1182,3 +1182,61 @@ SPECS += [
         "reference-LM bigram coverage (integer half of lm_score)",
     ),
 ]
+
+
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-dup span report
+    (`operators/dedup.py::repeated_ngram_spans`, the Lee et al. 2022
+    substring dedup signal): per doc, the maximal spans whose 10-token
+    windows occur >= 2 times corpus-wide."""
+    from swisscourtrulingcorpus_spark.operators.dedup import repeated_ngram_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_ngram_spans(docs, "text", "doc_id", k=10)
+
+
+REPEATED_SPANS_ORACLE = r"""
+WITH words AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+ww AS (SELECT doc_id, w FROM words WHERE len(w) >= 10),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 9 + 1),
+           i -> struct_pack(pos := i,
+                            h := CAST(('0x' || substr(md5('span|' || array_to_string(w[i:i+9], ' ')), 1, 8))::UBIGINT AS BIGINT)))) AS u
+  FROM ww),
+m0 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM wins),
+dup AS (SELECT h FROM m0 GROUP BY h HAVING count(*) >= 2),
+matched AS (SELECT DISTINCT doc_id, pos FROM m0 JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 10
+              THEN 1 ELSE 0 END AS nf
+  FROM matched),
+isl2 AS (
+  SELECT doc_id, pos,
+         sum(nf) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, count(*) AS n_windows,
+         max(pos) + 9 - min(pos) + 1 AS span_len
+  FROM isl2 GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(n_windows) AS BIGINT) AS n_dup_windows,
+       count(*) AS n_spans,
+       CAST(sum(span_len) AS BIGINT) AS covered_tokens,
+       CAST(max(span_len) AS BIGINT) AS longest_span
+FROM spans GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "repeated_ngram_spans_documents",
+        q_repeated_ngram_spans,
+        REPEATED_SPANS_ORACLE,
+        "substring-level exact-dup spans (Lee et al. shape), int-exact",
+    ),
+]
