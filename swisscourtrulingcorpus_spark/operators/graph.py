@@ -114,3 +114,53 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks
+
+
+def integer_pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 1_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point PageRank: every score is a micro-int and every
+    update is integer arithmetic —
+    ``new = (1-d)*scale + (d_pct * sum(score // out_deg)) // 100`` —
+    so a fixed-iteration run is bit-identical across engines and can
+    be HASH-GATED against a chained-CTE SQL oracle (the float
+    `pagerank` above is numpy-cross-checked only; this variant makes
+    the iterative-algorithm class oracle-checkable).  Requires every
+    node to appear as a source (e.g. a bidirectionalized edge list):
+    no dangling mass, which is what keeps the integer update closed.
+
+    Scale shape: per iteration one co-partitioned join on ``src`` and
+    one groupBy on ``dst`` — shuffled rows are (node, int) pairs; the
+    plan is cut per iteration with localCheckpoint (same lineage
+    truncation as `pagerank`).
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
+    scores = deg.select(
+        F.col(src).alias("node"), F.lit(scale).cast("long").alias("s")
+    )
+    base = (100 - damping_pct) * scale // 100
+    for _ in range(iters):
+        contrib = (
+            edges.join(scores, edges[src] == scores["node"])
+            .join(deg, on=src)
+            .select(
+                F.col(dst).alias("node"),
+                F.expr("s DIV __deg").alias("c"),
+            )
+        )
+        scores = (
+            contrib.groupBy("node")
+            .agg(
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * sum(c)) DIV 100")
+                ).alias("s")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores.select("node", F.col("s").alias("score_micro"))

@@ -149,3 +149,68 @@ SPECS = [
         "DSIR hashed-bigram importance weights vs target domain",
     ),
 ]
+
+
+def integer_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the bipartite customer↔part purchase
+    graph (`operators/graph.py::integer_pagerank`, 5 iterations): the
+    oracle-gated iterative-algorithm class — every score is a micro
+    bigint, every update pure integer arithmetic, so the 5-step chain
+    is hash-identical to the DuckDB recursive-CTE mirror.  Part nodes
+    are offset by 10^9 to share the bigint id space with customers."""
+    from swisscourtrulingcorpus_spark.operators.graph import integer_pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    offset = F.lit(1_000_000_000).cast("long")
+    edges = pairs.select(
+        F.col("c").alias("src"), (F.col("p") + offset).alias("dst")
+    ).unionByName(
+        pairs.select(
+            (F.col("p") + offset).alias("src"), F.col("c").alias("dst")
+        )
+    )
+    return integer_pagerank(edges, iters=5)
+
+
+def _ipr_iteration(prev: str, out: str) -> str:
+    return (
+        f"{out} AS (SELECT e.dst AS node, "
+        f"150000 + (85 * sum(r.s // d.deg)) // 100 AS s "
+        f"FROM edges e JOIN {prev} r ON e.src = r.node "
+        f"JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+    )
+
+
+INTEGER_PAGERANK_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+edges AS (
+  SELECT c AS src, p + 1000000000 AS dst FROM pairs
+  UNION ALL
+  SELECT p + 1000000000 AS src, c AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+{_ipr_iteration('r0', 'r1')},
+{_ipr_iteration('r1', 'r2')},
+{_ipr_iteration('r2', 'r3')},
+{_ipr_iteration('r3', 'r4')},
+{_ipr_iteration('r4', 'r5')}
+SELECT node, CAST(s AS BIGINT) AS score_micro FROM r5
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "integer_pagerank_parts",
+        integer_pagerank_parts,
+        INTEGER_PAGERANK_ORACLE,
+        "fixed-point PageRank, 5 iters, integer-exact iterative gate",
+    ),
+]
