@@ -35,8 +35,8 @@ class QuerySpec:
 # therefore re-checks exactly the 50 queries whose evidence is oldest —
 # new gates (never checked) automatically enter the window, and no
 # gate's driver row can silently age out: with a 50-entry window the
-# steady-state max staleness is ceil(n_specs/50) rounds (3 at the
-# current 138 specs).  tests/test_registry_window.py asserts the
+# steady-state max staleness is ceil(n_specs/50) rounds (4 at the
+# current 153 specs).  tests/test_registry_window.py asserts the
 # ordering invariant mechanically.
 
 
