@@ -145,3 +145,40 @@ def lm_score(
         "coverage",
         "avg_logprob",
     )
+
+
+def lm_score_micro(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    reference: DataFrame,
+) -> DataFrame:
+    """`lm_score` with the registry's integer discipline applied to the
+    logprob itself: each bigram's ln P(w2|w1) is snapped to a micro
+    bigint BEFORE the per-doc sum, so the total is exact integer
+    arithmetic — order- and engine-independent — and the full LM
+    quality signal (not just the coverage half) becomes hashable.
+    Output per scored doc: n_bigrams, n_scored, sum_logprob_micro
+    (NULL when nothing scored)."""
+    words = _doc_words(df, text_col, id_col)
+    uni, bi = ngram_counts(reference, text_col, id_col)
+    pos = _doc_bigrams(words, id_col)
+    attached = pos.join(bi, on=["w1", "w2"], how="left").join(
+        uni.withColumnRenamed("token", "w1"), on="w1", how="left"
+    )
+    lp_micro = F.round(
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    scores = attached.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.count("c2").alias("n_scored"),
+        F.sum(lp_micro).alias("sum_logprob_micro"),
+    )
+    every = df.select(F.col(id_col)).distinct()
+    return every.join(scores, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+        "sum_logprob_micro",
+    )

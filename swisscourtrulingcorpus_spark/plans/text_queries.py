@@ -1240,3 +1240,80 @@ SPECS += [
         "substring-level exact-dup spans (Lee et al. shape), int-exact",
     ),
 ]
+
+
+def q_ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality bucketing
+    (`operators/lm.py::lm_score_micro`): odd docs scored against the
+    even-doc reference LM, per-bigram logprobs micro-snapped before the
+    exact integer per-doc sum, then ntile(3) ordered by the avg
+    micro-logprob (a single int/int division — engine-identical
+    double) desc, doc_id tie-break.  The global ntile sorts one slim
+    row per DOCUMENT (same doc-level-window scale class as
+    `ntile_customer_spend`; the 100 TB form swaps in approx_percentile
+    boundaries)."""
+    from pyspark.sql import Window as W
+
+    from swisscourtrulingcorpus_spark.operators.lm import lm_score_micro
+
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    scored = lm_score_micro(
+        docs.where(F.col("doc_id") % 2 == 1), "text", "doc_id", ref
+    ).where(F.col("n_scored") > 0)
+    order = W.orderBy(
+        (F.col("sum_logprob_micro").cast("double") / F.col("n_scored")).desc(),
+        F.col("doc_id").asc(),
+    )
+    return scored.select(
+        "doc_id",
+        "n_scored",
+        "sum_logprob_micro",
+        F.ntile(3).over(order).alias("bucket"),
+    )
+
+
+CCNET_BUCKETS_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+refuni AS (
+  SELECT t AS token, count(*) AS c1
+  FROM (SELECT unnest(w) AS t FROM w WHERE doc_id % 2 = 0) GROUP BY 1),
+refbi AS (
+  SELECT w1, w2, count(*) AS c2
+  FROM (SELECT w[pos] AS w1, w[pos + 1] AS w2
+        FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 0))
+  GROUP BY 1, 2),
+newbg AS (
+  SELECT doc_id, w[pos] AS w1, w[pos + 1] AS w2
+  FROM (SELECT doc_id, unnest(range(1, len(w))) AS pos, w FROM w WHERE doc_id % 2 = 1)),
+att AS (
+  SELECT n.doc_id, b.c2, u.c1,
+         CASE WHEN b.c2 IS NOT NULL THEN
+           CAST(round(ln(CAST(b.c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+         END AS lp_micro
+  FROM newbg n
+  LEFT JOIN refbi b ON n.w1 = b.w1 AND n.w2 = b.w2
+  LEFT JOIN refuni u ON u.token = n.w1),
+g AS (
+  SELECT doc_id,
+         CAST(count(c2) AS BIGINT) AS n_scored,
+         CAST(sum(lp_micro) AS BIGINT) AS sum_logprob_micro
+  FROM att GROUP BY 1
+  HAVING count(c2) > 0)
+SELECT doc_id, n_scored, sum_logprob_micro,
+       CAST(ntile(3) OVER (ORDER BY CAST(sum_logprob_micro AS DOUBLE) / n_scored DESC, doc_id ASC) AS INTEGER) AS bucket
+FROM g
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "ccnet_quality_buckets",
+        q_ccnet_quality_buckets,
+        CCNET_BUCKETS_ORACLE,
+        "CCNet head/middle/tail LM-quality bucketing, micro-int logprobs",
+    ),
+]
