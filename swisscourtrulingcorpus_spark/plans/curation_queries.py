@@ -1,12 +1,15 @@
-"""Corpus-curation gates: DSIR importance resampling weights.
+"""Corpus-curation gates: DSIR weights + integer PageRank.
 
-Another piece of the LLM-training-data layer:
+More pieces of the LLM-training-data layer:
 
 - ``dsir_importance_weights`` — Data Selection via Importance
   Resampling (Xie et al., 2023, public): score every document by the
   hashed-n-gram log-likelihood ratio between a target domain and the
   rest of the corpus.  The standard way to up-sample "looks like the
   target distribution" data at pretraining scale.
+- ``integer_pagerank_parts`` — fixed-point PageRank
+  (`operators/graph.py::integer_pagerank`): the oracle-gated
+  iterative-algorithm demonstration.
 
 Integer discipline: DSIR's per-bucket log-ratio is snapped to a micro
 bigint BEFORE the per-doc sum (same trick as the BM25 micro-scores in

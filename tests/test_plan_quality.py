@@ -389,3 +389,26 @@ def test_bm25_search_postings_only_document_sized_input(spark, sf_dir):
     # the index build; the scan reads only (doc_id, text)
     static = _static_plan(df)
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in static, static
+
+
+def test_round6_new_gate_plan_shapes(spark, sf_dir):
+    """Round-6 additions: the span detector's match-back join and the
+    quantized-ANN broadcast must not degrade to nested loops (beyond
+    the deliberate broadcast of the tiny quantized query set), and the
+    fixed-point PageRank touches only (node, int) pairs — no text or
+    vector columns in any exchange."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        integer_pagerank_parts,
+    )
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        q_repeated_ngram_spans,
+    )
+
+    spans = _final_plan(q_repeated_ngram_spans(spark, sf_dir))
+    assert "CartesianProduct" not in spans
+    assert "BroadcastNestedLoopJoin" not in spans
+
+    pr = _static_plan(integer_pagerank_parts(spark, sf_dir))
+    assert "CartesianProduct" not in pr
+    # every iteration's shuffle carries only slim integer columns
+    assert "text" not in pr and "embedding" not in pr
