@@ -681,20 +681,17 @@ def repeated_ngram_spans(
     words = df.select(
         F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
     ).where(F.size("__w") >= k)
+    # shared slice+zip_with shingler (measured ~4x faster per row than
+    # the indexed-transform shape; see its docstring) — posexplode gives
+    # the 1-based window position directly.
     wins = words.select(
         id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("__w") - (k - 1)),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    h32(
-                        F.concat_ws(" ", F.slice("__w", i, k)), "span"
-                    ).alias("h"),
-                ),
-            )
-        ).alias("u"),
-    ).select(id_col, F.col("u.pos").alias("pos"), F.col("u.h").alias("h"))
+        F.posexplode(word_shingles_from_words(F.col("__w"), k)).alias(
+            "pos0", "sh"
+        ),
+    ).select(
+        id_col, (F.col("pos0") + 1).alias("pos"), h32("sh", "span").alias("h")
+    )
     dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
     matched = wins.join(dup.select("h"), on="h").select(id_col, "pos").distinct()
     wp = Window.partitionBy(id_col).orderBy("pos")

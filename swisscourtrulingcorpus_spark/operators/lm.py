@@ -116,15 +116,7 @@ def lm_score(
     Double summation order is engine/partitioning-dependent; treat
     ``avg_logprob`` as a measurement, not a reproducible hash (see
     module docstring)."""
-    words = _doc_words(df, text_col, id_col)
-    if reference is None:
-        uni, bi = ngram_counts(df, text_col, id_col, words=words)
-    else:
-        uni, bi = ngram_counts(reference, text_col, id_col)
-    pos = _doc_bigrams(words, id_col)
-    attached = pos.join(bi, on=["w1", "w2"], how="left").join(
-        uni.withColumnRenamed("token", "w1"), on="w1", how="left"
-    )
+    attached = _attached_positions(df, text_col, id_col, reference)
     lp = F.log(F.col("c2") / F.col("c1"))
     scores = attached.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
@@ -132,19 +124,7 @@ def lm_score(
         (F.count("c2") / F.count(F.lit(1))).alias("coverage"),
         F.avg(lp).alias("avg_logprob"),
     )
-    # Degenerate docs (null text / fewer than two tokens) have no
-    # bigrams and would otherwise VANISH from the output — exactly the
-    # documents a quality gate must not silently pass.  Emit them
-    # explicitly: n_bigrams = 0, coverage = NULL (no signal, distinct
-    # from "all bigrams unseen").
-    every = df.select(F.col(id_col)).distinct()
-    return every.join(scores, on=id_col, how="left").select(
-        id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
-        "coverage",
-        "avg_logprob",
-    )
+    return _with_degenerate_docs(df, scores, id_col, ["coverage", "avg_logprob"])
 
 
 def lm_score_micro(
@@ -160,12 +140,7 @@ def lm_score_micro(
     quality signal (not just the coverage half) becomes hashable.
     Output per scored doc: n_bigrams, n_scored, sum_logprob_micro
     (NULL when nothing scored)."""
-    words = _doc_words(df, text_col, id_col)
-    uni, bi = ngram_counts(reference, text_col, id_col)
-    pos = _doc_bigrams(words, id_col)
-    attached = pos.join(bi, on=["w1", "w2"], how="left").join(
-        uni.withColumnRenamed("token", "w1"), on="w1", how="left"
-    )
+    attached = _attached_positions(df, text_col, id_col, reference)
     lp_micro = F.round(
         F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
         * F.lit(1_000_000.0)
@@ -175,10 +150,43 @@ def lm_score_micro(
         F.count("c2").alias("n_scored"),
         F.sum(lp_micro).alias("sum_logprob_micro"),
     )
+    return _with_degenerate_docs(df, scores, id_col, ["sum_logprob_micro"])
+
+
+def _attached_positions(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    reference: DataFrame | None,
+) -> DataFrame:
+    """Shared scoring relation for `lm_score`/`lm_score_micro`: every
+    document bigram position LEFT-joined against the reference model
+    counts — (id, pos, w1, w2, c1, c2) with NULL counts for unseen
+    pairs.  One tokenization of each corpus (self-scoring mode binds
+    the split once via ``words=``, r04 review)."""
+    words = _doc_words(df, text_col, id_col)
+    if reference is None:
+        uni, bi = ngram_counts(df, text_col, id_col, words=words)
+    else:
+        uni, bi = ngram_counts(reference, text_col, id_col)
+    pos = _doc_bigrams(words, id_col)
+    return pos.join(bi, on=["w1", "w2"], how="left").join(
+        uni.withColumnRenamed("token", "w1"), on="w1", how="left"
+    )
+
+
+def _with_degenerate_docs(
+    df: DataFrame, scores: DataFrame, id_col: str, passthrough: list[str]
+) -> DataFrame:
+    """Degenerate docs (null text / fewer than two tokens) have no
+    bigrams and would otherwise VANISH from the output — exactly the
+    documents a quality gate must not silently pass.  Emit them
+    explicitly: n_bigrams = 0, signal columns NULL (no signal, distinct
+    from "all bigrams unseen")."""
     every = df.select(F.col(id_col)).distinct()
     return every.join(scores, on=id_col, how="left").select(
         id_col,
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
-        "sum_logprob_micro",
+        *passthrough,
     )

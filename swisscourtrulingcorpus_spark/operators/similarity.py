@@ -403,6 +403,14 @@ def max_abs_bound(df: DataFrame, vec_col: str = "embedding") -> float:
         )
         .collect()[0]
     )
+    if row["s"] is None:
+        # every vector was NULL/NaN/Inf/empty (exactly the rows
+        # _valid_vec excludes — int8_quantize passes them through as
+        # NULL codes); there is no meaningful scale, so fail loudly
+        # instead of float(None)'s opaque TypeError.
+        raise ValueError(
+            f"max_abs_bound: no valid vectors in column {vec_col!r}"
+        )
     return float(row["s"])
 
 

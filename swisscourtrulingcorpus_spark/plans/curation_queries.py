@@ -160,17 +160,22 @@ def integer_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-gated iterative-algorithm class — every score is a micro
     bigint, every update pure integer arithmetic, so the 5-step chain
     is hash-identical to the DuckDB recursive-CTE mirror.  Part nodes
-    are offset by 10^9 to share the bigint id space with customers."""
+    share the bigint id space with customers via a data-derived offset
+    (max c_custkey, a 1-row bounded collect) — a fixed 10^9 constant
+    would silently merge customer and part nodes once c_custkey crosses
+    it (TPC-H SF ≳ 6667, well inside the 100 TB target)."""
     from swisscourtrulingcorpus_spark.operators.graph import integer_pagerank
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
     pairs = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    offset = F.lit(1_000_000_000).cast("long")
+    max_ck = customer.agg(F.max("c_custkey")).collect()[0][0]
+    offset = F.lit(int(max_ck)).cast("long")
     edges = pairs.select(
         F.col("c").alias("src"), (F.col("p") + offset).alias("dst")
     ).unionByName(
@@ -194,10 +199,11 @@ INTEGER_PAGERANK_ORACLE = f"""
 WITH pairs AS (
   SELECT DISTINCT o_custkey AS c, l_partkey AS p
   FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+off AS (SELECT MAX(c_custkey) AS o FROM customer),
 edges AS (
-  SELECT c AS src, p + 1000000000 AS dst FROM pairs
+  SELECT c AS src, p + (SELECT o FROM off) AS dst FROM pairs
   UNION ALL
-  SELECT p + 1000000000 AS src, c AS dst FROM pairs),
+  SELECT p + (SELECT o FROM off) AS src, c AS dst FROM pairs),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
 r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
 {_ipr_iteration('r0', 'r1')},

@@ -39,24 +39,35 @@ def main() -> None:
             rows.append((name, None, new_q[name], "NEW"))
             continue
         a, b = old_q[name], new_q[name]
-        # noise band: union of both runs' observed [min, max]; a run
-        # without spread contributes its single best value
-        lo = min(old_s.get(name, {}).get("min", a), new_s.get(name, {}).get("min", b))
-        hi = max(old_s.get(name, {}).get("max", a), new_s.get(name, {}).get("max", b))
-        if b > hi:
+        # Two independent band checks (NOT a union — bench.py records
+        # queries[name] == spread[name]["min"], so a union band always
+        # contains the new value and would classify every real
+        # regression as noise): the new best must sit inside the OLD
+        # run's observed [min, max], and the old best inside the NEW
+        # run's — only when both runs' distributions are disjoint in
+        # the same direction do we flag.
+        old_lo = old_s.get(name, {}).get("min", a)
+        old_hi = old_s.get(name, {}).get("max", a)
+        new_lo = new_s.get(name, {}).get("min", b)
+        new_hi = new_s.get(name, {}).get("max", b)
+        if new_lo > old_hi:
             verdict = "REGRESSED"
-        elif b < lo:
+        elif new_hi < old_lo:
             verdict = "IMPROVED"
         else:
             verdict = "within-noise"
         rows.append((name, a, b, verdict))
+    for name in old_q:
+        if name not in new_q:
+            rows.append((name, old_q[name], None, "REMOVED"))
     print(f"{'query':34s} {'old':>7s} {'new':>7s}  verdict")
     flagged = 0
     for name, a, b, verdict in rows:
-        if verdict in ("REGRESSED", "IMPROVED", "NEW"):
+        if verdict in ("REGRESSED", "IMPROVED", "NEW", "REMOVED"):
             flagged += 1
         astr = f"{a:7.3f}" if a is not None else "      -"
-        print(f"{name:34s} {astr} {b:7.3f}  {verdict}")
+        bstr = f"{b:7.3f}" if b is not None else "      -"
+        print(f"{name:34s} {astr} {bstr}  {verdict}")
     print(
         f"\ntotal {old.get('value')} -> {new.get('value')} "
         f"({flagged} outside noise band of {len(rows)})"

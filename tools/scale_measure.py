@@ -61,15 +61,15 @@ QUERIES = [
     # round-5b extension: streaming/window family (10x events corpus =
     # 10 replicas with shifted user/event ids, per-replica session
     # structure identical to the source)
+    ("tumbling_hourly_events", "partial agg: map-side combine, window-key shuffle only"),
+    ("session_windows_events", "per-user sessionization, (user) key shuffle"),
+    ("first_event_per_user", "top-1 per key via min-struct partial agg"),
+    ("event_gap_stats", "per-user lag window over slim columns"),
     # round-6 extension: retrieval + curation family
     ("bm25_query_topk", "index build linear in tokens; probe touches queried-term postings only"),
     ("dsir_importance_weights", "map-side hashed features; B-row broadcast bucket models"),
     ("postings_incremental_merge", "index-sized union + vocab-sized df merge"),
     ("int8_dot_topk_embeddings", "broadcast quantized queries, single corpus scan"),
-    ("tumbling_hourly_events", "partial agg: map-side combine, window-key shuffle only"),
-    ("session_windows_events", "per-user sessionization, (user) key shuffle"),
-    ("first_event_per_user", "top-1 per key via min-struct partial agg"),
-    ("event_gap_stats", "per-user lag window over slim columns"),
 ]
 
 
