@@ -164,3 +164,104 @@ def integer_pagerank(
             .localCheckpoint(eager=False)
         )
     return scores.select("node", F.col("s").alias("score_micro"))
+
+
+def connected_components_bigstar(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_phases: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond", public) — the LOG-round counterpart of
+    `operators/dedup.py::transitive_dedup_clusters`' min-label
+    propagation, whose round count is the cluster DIAMETER.  Near-dup
+    clusters are shallow, so propagation is fine there; citation /
+    link graphs are not — a 10^6-hop chain needs ~10^6 propagation
+    rounds but only ~log^2 phases here, because each star step
+    rewires whole neighbourhoods at the component minimum instead of
+    moving labels one hop.
+
+    large-star: per node u over the symmetric neighbourhood, with
+    m = min(N(u) ∪ {u}), rewire every LARGER neighbour to m.
+    small-star: per node u over min-oriented edges (all neighbours
+    < u), rewire every neighbour (and u) to m.  Both phases are one
+    groupBy(node).min + one join back — every shuffled row is a
+    (bigint, bigint) pair, payloads never move.  Lineage is cut per
+    phase with an eager localCheckpoint (same iterative-DataFrame
+    pitfall as `pagerank`), and convergence is detected with a
+    two-scalar aggregate (edge count + order-independent bit_xor of
+    per-edge hashes — xor cannot overflow under ANSI mode, unlike a
+    hash SUM), not a materialized set-difference.
+
+    Returns (node, cluster) with cluster = min node id of the
+    component — bit-identical to `transitive_dedup_clusters` on the
+    same input (test-asserted), so the two are interchangeable and
+    callers pick by graph shape.
+    """
+    nodes = (
+        pairs.select(F.col(left_col).cast("long").alias("n"))
+        .union(pairs.select(F.col(right_col).cast("long").alias("n")))
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.col(left_col).cast("long").alias("a"),
+            F.col(right_col).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _stats(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        bi = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = bi.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m"))
+        return (
+            bi.join(m, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("hi").agg(F.min("lo").alias("m"))
+        j = e.join(m, on="hi")
+        rewired = j.where(F.col("lo") != F.col("m")).select(
+            F.col("lo").alias("hi"), F.col("m").alias("lo")
+        )
+        anchors = j.select("hi", F.col("m").alias("lo"))
+        return rewired.union(anchors).where(F.col("hi") != F.col("lo")).distinct()
+
+    prev = _stats(edges)
+    for _ in range(max_phases):
+        edges = _large_star(edges).localCheckpoint(eager=True)
+        edges = _small_star(edges).localCheckpoint(eager=True)
+        cur = _stats(edges)
+        if cur == prev:
+            break
+        prev = cur
+    labels = edges.groupBy(F.col("hi").alias("node")).agg(
+        F.min("lo").alias("cluster")
+    )
+    lone = nodes.join(labels, nodes["n"] == labels["node"], "left_anti").select(
+        F.col("n").alias("node"), F.col("n").alias("cluster")
+    )
+    return labels.union(lone)

