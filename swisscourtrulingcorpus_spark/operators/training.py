@@ -456,3 +456,103 @@ def stratified_sample_exact(
         .select(id_col)
     )
     return df.join(F.broadcast(winners), on=id_col, how="left_semi")
+
+
+def temperature_sampling_quotas(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based multilingual/domain sampling quotas (the
+    mT5/XLM-R alpha-sampling recipe, public): apportion ``total``
+    sample slots across groups proportionally to ``count^alpha`` —
+    alpha < 1 up-weights low-resource groups, alpha = 1 is natural
+    sampling.  The missing half of ``domain_mix_sample``: there the
+    caller SUPPLIES rates; here the rates are DERIVED from the corpus.
+
+    Integer discipline: the (double) ``pow`` weight is snapped to a
+    micro bigint immediately, and apportionment is exact
+    largest-remainder (Hamilton) arithmetic on those bigints — seats =
+    floor(total * w / W) plus one for the largest remainders (ties by
+    group asc), so quotas sum to EXACTLY ``total`` and every engine
+    computes the identical table.
+
+    Scale shape: one groupBy(group) count over a slim projection, then
+    windows over the GROUPS-sized table (a handful of rows at any
+    corpus size) — the corpus is scanned once, nothing document-sized
+    shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "w_micro",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+            * F.lit(1_000_000.0)
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("__W"))
+    w = w.crossJoin(F.broadcast(tot))
+    w = w.select(
+        group_col,
+        "n_docs",
+        "w_micro",
+        F.expr(f"({int(total)} * w_micro) DIV __W").alias("__base"),
+        F.expr(f"({int(total)} * w_micro) % __W").alias("__rem"),
+    )
+    # leftover seats to the largest remainders; the group-count table
+    # is tiny, so the single-partition windows are a non-issue
+    leftover = F.lit(int(total)) - F.sum("__base").over(
+        Window.partitionBy(F.lit(1))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(F.lit(1)).orderBy(
+            F.col("__rem").desc(), F.col(group_col).asc()
+        )
+    )
+    return w.select(
+        group_col,
+        "n_docs",
+        "w_micro",
+        (
+            F.col("__base")
+            + F.when(rank <= leftover, F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+def stratified_sample_quota(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quotas: DataFrame,
+    seed: str = "strat",
+) -> DataFrame:
+    """`stratified_sample_exact` with a PER-STRATUM quota table
+    (strata_col, quota) instead of one constant n — the selection
+    stage of temperature sampling: exactly ``quota`` rows per stratum
+    by seeded md5 order.
+
+    Same two-phase shape over the slim (id, stratum) projection; the
+    local phase caps at each stratum's own quota (quotas broadcast —
+    groups-sized), the global phase ranks survivors per stratum, and
+    winners broadcast-semi-join back so the corpus never shuffles."""
+    key = md5_seeded(F.col(id_col).cast("string"), seed)
+    q = F.broadcast(quotas.select(strata_col, "quota"))
+    slim = df.select(id_col, strata_col).join(q, on=strata_col)
+    local_w = Window.partitionBy(
+        F.spark_partition_id(), F.col(strata_col)
+    ).orderBy(key.asc(), F.col(id_col).asc())
+    candidates = (
+        slim.withColumn("__lrk", F.row_number().over(local_w))
+        .where(F.col("__lrk") <= F.col("quota"))
+        .drop("__lrk")
+    )
+    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
+    winners = (
+        candidates.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.col("quota"))
+        .select(id_col)
+    )
+    return df.join(F.broadcast(winners), on=id_col, how="left_semi")

@@ -263,3 +263,218 @@ SPECS += [
         "large-star/small-star components vs provable 50-chain structure",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling (mT5/XLM-R alpha-sampling): derived quotas + exact
+# per-language selection
+# ---------------------------------------------------------------------------
+
+_TEMP_TOTAL = 200
+_TEMP_ALPHA = 0.3
+
+
+def temperature_quotas_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language sampling quotas at alpha = 0.3 over the documents
+    corpus (`operators/training.py::temperature_sampling_quotas`):
+    count^alpha weights micro-snapped to bigints, exact
+    largest-remainder apportionment of 200 slots — quotas sum to
+    exactly 200 on any engine."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        temperature_sampling_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang")
+    return temperature_sampling_quotas(
+        docs, "lang", total=_TEMP_TOTAL, alpha=_TEMP_ALPHA
+    )
+
+
+_TEMP_QUOTA_CTES = f"""c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+w AS (SELECT lang, n_docs, CAST(round(pow(n_docs, {_TEMP_ALPHA}) * 1000000.0) AS BIGINT) AS w_micro FROM c),
+t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w),
+b AS (SELECT lang, n_docs, w_micro,
+             ({_TEMP_TOTAL} * w_micro) // tw AS base,
+             ({_TEMP_TOTAL} * w_micro) % tw AS rem
+      FROM w CROSS JOIN t),
+lv AS (SELECT CAST({_TEMP_TOTAL} - sum(base) AS BIGINT) AS leftover FROM b),
+quota AS (
+  SELECT lang, n_docs, w_micro,
+         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                               <= (SELECT leftover FROM lv)
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+  FROM b)"""
+
+TEMPERATURE_QUOTAS_ORACLE = f"""
+WITH {_TEMP_QUOTA_CTES}
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, w_micro, quota FROM quota
+"""
+
+
+def temperature_sample_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection stage chained onto the derived quotas
+    (`operators/training.py::stratified_sample_quota`): exactly
+    ``quota`` documents per language by seeded md5 order — the full
+    temperature-sampling pipeline, value-checked row by row (every
+    selected doc_id must match the oracle's md5 ranking)."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        stratified_sample_quota,
+        temperature_sampling_quotas,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    quotas = temperature_sampling_quotas(
+        docs, "lang", total=_TEMP_TOTAL, alpha=_TEMP_ALPHA
+    )
+    return stratified_sample_quota(
+        docs, "lang", "doc_id", quotas, seed="temp"
+    ).select("doc_id", "lang")
+
+
+TEMPERATURE_SAMPLE_ORACLE = f"""
+WITH {_TEMP_QUOTA_CTES},
+ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+         ) AS rk
+  FROM documents)
+SELECT r.doc_id, r.lang
+FROM ranked r JOIN quota q USING (lang)
+WHERE r.rk <= q.quota
+"""
+
+
+# ---------------------------------------------------------------------------
+# char-entropy junk detection: micro-exact Shannon entropy per document
+# ---------------------------------------------------------------------------
+
+def char_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, in micro-nats —
+    the classic cheap junk detector (base64 blobs / key dumps score
+    high, single-char runs near zero; natural language sits in a
+    narrow band).  H = ln(n) - (sum c_i ln c_i) / n over char counts;
+    each ln is snapped to a micro bigint BEFORE the sum so the whole
+    statistic is exact integer arithmetic (registry discipline).
+
+    Scale shape: one explode + two groupBys on (doc_id[, char]) —
+    fixed-width shuffle rows, text read once.  Degenerate docs (null /
+    empty text) are emitted with n_chars = 0 and NULL entropy, same
+    contract as the LM scorer."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("doc_id", F.explode(F.split("text", "")).alias("c"))
+    )
+    cnt = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("ci"))
+    lnc_micro = F.round(F.log(F.col("ci").cast("double")) * F.lit(1_000_000.0)).cast(
+        "long"
+    )
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("ci").alias("n_chars"),
+        F.sum(F.col("ci") * lnc_micro).alias("s_micro"),
+    )
+    entropy = (
+        F.round(F.log(F.col("n_chars").cast("double")) * F.lit(1_000_000.0)).cast(
+            "long"
+        )
+        - F.expr("s_micro DIV n_chars")
+    ).cast("long")
+    scored = agg.select("doc_id", "n_chars", entropy.alias("entropy_micro"))
+    every = docs.select("doc_id")
+    return every.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_chars", F.lit(0)).cast("long").alias("n_chars"),
+        "entropy_micro",
+    )
+
+
+CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+cnt AS (SELECT doc_id, c, count(*) AS ci FROM chars GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(ci) AS BIGINT) AS n_chars,
+         CAST(sum(ci * CAST(round(ln(ci) * 1000000.0) AS BIGINT)) AS BIGINT) AS s_micro
+  FROM cnt GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_chars, 0) AS n_chars,
+       CAST(round(ln(a.n_chars) * 1000000.0) AS BIGINT) - a.s_micro // a.n_chars
+         AS entropy_micro
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-lexicon blocklist filter (C4-style bad-list removal, neutral lexicon)
+# ---------------------------------------------------------------------------
+
+_BLOCKLIST = ["lorem", "ipsum", "unsubscribe", "clickbait", "spam"]
+
+
+def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style lexicon filter: drop (here: flag) documents containing
+    any term from a blocklist, exact WORD-level membership against the
+    broadcast-with-closure literal list — not substring regex, so
+    'spambot' does not flag 'spam' (the classic C4 false-positive).
+    Output per doc: n_hits (total occurrences), n_terms (distinct
+    blocklist terms present), keep.  Pure JVM column arithmetic, zero
+    shuffles on top of the scan — same posture as the Gopher rules."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_ws("text"), " ")
+    lex = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    hits = F.filter(words, lambda w: w.isin(*_BLOCKLIST))
+    n_hits = F.size(hits)
+    n_terms = F.size(F.array_intersect(F.array_distinct(words), lex))
+    return docs.select(
+        "doc_id",
+        n_hits.cast("long").alias("n_hits"),
+        n_terms.cast("long").alias("n_terms"),
+        (n_hits == 0).alias("keep"),
+    )
+
+
+_BL_SQL = ", ".join(f"'{t}'" for t in _BLOCKLIST)
+
+BLOCKLIST_FILTER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents)
+SELECT doc_id,
+       CAST(len(list_filter(words, x -> x IN ({_BL_SQL}))) AS BIGINT) AS n_hits,
+       CAST(len(list_intersect(list_distinct(words), [{_BL_SQL}])) AS BIGINT) AS n_terms,
+       (len(list_filter(words, x -> x IN ({_BL_SQL}))) = 0) AS keep
+FROM w
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "temperature_quotas_languages",
+        temperature_quotas_languages,
+        TEMPERATURE_QUOTAS_ORACLE,
+        "alpha-sampling quotas, exact largest-remainder apportionment",
+    ),
+    QuerySpec(
+        "temperature_sample_languages",
+        temperature_sample_languages,
+        TEMPERATURE_SAMPLE_ORACLE,
+        "derived-quota md5 selection, row-identical to oracle ranking",
+    ),
+    QuerySpec(
+        "char_entropy_documents",
+        char_entropy_documents,
+        CHAR_ENTROPY_ORACLE,
+        "micro-exact char Shannon entropy junk signal",
+    ),
+    QuerySpec(
+        "blocklist_filter_documents",
+        blocklist_filter_documents,
+        BLOCKLIST_FILTER_ORACLE,
+        "word-exact lexicon blocklist filter, map-side only",
+    ),
+]

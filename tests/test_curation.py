@@ -1,0 +1,140 @@
+"""Temperature sampling (quota derivation + quota-exact selection),
+char-entropy junk scoring, and the word-exact blocklist filter
+(`operators/training.py`, `plans/curation_queries.py`)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.training import (
+    stratified_sample_quota,
+    temperature_sampling_quotas,
+)
+
+
+@pytest.fixture(scope="module")
+def lang_df(spark):
+    # 80 'de', 15 'fr', 5 'it' — skewed enough that alpha matters
+    rows = (
+        [(i, "de") for i in range(80)]
+        + [(100 + i, "fr") for i in range(15)]
+        + [(200 + i, "it") for i in range(5)]
+    )
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def _quotas(spark, lang_df, total, alpha):
+    got = temperature_sampling_quotas(lang_df, "lang", total=total, alpha=alpha)
+    return {r.lang: r.quota for r in got.collect()}
+
+
+def test_quotas_sum_exactly_to_total(spark, lang_df):
+    for total, alpha in [(10, 0.3), (100, 0.3), (100, 1.0), (7, 0.5)]:
+        q = _quotas(spark, lang_df, total, alpha)
+        assert sum(q.values()) == total, (total, alpha)
+
+
+def test_alpha_one_is_proportional(spark, lang_df):
+    # alpha=1 -> natural sampling: quotas track raw counts (80/15/5)
+    q = _quotas(spark, lang_df, 100, 1.0)
+    assert q == {"de": 80, "fr": 15, "it": 5}
+
+
+def test_low_alpha_upweights_low_resource(spark, lang_df):
+    nat = _quotas(spark, lang_df, 100, 1.0)
+    temp = _quotas(spark, lang_df, 100, 0.3)
+    assert temp["it"] > nat["it"] and temp["fr"] > nat["fr"]
+    assert temp["de"] < nat["de"]
+    # and matches the exact largest-remainder arithmetic
+    w = {
+        lang: round(n**0.3 * 1_000_000)
+        for lang, n in [("de", 80), ("fr", 15), ("it", 5)]
+    }
+    W = sum(w.values())
+    base = {k: (100 * v) // W for k, v in w.items()}
+    rem = {k: (100 * v) % W for k, v in w.items()}
+    leftover = 100 - sum(base.values())
+    order = sorted(w, key=lambda k: (-rem[k], k))
+    want = {
+        k: base[k] + (1 if order.index(k) < leftover else 0) for k in w
+    }
+    assert temp == want
+
+
+def test_quota_selection_exact_and_stratum_stable(spark, lang_df):
+    quotas = temperature_sampling_quotas(lang_df, "lang", total=20, alpha=0.3)
+    picked = stratified_sample_quota(lang_df, "lang", "doc_id", quotas, seed="t")
+    got = {
+        r.lang: r.n for r in picked.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    want = {r.lang: r.quota for r in quotas.collect()}
+    assert got == want
+    # per-stratum stability: growing stratum 'de' must not change which
+    # 'it' docs are selected (md5 order is per-row, quota for it fixed)
+    it_before = {
+        r.doc_id for r in picked.where(F.col("lang") == "it").collect()
+    }
+    grown = lang_df.union(
+        spark.createDataFrame(
+            [(300 + i, "de") for i in range(20)], "doc_id bigint, lang string"
+        )
+    )
+    fixed_quotas = quotas  # same quota table (isolate selection stage)
+    picked2 = stratified_sample_quota(grown, "lang", "doc_id", fixed_quotas, seed="t")
+    it_after = {
+        r.doc_id for r in picked2.where(F.col("lang") == "it").collect()
+    }
+    assert it_before == it_after
+
+
+def test_char_entropy_hand_values(spark, tmp_path):
+    # write a tiny documents.parquet and run the gate end-to-end
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        char_entropy_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "aaaa", "de", "s", 4),   # one symbol -> H = 0
+            (1, "ab", "de", "s", 2),     # uniform 2 -> H = ln 2
+            (2, None, "de", "s", 0),     # degenerate -> NULL
+            (3, "", "de", "s", 0),       # degenerate -> NULL
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_micro)
+        for r in char_entropy_documents(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (4, round(math.log(4) * 1e6) - (4 * round(math.log(4) * 1e6)) // 4)
+    assert got[0][1] == 0
+    assert got[1] == (2, round(math.log(2) * 1e6))
+    assert got[2] == (0, None)
+    assert got[3] == (0, None)
+
+
+def test_blocklist_word_exact(spark, tmp_path):
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        blocklist_filter_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "clean text here", "de", "s", 15),
+            (1, "Lorem ipsum lorem", "de", "s", 17),    # 3 hits, 2 terms
+            (2, "spambot is one word", "de", "s", 19),  # substring must NOT flag
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_hits, r.n_terms, r.keep)
+        for r in blocklist_filter_documents(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (0, 0, True)
+    assert got[1] == (3, 2, False)
+    assert got[2] == (0, 0, True)
