@@ -412,3 +412,30 @@ def test_round6_new_gate_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in pr
     # every iteration's shuffle carries only slim integer columns
     assert "text" not in pr and "embedding" not in pr
+
+
+def test_round6b_curation_plan_shapes(spark, sf_dir):
+    """Round-6b curation additions: the blocklist filter is pure
+    map-side (zero exchanges on top of the scan), char entropy
+    shuffles only slim (doc_id[, char], int) rows, and the
+    temperature-sample winners semi-join back via broadcast so the
+    corpus never shuffles."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        blocklist_filter_documents,
+        char_entropy_documents,
+        temperature_sample_languages,
+    )
+
+    bl = _static_plan(blocklist_filter_documents(spark, sf_dir))
+    assert "Exchange" not in bl  # map-side only, like the Gopher rules
+
+    ent = _static_plan(char_entropy_documents(spark, sf_dir))
+    assert "CartesianProduct" not in ent
+    # the exploded char column shuffles, the text column must not:
+    # 'text' may appear only in the scan/project, never in an Exchange
+    # argument list — cheap proxy: entropy output joins on doc_id only
+    assert "BroadcastNestedLoopJoin" not in ent
+
+    samp = _final_plan(temperature_sample_languages(spark, sf_dir))
+    assert "CartesianProduct" not in samp
+    assert "BroadcastHashJoin" in samp  # winners broadcast back

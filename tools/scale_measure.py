@@ -70,6 +70,12 @@ QUERIES = [
     ("dsir_importance_weights", "map-side hashed features; B-row broadcast bucket models"),
     ("postings_incremental_merge", "index-sized union + vocab-sized df merge"),
     ("int8_dot_topk_embeddings", "broadcast quantized queries, single corpus scan"),
+    # round-6b extension: curation/graph family
+    ("char_entropy_documents", "explode + two slim groupBys, text read once"),
+    ("blocklist_filter_documents", "pure JVM word membership, zero shuffles"),
+    ("temperature_sample_languages", "slim (id, lang) phases + broadcast semi-join back"),
+    ("cc_bigstar_long_chains", "O(log) star phases, (bigint, bigint) shuffles only"),
+    ("repeated_ngram_spans_documents", "windowed shingle hash index, (id, pos) shuffles"),
 ]
 
 
