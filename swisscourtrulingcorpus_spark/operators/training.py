@@ -439,23 +439,43 @@ def stratified_sample_exact(
     Deterministic on any engine/cluster (md5 order, ties by id), and
     stable per stratum under growth of OTHER strata (adding documents
     to stratum A never changes stratum B's sample)."""
-    key = md5_seeded(F.col(id_col).cast("string"), seed)
     slim = df.select(id_col, strata_col)
+    return df.join(
+        F.broadcast(_two_phase_stratum_topn(slim, strata_col, id_col, F.lit(int(n_per_stratum)), seed)),
+        on=id_col,
+        how="left_semi",
+    )
+
+
+def _two_phase_stratum_topn(
+    slim: DataFrame,
+    strata_col: str,
+    id_col: str,
+    cap,
+    seed: str,
+) -> DataFrame:
+    """Shared selection core of `stratified_sample_exact` /
+    `stratified_sample_quota`: the per-stratum md5-ordered top-``cap``
+    ids (``cap`` is a Column — a literal for the exact variant, the
+    joined quota for the quota variant).  Two phases so no stratum
+    funnels through one window task: a row in the true global top-cap
+    is necessarily in its input-partition's local top-cap, so phase 1
+    discards no winner; phase 2 re-ranks the bounded survivors."""
+    key = md5_seeded(F.col(id_col).cast("string"), seed)
     local_w = Window.partitionBy(
         F.spark_partition_id(), F.col(strata_col)
     ).orderBy(key.asc(), F.col(id_col).asc())
     candidates = (
         slim.withColumn("__lrk", F.row_number().over(local_w))
-        .where(F.col("__lrk") <= n_per_stratum)
+        .where(F.col("__lrk") <= cap)
         .drop("__lrk")
     )
     w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
-    winners = (
+    return (
         candidates.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= n_per_stratum)
+        .where(F.col("__rk") <= cap)
         .select(id_col)
     )
-    return df.join(F.broadcast(winners), on=id_col, how="left_semi")
 
 
 def temperature_sampling_quotas(
@@ -473,10 +493,15 @@ def temperature_sampling_quotas(
 
     Integer discipline: the (double) ``pow`` weight is snapped to a
     micro bigint immediately, and apportionment is exact
-    largest-remainder (Hamilton) arithmetic on those bigints — seats =
-    floor(total * w / W) plus one for the largest remainders (ties by
-    group asc), so quotas sum to EXACTLY ``total`` and every engine
-    computes the identical table.
+    largest-remainder (Hamilton) arithmetic on those bigints.  A
+    group's quota is CAPPED at its population (sampling is without
+    replacement) and the unfillable slots are redistributed in one
+    exact greedy pass over the remaining capacities (largest-remainder
+    order, ties by group asc) — so quotas sum to EXACTLY
+    ``min(total, corpus size)`` and every engine computes the
+    identical table.  (Without the cap, a small stratum under a big
+    ``total`` would be promised more rows than it has and the
+    selection stage would silently under-fill — r06b review.)
 
     Scale shape: one groupBy(group) count over a slim projection, then
     windows over the GROUPS-sized table (a handful of rows at any
@@ -499,26 +524,44 @@ def temperature_sampling_quotas(
         F.expr(f"({int(total)} * w_micro) DIV __W").alias("__base"),
         F.expr(f"({int(total)} * w_micro) % __W").alias("__rem"),
     )
-    # leftover seats to the largest remainders; the group-count table
-    # is tiny, so the single-partition windows are a non-issue
-    leftover = F.lit(int(total)) - F.sum("__base").over(
-        Window.partitionBy(F.lit(1))
+    # the group-count table is tiny, so the single-partition windows
+    # are a non-issue
+    everyone = Window.partitionBy(F.lit(1))
+    hamilton_order = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("__rem").desc(), F.col(group_col).asc()
     )
-    rank = F.row_number().over(
-        Window.partitionBy(F.lit(1)).orderBy(
-            F.col("__rem").desc(), F.col(group_col).asc()
-        )
+    leftover = F.lit(int(total)) - F.sum("__base").over(everyone)
+    rank = F.row_number().over(hamilton_order)
+    w = w.select(
+        group_col,
+        "n_docs",
+        "w_micro",
+        "__rem",
+        F.least(
+            F.col("__base")
+            + F.when(rank <= leftover, F.lit(1)).otherwise(F.lit(0)),
+            F.col("n_docs"),
+        ).alias("__q1"),
     )
+    # greedy capacity refill: deficit = slots lost to the population
+    # cap, poured into the remaining capacities in largest-remainder
+    # order — one cumulative-sum window, exact (fills the whole
+    # deficit whenever total <= corpus size; caps everything at
+    # n_docs otherwise)
+    deficit = F.lit(int(total)) - F.sum("__q1").over(everyone)
+    cap = F.col("n_docs") - F.col("__q1")
+    cum_before = F.coalesce(
+        F.sum(cap).over(
+            hamilton_order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    extra2 = F.least(cap, F.greatest(deficit - cum_before, F.lit(0)))
     return w.select(
         group_col,
         "n_docs",
         "w_micro",
-        (
-            F.col("__base")
-            + F.when(rank <= leftover, F.lit(1)).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("quota"),
+        (F.col("__q1") + extra2).cast("long").alias("quota"),
     )
 
 
@@ -534,25 +577,14 @@ def stratified_sample_quota(
     stage of temperature sampling: exactly ``quota`` rows per stratum
     by seeded md5 order.
 
-    Same two-phase shape over the slim (id, stratum) projection; the
-    local phase caps at each stratum's own quota (quotas broadcast —
-    groups-sized), the global phase ranks survivors per stratum, and
-    winners broadcast-semi-join back so the corpus never shuffles."""
-    key = md5_seeded(F.col(id_col).cast("string"), seed)
+    Same two-phase shape over the slim (id, stratum) projection
+    (shared core `_two_phase_stratum_topn`); the local phase caps at
+    each stratum's own quota (quotas broadcast — groups-sized), the
+    global phase ranks survivors per stratum, and winners
+    broadcast-semi-join back so the corpus never shuffles."""
     q = F.broadcast(quotas.select(strata_col, "quota"))
     slim = df.select(id_col, strata_col).join(q, on=strata_col)
-    local_w = Window.partitionBy(
-        F.spark_partition_id(), F.col(strata_col)
-    ).orderBy(key.asc(), F.col(id_col).asc())
-    candidates = (
-        slim.withColumn("__lrk", F.row_number().over(local_w))
-        .where(F.col("__lrk") <= F.col("quota"))
-        .drop("__lrk")
-    )
-    w = Window.partitionBy(strata_col).orderBy(key.asc(), F.col(id_col).asc())
-    winners = (
-        candidates.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= F.col("quota"))
-        .select(id_col)
+    winners = _two_phase_stratum_topn(
+        slim, strata_col, id_col, F.col("quota"), seed
     )
     return df.join(F.broadcast(winners), on=id_col, how="left_semi")

@@ -244,10 +244,21 @@ def cc_bigstar_long_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
-    pairs = docs.where(d % 50 != 49).select(
-        d.alias("id_a"), (d + 1).alias("id_b")
+    # successor must EXIST — without the semi-join, a corpus whose
+    # size isn't a multiple of 50 would emit an edge to a phantom
+    # doc_id the oracle lacks (r06b review); isolated run-starters
+    # (never in any pair) come back via the left join, self-labelled.
+    nxt = docs.select((d - 1).alias("doc_id"))
+    pairs = (
+        docs.where(d % 50 != 49)
+        .join(nxt, on="doc_id", how="left_semi")
+        .select(d.alias("id_a"), (d + 1).alias("id_b"))
     )
-    return connected_components_bigstar(pairs).select("node", "cluster")
+    labels = connected_components_bigstar(pairs)
+    return docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        F.col("doc_id").alias("node"),
+        F.coalesce("cluster", "doc_id").alias("cluster"),
+    )
 
 
 CC_BIGSTAR_ORACLE = """
@@ -298,12 +309,24 @@ b AS (SELECT lang, n_docs, w_micro,
              ({_TEMP_TOTAL} * w_micro) % tw AS rem
       FROM w CROSS JOIN t),
 lv AS (SELECT CAST({_TEMP_TOTAL} - sum(base) AS BIGINT) AS leftover FROM b),
+q1 AS (
+  SELECT lang, n_docs, w_micro, rem,
+         least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
+                                <= (SELECT leftover FROM lv)
+                           THEN 1 ELSE 0 END,
+               n_docs) AS q1
+  FROM b),
+dv AS (SELECT CAST({_TEMP_TOTAL} - sum(q1) AS BIGINT) AS deficit FROM q1),
 quota AS (
   SELECT lang, n_docs, w_micro,
-         CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
-                               <= (SELECT leftover FROM lv)
-                          THEN 1 ELSE 0 END AS BIGINT) AS quota
-  FROM b)"""
+         CAST(q1 + least(n_docs - q1,
+                         greatest((SELECT deficit FROM dv)
+                                  - coalesce(sum(n_docs - q1) OVER (
+                                      ORDER BY rem DESC, lang ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING), 0),
+                                  0)) AS BIGINT) AS quota
+  FROM q1)"""
 
 TEMPERATURE_QUOTAS_ORACLE = f"""
 WITH {_TEMP_QUOTA_CTES}
@@ -425,10 +448,11 @@ def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on top of the scan — same posture as the Gopher rules."""
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalize_ws("text"), " ")
-    lex = F.array(*[F.lit(t) for t in _BLOCKLIST])
+    # one encoding of the list: n_terms derives from the filtered hits
+    # (tiny) rather than a second membership pass over the full array
     hits = F.filter(words, lambda w: w.isin(*_BLOCKLIST))
     n_hits = F.size(hits)
-    n_terms = F.size(F.array_intersect(F.array_distinct(words), lex))
+    n_terms = F.size(F.array_distinct(hits))
     return docs.select(
         "doc_id",
         n_hits.cast("long").alias("n_hits"),
@@ -446,7 +470,7 @@ WITH w AS (
   FROM documents)
 SELECT doc_id,
        CAST(len(list_filter(words, x -> x IN ({_BL_SQL}))) AS BIGINT) AS n_hits,
-       CAST(len(list_intersect(list_distinct(words), [{_BL_SQL}])) AS BIGINT) AS n_terms,
+       CAST(len(list_distinct(list_filter(words, x -> x IN ({_BL_SQL})))) AS BIGINT) AS n_terms,
        (len(list_filter(words, x -> x IN ({_BL_SQL}))) = 0) AS keep
 FROM w
 """

@@ -44,8 +44,11 @@ def test_alpha_one_is_proportional(spark, lang_df):
 
 
 def test_low_alpha_upweights_low_resource(spark, lang_df):
-    nat = _quotas(spark, lang_df, 100, 1.0)
-    temp = _quotas(spark, lang_df, 100, 0.3)
+    # total=20 keeps every alpha-share below its population so the
+    # capacity cap stays out of the picture (total=100 WOULD cap 'it'
+    # at its 5 docs — covered by the dedicated cap test below)
+    nat = _quotas(spark, lang_df, 20, 1.0)
+    temp = _quotas(spark, lang_df, 20, 0.3)
     assert temp["it"] > nat["it"] and temp["fr"] > nat["fr"]
     assert temp["de"] < nat["de"]
     # and matches the exact largest-remainder arithmetic
@@ -54,9 +57,9 @@ def test_low_alpha_upweights_low_resource(spark, lang_df):
         for lang, n in [("de", 80), ("fr", 15), ("it", 5)]
     }
     W = sum(w.values())
-    base = {k: (100 * v) // W for k, v in w.items()}
-    rem = {k: (100 * v) % W for k, v in w.items()}
-    leftover = 100 - sum(base.values())
+    base = {k: (20 * v) // W for k, v in w.items()}
+    rem = {k: (20 * v) % W for k, v in w.items()}
+    leftover = 20 - sum(base.values())
     order = sorted(w, key=lambda k: (-rem[k], k))
     want = {
         k: base[k] + (1 if order.index(k) < leftover else 0) for k in w
@@ -138,3 +141,55 @@ def test_blocklist_word_exact(spark, tmp_path):
     assert got[0] == (0, 0, True)
     assert got[1] == (3, 2, False)
     assert got[2] == (0, 0, True)
+
+
+def test_quota_capped_by_population_and_redistributed(spark):
+    # B has 1 doc but its alpha-share would promise ~9 slots: the cap
+    # binds and the unfillable slots pour back into A — quotas still
+    # sum to exactly total (r06b review: no silent under-fill)
+    rows = [(i, "a") for i in range(50)] + [(100, "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    q = {r.lang: r.quota for r in
+         temperature_sampling_quotas(df, "lang", total=40, alpha=0.3).collect()}
+    assert q == {"a": 39, "b": 1}
+    # and the selection stage fills every promised slot
+    got = (
+        stratified_sample_quota(
+            df, "lang", "doc_id",
+            temperature_sampling_quotas(df, "lang", total=40, alpha=0.3),
+            seed="t",
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.lang: r.n for r in got} == {"a": 39, "b": 1}
+
+
+def test_quota_total_above_corpus_returns_populations(spark):
+    rows = [(i, "a") for i in range(50)] + [(100, "b")]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    q = {r.lang: r.quota for r in
+         temperature_sampling_quotas(df, "lang", total=100, alpha=0.3).collect()}
+    assert q == {"a": 50, "b": 1}
+
+
+def test_cc_gate_corpus_not_multiple_of_50(spark, tmp_path):
+    # 520 contiguous ids: the last run is partial (500..519) — no edge
+    # to a phantom doc 520 (r06b review), labels still d - d % 50.
+    # 501 ids: doc 500 starts a run with no successor -> singleton.
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        cc_bigstar_long_chains,
+    )
+
+    for n in (520, 501):
+        d = tmp_path / f"n{n}"
+        d.mkdir()
+        spark.range(n).withColumnRenamed("id", "doc_id").write.parquet(
+            str(d / "documents.parquet")
+        )
+        got = {
+            r.node: r.cluster
+            for r in cc_bigstar_long_chains(spark, str(d)).collect()
+        }
+        assert got == {i: i - i % 50 for i in range(n)}, n
