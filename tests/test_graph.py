@@ -121,3 +121,61 @@ def test_bigstar_empty_and_singleton(spark):
     solo = spark.createDataFrame([(7, 7)], "id_a bigint, id_b bigint")
     got = connected_components_bigstar(solo).collect()
     assert [(r.node, r.cluster) for r in got] == [(7, 7)]
+
+
+def test_bigstar_random_graphs_match_union_find(spark):
+    """Property check on random graphs: star-algorithm labels ==
+    min-label-propagation labels == a python union-find ground truth
+    (hypothesis-driven edge sets, including multi-edges, self-loops
+    and singletons)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        transitive_dedup_clusters,
+    )
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    edge = st.tuples(st.integers(0, 24), st.integers(0, 24))
+
+    @settings(
+        deadline=None,
+        max_examples=10,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        # python union-find ground truth
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+
+        pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        star = {
+            r.node: r.cluster
+            for r in connected_components_bigstar(pairs).collect()
+        }
+        assert star == want
+        prop = {
+            r.node: r.cluster
+            for r in transitive_dedup_clusters(pairs).collect()
+        }
+        # propagation derives nodes from non-self-loop edges only;
+        # compare on its node set
+        for n, lab in prop.items():
+            assert star[n] == lab
+
+    check()
