@@ -722,3 +722,47 @@ def repeated_ngram_spans(
         F.sum("span_len").alias("covered_tokens"),
         F.max("span_len").alias("longest_span"),
     )
+
+
+def cross_corpus_lsh_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+    spread: bool = False,
+) -> DataFrame:
+    """NEAR-duplicate decontamination between a training corpus and an
+    eval/test set — the fuzzy counterpart of the exact shingle-hash
+    `test_set_contamination`: an eval example that leaked into training
+    with light edits (reflowed whitespace, an added sentence) shares
+    most of its shingles, so its MinHash signatures still collide on
+    some LSH band even though no exact n-gram window survives intact.
+    The standard benchmark-decontamination gap (exact 13-gram matching
+    misses paraphrased leakage; GPT-3 appendix C discusses exactly
+    this, public).
+
+    Scale shape: signatures for BOTH corpora are map-side zero-shuffle
+    (`minhash_signatures`); the only shuffle is the banded equi-join of
+    the two fixed-width signature tables — train never self-joins, and
+    with a benchmark-sized test side the banded test table is
+    broadcastable.  Output per flagged train doc: (id, n_test_matches,
+    first_test_match), all ints.
+    """
+    sig_tr = minhash_signatures(train, text_col, id_col, k, num_hashes, spread=spread)
+    sig_te = minhash_signatures(test, text_col, id_col, k, num_hashes, spread=spread)
+    btr = _banded(sig_tr, id_col, num_hashes, bands)
+    bte = _banded(sig_te, id_col, num_hashes, bands).withColumnRenamed(
+        id_col, "__test_id"
+    )
+    pairs = (
+        btr.join(bte, on=["band", "band_key"])
+        .select(id_col, "__test_id")
+        .distinct()
+    )
+    return pairs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_test_matches"),
+        F.min("__test_id").alias("first_test_match"),
+    )

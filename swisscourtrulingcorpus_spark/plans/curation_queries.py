@@ -502,3 +502,66 @@ SPECS += [
         "word-exact lexicon blocklist filter, map-side only",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup contamination (LSH between train corpus and a
+# perturbed eval sample — fuzzy decontamination)
+# ---------------------------------------------------------------------------
+
+_EVAL_OFFSET = 1_000_000
+
+
+def near_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`operators/dedup.py::cross_corpus_lsh_contamination` over a
+    constructed leakage scenario: the "eval set" is every 37th document
+    with one appended marker word (a light edit — most shingles
+    survive, no exact window does at the edit point), scanned against
+    the FULL corpus as training data.  Every leaked source doc must be
+    flagged through the banded cross-join of the two signature tables;
+    the exact-shingle `test_set_contamination` gate cannot see edits,
+    this one is built for them."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        cross_corpus_lsh_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    test = docs.where(F.col("doc_id") % 37 == 0).select(
+        (F.col("doc_id") + F.lit(_EVAL_OFFSET)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" evalmark")).alias("text"),
+    )
+    return cross_corpus_lsh_contamination(docs, test, "text", "doc_id")
+
+
+def _near_contamination_oracle() -> str:
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        _band_exprs,
+        minhash_sig_ctes,
+    )
+
+    band_exprs = _band_exprs()
+    return f"""
+WITH trainset AS (SELECT doc_id, text FROM documents),
+evalset AS (SELECT doc_id + {_EVAL_OFFSET} AS doc_id, text || ' evalmark' AS text
+            FROM documents WHERE doc_id % 37 = 0),
+{minhash_sig_ctes('trainset', '_tr')},
+{minhash_sig_ctes('evalset', '_te')},
+bands_tr AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig_tr),
+bands_te AS (SELECT doc_id AS test_id, unnest([{band_exprs}]) AS band_key FROM sig_te),
+pairs AS (SELECT DISTINCT a.doc_id, b.test_id
+          FROM bands_tr a JOIN bands_te b USING (band_key))
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_test_matches,
+       CAST(min(test_id) AS BIGINT) AS first_test_match
+FROM pairs GROUP BY 1
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "near_contamination_check",
+        near_contamination_check,
+        _near_contamination_oracle(),
+        "cross-corpus LSH near-dup decontamination vs leaked eval twin",
+    ),
+]

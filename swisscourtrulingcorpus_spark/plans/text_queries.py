@@ -85,15 +85,28 @@ def _band_exprs() -> str:
     )
 
 
-def _minhash_sql_cte() -> str:
+def minhash_sig_ctes(source: str, suffix: str = "") -> str:
+    """The words→shingles→signature CTE chain over an arbitrary source
+    CTE/table, name-suffixed so TWO corpora can coexist in one query
+    (the cross-corpus contamination oracle) — one definition of the
+    hash/shingle arithmetic for every MinHash oracle."""
     mins = ", ".join(
         f"min({_h32_window_sql(repr(str(j // 4) + '|') + ' || shingle', j % 4)}) AS mh{j}"
         for j in range(NUM_MINHASH)
     )
     return (
-        f"WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE}, "
-        f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+        f"words{suffix} AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        r"'\s+', ' ', 'g')), ' ') AS w "
+        f"FROM {source}), "
+        f"sh_all{suffix} AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1,1)), "
+        f"i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingle FROM words{suffix}), "
+        f"sh{suffix} AS (SELECT DISTINCT doc_id, shingle FROM sh_all{suffix}), "
+        f"sig{suffix} AS (SELECT doc_id, {mins} FROM sh{suffix} GROUP BY doc_id)"
     )
+
+
+def _minhash_sql_cte() -> str:
+    return "WITH " + minhash_sig_ctes("documents")
 
 
 # ---------------------------------------------------------------- queries

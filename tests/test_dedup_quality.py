@@ -509,3 +509,32 @@ def test_sibling_runs_preserve_each_others_markers(spark, tmp_path):
     minhash_dedup_batch(b, 0, store, out, run_tag="runB")
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]
+
+
+def test_cross_corpus_lsh_contamination_flags_edited_leak(spark):
+    """A train doc that reappears in the eval set with a light edit
+    (one word changed mid-text) must be flagged; an unrelated train
+    doc must not.  Exact-window matching would already miss the edit
+    at the change point — LSH banding is the point of this operator."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        cross_corpus_lsh_contamination,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "green bottles stand quietly on the old stone wall near the "
+            "river bend waiting for the evening train to pass")
+    edited = base.replace("green bottles", "blue bottles")
+    train = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark catalyst "
+                        "optimizer rules and adaptive query execution plans "
+                        "with whole stage code generation for columnar scans")],
+        "doc_id bigint, text string",
+    )
+    test = spark.createDataFrame([(900, edited)], "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_test_matches, r.first_test_match)
+        for r in cross_corpus_lsh_contamination(
+            train, test, "text", "doc_id"
+        ).collect()
+    }
+    assert got == {1: (1, 900)}
