@@ -80,3 +80,42 @@ def salted_collect_agg(
     if sort_result:
         merged = F.sort_array(merged)
     return phase1.groupBy(key).agg(merged.alias(alias))
+
+
+def collect_agg_auto(
+    df: DataFrame,
+    key: str,
+    value: Column,
+    alias: str,
+    skew_threshold: float = 4.0,
+    num_salts: int = 8,
+) -> tuple[DataFrame, str]:
+    """Measure-then-choose between the plain single-shuffle
+    ``sort_array(collect_list(...))`` and `salted_collect_agg` — the
+    agg-level analogue of AQE's runtime skew-join decision, which does
+    not exist for aggregations.
+
+    The probe is one aggregate over the SLIM key column (two shuffles
+    of (key, count) pairs and a 1-row bounded collect) — at scale this
+    costs a small fraction of the payload shuffle it protects, and a
+    pipeline that already ran `skew_report` can pass its ratio straight
+    to `salted_collect_agg` instead.  Returns ``(result, chosen)`` with
+    chosen in {'plain', 'salted'}; both paths produce the identical
+    sorted-array output (salt-invariance is `salted_collect_agg`'s
+    contract), so the choice is pure performance.
+    """
+    stats = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("mx"), F.avg("__n").alias("avg"))
+        .collect()[0]
+    )
+    if stats["mx"] is None or stats["mx"] < skew_threshold * stats["avg"]:
+        plain = df.groupBy(key).agg(
+            F.sort_array(F.collect_list(value)).alias(alias)
+        )
+        return plain, "plain"
+    return (
+        salted_collect_agg(df, key, value, alias, num_salts=num_salts),
+        "salted",
+    )

@@ -355,3 +355,36 @@ def test_input_length_bucket_labels(spark):
     assert out[8192] == "between(4097,8192)"
     assert out[0] is None  # below the first (boundary, next] interval
     assert out[8193] is None  # beyond the last boundary
+
+
+def test_collect_agg_auto_chooses_and_matches(spark):
+    """Uniform keys -> plain; one hot key holding most rows -> salted;
+    both paths must produce the identical sorted-array result."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.skew import (
+        collect_agg_auto,
+        salted_collect_agg,
+    )
+
+    uniform = spark.createDataFrame(
+        [(k, v) for k in range(8) for v in range(3)], "k bigint, v bigint"
+    )
+    res_u, chosen_u = collect_agg_auto(uniform, "k", F.col("v"), "vs")
+    assert chosen_u == "plain"
+
+    skewed = spark.createDataFrame(
+        [(0, v) for v in range(100)] + [(k, 0) for k in range(1, 5)],
+        "k bigint, v bigint",
+    )
+    res_s, chosen_s = collect_agg_auto(skewed, "k", F.col("v"), "vs")
+    assert chosen_s == "salted"
+    want = {
+        r.k: r.vs
+        for r in salted_collect_agg(
+            skewed, "k", F.col("v"), "vs"
+        ).collect()
+    }
+    got = {r.k: r.vs for r in res_s.collect()}
+    assert got == want
+    assert got[0] == sorted(range(100))
