@@ -733,6 +733,7 @@ def cross_corpus_lsh_contamination(
     num_hashes: int = NUM_MINHASH,
     bands: int = LSH_BANDS,
     spread: bool = False,
+    broadcast_test: bool = True,
 ) -> DataFrame:
     """NEAR-duplicate decontamination between a training corpus and an
     eval/test set — the fuzzy counterpart of the exact shingle-hash
@@ -747,9 +748,12 @@ def cross_corpus_lsh_contamination(
     Scale shape: signatures for BOTH corpora are map-side zero-shuffle
     (`minhash_signatures`); the only shuffle is the banded equi-join of
     the two fixed-width signature tables — train never self-joins, and
-    with a benchmark-sized test side the banded test table is
-    broadcastable.  Output per flagged train doc: (id, n_test_matches,
-    first_test_match), all ints.
+    ``broadcast_test`` (default: eval benchmarks are small by
+    definition) ships the banded test table to every executor so the
+    100 TB train side is scanned WITHOUT a shuffle at all
+    (plan-asserted).  Pass False for corpus-vs-corpus sweeps where
+    both sides are large.  Output per flagged train doc:
+    (id, n_test_matches, first_test_match), all ints.
     """
     sig_tr = minhash_signatures(train, text_col, id_col, k, num_hashes, spread=spread)
     sig_te = minhash_signatures(test, text_col, id_col, k, num_hashes, spread=spread)
@@ -757,6 +761,8 @@ def cross_corpus_lsh_contamination(
     bte = _banded(sig_te, id_col, num_hashes, bands).withColumnRenamed(
         id_col, "__test_id"
     )
+    if broadcast_test:
+        bte = F.broadcast(bte)
     pairs = (
         btr.join(bte, on=["band", "band_key"])
         .select(id_col, "__test_id")

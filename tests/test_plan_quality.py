@@ -439,3 +439,16 @@ def test_round6b_curation_plan_shapes(spark, sf_dir):
     samp = _final_plan(temperature_sample_languages(spark, sf_dir))
     assert "CartesianProduct" not in samp
     assert "BroadcastHashJoin" in samp  # winners broadcast back
+
+
+def test_near_contamination_broadcasts_eval_side(spark, sf_dir):
+    """The banded eval-set signatures must BROADCAST so the train-side
+    signature scan never shuffles — at 100 TB the train corpus is the
+    whole dataset and a shuffle here dwarfs the query."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        near_contamination_check,
+    )
+
+    plan = _final_plan(near_contamination_check(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
