@@ -565,3 +565,115 @@ SPECS += [
         "cross-corpus LSH near-dup decontamination vs leaked eval twin",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel: quality -> lexicon -> dedup -> mixture, with
+# the per-stage retention report as the gated output
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"fr": 0.5, "it": 0.25}
+
+
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FineWeb/RefinedWeb-shaped pipeline over the documents corpus
+    (`operators/funnel.py`): Gopher quality rules → word-exact
+    blocklist → exact dedup (min-id representative per identical text)
+    → deterministic language-mixture downsample — gated on the
+    per-stage (step, rows_out) retention table, i.e. the funnel
+    numbers a curation team signs off before training.  Every stage
+    predicate reuses an already-oracle-proven fragment (gopher gate,
+    blocklist gate, exact-dedup md5 grouping, md5-coin mix), chained.
+    """
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.operators.funnel import funnel
+    from swisscourtrulingcorpus_spark.operators.training import domain_mix_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gopher(df: DataFrame) -> DataFrame:
+        words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+        n_words = F.size(words)
+        mean_wl = F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
+        stop_hits = F.size(
+            F.filter(words, lambda w: w.isin("the", "a", "and", "of", "to"))
+        )
+        return df.where(
+            (n_words >= 10)
+            & (n_words <= 100000)
+            & (mean_wl >= 2.0)
+            & (mean_wl <= 12.0)
+            & (stop_hits >= 1)
+        )
+
+    def blocklist(df: DataFrame) -> DataFrame:
+        words = F.split(normalize_ws("text"), " ")
+        return df.where(
+            F.size(F.filter(words, lambda w: w.isin(*_BLOCKLIST))) == 0
+        )
+
+    def dedup(df: DataFrame) -> DataFrame:
+        wmin = Window.partitionBy(F.md5("text"))
+        return (
+            df.withColumn("__keep", F.min("doc_id").over(wmin) == F.col("doc_id"))
+            .where("__keep")
+            .drop("__keep")
+        )
+
+    def mix(df: DataFrame) -> DataFrame:
+        return domain_mix_sample(df, "lang", "doc_id", _MIX_RATES, seed="mix")
+
+    _, report = funnel(
+        docs,
+        [
+            ("gopher", gopher),
+            ("blocklist", blocklist),
+            ("exact_dedup", dedup),
+            ("mix_sample", mix),
+        ],
+    )
+    return report
+
+
+def _funnel_oracle() -> str:
+    from swisscourtrulingcorpus_spark.operators.training import (
+        oracle_domain_mix_predicate,
+    )
+
+    mix_pred = oracle_domain_mix_predicate("lang", "doc_id", _MIX_RATES, seed="mix")
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+k1 AS (
+  SELECT * FROM base
+  WHERE len(words) >= 10 AND len(words) <= 100000
+    AND length(list_aggregate(words, 'string_agg', '')) * 1.0
+        / greatest(len(words), 1) BETWEEN 2.0 AND 12.0
+    AND len(list_filter(words, w -> w IN ('the', 'a', 'and', 'of', 'to'))) >= 1),
+k2 AS (
+  SELECT * FROM k1
+  WHERE len(list_filter(words, x -> x IN ({_BL_SQL}))) = 0),
+k3 AS (
+  SELECT * FROM k2
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+k4 AS (
+  SELECT * FROM k3 WHERE {mix_pred})
+SELECT 'input' AS step, CAST(count(*) AS BIGINT) AS rows_out FROM documents
+UNION ALL SELECT 'gopher', CAST(count(*) AS BIGINT) FROM k1
+UNION ALL SELECT 'blocklist', CAST(count(*) AS BIGINT) FROM k2
+UNION ALL SELECT 'exact_dedup', CAST(count(*) AS BIGINT) FROM k3
+UNION ALL SELECT 'mix_sample', CAST(count(*) AS BIGINT) FROM k4
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "curation_funnel_documents",
+        curation_funnel_documents,
+        _funnel_oracle(),
+        "end-to-end curation funnel retention table, stage-chained oracle",
+    ),
+]

@@ -193,3 +193,23 @@ def test_cc_gate_corpus_not_multiple_of_50(spark, tmp_path):
             for r in cc_bigstar_long_chains(spark, str(d)).collect()
         }
         assert got == {i: i - i % 50 for i in range(n)}, n
+
+
+def test_funnel_report_counts_and_order(spark):
+    """The generic runner: stage counts drop monotonically for pure
+    filters, and the report carries the leading input row."""
+    from swisscourtrulingcorpus_spark.operators.funnel import funnel
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id bigint, m bigint"
+    )
+    final, report = funnel(
+        df,
+        [
+            ("keep_even", lambda d: d.where(F.col("id") % 2 == 0)),
+            ("keep_m0", lambda d: d.where(F.col("m") == 0)),
+        ],
+    )
+    got = {r.step: r.rows_out for r in report.collect()}
+    assert got == {"input": 30, "keep_even": 15, "keep_m0": 5}
+    assert final.count() == 5
