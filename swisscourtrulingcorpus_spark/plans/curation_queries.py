@@ -435,7 +435,12 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 # token-lexicon blocklist filter (C4-style bad-list removal, neutral lexicon)
 # ---------------------------------------------------------------------------
 
-_BLOCKLIST = ["lorem", "ipsum", "unsubscribe", "clickbait", "spam"]
+from swisscourtrulingcorpus_spark.functions.curation import (  # noqa: E402
+    BLOCKLIST_TERMS as _BLOCKLIST,
+)
+from swisscourtrulingcorpus_spark.functions.curation import (  # noqa: E402
+    blocklist_hits as _blocklist_hits,
+)
 
 
 def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,12 +450,13 @@ def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     'spambot' does not flag 'spam' (the classic C4 false-positive).
     Output per doc: n_hits (total occurrences), n_terms (distinct
     blocklist terms present), keep.  Pure JVM column arithmetic, zero
-    shuffles on top of the scan — same posture as the Gopher rules."""
+    shuffles on top of the scan — same posture as the Gopher rules.
+    Predicate shared with the funnel and the streaming twin
+    (`functions/curation.py`)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(normalize_ws("text"), " ")
     # one encoding of the list: n_terms derives from the filtered hits
     # (tiny) rather than a second membership pass over the full array
-    hits = F.filter(words, lambda w: w.isin(*_BLOCKLIST))
+    hits = _blocklist_hits("text")
     n_hits = F.size(hits)
     n_terms = F.size(F.array_distinct(hits))
     return docs.select(
@@ -587,31 +593,20 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        blocklist_keep,
+        gopher_rule_columns,
+    )
     from swisscourtrulingcorpus_spark.operators.funnel import funnel
     from swisscourtrulingcorpus_spark.operators.training import domain_mix_sample
 
     docs = load_table(spark, sf_dir, "documents")
 
     def gopher(df: DataFrame) -> DataFrame:
-        words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-        n_words = F.size(words)
-        mean_wl = F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
-        stop_hits = F.size(
-            F.filter(words, lambda w: w.isin("the", "a", "and", "of", "to"))
-        )
-        return df.where(
-            (n_words >= 10)
-            & (n_words <= 100000)
-            & (mean_wl >= 2.0)
-            & (mean_wl <= 12.0)
-            & (stop_hits >= 1)
-        )
+        return df.where(gopher_rule_columns("text")["keep"])
 
     def blocklist(df: DataFrame) -> DataFrame:
-        words = F.split(normalize_ws("text"), " ")
-        return df.where(
-            F.size(F.filter(words, lambda w: w.isin(*_BLOCKLIST))) == 0
-        )
+        return df.where(blocklist_keep("text"))
 
     def dedup(df: DataFrame) -> DataFrame:
         wmin = Window.partitionBy(F.md5("text"))

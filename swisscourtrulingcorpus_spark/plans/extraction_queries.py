@@ -740,25 +740,19 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-count bounds, mean-word-length bounds, and a minimum stopword
     hit count; a document is kept only if every rule passes.  All pure
     JVM column arithmetic — the filter adds zero shuffles on top of the
-    scan, which is exactly what a 100 TB quality pass must look like."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-    n_words = F.size(words)
-    mean_wl = F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
-    stop_hits = F.size(
-        F.filter(words, lambda w: w.isin("the", "a", "and", "of", "to"))
+    scan, which is exactly what a 100 TB quality pass must look like.
+    Rule expressions shared with the funnel and streaming twin
+    (`functions/curation.py::gopher_rule_columns`)."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
     )
-    wc_ok = (n_words >= 10) & (n_words <= 100000)
-    wl_ok = (mean_wl >= 2.0) & (mean_wl <= 12.0)
-    stop_ok = stop_hits >= 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = gopher_rule_columns("text")
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
-        stop_hits.alias("stop_hits"),
-        wc_ok.alias("wc_ok"),
-        wl_ok.alias("wl_ok"),
-        stop_ok.alias("stop_ok"),
-        (wc_ok & wl_ok & stop_ok).alias("keep"),
+        *[r[name].alias(name) for name in
+          ("n_words", "stop_hits", "wc_ok", "wl_ok", "stop_ok", "keep")],
     )
 
 

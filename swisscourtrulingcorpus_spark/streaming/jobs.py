@@ -919,3 +919,54 @@ def stream_postings_maintenance_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_curation_job(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    mix_rates: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+):
+    """The curation funnel's STATELESS stages as Structured Streaming:
+    Gopher quality rules → word-exact blocklist → deterministic
+    md5-coin mixture downsample, all per-row JVM predicates from the
+    SAME shared builders as the batch gates
+    (`functions/curation.py`, `operators/training.py::
+    domain_mix_sample`) — streaming and batch survivors are identical
+    by construction (test-asserted).  Exact dedup is the one stateful
+    stage and stays with `streaming_dedup` /
+    `stream_minhash_dedup_job`; composing it after this job keeps each
+    concern restartable on its own checkpoint.
+
+    Exactly-once shape mirrors `stream_media_decode_job`: survivors
+    land in a PER-BATCH directory written with overwrite, so an
+    at-least-once foreachBatch replay rewrites the same rows instead
+    of appending duplicates."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        blocklist_keep,
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.training import (
+        domain_mix_sample,
+    )
+
+    rates = {} if mix_rates is None else mix_rates
+
+    def _curate(batch: DataFrame, batch_id: int) -> None:
+        kept = batch.where(gopher_rule_columns(text_col)["keep"]).where(
+            blocklist_keep(text_col)
+        )
+        kept = domain_mix_sample(kept, group_col, id_col, rates, seed="mix")
+        kept.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_curate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -578,3 +578,67 @@ def test_stream_postings_reprocess_replaces_not_duplicates(spark, sf_dir, tmp_pa
     stored = read_version(spark, store, latest_version(store))
     want = build_postings(docs)["postings"]
     assert sorted(map(tuple, stored.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming curation twin must keep EXACTLY the documents the
+    batch predicates keep (shared builders — identical by
+    construction), and a second AvailableNow run over new files must
+    only process the new ones (file-source checkpoint)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        blocklist_keep,
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.training import (
+        domain_mix_sample,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import stream_curation_job
+
+    rates = {"fr": 0.5, "it": 0.25}
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    out = tmp_path / "curated"
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        _shutil.copy(part, stage / f"{name}.parquet")
+
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+    land(first, "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = stream_curation_job(stream, str(out), ckpt, mix_rates=rates)
+        q.awaitTermination()
+
+    run_once()
+    land(second, "b2")
+    run_once()
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(out / "batch=*")).select("doc_id").collect()
+    }
+    want_df = domain_mix_sample(
+        docs.where(gopher_rule_columns("text")["keep"]).where(
+            blocklist_keep("text")
+        ),
+        "lang",
+        "doc_id",
+        rates,
+        seed="mix",
+    )
+    want = {r.doc_id for r in want_df.select("doc_id").collect()}
+    assert got == want and len(want) > 0
