@@ -672,3 +672,84 @@ SPECS += [
         "end-to-end curation funnel retention table, stage-chained oracle",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# unicode script-mix stats (multilingual curation: script filtering)
+# ---------------------------------------------------------------------------
+
+# (name, [(lo, hi), ...]) codepoint ranges — identical literals on both
+# engines; Spark ascii() and DuckDB unicode() both return the first
+# character's code point (cross-checked in tests)
+_SCRIPT_CLASSES = [
+    ("n_latin", [(65, 90), (97, 122), (0x00C0, 0x024F)]),
+    ("n_digit", [(48, 57)]),
+    ("n_cyrillic", [(0x0400, 0x04FF)]),
+    ("n_cjk", [(0x3040, 0x30FF), (0x4E00, 0x9FFF)]),
+    ("n_space", [(9, 13), (32, 32)]),
+]
+
+
+def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode script composition — the standard
+    multilingual curation signal (a 'de' document that is 40% cyrillic
+    codepoints is mislabeled or junk; CJK ratio routes CJK-segmented
+    tokenization).  Counts per script class by codepoint range over
+    the char array, entirely map-side: zero shuffles on top of the
+    scan, same posture as the quality rules.  All-int output;
+    n_other = chars in none of the named classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.filter(
+        F.split(F.coalesce("text", F.lit("")), ""), lambda c: c != F.lit("")
+    )
+
+    def _cls(ranges):
+        def pred(c):
+            cp = F.ascii(c)
+            cond = F.lit(False)
+            for lo, hi in ranges:
+                cond = cond | ((cp >= lo) & (cp <= hi))
+            return cond
+
+        return F.size(F.filter(chars, pred)).cast("long")
+
+    cols = [_cls(r).alias(name) for name, r in _SCRIPT_CLASSES]
+    named = F.lit(0)
+    for name, _ in _SCRIPT_CLASSES:
+        named = named + F.col(name)
+    return docs.select(
+        "doc_id", F.size(chars).cast("long").alias("n_chars"), *cols
+    ).withColumn("n_other", (F.col("n_chars") - named).cast("long"))
+
+
+def _script_sql_class(ranges) -> str:
+    cond = " OR ".join(
+        f"(unicode(c) BETWEEN {lo} AND {hi})" for lo, hi in ranges
+    )
+    return f"CAST(len(list_filter(chars, c -> {cond})) AS BIGINT)"
+
+
+def _script_mix_oracle() -> str:
+    cls = ", ".join(
+        f"{_script_sql_class(r)} AS {name}" for name, r in _SCRIPT_CLASSES
+    )
+    named = " + ".join(name for name, _ in _SCRIPT_CLASSES)
+    return f"""
+WITH ch AS (
+  SELECT doc_id,
+         list_filter(string_split(coalesce(text, ''), ''), c -> c != '') AS chars
+  FROM documents)
+SELECT doc_id, CAST(len(chars) AS BIGINT) AS n_chars, {cls},
+       CAST(len(chars) - ({named}) AS BIGINT) AS n_other
+FROM ch
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "script_mix_documents",
+        script_mix_documents,
+        _script_mix_oracle(),
+        "unicode script composition per doc, map-side codepoint ranges",
+    ),
+]

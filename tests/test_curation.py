@@ -213,3 +213,31 @@ def test_funnel_report_counts_and_order(spark):
     got = {r.step: r.rows_out for r in report.collect()}
     assert got == {"input": 30, "keep_even": 15, "keep_m0": 5}
     assert final.count() == 5
+
+
+def test_script_mix_hand_values(spark, tmp_path):
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        script_mix_documents,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "abc 123", "de", "s", 7),     # 3 latin, 3 digit, 1 space
+            (1, "Жизнь", "ru", "s", 5),       # 5 cyrillic
+            (2, "中文テスト", "ja", "s", 5),   # 5 cjk (han + katakana)
+            (3, "a€b", "de", "s", 3),         # euro sign -> other
+            (4, None, "de", "s", 0),          # null -> all zero
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_chars, r.n_latin, r.n_digit, r.n_cyrillic, r.n_cjk,
+                   r.n_space, r.n_other)
+        for r in script_mix_documents(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (7, 3, 3, 0, 0, 1, 0)
+    assert got[1] == (5, 0, 0, 5, 0, 0, 0)
+    assert got[2] == (5, 0, 0, 0, 5, 0, 0)
+    assert got[3] == (3, 2, 0, 0, 0, 0, 1)
+    assert got[4] == (0, 0, 0, 0, 0, 0, 0)
