@@ -76,6 +76,9 @@ QUERIES = [
     ("temperature_sample_languages", "slim (id, lang) phases + broadcast semi-join back"),
     ("cc_bigstar_long_chains", "O(log) star phases, (bigint, bigint) shuffles only"),
     ("repeated_ngram_spans_documents", "windowed shingle hash index, (id, pos) shuffles"),
+    ("curation_funnel_documents", "stage-chained scan predicates; counts are 1-row aggs"),
+    ("near_contamination_check", "map-side signatures both sides, broadcast banded eval join"),
+    ("script_mix_documents", "map-side codepoint classes, zero shuffles"),
 ]
 
 
