@@ -666,8 +666,11 @@ def repeated_ngram_spans(
     boilerplate out of otherwise-unique documents, which doc-level
     MinHash cannot see.
 
-    Plan shape: positional k-token windows are hashed map-side (8-byte
-    keys, same portable md5 trick as the n-gram Jaccard index); one
+    Plan shape: positional k-token windows are hashed map-side to a
+    64-bit compound key (two 32-bit hex windows of ONE md5 digest —
+    this is EXACT-match semantics, so unlike the collision-tolerant
+    MinHash estimates a single 32-bit key would birthday-collide and
+    flag unrelated windows long before 100 TB scale); one
     groupBy finds hashes occurring >= 2 times; matched positions join
     back (co-partitioned on the hash) and collapse into maximal islands
     with a lag + running-sum window — every shuffled row is (id, pos)
@@ -684,16 +687,38 @@ def repeated_ngram_spans(
     # shared slice+zip_with shingler (measured ~4x faster per row than
     # the indexed-transform shape; see its docstring) — posexplode gives
     # the 1-based window position directly.
-    wins = words.select(
-        id_col,
-        F.posexplode(word_shingles_from_words(F.col("__w"), k)).alias(
-            "pos0", "sh"
-        ),
-    ).select(
-        id_col, (F.col("pos0") + 1).alias("pos"), h32("sh", "span").alias("h")
+    # md5 bound in its own projection so the two hex-window slices don't
+    # recompute it (CollapseProject keeps non-cheap aliases referenced
+    # more than once in their own project).
+    wins = (
+        words.select(
+            id_col,
+            F.posexplode(word_shingles_from_words(F.col("__w"), k)).alias(
+                "pos0", "sh"
+            ),
+        )
+        .select(
+            id_col,
+            (F.col("pos0") + 1).alias("pos"),
+            md5_seeded("sh", "span").alias("__d"),
+        )
+        .select(
+            id_col,
+            "pos",
+            h32_window(F.col("__d"), 0).alias("h1"),
+            h32_window(F.col("__d"), 1).alias("h2"),
+        )
     )
-    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where(F.col("n") >= 2)
-    matched = wins.join(dup.select("h"), on="h").select(id_col, "pos").distinct()
+    dup = (
+        wins.groupBy("h1", "h2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+    )
+    matched = (
+        wins.join(dup.select("h1", "h2"), on=["h1", "h2"])
+        .select(id_col, "pos")
+        .distinct()
+    )
     wp = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         matched.withColumn("prev", F.lag("pos").over(wp))

@@ -133,6 +133,10 @@ def integer_pagerank(
     the iterative-algorithm class oracle-checkable).  Requires every
     node to appear as a source (e.g. a bidirectionalized edge list):
     no dangling mass, which is what keeps the integer update closed.
+    A source node with no in-edges is legal under that contract — it
+    is re-seeded at the base score each iteration (its true fixed
+    point: nothing contributes to it), NOT dropped, so its outgoing
+    contributions keep flowing in later iterations.
 
     Scale shape: per iteration one co-partitioned join on ``src`` and
     one groupBy on ``dst`` — shuffled rows are (node, int) pairs; the
@@ -140,9 +144,8 @@ def integer_pagerank(
     truncation as `pagerank`).
     """
     deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
-    scores = deg.select(
-        F.col(src).alias("node"), F.lit(scale).cast("long").alias("s")
-    )
+    nodes = deg.select(F.col(src).alias("node")).localCheckpoint(eager=False)
+    scores = nodes.select("node", F.lit(scale).cast("long").alias("s"))
     base = (100 - damping_pct) * scale // 100
     for _ in range(iters):
         contrib = (
@@ -152,14 +155,22 @@ def integer_pagerank(
                 F.col(dst).alias("node"),
                 F.expr("s DIV __deg").alias("c"),
             )
+            .groupBy("node")
+            .agg(F.sum("c").alias("__sc"))
         )
+        # left join from the full node set: a node nobody cites still
+        # gets the base score (dropping it would erase its OUTGOING
+        # contributions from the next iteration — silently wrong ranks)
         scores = (
-            contrib.groupBy("node")
-            .agg(
+            nodes.join(contrib, on="node", how="left")
+            .select(
+                "node",
                 (
                     F.lit(base)
-                    + F.expr(f"({damping_pct} * sum(c)) DIV 100")
-                ).alias("s")
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__sc, 0L)) DIV 100"
+                    )
+                ).alias("s"),
             )
             .localCheckpoint(eager=False)
         )

@@ -187,11 +187,15 @@ def integer_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ipr_iteration(prev: str, out: str) -> str:
+    # left join from the full node set mirrors the operator: a node with
+    # no in-edges is re-seeded at the base score, never dropped
     return (
-        f"{out} AS (SELECT e.dst AS node, "
-        f"150000 + (85 * sum(r.s // d.deg)) // 100 AS s "
+        f"{out}c AS (SELECT e.dst AS node, sum(r.s // d.deg) AS sc "
         f"FROM edges e JOIN {prev} r ON e.src = r.node "
-        f"JOIN deg d ON d.src = e.src GROUP BY e.dst)"
+        f"JOIN deg d ON d.src = e.src GROUP BY e.dst), "
+        f"{out} AS (SELECT n.node, "
+        f"150000 + (85 * coalesce(c.sc, 0)) // 100 AS s "
+        f"FROM nodes n LEFT JOIN {out}c c ON c.node = n.node)"
     )
 
 
@@ -205,7 +209,8 @@ edges AS (
   UNION ALL
   SELECT p + (SELECT o FROM off) AS src, c AS dst FROM pairs),
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS s FROM deg),
+nodes AS (SELECT src AS node FROM deg),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
 {_ipr_iteration('r0', 'r1')},
 {_ipr_iteration('r1', 'r2')},
 {_ipr_iteration('r2', 'r3')},
@@ -455,14 +460,16 @@ def blocklist_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/curation.py`)."""
     docs = load_table(spark, sf_dir, "documents")
     # one encoding of the list: n_terms derives from the filtered hits
-    # (tiny) rather than a second membership pass over the full array
-    hits = _blocklist_hits("text")
-    n_hits = F.size(hits)
-    n_terms = F.size(F.array_distinct(hits))
-    return docs.select(
+    # (tiny) rather than a second membership pass over the full array.
+    # The hits array is BOUND in its own projection — referenced inline
+    # it would re-run the full split+filter per output column (the
+    # word_shingles_from_words re-evaluation trap, ~3x the map CPU).
+    bound = docs.select("doc_id", _blocklist_hits("text").alias("__hits"))
+    n_hits = F.size("__hits")
+    return bound.select(
         "doc_id",
         n_hits.cast("long").alias("n_hits"),
-        n_terms.cast("long").alias("n_terms"),
+        F.size(F.array_distinct("__hits")).cast("long").alias("n_terms"),
         (n_hits == 0).alias("keep"),
     )
 
@@ -699,8 +706,15 @@ def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, same posture as the quality rules.  All-int output;
     n_other = chars in none of the named classes."""
     docs = load_table(spark, sf_dir, "documents")
-    chars = F.filter(
-        F.split(F.coalesce("text", F.lit("")), ""), lambda c: c != F.lit("")
+    # the char array is BOUND in its own projection: referenced inline
+    # it would re-split the full text once per output column (6x the
+    # map CPU — the word_shingles_from_words re-evaluation trap)
+    bound = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.coalesce("text", F.lit("")), ""),
+            lambda c: c != F.lit(""),
+        ).alias("__chars"),
     )
 
     def _cls(ranges):
@@ -711,14 +725,14 @@ def script_mix_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cond = cond | ((cp >= lo) & (cp <= hi))
             return cond
 
-        return F.size(F.filter(chars, pred)).cast("long")
+        return F.size(F.filter("__chars", pred)).cast("long")
 
     cols = [_cls(r).alias(name) for name, r in _SCRIPT_CLASSES]
     named = F.lit(0)
     for name, _ in _SCRIPT_CLASSES:
         named = named + F.col(name)
-    return docs.select(
-        "doc_id", F.size(chars).cast("long").alias("n_chars"), *cols
+    return bound.select(
+        "doc_id", F.size("__chars").cast("long").alias("n_chars"), *cols
     ).withColumn("n_other", (F.col("n_chars") - named).cast("long"))
 
 

@@ -50,16 +50,32 @@ def _h32_sql(expr: str) -> str:
 
 
 # Words for shingling: lowercase, whitespace-collapse, trim, split(' ') —
-# identical to functions.hashing.normalize_ws + split.
-_WORDS_CTE = (
-    "words AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
-    r"'\s+', ' ', 'g')), ' ') AS w FROM documents)"
-)
-_SHINGLE_CTE = (
-    "sh_all AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1,1)), "
-    "i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingle FROM words)"
-)
-_DISTINCT_SH_CTE = "sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)"
+# identical to functions.hashing.normalize_ws + split.  ONE definition of
+# each CTE piece (the parameterized builders below); the module-level
+# constants used by the standalone oracles are derived from them so a
+# shingling change cannot silently diverge between oracle families.
+def _words_cte(source: str, suffix: str = "") -> str:
+    return (
+        f"words{suffix} AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
+        r"'\s+', ' ', 'g')), ' ') AS w "
+        f"FROM {source})"
+    )
+
+
+def _shingle_cte(suffix: str = "") -> str:
+    return (
+        f"sh_all{suffix} AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1,1)), "
+        f"i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingle FROM words{suffix})"
+    )
+
+
+def _distinct_sh_cte(suffix: str = "") -> str:
+    return f"sh{suffix} AS (SELECT DISTINCT doc_id, shingle FROM sh_all{suffix})"
+
+
+_WORDS_CTE = _words_cte("documents")
+_SHINGLE_CTE = _shingle_cte()
+_DISTINCT_SH_CTE = _distinct_sh_cte()
 
 
 def _h32_window_sql(expr: str, window: int) -> str:
@@ -95,12 +111,9 @@ def minhash_sig_ctes(source: str, suffix: str = "") -> str:
         for j in range(NUM_MINHASH)
     )
     return (
-        f"words{suffix} AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), "
-        r"'\s+', ' ', 'g')), ' ') AS w "
-        f"FROM {source}), "
-        f"sh_all{suffix} AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w)-1,1)), "
-        f"i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingle FROM words{suffix}), "
-        f"sh{suffix} AS (SELECT DISTINCT doc_id, shingle FROM sh_all{suffix}), "
+        f"{_words_cte(source, suffix)}, "
+        f"{_shingle_cte(suffix)}, "
+        f"{_distinct_sh_cte(suffix)}, "
         f"sig{suffix} AS (SELECT doc_id, {mins} FROM sh{suffix} GROUP BY doc_id)"
     )
 
@@ -1217,11 +1230,14 @@ wins AS (
   SELECT doc_id,
          unnest(list_transform(range(1, len(w) - 9 + 1),
            i -> struct_pack(pos := i,
-                            h := CAST(('0x' || substr(md5('span|' || array_to_string(w[i:i+9], ' ')), 1, 8))::UBIGINT AS BIGINT)))) AS u
+                            d := md5('span|' || array_to_string(w[i:i+9], ' '))))) AS u
   FROM ww),
-m0 AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM wins),
-dup AS (SELECT h FROM m0 GROUP BY h HAVING count(*) >= 2),
-matched AS (SELECT DISTINCT doc_id, pos FROM m0 JOIN dup USING (h)),
+m0 AS (SELECT doc_id, u.pos AS pos,
+              CAST(('0x' || substr(u.d, 1, 8))::UBIGINT AS BIGINT) AS h1,
+              CAST(('0x' || substr(u.d, 9, 8))::UBIGINT AS BIGINT) AS h2
+       FROM wins),
+dup AS (SELECT h1, h2 FROM m0 GROUP BY h1, h2 HAVING count(*) >= 2),
+matched AS (SELECT DISTINCT doc_id, pos FROM m0 JOIN dup USING (h1, h2)),
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL

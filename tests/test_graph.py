@@ -54,6 +54,37 @@ def test_pagerank_empty(spark):
     assert pagerank(empty, "src", "dst").count() == 0
 
 
+def test_integer_pagerank_keeps_source_only_nodes(spark):
+    """A node that appears as src but never as dst (legal under the
+    'every node appears as a source' contract) must stay in the score
+    table at the base score and keep contributing — the groupBy(dst)
+    re-derivation used to drop it after iteration 1, silently erasing
+    its outgoing mass (r06 review finding)."""
+    from swisscourtrulingcorpus_spark.operators.graph import integer_pagerank
+
+    # node 1 is never a destination; 2 and 3 cite each other and 1 cites both
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: r.score_micro
+        for r in integer_pagerank(edges, iters=5, scale=1_000_000).collect()
+    }
+    # all three source nodes present
+    assert set(got) == {1, 2, 3}
+    # node 1 receives nothing: exact base score (1-0.85) * 1e6
+    assert got[1] == 150_000
+    # python fixed-point mirror including node 1's contributions
+    deg = {1: 2, 2: 1, 3: 1}
+    s = {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+    for _ in range(5):
+        c: dict = {}
+        for a, b in [(1, 2), (1, 3), (2, 3), (3, 2)]:
+            c[b] = c.get(b, 0) + s[a] // deg[a]
+        s = {n: 150_000 + (85 * c.get(n, 0)) // 100 for n in (1, 2, 3)}
+    assert got == s
+
+
 # ---------------------------------------------------------------------------
 # large-star/small-star connected components
 # ---------------------------------------------------------------------------
