@@ -233,6 +233,78 @@ def minhash_lsh_candidates(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+    max_chars: int = 2000,
+    threshold_pct: int = 30,
+) -> DataFrame:
+    """Exact edit-distance VERIFICATION of LSH candidate pairs — the
+    standard second stage of banded near-dup dedup (band collisions are
+    probabilistic; production pipelines confirm candidates with a real
+    similarity before dropping documents, cf. the verify step in
+    Gyawali et al. 2020 "Exclusion criteria for large-scale corpus
+    dedup", public).  Output per candidate pair: (id_a, id_b,
+    edit_dist, max_len, dist_pct, verified) — all ints/bool, where
+    verified ⇔ 100*edit_dist <= threshold_pct * max_len (exact integer
+    cross-multiply; dist_pct is the truncated ratio for reporting).
+
+    Scale shape: candidates come from the banded signature self-join
+    (`minhash_lsh_candidates` — never all-pairs); the text projection
+    is pulled ONLY for docs that appear in some candidate pair
+    (semi-join pruned) and capped at ``max_chars``, so the O(n·m)
+    Levenshtein cost is bounded by candidate count × cap², independent
+    of corpus size.  The distance runs on an ASCII projection of the
+    normalized text (non-ASCII stripped identically on both engines):
+    Spark's `levenshtein` counts UTF-16 chars while DuckDB's counts
+    BYTES — on pure ASCII the two agree exactly, making the gate
+    engine-independent (a documented deviation: multi-byte chars don't
+    contribute to the distance).
+    """
+    cands = minhash_lsh_candidates(df, text_col, id_col, k, num_hashes, bands)
+    ids = cands.select(F.col("id_a").alias(id_col)).union(
+        cands.select(F.col("id_b").alias(id_col))
+    ).distinct()
+    proj = (
+        df.join(ids, on=id_col, how="left_semi")
+        .select(
+            F.col(id_col),
+            F.substring(
+                F.regexp_replace(
+                    normalize_ws(text_col), r"[^\x20-\x7e]", ""
+                ),
+                1,
+                max_chars,
+            ).alias("__t"),
+        )
+    )
+    ta = proj.select(F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"))
+    tb = proj.select(F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"))
+    j = cands.join(ta, on="id_a").join(tb, on="id_b")
+    ed = F.levenshtein("__ta", "__tb").cast("long")
+    max_len = F.greatest(F.length("__ta"), F.length("__tb")).cast("long")
+    bound = j.select(
+        "id_a",
+        "id_b",
+        ed.alias("edit_dist"),
+        F.greatest(max_len, F.lit(1)).alias("max_len"),
+    )
+    return bound.select(
+        "id_a",
+        "id_b",
+        "edit_dist",
+        "max_len",
+        F.expr("(100 * edit_dist) DIV max_len").alias("dist_pct"),
+        (F.col("edit_dist") * 100 <= F.lit(threshold_pct) * F.col("max_len")).alias(
+            "verified"
+        ),
+    )
+
+
 def minhash_dedup_groups(
     df: DataFrame,
     text_col: str,

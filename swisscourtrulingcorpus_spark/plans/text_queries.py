@@ -182,6 +182,107 @@ GROUP BY b.doc_id
     )
 
 
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of the LSH candidate pairs
+    (`operators/dedup.py::lsh_verified_pairs`): exact Levenshtein over
+    the ASCII projection of the normalized text, cost bounded by the
+    candidate count (never all-pairs), integer-exact output."""
+    from swisscourtrulingcorpus_spark.operators.dedup import lsh_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_verified_pairs(docs, "text", "doc_id")
+
+
+def _lsh_verified_oracle(max_chars: int = 2000, threshold_pct: int = 30) -> str:
+    band_exprs = _band_exprs()
+    # DuckDB levenshtein counts BYTES; the ASCII projection (identical
+    # regex on both engines) makes bytes == chars so it matches Spark's
+    # char-based distance exactly.
+    return (
+        _minhash_sql_cte()
+        + f""",
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+t AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                               '[^\\x20-\\x7e]', '', 'g'), 1, {max_chars}) AS tt
+  FROM documents),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         CAST(levenshtein(ta.tt, tb.tt) AS BIGINT) AS edit_dist,
+         CAST(greatest(greatest(length(ta.tt), length(tb.tt)), 1) AS BIGINT) AS max_len
+  FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b)
+SELECT id_a, id_b, edit_dist, max_len,
+       (100 * edit_dist) // max_len AS dist_pct,
+       (edit_dist * 100 <= {threshold_pct} * max_len) AS verified
+FROM scored
+"""
+    )
+
+
+def q_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-stage near-dup pipeline composed end to end:
+    LSH candidates → exact edit-distance verification → EXACT connected
+    components over the confirmed pairs
+    (`operators/graph.py::connected_components_bigstar`).  This is the
+    shape a production dedup actually ships — banding for recall,
+    verification for precision, transitive closure for cluster
+    assignment — and unlike the one-pass min-over-buckets
+    `minhash_dedup_groups` it is exact on chains.  Output (node,
+    cluster = min doc id of the verified component) for every doc in
+    at least one verified pair."""
+    from swisscourtrulingcorpus_spark.operators.dedup import lsh_verified_pairs
+    from swisscourtrulingcorpus_spark.operators.graph import (
+        connected_components_bigstar,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vp = (
+        lsh_verified_pairs(docs, "text", "doc_id")
+        .where(F.col("verified"))
+        .select("id_a", "id_b")
+    )
+    return connected_components_bigstar(vp)
+
+
+def _verified_clusters_oracle() -> str:
+    # the verified-pair CTE chain plus a recursive transitive closure:
+    # component sizes are small (near-dup groups), so enumerating
+    # (node, reachable) pairs is cheap for the oracle even though the
+    # Spark side uses the O(log)-round star algorithm.
+    band_exprs = _band_exprs()
+    return (
+        "WITH RECURSIVE "
+        + minhash_sig_ctes("documents")
+        + f""",
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+t AS (
+  SELECT doc_id,
+         substr(regexp_replace(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                               '[^\\x20-\\x7e]', '', 'g'), 1, 2000) AS tt
+  FROM documents),
+vp AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN t ta ON ta.doc_id = c.id_a JOIN t tb ON tb.doc_id = c.id_b
+  WHERE levenshtein(ta.tt, tb.tt) * 100
+        <= 30 * greatest(greatest(length(ta.tt), length(tb.tt)), 1)),
+sym AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+vnodes AS (SELECT DISTINCT a AS n FROM sym),
+closure AS (
+  SELECT n AS node, n AS m FROM vnodes
+  UNION
+  SELECT c.node, s.b AS m FROM closure c JOIN sym s ON s.a = c.m)
+SELECT node, min(m) AS cluster FROM closure GROUP BY node
+"""
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id", spread=True)
@@ -1025,6 +1126,8 @@ SPECS = [
     QuerySpec("minhash_signatures_documents", q_minhash_signatures, MINHASH_ORACLE, "minhash sigs"),
     QuerySpec("minhash_lsh_pairs", q_minhash_lsh_pairs, _lsh_oracle(), "LSH candidates"),
     QuerySpec("minhash_dedup_groups", q_minhash_dedup_groups, _dedup_groups_oracle(), "LSH cluster reps"),
+    QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_oracle(), "edit-distance verification of LSH candidates"),
+    QuerySpec("verified_dedup_clusters", q_verified_dedup_clusters, _verified_clusters_oracle(), "LSH -> verify -> exact CC, three-stage dedup composed"),
     QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),

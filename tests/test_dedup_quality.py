@@ -47,6 +47,46 @@ def test_lsh_recall_on_planted_near_dups(spark):
     assert len(false_pairs) <= len(planted) // 5, false_pairs
 
 
+def test_lsh_verified_pairs_confirms_near_dups_rejects_collisions(spark):
+    """The verification stage must confirm planted near-dup candidates
+    (small edit distance) and reject band-collision noise (unrelated
+    texts, huge distance), with integer-exact ratio arithmetic."""
+    from swisscourtrulingcorpus_spark.operators.dedup import lsh_verified_pairs
+
+    docs = _corpus_with_near_dups(spark, n_base=20)
+    out = {
+        (r.id_a, r.id_b): r
+        for r in lsh_verified_pairs(docs, "text", "doc_id").collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    confirmed = {p for p, r in out.items() if r.verified}
+    # every planted candidate that LSH surfaced must verify (the edit is
+    # ~4 words of 60 → dist well under 30% of length)
+    assert planted & set(out) <= confirmed
+    for p, r in out.items():
+        assert r.edit_dist >= 0 and r.max_len >= 1
+        assert r.dist_pct == (100 * r.edit_dist) // r.max_len
+        assert r.verified == (100 * r.edit_dist <= 30 * r.max_len)
+
+
+def test_lsh_verified_pairs_ascii_projection(spark):
+    """Multi-byte chars are stripped before the distance (the documented
+    engine-parity deviation): two docs differing only by umlauts have
+    edit_dist 0."""
+    from swisscourtrulingcorpus_spark.operators.dedup import lsh_verified_pairs
+
+    # all-distinct base tokens: shingle Jaccard ≈ 0.96 between the two
+    # docs, so the banded LSH surfaces the candidate deterministically
+    base = " ".join(f"tok{j}" for j in range(150))
+    # stripping ü/ß from doc 1 leaves exactly doc 2's text
+    docs = spark.createDataFrame(
+        [(1, base + " über straße"), (2, base + " ber strae")],
+        "doc_id long, text string",
+    )
+    rows = lsh_verified_pairs(docs, "text", "doc_id").collect()
+    assert len(rows) == 1 and rows[0].edit_dist == 0 and rows[0].verified
+
+
 def test_dedup_groups_collapse_planted_dups(spark):
     """The representative path must put each planted pair in one group
     (keep exactly one of the two) for the pairs LSH detects."""

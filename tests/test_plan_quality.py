@@ -441,6 +441,26 @@ def test_round6b_curation_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in samp  # winners broadcast back
 
 
+def test_lsh_verification_stays_candidate_bounded(spark, sf_dir):
+    """The edit-distance verification stage must stay bounded by the
+    candidate pair table: equi-joins only (no all-pairs fallback), and
+    the composed three-stage cluster pipeline likewise — the Levenshtein
+    cost model (candidates x char cap, independent of corpus size)
+    depends on it."""
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        q_lsh_verified_pairs,
+        q_verified_dedup_clusters,
+    )
+
+    vp = _final_plan(q_lsh_verified_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in vp
+    assert "BroadcastNestedLoopJoin" not in vp
+
+    vc = _final_plan(q_verified_dedup_clusters(spark, sf_dir))
+    assert "CartesianProduct" not in vc
+    assert "BroadcastNestedLoopJoin" not in vc
+
+
 def test_near_contamination_broadcasts_eval_side(spark, sf_dir):
     """The banded eval-set signatures must BROADCAST so the train-side
     signature scan never shuffles — at 100 TB the train corpus is the

@@ -79,6 +79,8 @@ QUERIES = [
     ("curation_funnel_documents", "stage-chained scan predicates; counts are 1-row aggs"),
     ("near_contamination_check", "map-side signatures both sides, broadcast banded eval join"),
     ("script_mix_documents", "map-side codepoint classes, zero shuffles"),
+    # round-6c extension: LSH verification stage
+    ("lsh_verified_pairs", "Levenshtein bounded by candidate count x char cap, never all-pairs"),
 ]
 
 
