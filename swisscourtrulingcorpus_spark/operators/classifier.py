@@ -1,0 +1,146 @@
+"""In-engine trained multinomial Naive Bayes text classifier — the
+fastText-style quality/domain classifier of a curation pipeline
+(CCNet's wiki-vs-crawl quality model, Wenzek et al. 2020; the quality
+classifier step of GPT-3 appendix A, both public), trained and applied
+entirely as DataFrame operations.
+
+Why NB and not logistic regression: NB training IS one aggregation
+(per-class token counts), so the whole train step is a single groupBy
+over (bucket, class) — no iterative gradient loop — and the scores are
+sums of per-token log-likelihoods, which micro-int rounding
+(``round(ln(x) * 1e6)``, the repo's established lm_score_micro pattern)
+makes integer-exact and hash-gateable against a SQL oracle.
+
+Scale shape (100 TB posture):
+- features are HASHED token buckets (``h32(word) % n_buckets``) — the
+  model is a fixed ``2 * n_buckets``-row table regardless of corpus
+  size, like the DSIR bucket models;
+- training = one groupBy on (class, bucket) over slim int rows (the
+  text never shuffles — tokens are hashed map-side);
+- the dense (bucket, class) model grid is a deliberate tiny
+  cross-join (n_buckets x 2 rows), broadcast to the scorer;
+- scoring = per-doc (bucket, count) aggregation joined to the
+  broadcast model, one sum — zero corpus-sized shuffles beyond the
+  per-doc feature aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.hashing import h32, normalize_ws
+
+MICRO = 1_000_000
+
+
+def _ln_micro(x: Column) -> Column:
+    """round(ln(x) * 1e6) as BIGINT — the micro-int snap both engines
+    compute identically (same libm double ln; the repo's char-entropy
+    and lm_score_micro gates pin this pattern)."""
+    return F.round(F.log(x) * MICRO).cast("bigint")
+
+
+def nb_quality_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: Column | str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Train a two-class multinomial NB on ``label_col`` (boolean weak
+    labels, e.g. the Gopher keep verdict) and score every document,
+    all in one plan.  Output per doc: (id, label, s_pos_micro,
+    s_neg_micro, pred) where s_c = prior_c + sum_b n_b * loglik(b, c)
+    in micro-ints and pred = (s_pos >= s_neg).
+
+    Laplace-smoothed multinomial likelihood
+    ``ln((cnt_{b,c} + 1) / (T_c + n_buckets))`` over hashed-token
+    OCCURRENCES; priors smoothed ``ln((n_c + 1) / (n + 2))`` so an
+    empty class never produces ln(0).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lab.cast("boolean").alias("label"),
+        F.split(normalize_ws(text_col), " ").alias("__w"),
+    )
+    occ = base.select(
+        "doc_id",
+        "label",
+        F.explode("__w").alias("__word"),
+    ).select(
+        "doc_id", "label", (h32("__word") % n_buckets).alias("b")
+    )
+
+    # -------- train: one groupBy over slim (label, bucket) int rows
+    cnt = occ.groupBy("label", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = occ.groupBy("label").agg(F.count(F.lit(1)).alias("tot"))
+    ndoc = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
+    n_all = base.count()  # 1 scalar, bounded
+
+    # dense (bucket, class) grid: tiny deliberate cross-join, so a
+    # bucket unseen in one class still contributes its smoothed
+    # log-likelihood ln(1 / (T_c + B))
+    buckets = (
+        df.sparkSession.range(n_buckets).select(F.col("id").cast("bigint").alias("b"))
+    )
+    classes = df.sparkSession.createDataFrame(
+        [(True,), (False,)], "label boolean"
+    )
+    # no broadcast hint here: the grid is the BUILD-left side of a left
+    # join (unsupported hint position); the model itself broadcasts at
+    # the scoring join below, which is the join that matters
+    grid = buckets.crossJoin(classes)
+    model = (
+        grid.join(cnt, on=["b", "label"], how="left")
+        .join(tot, on="label", how="left")
+        .select(
+            "b",
+            "label",
+            _ln_micro(
+                (F.coalesce("cnt", F.lit(0)) + 1)
+                / (F.coalesce("tot", F.lit(0)) + n_buckets)
+            ).alias("loglik_micro"),
+        )
+    )
+    prior = ndoc.select(
+        "label",
+        _ln_micro((F.col("n_c") + 1) / F.lit(float(n_all + 2))).alias(
+            "prior_micro"
+        ),
+    )
+
+    # -------- score: per-doc bucket counts x broadcast model
+    feats = occ.groupBy("doc_id", "label", "b").agg(
+        F.count(F.lit(1)).alias("n_b")
+    )
+    scored = (
+        feats.join(
+            F.broadcast(model.withColumnRenamed("label", "cls")), on="b"
+        )
+        .groupBy("doc_id", "label", "cls")
+        .agg(F.sum(F.col("n_b") * F.col("loglik_micro")).alias("s"))
+        .join(
+            F.broadcast(prior.withColumnRenamed("label", "cls")), on="cls"
+        )
+        .select(
+            "doc_id",
+            "label",
+            "cls",
+            (F.col("s") + F.col("prior_micro")).alias("score"),
+        )
+    )
+    pos = scored.where(F.col("cls")).select(
+        "doc_id", "label", F.col("score").alias("s_pos_micro")
+    )
+    neg = scored.where(~F.col("cls")).select(
+        F.col("doc_id").alias("d2"), F.col("score").alias("s_neg_micro")
+    )
+    return pos.join(neg, pos["doc_id"] == neg["d2"]).select(
+        "doc_id",
+        "label",
+        "s_pos_micro",
+        "s_neg_micro",
+        (F.col("s_pos_micro") >= F.col("s_neg_micro")).alias("pred"),
+    )

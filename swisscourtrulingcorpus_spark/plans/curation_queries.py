@@ -767,3 +767,94 @@ SPECS += [
         "unicode script composition per doc, map-side codepoint ranges",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# in-engine trained Naive Bayes quality classifier (CCNet/fastText-style
+# quality model, trained on Gopher weak labels, scored in the same plan)
+# ---------------------------------------------------------------------------
+
+_NB_BUCKETS = 4096
+
+
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-and-score a multinomial NB quality classifier in one plan
+    (`operators/classifier.py::nb_quality_scores`): hashed-token
+    features, Gopher keep verdict as the weak label, micro-int
+    log-likelihoods — the integer-exact stand-in for the fastText
+    quality classifiers of CCNet / GPT-3's curation (both public).
+    Training is ONE groupBy over slim (class, bucket) int rows; the
+    model is a fixed 2x4096-row broadcast table; text never shuffles."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    return nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+
+
+_NB_H32 = "CAST(('0x' || substr(md5(word), 1, 8))::UBIGINT AS BIGINT)"
+
+NB_CLASSIFIER_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+lab AS (
+  SELECT doc_id, words,
+         ((len(words) >= 10 AND len(words) <= 100000)
+          AND (length(list_aggregate(words, 'string_agg', '')) * 1.0
+               / greatest(len(words), 1) BETWEEN 2.0 AND 12.0)
+          AND len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to'))) >= 1)
+           AS label
+  FROM w),
+occ AS (
+  SELECT doc_id, label, {_NB_H32} % {_NB_BUCKETS} AS b
+  FROM (SELECT doc_id, label, unnest(words) AS word FROM lab)),
+cnt AS (SELECT label, b, count(*) AS cnt FROM occ GROUP BY 1, 2),
+tot AS (SELECT label, count(*) AS tot FROM occ GROUP BY 1),
+ndoc AS (SELECT label, count(*) AS n_c FROM lab GROUP BY 1),
+n_all AS (SELECT count(*) AS n FROM lab),
+grid AS (
+  SELECT g.range AS b, c.cls
+  FROM range({_NB_BUCKETS}) g, (SELECT unnest([true, false]) AS cls) c),
+model AS (
+  SELECT g.b, g.cls,
+         CAST(round(ln((coalesce(c.cnt, 0) + 1) * 1.0
+                       / (coalesce(t.tot, 0) + {_NB_BUCKETS})) * 1000000.0) AS BIGINT)
+           AS loglik_micro
+  FROM grid g
+  LEFT JOIN cnt c ON c.b = g.b AND c.label = g.cls
+  LEFT JOIN tot t ON t.label = g.cls),
+prior AS (
+  SELECT d.label AS cls,
+         CAST(round(ln((d.n_c + 1) * 1.0 / (a.n + 2)) * 1000000.0) AS BIGINT)
+           AS prior_micro
+  FROM ndoc d, n_all a),
+feats AS (SELECT doc_id, label, b, count(*) AS n_b FROM occ GROUP BY 1, 2, 3),
+scored AS (
+  SELECT f.doc_id, f.label, m.cls,
+         CAST(sum(f.n_b * m.loglik_micro) AS BIGINT) AS s
+  FROM feats f JOIN model m ON m.b = f.b GROUP BY 1, 2, 3),
+fullsc AS (
+  SELECT s.doc_id, s.label, s.cls, s.s + p.prior_micro AS score
+  FROM scored s JOIN prior p ON p.cls = s.cls)
+SELECT a.doc_id, a.label,
+       a.score AS s_pos_micro, n.score AS s_neg_micro,
+       (a.score >= n.score) AS pred
+FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "nb_quality_classifier",
+        nb_quality_classifier,
+        NB_CLASSIFIER_ORACLE,
+        "in-engine trained NB quality model, micro-int exact train+score",
+    ),
+]

@@ -241,3 +241,37 @@ def test_script_mix_hand_values(spark, tmp_path):
     assert got[2] == (5, 0, 0, 0, 5, 0, 0)
     assert got[3] == (3, 2, 0, 0, 0, 0, 1)
     assert got[4] == (0, 0, 0, 0, 0, 0, 0)
+
+
+def test_nb_classifier_learns_separable_classes(spark):
+    """Trained-in-engine NB must actually LEARN: on a corpus whose two
+    classes use disjoint vocabularies, scoring the training docs must
+    recover the labels (near-)perfectly, and the scores must be exact
+    micro-int sums (engine-deterministic)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+
+    rows = []
+    for i in range(40):
+        good = " ".join(f"good{(i + j) % 23}" for j in range(30))
+        junk = " ".join(f"junk{(i + j) % 23}" for j in range(30))
+        rows.append((2 * i, good, True))
+        rows.append((2 * i + 1, junk, False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    out = nb_quality_scores(df, "text", "doc_id", F.col("lab")).collect()
+    assert len(out) == 80
+    acc = sum(1 for r in out if r.pred == r.label) / len(out)
+    assert acc >= 0.95, acc
+    # both classes predicted (not a constant classifier)
+    assert {r.pred for r in out} == {True, False}
+    # scores are exact micro-int bigints, reproducible across runs
+    again = {
+        r.doc_id: (r.s_pos_micro, r.s_neg_micro)
+        for r in nb_quality_scores(df, "text", "doc_id", F.col("lab")).collect()
+    }
+    for r in out:
+        assert isinstance(r.s_pos_micro, int)
+        assert again[r.doc_id] == (r.s_pos_micro, r.s_neg_micro)
