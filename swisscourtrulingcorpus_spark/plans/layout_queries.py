@@ -186,12 +186,103 @@ WHERE rank <= 5
 """
 
 
+def mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-free mutual-nearest-neighbor bitext/pair mining (the
+    alignment step of CCMatrix/LASER-style parallel-corpus building,
+    Schwenk et al. 2021, public): split the embedding corpus into two
+    groups (even/odd label — the stand-in for two languages), find each
+    A-vector's top-1 neighbor in B and vice versa by the EXACT bigint
+    int8-code dot product, and keep only MUTUAL pairs — the standard
+    high-precision alignment rule.  Integer-exact end to end (the
+    int8_dot_topk gate class: zero float ranking surface).
+
+    Scale shape: each direction broadcasts the quantized query side
+    over one corpus scan (the deliberate broadcast-cross of
+    `cosine_topk_bruteforce`); at real bitext scale the candidate
+    generation would go through the IVF buckets (`ivf_topk_bucketed`),
+    which composes with the same mutual filter."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        int8_dot_topk,
+        max_abs_bound,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = max_abs_bound(emb)
+    side_a = emb.where(F.col("label") % 2 == 0)
+    side_b = emb.where(F.col("label") % 2 == 1)
+    ab = int8_dot_topk(side_b, side_a, s, k=1)
+    ba = int8_dot_topk(side_a, side_b, s, k=1)
+    return (
+        ab.alias("x")
+        .join(
+            ba.alias("y"),
+            (F.col("x.query_id") == F.col("y.neighbor_id"))
+            & (F.col("x.neighbor_id") == F.col("y.query_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("id_a"),
+            F.col("x.neighbor_id").alias("id_b"),
+            F.col("x.dot_q").alias("dot_q"),
+        )
+    )
+
+
+# dot is symmetric, so ONE scored table serves both directions: the
+# A-side top-1 partitions by qid (ties: min B id), the B-side top-1
+# partitions by nid (ties: min A id) — identical to the two
+# int8_dot_topk calls' (dot desc, neighbor asc) ranking.
+MUTUAL_NN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, embedding,
+         embedding IS NOT NULL AND len(list_filter(embedding,
+           x -> x IS NULL OR isnan(x) OR NOT isfinite(x))) = 0 AS ok
+  FROM embeddings),
+bounds AS (
+  SELECT CASE WHEN s > 0 THEN s ELSE 1.0 END AS s
+  FROM (SELECT max(greatest(abs(list_min(embedding::DOUBLE[])),
+                            abs(list_max(embedding::DOUBLE[])))) AS s
+        FROM e WHERE ok)),
+qa AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+           round(CAST(x AS DOUBLE) * 127.0 / s))) AS INTEGER)) AS q
+  FROM e, bounds WHERE ok AND label % 2 = 0),
+qb AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(greatest(-127.0, least(127.0,
+           round(CAST(x AS DOUBLE) * 127.0 / s))) AS INTEGER)) AS q
+  FROM e, bounds WHERE ok AND label % 2 = 1),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         CAST(list_dot_product(a.q::DOUBLE[], b.q::DOUBLE[]) AS BIGINT) AS dot_q
+  FROM qa a, qb b),
+top_ab AS (
+  SELECT qid, nid, dot_q
+  FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid ASC) AS rn
+        FROM scored)
+  WHERE rn = 1),
+top_ba AS (
+  SELECT qid, nid
+  FROM (SELECT *, row_number() OVER (PARTITION BY nid ORDER BY dot_q DESC, qid ASC) AS rn
+        FROM scored)
+  WHERE rn = 1)
+SELECT x.qid AS id_a, x.nid AS id_b, x.dot_q
+FROM top_ab x JOIN top_ba y ON x.qid = y.qid AND x.nid = y.nid
+"""
+
+
 SPECS = [
     QuerySpec(
         "zorder_locality_orders",
         zorder_locality_orders,
         ZORDER_ORACLE,
         "Morton-key bucket locality report (layout.py::zorder_value)",
+    ),
+    QuerySpec(
+        "mutual_nn_bitext",
+        mutual_nn_bitext,
+        MUTUAL_NN_ORACLE,
+        "mutual top-1 int8-dot alignment across label groups (bitext mining)",
     ),
     QuerySpec(
         "int8_dot_topk_embeddings",

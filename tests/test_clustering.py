@@ -342,3 +342,54 @@ def test_int8_dot_topk_recall_vs_float(spark, sf_dir):
         g.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recalls = [len(e[k] & g[k]) / len(e[k]) for k in e]
     assert sum(recalls) / len(recalls) >= 0.90, recalls
+
+
+def test_mutual_nn_bitext_matches_numpy(spark, sf_dir):
+    """The mutual-NN alignment must equal a numpy brute-force mirror:
+    quantize both sides with the global bound, take each side's exact
+    int-dot argmax (ties: min id), keep mutual pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.plans.layout_queries import (
+        mutual_nn_bitext,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    got = {
+        (r.id_a, r.id_b): r.dot_q
+        for r in mutual_nn_bitext(spark, sf_dir).collect()
+    }
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    s = max(
+        max(abs(float(x)) for x in r.embedding)
+        for r in emb
+        if r.embedding is not None
+    )
+    codes = {
+        r.vec_id: np.clip(
+            np.round(np.array(r.embedding, dtype=np.float64) * 127.0 / s),
+            -127,
+            127,
+        ).astype(np.int64)
+        for r in emb
+        if r.embedding is not None
+    }
+    a_ids = sorted(r.vec_id for r in emb if r.label % 2 == 0)
+    b_ids = sorted(r.vec_id for r in emb if r.label % 2 == 1)
+    dots = {
+        (a, b): int(codes[a] @ codes[b]) for a in a_ids for b in b_ids
+    }
+    top_ab = {
+        a: max(b_ids, key=lambda b: (dots[(a, b)], -b)) for a in a_ids
+    }
+    top_ba = {
+        b: max(a_ids, key=lambda a: (dots[(a, b)], -a)) for b in b_ids
+    }
+    want = {
+        (a, b): dots[(a, b)]
+        for a, b in top_ab.items()
+        if top_ba[b] == a
+    }
+    assert got == want and len(want) > 0

@@ -79,8 +79,10 @@ QUERIES = [
     ("curation_funnel_documents", "stage-chained scan predicates; counts are 1-row aggs"),
     ("near_contamination_check", "map-side signatures both sides, broadcast banded eval join"),
     ("script_mix_documents", "map-side codepoint classes, zero shuffles"),
-    # round-6c extension: LSH verification stage
+    # round-6c extension: LSH verification stage + trained classifier
     ("lsh_verified_pairs", "Levenshtein bounded by candidate count x char cap, never all-pairs"),
+    ("verified_dedup_clusters", "star CC over verified pairs only; (bigint, bigint) shuffles"),
+    ("nb_quality_classifier", "train = one slim groupBy; fixed 2x4096 broadcast model"),
 ]
 
 
