@@ -41,6 +41,50 @@ def _ln_micro(x: Column) -> Column:
     return F.round(F.log(x) * MICRO).cast("bigint")
 
 
+def nb_count_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: Column | str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The NB sufficient statistics as a table: (label, b, cnt) hashed
+    token-occurrence counts.  This IS the trained model state — NB is
+    count-based, so the statistics are mergeable (see
+    :func:`nb_merge_counts`) and the classifier supports INCREMENTAL
+    training: a new document batch contributes a delta count table and
+    the history is never re-tokenized (the same never-rescan-history
+    contract as the minhash signature store and the postings merge).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    return (
+        df.select(
+            lab.cast("boolean").alias("label"),
+            F.split(normalize_ws(text_col), " ").alias("__w"),
+        )
+        .select("label", F.explode("__w").alias("__word"))
+        .select("label", (h32("__word") % n_buckets).alias("b"))
+        .groupBy("label", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def nb_merge_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two NB count tables (full outer join + sum) — vocab-bounded
+    rows (<= 2 * n_buckets each side), so the merge cost is independent
+    of how much text either table summarizes.  merge(counts(A),
+    counts(B)) == counts(A ∪ B) exactly (gate-checked)."""
+    b = base.select("label", "b", F.col("cnt").alias("__c1"))
+    d = delta.select("label", "b", F.col("cnt").alias("__c2"))
+    return b.join(d, on=["label", "b"], how="full").select(
+        "label",
+        "b",
+        (
+            F.coalesce("__c1", F.lit(0)) + F.coalesce("__c2", F.lit(0))
+        ).alias("cnt"),
+    )
+
+
 def nb_quality_scores(
     df: DataFrame,
     text_col: str,

@@ -858,3 +858,63 @@ SPECS += [
         "in-engine trained NB quality model, micro-int exact train+score",
     ),
 ]
+
+
+def nb_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NB training is value-identical to batch training:
+    the corpus splits into a history (doc_id % 3 != 0) and a new batch,
+    each contributes its own count table
+    (`operators/classifier.py::nb_count_table`), and the vocab-bounded
+    merge (`nb_merge_counts`) must HASH-EQUAL the oracle's one-shot
+    counts over the full corpus — the never-rescan-history contract of
+    the minhash signature store and the postings merge, extended to
+    the trained classifier."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_count_table,
+        nb_merge_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    hist = nb_count_table(
+        docs.where(F.col("doc_id") % 3 != 0), "text", "doc_id", label, _NB_BUCKETS
+    )
+    new = nb_count_table(
+        docs.where(F.col("doc_id") % 3 == 0), "text", "doc_id", label, _NB_BUCKETS
+    )
+    return nb_merge_counts(hist, new)
+
+
+# the oracle never splits: one-shot counts over the full corpus — hash
+# equality IS the merge-correctness proof
+NB_INCREMENTAL_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+  FROM documents),
+lab AS (
+  SELECT doc_id, words,
+         ((len(words) >= 10 AND len(words) <= 100000)
+          AND (length(list_aggregate(words, 'string_agg', '')) * 1.0
+               / greatest(len(words), 1) BETWEEN 2.0 AND 12.0)
+          AND len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to'))) >= 1)
+           AS label
+  FROM w),
+occ AS (
+  SELECT doc_id, label, {_NB_H32} % {_NB_BUCKETS} AS b
+  FROM (SELECT doc_id, label, unnest(words) AS word FROM lab))
+SELECT label, b, count(*) AS cnt FROM occ GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "nb_incremental_counts",
+        nb_incremental_counts,
+        NB_INCREMENTAL_ORACLE,
+        "incremental NB training merge == one-shot batch counts",
+    ),
+]

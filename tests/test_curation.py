@@ -275,3 +275,31 @@ def test_nb_classifier_learns_separable_classes(spark):
     for r in out:
         assert isinstance(r.s_pos_micro, int)
         assert again[r.doc_id] == (r.s_pos_micro, r.s_neg_micro)
+
+
+def test_nb_merge_counts_equals_batch(spark):
+    """merge(counts(A), counts(B), counts(C)) == counts(A+B+C) exactly,
+    including buckets present in only one part."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_count_table,
+        nb_merge_counts,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)), i % 2 == 0)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    full = nb_count_table(df, "text", "doc_id", F.col("lab"), 64)
+    parts = [
+        nb_count_table(
+            df.where(F.col("doc_id") % 3 == k), "text", "doc_id", F.col("lab"), 64
+        )
+        for k in range(3)
+    ]
+    merged = nb_merge_counts(nb_merge_counts(parts[0], parts[1]), parts[2])
+    want = {(r.label, r.b): r.cnt for r in full.collect()}
+    got = {(r.label, r.b): r.cnt for r in merged.collect()}
+    assert got == want and len(want) > 10
