@@ -104,28 +104,37 @@ def nb_quality_scores(
     empty class never produces ln(0).
     """
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    base = df.select(
+    model, prior = nb_train(df, text_col, id_col, lab, n_buckets)
+    labeled = df.select(
         F.col(id_col).alias("doc_id"),
         lab.cast("boolean").alias("label"),
-        F.split(normalize_ws(text_col), " ").alias("__w"),
+        F.col(text_col).alias("__text"),
     )
-    occ = base.select(
-        "doc_id",
-        "label",
-        F.explode("__w").alias("__word"),
-    ).select(
-        "doc_id", "label", (h32("__word") % n_buckets).alias("b")
+    return nb_score_with_model(
+        labeled, "__text", "doc_id", model, prior, n_buckets, carry=("label",)
     )
 
-    # -------- train: one groupBy over slim (label, bucket) int rows
-    cnt = occ.groupBy("label", "b").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = occ.groupBy("label").agg(F.count(F.lit(1)).alias("tot"))
+
+def nb_train(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: Column | str,
+    n_buckets: int = 4096,
+) -> tuple[DataFrame, DataFrame]:
+    """Train only: returns ``(model, prior)`` — model is the DENSE
+    (b, label, loglik_micro) grid (a bucket unseen in one class still
+    contributes its smoothed log-likelihood ln(1 / (T_c + B))), prior
+    is (label, prior_micro).  Both are fixed-size tables fit for
+    broadcast and for FREEZING: score a later batch or a stream with
+    :func:`nb_score_with_model` without retraining."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(lab.cast("boolean").alias("label"))
+    cnt = nb_count_table(df, text_col, id_col, lab, n_buckets)
+    tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
     ndoc = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
     n_all = base.count()  # 1 scalar, bounded
 
-    # dense (bucket, class) grid: tiny deliberate cross-join, so a
-    # bucket unseen in one class still contributes its smoothed
-    # log-likelihood ln(1 / (T_c + B))
     buckets = (
         df.sparkSession.range(n_buckets).select(F.col("id").cast("bigint").alias("b"))
     )
@@ -134,7 +143,7 @@ def nb_quality_scores(
     )
     # no broadcast hint here: the grid is the BUILD-left side of a left
     # join (unsupported hint position); the model itself broadcasts at
-    # the scoring join below, which is the join that matters
+    # the scoring join, which is the join that matters
     grid = buckets.crossJoin(classes)
     model = (
         grid.join(cnt, on=["b", "label"], how="left")
@@ -154,36 +163,61 @@ def nb_quality_scores(
             "prior_micro"
         ),
     )
+    return model, prior
 
-    # -------- score: per-doc bucket counts x broadcast model
-    feats = occ.groupBy("doc_id", "label", "b").agg(
-        F.count(F.lit(1)).alias("n_b")
+
+def nb_score_with_model(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: DataFrame,
+    prior: DataFrame,
+    n_buckets: int = 4096,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score documents against a FROZEN (model, prior) pair from
+    :func:`nb_train` — per-doc hashed-bucket counts joined to the
+    broadcast model, one sum per class.  ``carry`` columns pass through
+    to the output unchanged (e.g. the training label for accuracy
+    reporting).  Output: (doc_id, *carry, s_pos_micro, s_neg_micro,
+    pred)."""
+    cols = list(carry)
+    feats = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            *cols,
+            F.split(normalize_ws(text_col), " ").alias("__w"),
+        )
+        .select("doc_id", *cols, F.explode("__w").alias("__word"))
+        .select("doc_id", *cols, (h32("__word") % n_buckets).alias("b"))
+        .groupBy("doc_id", *cols, "b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
     )
     scored = (
         feats.join(
             F.broadcast(model.withColumnRenamed("label", "cls")), on="b"
         )
-        .groupBy("doc_id", "label", "cls")
+        .groupBy("doc_id", *cols, "cls")
         .agg(F.sum(F.col("n_b") * F.col("loglik_micro")).alias("s"))
         .join(
             F.broadcast(prior.withColumnRenamed("label", "cls")), on="cls"
         )
         .select(
             "doc_id",
-            "label",
+            *cols,
             "cls",
             (F.col("s") + F.col("prior_micro")).alias("score"),
         )
     )
     pos = scored.where(F.col("cls")).select(
-        "doc_id", "label", F.col("score").alias("s_pos_micro")
+        "doc_id", *cols, F.col("score").alias("s_pos_micro")
     )
     neg = scored.where(~F.col("cls")).select(
         F.col("doc_id").alias("d2"), F.col("score").alias("s_neg_micro")
     )
     return pos.join(neg, pos["doc_id"] == neg["d2"]).select(
         "doc_id",
-        "label",
+        *cols,
         "s_pos_micro",
         "s_neg_micro",
         (F.col("s_pos_micro") >= F.col("s_neg_micro")).alias("pred"),

@@ -970,3 +970,60 @@ def stream_curation_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_nb_scoring_job(
+    stream: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+):
+    """Score a document stream against a FROZEN batch-trained NB model
+    (`operators/classifier.py::nb_train`) — the standard deployment
+    split of a curation classifier: train offline on the labeled
+    corpus, apply online to the ingest stream.  The (model, prior)
+    tables are fixed-size (2 x n_buckets / 2 rows) and broadcast into
+    every micro-batch; scores are the same exact micro-int sums as the
+    batch scorer (`nb_score_with_model` is the SHARED implementation,
+    so streaming == batch by construction, test-asserted).
+
+    Exactly-once shape mirrors `stream_curation_job`: per-batch output
+    directory written with overwrite, so an at-least-once foreachBatch
+    replay rewrites the same rows instead of appending duplicates.
+    The model tables are materialized to driver-side rows ONCE at job
+    construction (vocab-bounded, like the centroid collects) and
+    rebuilt per batch from literals — a foreachBatch closure must not
+    capture DataFrames whose lineage spans micro-batches.
+    """
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_score_with_model,
+    )
+
+    spark = stream.sparkSession
+    model_rows = [(r["b"], r["label"], r["loglik_micro"]) for r in model.collect()]
+    prior_rows = [(r["label"], r["prior_micro"]) for r in prior.collect()]
+
+    def _score(batch: DataFrame, batch_id: int) -> None:
+        m = spark.createDataFrame(
+            model_rows, "b bigint, label boolean, loglik_micro bigint"
+        )
+        p = spark.createDataFrame(
+            prior_rows, "label boolean, prior_micro bigint"
+        )
+        out = nb_score_with_model(
+            batch, text_col, id_col, m, p, n_buckets
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -642,3 +642,65 @@ def test_stream_curation_equals_batch(spark, sf_dir, tmp_path):
     )
     want = {r.doc_id for r in want_df.select("doc_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_nb_scoring_equals_batch(spark, sf_dir, tmp_path):
+    """A frozen batch-trained NB model applied to a document stream must
+    produce byte-identical scores to the batch scorer (shared
+    implementation), across two AvailableNow runs with a file landing
+    between them (checkpoint processes only the new file)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_score_with_model,
+        nb_train,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.jobs import stream_nb_scoring_job
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    label = gopher_rule_columns("text")["keep"]
+    model, prior = nb_train(docs, "text", "doc_id", label)
+    model = model.localCheckpoint(eager=True)
+    prior = prior.localCheckpoint(eager=True)
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    out = tmp_path / "scored"
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        _shutil.copy(part, stage / f"{name}.parquet")
+
+    land(docs.where(F.col("doc_id") % 2 == 0), "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = stream_nb_scoring_job(stream, model, prior, str(out), ckpt)
+        q.awaitTermination()
+
+    run_once()
+    land(docs.where(F.col("doc_id") % 2 == 1), "b2")
+    run_once()
+
+    got = {
+        r.doc_id: (r.s_pos_micro, r.s_neg_micro, r.pred)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    want = {
+        r.doc_id: (r.s_pos_micro, r.s_neg_micro, r.pred)
+        for r in nb_score_with_model(
+            docs, "text", "doc_id", model, prior
+        ).collect()
+    }
+    assert got == want and len(got) == docs.count()
