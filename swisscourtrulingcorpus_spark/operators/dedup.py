@@ -334,6 +334,65 @@ def minhash_dedup_groups(
     return dedup_groups_from_signatures(sig, id_col, num_hashes, bands)
 
 
+def quality_dedup_representatives(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+) -> DataFrame:
+    """LSH dedup representatives chosen by QUALITY instead of min id:
+    each near-dup group keeps its LONGEST member (token count; ties →
+    min id) — the standard representative rule of production dedup
+    (truncated/partial copies collapse into the fullest version, which
+    min-id cannot guarantee).
+
+    Same one-pass min-over-buckets approximation class as
+    `minhash_dedup_groups`, with argmax instead of min: per LSH bucket
+    the best (n_words desc, id asc) member, then per doc the best over
+    its buckets — two slim shuffles of (key, int, int) rows, no pair
+    enumeration, no quadratic term.  Output (doc_id, rep_id,
+    rep_n_words, keep).
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=True)
+    banded = _banded(sig, id_col, num_hashes, bands)
+    nw = df.select(
+        F.col(id_col),
+        F.size(F.split(normalize_ws(text_col), " ")).cast("bigint").alias("n_words"),
+    )
+    sb = banded.join(nw, on=id_col)
+    wb = Window.partitionBy("band", "band_key").orderBy(
+        F.col("n_words").desc(), F.col(id_col).asc()
+    )
+    bucket_best = (
+        sb.withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") == 1)
+        .select(
+            "band",
+            "band_key",
+            F.col(id_col).alias("best_id"),
+            F.col("n_words").alias("best_n"),
+        )
+    )
+    wd = Window.partitionBy(id_col).orderBy(
+        F.col("best_n").desc(), F.col("best_id").asc()
+    )
+    return (
+        banded.join(bucket_best, on=["band", "band_key"])
+        .withColumn("__rn", F.row_number().over(wd))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("best_id").alias("rep_id"),
+            F.col("best_n").alias("rep_n_words"),
+            (F.col("best_id") == F.col(id_col)).alias("keep"),
+        )
+    )
+
+
 def dedup_groups_from_signatures(
     sig: DataFrame,
     id_col: str,

@@ -283,6 +283,46 @@ SELECT node, min(m) AS cluster FROM closure GROUP BY node
     )
 
 
+def q_quality_dedup_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware LSH representatives
+    (`operators/dedup.py::quality_dedup_representatives`): each
+    near-dup group keeps its LONGEST member — truncated copies collapse
+    into the fullest version."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        quality_dedup_representatives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_dedup_representatives(docs, "text", "doc_id")
+
+
+def _quality_reps_oracle() -> str:
+    band_exprs = _band_exprs()
+    return (
+        _minhash_sql_cte()
+        + f""",
+nw AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words FROM words),
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+sb AS (SELECT b.doc_id, b.band_key, nw.n_words FROM bands b JOIN nw USING (doc_id)),
+bucket_best AS (
+  SELECT band_key, doc_id AS best_id, n_words AS best_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY band_key
+                                     ORDER BY n_words DESC, doc_id ASC) AS rn
+        FROM sb)
+  WHERE rn = 1),
+joined AS (
+  SELECT b.doc_id, u.best_id, u.best_n
+  FROM bands b JOIN bucket_best u USING (band_key))
+SELECT doc_id, best_id AS rep_id, best_n AS rep_n_words,
+       (best_id = doc_id) AS keep
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY best_n DESC, best_id ASC) AS rn
+      FROM joined)
+WHERE rn = 1
+"""
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id", spread=True)
@@ -1128,6 +1168,7 @@ SPECS = [
     QuerySpec("minhash_dedup_groups", q_minhash_dedup_groups, _dedup_groups_oracle(), "LSH cluster reps"),
     QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_oracle(), "edit-distance verification of LSH candidates"),
     QuerySpec("verified_dedup_clusters", q_verified_dedup_clusters, _verified_clusters_oracle(), "LSH -> verify -> exact CC, three-stage dedup composed"),
+    QuerySpec("quality_dedup_representatives", q_quality_dedup_reps, _quality_reps_oracle(), "keep-the-longest LSH representatives"),
     QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),

@@ -578,3 +578,38 @@ def test_cross_corpus_lsh_contamination_flags_edited_leak(spark):
         ).collect()
     }
     assert got == {1: (1, 900)}
+
+
+def test_quality_reps_keep_longest(spark):
+    """Quality-aware representatives must satisfy the argmax invariants
+    (a doc's representative is never shorter than itself; keep flags
+    exactly the self-representing docs) and must route truncated
+    near-dups to their longer originals."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        quality_dedup_representatives,
+    )
+
+    rows = []
+    for i in range(30):
+        words = [f"v{i}_{j}" for j in range(60)]
+        rows.append((2 * i, " ".join(words)))          # full original
+        rows.append((2 * i + 1, " ".join(words[:45])))  # truncated copy
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nw = {r.doc_id: r.n for r in docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")).collect()}
+    out = {r.doc_id: r for r in quality_dedup_representatives(
+        docs, "text", "doc_id").collect()}
+    assert set(out) == set(nw)
+    for d, r in out.items():
+        assert r.rep_n_words >= nw[d]
+        assert r.keep == (r.rep_id == d)
+    # most truncated copies collapse into their full original (LSH
+    # detection probability at J≈0.74 is ~0.92 per pair)
+    routed = sum(
+        1 for i in range(30) if out[2 * i + 1].rep_id == 2 * i
+    )
+    assert routed >= 18, routed
+    # originals keep themselves (nothing is longer)
+    assert all(out[2 * i].keep for i in range(30))
