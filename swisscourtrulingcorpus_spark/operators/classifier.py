@@ -41,6 +41,20 @@ def _ln_micro(x: Column) -> Column:
     return F.round(F.log(x) * MICRO).cast("bigint")
 
 
+def _hashed_buckets(
+    df: DataFrame, text_col: str, key_cols: list[str], n_buckets: int
+) -> DataFrame:
+    """ONE definition of the featurization (normalize → split → explode
+    → h32 % n_buckets): train and score must stay byte-identical or the
+    frozen-model contract silently breaks.  Output: (*key_cols, b), one
+    row per token occurrence."""
+    return (
+        df.select(*key_cols, F.split(normalize_ws(text_col), " ").alias("__w"))
+        .select(*key_cols, F.explode("__w").alias("__word"))
+        .select(*key_cols, (h32("__word") % n_buckets).alias("b"))
+    )
+
+
 def nb_count_table(
     df: DataFrame,
     text_col: str,
@@ -52,18 +66,21 @@ def nb_count_table(
     token-occurrence counts.  This IS the trained model state — NB is
     count-based, so the statistics are mergeable (see
     :func:`nb_merge_counts`) and the classifier supports INCREMENTAL
-    training: a new document batch contributes a delta count table and
+    training: a new document batch contributes a delta table and
     the history is never re-tokenized (the same never-rescan-history
     contract as the minhash signature store and the postings merge).
+
+    Rows whose label evaluates to NULL are EXCLUDED (not a class): a
+    NULL key would silently vanish from the dense model grid join and
+    break `nb_merge_counts`' key equality (full-outer join on NULL
+    never matches, duplicating rows).
     """
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    labeled = df.select(
+        lab.cast("boolean").alias("label"), F.col(text_col).alias("__text")
+    ).where(F.col("label").isNotNull())
     return (
-        df.select(
-            lab.cast("boolean").alias("label"),
-            F.split(normalize_ws(text_col), " ").alias("__w"),
-        )
-        .select("label", F.explode("__w").alias("__word"))
-        .select("label", (h32("__word") % n_buckets).alias("b"))
+        _hashed_buckets(labeled, "__text", ["label"], n_buckets)
         .groupBy("label", "b")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -129,7 +146,9 @@ def nb_train(
     broadcast and for FREEZING: score a later batch or a stream with
     :func:`nb_score_with_model` without retraining."""
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    base = df.select(lab.cast("boolean").alias("label"))
+    base = df.select(lab.cast("boolean").alias("label")).where(
+        F.col("label").isNotNull()
+    )
     cnt = nb_count_table(df, text_col, id_col, lab, n_buckets)
     tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
     ndoc = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
@@ -157,11 +176,18 @@ def nb_train(
             ).alias("loglik_micro"),
         )
     )
-    prior = ndoc.select(
-        "label",
-        _ln_micro((F.col("n_c") + 1) / F.lit(float(n_all + 2))).alias(
-            "prior_micro"
-        ),
+    # prior over the DENSE class table, not only observed classes: an
+    # all-one-class corpus must still produce both prior rows (the
+    # smoothed ln(1/(n+2)) for the empty class), or the scorer's inner
+    # prior join silently drops every document (r06 review, reproduced)
+    prior = (
+        classes.join(ndoc, on="label", how="left")
+        .select(
+            "label",
+            _ln_micro(
+                (F.coalesce("n_c", F.lit(0)) + 1) / F.lit(float(n_all + 2))
+            ).alias("prior_micro"),
+        )
     )
     return model, prior
 
@@ -172,7 +198,7 @@ def nb_score_with_model(
     id_col: str,
     model: DataFrame,
     prior: DataFrame,
-    n_buckets: int = 4096,
+    n_buckets: int | None = None,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score documents against a FROZEN (model, prior) pair from
@@ -180,16 +206,20 @@ def nb_score_with_model(
     broadcast model, one sum per class.  ``carry`` columns pass through
     to the output unchanged (e.g. the training label for accuracy
     reporting).  Output: (doc_id, *carry, s_pos_micro, s_neg_micro,
-    pred)."""
+    pred).
+
+    ``n_buckets`` defaults to the model's own bucket count (one bounded
+    1-row aggregate over the vocab-sized grid) — a hard-coded value
+    that disagreed with training would silently drop the out-of-range
+    buckets from every score (r06 review)."""
+    if n_buckets is None:
+        n_buckets = int(model.agg(F.max("b")).collect()[0][0]) + 1
     cols = list(carry)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), *cols, F.col(text_col).alias("__text")
+    )
     feats = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            *cols,
-            F.split(normalize_ws(text_col), " ").alias("__w"),
-        )
-        .select("doc_id", *cols, F.explode("__w").alias("__word"))
-        .select("doc_id", *cols, (h32("__word") % n_buckets).alias("b"))
+        _hashed_buckets(base, "__text", ["doc_id", *cols], n_buckets)
         .groupBy("doc_id", *cols, "b")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )

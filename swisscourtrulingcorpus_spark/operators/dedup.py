@@ -358,7 +358,13 @@ def quality_dedup_representatives(
     from pyspark.sql import Window
 
     sig = minhash_signatures(df, text_col, id_col, k, num_hashes, spread=True)
-    banded = _banded(sig, id_col, num_hashes, bands)
+    # explicit shuffle on the bucket key so BOTH consumers (the
+    # bucket-argmax window and the final join back) hang off one
+    # ReusedExchange — without it the signature computation (the whole
+    # MinHash CPU cost) runs twice, same idiom as minhash_lsh_candidates
+    banded = _banded(sig, id_col, num_hashes, bands).repartition(
+        F.col("band"), F.col("band_key")
+    )
     nw = df.select(
         F.col(id_col),
         F.size(F.split(normalize_ws(text_col), " ")).cast("bigint").alias("n_words"),

@@ -797,10 +797,11 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
 
 
-_NB_H32 = "CAST(('0x' || substr(md5(word), 1, 8))::UBIGINT AS BIGINT)"
-
-NB_CLASSIFIER_ORACLE = f"""
-WITH w AS (
+# ONE definition of the Gopher weak-label CTE chain shared by every NB
+# oracle (the one-definition convention of text_queries' CTE builders:
+# a rule tweak applied to one oracle cannot silently diverge another)
+def _gopher_label_ctes() -> str:
+    return """WITH w AS (
   SELECT doc_id,
          string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
   FROM documents),
@@ -811,14 +812,21 @@ lab AS (
                / greatest(len(words), 1) BETWEEN 2.0 AND 12.0)
           AND len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to'))) >= 1)
            AS label
-  FROM w),
+  FROM w),"""
+
+
+_NB_H32 = "CAST(('0x' || substr(md5(word), 1, 8))::UBIGINT AS BIGINT)"
+
+NB_CLASSIFIER_ORACLE = f"""{_gopher_label_ctes()}
 occ AS (
   SELECT doc_id, label, {_NB_H32} % {_NB_BUCKETS} AS b
-  FROM (SELECT doc_id, label, unnest(words) AS word FROM lab)),
+  FROM (SELECT doc_id, label, unnest(words) AS word
+        FROM lab WHERE label IS NOT NULL)),
 cnt AS (SELECT label, b, count(*) AS cnt FROM occ GROUP BY 1, 2),
 tot AS (SELECT label, count(*) AS tot FROM occ GROUP BY 1),
-ndoc AS (SELECT label, count(*) AS n_c FROM lab GROUP BY 1),
-n_all AS (SELECT count(*) AS n FROM lab),
+ndoc AS (SELECT label, count(*) AS n_c FROM lab
+        WHERE label IS NOT NULL GROUP BY 1),
+n_all AS (SELECT count(*) AS n FROM lab WHERE label IS NOT NULL),
 grid AS (
   SELECT g.range AS b, c.cls
   FROM range({_NB_BUCKETS}) g, (SELECT unnest([true, false]) AS cls) c),
@@ -831,10 +839,14 @@ model AS (
   LEFT JOIN cnt c ON c.b = g.b AND c.label = g.cls
   LEFT JOIN tot t ON t.label = g.cls),
 prior AS (
-  SELECT d.label AS cls,
-         CAST(round(ln((d.n_c + 1) * 1.0 / (a.n + 2)) * 1000000.0) AS BIGINT)
+  -- dense over both classes: an all-one-class corpus still yields the
+  -- smoothed ln(1/(n+2)) prior for the empty class (mirrors nb_train)
+  SELECT c.cls,
+         CAST(round(ln((coalesce(d.n_c, 0) + 1) * 1.0 / (a.n + 2)) * 1000000.0) AS BIGINT)
            AS prior_micro
-  FROM ndoc d, n_all a),
+  FROM (SELECT unnest([true, false]) AS cls) c
+  LEFT JOIN ndoc d ON d.label = c.cls
+  CROSS JOIN n_all a),
 feats AS (SELECT doc_id, label, b, count(*) AS n_b FROM occ GROUP BY 1, 2, 3),
 scored AS (
   SELECT f.doc_id, f.label, m.cls,
@@ -890,22 +902,11 @@ def nb_incremental_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the oracle never splits: one-shot counts over the full corpus — hash
 # equality IS the merge-correctness proof
-NB_INCREMENTAL_ORACLE = f"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
-  FROM documents),
-lab AS (
-  SELECT doc_id, words,
-         ((len(words) >= 10 AND len(words) <= 100000)
-          AND (length(list_aggregate(words, 'string_agg', '')) * 1.0
-               / greatest(len(words), 1) BETWEEN 2.0 AND 12.0)
-          AND len(list_filter(words, x -> x IN ('the', 'a', 'and', 'of', 'to'))) >= 1)
-           AS label
-  FROM w),
+NB_INCREMENTAL_ORACLE = f"""{_gopher_label_ctes()}
 occ AS (
   SELECT doc_id, label, {_NB_H32} % {_NB_BUCKETS} AS b
-  FROM (SELECT doc_id, label, unnest(words) AS word FROM lab))
+  FROM (SELECT doc_id, label, unnest(words) AS word
+        FROM lab WHERE label IS NOT NULL))
 SELECT label, b, count(*) AS cnt FROM occ GROUP BY 1, 2
 """
 

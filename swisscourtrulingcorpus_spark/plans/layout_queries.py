@@ -196,34 +196,57 @@ def mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-precision alignment rule.  Integer-exact end to end (the
     int8_dot_topk gate class: zero float ranking surface).
 
-    Scale shape: each direction broadcasts the quantized query side
-    over one corpus scan (the deliberate broadcast-cross of
-    `cosine_topk_bruteforce`); at real bitext scale the candidate
-    generation would go through the IVF buckets (`ivf_topk_bucketed`),
-    which composes with the same mutual filter."""
+    Scale shape: the dot is SYMMETRIC, so ONE broadcast-cross scored
+    table serves both directions — two row_number windows (per A-id,
+    per B-id) over the same slim (id_a, id_b, dot) rows instead of two
+    full quadratic passes (the deliberate broadcast-cross of
+    `cosine_topk_bruteforce`, halved); at real bitext scale the
+    candidate generation would go through the IVF buckets
+    (`ivf_topk_bucketed`), which composes with the same mutual
+    filter."""
+    from pyspark.sql import Window
+
     from swisscourtrulingcorpus_spark.operators.similarity import (
-        int8_dot_topk,
+        int8_quantize_symmetric,
         max_abs_bound,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     s = max_abs_bound(emb)
-    side_a = emb.where(F.col("label") % 2 == 0)
-    side_b = emb.where(F.col("label") % 2 == 1)
-    ab = int8_dot_topk(side_b, side_a, s, k=1)
-    ba = int8_dot_topk(side_a, side_b, s, k=1)
+    qa = (
+        int8_quantize_symmetric(
+            emb.where(F.col("label") % 2 == 0), s, "embedding", "qa"
+        )
+        .where(F.col("qa").isNotNull())
+        .select(F.col("vec_id").alias("id_a"), "qa")
+    )
+    qb = (
+        int8_quantize_symmetric(
+            emb.where(F.col("label") % 2 == 1), s, "embedding", "qb"
+        )
+        .where(F.col("qb").isNotNull())
+        .select(F.col("vec_id").alias("id_b"), "qb")
+    )
+    scored = qb.crossJoin(F.broadcast(qa)).select(
+        "id_a",
+        "id_b",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda a, b: (a * b).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("dot_q").desc(), F.col("id_b").asc()
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("dot_q").desc(), F.col("id_a").asc()
+    )
     return (
-        ab.alias("x")
-        .join(
-            ba.alias("y"),
-            (F.col("x.query_id") == F.col("y.neighbor_id"))
-            & (F.col("x.neighbor_id") == F.col("y.query_id")),
-        )
-        .select(
-            F.col("x.query_id").alias("id_a"),
-            F.col("x.neighbor_id").alias("id_b"),
-            F.col("x.dot_q").alias("dot_q"),
-        )
+        scored.withColumn("__ra", F.row_number().over(wa))
+        .withColumn("__rb", F.row_number().over(wb))
+        .where((F.col("__ra") == 1) & (F.col("__rb") == 1))
+        .select("id_a", "id_b", "dot_q")
     )
 
 

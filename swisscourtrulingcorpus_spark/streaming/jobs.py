@@ -980,7 +980,6 @@ def stream_nb_scoring_job(
     checkpoint: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 4096,
 ):
     """Score a document stream against a FROZEN batch-trained NB model
     (`operators/classifier.py::nb_train`) — the standard deployment
@@ -1006,6 +1005,10 @@ def stream_nb_scoring_job(
     spark = stream.sparkSession
     model_rows = [(r["b"], r["label"], r["loglik_micro"]) for r in model.collect()]
     prior_rows = [(r["label"], r["prior_micro"]) for r in prior.collect()]
+    # bucket count DERIVED from the frozen model (the dense grid spans
+    # 0..B-1), never hard-coded: a mismatched constant would silently
+    # drop out-of-range buckets from every score (r06 review)
+    n_buckets = max(r[0] for r in model_rows) + 1
 
     def _score(batch: DataFrame, batch_id: int) -> None:
         m = spark.createDataFrame(

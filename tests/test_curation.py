@@ -303,3 +303,49 @@ def test_nb_merge_counts_equals_batch(spark):
     want = {(r.label, r.b): r.cnt for r in full.collect()}
     got = {(r.label, r.b): r.cnt for r in merged.collect()}
     assert got == want and len(want) > 10
+
+
+def test_nb_single_class_corpus_still_scores(spark):
+    """An all-one-class corpus (every weak label True) must still score
+    every document — the dense prior supplies the smoothed ln(1/(n+2))
+    for the empty class instead of dropping all rows through the prior
+    join (r06 review, reproduced before the fix)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+
+    rows = [
+        (i, " ".join(f"w{(i + j) % 9}" for j in range(20)), True)
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    out = nb_quality_scores(df, "text", "doc_id", F.col("lab")).collect()
+    assert len(out) == 6
+    # everything predicted positive: the only observed class dominates
+    assert all(r.pred for r in out)
+
+
+def test_nb_null_labels_excluded(spark):
+    """NULL weak labels are not a class: their occurrences must not
+    enter the count table, and merging tables stays key-unique."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_count_table,
+        nb_merge_counts,
+    )
+
+    rows = [
+        (1, "aa bb cc", True),
+        (2, "aa bb cc", None),
+        (3, "dd ee ff", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lab boolean")
+    cnt = nb_count_table(df, "text", "doc_id", F.col("lab"), 64)
+    labs = {r.label for r in cnt.collect()}
+    assert labs == {True, False}
+    merged = nb_merge_counts(cnt, cnt).collect()
+    keys = [(r.label, r.b) for r in merged]
+    assert len(keys) == len(set(keys))  # no duplicate (label, b) rows
