@@ -86,6 +86,89 @@ def nb_count_table(
     )
 
 
+_DOC_SENTINEL_B = -1  # h32 % n_buckets is always >= 0, so -1 is free
+
+
+def nb_stats_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: Column | str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """The COMPLETE NB sufficient statistics in one mergeable table:
+    the (label, b, cnt) token-occurrence counts of
+    :func:`nb_count_table` plus one sentinel row per class
+    (b = -1, cnt = document count) — everything :func:`nb_train` needs,
+    so a versioned store of this table supports both incremental batch
+    training and the streaming training job
+    (`streaming/jobs.py::stream_nb_training_job`).  Merge with
+    :func:`nb_merge_counts` (sentinels merge like any other key)."""
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    cnt = nb_count_table(df, text_col, id_col, lab, n_buckets)
+    ndoc = (
+        df.select(lab.cast("boolean").alias("label"))
+        .where(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("label", F.lit(_DOC_SENTINEL_B).cast("bigint").alias("b"), "cnt")
+    )
+    return cnt.unionByName(ndoc)
+
+
+def nb_train_from_stats(
+    stats: DataFrame, n_buckets: int = 4096
+) -> tuple[DataFrame, DataFrame]:
+    """(model, prior) from a (possibly merged) statistics table — the
+    SAME arithmetic as :func:`nb_train` (which delegates here), so a
+    model trained incrementally through the store is bit-identical to
+    one-shot training."""
+    spark = stats.sparkSession
+    cnt = stats.where(F.col("b") >= 0)
+    ndoc = stats.where(F.col("b") == _DOC_SENTINEL_B).select(
+        "label", F.col("cnt").alias("n_c")
+    )
+    tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    n_all = int(
+        ndoc.agg(F.coalesce(F.sum("n_c"), F.lit(0))).collect()[0][0]
+    )  # 1 scalar, bounded
+
+    buckets = spark.range(n_buckets).select(
+        F.col("id").cast("bigint").alias("b")
+    )
+    classes = spark.createDataFrame([(True,), (False,)], "label boolean")
+    # no broadcast hint here: the grid is the BUILD-left side of a left
+    # join (unsupported hint position); the model itself broadcasts at
+    # the scoring join, which is the join that matters
+    grid = buckets.crossJoin(classes)
+    model = (
+        grid.join(cnt, on=["b", "label"], how="left")
+        .join(tot, on="label", how="left")
+        .select(
+            "b",
+            "label",
+            _ln_micro(
+                (F.coalesce("cnt", F.lit(0)) + 1)
+                / (F.coalesce("tot", F.lit(0)) + n_buckets)
+            ).alias("loglik_micro"),
+        )
+    )
+    # prior over the DENSE class table, not only observed classes: an
+    # all-one-class corpus must still produce both prior rows (the
+    # smoothed ln(1/(n+2)) for the empty class), or the scorer's inner
+    # prior join silently drops every document (r06 review, reproduced)
+    prior = (
+        classes.join(ndoc, on="label", how="left")
+        .select(
+            "label",
+            _ln_micro(
+                (F.coalesce("n_c", F.lit(0)) + 1) / F.lit(float(n_all + 2))
+            ).alias("prior_micro"),
+        )
+    )
+    return model, prior
+
+
 def nb_merge_counts(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Merge two NB count tables (full outer join + sum) — vocab-bounded
     rows (<= 2 * n_buckets each side), so the merge cost is independent
@@ -145,51 +228,8 @@ def nb_train(
     is (label, prior_micro).  Both are fixed-size tables fit for
     broadcast and for FREEZING: score a later batch or a stream with
     :func:`nb_score_with_model` without retraining."""
-    lab = F.col(label_col) if isinstance(label_col, str) else label_col
-    base = df.select(lab.cast("boolean").alias("label")).where(
-        F.col("label").isNotNull()
-    )
-    cnt = nb_count_table(df, text_col, id_col, lab, n_buckets)
-    tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    ndoc = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_c"))
-    n_all = base.count()  # 1 scalar, bounded
-
-    buckets = (
-        df.sparkSession.range(n_buckets).select(F.col("id").cast("bigint").alias("b"))
-    )
-    classes = df.sparkSession.createDataFrame(
-        [(True,), (False,)], "label boolean"
-    )
-    # no broadcast hint here: the grid is the BUILD-left side of a left
-    # join (unsupported hint position); the model itself broadcasts at
-    # the scoring join, which is the join that matters
-    grid = buckets.crossJoin(classes)
-    model = (
-        grid.join(cnt, on=["b", "label"], how="left")
-        .join(tot, on="label", how="left")
-        .select(
-            "b",
-            "label",
-            _ln_micro(
-                (F.coalesce("cnt", F.lit(0)) + 1)
-                / (F.coalesce("tot", F.lit(0)) + n_buckets)
-            ).alias("loglik_micro"),
-        )
-    )
-    # prior over the DENSE class table, not only observed classes: an
-    # all-one-class corpus must still produce both prior rows (the
-    # smoothed ln(1/(n+2)) for the empty class), or the scorer's inner
-    # prior join silently drops every document (r06 review, reproduced)
-    prior = (
-        classes.join(ndoc, on="label", how="left")
-        .select(
-            "label",
-            _ln_micro(
-                (F.coalesce("n_c", F.lit(0)) + 1) / F.lit(float(n_all + 2))
-            ).alias("prior_micro"),
-        )
-    )
-    return model, prior
+    stats = nb_stats_table(df, text_col, id_col, label_col, n_buckets)
+    return nb_train_from_stats(stats, n_buckets)
 
 
 def nb_score_with_model(

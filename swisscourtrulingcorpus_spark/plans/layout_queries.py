@@ -204,6 +204,18 @@ def mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation would go through the IVF buckets
     (`ivf_topk_bucketed`), which composes with the same mutual
     filter."""
+    ranked = _bitext_ranked(spark, sf_dir)
+    return ranked.where(
+        (F.col("__ra") == 1) & (F.col("__rb") == 1)
+    ).select("id_a", "id_b", "dot_q")
+
+
+def _bitext_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE definition of the bitext scored-pair table shared by the
+    mutual-NN and margin gates: int8-quantize both label groups with the
+    global bound, one broadcast-cross exact bigint dot per (A, B) pair,
+    plus both direction ranks (__ra per A-id, __rb per B-id; ties by
+    the other id ascending)."""
     from pyspark.sql import Window
 
     from swisscourtrulingcorpus_spark.operators.similarity import (
@@ -242,11 +254,60 @@ def mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("id_b").orderBy(
         F.col("dot_q").desc(), F.col("id_a").asc()
     )
+    return scored.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rb", F.row_number().over(wb)
+    )
+
+
+_MARGIN_K = 4
+
+
+def margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-SCORED bitext mining — the actual CCMatrix ranking rule
+    (Artetxe & Schwenk 2019 margin criterion, public): a mutual-NN pair
+    is accepted only when its similarity stands OUT of each side's
+    neighborhood, margin = dot / avg(top-k dots of both sides) — raw
+    mutual-NN keeps hubs whose best match is barely better than their
+    k-th.  Integer-exact: margin_micro = ((na+nb) * dot * 1e6) DIV
+    (sa+sb) over the bigint code dots (truncating division, both
+    operands non-negative by the guards), accept ⇔ margin > 1.
+
+    One quadratic pass: the shared ranked table adds per-side top-k
+    window sums (4 slim window shuffles total, the scored cross-join
+    evaluated once); rows with non-positive denominator or negative
+    dot are excluded on BOTH engines (division semantics diverge below
+    zero: Spark DIV truncates, DuckDB // floors)."""
+    from pyspark.sql import Window
+
+    k = _MARGIN_K
+    ranked = _bitext_ranked(spark, sf_dir)
+    pa = Window.partitionBy("id_a")
+    pb = Window.partitionBy("id_b")
+    topk_a = F.when(F.col("__ra") <= k, F.col("dot_q"))
+    topk_b = F.when(F.col("__rb") <= k, F.col("dot_q"))
+    sums = (
+        ranked.withColumn("__sa", F.sum(topk_a).over(pa))
+        .withColumn("__na", F.sum(F.when(F.col("__ra") <= k, 1)).over(pa))
+        .withColumn("__sb", F.sum(topk_b).over(pb))
+        .withColumn("__nb", F.sum(F.when(F.col("__rb") <= k, 1)).over(pb))
+    )
+    margin = F.expr(
+        "((__na + __nb) * dot_q * 1000000) DIV (__sa + __sb)"
+    )
     return (
-        scored.withColumn("__ra", F.row_number().over(wa))
-        .withColumn("__rb", F.row_number().over(wb))
-        .where((F.col("__ra") == 1) & (F.col("__rb") == 1))
-        .select("id_a", "id_b", "dot_q")
+        sums.where(
+            (F.col("__ra") == 1)
+            & (F.col("__rb") == 1)
+            & (F.col("dot_q") >= 0)
+            & (F.col("__sa") + F.col("__sb") > 0)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot_q",
+            margin.alias("margin_micro"),
+            (margin > 1_000_000).alias("accept"),
+        )
     )
 
 
@@ -294,6 +355,31 @@ FROM top_ab x JOIN top_ba y ON x.qid = y.qid AND x.nid = y.nid
 """
 
 
+# shares the scored CTE chain of MUTUAL_NN_ORACLE; sums mirror the
+# Spark window aggregates exactly (top-k by the same tie-broken ranks)
+MARGIN_BITEXT_ORACLE = (
+    MUTUAL_NN_ORACLE.split("top_ab AS")[0]
+    + f"""ranked AS (
+  SELECT qid, nid, dot_q,
+         row_number() OVER (PARTITION BY qid ORDER BY dot_q DESC, nid ASC) AS ra,
+         row_number() OVER (PARTITION BY nid ORDER BY dot_q DESC, qid ASC) AS rb
+  FROM scored),
+sums AS (
+  SELECT *,
+         sum(CASE WHEN ra <= {_MARGIN_K} THEN dot_q END) OVER (PARTITION BY qid) AS sa,
+         sum(CASE WHEN ra <= {_MARGIN_K} THEN 1 END) OVER (PARTITION BY qid) AS na,
+         sum(CASE WHEN rb <= {_MARGIN_K} THEN dot_q END) OVER (PARTITION BY nid) AS sb,
+         sum(CASE WHEN rb <= {_MARGIN_K} THEN 1 END) OVER (PARTITION BY nid) AS nb
+  FROM ranked)
+SELECT qid AS id_a, nid AS id_b, dot_q,
+       CAST(((na + nb) * dot_q * 1000000) // (sa + sb) AS BIGINT) AS margin_micro,
+       (CAST(((na + nb) * dot_q * 1000000) // (sa + sb) AS BIGINT) > 1000000) AS accept
+FROM sums
+WHERE ra = 1 AND rb = 1 AND dot_q >= 0 AND sa + sb > 0
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         "zorder_locality_orders",
@@ -306,6 +392,12 @@ SPECS = [
         mutual_nn_bitext,
         MUTUAL_NN_ORACLE,
         "mutual top-1 int8-dot alignment across label groups (bitext mining)",
+    ),
+    QuerySpec(
+        "margin_bitext_pairs",
+        margin_bitext_pairs,
+        MARGIN_BITEXT_ORACLE,
+        "CCMatrix margin criterion over mutual pairs, integer-exact",
     ),
     QuerySpec(
         "int8_dot_topk_embeddings",

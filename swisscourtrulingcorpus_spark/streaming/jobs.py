@@ -1030,3 +1030,107 @@ def stream_nb_scoring_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def nb_training_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    label_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+) -> None:
+    """One micro-batch of streaming incremental NB training: the
+    batch's sufficient-statistics delta
+    (`operators/classifier.py::nb_stats_table`) merges into the
+    versioned count store via `nb_merge_counts` — history text is never
+    re-tokenized, only the vocab-bounded tables move.
+
+    CRASH-REPLAY GUARD (same contract as :func:`minhash_dedup_batch`,
+    see there): counts are ADDITIVE, so an at-least-once replay of an
+    already-committed batch would double-count every token.  The
+    (run, batch_id) ledger makes replays no-ops, and the OCC
+    commit-loop serializes concurrent sibling committers."""
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_merge_counts,
+        nb_stats_table,
+    )
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    delta = nb_stats_table(
+        batch, text_col, id_col, label_col, n_buckets
+    ).localCheckpoint(eager=True)  # computed once; the OCC loop may re-merge
+    while True:
+        base = latest_version(store_table)
+        ledger = _read_replay_ledger(store_table)
+        if ledger.get(run_tag, -1) >= batch_id:
+            return  # concurrent twin of THIS batch already committed it
+        if base:
+            merged = nb_merge_counts(
+                read_version(spark, store_table, base), delta
+            )
+        else:
+            merged = delta
+        try:
+            new_ledger = dict(ledger)
+            new_ledger[run_tag] = batch_id
+            commit_version(
+                merged,
+                store_table,
+                base_version=base,
+                meta={"run": run_tag, "batch_id": batch_id, "runs": new_ledger},
+            )
+            _write_replay_ledger(store_table, new_ledger)
+            return
+        except ConcurrentWriteError:
+            continue  # re-read base AND ledger, re-check the guard
+
+
+def stream_nb_training_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    label_col,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+):
+    """Streaming incremental NB TRAINING: each micro-batch folds its
+    count delta into the versioned statistics store; a model built from
+    the store (`nb_train_from_stats`) after N batches is bit-identical
+    to one-shot batch training over the union (test-asserted) — the
+    counts-are-mergeable property doing the work.  Together with
+    :func:`stream_nb_scoring_job` this closes the classifier loop:
+    train incrementally on the labeled stream, freeze, score the
+    ingest stream.  Trigger.AvailableNow, restartable."""
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _train(batch: DataFrame, batch_id: int) -> None:
+        nb_training_batch(
+            batch,
+            batch_id,
+            store_table,
+            run_tag,
+            label_col,
+            text_col,
+            id_col,
+            n_buckets,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_train)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -393,3 +393,66 @@ def test_mutual_nn_bitext_matches_numpy(spark, sf_dir):
         if top_ba[b] == a
     }
     assert got == want and len(want) > 0
+
+
+def test_margin_bitext_matches_numpy(spark, sf_dir):
+    """The margin criterion must equal the numpy mirror: per mutual
+    pair, margin_micro = ((na+nb) * dot * 1e6) // (sa+sb) over each
+    side's top-k dots (k=4, same tie-broken ranks)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.plans.layout_queries import (
+        _MARGIN_K,
+        margin_bitext_pairs,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    got = {
+        (r.id_a, r.id_b): (r.margin_micro, r.accept)
+        for r in margin_bitext_pairs(spark, sf_dir).collect()
+    }
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    s = max(
+        max(abs(float(x)) for x in r.embedding)
+        for r in emb
+        if r.embedding is not None
+    )
+    codes = {
+        r.vec_id: np.clip(
+            np.round(np.array(r.embedding, dtype=np.float64) * 127.0 / s),
+            -127,
+            127,
+        ).astype(np.int64)
+        for r in emb
+        if r.embedding is not None
+    }
+    a_ids = sorted(r.vec_id for r in emb if r.label % 2 == 0)
+    b_ids = sorted(r.vec_id for r in emb if r.label % 2 == 1)
+    dots = {(a, b): int(codes[a] @ codes[b]) for a in a_ids for b in b_ids}
+    k = _MARGIN_K
+
+    def topk(ids, key_fn, order):
+        return sorted(ids, key=order)[:k]
+
+    want = {}
+    for a in a_ids:
+        b_rank = sorted(b_ids, key=lambda b: (-dots[(a, b)], b))
+        for b in b_ids:
+            a_rank = sorted(a_ids, key=lambda x: (-dots[(x, b)], x))
+            if b_rank[0] != b or a_rank[0] != a:
+                continue
+            ta = b_rank[:k]
+            tb = a_rank[:k]
+            sa = sum(dots[(a, x)] for x in ta)
+            sb = sum(dots[(x, b)] for x in tb)
+            d = dots[(a, b)]
+            if d < 0 or sa + sb <= 0:
+                continue
+            m = ((len(ta) + len(tb)) * d * 1_000_000) // (sa + sb)
+            want[(a, b)] = (m, m > 1_000_000)
+    assert got == want and len(want) > 0
+    # the criterion is selective but not degenerate on the fixture
+    accepted = sum(1 for m, acc in got.values() if acc)
+    assert 0 < accepted

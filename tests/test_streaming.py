@@ -704,3 +704,72 @@ def test_stream_nb_scoring_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == docs.count()
+
+
+def test_stream_nb_training_equals_batch(spark, sf_dir, tmp_path):
+    """A model built from the streaming training store after two file
+    landings must be BIT-IDENTICAL to one-shot batch training over the
+    full corpus (mergeable-counts property), and replaying the job with
+    no new files must not advance the store (replay guard: additive
+    counts would double)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_train,
+        nb_train_from_stats,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_nb_training_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    label = gopher_rule_columns("text")["keep"]
+
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    store = str(tmp_path / "nb_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        _shutil.copy(part, stage / f"{name}.parquet")
+
+    land(docs.where(F.col("doc_id") % 2 == 0), "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = stream_nb_training_job(stream, store, ckpt, label)
+        q.awaitTermination()
+
+    run_once()
+    land(docs.where(F.col("doc_id") % 2 == 1), "b2")
+    run_once()
+
+    v = latest_version(store)
+    stats = read_version(spark, store, v)
+    got_m, got_p = nb_train_from_stats(stats)
+    want_m, want_p = nb_train(docs, "text", "doc_id", label)
+    assert {tuple(r) for r in got_m.collect()} == {
+        tuple(r) for r in want_m.collect()
+    }
+    assert {tuple(r) for r in got_p.collect()} == {
+        tuple(r) for r in want_p.collect()
+    }
+
+    # replay with no new files: the store version must not advance
+    run_once()
+    assert latest_version(store) == v
