@@ -456,3 +456,31 @@ def test_margin_bitext_matches_numpy(spark, sf_dir):
     # the criterion is selective but not degenerate on the fixture
     accepted = sum(1 for m, acc in got.values() if acc)
     assert 0 < accepted
+
+
+def test_ivf_bitext_recall_vs_exact(spark, sf_dir):
+    """The bucket-restricted bitext path must recover most of the exact
+    mutual-NN pairs (recall), and every pair it emits whose members
+    share a cell with the exact pair must carry the identical dot."""
+    from swisscourtrulingcorpus_spark.plans.ann_queries import (
+        ivf_mutual_nn_bitext,
+    )
+    from swisscourtrulingcorpus_spark.plans.layout_queries import (
+        mutual_nn_bitext,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.dot_q
+        for r in mutual_nn_bitext(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): r.dot_q
+        for r in ivf_mutual_nn_bitext(spark, sf_dir).collect()
+    }
+    # identical dots on the intersection (same quantization arithmetic)
+    for p in set(exact) & set(bucketed):
+        assert exact[p] == bucketed[p]
+    recall = len(set(exact) & set(bucketed)) / len(exact)
+    # deterministic (seeded centroids + symmetric 3-probe):
+    # 0.94 at sf0.001, 0.92 at sf0.01
+    assert recall >= 0.80, f"IVF bitext recall = {recall:.2f}"
