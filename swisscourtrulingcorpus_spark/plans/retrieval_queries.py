@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
@@ -468,7 +469,92 @@ WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
 """
 
 
+# --- BM25 hard-negative mining (DPR/ANCE training prep) ----------------
+
+def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training (the DPR/ANCE prep
+    step, Karpukhin et al. 2020, public): for a query workload derived
+    from the corpus (every 50th document's first 8 normalized words),
+    the top BM25 hits that are NOT the query's own source document —
+    lexically confusable non-relevant docs, the negatives that actually
+    teach a dense retriever.  Upgrades `doc2doc_triplets`' hash-random
+    negatives to ranked ones.
+
+    Scale shape: identical to `bm25_query_topk` (postings equi-join is
+    the only document-sized input; query terms broadcast + pushed as a
+    literal IN predicate) plus one anti-filter and a per-query
+    re-rank window over <= k rows.  Output (query_id, doc_id, neg_rank,
+    score_micro), all ints."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        bm25_search,
+        build_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(normalize_ws("text"), " ")
+    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(words, 1, 8)).alias("text"),
+    )
+    hits = bm25_search(build_postings(docs), queries, k=10)
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        hits.where(F.col("doc_id") != F.col("query_id"))
+        .withColumn("neg_rank", F.row_number().over(wq))
+        .where(F.col("neg_rank") <= 5)
+        .select("query_id", "doc_id", "neg_rank", "score_micro")
+    )
+
+
+BM25_HARD_NEG_ORACLE = f"""
+WITH w0 AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+  FROM documents),
+q AS (
+  SELECT doc_id AS query_id, array_to_string(w[1:8], ' ') AS qtext
+  FROM w0 WHERE doc_id % 50 = 0),
+qterms AS (
+  SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+words AS (SELECT doc_id, unnest(w) AS term FROM w0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2),
+dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM words GROUP BY 1),
+scalars AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+per_term AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(round((ln(1.0 + (s.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+           * (tf.tf * ({_K1} + 1))
+           / (tf.tf + {_K1} * (1.0 - {_B} + {_B} * dl.dl / s.avgdl))) * 1000000)
+           AS BIGINT) AS score_micro_term
+  FROM tf
+  JOIN qterms qt USING (term)
+  JOIN dfr USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN scalars s),
+scored AS (
+  SELECT query_id, doc_id,
+         CAST(sum(score_micro_term) AS BIGINT) AS score_micro
+  FROM per_term GROUP BY 1, 2),
+topk AS (
+  SELECT query_id, doc_id, score_micro, rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rank
+        FROM scored)
+  WHERE rank <= 10)
+SELECT query_id, doc_id, neg_rank, score_micro
+FROM (SELECT query_id, doc_id, score_micro,
+             row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+      FROM topk WHERE doc_id != query_id)
+WHERE neg_rank <= 5
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "bm25_hard_negatives",
+        bm25_hard_negatives,
+        BM25_HARD_NEG_ORACLE,
+        "ranked hard-negative mining for retrieval training, int-exact",
+    ),
     QuerySpec(
         "bm25_top_terms",
         bm25_top_terms,

@@ -134,3 +134,23 @@ def test_materialized_search_pushes_term_filter_to_scan(spark, corpus, tmp_path)
     df = bm25_search(reopened, _queries(spark), k=5)
     plan = explain_plan_str(df, "formatted")
     assert "In(term, [" in plan, plan
+
+
+def test_bm25_hard_negatives_exclude_source_doc(spark, sf_dir):
+    """Hard negatives never include the query's own source document,
+    neg_rank is dense 1..5 per query, and scores are monotone in rank."""
+    from swisscourtrulingcorpus_spark.plans.retrieval_queries import (
+        bm25_hard_negatives,
+    )
+
+    rows = bm25_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_micro for r in rs]
+        assert scores == sorted(scores, reverse=True)

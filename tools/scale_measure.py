@@ -83,6 +83,7 @@ QUERIES = [
     ("lsh_verified_pairs", "Levenshtein bounded by candidate count x char cap, never all-pairs"),
     ("verified_dedup_clusters", "star CC over verified pairs only; (bigint, bigint) shuffles"),
     ("nb_quality_classifier", "train = one slim groupBy; fixed 2x4096 broadcast model"),
+    ("ivf_mutual_nn_bitext", "cell-product candidates, never |A|x|B|; symmetric 3-probe"),
 ]
 
 
