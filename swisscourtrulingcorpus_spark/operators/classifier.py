@@ -129,9 +129,25 @@ def nb_train_from_stats(
         "label", F.col("cnt").alias("n_c")
     )
     tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
-    n_all = int(
-        ndoc.agg(F.coalesce(F.sum("n_c"), F.lit(0))).collect()[0][0]
-    )  # 1 scalar, bounded
+    # 1-row bounded collect: total doc count AND the highest observed
+    # bucket in one pass — a stats table built with a LARGER n_buckets
+    # than this call's would silently lose its high buckets to the
+    # dense-grid left join while their mass still inflates tot, so the
+    # mismatch is an error, not a truncation (r06 review, same class as
+    # the scorer's derive-don't-assume fix)
+    row = stats.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("b") == _DOC_SENTINEL_B, F.col("cnt"))),
+            F.lit(0),
+        ).alias("n_all"),
+        F.max("b").alias("max_b"),
+    ).collect()[0]
+    n_all = int(row["n_all"])
+    if row["max_b"] is not None and int(row["max_b"]) >= n_buckets:
+        raise ValueError(
+            f"stats table has bucket {row['max_b']} >= n_buckets="
+            f"{n_buckets}: it was built with a larger bucket count"
+        )
 
     buckets = spark.range(n_buckets).select(
         F.col("id").cast("bigint").alias("b")
@@ -227,8 +243,16 @@ def nb_train(
     contributes its smoothed log-likelihood ln(1 / (T_c + B))), prior
     is (label, prior_micro).  Both are fixed-size tables fit for
     broadcast and for FREEZING: score a later batch or a stream with
-    :func:`nb_score_with_model` without retraining."""
-    stats = nb_stats_table(df, text_col, id_col, label_col, n_buckets)
+    :func:`nb_score_with_model` without retraining.
+
+    The stats table is MATERIALIZED once (eager localCheckpoint of a
+    vocab-bounded table, a few KB of blocks that live as long as the
+    model): without it the n_all collect, the model broadcast, and the
+    prior broadcast would each re-run the full corpus tokenization —
+    three passes instead of one (r06 review, plan-audit-visible)."""
+    stats = nb_stats_table(
+        df, text_col, id_col, label_col, n_buckets
+    ).localCheckpoint(eager=True)
     return nb_train_from_stats(stats, n_buckets)
 
 
@@ -249,8 +273,10 @@ def nb_score_with_model(
     pred).
 
     ``n_buckets`` defaults to the model's own bucket count (one bounded
-    1-row aggregate over the vocab-sized grid) — a hard-coded value
-    that disagreed with training would silently drop the out-of-range
+    1-row aggregate over the vocab-sized grid — cheap because nb_train
+    materializes the stats behind the model; a model with un-cut
+    lineage pays its plan once here) — a hard-coded value that
+    disagreed with training would silently drop the out-of-range
     buckets from every score (r06 review)."""
     if n_buckets is None:
         n_buckets = int(model.agg(F.max("b")).collect()[0][0]) + 1

@@ -464,3 +464,34 @@ def int8_dot_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "dot_q", "rank")
     )
+
+
+def int8_pair_dot(code_a: str, code_b: str):
+    """Exact BIGINT dot product of two int8 code array columns — ONE
+    definition of the bitext pair score shared by the brute-force and
+    IVF-bucketed alignment gates (a quantization or fold tweak applied
+    to one would silently break their dots-identical invariant)."""
+    return F.aggregate(
+        F.zip_with(code_a, code_b, lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def mutual_rank_columns(
+    scored: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    dot: str = "dot_q",
+) -> DataFrame:
+    """Add both direction ranks to a scored pair table: ``__ra`` per
+    A-id and ``__rb`` per B-id, ordered (dot desc, other id asc) — the
+    shared tie-broken mutual-NN ranking of the bitext gates; mutual
+    pairs are ``__ra == 1 AND __rb == 1``."""
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy(id_a).orderBy(F.col(dot).desc(), F.col(id_b).asc())
+    wb = Window.partitionBy(id_b).orderBy(F.col(dot).desc(), F.col(id_a).asc())
+    return scored.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rb", F.row_number().over(wb)
+    )

@@ -710,14 +710,14 @@ def ivf_mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ivf_topk_bucketed`).  Recall vs the exact mutual-NN gate is
     measured in tests/test_clustering.py; precision is unchanged (the
     dot and mutual rule are identical on surviving candidates)."""
-    from pyspark.sql import Window
-
     from swisscourtrulingcorpus_spark.operators.clustering import (
         _probe_clusters,
     )
     from swisscourtrulingcorpus_spark.operators.similarity import (
+        int8_pair_dot,
         int8_quantize_symmetric,
         max_abs_bound,
+        mutual_rank_columns,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -761,24 +761,13 @@ def ivf_mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cluster"),
         )
     )
-    scored = qa.join(qb, on="cluster").select(
-        "id_a",
-        "id_b",
-        F.aggregate(
-            F.zip_with("qa", "qb", lambda a, b: (a * b).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("dot_q"),
-    ).distinct()
-    wa = Window.partitionBy("id_a").orderBy(
-        F.col("dot_q").desc(), F.col("id_b").asc()
-    )
-    wb = Window.partitionBy("id_b").orderBy(
-        F.col("dot_q").desc(), F.col("id_a").asc()
+    scored = (
+        qa.join(qb, on="cluster")
+        .select("id_a", "id_b", int8_pair_dot("qa", "qb").alias("dot_q"))
+        .distinct()
     )
     return (
-        scored.withColumn("__ra", F.row_number().over(wa))
-        .withColumn("__rb", F.row_number().over(wb))
+        mutual_rank_columns(scored)
         .where((F.col("__ra") == 1) & (F.col("__rb") == 1))
         .select("id_a", "id_b", "dot_q")
     )

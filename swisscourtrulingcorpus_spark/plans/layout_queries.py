@@ -216,11 +216,11 @@ def _bitext_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
     global bound, one broadcast-cross exact bigint dot per (A, B) pair,
     plus both direction ranks (__ra per A-id, __rb per B-id; ties by
     the other id ascending)."""
-    from pyspark.sql import Window
-
     from swisscourtrulingcorpus_spark.operators.similarity import (
+        int8_pair_dot,
         int8_quantize_symmetric,
         max_abs_bound,
+        mutual_rank_columns,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -240,23 +240,9 @@ def _bitext_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("id_b"), "qb")
     )
     scored = qb.crossJoin(F.broadcast(qa)).select(
-        "id_a",
-        "id_b",
-        F.aggregate(
-            F.zip_with("qa", "qb", lambda a, b: (a * b).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).alias("dot_q"),
+        "id_a", "id_b", int8_pair_dot("qa", "qb").alias("dot_q")
     )
-    wa = Window.partitionBy("id_a").orderBy(
-        F.col("dot_q").desc(), F.col("id_b").asc()
-    )
-    wb = Window.partitionBy("id_b").orderBy(
-        F.col("dot_q").desc(), F.col("id_a").asc()
-    )
-    return scored.withColumn("__ra", F.row_number().over(wa)).withColumn(
-        "__rb", F.row_number().over(wb)
-    )
+    return mutual_rank_columns(scored)
 
 
 _MARGIN_K = 4

@@ -492,7 +492,12 @@ def bm25_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(normalize_ws("text"), " ")
-    queries = docs.where(F.col("doc_id") % 50 == 0).select(
+    # NULL-text docs make no query on EITHER engine: Spark's concat_ws
+    # would coerce NULL to '' (a live empty-term query) while DuckDB's
+    # array_to_string propagates NULL — filtering is the mirrored form
+    queries = docs.where(
+        (F.col("doc_id") % 50 == 0) & F.col("text").isNotNull()
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(words, 1, 8)).alias("text"),
     )
@@ -512,7 +517,7 @@ WITH w0 AS (
   FROM documents),
 q AS (
   SELECT doc_id AS query_id, array_to_string(w[1:8], ' ') AS qtext
-  FROM w0 WHERE doc_id % 50 = 0),
+  FROM w0 WHERE doc_id % 50 = 0 AND w IS NOT NULL),
 qterms AS (
   SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
 words AS (SELECT doc_id, unnest(w) AS term FROM w0),

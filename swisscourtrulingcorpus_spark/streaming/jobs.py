@@ -1068,33 +1068,41 @@ def nb_training_batch(
     if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
         return
     spark = batch.sparkSession
-    delta = nb_stats_table(
-        batch, text_col, id_col, label_col, n_buckets
-    ).localCheckpoint(eager=True)  # computed once; the OCC loop may re-merge
-    while True:
-        base = latest_version(store_table)
-        ledger = _read_replay_ledger(store_table)
-        if ledger.get(run_tag, -1) >= batch_id:
-            return  # concurrent twin of THIS batch already committed it
-        if base:
-            merged = nb_merge_counts(
-                read_version(spark, store_table, base), delta
-            )
-        else:
-            merged = delta
-        try:
-            new_ledger = dict(ledger)
-            new_ledger[run_tag] = batch_id
-            commit_version(
-                merged,
-                store_table,
-                base_version=base,
-                meta={"run": run_tag, "batch_id": batch_id, "runs": new_ledger},
-            )
-            _write_replay_ledger(store_table, new_ledger)
-            return
-        except ConcurrentWriteError:
-            continue  # re-read base AND ledger, re-check the guard
+    # computed once; the OCC loop may re-merge — cached with a finally
+    # unpersist so a long stream doesn't accumulate one block set per
+    # micro-batch (the minhash_dedup_batch pattern)
+    delta = nb_stats_table(batch, text_col, id_col, label_col, n_buckets).cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return  # concurrent twin of THIS batch already committed it
+            if base:
+                merged = nb_merge_counts(
+                    read_version(spark, store_table, base), delta
+                )
+            else:
+                merged = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    merged,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue  # re-read base AND ledger, re-check the guard
+    finally:
+        delta.unpersist()
 
 
 def stream_nb_training_job(

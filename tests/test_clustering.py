@@ -432,10 +432,6 @@ def test_margin_bitext_matches_numpy(spark, sf_dir):
     b_ids = sorted(r.vec_id for r in emb if r.label % 2 == 1)
     dots = {(a, b): int(codes[a] @ codes[b]) for a in a_ids for b in b_ids}
     k = _MARGIN_K
-
-    def topk(ids, key_fn, order):
-        return sorted(ids, key=order)[:k]
-
     want = {}
     for a in a_ids:
         b_rank = sorted(b_ids, key=lambda b: (-dots[(a, b)], b))
