@@ -773,3 +773,53 @@ def test_stream_nb_training_equals_batch(spark, sf_dir, tmp_path):
     # replay with no new files: the store version must not advance
     run_once()
     assert latest_version(store) == v
+
+
+def test_nb_training_replay_and_sibling_runs(spark, tmp_path):
+    """Counts are ADDITIVE, so the replay guard is load-bearing in a way
+    the dedup store's isn't: a replayed committed batch would DOUBLE
+    every token count.  Replay of a committed (run, batch_id) must be a
+    no-op; a DIFFERENT run with the same batch_id is new data and must
+    merge; and a concurrent committer landing after our commit must not
+    mask the replay marker."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.sources import versioned as V
+    from swisscourtrulingcorpus_spark.streaming.jobs import nb_training_batch
+
+    store = str(tmp_path / "store")
+    os.makedirs(store)
+    batch = spark.createDataFrame(
+        [(1, "aa bb cc dd", True), (2, "ee ff", False)],
+        "doc_id long, text string, lab boolean",
+    )
+
+    def counts(version):
+        return {
+            (r.label, r.b): r.cnt
+            for r in V.read_version(spark, store, version).collect()
+        }
+
+    nb_training_batch(batch, 0, store, "runA", F.col("lab"), n_buckets=64)
+    assert V.versions(store) == [1]
+    first = counts(1)
+    # sentinel doc counts present for both classes
+    assert first[(True, -1)] == 1 and first[(False, -1)] == 1
+
+    # replay: same (run, batch) -> no-op, counts NOT doubled
+    nb_training_batch(batch, 0, store, "runA", F.col("lab"), n_buckets=64)
+    assert V.versions(store) == [1]
+    assert counts(1) == first
+
+    # a concurrent committer lands a newer version; replay still no-op
+    V.commit_version(V.read_version(spark, store), store)
+    nb_training_batch(batch, 0, store, "runA", F.col("lab"), n_buckets=64)
+    assert V.versions(store) == [1, 2]
+
+    # DIFFERENT run, same batch_id: genuinely new data, counts double
+    nb_training_batch(batch, 0, store, "runB", F.col("lab"), n_buckets=64)
+    v = V.latest_version(store)
+    doubled = counts(v)
+    assert doubled == {k: 2 * c for k, c in first.items()}
