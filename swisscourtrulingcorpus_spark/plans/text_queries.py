@@ -323,6 +323,76 @@ WHERE rn = 1
     )
 
 
+def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The report a data team reads off a dedup run: per near-dup
+    cluster SIZE, how many clusters exist, how many documents dedup
+    removes, and how many characters of storage that saves — the
+    decision artifact for "is near-dup dedup worth running on this
+    corpus".  Derived from `minhash_dedup_groups` representatives plus
+    one slim (id, n_chars) join; all-int output, two aggregations over
+    (rep, int) rows."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_dedup_groups,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = minhash_dedup_groups(docs, "text", "doc_id", spread=True)
+    sizes = docs.select(
+        "doc_id", F.coalesce(F.length("text"), F.lit(0)).cast("bigint").alias("n_chars")
+    )
+    # docs_removed counts keep=false rows, NOT cluster_size - 1: under
+    # the single-pass min-over-buckets approximation a chain group's
+    # nominal representative can itself point to a smaller id, leaving
+    # zero kept rows in the cluster keyed by it
+    per_cluster = (
+        reps.join(sizes, on="doc_id")
+        .groupBy("representative")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_removed"),
+            F.sum(F.when(~F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "chars_removed"
+            ),
+        )
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n_removed").alias("docs_removed"),
+        F.sum("chars_removed").alias("chars_removed"),
+    )
+
+
+def _dedup_savings_oracle() -> str:
+    band_exprs = _band_exprs()
+    return (
+        _minhash_sql_cte()
+        + f""",
+bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+bucket_min AS (SELECT band_key, min(doc_id) AS bucket_rep FROM bands GROUP BY band_key),
+reps AS (
+  SELECT b.doc_id,
+         min(m.bucket_rep) AS representative,
+         min(m.bucket_rep) = b.doc_id AS keep
+  FROM bands b JOIN bucket_min m ON b.band_key = m.band_key
+  GROUP BY b.doc_id),
+sizes AS (SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars FROM documents),
+per_cluster AS (
+  SELECT representative,
+         count(*) AS cluster_size,
+         CAST(sum(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         CAST(sum(CASE WHEN NOT keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+  FROM reps JOIN sizes USING (doc_id)
+  GROUP BY 1)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(sum(n_removed) AS BIGINT) AS docs_removed,
+       CAST(sum(chars_removed) AS BIGINT) AS chars_removed
+FROM per_cluster
+GROUP BY 1
+"""
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "text", "doc_id", spread=True)
@@ -1169,6 +1239,7 @@ SPECS = [
     QuerySpec("lsh_verified_pairs", q_lsh_verified_pairs, _lsh_verified_oracle(), "edit-distance verification of LSH candidates"),
     QuerySpec("verified_dedup_clusters", q_verified_dedup_clusters, _verified_clusters_oracle(), "LSH -> verify -> exact CC, three-stage dedup composed"),
     QuerySpec("quality_dedup_representatives", q_quality_dedup_reps, _quality_reps_oracle(), "keep-the-longest LSH representatives"),
+    QuerySpec("dedup_savings_report", q_dedup_savings_report, _dedup_savings_oracle(), "per-cluster-size dedup savings decision report"),
     QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
