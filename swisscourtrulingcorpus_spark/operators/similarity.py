@@ -495,3 +495,56 @@ def mutual_rank_columns(
     return scored.withColumn("__ra", F.row_number().over(wa)).withColumn(
         "__rb", F.row_number().over(wb)
     )
+
+
+def jl_projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 7
+) -> "list[list[float]]":
+    """Deterministic seeded Gaussian random-projection matrix
+    (Johnson-Lindenstrauss): DATA-INDEPENDENT like the LSH hyperplanes,
+    so the same literals embed in both the Spark expressions and the
+    SQL oracle, and ingest never rescans the corpus to rebuild the
+    projector.  Scaled by 1/sqrt(out_dim) so expected squared distances
+    are preserved."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((out_dim, in_dim)) / float(np.sqrt(out_dim))
+    # snap to float32: a float32 embedding x float32 matrix entry is a
+    # 24x24-bit product, EXACT in double — without this, DuckDB's
+    # fused-multiply-add in list_dot_product rounds inexact products
+    # once where Spark's mul-then-add rounds twice (one-ULP divergence
+    # on ~half the rows, observed).  Float32 projectors are standard
+    # storage practice anyway.
+    return [[float(np.float32(x)) for x in row] for row in m]
+
+
+def jl_project(
+    df: DataFrame,
+    matrix: "list[list[float]]",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    prefix: str = "p",
+) -> DataFrame:
+    """Random-projection dimensionality reduction: out_dim sequential
+    dot-product folds per row against the literal matrix — pure
+    map-side column math (the matrix ships inside the plan like the
+    IVF centroids), no shuffle, no Python.  At 100 TB this is the
+    cheap 4-8x shrink applied BEFORE the ANN index: distances are
+    approximately preserved (JL lemma; the distortion band is measured
+    and pinned in tests), the index gets proportionally smaller and
+    faster.
+
+    Doubles are bit-identical to DuckDB's list_dot_product (same
+    sequential fold order — the cosine gates' proven parity), so the
+    projected columns hash-gate without rounding."""
+    cols = [
+        _dot(
+            F.col(vec_col),
+            F.array(*[F.lit(x) for x in row]),
+        ).alias(f"{prefix}{i}")
+        for i, row in enumerate(matrix)
+    ]
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), *cols
+    )

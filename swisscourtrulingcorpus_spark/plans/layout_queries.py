@@ -366,7 +366,53 @@ WHERE ra = 1 AND rb = 1 AND dot_q >= 0 AND sa + sb > 0
 )
 
 
+_JL_IN, _JL_OUT = 64, 16
+# generated once at import from the fixed seed — the SAME literals embed
+# in the Spark plan and the oracle SQL (data-independent, like the LSH
+# hyperplanes), so there is nothing to train or store
+from swisscourtrulingcorpus_spark.operators.similarity import (  # noqa: E402
+    jl_projection_matrix,
+)
+
+_JL_MATRIX = jl_projection_matrix(_JL_IN, _JL_OUT, seed=7)
+
+
+def jl_projection_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims
+    (`operators/similarity.py::jl_project`): the cheap map-side shrink
+    applied before an ANN index — 4x smaller vectors, approximately
+    preserved distances (the JL distortion band is measured and pinned
+    in tests/test_clustering.py).  Doubles hash-gate bit-exactly (same
+    sequential fold as list_dot_product)."""
+    from swisscourtrulingcorpus_spark.operators.similarity import jl_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_project(emb, _JL_MATRIX)
+
+
+def _jl_oracle() -> str:
+    # literals in SCIENTIFIC notation: DuckDB parses a bare decimal
+    # literal as DECIMAL (precision-limited — silently lossy at 17
+    # significant digits) but an exponent literal as DOUBLE, which
+    # round-trips the float32-snapped entries exactly
+    dims = ",\n       ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), [{', '.join(f'{x:.17e}' for x in row)}]) AS p{i}"
+        for i, row in enumerate(_JL_MATRIX)
+    )
+    return f"""
+SELECT vec_id,
+       {dims}
+FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "jl_projection_embeddings",
+        jl_projection_embeddings,
+        _jl_oracle(),
+        "seeded JL random projection 64->16, bit-exact double folds",
+    ),
     QuerySpec(
         "zorder_locality_orders",
         zorder_locality_orders,

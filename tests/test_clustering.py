@@ -480,3 +480,52 @@ def test_ivf_bitext_recall_vs_exact(spark, sf_dir):
     # deterministic (seeded centroids + symmetric 3-probe):
     # 0.94 at sf0.001, 0.92 at sf0.01
     assert recall >= 0.80, f"IVF bitext recall = {recall:.2f}"
+
+
+def test_jl_projection_distance_distortion(spark, sf_dir):
+    """The JL lemma property itself: squared pairwise distances in the
+    16-dim projection concentrate around their 64-dim originals.  (The
+    fixture's embeddings are near-random — top-5 neighbor identity is
+    near-ties even in the ORIGINAL space, original-space neighbors
+    share the label column only ~11% of the time — so rank
+    preservation is not a meaningful measure here; the distortion band
+    is, and it is deterministic under the seeded projector: measured
+    10/50/90th percentile ratios 0.48/0.81/1.18 at sf0.01.)"""
+    import numpy as np
+
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        jl_project,
+        jl_projection_matrix,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = jl_projection_matrix(64, 16, seed=7)
+    proj = {
+        r.vec_id: np.array([r[f"p{i}"] for i in range(16)])
+        for r in jl_project(emb, m).collect()
+    }
+    orig = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+        if r.embedding is not None
+    }
+    ids = sorted(orig)
+    pairs = [
+        (ids[i], ids[j])
+        for i in range(0, min(100, len(ids)), 3)
+        for j in range(i + 1, min(100, len(ids)), 7)
+    ]
+    ratios = np.array(
+        [
+            np.sum((proj[a] - proj[b]) ** 2)
+            / max(np.sum((orig[a] - orig[b]) ** 2), 1e-12)
+            for a, b in pairs
+        ]
+    )
+    assert 0.5 <= np.median(ratios) <= 1.5
+    # concentration: the heavy mass of ratios inside the JL band for
+    # k=16 (eps ~ sqrt(8 ln n / k) is wide at this k — the band below
+    # is what k=16 buys; tighter needs more dims, the standard dial)
+    inside = np.mean((ratios >= 0.3) & (ratios <= 2.0))
+    assert inside >= 0.85, f"JL band coverage = {inside:.2f}"
