@@ -537,7 +537,14 @@ def jl_project(
 
     Doubles are bit-identical to DuckDB's list_dot_product (same
     sequential fold order — the cosine gates' proven parity), so the
-    projected columns hash-gate without rounding."""
+    projected columns hash-gate without rounding.
+
+    Rows whose vector length differs from the matrix width are EXCLUDED
+    like nulls (zip_with would otherwise null-pad and silently emit
+    all-NULL projections for every such row — r06 review); mismatched
+    dimensionality is a data-quality signal, surfaced by the
+    expectations layer, not a projectable vector."""
+    in_dim = len(matrix[0])
     cols = [
         _dot(
             F.col(vec_col),
@@ -545,9 +552,9 @@ def jl_project(
         ).alias(f"{prefix}{i}")
         for i, row in enumerate(matrix)
     ]
-    return df.where(F.col(vec_col).isNotNull()).select(
-        F.col(id_col), *cols
-    )
+    return df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == in_dim)
+    ).select(F.col(id_col), *cols)
 
 
 def jl_rerank_topk(
@@ -566,59 +573,50 @@ def jl_rerank_topk(
     proportionally fewer bytes — and keeps a per-query ``shortlist``;
     stage 2 re-ranks ONLY the shortlist pairs with the exact
     full-dimension cosine.  Recall vs the exact brute force is measured
-    in tests; at 100 TB the shortlist join back to full vectors touches
-    |queries| x shortlist rows, never the corpus.
+    in tests; at 100 TB stage 2 semi-join-prunes the corpus to the
+    shortlist ids BEFORE touching full vectors, so its norms and dots
+    run over |queries| x shortlist rows only.
+
+    Stage 1 IS `cosine_topk_bruteforce` over the packed projected
+    arrays (ONE ranking/tie-break definition — a fix there applies
+    here), with k = ``shortlist``.
 
     Output: (query_id, neighbor_id, cosine, rank) — same contract as
     `cosine_topk_bruteforce`."""
     from pyspark.sql import Window
 
-    pq = jl_project(queries, matrix, vec_col, id_col).withColumnRenamed(
-        id_col, "query_id"
-    )
-    pc = jl_project(corpus, matrix, vec_col, id_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
     out_dim = len(matrix)
-    parr_q = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
-    parr_c = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
-    q1 = pq.select(
-        "query_id", parr_q.alias("__qp"), _norm(parr_q).alias("__qn")
-    ).where(F.col("__qn") > 0)
-    c1 = pc.select(
-        "neighbor_id", parr_c.alias("__cp"), _norm(parr_c).alias("__cn")
-    ).where(F.col("__cn") > 0)
-    stage1 = (
-        c1.crossJoin(F.broadcast(q1))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("__qp"), F.col("__cp"))
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("__c1"),
-        )
+    parr = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
+    pq = jl_project(queries, matrix, vec_col, id_col).select(
+        id_col, parr.alias("__p")
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("__c1").desc(), F.col("neighbor_id").asc()
+    pc = jl_project(corpus, matrix, vec_col, id_col).select(
+        id_col, parr.alias("__p")
     )
-    short = (
-        stage1.withColumn("__r1", F.row_number().over(w1))
-        .where(F.col("__r1") <= shortlist)
-        .select("query_id", "neighbor_id")
-    )
-    # stage 2: exact full-dim cosine on shortlist pairs only
+    short = cosine_topk_bruteforce(
+        pc, pq, id_col=id_col, vec_col="__p", k=shortlist
+    ).select("query_id", "neighbor_id")
+
+    # stage 2: exact full-dim cosine on shortlist pairs only — the
+    # corpus is pruned to shortlist members BEFORE any norm/dot work.
+    # No zero-norm guard needed: a zero full vector projects to zero
+    # and is already excluded by stage 1's norm filter.
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         _norm(F.col(vec_col)).alias("__qn2"),
-    ).where(F.col("__qn2") > 0)
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn2"),
-    ).where(F.col("__cn2") > 0)
+    )
+    cv = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        )
+        .join(
+            short.select("neighbor_id").distinct(),
+            on="neighbor_id",
+            how="left_semi",
+        )
+        .select("neighbor_id", "__cv", _norm(F.col("__cv")).alias("__cn2"))
+    )
     exact = (
         short.join(F.broadcast(qv), on="query_id")
         .join(cv, on="neighbor_id")
@@ -631,10 +629,13 @@ def jl_rerank_topk(
             ).alias("cosine"),
         )
     )
+    ranked = top_k_per_group(
+        exact,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+    )
     w2 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
-    return (
-        exact.withColumn("rank", F.row_number().over(w2))
-        .where(F.col("rank") <= k)
-    )
+    return ranked.withColumn("rank", F.row_number().over(w2))

@@ -402,7 +402,8 @@ def _jl_oracle() -> str:
     return f"""
 SELECT vec_id,
        {dims}
-FROM embeddings WHERE embedding IS NOT NULL
+FROM embeddings
+WHERE embedding IS NOT NULL AND len(embedding) = {_JL_IN}
 """
 
 
@@ -444,7 +445,8 @@ def _jl_rerank_oracle(k: int = 5, shortlist: int = 20) -> str:
 WITH pr AS (
   SELECT vec_id,
          [{dims}] AS p
-  FROM embeddings WHERE embedding IS NOT NULL),
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_JL_IN}),
 n1 AS (SELECT vec_id, p, sqrt({pnorm}) AS pn FROM pr),
 q1 AS (SELECT vec_id AS query_id, p AS qp, pn AS qn FROM n1 WHERE vec_id < 8 AND pn > 0),
 c1 AS (SELECT vec_id AS neighbor_id, p AS cp, pn AS cn FROM n1 WHERE pn > 0),

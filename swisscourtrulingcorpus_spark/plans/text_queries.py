@@ -101,6 +101,23 @@ def _band_exprs() -> str:
     )
 
 
+def _reps_ctes() -> str:
+    """The bands -> bucket_min -> reps CTE chain (single-pass
+    min-over-buckets representatives) — ONE definition shared by the
+    dedup-groups and dedup-savings oracles, same convention as
+    `_band_exprs` (a representative-rule change cannot silently
+    diverge between the two gates)."""
+    band_exprs = _band_exprs()
+    return f"""bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
+bucket_min AS (SELECT band_key, min(doc_id) AS bucket_rep FROM bands GROUP BY band_key),
+reps AS (
+  SELECT b.doc_id,
+         min(m.bucket_rep) AS representative,
+         min(m.bucket_rep) = b.doc_id AS keep
+  FROM bands b JOIN bucket_min m ON b.band_key = m.band_key
+  GROUP BY b.doc_id)"""
+
+
 def minhash_sig_ctes(source: str, suffix: str = "") -> str:
     """The words→shingles→signature CTE chain over an arbitrary source
     CTE/table, name-suffixed so TWO corpora can coexist in one query
@@ -167,17 +184,11 @@ def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_groups_oracle() -> str:
-    band_exprs = _band_exprs()
     return (
         _minhash_sql_cte()
         + f""",
-bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
-bucket_min AS (SELECT band_key, min(doc_id) AS bucket_rep FROM bands GROUP BY band_key)
-SELECT b.doc_id,
-       min(m.bucket_rep) AS representative,
-       min(m.bucket_rep) = b.doc_id AS keep
-FROM bands b JOIN bucket_min m ON b.band_key = m.band_key
-GROUP BY b.doc_id
+{_reps_ctes()}
+SELECT doc_id, representative, keep FROM reps
 """
     )
 
@@ -363,18 +374,10 @@ def q_dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_savings_oracle() -> str:
-    band_exprs = _band_exprs()
     return (
         _minhash_sql_cte()
         + f""",
-bands AS (SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig),
-bucket_min AS (SELECT band_key, min(doc_id) AS bucket_rep FROM bands GROUP BY band_key),
-reps AS (
-  SELECT b.doc_id,
-         min(m.bucket_rep) AS representative,
-         min(m.bucket_rep) = b.doc_id AS keep
-  FROM bands b JOIN bucket_min m ON b.band_key = m.band_key
-  GROUP BY b.doc_id),
+{_reps_ctes()},
 sizes AS (SELECT doc_id, CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars FROM documents),
 per_cluster AS (
   SELECT representative,

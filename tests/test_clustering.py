@@ -536,8 +536,10 @@ def test_jl_rerank_recall_vs_exact(spark, sf_dir):
     EXACT full-dimension values (stage 2 recomputes them — only the
     candidate set is approximate), and the shortlist size is a working
     recall dial (the fixture's embeddings are near-random, so small
-    shortlists necessarily miss near-tie neighbors; measured recall@5
-    at 20 queries: 0.27 @ shortlist 20, 0.76 @ shortlist 150)."""
+    shortlists necessarily miss near-tie neighbors; reference
+    measurement at 20 queries: 0.27 @ shortlist 20, 0.76 @ shortlist
+    150 — this test uses 10 queries for runtime and re-asserts the
+    floor on its own numbers)."""
     from pyspark.sql import functions as F
 
     from swisscourtrulingcorpus_spark.operators.similarity import (
