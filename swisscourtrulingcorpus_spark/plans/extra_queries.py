@@ -663,3 +663,87 @@ SPECS = [
     QuerySpec("avi_frame_sample_stats", avi_frame_sample_stats, AVI_FRAME_ORACLE, "real AVI frame sampling (stride 2) vs arithmetic oracle"),
     QuerySpec("audio_frame_energy_windows", audio_frame_energy_windows, AUDIO_ENERGY_ORACLE, "windowed audio energy fan-out vs arithmetic oracle"),
 ]
+
+
+# --- Unigram-LM (SentencePiece-style) segmentation ---------------------
+
+_UG_P = 6     # max piece length
+_UG_V = 500   # substring vocabulary size (chars always retained)
+_UG_W = 12    # max word length the DP chains over
+
+
+def unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-initialized unigram-LM segmentation
+    (`operators/unigram.py`): the SentencePiece family's init + exact
+    Viterbi, the second trained-in-engine tokenizer next to BPE.  Per
+    distinct word: the minimal total piece cost (micro-int -log-probs)
+    and the piece count, DP state packed into one bigint so the
+    (cheapest, fewest-pieces) tie-break is a single min on BOTH
+    engines."""
+    from swisscourtrulingcorpus_spark.operators.unigram import (
+        unigram_segment_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_segment_words(docs, "text", _UG_P, _UG_V, _UG_W)
+
+
+def _unigram_oracle() -> str:
+    steps = []
+    for j in range(1, _UG_W + 1):
+        lo = max(0, j - _UG_P)
+        steps.append(
+            f"b{j} AS (\n"
+            f"  SELECT f.w, {j} AS pos, min(f.key + v.pcost * 64 + 1) AS key\n"
+            f"  FROM ball{j - 1} f JOIN vocab v\n"
+            f"    ON v.piece = substr(f.w, f.pos + 1, {j} - f.pos)\n"
+            f"  WHERE f.pos >= {lo} AND f.pos <= {j - 1} AND len(f.w) >= {j}\n"
+            f"  GROUP BY f.w),\n"
+            f"ball{j} AS MATERIALIZED (SELECT * FROM ball{j - 1} UNION ALL SELECT * FROM b{j})"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+fwords AS (
+  SELECT w, count(*) AS freq FROM toks
+  WHERE len(w) BETWEEN 1 AND {_UG_W} GROUP BY w),
+starts AS (
+  SELECT w, freq, unnest(generate_series(1, len(w))) AS s FROM fwords),
+pieces AS (
+  SELECT substr(w, s, l) AS piece, freq
+  FROM (SELECT w, freq, s,
+               unnest(generate_series(1, least({_UG_P}, len(w) - s + 1))) AS l
+        FROM starts)),
+cnts AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM pieces GROUP BY 1),
+ranked AS (
+  SELECT piece, cnt,
+         row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+  FROM cnts),
+kept AS (SELECT piece, cnt FROM ranked WHERE len(piece) = 1 OR rk <= {_UG_V}),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM kept),
+vocab AS MATERIALIZED (
+  SELECT piece,
+         -CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS pcost
+  FROM kept, tot),
+dwords AS (SELECT DISTINCT w FROM fwords),
+ball0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS key FROM dwords),
+{chain}
+SELECT b.w AS word,
+       CAST(b.key % 64 AS BIGINT) AS n_pieces,
+       b.key // 64 AS cost_micro
+FROM ball{_UG_W} b JOIN dwords d USING (w)
+WHERE b.pos = len(b.w)
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "unigram_segmentation",
+        unigram_segmentation,
+        _unigram_oracle(),
+        "unigram-LM Viterbi segmentation, packed-int DP, second tokenizer",
+    ),
+]

@@ -84,3 +84,44 @@ def test_encode_handles_null_and_unseen(spark):
     # unseen chars stay single symbols + END marker
     assert bpe_encode_py("xyz", merges) == ["x", "y", "z", END]
     assert bpe_encode_py("low", merges) == ["low", END]
+
+
+def test_unigram_segmentation_matches_python_dp(spark):
+    """The distributed Viterbi must equal a direct python DP over the
+    same vocab/scores (packed-key semantics included), and frequent
+    multi-char pieces must actually win over char-by-char splits."""
+    from swisscourtrulingcorpus_spark.operators.unigram import (
+        PACK,
+        unigram_segment_words,
+        unigram_vocab,
+    )
+
+    rows = [(i, "abab " * 5 + "xyz qq") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pcost = {
+        r.piece: -r.score_micro
+        for r in unigram_vocab(docs, "text").collect()
+    }
+    got = {
+        r.word: (r.n_pieces, r.cost_micro)
+        for r in unigram_segment_words(docs, "text").collect()
+    }
+    assert set(got) == {"abab", "xyz", "qq"}
+
+    def dp(word):
+        best = [None] * (len(word) + 1)
+        best[0] = 0
+        for j in range(1, len(word) + 1):
+            cands = []
+            for i in range(max(0, j - 6), j):
+                piece = word[i + 1 - 1 : j]
+                if best[i] is not None and piece in pcost:
+                    cands.append(best[i] + pcost[piece] * PACK + 1)
+            best[j] = min(cands) if cands else None
+        key = best[len(word)]
+        return (key % PACK, key // PACK)
+
+    for w, res in got.items():
+        assert res == dp(w), w
+    # 'abab' is the most frequent substring -> segments as one piece
+    assert got["abab"][0] == 1
