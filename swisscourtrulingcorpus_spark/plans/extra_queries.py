@@ -747,3 +747,70 @@ SPECS += [
         "unigram-LM Viterbi segmentation, packed-int DP, second tokenizer",
     ),
 ]
+
+
+def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer APPLIED to the corpus: per document, the total
+    unigram-piece count and total segmentation cost — sum over word
+    occurrences of the per-word Viterbi results (one broadcast join of
+    the distinct-word segmentation table back to the exploded corpus,
+    the standard apply-tokenizer shape; words longer than the DP depth
+    are excluded on both engines)."""
+    from swisscourtrulingcorpus_spark.operators.unigram import (
+        unigram_segment_words,
+    )
+    from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = unigram_segment_words(docs, "text", _UG_P, _UG_V, _UG_W)
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word"),
+    ).where((F.length("word") >= 1) & (F.length("word") <= _UG_W))
+    return (
+        occ.join(F.broadcast(seg), on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum("cost_micro").alias("cost_micro"),
+        )
+    )
+
+
+def _unigram_counts_oracle() -> str:
+    base = _unigram_oracle()
+    # reuse the full segmentation chain as a prefix: swap the final
+    # SELECT for a per-document rollup
+    prefix = base[: base.rindex("SELECT b.w AS word")]
+    return (
+        prefix
+        + f""", seg AS MATERIALIZED (
+  SELECT b.w AS word,
+         CAST(b.key % 64 AS BIGINT) AS n_pieces,
+         b.key // 64 AS cost_micro
+  FROM ball{_UG_W} b JOIN dwords d USING (w)
+  WHERE b.pos = len(b.w)),
+occ AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents)
+SELECT o.doc_id,
+       count(*) AS n_words,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(s.cost_micro) AS BIGINT) AS cost_micro
+FROM occ o JOIN seg s USING (word)
+WHERE len(o.word) BETWEEN 1 AND {_UG_W}
+GROUP BY 1
+"""
+    )
+
+
+SPECS += [
+    QuerySpec(
+        "unigram_token_counts",
+        unigram_token_counts,
+        _unigram_counts_oracle(),
+        "unigram tokenizer applied per document, exact piece/cost sums",
+    ),
+]
