@@ -46,9 +46,13 @@ def unigram_vocab(
     vocab_top: int = 500,
     max_word_len: int = 12,
 ) -> DataFrame:
-    """(piece, cnt, score_micro): the ``vocab_top`` most frequent
-    substrings of length 2..max_piece_len (ties: lexicographic) PLUS
-    every single character seen — chars guarantee every word segments.
+    """(piece, cnt, score_micro): the ``vocab_top`` highest-ranked
+    pieces by (cnt desc, piece asc) — the rank runs over ALL substring
+    lengths 1..max_piece_len, so frequent single chars occupy rank
+    slots like any other piece — PLUS every single character seen
+    regardless of rank (chars guarantee every word segments).  The
+    effective multi-char vocabulary is therefore vocab_top minus the
+    chars that ranked inside the top — size vocab_top accordingly.
     score_micro = round(ln(cnt / total) * 1e6) where total sums over
     the RETAINED vocabulary (so scores form a proper log-distribution
     over the pieces actually usable).
@@ -85,10 +89,19 @@ def unigram_vocab(
             wv.partitionBy(F.lit(1))
         ),
     )
+    # materialized BEFORE the total collect: the substring explode +
+    # global rank would otherwise execute twice (once for the scalar,
+    # again when the returned lineage is consumed) — r06 review
     kept = ranked.where(
         (F.length("piece") == 1) | (F.col("__rk") <= vocab_top)
-    ).select("piece", "cnt")
+    ).select("piece", "cnt").localCheckpoint(eager=True)
     total = kept.agg(F.sum("cnt")).collect()[0][0]  # 1 scalar, bounded
+    if total is None:
+        # zero qualifying words: mirror the oracle's graceful empty
+        # relation instead of float(None) crashing (r06 review)
+        return kept.select(
+            "piece", "cnt", F.lit(None).cast("bigint").alias("score_micro")
+        )
     return kept.select(
         "piece",
         "cnt",
@@ -126,21 +139,25 @@ def unigram_segment_words(
         .distinct()
     )
     # best(word, pos, key): cheapest packed key reaching pos.  pos 0 =
-    # empty prefix, key 0.  Built iteratively; the frontier table stays
-    # (distinct words x positions) rows of three scalars.  EAGER
-    # localCheckpoint per step — the iterative-DataFrame lineage rule
-    # (`pagerank`): a lazy plan referencing 12 nested unions of itself
-    # chokes the optimizer long before execution.
-    best = words.select("w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("key"))
-    frontier = best.localCheckpoint(eager=True)
+    # empty prefix, key 0.  Each position's slice is checkpointed ONCE
+    # (eager — the iterative-DataFrame lineage rule, `pagerank`) and
+    # kept in a python list: iteration j unions only the slices it can
+    # extend (pos in [j-P, j-1]), and the final frontier is a lazy
+    # union of checkpoint LEAVES (flat lineage).  Checkpointing a
+    # cumulative union instead would rewrite every finalized position
+    # each iteration — ~7x the materialization I/O (r06 review).
+    slices = [
+        words.select(
+            "w", F.lit(0).alias("pos"), F.lit(0).cast("bigint").alias("key")
+        ).localCheckpoint(eager=True)
+    ]
     for j in range(1, max_word_len + 1):
         lo = max(0, j - max_piece_len)
+        reachable = slices[lo]
+        for s in slices[lo + 1 : j]:
+            reachable = reachable.unionByName(s)
         cand = (
-            frontier.where(
-                (F.col("pos") >= lo)
-                & (F.col("pos") <= j - 1)
-                & (F.length("w") >= j)
-            )
+            reachable.where(F.length("w") >= j)
             .select(
                 "w",
                 "pos",
@@ -154,11 +171,13 @@ def unigram_segment_words(
             )
             .select("w", F.lit(j).alias("pos"), "key")
         )
-        frontier = frontier.unionByName(cand).localCheckpoint(eager=True)
-    final = frontier.join(
-        words.select("w", F.length("w").alias("__len")), on="w"
-    ).where(F.col("pos") == F.col("__len"))
-    return final.select(
+        slices.append(cand.localCheckpoint(eager=True))
+    frontier = slices[0]
+    for s in slices[1:]:
+        frontier = frontier.unionByName(s)
+    # pos == len(w) identifies completed segmentations directly — no
+    # join back to the corpus-derived word table needed (r06 review)
+    return frontier.where(F.col("pos") == F.length("w")).select(
         F.col("w").alias("word"),
         (F.col("key") % PACK).cast("bigint").alias("n_pieces"),
         F.expr(f"key DIV {PACK}").alias("cost_micro"),

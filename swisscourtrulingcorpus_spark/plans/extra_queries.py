@@ -688,7 +688,11 @@ def unigram_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_segment_words(docs, "text", _UG_P, _UG_V, _UG_W)
 
 
-def _unigram_oracle() -> str:
+def _unigram_ctes() -> str:
+    """The shared WITH-prefix of both unigram oracles: corpus words ->
+    substring vocab (scores) -> the full MATERIALIZED DP chain through
+    ball{max_word_len}.  Each oracle appends its own final SELECT —
+    composition from parts, not string surgery on rendered SQL."""
     steps = []
     for j in range(1, _UG_W + 1):
         lo = max(0, j - _UG_P)
@@ -730,13 +734,20 @@ vocab AS MATERIALIZED (
   FROM kept, tot),
 dwords AS (SELECT DISTINCT w FROM fwords),
 ball0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS key FROM dwords),
-{chain}
+{chain}"""
+
+
+def _unigram_oracle() -> str:
+    return (
+        _unigram_ctes()
+        + f"""
 SELECT b.w AS word,
        CAST(b.key % 64 AS BIGINT) AS n_pieces,
        b.key // 64 AS cost_micro
-FROM ball{_UG_W} b JOIN dwords d USING (w)
+FROM ball{_UG_W} b
 WHERE b.pos = len(b.w)
 """
+    )
 
 
 SPECS += [
@@ -779,17 +790,14 @@ def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_counts_oracle() -> str:
-    base = _unigram_oracle()
-    # reuse the full segmentation chain as a prefix: swap the final
-    # SELECT for a per-document rollup
-    prefix = base[: base.rindex("SELECT b.w AS word")]
     return (
-        prefix
-        + f""", seg AS MATERIALIZED (
+        _unigram_ctes()
+        + f""",
+seg AS MATERIALIZED (
   SELECT b.w AS word,
          CAST(b.key % 64 AS BIGINT) AS n_pieces,
          b.key // 64 AS cost_micro
-  FROM ball{_UG_W} b JOIN dwords d USING (w)
+  FROM ball{_UG_W} b
   WHERE b.pos = len(b.w)),
 occ AS (
   SELECT doc_id,

@@ -125,3 +125,19 @@ def test_unigram_segmentation_matches_python_dp(spark):
         assert res == dp(w), w
     # 'abab' is the most frequent substring -> segments as one piece
     assert got["abab"][0] == 1
+
+
+def test_unigram_empty_corpus_graceful(spark):
+    """Zero qualifying words (all NULL text / over-length) must yield
+    empty vocab and segmentation tables, not a float(None) crash — the
+    oracle's graceful-empty mirror (r06 review)."""
+    from swisscourtrulingcorpus_spark.operators.unigram import (
+        unigram_segment_words,
+        unigram_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x" * 40)], "doc_id long, text string"
+    )
+    assert unigram_vocab(docs, "text").count() == 0
+    assert unigram_segment_words(docs, "text").count() == 0
