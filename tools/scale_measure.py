@@ -85,6 +85,7 @@ QUERIES = [
     ("nb_quality_classifier", "train = one slim groupBy; fixed 2x4096 broadcast model"),
     ("ivf_mutual_nn_bitext", "cell-product candidates, never |A|x|B|; symmetric 3-probe"),
     ("bm25_hard_negatives", "postings equi-join only; negatives re-rank over <= k rows/query"),
+    ("unigram_token_counts", "DP over the DISTINCT-WORD table; corpus joins broadcast seg table"),
 ]
 
 
