@@ -306,32 +306,40 @@ def temperature_quotas_languages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TEMP_QUOTA_CTES = f"""c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-w AS (SELECT lang, n_docs, CAST(round(pow(n_docs, {_TEMP_ALPHA}) * 1000000.0) AS BIGINT) AS w_micro FROM c),
-t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w),
-b AS (SELECT lang, n_docs, w_micro,
+def _temp_quota_ctes(p: str = "") -> str:
+    """The temperature-quota CTE chain with ``p``-prefixed CTE names —
+    one definition (the empty prefix serves the standalone quota/sample
+    oracles; a non-empty prefix lets the chain coexist with other CTE
+    families, e.g. the NB scorer's, in one composed query)."""
+    return f"""{p}c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+{p}w AS (SELECT lang, n_docs, CAST(round(pow(n_docs, {_TEMP_ALPHA}) * 1000000.0) AS BIGINT) AS w_micro FROM {p}c),
+{p}t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM {p}w),
+{p}b AS (SELECT lang, n_docs, w_micro,
              ({_TEMP_TOTAL} * w_micro) // tw AS base,
              ({_TEMP_TOTAL} * w_micro) % tw AS rem
-      FROM w CROSS JOIN t),
-lv AS (SELECT CAST({_TEMP_TOTAL} - sum(base) AS BIGINT) AS leftover FROM b),
-q1 AS (
+      FROM {p}w CROSS JOIN {p}t),
+{p}lv AS (SELECT CAST({_TEMP_TOTAL} - sum(base) AS BIGINT) AS leftover FROM {p}b),
+{p}q1 AS (
   SELECT lang, n_docs, w_micro, rem,
          least(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang ASC)
-                                <= (SELECT leftover FROM lv)
+                                <= (SELECT leftover FROM {p}lv)
                            THEN 1 ELSE 0 END,
                n_docs) AS q1
-  FROM b),
-dv AS (SELECT CAST({_TEMP_TOTAL} - sum(q1) AS BIGINT) AS deficit FROM q1),
-quota AS (
+  FROM {p}b),
+{p}dv AS (SELECT CAST({_TEMP_TOTAL} - sum(q1) AS BIGINT) AS deficit FROM {p}q1),
+{p}quota AS (
   SELECT lang, n_docs, w_micro,
          CAST(q1 + least(n_docs - q1,
-                         greatest((SELECT deficit FROM dv)
+                         greatest((SELECT deficit FROM {p}dv)
                                   - coalesce(sum(n_docs - q1) OVER (
                                       ORDER BY rem DESC, lang ASC
                                       ROWS BETWEEN UNBOUNDED PRECEDING
                                                AND 1 PRECEDING), 0),
                                   0)) AS BIGINT) AS quota
-  FROM q1)"""
+  FROM {p}q1)"""
+
+
+_TEMP_QUOTA_CTES = _temp_quota_ctes()
 
 TEMPERATURE_QUOTAS_ORACLE = f"""
 WITH {_TEMP_QUOTA_CTES}
@@ -817,7 +825,11 @@ lab AS (
 
 _NB_H32 = "CAST(('0x' || substr(md5(word), 1, 8))::UBIGINT AS BIGINT)"
 
-NB_CLASSIFIER_ORACLE = f"""{_gopher_label_ctes()}
+def _nb_score_ctes() -> str:
+    """The full NB train+score CTE chain through ``fullsc``
+    (doc_id, label, cls, score) — ONE definition shared by the
+    classifier gate and the quality-quota composition."""
+    return f"""{_gopher_label_ctes()}
 occ AS (
   SELECT doc_id, label, {_NB_H32} % {_NB_BUCKETS} AS b
   FROM (SELECT doc_id, label, unnest(words) AS word
@@ -854,12 +866,18 @@ scored AS (
   FROM feats f JOIN model m ON m.b = f.b GROUP BY 1, 2, 3),
 fullsc AS (
   SELECT s.doc_id, s.label, s.cls, s.s + p.prior_micro AS score
-  FROM scored s JOIN prior p ON p.cls = s.cls)
+  FROM scored s JOIN prior p ON p.cls = s.cls)"""
+
+
+NB_CLASSIFIER_ORACLE = (
+    _nb_score_ctes()
+    + """
 SELECT a.doc_id, a.label,
        a.score AS s_pos_micro, n.score AS s_neg_micro,
        (a.score >= n.score) AS pred
 FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls
 """
+)
 
 
 SPECS += [
@@ -917,5 +935,89 @@ SPECS += [
         nb_incremental_counts,
         NB_INCREMENTAL_ORACLE,
         "incremental NB training merge == one-shot batch counts",
+    ),
+]
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted temperature sampling: classifier margin fills the quotas
+# ---------------------------------------------------------------------------
+
+def quality_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone curation composition: per-language temperature
+    quotas (`temperature_sampling_quotas`) filled by CLASSIFIER-RANKED
+    selection instead of the plain seeded-md5 coin — each language
+    keeps its ``quota`` highest NB-margin documents (margin = s_pos -
+    s_neg micro-ints; ties → seeded md5, then doc_id).  This is what a
+    production mixture actually ships: language balance from the
+    temperature recipe, within-language selection by the trained
+    quality model.
+
+    Scale shape: the classifier scoring plan (broadcast model) plus one
+    slim (doc_id, lang, margin) window per language and a broadcast
+    quota join — the corpus text is read by the scorer only."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+    from swisscourtrulingcorpus_spark.operators.training import (
+        temperature_sampling_quotas,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    quotas = temperature_sampling_quotas(
+        docs.select("lang"), "lang", total=_TEMP_TOTAL, alpha=_TEMP_ALPHA
+    )
+    m = scored.select(
+        "doc_id", (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("margin_micro")
+    ).join(docs.select("doc_id", "lang"), on="doc_id")
+    wq = Window.partitionBy("lang").orderBy(
+        F.col("margin_micro").desc(),
+        F.md5(F.concat(F.lit("qq|"), F.col("doc_id").cast("string"))).asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        m.withColumn("__rk", F.row_number().over(wq))
+        .join(F.broadcast(quotas.select("lang", "quota")), on="lang")
+        .where(F.col("__rk") <= F.col("quota"))
+        .select("doc_id", "lang", "margin_micro")
+    )
+
+
+QUALITY_QUOTA_ORACLE = (
+    _nb_score_ctes()
+    + f""",
+nbres AS (
+  SELECT a.doc_id, a.score - n.score AS margin_micro
+  FROM fullsc a JOIN fullsc n
+    ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+{_temp_quota_ctes("tq_")},
+ranked AS (
+  SELECT d.doc_id, d.lang, r.margin_micro,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY r.margin_micro DESC,
+                    md5('qq|' || CAST(d.doc_id AS VARCHAR)) ASC,
+                    d.doc_id ASC
+         ) AS rk
+  FROM documents d JOIN nbres r USING (doc_id))
+SELECT r.doc_id, r.lang, r.margin_micro
+FROM ranked r JOIN tq_quota q USING (lang)
+WHERE r.rk <= q.quota
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        "quality_quota_sample",
+        quality_quota_sample,
+        QUALITY_QUOTA_ORACLE,
+        "temperature quotas filled by classifier-ranked selection",
     ),
 ]

@@ -349,3 +349,59 @@ def test_nb_null_labels_excluded(spark):
     merged = nb_merge_counts(cnt, cnt).collect()
     keys = [(r.label, r.b) for r in merged]
     assert len(keys) == len(set(keys))  # no duplicate (label, b) rows
+
+
+def test_quality_quota_sample_selects_best_margins(spark, sf_dir):
+    """Per language: exactly `quota` docs selected, and no unselected
+    document has a strictly higher classifier margin than any selected
+    one (ties broken by the seeded md5 are allowed either way)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+    from swisscourtrulingcorpus_spark.operators.training import (
+        temperature_sampling_quotas,
+    )
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        _NB_BUCKETS,
+        _TEMP_ALPHA,
+        _TEMP_TOTAL,
+        quality_quota_sample,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sel = quality_quota_sample(spark, sf_dir).collect()
+    quotas = {
+        r.lang: r.quota
+        for r in temperature_sampling_quotas(
+            docs.select("lang"), "lang", total=_TEMP_TOTAL, alpha=_TEMP_ALPHA
+        ).collect()
+    }
+    by_lang: dict = {}
+    for r in sel:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert {l: len(v) for l, v in by_lang.items()} == {
+        l: q for l, q in quotas.items() if q > 0
+    }
+
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    margins = {
+        r.doc_id: r.s_pos_micro - r.s_neg_micro
+        for r in scored.collect()
+    }
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    for lang, rows in by_lang.items():
+        worst_selected = min(margins[r.doc_id] for r in rows)
+        unselected = [
+            margins[d]
+            for d, l in langs.items()
+            if l == lang and d not in {r.doc_id for r in rows}
+        ]
+        if unselected:
+            assert max(unselected) <= worst_selected
