@@ -472,6 +472,69 @@ def simhash64(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate PAIRS by Hamming distance — the classic
+    web-scale dedup (Manku et al. 2007, Google's simhash crawl dedup,
+    public): split each signature into ``blocks`` equal bit-blocks;
+    by pigeonhole, two signatures within Hamming distance
+    ``blocks - 1`` agree EXACTLY on at least one block, so the
+    block-value equi-join has PERFECT recall for ``max_hamming <=
+    blocks - 1`` (unlike MinHash banding this stage is not
+    probabilistic — only the simhash fingerprint itself is lossy).
+    Candidates verify with ``bit_count(xor)``.
+
+    Scale shape: the self-join runs on (block, 8-bit value) keys over
+    the signature table (one short row per doc, like the MinHash band
+    join); verification is one integer op per candidate pair.  Output
+    (id_a < id_b, hamming), distinct.
+    """
+    assert max_hamming <= blocks - 1, "pigeonhole recall needs d <= blocks-1"
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sig = simhash64(df, text_col, id_col, k, bits)
+    banded = sig.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .cast("bigint")
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("block", "bval"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "block", "bval"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "block", "bval"
+    )
+    return (
+        a.join(b, on=["block", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(
+                F.col("__sa").bitwiseXOR(F.col("__sb"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def contamination_check(
     eval_df: DataFrame,
     train_df: DataFrame,

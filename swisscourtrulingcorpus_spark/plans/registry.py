@@ -36,7 +36,7 @@ class QuerySpec:
 # new gates (never checked) automatically enter the window, and no
 # gate's driver row can silently age out: with a 50-entry window the
 # steady-state max staleness is ceil(n_specs/50) rounds (4 at the
-# current 176 specs).  tests/test_registry_window.py asserts the
+# current 177 specs).  tests/test_registry_window.py asserts the
 # ordering invariant mechanically.
 
 

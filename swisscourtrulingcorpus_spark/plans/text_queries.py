@@ -234,6 +234,41 @@ FROM scored
     )
 
 
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-distance near-dup pairs
+    (`operators/dedup.py::simhash_hamming_pairs`): block-banded
+    candidates with pigeonhole-EXACT recall for d <= 3, verified by
+    bit_count(xor)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(docs, "text", "doc_id")
+
+
+def _simhash_pairs_oracle(
+    bits: int = 32, blocks: int = 4, max_hamming: int = 3
+) -> str:
+    width = bits // blocks
+    mask = (1 << width) - 1
+    return f"""
+WITH {_simhash_sig_ctes(bits)},
+bv AS (
+  SELECT doc_id, simhash, block,
+         (simhash >> (block * {width})) & {mask} AS bval
+  FROM (SELECT doc_id, simhash,
+               unnest(generate_series(0, {blocks - 1})) AS block
+        FROM sig)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bv a JOIN bv b
+    ON a.block = b.block AND a.bval = b.bval AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def q_verified_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full three-stage near-dup pipeline composed end to end:
     LSH candidates → exact edit-distance verification → EXACT connected
@@ -401,7 +436,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id", spread=True)
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_sig_ctes(bits: int = 32) -> str:
+    """words -> shingles -> votes -> ``sig(doc_id, simhash)`` CTE chain
+    — ONE definition shared by the signature gate and the Hamming-pair
+    gate (same convention as `minhash_sig_ctes`)."""
     h = _h32_sql("'sim|' || shingle")
     votes = ", ".join(
         f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -411,10 +449,17 @@ def _simhash_oracle(bits: int = 32) -> str:
         f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for b in range(bits)
     )
+    return (
+        f"{_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE},\n"
+        f"votes AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id),\n"
+        f"sig AS (SELECT doc_id, {sig} AS simhash FROM votes)"
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
     return f"""
-WITH {_WORDS_CTE}, {_SHINGLE_CTE}, {_DISTINCT_SH_CTE},
-votes AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id)
-SELECT doc_id, {sig} AS simhash FROM votes
+WITH {_simhash_sig_ctes(bits)}
+SELECT doc_id, simhash FROM sig
 """
 
 
@@ -1244,6 +1289,7 @@ SPECS = [
     QuerySpec("quality_dedup_representatives", q_quality_dedup_reps, _quality_reps_oracle(), "keep-the-longest LSH representatives"),
     QuerySpec("dedup_savings_report", q_dedup_savings_report, _dedup_savings_oracle(), "per-cluster-size dedup savings decision report"),
     QuerySpec("simhash_documents", q_simhash, _simhash_oracle(), "simhash sigs"),
+    QuerySpec("simhash_hamming_pairs", q_simhash_hamming_pairs, _simhash_pairs_oracle(), "block-banded Hamming pairs, pigeonhole-exact recall"),
     QuerySpec("ngram_jaccard_pairs", q_ngram_jaccard, NGRAM_JACCARD_ORACLE, "jaccard pairs"),
     QuerySpec("cosine_topk_bruteforce", q_cosine_topk, COSINE_TOPK_ORACLE, "ANN brute force"),
     QuerySpec("ivf_topk_bucketed", q_ivf_topk, IVF_TOPK_ORACLE, "ANN IVF bucketed"),

@@ -613,3 +613,32 @@ def test_quality_reps_keep_longest(spark):
     assert routed >= 18, routed
     # originals keep themselves (nothing is longer)
     assert all(out[2 * i].keep for i in range(30))
+
+
+def test_simhash_hamming_pigeonhole_recall_is_exact(spark):
+    """For max_hamming <= blocks-1 the block banding has PERFECT recall
+    by pigeonhole: every pair within the Hamming threshold (computed by
+    brute force over the collected signatures) must be emitted, and
+    every emitted pair's distance must be correct."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    docs = _corpus_with_near_dups(spark, n_base=25)
+    sigs = {
+        r.doc_id: r.simhash
+        for r in simhash64(docs, "text", "doc_id").collect()
+    }
+    want = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= 3:
+                want[(a, b)] = d
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_hamming_pairs(docs, "text", "doc_id").collect()
+    }
+    assert got == want and len(want) > 0
