@@ -276,3 +276,63 @@ def connected_components_bigstar(
         F.col("n").alias("node"), F.col("n").alias("cluster")
     )
     return labels.union(lone)
+
+
+def integer_hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999, public) on a DIRECTED graph:
+    authorities a = A'h, hubs h = A a, re-normalized each half-step by
+    integer division with the current maximum (``s * scale DIV max``)
+    so every score stays a micro-int in [0, scale] and a
+    fixed-iteration run is bit-identical across engines — the third
+    member of the oracle-gated iterative-algorithm class after
+    `integer_pagerank` and the star CC.
+
+    The max-normalizers are 1-row aggregates broadcast back into the
+    plan (the TF-IDF doc-count scalar pattern — deliberate tiny
+    cross-joins), so the loop is pure DataFrame ops with no driver
+    collect.  Per iteration: two co-partitioned joins + two groupBys
+    over (node, int) rows.  Returns (node, kind, score_micro) with
+    kind 'hub' (src side) / 'auth' (dst side).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    hubs = (
+        e.select(F.col("s").alias("node")).distinct()
+        .withColumn("h", F.lit(scale).cast("long"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(iters):
+        auth = (
+            e.join(hubs, e["s"] == hubs["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        amax = auth.agg(F.max("a_raw").alias("__m"))
+        auths = (
+            auth.crossJoin(F.broadcast(amax))
+            .select("node", F.expr(f"a_raw * {scale} DIV __m").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        hub = (
+            e.join(auths, e["d"] == auths["node"])
+            .groupBy(F.col("s").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        hmax = hub.agg(F.max("h_raw").alias("__m"))
+        hubs = (
+            hub.crossJoin(F.broadcast(hmax))
+            .select("node", F.expr(f"h_raw * {scale} DIV __m").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return hubs.select(
+        "node", F.lit("hub").alias("kind"), F.col("h").alias("score_micro")
+    ).unionByName(
+        auths.select(
+            "node", F.lit("auth").alias("kind"), F.col("a").alias("score_micro")
+        )
+    )

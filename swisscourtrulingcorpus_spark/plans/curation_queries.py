@@ -1021,3 +1021,80 @@ SPECS += [
         "temperature quotas filled by classifier-ranked selection",
     ),
 ]
+
+
+# ---------------------------------------------------------------------------
+# fixed-point HITS over the directed purchase graph
+# ---------------------------------------------------------------------------
+
+def integer_hits_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS (`operators/graph.py::integer_hits`, 3
+    iterations) over the DIRECTED customer -> part purchase graph:
+    hubs = broad buyers, authorities = widely-bought parts — the
+    directed-link-analysis twin of `integer_pagerank_parts` (which
+    bidirectionalizes; HITS is the algorithm that exploits direction).
+    Same id-space offset for part nodes."""
+    from swisscourtrulingcorpus_spark.operators.graph import integer_hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    max_ck = customer.agg(F.max("c_custkey")).collect()[0][0]
+    edges = pairs.select(
+        F.col("c").alias("src"),
+        (F.col("p") + F.lit(int(max_ck)).cast("long")).alias("dst"),
+    )
+    return integer_hits(edges, iters=3)
+
+
+def _hits_iteration(prev_h: str, i: int) -> str:
+    # every intermediate MATERIALIZED: each is referenced twice (score
+    # + its own max-normalizer subquery) and the chain would otherwise
+    # re-expand exponentially (the unigram-oracle lesson)
+    return (
+        f"a{i}r AS MATERIALIZED (\n"
+        f"  SELECT e.dst AS node, CAST(sum(h.h) AS BIGINT) AS a_raw\n"
+        f"  FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY 1),\n"
+        f"a{i} AS MATERIALIZED (\n"
+        f"  SELECT node, a_raw * 1000000 // (SELECT max(a_raw) FROM a{i}r) AS a\n"
+        f"  FROM a{i}r),\n"
+        f"h{i}r AS MATERIALIZED (\n"
+        f"  SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS h_raw\n"
+        f"  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY 1),\n"
+        f"h{i} AS MATERIALIZED (\n"
+        f"  SELECT node, h_raw * 1000000 // (SELECT max(h_raw) FROM h{i}r) AS h\n"
+        f"  FROM h{i}r)"
+    )
+
+
+INTEGER_HITS_ORACLE = f"""
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+off AS (SELECT MAX(c_custkey) AS o FROM customer),
+edges AS MATERIALIZED (
+  SELECT c AS src, p + (SELECT o FROM off) AS dst FROM pairs),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS h FROM edges),
+{_hits_iteration('h0', 1)},
+{_hits_iteration('h1', 2)},
+{_hits_iteration('h2', 3)}
+SELECT node, 'hub' AS kind, CAST(h AS BIGINT) AS score_micro FROM h3
+UNION ALL
+SELECT node, 'auth' AS kind, CAST(a AS BIGINT) AS score_micro FROM a3
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "integer_hits_parts",
+        integer_hits_parts,
+        INTEGER_HITS_ORACLE,
+        "fixed-point HITS hubs/authorities, 3 iters, integer-exact",
+    ),
+]
