@@ -383,6 +383,54 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+# --- GROUPING SETS: arbitrary (non-lattice) set list ---------------------
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status), (priority), ()) — the two marginal
+    breakdowns plus the grand total WITHOUT the (status, priority)
+    cross cells a CUBE would add.  Completes the A4 grouping family
+    (rollup ⊂ grouping-sets ⊃ cube) with the arbitrary-set form; one
+    Expand + one shuffle exactly like cube, just three set rows per
+    input row instead of four.  Emits explicit grouping() flags so
+    '<ALL>' labels stay unambiguous even if a real '<ALL>' value ever
+    entered the dimension domain."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec2("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<ALL>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<ALL>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_value",
+        )
+    )
+
+
+GROUPING_SETS_ORACLE = """
+SELECT
+  coalesce(o_orderstatus, '<ALL>') AS status,
+  coalesce(o_orderpriority, '<ALL>') AS priority,
+  CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+  CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+  count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 # --- Q13 shape: outer-join count-of-counts ------------------------------
 
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,4 +627,5 @@ SPECS = [
     QuerySpec("q19_brand_size_revenue", q19_brand_size_revenue, Q19_ORACLE, "Q19 OR-of-ANDs"),
     QuerySpec("ntile_customer_spend", ntile_customer_spend, NTILE_ORACLE, "ntile/percent_rank/cume_dist"),
     QuerySpec("cube_order_status_priority", cube_order_status_priority, CUBE_ORACLE, "CUBE lattice"),
+    QuerySpec("grouping_sets_order_stats", grouping_sets_order_stats, GROUPING_SETS_ORACLE, "arbitrary GROUPING SETS + grouping() flags"),
 ]

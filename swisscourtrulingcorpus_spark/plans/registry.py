@@ -89,6 +89,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import olap_queries2
     from swisscourtrulingcorpus_spark.plans import training_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
+    from swisscourtrulingcorpus_spark.plans import sketch_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
 
@@ -108,6 +109,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += behavior_queries.SPECS
     specs += layout_queries.SPECS
     specs += curation_queries.SPECS
+    specs += sketch_queries.SPECS
     from collections import Counter
 
     names = [s.name for s in specs]

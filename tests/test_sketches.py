@@ -223,3 +223,65 @@ def test_bloom_build_ignores_null_keys(spark):
     probe = spark.range(0, 50).select(F.col("id").alias("k"))
     got = {r["k"] for r in bloom_might_contain(probe, words, "k").collect()}
     assert {1, 2} <= got
+
+
+def test_portable_hll_tracks_exact_count(spark):
+    """The integer-exact md5 HLL (plans/sketch_queries.py) must land
+    within the m=64 error envelope of the exact distinct count.  Uses
+    sf0.01 (150 distinct users); n < 2.5m sits in the small-range zone
+    where the RAW estimator (which the gate pins for oracle parity)
+    reads low, so the bound here is the generous ±35% that still
+    catches sign/shift bugs — the gate itself is value-exact, this
+    test is about the estimator being a sane estimator."""
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import (
+        hll_estimate_users,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    exact = (
+        load_table(spark, sf01, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    est = hll_estimate_users(spark, sf01).collect()[0].est_milli / 1000.0
+    assert abs(est - exact) <= 0.35 * exact, (exact, est)
+
+
+def test_portable_hll_registers_max_merge(spark):
+    """Mergeability, the property that makes the register table a
+    storable statistic: max-merging the register tables of two disjoint
+    halves must equal the whole-corpus register table."""
+    from swisscourtrulingcorpus_spark.plans import sketch_queries as sq
+
+    sf01 = "/root/testdata/sf0.01"
+    whole = {
+        r.register: r.max_rank for r in sq._registers(spark, sf01).collect()
+    }
+
+    ev = load_table(spark, sf01, "events")
+    halves = []
+    for pred in [F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]:
+        part = ev.where(pred)
+        from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+        h = h32(F.col("user_id").cast("string"), seed="hll")
+        tail = h % F.lit(1 << 26)
+        rank = F.when(tail == 0, F.lit(27)).otherwise(
+            F.lit(27) - F.length(F.conv(tail.cast("string"), 10, 2))
+        )
+        halves.append(
+            {
+                r.register: r.max_rank
+                for r in part.select(
+                    F.shiftright(h, 26).alias("register"), rank.alias("rank")
+                )
+                .groupBy("register")
+                .agg(F.max("rank").alias("max_rank"))
+                .collect()
+            }
+        )
+    merged: dict[int, int] = {}
+    for hdict in halves:
+        for reg, rk in hdict.items():
+            merged[reg] = max(merged.get(reg, 0), rk)
+    assert merged == whole
