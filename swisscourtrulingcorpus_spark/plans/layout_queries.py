@@ -59,6 +59,95 @@ def zorder_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hilbert-curve locality (the Z-order comparison point) ---------------
+
+_HBITS = 8  # 256x256 cell grid; 16-bit Hilbert key
+
+
+def hilbert_locality_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-key locality report over the SAME (o_custkey,
+    floor(o_totalprice)) dims as `zorder_locality_orders` — per top-byte
+    Hilbert bucket, row count and min/max of both dims.  Hilbert's
+    connected-rectangle property gives tighter per-bucket bounding
+    boxes than Morton's Z-jumps (asserted in tests/test_layout.py), so
+    a file owning a key range prunes better on both columns at once.
+    Same plan shape as the z-order gate: one 1-row bounds aggregate,
+    one codegen'd projection, one groupBy on a 256-value key."""
+    from swisscourtrulingcorpus_spark.sources.layout import hilbert_value
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("x"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    r = o.agg(
+        F.min("x").alias("lox"),
+        F.max("x").alias("hix"),
+        F.min("y").alias("loy"),
+        F.max("y").alias("hiy"),
+    ).collect()[0]
+    h = hilbert_value(
+        ["x", "y"],
+        [int(r["lox"]), int(r["loy"])],
+        [int(r["hix"]), int(r["hiy"])],
+        _HBITS,
+    )
+    return (
+        o.withColumn("bucket", F.shiftright(h, _HBITS).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_price"),
+            F.max("y").alias("max_price"),
+        )
+    )
+
+
+def _hilbert_oracle() -> str:
+    """Unrolled DFA levels as chained CTEs, same tables as
+    `sources/layout.py` (DuckDB's `>>` takes computed shift counts, so
+    the oracle shifts where Spark divides by 2^idx — identical
+    integers)."""
+    from swisscourtrulingcorpus_spark.sources.layout import (
+        _HILBERT_OUT,
+        _HILBERT_ST,
+    )
+
+    mask = (1 << _HBITS) - 1
+    sql = f"""
+WITH o AS (
+  SELECT o_custkey AS x, CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+r AS (SELECT min(x) AS lox, max(x) AS hix, min(y) AS loy, max(y) AS hiy FROM o),
+h0 AS (
+  SELECT x, y,
+    greatest(CAST(0 AS BIGINT), least(CAST({mask} AS BIGINT),
+      CAST(trunc((CAST(x AS DOUBLE) - CAST(lox AS DOUBLE))
+                 / CAST(greatest(1, hix - lox) AS DOUBLE) * {mask}.0) AS BIGINT))) AS sx,
+    greatest(CAST(0 AS BIGINT), least(CAST({mask} AS BIGINT),
+      CAST(trunc((CAST(y AS DOUBLE) - CAST(loy AS DOUBLE))
+                 / CAST(greatest(1, hiy - loy) AS DOUBLE) * {mask}.0) AS BIGINT))) AS sy,
+    CAST(0 AS BIGINT) AS st0, CAST(0 AS BIGINT) AS d0
+  FROM o, r)"""
+    for i, lvl in enumerate(range(_HBITS - 1, -1, -1)):
+        idx = f"((st{i}*4 + ((sx >> {lvl}) & 1)*2 + ((sy >> {lvl}) & 1)) * 2)"
+        sql += f""",
+h{i + 1} AS (
+  SELECT x, y, sx, sy,
+         (({_HILBERT_ST} :: BIGINT) >> {idx}) & 3 AS st{i + 1},
+         d{i}*4 + ((({_HILBERT_OUT} :: BIGINT) >> {idx}) & 3) AS d{i + 1}
+  FROM h{i})"""
+    sql += f"""
+SELECT CAST(d{_HBITS} >> {_HBITS} AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       min(x) AS min_cust, max(x) AS max_cust,
+       min(y) AS min_price, max(y) AS max_price
+FROM h{_HBITS}
+GROUP BY 1
+"""
+    return sql
+
+
 # trunc-then-cast mirrors Spark's double->long cast (truncation toward
 # zero); DuckDB's bare CAST(double AS BIGINT) ROUNDS and would disagree
 # on every non-integral ratio.
@@ -499,6 +588,12 @@ SPECS = [
         zorder_locality_orders,
         ZORDER_ORACLE,
         "Morton-key bucket locality report (layout.py::zorder_value)",
+    ),
+    QuerySpec(
+        "hilbert_locality_orders",
+        hilbert_locality_orders,
+        _hilbert_oracle(),
+        "Hilbert-key bucket locality report (layout.py::hilbert_value, DFA form)",
     ),
     QuerySpec(
         "mutual_nn_bitext",

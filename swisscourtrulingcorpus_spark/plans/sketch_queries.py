@@ -148,6 +148,176 @@ FROM regs
 )
 
 
+# --- K-minimum-values (KMV / bottom-k) sketch ---------------------------
+#
+# The second classic distinct-count sketch, and the one HLL can't
+# replace: bottom-k sketches support SET OPERATIONS — the k smallest
+# hashes of A ∪ B are computable from the two sketches alone, and the
+# overlap of the union-sketch with both input sketches estimates
+# Jaccard (Bar-Yossef et al. 2002; the audience-overlap primitive).
+# Same portability recipe as the HLL above: md5-derived 32-bit integer
+# hashes, ranking and division all integer-exact.
+
+_KMV_K = 32
+_KMV_SPACE = 1 << 32  # h32 range
+
+
+def _kmv_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    return ev.select(h32("k", seed="kmv").alias("h")).distinct()
+
+
+def kmv_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch itself: the K smallest distinct hash values — a
+    fixed-size, mergeable summary (merge = k smallest of the union).
+    orderBy+limit compiles to TakeOrderedAndProject: each partition
+    keeps its local bottom-k, only k rows per partition reach the
+    driver-side merge — no full sort, no full shuffle."""
+    return _kmv_hashes(spark, sf_dir).orderBy("h").limit(_KMV_K)
+
+
+def kmv_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row distinct-count estimate: (k-1) * space / h_k with the
+    k-th smallest hash h_k, in thousandths via one bigint division."""
+    sk = kmv_sketch_users(spark, sf_dir)
+    return sk.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("h").alias("h_k"),
+    ).select(
+        "k_used",
+        "h_k",
+        F.expr(f"(k_used - 1) * {_KMV_SPACE} * 1000 div h_k").alias("est_milli"),
+    )
+
+
+def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between every event-type pair from per-type KMV
+    sketches alone: the k smallest hashes of the UNION of two sketches,
+    counting how many sit in both — n_inter/k_used estimates Jaccard
+    (emitted in ppm, integer-exact).  At 100 TB the per-type sketches
+    are k-row tables maintained incrementally; every pairwise overlap
+    question is then answered WITHOUT touching raw events — the
+    reports this enables (audience overlap matrices, near-duplicate
+    corpus slices) otherwise need a full self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("k")
+    )
+    hashed = ev.select(
+        "event_type", h32("k", seed="kmv").alias("h")
+    ).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _KMV_K)
+        .select("event_type", "h")
+    )
+    types = sk.select(F.col("event_type").alias("t")).distinct()
+    pairs = (
+        types.alias("a")
+        .join(types.withColumnRenamed("t", "u").alias("b"), F.col("t") < F.col("u"))
+        .select("t", "u")
+    )
+    # expand each sketch row to the pairs its type participates in,
+    # merge per (pair, hash), rank the union, keep its bottom-k
+    exp = pairs.join(
+        sk, (sk.event_type == pairs.t) | (sk.event_type == pairs.u)
+    ).select(
+        "t",
+        "u",
+        "h",
+        (F.col("event_type") == F.col("t")).cast("int").alias("in_a"),
+        (F.col("event_type") == F.col("u")).cast("int").alias("in_b"),
+    )
+    merged = exp.groupBy("t", "u", "h").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    wu = Window.partitionBy("t", "u").orderBy("h")
+    union_k = merged.withColumn("rnk", F.row_number().over(wu)).where(
+        F.col("rnk") <= _KMV_K
+    )
+    return (
+        union_k.groupBy(
+            F.col("t").alias("type_a"), F.col("u").alias("type_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(
+                (F.col("in_a") * F.col("in_b")).cast("bigint")
+            ).alias("n_inter"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "k_used",
+            "n_inter",
+            F.expr("n_inter * 1000000 div k_used").alias("jaccard_ppm"),
+        )
+    )
+
+
+_KMV_HASHES_CTE = """
+WITH hashed AS (
+  SELECT DISTINCT ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+  FROM events)
+"""
+
+KMV_SKETCH_ORACLE = (
+    _KMV_HASHES_CTE
+    + f"""
+SELECT CAST(h AS BIGINT) AS h FROM hashed ORDER BY h LIMIT {_KMV_K}
+"""
+)
+
+KMV_ESTIMATE_ORACLE = (
+    _KMV_HASHES_CTE
+    + f""",
+sk AS (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K})
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(max(h) AS BIGINT) AS h_k,
+       CAST((count(*) - 1) * {_KMV_SPACE} * 1000 // max(h) AS BIGINT) AS est_milli
+FROM sk
+"""
+)
+
+KMV_JACCARD_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5('kmv|' || CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT AS h
+  FROM events),
+sk AS (
+  SELECT event_type, h
+  FROM (SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk
+        FROM hashed)
+  WHERE rnk <= {_KMV_K}),
+types AS (SELECT DISTINCT event_type AS t FROM sk),
+pairs AS (SELECT a.t, b.t AS u FROM types a JOIN types b ON a.t < b.t),
+exp AS (
+  SELECT p.t, p.u, s.h,
+         CAST(s.event_type = p.t AS INTEGER) AS in_a,
+         CAST(s.event_type = p.u AS INTEGER) AS in_b
+  FROM pairs p JOIN sk s ON s.event_type = p.t OR s.event_type = p.u),
+merged AS (
+  SELECT t, u, h, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM exp GROUP BY t, u, h),
+union_k AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY t, u ORDER BY h) AS rnk
+    FROM merged)
+  WHERE rnk <= {_KMV_K})
+SELECT t AS type_a, u AS type_b,
+       CAST(count(*) AS BIGINT) AS k_used,
+       CAST(sum(in_a * in_b) AS BIGINT) AS n_inter,
+       CAST(sum(in_a * in_b) * 1000000 // count(*) AS BIGINT) AS jaccard_ppm
+FROM union_k
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
     QuerySpec(
         "hll_register_table_users",
@@ -160,5 +330,23 @@ SPECS = [
         hll_estimate_users,
         HLL_ESTIMATE_ORACLE,
         "integer-exact HLL cardinality estimate (dyadic sum + bigint division)",
+    ),
+    QuerySpec(
+        "kmv_sketch_users",
+        kmv_sketch_users,
+        KMV_SKETCH_ORACLE,
+        "bottom-k (KMV) sketch: k smallest distinct md5 hashes, TakeOrdered plan",
+    ),
+    QuerySpec(
+        "kmv_estimate_users",
+        kmv_estimate_users,
+        KMV_ESTIMATE_ORACLE,
+        "KMV distinct-count estimate, one bigint division",
+    ),
+    QuerySpec(
+        "kmv_jaccard_event_types",
+        kmv_jaccard_event_types,
+        KMV_JACCARD_ORACLE,
+        "pairwise audience Jaccard from per-type KMV sketches (set-op sketch)",
     ),
 ]

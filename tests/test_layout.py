@@ -123,3 +123,89 @@ def test_zorder_value_wide_span_no_overflow(spark):
     z2 = layout.zorder_value(["x"], [1 << 55], [(1 << 62) - 1], bits=16)
     got2 = [r["z"] for r in df.select(z2.alias("z")).collect()]
     assert all(v >= 0 for v in got2), got2
+
+
+def _xy2d_classic(order: int, x: int, y: int) -> int:
+    """Trusted reference implementation (Wikipedia 'Hilbert curve')."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_matches_classic(spark):
+    """The DFA-table form (layout.py::hilbert_value) must equal the
+    classic loop algorithm over the FULL order-8 domain — all 65536
+    (x, y) cells.  Scaling is bypassed by feeding mins/maxs equal to
+    the grid bounds (ratio scaling then maps each cell to itself)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.sources.layout import hilbert_value
+
+    grid = (
+        spark.range(256 * 256)
+        .select(
+            (F.col("id") / 256).cast("long").alias("x"),
+            (F.col("id") % 256).alias("y"),
+        )
+    )
+    h = hilbert_value(["x", "y"], [0, 0], [255, 255], bits=8)
+    got = {
+        (r.x, r.y): r.h
+        for r in grid.withColumn("h", h).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == _xy2d_classic(8, x, y), (x, y, d)
+
+
+def test_hilbert_tighter_runs_than_zorder(spark):
+    """The reason hilbert_value exists.  On power-of-4-ALIGNED buckets
+    both curves give identical square blocks, so the comparison must
+    use key ranges that cut across block boundaries — exactly what
+    range-partitioned files are (boundaries come from row-count
+    sampling, not the curve's block structure).  For every run of 100
+    consecutive curve positions, the bounding-box semi-perimeter
+    (x-span + y-span) is the footer-pruning proxy; Hilbert's runs are
+    CONNECTED regions while Morton's jump across the midlines, so the
+    summed semi-perimeter must come out strictly smaller."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.sources.layout import (
+        hilbert_value,
+        zorder_value,
+    )
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("x"),
+        (F.col("id") % 256).alias("y"),
+    )
+    keyed = grid.select(
+        "x",
+        "y",
+        hilbert_value(["x", "y"], [0, 0], [255, 255], bits=8).alias("h"),
+        zorder_value(["x", "y"], [0, 0], [255, 255], bits=8).alias("z"),
+    ).collect()
+
+    def run_semi_perimeter(key_attr: str) -> int:
+        runs: dict[int, list[int]] = {}
+        for r in keyed:
+            b = getattr(r, key_attr) // 100
+            box = runs.setdefault(b, [256, -1, 256, -1])
+            box[0] = min(box[0], r.x)
+            box[1] = max(box[1], r.x)
+            box[2] = min(box[2], r.y)
+            box[3] = max(box[3], r.y)
+        return sum((b[1] - b[0]) + (b[3] - b[2]) for b in runs.values())
+
+    hilbert_total = run_semi_perimeter("h")
+    zorder_total = run_semi_perimeter("z")
+    assert hilbert_total < zorder_total, (hilbert_total, zorder_total)

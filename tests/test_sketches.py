@@ -285,3 +285,53 @@ def test_portable_hll_registers_max_merge(spark):
         for reg, rk in hdict.items():
             merged[reg] = max(merged.get(reg, 0), rk)
     assert merged == whole
+
+
+def test_kmv_estimate_tracks_exact_count(spark):
+    """KMV estimate (k-1)*space/h_k within the bottom-k error envelope
+    (~1/sqrt(k-2) ≈ 18% RSD at k=32; bound at 45% on the fixed fixture
+    to catch arithmetic bugs, not to flake)."""
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import (
+        kmv_estimate_users,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    exact = (
+        load_table(spark, sf01, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    est = kmv_estimate_users(spark, sf01).collect()[0].est_milli / 1000.0
+    assert abs(est - exact) <= 0.45 * exact, (exact, est)
+
+
+def test_kmv_union_merge_equals_whole(spark):
+    """Set-operation property: the bottom-k of the UNION of two per-
+    slice sketches must equal the bottom-k computed over the combined
+    raw data — what makes pairwise overlap answerable from sketches
+    alone (plans/sketch_queries.py::kmv_jaccard_event_types)."""
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import _KMV_K
+
+    sf01 = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf01, "events")
+
+    def bottom_k(df):
+        return sorted(
+            r.h
+            for r in df.select(
+                h32(F.col("user_id").cast("string"), seed="kmv").alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(_KMV_K)
+            .collect()
+        )
+
+    a = bottom_k(ev.where(F.col("event_type") == "click"))
+    b = bottom_k(ev.where(F.col("event_type") == "purchase"))
+    whole = bottom_k(
+        ev.where(F.col("event_type").isin("click", "purchase"))
+    )
+    merged = sorted(set(a) | set(b))[:_KMV_K]
+    assert merged == whole
