@@ -258,3 +258,66 @@ def bloom_might_contain(
     for c in checks[1:]:
         cond = cond & c
     return tmp.where(cond).drop(*pos_cols)
+
+
+def portable_hll_registers(
+    df: DataFrame, key_col: str, p: int = 6, seed: str = "hll"
+) -> DataFrame:
+    """Engine-independent HyperLogLog register table: (register,
+    max_rank) from the shared md5 hash (`functions/hashing.py::h32`),
+    every step integer arithmetic — unlike the DataSketches wrappers
+    above, this one IS oracle-checkable and driver-gated
+    (`plans/sketch_queries.py`, construction documented there).
+
+    Mergeable by ``max`` over register: the per-slice tables union +
+    max-merge into the whole-corpus table, which is what
+    `streaming/jobs.py::stream_hll_maintenance_job` maintains
+    incrementally — the 100 TB pattern where distinct-count questions
+    over any slice union are answered from stored 2^p-row tables,
+    never by rescanning raw data."""
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    tail_bits = 32 - p
+    tail_mod = 1 << tail_bits
+    h = h32(F.col(key_col).cast("string"), seed=seed)
+    tail = h % F.lit(tail_mod)
+    rank = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits + 1) - F.length(F.conv(tail.cast("string"), 10, 2))
+    )
+    return (
+        df.select(
+            F.shiftright(h, tail_bits).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def portable_hll_estimate_milli(regs: DataFrame, p: int = 6) -> DataFrame:
+    """floor(1000 * raw-HLL estimate) from a register table, one bigint
+    division (alpha in thousandths; see plans/sketch_queries.py for the
+    dyadic-sum derivation).  Raw estimator only — callers needing the
+    small-range correction branch on registers_used driver-side."""
+    m = 1 << p
+    tail_bits = 32 - p
+    empty_term = 1 << (tail_bits + 1)
+    alpha_milli = {4: 673, 5: 697, 6: 709}.get(p, 709)
+    est_num = alpha_milli * m * m * empty_term
+    return regs.agg(
+        F.lit(m).alias("m"),
+        F.count(F.lit(1)).alias("registers_used"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {tail_bits + 1} - max_rank)"
+                )
+            )
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(empty_term)
+        ).alias("s_dyadic"),
+    ).select(
+        "m",
+        "registers_used",
+        "s_dyadic",
+        F.expr(f"{est_num} div s_dyadic").alias("est_milli"),
+    )

@@ -61,22 +61,12 @@ _EST_NUM = 709 * _M * _M * (1 << (_TAIL_BITS + 1))  # 709 * 4096 * 2^27
 
 
 def _registers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("k")
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_registers,
     )
-    h = h32("k", seed="hll")
-    tail = h % F.lit(_TAIL_MOD)
-    rank = F.when(tail == 0, F.lit(_TAIL_BITS + 1)).otherwise(
-        F.lit(_TAIL_BITS + 1) - F.length(F.conv(tail.cast("string"), 10, 2))
-    )
-    return (
-        ev.select(
-            F.shiftright(h, _TAIL_BITS).alias("register"),
-            rank.alias("rank"),
-        )
-        .groupBy("register")
-        .agg(F.max("rank").alias("max_rank"))
-    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return portable_hll_registers(ev, "user_id", p=_P, seed="hll")
 
 
 def hll_register_table_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,24 +79,11 @@ def hll_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row integer-exact HLL cardinality estimate over the register
     table: m, observed register count, the exact dyadic sum S scaled to
     an integer, and floor(1000 * alpha*m^2/Σ2^-M)."""
-    regs = _registers(spark, sf_dir)
-    return regs.agg(
-        F.lit(_M).alias("m"),
-        F.count(F.lit(1)).alias("registers_used"),
-        (
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), {_TAIL_BITS + 1} - max_rank)"
-                )
-            )
-            + (F.lit(_M) - F.count(F.lit(1))) * F.lit(_RANK_EMPTY_TERM)
-        ).alias("s_dyadic"),
-    ).select(
-        "m",
-        "registers_used",
-        "s_dyadic",
-        F.expr(f"{_EST_NUM} div s_dyadic").alias("est_milli"),
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_estimate_milli,
     )
+
+    return portable_hll_estimate_milli(_registers(spark, sf_dir), p=_P)
 
 
 _HLL_REGS_CTE = f"""

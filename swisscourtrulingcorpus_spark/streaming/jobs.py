@@ -1142,3 +1142,106 @@ def stream_nb_training_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    key_col: str = "user_id",
+    p: int = 6,
+) -> None:
+    """One micro-batch of incremental distinct-count maintenance: fold
+    the batch's HLL register table (`operators/sketches.py::
+    portable_hll_registers`) into the versioned store by max-merge —
+    the sketch's merge IS the union, so history is never rescanned and
+    the store stays at most 2^p rows however much data has streamed
+    through.  This replaces the reference's recompute-from-scratch
+    counter upserts (`abstract_preprocessor.py:316-326`) with bounded
+    state.
+
+    Same crash-replay + OCC contract as :func:`minhash_dedup_batch`:
+    at-least-once foreachBatch replays are no-ops via the
+    (run, batch_id) ledger — max-merge is idempotent anyway, but the
+    ledger keeps the version chain replay-clean — and a concurrent
+    sibling committer raises ConcurrentWriteError -> re-read + retry."""
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_registers,
+    )
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    delta = portable_hll_registers(batch, key_col, p=p).cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return
+            if base:
+                stored = read_version(spark, store_table, base).select(
+                    "register", "max_rank"
+                )
+                updated = (
+                    stored.unionByName(delta)
+                    .groupBy("register")
+                    .agg(F.max("max_rank").alias("max_rank"))
+                )
+            else:
+                updated = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue
+    finally:
+        delta.unpersist()
+
+
+def stream_hll_maintenance_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+    p: int = 6,
+):
+    """Continuous distinct-count sketch maintenance: each micro-batch
+    max-merges its register table into the versioned store via
+    :func:`hll_maintenance_batch`; any reader answers "how many
+    distinct keys so far" from the stored 2^p rows with
+    `operators/sketches.py::portable_hll_estimate_milli`.
+    Trigger.AvailableNow — restartable catch-up semantics like the
+    other maintenance jobs."""
+    os.makedirs(store_table, exist_ok=True)
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        hll_maintenance_batch(batch, batch_id, store_table, run_tag, key_col, p)
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -472,3 +472,35 @@ def test_near_contamination_broadcasts_eval_side(spark, sf_dir):
     plan = _final_plan(near_contamination_check(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round6f_sketch_layout_plan_shapes(spark, sf_dir):
+    """Portable-sketch + Hilbert additions: the HLL register build must
+    partial-aggregate map-side (the exchange carries at most 64
+    register rows per task, asserted as hashpartitioning on the
+    register key after a partial agg), the KMV sketch must compile to
+    TakeOrderedAndProject (per-partition bottom-k, no global sort),
+    and the Hilbert locality report is one projection + one groupBy —
+    the DFA fold stays inside the scan stage with no join anywhere."""
+    from swisscourtrulingcorpus_spark.plans.layout_queries import (
+        hilbert_locality_orders,
+    )
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import (
+        hll_register_table_users,
+        kmv_sketch_users,
+    )
+
+    hll = _final_plan(hll_register_table_users(spark, sf_dir))
+    assert "partial_max" in hll or "HashAggregate" in hll
+    assert "Join" not in hll
+
+    kmv = _static_plan(kmv_sketch_users(spark, sf_dir))
+    assert "TakeOrderedAndProject" in kmv, kmv
+    assert "Join" not in kmv
+
+    hil = _final_plan(hilbert_locality_orders(spark, sf_dir))
+    assert "Join" not in hil
+    assert "CartesianProduct" not in hil
+    # exactly one exchange: the 256-key bucket groupBy (plus AQE reads)
+    n_exchanges = hil.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, hil

@@ -823,3 +823,67 @@ def test_nb_training_replay_and_sibling_runs(spark, tmp_path):
     v = V.latest_version(store)
     doubled = counts(v)
     assert doubled == {k: 2 * c for k, c in first.items()}
+
+
+def test_stream_hll_maintenance_equals_batch(spark, tmp_path):
+    """The register store after two file landings must be IDENTICAL to
+    the one-shot batch register table over the full corpus (max-merge
+    mergeability — the property the oracle-gated batch twin
+    `hll_register_table_users` pins value-exactly), and a replay with
+    no new files must not advance the store version."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_registers,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_hll_maintenance_job,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    store = str(tmp_path / "hll_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        _shutil.copy(part, stage / f"{name}.parquet")
+
+    land(ev.where(F.col("event_id") % 2 == 0), "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = stream_hll_maintenance_job(stream, store, ckpt)
+        q.awaitTermination()
+
+    run_once()
+    land(ev.where(F.col("event_id") % 2 == 1), "b2")
+    run_once()
+
+    v = latest_version(store)
+    got = {
+        (r.register, r.max_rank)
+        for r in read_version(spark, store, v).collect()
+    }
+    want = {
+        (r.register, r.max_rank)
+        for r in portable_hll_registers(ev, "user_id").collect()
+    }
+    assert got == want and got
+
+    run_once()  # no new files -> no new version
+    assert latest_version(store) == v

@@ -86,6 +86,11 @@ QUERIES = [
     ("ivf_mutual_nn_bitext", "cell-product candidates, never |A|x|B|; symmetric 3-probe"),
     ("bm25_hard_negatives", "postings equi-join only; negatives re-rank over <= k rows/query"),
     ("unigram_token_counts", "DP over the DISTINCT-WORD table; corpus joins broadcast seg table"),
+    # round-6f extension: portable-sketch family (events corpus: user
+    # ids shift per replica, so distinct users scale exactly 10x)
+    ("hll_register_table_users", "fixed 64-register state: shuffle bytes FLAT while input grows"),
+    ("kmv_sketch_users", "bottom-k TakeOrdered over a slim 8-byte distinct-hash shuffle"),
+    ("kmv_jaccard_event_types", "per-type bottom-k windows over slim (type, hash) rows"),
 ]
 
 
