@@ -186,9 +186,19 @@ def kmv_jaccard_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     from pyspark.sql import Window
 
-    w = Window.partitionBy("event_type").orderBy("h")
+    # two-phase bottom-k: a single window partitioned by event_type
+    # funnels EVERY distinct hash of a type through one task (5 keys =
+    # 5 tasks whatever the cluster) — instead rank within (type, salt)
+    # first, so no task ever sees more than ~k rows per salt, then
+    # rank the <= 64k survivors per type.  Value-identical: the global
+    # k smallest of a type all survive their salt's bottom-k.
+    w1 = Window.partitionBy("event_type", "salt").orderBy("h")
+    w2 = Window.partitionBy("event_type").orderBy("h")
     sk = (
-        hashed.withColumn("rnk", F.row_number().over(w))
+        hashed.withColumn("salt", F.col("h") % 64)
+        .withColumn("rnk1", F.row_number().over(w1))
+        .where(F.col("rnk1") <= _KMV_K)
+        .withColumn("rnk", F.row_number().over(w2))
         .where(F.col("rnk") <= _KMV_K)
         .select("event_type", "h")
     )
