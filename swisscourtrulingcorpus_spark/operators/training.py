@@ -588,3 +588,63 @@ def stratified_sample_quota(
         slim, strata_col, id_col, F.col("quota"), seed
     )
     return df.join(F.broadcast(winners), on=id_col, how="left_semi")
+
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col,
+    id_col: str,
+    k: int,
+    seed: str = "psamp",
+) -> DataFrame:
+    """Deterministic weight-proportional sample of ``k`` rows plus the
+    threshold that makes totals estimable — priority sampling
+    (Duffield, Lund & Thorup 2007), the "pick k documents proportional
+    to token count / quality weight" primitive of corpus curation.
+
+    Each row gets priority q = w/u with uniform u from the shared md5
+    hash: u = (h32(id)+1)/2^32, so q_scaled = (w * 2^32) div (h+1) =
+    floor(w/u) — integer arithmetic IN WEIGHT UNITS, oracle-exact on
+    any engine.  The k largest priorities are the sample; the (k+1)-th
+    priority tau yields the unbiased total estimator
+    E[Σ max(w_i, tau)] = Σ w (gated form:
+    `plans/training_queries.py::priority_sample_total_estimate`).
+
+    Scale shape: one map-side projection computes the fixed-width
+    (id, weight, q_scaled) rows; orderBy+limit(k+1) compiles to
+    TakeOrderedAndProject — every partition forwards at most k+1 rows,
+    no global sort — and the final rank window runs over exactly k+1
+    rows in one task by construction.  Rows with w <= 0 can never be
+    sampled (q = 0) and are excluded up front.
+
+    Returns k+1 rows: (id, weight, q_scaled, rank, is_sample) with
+    is_sample = 1 for ranks 1..k and 0 for the threshold row."""
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    slim = (
+        df.select(F.col(id_col), w.cast("bigint").alias("weight"))
+        .where(F.col("weight") > 0)
+        .select(
+            id_col,
+            "weight",
+            (F.col("weight") * F.lit(1 << 32)).alias("__num"),
+            (
+                h32(F.col(id_col).cast("string"), seed=seed) + F.lit(1)
+            ).alias("__den"),
+        )
+        .select(
+            id_col, "weight", F.expr("__num div __den").alias("q_scaled")
+        )
+    )
+    topk1 = slim.orderBy(F.col("q_scaled").desc(), F.col(id_col)).limit(k + 1)
+    rank_w = Window.orderBy(F.col("q_scaled").desc(), F.col(id_col))
+    return topk1.select(
+        id_col,
+        "weight",
+        "q_scaled",
+        F.row_number().over(rank_w).alias("rank"),
+    ).withColumn("is_sample", (F.col("rank") <= k).cast("int"))

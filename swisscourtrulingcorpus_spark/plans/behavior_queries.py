@@ -112,6 +112,109 @@ GROUP BY 1, 2
 """
 
 
+# --- co-purchase graph: guarded build + degree/triangle analytics --------
+
+_COP_CAP = 20  # parts bought by more than CAP distinct customers are hubs
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer co-purchase edges: (c1 < c2) share at least
+    one part, built from lineitem ⋈ orders.  The per-part self-join is
+    the textbook quadratic trap — a hub part bought by 100k customers
+    alone emits 5·10^9 pairs — so parts with more than ``_COP_CAP``
+    distinct buyers are excluded up front (the same frequency-cap guard
+    as `ngram_jaccard_pairs`' stop-shingles; hubs carry no co-purchase
+    signal for the same reason stopwords carry no similarity signal).
+    After the cap every part emits ≤ C(cap,2) pairs, so edges are
+    linear in the surviving (part, customer) rows.  The cap groupBy and
+    the pair self-join both key on partkey — one exchange, reused."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), "l_orderkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("p", F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    ok = cp.groupBy("p").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") <= _COP_CAP
+    )
+    capped = cp.join(ok.select("p"), "p")
+    b = capped.select("p", F.col("c").alias("c2"))
+    return (
+        capped.join(b, "p")
+        .where(F.col("c") < F.col("c2"))
+        .select(F.col("c").alias("c1"), "c2")
+        .distinct()
+    )
+
+
+def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the shape report
+    a graph build is sanity-checked with before anything expensive
+    (PageRank/CC/triangles) runs on it."""
+    e = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("c1").alias("c"))
+        .unionAll(e.select(F.col("c2").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase graph: the standard ordered
+    three-join (a<b<c, edges stored ordered, so e1(a,b) ⋈ e2(b,c) ⋈
+    e3(a,c) counts each triangle once).  Ordering by id IS the classic
+    degree-skew mitigation's cheap cousin; the hub cap in the builder
+    already bounds the wedge count per part, and the joins are plain
+    equi-joins — shuffles carry (bigint, bigint) pairs only."""
+    e = _copurchase_edges(spark, sf_dir)
+    e1 = e
+    e2 = e.select(F.col("c1").alias("c2x"), F.col("c2").alias("c3"))
+    e3 = e.select(F.col("c1").alias("c1y"), F.col("c2").alias("c3y"))
+    wedges = e1.join(e2, e1.c2 == e2.c2x)
+    tri = wedges.join(
+        e3, (wedges.c1 == e3.c1y) & (wedges.c3 == e3.c3y)
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+_COP_EDGES_CTE = f"""
+WITH cp AS (
+  SELECT DISTINCT l.l_partkey AS p, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ok AS (SELECT p FROM cp GROUP BY p HAVING count(*) <= {_COP_CAP}),
+e AS (
+  SELECT DISTINCT a.c AS c1, b.c AS c2
+  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+  WHERE a.p IN (SELECT p FROM ok))
+"""
+
+COP_DEGREE_ORACLE = (
+    _COP_EDGES_CTE
+    + """
+SELECT degree, count(*) AS n_customers
+FROM (
+  SELECT c, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT c1 AS c FROM e UNION ALL SELECT c2 AS c FROM e)
+  GROUP BY c)
+GROUP BY degree
+"""
+)
+
+COP_TRIANGLES_ORACLE = (
+    _COP_EDGES_CTE
+    + """
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.c2 = e2.c1
+          JOIN e e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         "funnel_conversion_events",
@@ -124,5 +227,17 @@ SPECS = [
         retention_cohorts_events,
         RETENTION_ORACLE,
         "weekly cohort retention triangle",
+    ),
+    QuerySpec(
+        "copurchase_degree_hist",
+        copurchase_degree_hist,
+        COP_DEGREE_ORACLE,
+        "hub-capped co-purchase graph degree distribution",
+    ),
+    QuerySpec(
+        "copurchase_triangles",
+        copurchase_triangles,
+        COP_TRIANGLES_ORACLE,
+        "ordered three-join triangle count over the co-purchase graph",
     ),
 ]

@@ -614,6 +614,118 @@ FROM d
 """
 
 
+# --- robust outliers: median + MAD, integer-exact ------------------------
+
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority robust outlier report: median order value, median
+    absolute deviation, and how many orders sit beyond median ± 3·MAD —
+    the robust (quartile-free) cousin of `dispersion_order_value`.
+
+    Cross-engine medians are kept integer-exact with the 2x trick:
+    med2 = the SUM of the two middle cents values (positions
+    floor((n+1)/2) and ceil((n+1)/2) of the sorted group; an odd group
+    counts its middle row twice), so no engine ever interpolates a
+    double.  Deviations then live in 2x units (dev2 = |2·cents−med2|)
+    and their median in 4x units (mad4), making the 3-MAD rule the
+    pure-integer predicate 2·dev2 > 3·mad4.
+
+    Plan shape: two rank windows over the same (priority) partitioning
+    — one exchange, reused — plus two broadcast joins of 5-row medians
+    back to the rows.  Row_number needs a total order, so ties break by
+    o_orderkey; the values at the middle POSITIONS are tie-invariant."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    grp = Window.partitionBy("o_orderpriority")
+
+    def med2_of(df, val_col, out_name):
+        w = grp.orderBy(F.col(val_col), F.col("o_orderkey"))
+        ranked = df.select(
+            "o_orderpriority",
+            val_col,
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(grp).alias("n"),
+        )
+        pick = (
+            (F.col("rn") == F.expr("(n + 1) div 2")).cast("int")
+            + (F.col("rn") == F.expr("(n + 2) div 2")).cast("int")
+        )
+        return ranked.groupBy("o_orderpriority").agg(
+            F.max("n").alias(out_name.replace("med2", "n")),
+            F.sum(F.col(val_col) * pick).alias(out_name),
+        )
+
+    med = med2_of(o, "cents", "med2_cents").drop("n_cents")
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.abs(F.lit(2) * F.col("cents") - F.col("med2_cents")).alias("dev2"),
+    )
+    mad = med2_of(dev, "dev2", "med2_dev2").withColumnRenamed(
+        "med2_dev2", "mad4_cents"
+    ).withColumnRenamed("n_dev2", "n")
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .join(F.broadcast(med), "o_orderpriority")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.max("med2_cents").alias("med2_cents"),
+            F.max("mad4_cents").alias("mad4_cents"),
+            F.sum(
+                (F.lit(2) * F.col("dev2") > F.lit(3) * F.col("mad4_cents"))
+                .cast("bigint")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority, o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+r1 AS (
+  SELECT o_orderpriority, cents,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY cents, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM o),
+med AS (
+  SELECT o_orderpriority,
+         sum(cents * (CAST(rn = (n + 1) // 2 AS INTEGER)
+                      + CAST(rn = (n + 2) // 2 AS INTEGER))) AS med2_cents
+  FROM r1 GROUP BY o_orderpriority),
+dev AS (
+  SELECT o.o_orderpriority, o.o_orderkey,
+         abs(2 * o.cents - m.med2_cents) AS dev2
+  FROM o JOIN med m USING (o_orderpriority)),
+r2 AS (
+  SELECT o_orderpriority, dev2,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY dev2, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM dev),
+mad AS (
+  SELECT o_orderpriority, max(n) AS n,
+         sum(dev2 * (CAST(rn = (n + 1) // 2 AS INTEGER)
+                     + CAST(rn = (n + 2) // 2 AS INTEGER))) AS mad4_cents
+  FROM r2 GROUP BY o_orderpriority)
+SELECT d.o_orderpriority AS priority,
+       CAST(max(a.n) AS BIGINT) AS n_orders,
+       CAST(max(m.med2_cents) AS BIGINT) AS med2_cents,
+       CAST(max(a.mad4_cents) AS BIGINT) AS mad4_cents,
+       CAST(sum(CAST(2 * d.dev2 > 3 * a.mad4_cents AS INTEGER)) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad a USING (o_orderpriority) JOIN med m USING (o_orderpriority)
+GROUP BY 1
+"""
+
+
 SPECS = [
     QuerySpec("dispersion_order_value", dispersion_order_value, DISPERSION_ORACLE, "exact-partial variance/stddev"),
     QuerySpec("rolling_30d_spend", rolling_30d_spend, ROLLING_ORACLE, "RANGE window frame"),
@@ -628,4 +740,5 @@ SPECS = [
     QuerySpec("ntile_customer_spend", ntile_customer_spend, NTILE_ORACLE, "ntile/percent_rank/cume_dist"),
     QuerySpec("cube_order_status_priority", cube_order_status_priority, CUBE_ORACLE, "CUBE lattice"),
     QuerySpec("grouping_sets_order_stats", grouping_sets_order_stats, GROUPING_SETS_ORACLE, "arbitrary GROUPING SETS + grouping() flags"),
+    QuerySpec("mad_outliers_orders", mad_outliers_orders, MAD_OUTLIERS_ORACLE, "median/MAD robust outliers, integer-exact 2x-median"),
 ]

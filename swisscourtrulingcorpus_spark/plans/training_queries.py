@@ -196,10 +196,105 @@ SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
 """
 
 
+# --- priority sampling: weight-proportional subset + unbiased total ------
+
+_PSAMP_K = 64
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 64 documents sampled proportional to whitespace token count
+    (`operators/training.py::priority_sample`) — integer priorities,
+    TakeOrdered plan."""
+    from swisscourtrulingcorpus_spark.functions.text import token_count_ws
+    from swisscourtrulingcorpus_spark.operators.training import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = priority_sample(docs, token_count_ws("text"), "doc_id", k=_PSAMP_K)
+    return r.where(F.col("is_sample") == 1).select(
+        "doc_id", F.col("weight").alias("w_tokens"), "q_scaled", "rank"
+    )
+
+
+def q_priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased-total side of priority sampling: one row with the
+    threshold priority tau (the k+1-th, already in weight units:
+    q_scaled = w * 2^32 div (h+1) = floor(w/u)) and the estimated
+    corpus token total sum(max(w_i, tau)) — integer-exact; the floor
+    on tau biases the estimate down by at most k tokens, far inside
+    the estimator's own ~1/sqrt(k-1) spread.  Accuracy vs the true
+    total is asserted in tests/test_training_ops.py."""
+    from swisscourtrulingcorpus_spark.functions.text import token_count_ws
+    from swisscourtrulingcorpus_spark.operators.training import priority_sample
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = priority_sample(docs, token_count_ws("text"), "doc_id", k=_PSAMP_K)
+    # tau as a window scalar over the k+1 rows (0 when the corpus has
+    # <= k weighted rows and no threshold row exists)
+    tau = F.coalesce(
+        F.max(F.when(F.col("is_sample") == 0, F.col("q_scaled"))).over(
+            Window.partitionBy()
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return (
+        r.withColumn("tau_scaled", tau)
+        .where(F.col("is_sample") == 1)
+        .groupBy("tau_scaled")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum(
+                F.greatest(F.col("weight"), F.col("tau_scaled"))
+            ).alias("est_total_tokens"),
+        )
+        .select("k_used", "tau_scaled", "est_total_tokens")
+    )
+
+
+_PSAMP_RANKED_CTE = f"""
+WITH pri AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w_tokens,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) * {1 << 32}
+           // (('0x' || substr(md5('psamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+           AS q_scaled
+  FROM documents
+  WHERE len(string_split_regex(trim(text), '\\s+')) > 0),
+ranked AS (
+  SELECT doc_id, w_tokens, CAST(q_scaled AS BIGINT) AS q_scaled,
+         CAST(row_number() OVER (ORDER BY q_scaled DESC, doc_id) AS BIGINT) AS rank
+  FROM pri)
+"""
+
+PSAMP_ORACLE = (
+    _PSAMP_RANKED_CTE
+    + f"""
+SELECT doc_id, w_tokens, q_scaled, rank FROM ranked WHERE rank <= {_PSAMP_K}
+"""
+)
+
+PSAMP_ESTIMATE_ORACLE = (
+    _PSAMP_RANKED_CTE
+    + f""",
+tau AS (
+  SELECT coalesce(max(CASE WHEN rank = {_PSAMP_K + 1} THEN q_scaled END), 0) AS tau_scaled
+  FROM ranked)
+SELECT CAST(count(*) AS BIGINT) AS k_used,
+       CAST(t.tau_scaled AS BIGINT) AS tau_scaled,
+       CAST(sum(greatest(w_tokens, t.tau_scaled)) AS BIGINT) AS est_total_tokens
+FROM ranked r, tau t
+WHERE r.rank <= {_PSAMP_K}
+GROUP BY t.tau_scaled
+"""
+)
+
+
 SPECS = [
     QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
     QuerySpec("length_grouped_shards", q_length_grouped_shards, LENGTH_SHARDS_ORACLE, "padding-efficiency length bucketing"),
     QuerySpec("pii_redaction_documents", q_pii_redaction, PII_ORACLE, "PII count + redact"),
     QuerySpec("domain_mix_documents", q_domain_mix, _mix_oracle(), "mixture-rate downsample"),
     QuerySpec("stratified_sample_documents", q_stratified_sample, STRATIFIED_ORACLE, "exact per-stratum quota sample (seeded md5 order)"),
+    QuerySpec("priority_sample_documents", q_priority_sample, PSAMP_ORACLE, "weight-proportional top-k (priority sampling)"),
+    QuerySpec("priority_sample_total_estimate", q_priority_sample_estimate, PSAMP_ESTIMATE_ORACLE, "priority-sampling unbiased total, integer-exact"),
 ]

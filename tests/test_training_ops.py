@@ -1,0 +1,53 @@
+"""Training-prep operator properties: priority sampling (weight-
+proportional selection + unbiased-total estimator, Duffield et al.
+2007).  The value-exact side is driver-gated (priority_sample_* in
+plans/training_queries.py); these assert the STATISTICAL contract the
+gate can't."""
+
+from __future__ import annotations
+
+
+def test_priority_sample_estimator_tracks_true_total(spark):
+    """Priority sampling's whole point: sum(max(w_i, tau)) over the
+    sample estimates the TRUE total weight (Duffield et al. 2007,
+    variance ~ totals/sqrt(k-1)).  Deterministic on the fixed corpus;
+    bound generous enough to catch arithmetic bugs only."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.text import token_count_ws
+    from swisscourtrulingcorpus_spark.plans.training_queries import (
+        q_priority_sample_estimate,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    sf01 = "/root/testdata/sf0.01"
+    true_total = (
+        load_table(spark, sf01, "documents")
+        .select(F.sum(token_count_ws("text")).alias("t"))
+        .collect()[0]["t"]
+    )
+    est = q_priority_sample_estimate(spark, sf01).collect()[0]
+    assert est.k_used == 64
+    assert abs(est.est_total_tokens - true_total) <= 0.30 * true_total, (
+        true_total,
+        est.est_total_tokens,
+    )
+
+
+def test_priority_sample_weight_zero_excluded_and_deterministic(spark):
+    """w <= 0 rows can never appear, and two runs produce identical
+    samples (md5-keyed, engine-independent)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import priority_sample
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 7 == 0 else i % 50 + 1) for i in range(300)],
+        "id: long, w: long",
+    )
+    a = priority_sample(df, F.col("w"), "id", k=20).collect()
+    b = priority_sample(df, F.col("w"), "id", k=20).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 21 and sum(r.is_sample for r in a) == 20
+    sampled_ids = {r.id for r in a if r.is_sample}
+    assert all(i % 7 != 0 for i in sampled_ids)
