@@ -215,6 +215,75 @@ FROM e e1 JOIN e e2 ON e1.c2 = e2.c1
 )
 
 
+def copurchase_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering structure summarized per degree: for every
+    degree d, how many customers have it, their total incident-triangle
+    slots (Σ tri(v)), and their total wedge capacity (Σ C(deg,2)) —
+    the inputs to the average local clustering coefficient, kept as
+    exact integers (the ratio itself is a driver-side division).
+
+    tri(v) comes from the same ordered three-join as
+    `copurchase_triangles`, unioned across the three roles a node
+    plays in an (a<b<c) triangle; everything downstream is slim
+    (bigint, bigint) aggregation."""
+    e = _copurchase_edges(spark, sf_dir)
+    e2 = e.select(F.col("c1").alias("c2x"), F.col("c2").alias("c3"))
+    e3 = e.select(F.col("c1").alias("c1y"), F.col("c2").alias("c3y"))
+    wedges = e.join(e2, e.c2 == e2.c2x)
+    tri = wedges.join(e3, (wedges.c1 == e3.c1y) & (wedges.c3 == e3.c3y)).select(
+        "c1", "c2", "c3"
+    )
+    tri_per_node = (
+        tri.select(F.col("c1").alias("c"))
+        .unionAll(tri.select(F.col("c2").alias("c")))
+        .unionAll(tri.select(F.col("c3").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        e.select(F.col("c1").alias("c"))
+        .unionAll(e.select(F.col("c2").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    per_node = deg.join(tri_per_node, "c", "left").select(
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+    )
+    return per_node.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("n_tri").alias("sum_triangles"),
+        F.sum(
+            F.expr("CAST(degree AS BIGINT) * (degree - 1) div 2")
+        ).alias("sum_wedges"),
+    )
+
+
+COP_CLUSTERING_ORACLE = (
+    _COP_EDGES_CTE
+    + """,
+tri AS (
+  SELECT e1.c1, e1.c2, e2.c2 AS c3
+  FROM e e1 JOIN e e2 ON e1.c2 = e2.c1
+            JOIN e e3 ON e3.c1 = e1.c1 AND e3.c2 = e2.c2),
+tpn AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_tri
+  FROM (SELECT c1 AS c FROM tri UNION ALL SELECT c2 FROM tri UNION ALL SELECT c3 FROM tri)
+  GROUP BY c),
+deg AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT c1 AS c FROM e UNION ALL SELECT c2 FROM e)
+  GROUP BY c)
+SELECT degree,
+       count(*) AS n_customers,
+       CAST(sum(coalesce(n_tri, 0)) AS BIGINT) AS sum_triangles,
+       CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS sum_wedges
+FROM deg LEFT JOIN tpn USING (c)
+GROUP BY degree
+"""
+)
+
+
 SPECS = [
     QuerySpec(
         "funnel_conversion_events",
@@ -239,5 +308,11 @@ SPECS = [
         copurchase_triangles,
         COP_TRIANGLES_ORACLE,
         "ordered three-join triangle count over the co-purchase graph",
+    ),
+    QuerySpec(
+        "copurchase_clustering_by_degree",
+        copurchase_clustering_by_degree,
+        COP_CLUSTERING_ORACLE,
+        "per-degree local clustering inputs (Σtri, Σwedges), integer-exact",
     ),
 ]
