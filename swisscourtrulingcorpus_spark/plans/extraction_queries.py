@@ -1110,11 +1110,146 @@ FROM documents, (SELECT UNNEST([1, 2]) AS i) c
 """
 
 
+# ---------------------------------------------------------------------------
+# citation-graph analytics: co-citation + bibliographic coupling
+# ---------------------------------------------------------------------------
+
+def _citation_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tkey) rows through the REAL citation extractor over the
+    constructed corpus of `q_citation_type_counts` — coarse target keys
+    (BGE volume / law article / BGer filing year) so the synthetic
+    corpus exhibits actual sharing structure: every doc emits exactly
+    three targets, and volumes repeat across ~n/60 documents."""
+    from swisscourtrulingcorpus_spark.extraction.citations import (
+        extract_citations_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.lit("Vgl. BGE "), (d % 60 + 100).cast("string"),
+        F.lit(" II "), (d % 400 + 1).cast("string"),
+        F.lit(" E. 4.2 und Art. "), (d % 250 + 1).cast("string"),
+        F.lit(" Abs. "), (d % 4 + 1).cast("string"),
+        F.lit(" BGG sowie Urteil 8C_"), (d % 999 + 1).cast("string"),
+        F.lit("/"), (d % 15 + 2010).cast("string"),
+        F.lit(" E. 1.1."),
+    )
+    cits = docs.select(
+        "doc_id", F.explode(extract_citations_udf(text)).alias("c")
+    )
+    return cits.select(
+        "doc_id",
+        F.when(
+            F.col("c.type") == "ruling",
+            F.concat(F.lit("VOL:"), F.col("c.year").cast("string")),
+        )
+        .when(
+            F.col("c.type") == "law",
+            F.concat(F.lit("ART:"), F.col("c.article").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("YR:"), F.col("c.year").cast("string"))
+        )
+        .alias("tkey"),
+    )
+
+
+_TARGETS_SQL = """
+  SELECT doc_id, 'VOL:' || CAST(doc_id % 60 + 100 AS VARCHAR) AS tkey FROM documents
+  UNION ALL
+  SELECT doc_id, 'ART:' || CAST(doc_id % 250 + 1 AS VARCHAR) FROM documents
+  UNION ALL
+  SELECT doc_id, 'YR:' || CAST(doc_id % 15 + 2010 AS VARCHAR) FROM documents
+"""
+
+
+def q_cocitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation analysis (Small 1973, the legal-IR relatedness
+    signal `doc2doc_ir_dataset_creator.py` approximates with TF-IDF):
+    two targets are related when the same decisions cite them both.
+    Within-doc target pairs (t1 < t2) aggregate corpus-wide; pairs
+    co-cited by >= 5 documents are the report.  One explode + one
+    per-doc self-join (3 targets per doc -> 3 pairs, linear) + one
+    count shuffle on the pair key."""
+    t = _citation_targets(spark, sf_dir)
+    t2 = t.select("doc_id", F.col("tkey").alias("tkey2"))
+    return (
+        t.join(t2, "doc_id")
+        .where(F.col("tkey") < F.col("tkey2"))
+        .groupBy("tkey", "tkey2")
+        .agg(F.count(F.lit(1)).alias("n_cociting_docs"))
+        .where(F.col("n_cociting_docs") >= 5)
+    )
+
+
+COCITATION_ORACLE = f"""
+WITH t AS ({_TARGETS_SQL})
+SELECT a.tkey, b.tkey AS tkey2, count(*) AS n_cociting_docs
+FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tkey < b.tkey
+GROUP BY 1, 2
+HAVING count(*) >= 5
+"""
+
+
+_COUPLING_CAP = 20
+
+
+def q_bibliographic_coupling_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): two decisions are related
+    when they cite the same targets.  Doc pairs form per shared target
+    — the same hub-capped similarity-join shape as the co-purchase
+    graph (targets cited by more than {cap} docs are excluded: a
+    landmark everyone cites relates nothing, exactly like a stopword) —
+    then the report is the histogram of pairs by shared-target count.
+    Shuffles carry (doc, tkey) and (doc, doc) slim rows only."""
+    t = _citation_targets(spark, sf_dir)
+    ok = t.groupBy("tkey").agg(F.count(F.lit(1)).alias("cnt")).where(
+        F.col("cnt") <= _COUPLING_CAP
+    )
+    capped = t.join(ok.select("tkey"), "tkey")
+    b = capped.select("tkey", F.col("doc_id").alias("doc2"))
+    pairs = (
+        capped.join(b, "tkey")
+        .where(F.col("doc_id") < F.col("doc2"))
+        .groupBy("doc_id", "doc2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return pairs.groupBy("n_shared").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+COUPLING_ORACLE = f"""
+WITH t AS ({_TARGETS_SQL}),
+ok AS (SELECT tkey FROM t GROUP BY tkey HAVING count(*) <= {_COUPLING_CAP}),
+c AS (SELECT doc_id, tkey FROM t WHERE tkey IN (SELECT tkey FROM ok)),
+pairs AS (
+  SELECT a.doc_id, b.doc_id AS doc2, count(*) AS n_shared
+  FROM c a JOIN c b ON a.tkey = b.tkey AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT n_shared, count(*) AS n_pairs FROM pairs GROUP BY 1
+"""
+
+
 SPECS += [
     QuerySpec(
         "court_chambers_flattened",
         q_court_chambers,
         COURT_CHAMBERS_ORACLE,
         "dynamic-key nested JSON dim ingest via map-typed from_json + explode",
+    ),
+]
+
+SPECS += [
+    QuerySpec(
+        "cocitation_pairs",
+        q_cocitation_pairs,
+        COCITATION_ORACLE,
+        "co-citation relatedness pairs through the real citation extractor",
+    ),
+    QuerySpec(
+        "bibliographic_coupling_hist",
+        q_bibliographic_coupling_hist,
+        COUPLING_ORACLE,
+        "hub-capped bibliographic coupling, shared-target histogram",
     ),
 ]
