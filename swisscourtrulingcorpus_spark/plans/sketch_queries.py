@@ -305,6 +305,133 @@ GROUP BY 1, 2
 """
 
 
+# --- fixed-bin histogram quantiles: the mergeable quantile summary -------
+#
+# Completes the mergeable-summary quartet (distinct: HLL/KMV; frequency:
+# CMS; membership: Bloom; quantiles: THIS).  Unlike percentile_approx
+# (KLL, engine-private) the equal-width histogram is portable: bins are
+# pure integer arithmetic over [min, max], histograms of slices SUM
+# into the corpus histogram, and any quantile reads off the cumulative
+# counts with an integer within-bin interpolation — error bounded by
+# one bin width (asserted vs the exact oracle-gated
+# percentiles_order_value in tests/test_sketches.py).
+
+_HQ_BINS = 128
+_HQ_QS = [(1, 2, "p50"), (9, 10, "p90"), (99, 100, "p99")]
+
+
+def histogram_quantiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p90/p99 of the order value read from a 128-bin
+    equal-width histogram of exact cents: one pass for bounds (5-row
+    broadcast back), one groupBy(priority, bin) whose exchange carries
+    at most 5*128 rows per task however large orders grows, then the
+    quantile pick over the tiny histogram.  est_cents = bin_lo +
+    (pos_in_bin * (bin_width-1)) div bin_count — every step bigint."""
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.functions.money import dec2
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "lo",
+            "span",
+            "n",
+            F.expr(f"(cents - lo) * {_HQ_BINS} div span").alias("bin"),
+        )
+        .groupBy("o_orderpriority", "lo", "span", "n", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum_w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = binned.withColumn("cum", F.sum("cnt").over(cum_w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    picks = []
+    for num, den, label in _HQ_QS:
+        target = F.expr(f"(n * {num} + {den} - 1) div {den}")
+        pick = (
+            cum.where(
+                (F.col("cum") >= target) & (F.col("cum_before") < target)
+            )
+            .select(
+                F.col("o_orderpriority").alias("priority"),
+                F.lit(label).alias("q"),
+                F.col("bin").cast("int").alias("bin"),
+                (
+                    F.col("lo")
+                    + F.expr(f"(bin * span + {_HQ_BINS} - 1) div {_HQ_BINS}")
+                    + F.expr(
+                        f"((n * {num} + {den} - 1) div {den} - cum_before - 1)"
+                        f" * (((bin + 1) * span + {_HQ_BINS} - 1) div {_HQ_BINS}"
+                        f"    - (bin * span + {_HQ_BINS} - 1) div {_HQ_BINS} - 1)"
+                        f" div cnt"
+                    )
+                ).alias("est_cents"),
+            )
+        )
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _hq_oracle() -> str:
+    parts = []
+    for num, den, label in _HQ_QS:
+        parts.append(f"""
+SELECT o_orderpriority AS priority, '{label}' AS q,
+       CAST(bin AS INTEGER) AS bin,
+       CAST(lo + (bin * span + {_HQ_BINS} - 1) // {_HQ_BINS}
+            + ((n * {num} + {den} - 1) // {den} - cum_before - 1)
+              * (((bin + 1) * span + {_HQ_BINS} - 1) // {_HQ_BINS}
+                 - (bin * span + {_HQ_BINS} - 1) // {_HQ_BINS} - 1)
+              // cnt AS BIGINT) AS est_cents
+FROM cum
+WHERE cum >= (n * {num} + {den} - 1) // {den}
+  AND cum_before < (n * {num} + {den} - 1) // {den}""")
+    sel = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+bounds AS (
+  SELECT o_orderpriority, min(cents) AS lo,
+         max(cents) - min(cents) + 1 AS span,
+         count(*) AS n
+  FROM o GROUP BY 1),
+binned AS (
+  SELECT o.o_orderpriority, lo, span, n,
+         (cents - lo) * {_HQ_BINS} // span AS bin,
+         count(*) AS cnt
+  FROM o JOIN bounds USING (o_orderpriority)
+  GROUP BY 1, 2, 3, 4, 5),
+cum AS (
+  SELECT *,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) - cnt AS cum_before
+  FROM binned)
+{sel}
+"""
+
+
 SPECS = [
     QuerySpec(
         "hll_register_table_users",
@@ -335,5 +462,11 @@ SPECS = [
         kmv_jaccard_event_types,
         KMV_JACCARD_ORACLE,
         "pairwise audience Jaccard from per-type KMV sketches (set-op sketch)",
+    ),
+    QuerySpec(
+        "histogram_quantiles_orders",
+        histogram_quantiles_orders,
+        _hq_oracle(),
+        "mergeable equal-width-histogram quantiles, integer interpolation",
     ),
 ]

@@ -160,6 +160,51 @@ def hilbert_value(cols: list, mins: list[int], maxs: list[int], bits: int = 8):
     return d
 
 
+def hilbert_cluster(
+    df: DataFrame,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+) -> DataFrame:
+    """Cluster ``df`` by the Hilbert key — same collect-bounds contract
+    as :func:`zorder_cluster`, same all-null/empty fallback."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+    r = df.agg(*aggs).collect()[0]
+    if any(r[f"__lo_{c}"] is None or r[f"__hi_{c}"] is None for c in cols):
+        return df.coalesce(max(1, num_files))
+    mins = [int(r[f"__lo_{c}"]) for c in cols]
+    maxs = [int(r[f"__hi_{c}"]) for c in cols]
+    h = hilbert_value(cols, mins, maxs, bits)
+    return (
+        df.withColumn("__h", h)
+        .repartitionByRange(num_files, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = 8,
+) -> None:
+    """Hilbert-clustered parquet write: like :func:`write_zordered` but
+    files own CONNECTED regions of the 2-D key space (no Z-jumps across
+    midlines), so per-file bounding boxes — and therefore footer
+    min/max pruning on both dimensions — are tighter for files whose
+    key ranges cross block boundaries (measured against z-order in
+    tests/test_layout.py)."""
+    hilbert_cluster(df, cols, num_files, bits).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def zorder_cluster(
     df: DataFrame,
     cols: list[str],

@@ -209,3 +209,28 @@ def test_hilbert_tighter_runs_than_zorder(spark):
     hilbert_total = run_semi_perimeter("h")
     zorder_total = run_semi_perimeter("z")
     assert hilbert_total < zorder_total, (hilbert_total, zorder_total)
+
+
+def test_hilbert_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Hilbert-clustered files must prune BOTH dimensions like z-order
+    does (each file's span well under the global range on each column)
+    — the write-side counterpart of the run-bounding-box comparison."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    hp = str(tmp_path / "h")
+    layout.write_hilbert_clustered(
+        orders, hp, ["o_orderkey", "o_custkey"], num_files=16
+    )
+
+    def avg_span(path, col):
+        st = [s for s in layout.file_skipping_stats(path, col) if s["rows"]]
+        return sum(s["max"] - s["min"] for s in st) / len(st)
+
+    glob = {
+        c: orders.agg(F.max(c) - F.min(c)).collect()[0][0]
+        for c in ["o_orderkey", "o_custkey"]
+    }
+    assert avg_span(hp, "o_orderkey") < 0.5 * glob["o_orderkey"]
+    assert avg_span(hp, "o_custkey") < 0.5 * glob["o_custkey"]
+    assert spark.read.parquet(hp).count() == orders.count()

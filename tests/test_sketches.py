@@ -335,3 +335,86 @@ def test_kmv_union_merge_equals_whole(spark):
     )
     merged = sorted(set(a) | set(b))[:_KMV_K]
     assert merged == whole
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    """The histogram quantile estimate must land within one bin width
+    of the exact percentile (its theoretical error bound)."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.money import dec2
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import (
+        _HQ_BINS,
+        histogram_quantiles_orders,
+    )
+
+    sf01 = "/root/testdata/sf0.01"
+    o = load_table(spark, sf01, "orders").select(
+        "o_orderpriority",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    exact = {
+        (r.o_orderpriority, q): v
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(cents, array(0.5, 0.9, 0.99))").alias("p"),
+            ((F.max("cents") - F.min("cents")) / _HQ_BINS).alias("binw"),
+        )
+        .collect()
+        for q, v in zip(["p50", "p90", "p99"], r.p)
+    }
+    widths = {
+        r.o_orderpriority: r.binw
+        for r in o.groupBy("o_orderpriority")
+        .agg(((F.max("cents") - F.min("cents")) / _HQ_BINS).alias("binw"))
+        .collect()
+    }
+    got = histogram_quantiles_orders(spark, sf01).collect()
+    assert len(got) == 15
+    for r in got:
+        want = exact[(r.priority, r.q)]
+        assert abs(r.est_cents - want) <= widths[r.priority] + 1, (
+            r.priority,
+            r.q,
+            r.est_cents,
+            want,
+        )
+
+
+def test_histograms_merge_by_sum(spark):
+    """Mergeability: per-slice (priority, bin) histograms SUM into the
+    whole-table histogram — what lets per-day histograms answer
+    any-period quantiles without rescanning."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.functions.money import dec2
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import _HQ_BINS
+
+    sf01 = "/root/testdata/sf0.01"
+    o = load_table(spark, sf01, "orders").select(
+        "o_orderkey",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    b = o.agg(
+        F.min("cents").alias("lo"),
+        (F.max("cents") - F.min("cents") + 1).alias("span"),
+    ).collect()[0]
+
+    def hist(df):
+        return {
+            (r.bin): r.cnt
+            for r in df.select(
+                F.expr(f"(cents - {b.lo}) * {_HQ_BINS} div {b.span}").alias(
+                    "bin"
+                )
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    whole = hist(o)
+    ha = hist(o.where(F.col("o_orderkey") % 2 == 0))
+    hb = hist(o.where(F.col("o_orderkey") % 2 == 1))
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == whole
