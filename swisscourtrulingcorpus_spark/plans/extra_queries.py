@@ -644,6 +644,55 @@ LIMIT 50
 """
 
 
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal round trip the decode gates stop short of:
+    deterministic PNG/BMP payloads decode for real, 2x box-filter
+    downsample on the executors, and re-encode as BMP24
+    (`extraction/multimodal.py::resize_image_features`).  The oracle
+    recomputes every resized pixel mean and the exact BMP byte size
+    from the construction arithmetic — a wrong block offset, a
+    round-instead-of-floor mean, or a padding bug in the writer all
+    fail the hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_image_fixture,
+        resize_image_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return resize_image_features(generate_image_fixture(docs))
+
+
+IMAGE_RESIZE_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+dims AS (
+  SELECT doc_id,
+         doc_id % 4 + 2 AS w, doc_id % 3 + 2 AS h,
+         CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 THEN 4 ELSE 3 END AS nch
+  FROM p),
+gx AS (SELECT *, unnest(generate_series(0, w // 2 - 1)) AS X FROM dims),
+gy AS (SELECT *, unnest(generate_series(0, h // 2 - 1)) AS Y FROM gx),
+gc AS (SELECT *, unnest(generate_series(0, nch - 1)) AS c FROM gy),
+px AS (
+  SELECT doc_id, w, h, nch,
+         ((doc_id + 7*(2*X)   + 13*(2*Y)   + 29*c) % 256
+        + (doc_id + 7*(2*X+1) + 13*(2*Y)   + 29*c) % 256
+        + (doc_id + 7*(2*X)   + 13*(2*Y+1) + 29*c) % 256
+        + (doc_id + 7*(2*X+1) + 13*(2*Y+1) + 29*c) % 256) // 4 AS v
+  FROM gc)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nch AS BIGINT) AS channels,
+       CAST(w // 2 AS BIGINT) AS out_w,
+       CAST(h // 2 AS BIGINT) AS out_h,
+       CAST(sum(v) AS BIGINT) AS out_pixel_sum,
+       CAST(54 + ((w // 2 * 3 + 3) // 4 * 4) * (h // 2) AS BIGINT) AS out_bmp_bytes
+FROM px
+GROUP BY doc_id, w, h, nch
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -655,6 +704,7 @@ SPECS = [
     QuerySpec("unpivot_doc_stats", unpivot_doc_stats, UNPIVOT_ORACLE, "wide→long melt"),
     QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
     QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
+    QuerySpec("image_resize_stats", image_resize_stats, IMAGE_RESIZE_ORACLE, "real decode -> 2x box resize -> BMP re-encode round trip"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -260,3 +260,51 @@ def test_law_codes_to_area(spark):
         1: "civil_law", 2: "public_law", 3: None, 4: None,
         5: None, 6: None, 7: "social_law",
     }
+
+
+def test_resize_image_real_roundtrip_and_bad_rows(spark):
+    """Real resize: a 4x2 BMP box-averages to 2x1 with floor means,
+    the re-encoded BMP parses back to those exact pixels, and the bad
+    rows (null payload, undecodable bytes, sub-2x2 image) pass through
+    as null-stat rows instead of killing the task."""
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        decode_image,
+        encode_bmp24,
+    )
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _resize_box2,
+        resize_image_features,
+    )
+
+    w, h = 4, 2
+    px = bytes((7 * i) % 256 for i in range(w * h * 3))
+    ow, oh, out = _resize_box2(w, h, 3, px)
+    assert (ow, oh) == (2, 1)
+    for X in range(ow):
+        for c in range(3):
+            s = (
+                px[(2 * X) * 3 + c]
+                + px[(2 * X + 1) * 3 + c]
+                + px[(w + 2 * X) * 3 + c]
+                + px[(w + 2 * X + 1) * 3 + c]
+            )
+            assert out[X * 3 + c] == s // 4
+
+    media = spark.createDataFrame(
+        [
+            (1, encode_bmp24(w, h, px)),
+            (2, None),
+            (3, b"not an image at all"),
+            (4, encode_bmp24(1, 1, bytes(3))),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r.doc_id: r for r in resize_image_features(media).collect()}
+    ok = rows[1]
+    assert (ok.out_w, ok.out_h, ok.out_pixel_sum) == (2, 1, sum(out))
+    # parse the re-encoded BMP size contract
+    rw, rh, rn, rpx = decode_image(encode_bmp24(ow, oh, bytes(out)))
+    assert (rw, rh, bytes(rpx)) == (ow, oh, bytes(out))
+    assert rows[2].fmt == "missing" and rows[2].out_pixel_sum is None
+    assert rows[3].fmt == "other" and rows[3].out_w is None
+    assert rows[4].fmt == "bmp_tiny" and rows[4].out_pixel_sum is None
