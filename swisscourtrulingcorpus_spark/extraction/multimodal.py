@@ -750,6 +750,46 @@ def generate_avi_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _mjpg_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import encode_jpeg_gray
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi_mjpg
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n, w, h = d % 3 + 1, d % 13 + 4, d % 9 + 4
+            jpegs = [
+                encode_jpeg_gray(
+                    w,
+                    h,
+                    [
+                        (d + 5 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    ],
+                )
+                for f in range(n)
+            ]
+            payloads.append(encode_avi_mjpg(w, h, jpegs, us_per_frame=40000))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_mjpg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic Motion-JPEG corpus from row ids: 1-3 grayscale
+    baseline-JPEG frames of (4-16) x (4-12) per container, pixel
+    (f, x, y) = (id + 5f + 11*(x//8) + 17*(y//8)) % 256 — constant
+    8x8 blocks, so the DCT round trip is bit-exact and an arithmetic
+    oracle predicts every decoded pixel (same trick as the
+    `jpeg_decode_stats` gate).  What the gate then verifies end-to-end:
+    RIFF walk -> `00dc` chunk -> baseline JPEG decode -> gray->RGB
+    replicate, all through real bytes."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _mjpg_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(

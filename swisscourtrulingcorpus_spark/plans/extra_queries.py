@@ -693,6 +693,48 @@ GROUP BY doc_id, w, h, nch
 """
 
 
+def mjpg_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motion-JPEG frame sampling: the same 1->N video stage as
+    `avi_frame_sample_stats` but over COMPRESSED `00dc` chunks — each
+    frame is a standalone baseline JPEG decoded by the shared stdlib
+    decoder (`extraction/videocodec.py::_decode_mjpg_frames`), with
+    constant-8x8-block fixtures so the DCT round trip is bit-exact and
+    the oracle recomputes every pixel statistic arithmetically
+    (gray->RGB replicate makes every stat 3x the gray value)."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_mjpg_fixture,
+        sample_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_video_frames(generate_mjpg_fixture(docs))
+
+
+MJPG_FRAME_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+f AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS frame_idx FROM p),
+gx AS (SELECT doc_id, frame_idx, unnest(generate_series(0, doc_id % 13 + 3)) AS x FROM f),
+g AS (
+  SELECT doc_id, frame_idx, x,
+         unnest(generate_series(0, doc_id % 9 + 3)) AS y
+  FROM gx),
+px AS (
+  SELECT doc_id, frame_idx,
+         (doc_id + 5*frame_idx + 11*(x//8) + 17*(y//8)) % 256 AS v
+  FROM g)
+SELECT doc_id, 'avi' AS fmt,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 40 AS BIGINT) AS ts_ms,
+       CAST(doc_id % 13 + 4 AS BIGINT) AS width,
+       CAST(doc_id % 9 + 4 AS BIGINT) AS height,
+       CAST(3 * sum(v) AS BIGINT) AS pixel_sum,
+       CAST(min(v) AS BIGINT) AS px_min,
+       CAST(max(v) AS BIGINT) AS px_max
+FROM px
+GROUP BY doc_id, frame_idx
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -705,6 +747,7 @@ SPECS = [
     QuerySpec("uuid5_document_ids", uuid5_document_ids, UUID5_ORACLE, "UUIDv5 ids vs precomputed fixture"),
     QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
     QuerySpec("image_resize_stats", image_resize_stats, IMAGE_RESIZE_ORACLE, "real decode -> 2x box resize -> BMP re-encode round trip"),
+    QuerySpec("mjpg_frame_sample_stats", mjpg_frame_sample_stats, MJPG_FRAME_ORACLE, "Motion-JPEG frame sampling via the shared baseline JPEG decoder"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -301,3 +301,32 @@ def test_audio_frame_energy_windows_values(spark):
     assert [r["energy_sum"] for r in rows] == [10 + 20 + 30 + 40, 50 + 60 + 70 + 80, 90 + 100]
     assert [r["amp_peak"] for r in rows] == [40, 80, 100]
     assert [r["start_ms"] for r in rows] == [0, 1, 2]
+
+
+def test_mjpg_roundtrip_and_contracts():
+    """MJPG: encode gray baseline JPEGs into an AVI, decode back
+    bit-exactly (constant 8x8 blocks), and the malformed contracts —
+    dim mismatch and broken frame bytes — surface as
+    UnsupportedVideoError, never a codec crash."""
+    import pytest
+
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+        encode_jpeg_gray,
+    )
+    from swisscourtrulingcorpus_spark.extraction.videocodec import (
+        UnsupportedVideoError,
+        decode_avi,
+        encode_avi_mjpg,
+    )
+
+    w, h = 12, 9
+    px = [(11 * (x // 8) + 17 * (y // 8) + 5) % 256 for y in range(h) for x in range(w)]
+    jpeg = encode_jpeg_gray(w, h, px)
+    wd, hd, us, frames = decode_avi(encode_avi_mjpg(w, h, [jpeg, jpeg]))
+    assert (wd, hd, len(frames)) == (w, h, 2)
+    assert sum(frames[0]) == 3 * sum(px)  # gray replicated to RGB
+
+    with pytest.raises(UnsupportedVideoError):
+        decode_avi(encode_avi_mjpg(w + 8, h, [jpeg]))  # dim mismatch
+    with pytest.raises(UnsupportedVideoError):
+        decode_avi(encode_avi_mjpg(w, h, [jpeg[:20]]))  # truncated frame
