@@ -990,3 +990,108 @@ def encode_jpeg_color(
     out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _progressive_ac_stream(blocks, emit_symbol, emit_bits) -> None:
+    """Drive one spectral-selection AC first scan (Ss=1, Se=63, Ah=0,
+    Al=0) over ``blocks``, calling ``emit_symbol(rs)`` / ``emit_bits(v,
+    n)`` — shared by the symbol-alphabet dry run and the real bit
+    writer so the two can never disagree.  End-of-band runs accumulate
+    across blocks and flush as EOBn symbols ((e<<4), e extra bits,
+    T.81 G.1.2.2)."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        while eobrun:
+            e = min(14, eobrun.bit_length() - 1)
+            n = min(eobrun, (1 << (e + 1)) - 1)
+            emit_symbol(e << 4)
+            emit_bits(n - (1 << e), e)
+            eobrun -= n
+
+    for zz in blocks:
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            flush()
+            while run > 15:
+                emit_symbol(0xF0)
+                emit_bits(0, 0)
+                run -= 16
+            s, raw = _magnitude(v)
+            emit_symbol((run << 4) | s)
+            emit_bits(raw, s)
+            run = 0
+        if run:
+            eobrun += 1
+    flush()
+
+
+def encode_jpeg_gray_progressive(
+    width: int,
+    height: int,
+    pixels,
+    quant: list[int] | None = None,
+) -> bytes:
+    """Encode 8-bit grayscale PROGRESSIVE JPEG (SOF2) via spectral
+    selection: scan 1 carries all DC coefficients (coded exactly like
+    baseline DC, Al=0), scan 2 the full AC band 1..63 with EOB-run
+    coding.  Same all-1s default quant as `encode_jpeg_gray`, so
+    constant 8x8 blocks round-trip bit-exactly through the progressive
+    DECODE path (`_decode_progressive_scan` / `_assemble_progressive`)
+    — the fixture trick the `progressive_jpeg_decode_stats` gate uses."""
+    qz = quant or [1] * 64
+    plane, pw, ph = _pad_plane(pixels, width, height, 8)
+    blocks = _quantize_plane(plane, pw, ph, qz)
+
+    dc_syms: set[int] = set()
+    pred = 0
+    for zz in blocks:
+        s, _ = _magnitude(zz[0] - pred)
+        pred = zz[0]
+        dc_syms.add(s)
+    ac_syms: set[int] = set()
+    _progressive_ac_stream(
+        blocks, lambda rs: ac_syms.add(rs), lambda v, n: None
+    )
+    dc_bits, dc_vals = _fixed_length_table(dc_syms)
+    ac_bits, ac_vals = _fixed_length_table(ac_syms or {0x00})
+    dc_map = _encode_map(dc_bits, dc_vals)
+    ac_map = _encode_map(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, _APP0_JFIF)
+    out += _seg(0xDB, bytes([0x00]) + bytes(qz))
+    out += _seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, _dht_payload(0, 0, dc_bits, dc_vals))
+    out += _seg(0xC4, _dht_payload(1, 0, ac_bits, ac_vals))
+
+    # scan 1: DC, Ss=0 Se=0 Ah=0 Al=0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    writer = _BitWriter()
+    pred = 0
+    for zz in blocks:
+        s, raw = _magnitude(zz[0] - pred)
+        pred = zz[0]
+        code, length = dc_map[s]
+        writer.write(code, length)
+        writer.write(raw, s)
+    writer.flush()
+    out += writer.out
+
+    # scan 2: AC band 1..63, Ah=0 Al=0
+    out += _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))
+    writer = _BitWriter()
+    _progressive_ac_stream(
+        blocks,
+        lambda rs: writer.write(*ac_map[rs]),
+        lambda v, n: writer.write(v, n),
+    )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -220,6 +220,41 @@ def _jpeg_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+def _progressive_jpeg_fixture_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+        encode_jpeg_gray_progressive,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = d % 21 + 4, d % 13 + 4
+            px = [
+                (3 * d + 11 * (x // 8) + 17 * (y // 8)) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+            payloads.append(encode_jpeg_gray_progressive(w, h, px))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_progressive_jpeg_fixture(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Same deterministic corpus as `generate_jpeg_fixture` but encoded
+    PROGRESSIVE (SOF2, DC scan + AC band scan) — the decode gate then
+    exercises the multi-scan coefficient store and
+    `_assemble_progressive` instead of the baseline path, against the
+    identical arithmetic oracle."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _progressive_jpeg_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def _mixed_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.imagecodec import (
         encode_bmp24,

@@ -735,6 +735,22 @@ GROUP BY doc_id, frame_idx
 """
 
 
+def progressive_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The progressive-JPEG twin of `jpeg_decode_stats`: SOF2 streams
+    (spectral-selection DC scan + AC band scan with EOB-run coding,
+    `extraction/jpegcodec.py::encode_jpeg_gray_progressive`) decode
+    through the multi-scan store + `_assemble_progressive` path — the
+    oracle is the SAME arithmetic as the baseline gate, so any
+    divergence between the two decode paths fails exactly one hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_image_features,
+        generate_progressive_jpeg_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_image_features(generate_progressive_jpeg_fixture(docs))
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -748,6 +764,7 @@ SPECS = [
     QuerySpec("png_decode_stats", png_decode_stats, PNG_DECODE_ORACLE, "real PNG/BMP decode vs arithmetic oracle"),
     QuerySpec("image_resize_stats", image_resize_stats, IMAGE_RESIZE_ORACLE, "real decode -> 2x box resize -> BMP re-encode round trip"),
     QuerySpec("mjpg_frame_sample_stats", mjpg_frame_sample_stats, MJPG_FRAME_ORACLE, "Motion-JPEG frame sampling via the shared baseline JPEG decoder"),
+    QuerySpec("progressive_jpeg_decode_stats", progressive_jpeg_decode_stats, JPEG_DECODE_ORACLE, "progressive (SOF2) decode twin of jpeg_decode_stats, same oracle"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -370,3 +370,31 @@ def test_null_payload_rows_survive_decode_stage(spark):
     }
     assert out[1]["fmt"] == "missing" and out[1]["pixel_sum"] is None
     assert out[2]["fmt"] == "jpeg" and out[2]["pixel_sum"] is not None
+
+
+def test_progressive_encoder_roundtrip():
+    """The in-repo SOF2 encoder (DC scan + AC band scan with EOB runs)
+    must round-trip bit-exactly on constant 8x8 blocks through the
+    progressive decode path, and within IDCT rounding (<= 1) on a
+    gradient that exercises nonzero AC coefficients, ZRL-free runs and
+    cross-block EOB accumulation."""
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg_gray_progressive,
+    )
+
+    for d in (0, 7, 42, 311):
+        w, h = d % 21 + 4, d % 13 + 4
+        px = [
+            (3 * d + 11 * (x // 8) + 17 * (y // 8)) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        gw, gh, nch, out = decode_jpeg(encode_jpeg_gray_progressive(w, h, px))
+        assert (gw, gh, nch) == (w, h, 1)
+        assert list(out) == px
+
+    w = h = 16
+    px = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
+    _, _, _, out = decode_jpeg(encode_jpeg_gray_progressive(w, h, px))
+    assert max(abs(a - b) for a, b in zip(px, out)) <= 1
