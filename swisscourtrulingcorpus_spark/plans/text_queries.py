@@ -1274,6 +1274,102 @@ GROUP BY 1, 2
 LEMMA_COUNTS_ORACLE = _lemma_counts_oracle()
 
 
+# --- RAKE keyword extraction (Rose et al. 2010) ---------------------------
+
+# stoplist shared verbatim by the Spark plan and the oracle SQL: the
+# language-ID stopwords plus the bare function words the synthetic
+# corpus uses as connectives.
+def _rake_stoplist() -> list[str]:
+    from swisscourtrulingcorpus_spark.functions.text import STOPWORDS
+
+    extra = {"a", "of", "in", "to", "on", "at", "by"}
+    return sorted({w for ws in STOPWORDS.values() for w in ws} | extra)
+
+
+def rake_keywords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: candidate phrases are maximal runs of
+    non-stopword tokens; each word scores degree/frequency over the
+    phrase corpus (degree = Σ length of phrases containing the word,
+    frequency = occurrence count), and a phrase scores the sum of its
+    word scores.  Emitted integer-exact as score_micro =
+    Σ_w floor(degree(w)·10^6 / freq(w)) — the same floor in both
+    engines — for the top-20 distinct phrases (ties by phrase).
+
+    Plan shape: the stopword split and word explode are map-side; the
+    word-stats groupBy and the stats-to-phrase-word equi-join shuffle
+    only (word, int) rows; the final top-20 is TakeOrdered.  At 100 TB
+    the word-stats table is vocabulary-sized and broadcastable."""
+    from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+
+    stop = _rake_stoplist()
+    pat = r"\b(?:" + "|".join(stop) + r")\b"
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = (
+        docs.select(
+            F.regexp_replace(normalize_ws(F.lower(F.col("text"))), pat, "|")
+            .alias("seg")
+        )
+        .select(F.explode(F.split("seg", r"\|")).alias("raw"))
+        .select(F.trim(F.regexp_replace("raw", r"\s+", " ")).alias("phrase"))
+        .where(F.col("phrase") != "")
+    )
+    pw = phrases.select(
+        "phrase",
+        F.split("phrase", " ").alias("ws"),
+    ).select("phrase", F.size("ws").alias("plen"), F.explode("ws").alias("word"))
+    stats = pw.groupBy("word").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    scored = (
+        pw.join(stats, "word")
+        .groupBy("phrase")
+        .agg(
+            (F.count(F.lit(1)) / F.max("plen")).cast("bigint").alias("n_occ"),
+            F.sum(F.expr("degree * 1000000 div freq")).alias("score_sum"),
+        )
+        .select(
+            "phrase",
+            "n_occ",
+            F.expr("score_sum div n_occ").alias("score_micro"),
+        )
+    )
+    return scored.orderBy(F.col("score_micro").desc(), F.col("phrase")).limit(20)
+
+
+def _rake_oracle() -> str:
+    stop = "|".join(_rake_stoplist())
+    return rf"""
+WITH seg AS (
+  SELECT regexp_replace(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        '\b(?:{stop})\b', '|', 'g') AS seg
+  FROM documents),
+raws AS (SELECT unnest(string_split(seg, '|')) AS raw FROM seg),
+phrases AS (
+  SELECT trim(regexp_replace(raw, '\s+', ' ', 'g')) AS phrase
+  FROM raws
+  WHERE trim(regexp_replace(raw, '\s+', ' ', 'g')) != ''),
+pw AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM phrases),
+stats AS (
+  SELECT word, count(*) AS freq, sum(plen) AS degree
+  FROM pw GROUP BY word),
+scored AS (
+  SELECT phrase,
+         CAST(count(*) // max(plen) AS BIGINT) AS n_occ,
+         CAST(sum(degree * 1000000 // freq)
+              // (count(*) // max(plen)) AS BIGINT) AS score_micro
+  FROM pw JOIN stats USING (word)
+  GROUP BY phrase)
+SELECT phrase, n_occ, score_micro
+FROM scored
+ORDER BY score_micro DESC, phrase
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
     QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
@@ -1298,6 +1394,7 @@ SPECS = [
     QuerySpec("language_id_documents", q_language_id, _lang_id_oracle(), "E1 lang id"),
     QuerySpec("quality_features_documents", q_quality_features, _quality_oracle(), "quality scoring"),
     QuerySpec("token_counts_documents", q_token_counts, TOKEN_COUNTS_ORACLE, "A3 token counts"),
+    QuerySpec("rake_keywords_documents", rake_keywords_documents, _rake_oracle(), "RAKE keyword extraction: degree/freq phrase scores, integer-exact"),
     QuerySpec("ngram_freq_documents", q_ngram_freq, NGRAM_FREQ_ORACLE, "A6 ngram mining"),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, TFIDF_ORACLE, "A12 tf-idf"),
     QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),

@@ -256,11 +256,61 @@ FROM changes
 """
 
 
+def sliding_topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: per sliding 1-hour window (30-min slide), the
+    top-3 event types by count with rank — the windowed heavy-hitters
+    shape every event store serves ("what's trending right now").
+    Two-level aggregation: the (window, type) partial agg shuffles the
+    small composite key, then the rank window partitions by window
+    start — per-partition input is bounded by the TYPE DOMAIN (a
+    handful of rows per window), never by event volume.  Count-desc
+    with type as the total-order tie-break keeps ranks engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+        )
+    )
+    rnk = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col("event_type")
+    )
+    return counts.withColumn("rank", F.row_number().over(rnk)).where(
+        F.col("rank") <= 3
+    )
+
+
+SLIDING_TOPK_ORACLE = """
+WITH starts AS (
+  SELECT event_type,
+         unnest([time_bucket(INTERVAL '30 minutes', ts),
+                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+  FROM events),
+counts AS (
+  SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+         count(*) AS cnt
+  FROM starts GROUP BY 1, 2),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                                    ORDER BY cnt DESC, event_type) AS INTEGER) AS rank
+  FROM counts)
+SELECT window_start, event_type, cnt, rank FROM ranked WHERE rank <= 3
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
     QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
     QuerySpec("input_length_stats_events", input_length_stats_events, INPUT_LENGTH_ORACLE, "A11 describe"),
     QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
+    QuerySpec("sliding_topk_event_types", sliding_topk_event_types, SLIDING_TOPK_ORACLE, "windowed heavy hitters: top-3 types per sliding window"),
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
