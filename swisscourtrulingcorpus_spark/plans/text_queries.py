@@ -1370,6 +1370,110 @@ LIMIT 20
 """
 
 
+# --- co-occurrence association mining (PMI/lift counts) -------------------
+
+_COOC_MAX_OFF = 5
+_COOC_MIN_PAIRS = 5
+
+
+def cooccurrence_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining over ±5-token windows — the counts
+    behind PMI / GloVe-style statistics.  Pair generation is ENTIRELY
+    map-side: for each offset k the token array zips with its own
+    k-shifted slice (the `word_shingles_from_words` trick), so no
+    self-join ever runs; the only shuffles are the pair-count and
+    word-count groupBys on slim string keys.  Association strength is
+    the integer lift: pair_n * total_tokens * 10^6 div (c1 * c2) —
+    PMI's exp-free core, identical in both engines (ln is not
+    portable; lift orders pairs the same way).  Top-50 pairs seen at
+    least {p} times, ties by pair text."""
+    from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(normalize_ws(F.lower(F.col("text"))), " ").alias("ws")
+    )
+    pair_arrays = []
+    for off in range(1, _COOC_MAX_OFF + 1):
+        n = F.greatest(F.size("ws") - off, F.lit(0))
+        pair_arrays.append(
+            F.zip_with(
+                F.slice("ws", 1, n),
+                F.slice("ws", off + 1, n),
+                lambda a, b: F.concat(
+                    F.least(a, b), F.lit(" "), F.greatest(a, b)
+                ),
+            )
+        )
+    pairs = (
+        words.select(F.explode(F.concat(*pair_arrays)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .where(F.col("pair_n") >= _COOC_MIN_PAIRS)
+    )
+    wc = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = words.select(
+        F.sum(F.size("ws")).cast("bigint").alias("n_tokens")
+    )
+    out = (
+        pairs.select(
+            "pair",
+            "pair_n",
+            F.split("pair", " ").getItem(0).alias("w1"),
+            F.split("pair", " ").getItem(1).alias("w2"),
+        )
+        .join(wc.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(wc.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "pair",
+            "pair_n",
+            "c1",
+            "c2",
+            F.expr("pair_n * n_tokens * 1000000 div (c1 * c2)").alias(
+                "lift_micro"
+            ),
+        )
+    )
+    return out.orderBy(F.col("lift_micro").desc(), F.col("pair")).limit(50)
+
+
+def _cooc_oracle() -> str:
+    return rf"""
+WITH w AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents),
+pos AS (
+  SELECT ws, unnest(generate_series(1, len(ws))) AS i FROM w),
+pairs_raw AS (
+  SELECT least(ws[i], ws[i + off]) || ' ' || greatest(ws[i], ws[i + off]) AS pair
+  FROM pos, unnest(generate_series(1, {_COOC_MAX_OFF})) AS t(off)
+  WHERE i + off <= len(ws)),
+pairs AS (
+  SELECT pair, count(*) AS pair_n FROM pairs_raw GROUP BY pair
+  HAVING count(*) >= {_COOC_MIN_PAIRS}),
+wc AS (
+  SELECT word AS w, count(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+total AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS n_tokens FROM w)
+SELECT pair,
+       CAST(pair_n AS BIGINT) AS pair_n,
+       CAST(c1.c AS BIGINT) AS c1,
+       CAST(c2.c AS BIGINT) AS c2,
+       CAST(pair_n * n_tokens * 1000000 // (c1.c * c2.c) AS BIGINT) AS lift_micro
+FROM pairs, total,
+     wc c1, wc c2
+WHERE c1.w = string_split(pair, ' ')[1]
+  AND c2.w = string_split(pair, ' ')[2]
+ORDER BY lift_micro DESC, pair
+LIMIT 50
+"""
+
+
 SPECS = [
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
     QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
@@ -1395,6 +1499,7 @@ SPECS = [
     QuerySpec("quality_features_documents", q_quality_features, _quality_oracle(), "quality scoring"),
     QuerySpec("token_counts_documents", q_token_counts, TOKEN_COUNTS_ORACLE, "A3 token counts"),
     QuerySpec("rake_keywords_documents", rake_keywords_documents, _rake_oracle(), "RAKE keyword extraction: degree/freq phrase scores, integer-exact"),
+    QuerySpec("cooccurrence_lift_documents", cooccurrence_lift_documents, _cooc_oracle(), "PMI-core lift over map-side offset-zipped pairs, no self-join"),
     QuerySpec("ngram_freq_documents", q_ngram_freq, NGRAM_FREQ_ORACLE, "A6 ngram mining"),
     QuerySpec("tfidf_top_terms", q_tfidf_top_terms, TFIDF_ORACLE, "A12 tf-idf"),
     QuerySpec("doc_fingerprint_rolling", q_doc_fingerprint, FINGERPRINT_ORACLE, "fingerprint"),

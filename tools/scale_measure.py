@@ -91,6 +91,10 @@ QUERIES = [
     ("hll_register_table_users", "fixed 64-register state: shuffle bytes FLAT while input grows"),
     ("kmv_sketch_users", "bottom-k TakeOrdered over a slim 8-byte distinct-hash shuffle"),
     ("kmv_jaccard_event_types", "per-type bottom-k windows over slim (type, hash) rows"),
+    # round-6f extension 2: citation-graph + keyword extraction
+    ("cocitation_pairs", "3 targets/doc -> 3 pairs/doc, linear; count shuffle on pair key"),
+    ("bibliographic_coupling_hist", "hub-capped target self-join, pairs linear under the cap"),
+    ("rake_keywords_documents", "map-side phrase split; vocab-sized word stats; TakeOrdered 20"),
 ]
 
 
