@@ -504,3 +504,42 @@ def test_round6f_sketch_layout_plan_shapes(spark, sf_dir):
     # exactly one exchange: the 256-key bucket groupBy (plus AQE reads)
     n_exchanges = hil.count("Exchange hashpartitioning")
     assert n_exchanges <= 1, hil
+
+
+def test_round6f2_text_graph_plan_shapes(spark, sf_dir):
+    """Co-occurrence pair generation must contain NO join at all before
+    the word-stats equi-joins (pairs come from zip_with slices, not a
+    positional self-join), RAKE's stopword marking must not appear as
+    a regex over the full text (In-expression membership instead — the
+    56s-vs-1.4s lesson in SCALE.md), and the trending top-k keeps its
+    rank window partitioned (no global single-partition sort)."""
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        cooccurrence_lift_documents,
+        rake_keywords_documents,
+    )
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        sliding_topk_event_types,
+    )
+
+    cooc = _static_plan(cooccurrence_lift_documents(spark, sf_dir))
+    assert "CartesianProduct" not in cooc
+    assert "BroadcastNestedLoopJoin" in cooc  # the deliberate 1-row total
+    # exactly the two word-stat equi-joins (formatted plans print each
+    # node twice: once in the tree, once in the detail section)
+    n_joins = cooc.count("SortMergeJoin") + cooc.count("BroadcastHashJoin")
+    assert n_joins <= 4, cooc
+
+    rake = _static_plan(rake_keywords_documents(spark, sf_dir))
+    # the stopword set must compile to an In/INSET predicate transform,
+    # not a multi-branch regex replace over the document text
+    assert "RLIKE" not in rake
+
+    topk = _static_plan(sliding_topk_event_types(spark, sf_dir))
+    assert "Window" in topk
+    # the rank window must be partitioned by window_start — an empty
+    # partition spec would print 'windowspecdefinition(' with no
+    # leading partition column and move all data to one task
+    import re as _re
+
+    specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", topk)
+    assert specs and all("window_start" in s for s in specs), specs
