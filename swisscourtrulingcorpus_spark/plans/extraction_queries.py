@@ -289,8 +289,11 @@ def q_citation_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
         )
     )
+    # round(score, 9) before ranking: cross-engine ln can differ by an
+    # ULP, and distinct near-equal scores could order differently at an
+    # untested SF (same latent risk + fix as bm25/tfidf, ADVICE r05)
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("cited").asc()
+        F.round(F.col("score"), 9).desc(), F.col("cited").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -321,7 +324,7 @@ scored AS (
          tf.tf * (ln((1 + n.n_docs) / (1 + df.df)) + 1) AS score
   FROM tf JOIN df USING (cited) CROSS JOIN n)
 SELECT doc_id, cited, tf, df, rank
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cited ASC) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, cited ASC) AS rank
       FROM scored)
 WHERE rank <= 3
 """

@@ -790,8 +790,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
         )
     )
+    # rank on round(score, 9): Spark's and DuckDB's ln may differ by an
+    # ULP at ~16 significant digits, and two DISTINCT near-equal scores
+    # could then order differently at an untested SF even though both
+    # engines are "right" (ADVICE r05 on bm25_top_terms — same fix:
+    # identical rounding on both sides turns ULP noise into a tie the
+    # term column breaks deterministically).
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("term").asc()
+        F.round(F.col("score"), 9).desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -812,7 +818,7 @@ scored AS (
          tf.tf * (ln((1 + n.n_docs) / (1 + df.df)) + 1) AS score
   FROM tf JOIN df USING (term) CROSS JOIN n)
 SELECT doc_id, term, tf, df, rank
-FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY round(score, 9) DESC, term ASC) AS rank
       FROM scored WHERE doc_id < 20)
 WHERE rank <= 5
 """

@@ -119,6 +119,11 @@ def test_no_python_udf_in_relational_plans(spark, sf_dir):
         # inherently per-word-sequential — the sanctioned UDF class)
         # IS the operator under test
         "bpe_encode_documents",
+        # r06f: citation-graph analytics drive the REAL citation
+        # extractor (the same Arrow pandas_udf citation_type_counts
+        # exempts) — everything downstream of the explode is JVM-side
+        "cocitation_pairs",
+        "bibliographic_coupling_hist",
     }
     for spec in QUERY_SPECS:
         if spec.name in python_ok:
