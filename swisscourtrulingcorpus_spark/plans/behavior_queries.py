@@ -155,9 +155,12 @@ def copurchase_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     a graph build is sanity-checked with before anything expensive
     (PageRank/CC/triangles) runs on it."""
     e = _copurchase_edges(spark, sf_dir)
+    # explode-of-array instead of unionAll-of-selects: a union re-plans
+    # the whole edges subtree per branch (the audit showed the
+    # clustering gate reaching 310 static exchanges before this), while
+    # one explode reads it once
     deg = (
-        e.select(F.col("c1").alias("c"))
-        .unionAll(e.select(F.col("c2").alias("c")))
+        e.select(F.explode(F.array("c1", "c2")).alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -171,7 +174,12 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-skew mitigation's cheap cousin; the hub cap in the builder
     already bounds the wedge count per part, and the joins are plain
     equi-joins — shuffles carry (bigint, bigint) pairs only."""
-    e = _copurchase_edges(spark, sf_dir)
+    # the edge list feeds three join roles: materialize it ONCE
+    # (localCheckpoint, the operators/graph.py PageRank pattern) instead
+    # of re-running the build per alias — exchange reuse can't dedupe
+    # the renamed subtrees, and at 100 TB you'd persist the edge table
+    # before any multi-pass analytics anyway
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
     e1 = e
     e2 = e.select(F.col("c1").alias("c2x"), F.col("c2").alias("c3"))
     e3 = e.select(F.col("c1").alias("c1y"), F.col("c2").alias("c3y"))
@@ -226,23 +234,25 @@ def copurchase_clustering_by_degree(spark: SparkSession, sf_dir: str) -> DataFra
     `copurchase_triangles`, unioned across the three roles a node
     plays in an (a<b<c) triangle; everything downstream is slim
     (bigint, bigint) aggregation."""
-    e = _copurchase_edges(spark, sf_dir)
+    # materialize the shared edge list once (see copurchase_triangles)
+    e = _copurchase_edges(spark, sf_dir).localCheckpoint()
     e2 = e.select(F.col("c1").alias("c2x"), F.col("c2").alias("c3"))
     e3 = e.select(F.col("c1").alias("c1y"), F.col("c2").alias("c3y"))
     wedges = e.join(e2, e.c2 == e2.c2x)
     tri = wedges.join(e3, (wedges.c1 == e3.c1y) & (wedges.c3 == e3.c3y)).select(
         "c1", "c2", "c3"
     )
+    # explode-of-array, not unionAll: each union branch re-plans its
+    # entire input subtree (tri embeds the edges pipeline three times,
+    # so the union tripled THAT — 310 static exchanges), while one
+    # explode projection reads each subtree once
     tri_per_node = (
-        tri.select(F.col("c1").alias("c"))
-        .unionAll(tri.select(F.col("c2").alias("c")))
-        .unionAll(tri.select(F.col("c3").alias("c")))
+        tri.select(F.explode(F.array("c1", "c2", "c3")).alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     deg = (
-        e.select(F.col("c1").alias("c"))
-        .unionAll(e.select(F.col("c2").alias("c")))
+        e.select(F.explode(F.array("c1", "c2")).alias("c"))
         .groupBy("c")
         .agg(F.count(F.lit(1)).alias("degree"))
     )

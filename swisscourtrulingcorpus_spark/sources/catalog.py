@@ -63,11 +63,23 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
         if not parts:
             return ()
         path = os.path.join(path, parts[0])
+    # Arrow reports BOTH real TIMESTAMP(NANOS) (INT64 + ns logical
+    # type) and legacy INT96 timestamps as timestamp[ns] — but Spark
+    # only reads the former as BIGINT under nanosAsLong; INT96 comes
+    # back as a real TIMESTAMP and must NOT be div-1000'ed (Spark 4
+    # writes INT96 by default, so any Spark-written copy of a table
+    # with timestamps used to break load_table here).
+    pf = pq.ParquetFile(path)
+    physical = {
+        pf.schema.column(i).name: pf.schema.column(i).physical_type
+        for i in range(len(pf.schema))
+    }
     schema = pq.read_schema(path)
     return tuple(
         f.name
         for f in schema
         if str(f.type).startswith("timestamp[ns")
+        and physical.get(f.name) == "INT64"
     )
 
 
