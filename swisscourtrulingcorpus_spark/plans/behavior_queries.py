@@ -294,6 +294,60 @@ GROUP BY degree
 )
 
 
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for every consecutive (prev_type -> next_type) step in a
+    user's time-ordered stream, the corpus-wide count and its per-row
+    share of the source state's outgoing mass (ppm, integer).  The
+    behavioral "what do users do next" report; the lag window
+    partitions by user_id (high cardinality — no funnel through few
+    tasks), and everything downstream aggregates a 25-cell matrix.
+    Ties inside a timestamp are ordered by event_id so both engines
+    walk the same sequence."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.withColumn("next_type", F.lead("event_type").over(w)).where(
+        F.col("next_type").isNotNull()
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("prev_type"), "next_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total_w = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000").alias("__num"),
+        F.sum("n").over(total_w).alias("__den"),
+    ).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("__num div __den").alias("share_ppm"),
+    )
+
+
+TRANSITION_ORACLE = """
+WITH steps AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM steps WHERE next_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS share_ppm
+FROM counts
+"""
+
+
 SPECS = [
     QuerySpec(
         "funnel_conversion_events",
@@ -324,5 +378,11 @@ SPECS = [
         copurchase_clustering_by_degree,
         COP_CLUSTERING_ORACLE,
         "per-degree local clustering inputs (Σtri, Σwedges), integer-exact",
+    ),
+    QuerySpec(
+        "event_transition_counts",
+        event_transition_counts,
+        TRANSITION_ORACLE,
+        "first-order Markov transition matrix + per-state share (ppm)",
     ),
 ]
