@@ -1245,3 +1245,99 @@ def stream_hll_maintenance_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cms_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+) -> None:
+    """One micro-batch of incremental frequency-sketch maintenance:
+    build the batch's count-min table (`operators/sketches.py::
+    cms_table`) and SUM-merge it into the versioned store.  Counts are
+    ADDITIVE, so — exactly like `nb_training_batch` and unlike the
+    idempotent HLL max-merge — the (run, batch_id) replay ledger is
+    load-bearing: a replayed committed batch would double every bucket.
+    Store size stays depth x width rows however much data streams
+    through; any reader answers heavy-hitter / frequency questions from
+    it via `cms_estimate` without touching raw data."""
+    from swisscourtrulingcorpus_spark.operators.sketches import cms_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    delta = cms_table(batch, value_col, width=width, depth=depth).cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return
+            if base:
+                stored = read_version(spark, store_table, base).select(
+                    "d", "bucket", "cnt"
+                )
+                updated = (
+                    stored.unionByName(delta)
+                    .groupBy("d", "bucket")
+                    .agg(F.sum("cnt").alias("cnt"))
+                )
+            else:
+                updated = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue
+    finally:
+        delta.unpersist()
+
+
+def stream_cms_maintenance_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    value_col: str,
+    width: int = 256,
+    depth: int = 4,
+):
+    """Continuous frequency-sketch maintenance via
+    :func:`cms_maintenance_batch`; Trigger.AvailableNow catch-up
+    semantics like the other maintenance jobs."""
+    os.makedirs(store_table, exist_ok=True)
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        cms_maintenance_batch(
+            batch, batch_id, store_table, run_tag, value_col, width, depth
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -887,3 +887,65 @@ def test_stream_hll_maintenance_equals_batch(spark, tmp_path):
 
     run_once()  # no new files -> no new version
     assert latest_version(store) == v
+
+
+def test_stream_cms_maintenance_equals_batch_and_replay_guard(spark, tmp_path):
+    """The CMS store after two landings must equal the one-shot batch
+    sketch over the full corpus (sum-mergeability), and — because
+    counts are ADDITIVE — a replay with no new files must not advance
+    the store (a doubled bucket would break every estimate)."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import cms_table
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        stream_cms_maintenance_job,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type"
+    )
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    store = str(tmp_path / "cms_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        tmp = tmp_path / f"__stage_{name}"
+        df.coalesce(1).write.parquet(str(tmp))
+        part = _glob.glob(str(tmp / "part-*.parquet"))[0]
+        _shutil.copy(part, stage / f"{name}.parquet")
+
+    land(ev.where(F.col("event_id") % 2 == 0), "b1")
+    schema = spark.read.parquet(str(stage / "b1.parquet")).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(stage))
+        q = stream_cms_maintenance_job(
+            stream, store, ckpt, "event_type", width=64, depth=2
+        )
+        q.awaitTermination()
+
+    run_once()
+    land(ev.where(F.col("event_id") % 2 == 1), "b2")
+    run_once()
+
+    v = latest_version(store)
+    got = {
+        (r.d, r.bucket): r.cnt for r in read_version(spark, store, v).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in cms_table(ev, "event_type", width=64, depth=2).collect()
+    }
+    assert got == want and got
+
+    run_once()
+    assert latest_version(store) == v
