@@ -418,3 +418,60 @@ def test_histograms_merge_by_sum(spark):
     hb = hist(o.where(F.col("o_orderkey") % 2 == 1))
     merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
     assert merged == whole
+
+
+def test_portable_hll_matches_python_reference_model(spark):
+    """Cross-check the Spark HLL register arithmetic against an
+    INDEPENDENT pure-Python recomputation (md5 -> top-6-bit register,
+    leading-zero rank of the 26-bit tail) — a third opinion beside the
+    DuckDB oracle, over a value set with adversarial shapes (negatives,
+    zero, huge ids)."""
+    import hashlib
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_registers,
+    )
+
+    keys = [0, 1, -1, 7, 63, 64, 2**31, 2**63 - 1, -(2**63), 424242]
+
+    def ref_registers(vals):
+        regs: dict[int, int] = {}
+        for v in vals:
+            h = int(hashlib.md5(f"hll|{v}".encode()).hexdigest()[:8], 16)
+            reg, tail = h >> 26, h & ((1 << 26) - 1)
+            rank = 27 if tail == 0 else 27 - tail.bit_length()
+            regs[reg] = max(regs.get(reg, 0), rank)
+        return regs
+
+    df = spark.createDataFrame([(v,) for v in keys], "user_id: long")
+    got = {
+        r.register: r.max_rank
+        for r in portable_hll_registers(df, "user_id").collect()
+    }
+    assert got == ref_registers(keys)
+
+
+def test_kmv_matches_python_reference_model(spark):
+    """Same third-opinion check for the KMV hash ordering: the k
+    smallest md5-derived hashes from Spark equal a pure-Python
+    recomputation."""
+    import hashlib
+
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    keys = list(range(200))
+    df = spark.createDataFrame([(v,) for v in keys], "user_id: long")
+    got = sorted(
+        r.h
+        for r in df.select(
+            h32(F.col("user_id").cast("string"), seed="kmv").alias("h")
+        )
+        .orderBy("h")
+        .limit(16)
+        .collect()
+    )
+    want = sorted(
+        int(hashlib.md5(f"kmv|{v}".encode()).hexdigest()[:8], 16)
+        for v in keys
+    )[:16]
+    assert got == want
