@@ -289,6 +289,78 @@ GROUP BY t.tau_scaled
 )
 
 
+# --- token-budget mix planning -------------------------------------------
+
+_BUDGET_TOKENS = 1_000_000
+_MIX_WEIGHTS = {"de": 4, "fr": 3, "it": 2, "en": 1}  # integer weights
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-allocation step of a training run: given a total token
+    budget and per-language mix weights, how many tokens each language
+    contributes and how many EPOCHS of its available data that implies
+    (epochs > 1 = repetition, the signal to renegotiate the mix).
+    One aggregation for per-language availability, then pure integer
+    planning arithmetic: allocated = budget * w div Σw, epochs_milli =
+    allocated * 1000 div available.  Languages outside the weight map
+    get weight 0 — present in the report, allocated nothing."""
+    from swisscourtrulingcorpus_spark.functions.text import token_count_ws
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_expr = F.create_map(
+        *[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]
+    )
+    avail = (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_ws("text").cast("bigint")).alias(
+                "available_tokens"
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "available_tokens",
+            F.coalesce(w_expr.getItem(F.col("lang")), F.lit(0)).alias("w"),
+        )
+    )
+    total_w = sum(_MIX_WEIGHTS.values())
+    return avail.select(
+        "lang",
+        "n_docs",
+        "available_tokens",
+        F.expr(f"CAST({_BUDGET_TOKENS} AS BIGINT) * w div {total_w}").alias(
+            "allocated_tokens"
+        ),
+        F.expr(
+            f"CAST({_BUDGET_TOKENS} AS BIGINT) * w * 1000"
+            f" div ({total_w} * available_tokens)"
+        ).alias("epochs_milli"),
+    )
+
+
+_BUDGET_W_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+) + " ELSE 0 END"
+
+TOKEN_BUDGET_ORACLE = f"""
+WITH avail AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS available_tokens,
+         {_BUDGET_W_SQL} AS w
+  FROM documents GROUP BY lang)
+SELECT lang, n_docs, available_tokens,
+       CAST({_BUDGET_TOKENS}::BIGINT * w // {sum(_MIX_WEIGHTS.values())} AS BIGINT)
+         AS allocated_tokens,
+       CAST({_BUDGET_TOKENS}::BIGINT * w * 1000
+            // ({sum(_MIX_WEIGHTS.values())} * available_tokens) AS BIGINT)
+         AS epochs_milli
+FROM avail
+"""
+
+
 SPECS = [
     QuerySpec("sequence_packing_documents", q_sequence_packing, PACKING_ORACLE, "context-window packing"),
     QuerySpec("length_grouped_shards", q_length_grouped_shards, LENGTH_SHARDS_ORACLE, "padding-efficiency length bucketing"),
@@ -297,4 +369,5 @@ SPECS = [
     QuerySpec("stratified_sample_documents", q_stratified_sample, STRATIFIED_ORACLE, "exact per-stratum quota sample (seeded md5 order)"),
     QuerySpec("priority_sample_documents", q_priority_sample, PSAMP_ORACLE, "weight-proportional top-k (priority sampling)"),
     QuerySpec("priority_sample_total_estimate", q_priority_sample_estimate, PSAMP_ESTIMATE_ORACLE, "priority-sampling unbiased total, integer-exact"),
+    QuerySpec("token_budget_plan", q_token_budget_plan, TOKEN_BUDGET_ORACLE, "per-language token-budget allocation + epoch implication"),
 ]
