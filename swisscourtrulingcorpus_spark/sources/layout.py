@@ -344,3 +344,60 @@ def compact_small_files(
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return n
+
+
+def recluster_table(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    curve: str = "zorder",
+    bits: int | None = None,
+) -> None:
+    """OPTIMIZE-style in-place recluster: rewrite ``path`` so its files
+    own compact multi-dimensional key regions again — the maintenance
+    op an append-heavy table needs periodically, because incremental
+    appends land in arrival order and every appended file spans the
+    full key domain (footer stats stop pruning).
+
+    Crash-safety is the exact ``compact_small_files`` contract (same
+    ``.compact_old`` / ``.compact_staging`` names, so ITS recovery
+    sweep also repairs a recluster that died mid-swap and vice versa):
+    the clustered rewrite lands fully in staging, then two renames —
+    readers see either the old or the new layout across process
+    deaths.
+
+    ``curve``: "zorder" (default, up to 4 columns) or "hilbert"
+    (2 columns, tighter non-aligned ranges — see hilbert_value)."""
+    if curve == "zorder":
+        cluster = lambda df: zorder_cluster(  # noqa: E731
+            df, cols, num_files, bits or 16
+        )
+    elif curve == "hilbert":
+        cluster = lambda df: hilbert_cluster(  # noqa: E731
+            df, cols, num_files, bits or 8
+        )
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
+
+    old = path.rstrip("/") + ".compact_old"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)  # crashed mid-swap: restore
+        else:
+            shutil.rmtree(old, ignore_errors=True)
+    staging = path.rstrip("/") + ".compact_staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    try:
+        cluster(spark.read.parquet(path)).write.mode("overwrite").parquet(
+            staging
+        )
+        os.rename(path, old)
+        try:
+            os.rename(staging, path)
+        except BaseException:
+            os.rename(old, path)  # backup is the only copy
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -234,3 +234,46 @@ def test_hilbert_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert avg_span(hp, "o_orderkey") < 0.5 * glob["o_orderkey"]
     assert avg_span(hp, "o_custkey") < 0.5 * glob["o_custkey"]
     assert spark.read.parquet(hp).count() == orders.count()
+
+
+def test_recluster_restores_pruning_after_appends(spark, sf_dir, tmp_path):
+    """Append-in-arrival-order files span the full key domain (footer
+    stats prune nothing); recluster_table must restore two-dimensional
+    pruning in place, preserve every row, and leave no debris dirs.
+    Also: a crash parked at .compact_old before recluster runs is
+    swept (shared recovery contract with compact_small_files)."""
+    import os
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    out = str(tmp_path / "t")
+    # simulate arrival-order appends: 8 hash-partitioned files, every
+    # file spanning the whole key range
+    orders.repartition(8).write.parquet(out)
+    n_rows = orders.count()
+
+    def avg_span(col):
+        st = [s for s in layout.file_skipping_stats(out, col) if s["rows"]]
+        return sum(s["max"] - s["min"] for s in st) / len(st)
+
+    glob_span = {
+        c: orders.agg(F.max(c) - F.min(c)).collect()[0][0]
+        for c in ["o_orderkey", "o_custkey"]
+    }
+    assert avg_span("o_orderkey") > 0.8 * glob_span["o_orderkey"]
+
+    layout.recluster_table(spark, out, ["o_orderkey", "o_custkey"], 16)
+    assert avg_span("o_orderkey") < 0.5 * glob_span["o_orderkey"]
+    assert avg_span("o_custkey") < 0.5 * glob_span["o_custkey"]
+    assert spark.read.parquet(out).count() == n_rows
+    assert not os.path.exists(out + ".compact_staging")
+    assert not os.path.exists(out + ".compact_old")
+
+    # crash-recovery sweep: only copy parked at .compact_old
+    os.rename(out, out + ".compact_old")
+    layout.recluster_table(
+        spark, out, ["o_orderkey", "o_custkey"], 8, curve="hilbert"
+    )
+    assert spark.read.parquet(out).count() == n_rows
+    assert avg_span("o_custkey") < 0.5 * glob_span["o_custkey"]
