@@ -432,6 +432,91 @@ cum AS (
 """
 
 
+def hll_distinct_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sketch composition: per tumbling hour, the HLL register
+    summary of distinct users plus the integer estimate AND the exact
+    distinct count side by side — the report that justifies replacing
+    exact countDistinct at scale (the exact column needs the full
+    (window, user) distinct shuffle; the sketch column's exchange is
+    capped at 64 rows per window whatever the traffic).  Both integer-
+    exact, so the accuracy story is IN the gate output."""
+    from pyspark.sql import Window as W
+
+    from swisscourtrulingcorpus_spark.functions.hashing import h32
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(
+            F.window("ts", "1 hour").getField("start"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("window_start"),
+        F.col("user_id").cast("string").alias("k"),
+    )
+    h = h32("k", seed="hll")
+    tail = h % F.lit(_TAIL_MOD)
+    rank = F.when(tail == 0, F.lit(_TAIL_BITS + 1)).otherwise(
+        F.lit(_TAIL_BITS + 1) - F.length(F.conv(tail.cast("string"), 10, 2))
+    )
+    regs = (
+        ev.select(
+            "window_start",
+            F.shiftright(h, _TAIL_BITS).alias("register"),
+            rank.alias("rank"),
+        )
+        .groupBy("window_start", "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+    est = regs.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        (
+            F.sum(
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), {_TAIL_BITS + 1} - max_rank)"
+                )
+            )
+            + (F.lit(_M) - F.count(F.lit(1))) * F.lit(_RANK_EMPTY_TERM)
+        ).alias("s_dyadic"),
+    ).select(
+        "window_start",
+        "registers_used",
+        F.expr(f"{_EST_NUM} div s_dyadic").alias("est_milli"),
+    )
+    exact = ev.groupBy("window_start").agg(
+        F.countDistinct("k").alias("exact_distinct")
+    )
+    return est.join(exact, "window_start")
+
+
+HLL_PER_HOUR_ORACLE = f"""
+WITH ev AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         CAST(user_id AS VARCHAR) AS k
+  FROM events),
+h AS (
+  SELECT window_start,
+         ('0x' || substr(md5('hll|' || k), 1, 8))::UBIGINT AS h, k
+  FROM ev),
+regs AS (
+  SELECT window_start,
+         CAST(h // {_TAIL_MOD} AS BIGINT) AS register,
+         max(CASE WHEN h % {_TAIL_MOD} = 0 THEN {_TAIL_BITS + 1}
+                  ELSE {_TAIL_BITS + 1} - length(bin(h % {_TAIL_MOD})) END)
+           AS max_rank
+  FROM h GROUP BY 1, 2),
+est AS (
+  SELECT window_start,
+         CAST(count(*) AS BIGINT) AS registers_used,
+         CAST({_EST_NUM} // (sum(1::BIGINT << ({_TAIL_BITS + 1} - max_rank))
+              + ({_M} - count(*)) * {_RANK_EMPTY_TERM}) AS BIGINT) AS est_milli
+  FROM regs GROUP BY 1),
+exact AS (
+  SELECT window_start, count(DISTINCT k) AS exact_distinct
+  FROM ev GROUP BY 1)
+SELECT window_start, registers_used, est_milli, exact_distinct
+FROM est JOIN exact USING (window_start)
+"""
+
+
 SPECS = [
     QuerySpec(
         "hll_register_table_users",
@@ -468,5 +553,11 @@ SPECS = [
         histogram_quantiles_orders,
         _hq_oracle(),
         "mergeable equal-width-histogram quantiles, integer interpolation",
+    ),
+    QuerySpec(
+        "hll_distinct_per_hour",
+        hll_distinct_per_hour,
+        HLL_PER_HOUR_ORACLE,
+        "windowed HLL: per-hour distinct-user estimate beside the exact count",
     ),
 ]
