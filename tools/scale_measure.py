@@ -95,6 +95,11 @@ QUERIES = [
     ("cocitation_pairs", "3 targets/doc -> 3 pairs/doc, linear; count shuffle on pair key"),
     ("bibliographic_coupling_hist", "hub-capped target self-join, pairs linear under the cap"),
     ("rake_keywords_documents", "map-side phrase split; vocab-sized word stats; TakeOrdered 20"),
+    # round-6f extension 3: association mining + behavioral windows
+    ("cooccurrence_lift_documents", "map-side zip_with pairs (no self-join); pair-count shuffle"),
+    ("sliding_topk_event_types", "(window, type) partial agg; rank input bounded by type domain"),
+    ("event_transition_counts", "per-user lead window over slim columns; 25-cell matrix out"),
+    ("hll_distinct_per_hour", "per-window register exchange capped at 64 rows/window"),
 ]
 
 
