@@ -262,6 +262,15 @@ def decode_image(payload: bytes) -> tuple[int, int, int, bytearray]:
             )
 
             return decode_jpeg(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            from swisscourtrulingcorpus_spark.extraction.gifcodec import (
+                decode_gif,
+                frame_rgb,
+            )
+
+            w, h, pal, frames = decode_gif(payload)
+            # static-image view of a GIF: the FIRST frame as RGB
+            return w, h, 3, bytearray(frame_rgb(pal, frames[0]))
     except UnsupportedImageError:
         raise
     except (zlib.error, struct.error, ValueError, IndexError, KeyError) as e:

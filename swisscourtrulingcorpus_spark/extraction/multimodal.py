@@ -825,6 +825,116 @@ def generate_mjpg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_palette", LongType()),
+        StructField("idx_sum", LongType()),
+        StructField("rgb_sum", LongType()),
+    ]
+)
+
+_GIF_NULL_STATS = {
+    "frame_idx": None,
+    "width": None,
+    "height": None,
+    "n_palette": None,
+    "idx_sum": None,
+    "rgb_sum": None,
+}
+
+
+def _gif_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.gifcodec import (
+        UnsupportedGifError,
+        decode_gif,
+        frame_rgb,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                rows.append({"doc_id": doc_id, "fmt": "missing", **_GIF_NULL_STATS})
+                continue
+            payload = bytes(payload)
+            is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
+            try:
+                if not is_gif:
+                    raise UnsupportedGifError("not GIF")
+                w, h, pal, frames = decode_gif(payload)
+                for idx, plane in enumerate(frames):
+                    rgb = frame_rgb(pal, plane)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "fmt": "gif",
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "n_palette": len(pal),
+                            "idx_sum": sum(plane),
+                            "rgb_sum": sum(rgb),
+                        }
+                    )
+            except UnsupportedGifError:
+                fmt = "gif_undecodable" if is_gif else "other"
+                rows.append({"doc_id": doc_id, "fmt": fmt, **_GIF_NULL_STATS})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def sample_gif_frames(media: DataFrame) -> DataFrame:
+    """REAL animated-GIF frame sampling via mapInPandas
+    (`extraction/gifcodec.py`, pure stdlib LZW): every frame comes out
+    composited to the full canvas with palette-index and RGB pixel
+    sums.  Bad rows (null / non-GIF / malformed) pass through as ONE
+    null-stat row — the standard media-stage contract."""
+    return media.mapInPandas(_gif_frame_batches, GIF_FRAME_SCHEMA)
+
+
+def _gif_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.gifcodec import encode_gif
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h, npal, nfr = d % 7 + 3, d % 4 + 2, d % 5 + 2, d % 3 + 1
+            pal = [
+                ((d + 11 * i) % 256, (d + 23 * i) % 256, (d + 37 * i) % 256)
+                for i in range(npal)
+            ]
+            frames = [
+                bytes(
+                    (x + 2 * y + f + d) % npal
+                    for y in range(h)
+                    for x in range(w)
+                )
+                for f in range(nfr)
+            ]
+            payloads.append(encode_gif(w, h, pal, frames))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_gif_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic animated-GIF corpus from row ids: 1-3 frames of
+    (3-9) x (2-5) cells over a 2-6 color palette, index (x, y, f) =
+    (x + 2y + f + d) % n_palette and palette channel c of entry i =
+    (d + prime_c * i) % 256 — an arithmetic oracle recomputes every
+    per-frame index and RGB sum; the LZW bitstream -> sub-block ->
+    palette -> canvas path through real bytes is what the gate
+    verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _gif_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(

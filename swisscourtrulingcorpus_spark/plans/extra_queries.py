@@ -751,6 +751,48 @@ def progressive_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_image_features(generate_progressive_jpeg_fixture(docs))
 
 
+def gif_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF frame sampling through the real pure-stdlib LZW
+    decoder (`extraction/gifcodec.py`): deterministic palettes and
+    frame indices are ENCODED from doc_id arithmetic, cross Arrow as
+    binary payloads, and every frame decodes back with palette-index
+    and RGB sums the oracle recomputes without touching bytes — a
+    width-growth or sub-block bug in the LZW path fails the hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_gif_fixture,
+        sample_gif_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return sample_gif_frames(generate_gif_fixture(docs))
+
+
+GIF_FRAME_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+f AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS frame_idx FROM p),
+gx AS (SELECT doc_id, frame_idx, unnest(generate_series(0, doc_id % 7 + 2)) AS x FROM f),
+g AS (SELECT doc_id, frame_idx, x,
+             unnest(generate_series(0, doc_id % 4 + 1)) AS y
+      FROM gx),
+px AS (
+  SELECT doc_id, frame_idx,
+         (x + 2*y + frame_idx + doc_id) % (doc_id % 5 + 2) AS i
+  FROM g)
+SELECT doc_id, 'gif' AS fmt,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(doc_id % 7 + 3 AS BIGINT) AS width,
+       CAST(doc_id % 4 + 2 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 5 + 2 <= 2 THEN 2
+                 WHEN doc_id % 5 + 2 <= 4 THEN 4
+                 ELSE 8 END AS BIGINT) AS n_palette,  -- GCT pads to 2^k
+       CAST(sum(i) AS BIGINT) AS idx_sum,
+       CAST(sum((doc_id + 11*i) % 256 + (doc_id + 23*i) % 256
+                + (doc_id + 37*i) % 256) AS BIGINT) AS rgb_sum
+FROM px
+GROUP BY doc_id, frame_idx
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -765,6 +807,7 @@ SPECS = [
     QuerySpec("image_resize_stats", image_resize_stats, IMAGE_RESIZE_ORACLE, "real decode -> 2x box resize -> BMP re-encode round trip"),
     QuerySpec("mjpg_frame_sample_stats", mjpg_frame_sample_stats, MJPG_FRAME_ORACLE, "Motion-JPEG frame sampling via the shared baseline JPEG decoder"),
     QuerySpec("progressive_jpeg_decode_stats", progressive_jpeg_decode_stats, JPEG_DECODE_ORACLE, "progressive (SOF2) decode twin of jpeg_decode_stats, same oracle"),
+    QuerySpec("gif_frame_sample_stats", gif_frame_sample_stats, GIF_FRAME_ORACLE, "animated GIF LZW decode: per-frame palette-index + RGB sums"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),
