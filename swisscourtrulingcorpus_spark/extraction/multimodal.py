@@ -935,6 +935,239 @@ def generate_gif_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+ROUTER_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_class", StringType()),
+        StructField("fmt", StringType()),
+        StructField("n_units", LongType()),
+        StructField("stat_sum", LongType()),
+    ]
+)
+
+
+def route_media_features(media: DataFrame) -> DataFrame:
+    """The heterogeneous-corpus stage: ONE binary column holding many
+    formats, sniffed per row and dispatched to the right REAL decoder —
+    images (PNG/BMP/JPEG) to the pixel path, animated GIFs to the LZW
+    frame path, RIFF/AVI (incl. Motion-JPEG) to the video path,
+    RIFF/WAVE to the PCM path.  Emits one row per payload with the
+    media class, sniffed format, unit count (frames for video/GIF,
+    per-channel sample frames for audio, 1 for stills) and the summed
+    integer unit statistic — comparable across a mixed corpus without
+    per-format tables.  Unroutable/undecodable/missing payloads pass
+    through as null-stat rows (the standard contract: one bad row
+    never kills a 100 TB scan)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+            decode_wav,
+        )
+        from swisscourtrulingcorpus_spark.extraction.gifcodec import (
+            decode_gif,
+            frame_rgb,
+        )
+        from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+            UnsupportedImageError,
+            decode_image,
+        )
+        from swisscourtrulingcorpus_spark.extraction.videocodec import (
+            UnsupportedVideoError,
+            decode_avi,
+        )
+
+        nulls = {"n_units": None, "stat_sum": None}
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append(
+                        {"doc_id": doc_id, "media_class": "missing",
+                         "fmt": "missing", **nulls}
+                    )
+                    continue
+                p = bytes(payload)
+                try:
+                    if p[:6] in (b"GIF87a", b"GIF89a"):
+                        w, h, pal, frames = decode_gif(p)
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "media_class": "image_anim",
+                                "fmt": "gif",
+                                "n_units": len(frames),
+                                "stat_sum": sum(
+                                    sum(frame_rgb(pal, fr)) for fr in frames
+                                ),
+                            }
+                        )
+                    elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                        w, h, us, frames = decode_avi(p)
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "media_class": "video",
+                                "fmt": "avi",
+                                "n_units": len(frames),
+                                "stat_sum": sum(sum(fr) for fr in frames),
+                            }
+                        )
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        sr, ch, nframes, samples = decode_wav(p)
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "media_class": "audio",
+                                "fmt": "wav",
+                                "n_units": nframes,
+                                "stat_sum": int(sum(samples)),
+                            }
+                        )
+                    elif (
+                        p[:8] == b"\x89PNG\r\n\x1a\n"
+                        or p[:2] == b"BM"
+                        or p[:2] == b"\xff\xd8"
+                    ):
+                        fmt = (
+                            "png"
+                            if p[:2] == b"\x89P"
+                            else "bmp" if p[:2] == b"BM" else "jpeg"
+                        )
+                        w, h, nch, px = decode_image(p)
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "media_class": "image",
+                                "fmt": fmt,
+                                "n_units": 1,
+                                "stat_sum": sum(px),
+                            }
+                        )
+                    else:
+                        rows.append(
+                            {"doc_id": doc_id, "media_class": "other",
+                             "fmt": "other", **nulls}
+                        )
+                except (UnsupportedImageError, UnsupportedVideoError, ValueError):
+                    rows.append(
+                        {"doc_id": doc_id, "media_class": "undecodable",
+                         "fmt": "undecodable", **nulls}
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(gen, ROUTER_SCHEMA)
+
+
+def _router_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
+    from swisscourtrulingcorpus_spark.extraction.gifcodec import encode_gif
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        encode_bmp24,
+        encode_png,
+    )
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import (
+        encode_jpeg_gray,
+    )
+    from swisscourtrulingcorpus_spark.extraction.videocodec import (
+        encode_avi_mjpg,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            if d % 97 == 13:  # junk row: router must not die
+                payloads.append(b"\x00junk" + bytes([d % 256]) * 5)
+                continue
+            kind = d % 6
+            if kind in (0, 1):  # png / bmp, 3 channels
+                w, h = d % 4 + 2, d % 3 + 2
+                px = bytes(
+                    (d + 7 * x + 13 * y + 29 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payloads.append(
+                    encode_png(w, h, 3, px) if kind == 0 else encode_bmp24(w, h, px)
+                )
+            elif kind == 2:  # gray baseline jpeg, constant blocks
+                w, h = d % 21 + 4, d % 13 + 4
+                payloads.append(
+                    encode_jpeg_gray(
+                        w,
+                        h,
+                        [
+                            (3 * d + 11 * (x // 8) + 17 * (y // 8)) % 256
+                            for y in range(h)
+                            for x in range(w)
+                        ],
+                    )
+                )
+            elif kind == 3:  # animated gif
+                w, h, npal, nfr = d % 7 + 3, d % 4 + 2, d % 5 + 2, d % 3 + 1
+                pal = [
+                    ((d + 11 * i) % 256, (d + 23 * i) % 256, (d + 37 * i) % 256)
+                    for i in range(npal)
+                ]
+                payloads.append(
+                    encode_gif(
+                        w,
+                        h,
+                        pal,
+                        [
+                            bytes(
+                                (x + 2 * y + f + d) % npal
+                                for y in range(h)
+                                for x in range(w)
+                            )
+                            for f in range(nfr)
+                        ],
+                    )
+                )
+            elif kind == 4:  # motion-jpeg avi
+                n, w, h = d % 3 + 1, d % 13 + 4, d % 9 + 4
+                payloads.append(
+                    encode_avi_mjpg(
+                        w,
+                        h,
+                        [
+                            encode_jpeg_gray(
+                                w,
+                                h,
+                                [
+                                    (d + 5 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
+                                    for y in range(h)
+                                    for x in range(w)
+                                ],
+                            )
+                            for f in range(n)
+                        ],
+                    )
+                )
+            else:  # 16-bit PCM wav
+                ch, n = d % 2 + 1, d % 50 + 10
+                payloads.append(
+                    encode_wav(
+                        8000,
+                        ch,
+                        [((d * 31 + 7 * i) % 65536) - 32768 for i in range(n * ch)],
+                    )
+                )
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_media_router_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Six real formats + junk rows in ONE binary column, all encoded
+    from doc_id arithmetic so a single oracle predicts every routed
+    statistic (`plans/extra_queries.py::media_router_stats`)."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _router_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(

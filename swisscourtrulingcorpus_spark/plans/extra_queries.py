@@ -793,6 +793,89 @@ GROUP BY doc_id, frame_idx
 """
 
 
+def media_router_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The heterogeneous-corpus router end-to-end: six real formats
+    plus junk rows in ONE binary column, sniffed per row and dispatched
+    to the right real decoder (`extraction/multimodal.py::
+    route_media_features`).  The oracle recomputes every routed unit
+    count and statistic from the shared construction arithmetic — a
+    sniffing bug routes a row to the wrong branch and fails the hash
+    on both class and sum."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_media_router_fixture,
+        route_media_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return route_media_features(generate_media_router_fixture(docs))
+
+
+MEDIA_ROUTER_ORACLE = """
+WITH p AS (SELECT doc_id FROM documents),
+junk AS (
+  SELECT doc_id, 'other' AS media_class, 'other' AS fmt,
+         CAST(NULL AS BIGINT) AS n_units, CAST(NULL AS BIGINT) AS stat_sum
+  FROM p WHERE doc_id % 97 = 13),
+img AS (
+  SELECT doc_id,
+         'image' AS media_class,
+         CASE WHEN doc_id % 6 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+         CAST(1 AS BIGINT) AS n_units,
+         CAST(sum((doc_id + 7*x + 13*y + 29*c) % 256) AS BIGINT) AS stat_sum
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, doc_id % 4 + 1)) AS x
+        FROM p WHERE doc_id % 6 IN (0, 1) AND doc_id % 97 <> 13) a,
+       unnest(generate_series(0, a.doc_id % 3 + 1)) AS t1(y),
+       unnest(generate_series(0, 2)) AS t2(c)
+  GROUP BY doc_id),
+jpg AS (
+  SELECT doc_id, 'image' AS media_class, 'jpeg' AS fmt,
+         CAST(1 AS BIGINT) AS n_units,
+         CAST(sum((3*doc_id + 11*(x//8) + 17*(y//8)) % 256) AS BIGINT) AS stat_sum
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 21 + 3)) AS x
+        FROM p WHERE doc_id % 6 = 2 AND doc_id % 97 <> 13) a,
+       unnest(generate_series(0, a.doc_id % 13 + 3)) AS t1(y)
+  GROUP BY doc_id),
+gif AS (
+  SELECT doc_id, 'image_anim' AS media_class, 'gif' AS fmt,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS n_units,
+         CAST(sum((doc_id + 11*i) % 256 + (doc_id + 23*i) % 256
+                  + (doc_id + 37*i) % 256) AS BIGINT) AS stat_sum
+  FROM (
+    SELECT doc_id,
+           (x + 2*y + f + doc_id) % (doc_id % 5 + 2) AS i
+    FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS f
+          FROM p WHERE doc_id % 6 = 3 AND doc_id % 97 <> 13) a,
+         unnest(generate_series(0, a.doc_id % 7 + 2)) AS t1(x),
+         unnest(generate_series(0, a.doc_id % 4 + 1)) AS t2(y))
+  GROUP BY doc_id),
+avi AS (
+  SELECT doc_id, 'video' AS media_class, 'avi' AS fmt,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS n_units,
+         CAST(3 * sum((doc_id + 5*f + 11*(x//8) + 17*(y//8)) % 256) AS BIGINT)
+           AS stat_sum
+  FROM (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS f
+        FROM p WHERE doc_id % 6 = 4 AND doc_id % 97 <> 13) a,
+       unnest(generate_series(0, a.doc_id % 13 + 3)) AS t1(x),
+       unnest(generate_series(0, a.doc_id % 9 + 3)) AS t2(y)
+  GROUP BY doc_id),
+wav AS (
+  SELECT doc_id, 'audio' AS media_class, 'wav' AS fmt,
+         CAST(doc_id % 50 + 10 AS BIGINT) AS n_units,
+         CAST(sum((doc_id * 31 + 7*i) % 65536 - 32768) AS BIGINT) AS stat_sum
+  FROM (SELECT doc_id,
+               unnest(generate_series(0, (doc_id % 50 + 10) * (doc_id % 2 + 1) - 1)) AS i
+        FROM p WHERE doc_id % 6 = 5 AND doc_id % 97 <> 13) a
+  GROUP BY doc_id)
+SELECT * FROM junk
+UNION ALL SELECT * FROM img
+UNION ALL SELECT * FROM jpg
+UNION ALL SELECT * FROM gif
+UNION ALL SELECT * FROM avi
+UNION ALL SELECT * FROM wav
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -808,6 +891,7 @@ SPECS = [
     QuerySpec("mjpg_frame_sample_stats", mjpg_frame_sample_stats, MJPG_FRAME_ORACLE, "Motion-JPEG frame sampling via the shared baseline JPEG decoder"),
     QuerySpec("progressive_jpeg_decode_stats", progressive_jpeg_decode_stats, JPEG_DECODE_ORACLE, "progressive (SOF2) decode twin of jpeg_decode_stats, same oracle"),
     QuerySpec("gif_frame_sample_stats", gif_frame_sample_stats, GIF_FRAME_ORACLE, "animated GIF LZW decode: per-frame palette-index + RGB sums"),
+    QuerySpec("media_router_stats", media_router_stats, MEDIA_ROUTER_ORACLE, "heterogeneous binary column routed to 4 real decoders by sniffing"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),
