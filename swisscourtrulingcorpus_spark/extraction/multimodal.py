@@ -1168,6 +1168,37 @@ def generate_media_router_fixture(df: DataFrame, id_col: str = "doc_id") -> Data
     )
 
 
+def _g711_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        encode_wav_g711,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            ch = d % 2 + 1
+            n = (d % 40 + 20) * ch
+            enc = bytes((d + 13 * i) % 256 for i in range(n))
+            payloads.append(
+                encode_wav_g711(8000, ch, enc, "mulaw" if d % 2 == 0 else "alaw")
+            )
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_g711_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic G.711 corpus: companded byte i of doc d is
+    (d + 13i) % 256, alternating mu-law / A-law containers — the
+    expansion formulas are pure integer arithmetic, so the oracle
+    recomputes every decoded 16-bit sample from the byte alone; the
+    RIFF parse -> expansion-table path through real bytes is what the
+    gate verifies."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _g711_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(

@@ -876,6 +876,62 @@ UNION ALL SELECT * FROM wav
 """
 
 
+def g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED audio decode end-to-end: G.711 mu-law and A-law
+    containers (`extraction/audiocodec.py::mulaw_expand/alaw_expand`,
+    pure ITU formula expansions) through the same
+    `decode_audio_features` stage as PCM — the oracle expands every
+    companded byte arithmetically in SQL, so a sign-convention or
+    segment-shift bug in either law fails the hash."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        generate_g711_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_features(generate_g711_fixture(docs))
+
+
+G711_DECODE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, doc_id % 2 + 1 AS ch, (doc_id % 40 + 20) * (doc_id % 2 + 1) AS nb
+  FROM documents),
+b AS (
+  SELECT doc_id, ch, nb,
+         (doc_id + 13 * unnest(generate_series(0, nb - 1))) % 256 AS byte
+  FROM dims),
+v AS (
+  SELECT doc_id, ch, nb,
+         CASE WHEN doc_id % 2 = 0 THEN
+           -- mu-law: u = ~b; sign bit set -> negative
+           CASE WHEN (255 - byte) >= 128
+                THEN -((((((255 - byte) % 128) // 16) * 0 + ((255 - byte) % 16) * 8 + 132)
+                        << (((255 - byte) // 16) % 8)) - 132)
+                ELSE (((((255 - byte) % 16) * 8 + 132)
+                        << (((255 - byte) // 16) % 8)) - 132)
+           END
+         ELSE
+           -- A-law: a = b XOR 85; sign bit set -> POSITIVE (ITU)
+           CASE WHEN xor(byte, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(byte, 85) // 16) % 8) > 0
+                THEN ((xor(byte, 85) % 16) * 16 + 264) << (((xor(byte, 85) // 16) % 8) - 1)
+                ELSE (xor(byte, 85) % 16) * 16 + 8
+           END
+         END AS v
+  FROM b)
+SELECT doc_id, 'wav' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST(nb // ch AS BIGINT) AS n_frames,
+       CAST((nb // ch) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(min(v) AS BIGINT) AS amp_min,
+       CAST(max(v) AS BIGINT) AS amp_max
+FROM v
+GROUP BY doc_id, ch, nb
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -892,6 +948,7 @@ SPECS = [
     QuerySpec("progressive_jpeg_decode_stats", progressive_jpeg_decode_stats, JPEG_DECODE_ORACLE, "progressive (SOF2) decode twin of jpeg_decode_stats, same oracle"),
     QuerySpec("gif_frame_sample_stats", gif_frame_sample_stats, GIF_FRAME_ORACLE, "animated GIF LZW decode: per-frame palette-index + RGB sums"),
     QuerySpec("media_router_stats", media_router_stats, MEDIA_ROUTER_ORACLE, "heterogeneous binary column routed to 4 real decoders by sniffing"),
+    QuerySpec("g711_decode_stats", g711_decode_stats, G711_DECODE_ORACLE, "compressed telephony audio: G.711 mu/A-law expansion, ITU formulas"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

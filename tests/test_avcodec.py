@@ -330,3 +330,59 @@ def test_mjpg_roundtrip_and_contracts():
         decode_avi(encode_avi_mjpg(w + 8, h, [jpeg]))  # dim mismatch
     with pytest.raises(UnsupportedVideoError):
         decode_avi(encode_avi_mjpg(w, h, [jpeg[:20]]))  # truncated frame
+
+
+def test_g711_expansion_tables_and_idempotence():
+    """Both companding laws: expand(compress(expand(b))) == expand(b)
+    for every byte (codebook idempotence), quantization error bounded
+    by the widest segment, and the ITU sign conventions (mu-law sign
+    bit = negative in the complemented domain; A-law sign bit set =
+    POSITIVE)."""
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        alaw_compress,
+        alaw_expand,
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    for b in range(256):
+        assert mulaw_expand(mulaw_compress(mulaw_expand(b))) == mulaw_expand(b)
+        assert alaw_expand(alaw_compress(alaw_expand(b))) == alaw_expand(b)
+    assert max(
+        abs(mulaw_expand(mulaw_compress(v)) - v)
+        for v in range(-32768, 32768, 17)
+    ) < 1024
+    assert max(
+        abs(alaw_expand(alaw_compress(v)) - v)
+        for v in range(-32768, 32768, 17)
+    ) < 1100
+    assert mulaw_expand(0xFF) == 0 and mulaw_expand(0x7F) == -0  # zeros
+    assert alaw_expand(0xD5) == 8 and alaw_expand(0x55) == -8  # +-min
+
+
+def test_adpcm_wav_roundtrip_bounded_error():
+    """IMA ADPCM through the WAV container: mono block decode
+    (including the short tail block), reconstruction error bounded
+    after the cold-start adaptation transient, and the stereo /
+    bad-step-index contracts."""
+    import math
+
+    import pytest
+
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        UnsupportedAudioError,
+        adpcm_decode_block,
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    sig = [int(5000 * math.sin(i / 7.0)) for i in range(1200)]
+    sr, ch, n, samples = decode_wav(encode_wav_adpcm(16000, sig))
+    assert (sr, ch) == (16000, 1) and n >= len(sig)
+    err = max(
+        abs(a - b) for a, b in zip(sig[200:], list(samples)[200 : len(sig)])
+    )
+    assert err < 400, err
+
+    with pytest.raises(UnsupportedAudioError):
+        adpcm_decode_block(b"\x00\x00\x89\x00\x11")  # step index 137 > 88
