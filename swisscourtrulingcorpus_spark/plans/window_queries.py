@@ -305,12 +305,69 @@ SELECT window_start, event_type, cnt, rank FROM ranked WHERE rank <= 3
 """
 
 
+def hourly_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operational anomaly detection over the event stream: per
+    (event_type, hour), flag hours whose count exceeds twice the
+    trailing-24h average — kept integer-exact as the cross-multiplied
+    predicate 24 * cnt > 2 * trailing_sum (no float average ever
+    computed), emitting the flagged hours with their evidence.  Hours
+    with an incomplete 24h history are skipped (n_trail < 24), so the
+    report never flags the stream's warm-up.  One (type, hour) partial
+    agg plus one lag-range window per type — both shuffles carry slim
+    integer rows."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("hour"))
+        .rangeBetween(-24 * 3600, -3600)
+    )
+    scored = hourly.select(
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return scored.where(
+        (F.col("n_trail") >= 24)
+        & (F.lit(24) * F.col("cnt") > F.lit(2) * F.col("trailing_sum"))
+    )
+
+
+HOURLY_ANOMALY_ORACLE = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, cnt,
+         coalesce(sum(cnt) OVER w, 0) AS trailing_sum,
+         count(*) OVER w AS n_trail
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch(hour)
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+SELECT hour, event_type, cnt,
+       CAST(trailing_sum AS BIGINT) AS trailing_sum,
+       CAST(n_trail AS BIGINT) AS n_trail
+FROM scored
+WHERE n_trail >= 24 AND 24 * cnt > 2 * trailing_sum
+"""
+
+
 SPECS = [
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
     QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
     QuerySpec("input_length_stats_events", input_length_stats_events, INPUT_LENGTH_ORACLE, "A11 describe"),
     QuerySpec("sliding_hourly_events", sliding_hourly, SLIDING_ORACLE, "sliding window"),
     QuerySpec("sliding_topk_event_types", sliding_topk_event_types, SLIDING_TOPK_ORACLE, "windowed heavy hitters: top-3 types per sliding window"),
+    QuerySpec("hourly_anomaly_events", hourly_anomaly_events, HOURLY_ANOMALY_ORACLE, "trailing-24h anomaly flags, cross-multiplied integer predicate"),
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
