@@ -258,7 +258,6 @@ def decode_gif(
             pos += 9
             if lflags & 0x40:
                 raise UnsupportedGifError("interlaced GIF unsupported")
-            local_pal = None
             if lflags & 0x80:
                 n = 2 << (lflags & 0x07)
                 local_pal = [
@@ -266,8 +265,16 @@ def decode_gif(
                     for i in range(n)
                 ]
                 pos += 3 * n
-            if local_pal is not None and not palette:
-                palette = local_pal
+                # this codec returns ONE palette for all frames; a
+                # frame carrying its own differing table would decode
+                # with wrong colors SILENTLY if ignored (r06 review) —
+                # unsupported features raise, they don't corrupt
+                if not palette:
+                    palette = local_pal
+                elif local_pal != palette[: len(local_pal)]:
+                    raise UnsupportedGifError(
+                        "per-frame local color table unsupported"
+                    )
             mcs = data[pos]
             pos += 1
             lzw, pos = _read_sub_blocks(data, pos)
@@ -296,14 +303,21 @@ def frame_rgb(
     palette: list[tuple[int, int, int]], plane: bytearray
 ) -> bytes:
     """Palette-index plane -> flat RGB bytes (index outside the palette
-    is a malformed payload)."""
-    out = bytearray(len(plane) * 3)
+    is a malformed payload).  Channel lookups run as three C-level
+    ``translate`` passes + slice assignment, not a per-pixel Python
+    loop (executor hot path, r06 review)."""
     n = len(palette)
-    for i, idx in enumerate(plane):
-        if idx >= n:
-            raise UnsupportedGifError(f"palette index {idx} >= {n}")
-        r, g, b = palette[idx]
-        out[3 * i] = r
-        out[3 * i + 1] = g
-        out[3 * i + 2] = b
+    if plane and max(plane) >= n:
+        raise UnsupportedGifError(
+            f"palette index {max(plane)} >= {n}"
+        )
+    tables = [
+        bytes(palette[i][c] if i < n else 0 for i in range(256))
+        for c in range(3)
+    ]
+    out = bytearray(len(plane) * 3)
+    raw = bytes(plane)
+    out[0::3] = raw.translate(tables[0])
+    out[1::3] = raw.translate(tables[1])
+    out[2::3] = raw.translate(tables[2])
     return bytes(out)

@@ -137,6 +137,8 @@ def _pixel_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                 if payload[:2] == b"BM"
                 else "jpeg"
                 if payload[:2] == b"\xff\xd8"
+                else "gif"
+                if payload[:6] in (b"GIF87a", b"GIF89a")
                 else "other"
             )
             try:
@@ -435,11 +437,7 @@ def _wav_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 payloads.append(b"RIFF" + _s.pack("<I", len(body)) + body)
                 continue
             ch = d % 2 + 1
-            n = d % 50 + 10
-            samples = [
-                ((d * 31 + 7 * i) % 65536) - 32768 for i in range(n * ch)
-            ]
-            payloads.append(encode_wav(rates[d % 3], ch, samples))
+            payloads.append(encode_wav(rates[d % 3], ch, _wav_samples(d)))
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -608,6 +606,8 @@ def _resize_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                 if payload[:2] == b"BM"
                 else "jpeg"
                 if payload[:2] == b"\xff\xd8"
+                else "gif"
+                if payload[:6] in (b"GIF87a", b"GIF89a")
                 else "other"
             )
             try:
@@ -632,7 +632,13 @@ def _resize_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                     out[(i // 3) * nch + (i % 3)] for i in range(ow * oh * 3)
                 )
             else:
-                rgb = bytes(out[i // 3] for i in range(ow * oh * 3))
+                # 1-ch gray AND 2-ch gray+alpha both replicate channel 0
+                # of each pixel — indexing by i//3 alone walked the
+                # buffer at the wrong stride for nch=2 and emitted
+                # ALPHA bytes as pixel values (r06 review)
+                rgb = bytes(
+                    out[(i // 3) * nch] for i in range(ow * oh * 3)
+                )
             bmp = encode_bmp24(ow, oh, rgb)
             rows.append(
                 {
@@ -792,21 +798,7 @@ def _mjpg_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            n, w, h = d % 3 + 1, d % 13 + 4, d % 9 + 4
-            jpegs = [
-                encode_jpeg_gray(
-                    w,
-                    h,
-                    [
-                        (d + 5 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
-                        for y in range(h)
-                        for x in range(w)
-                    ],
-                )
-                for f in range(n)
-            ]
-            payloads.append(encode_avi_mjpg(w, h, jpegs, us_per_frame=40000))
+            payloads.append(_mjpg_payload(int(doc_id)))
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -848,6 +840,55 @@ _GIF_NULL_STATS = {
 }
 
 
+
+def _gif_payload(d: int) -> bytes:
+    """Shared GIF fixture construction (used by generate_gif_fixture
+    AND the media-router fixture — one definition, so the oracles that
+    hard-code this arithmetic cannot drift apart; r06 review)."""
+    from swisscourtrulingcorpus_spark.extraction.gifcodec import encode_gif
+
+    w, h, npal, nfr = d % 7 + 3, d % 4 + 2, d % 5 + 2, d % 3 + 1
+    pal = [
+        ((d + 11 * i) % 256, (d + 23 * i) % 256, (d + 37 * i) % 256)
+        for i in range(npal)
+    ]
+    frames = [
+        bytes((x + 2 * y + f + d) % npal for y in range(h) for x in range(w))
+        for f in range(nfr)
+    ]
+    return encode_gif(w, h, pal, frames)
+
+
+def _mjpg_payload(d: int) -> bytes:
+    """Shared Motion-JPEG fixture construction (generate_mjpg_fixture +
+    router fixture)."""
+    from swisscourtrulingcorpus_spark.extraction.jpegcodec import encode_jpeg_gray
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi_mjpg
+
+    n, w, h = d % 3 + 1, d % 13 + 4, d % 9 + 4
+    jpegs = [
+        encode_jpeg_gray(
+            w,
+            h,
+            [
+                (d + 5 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
+                for y in range(h)
+                for x in range(w)
+            ],
+        )
+        for f in range(n)
+    ]
+    return encode_avi_mjpg(w, h, jpegs, us_per_frame=40000)
+
+
+def _wav_samples(d: int) -> list[int]:
+    """Shared PCM sample construction (WAV fixture + router fixture;
+    the containers differ — mixed rates / reject rows vs fixed 8 kHz —
+    but the sample arithmetic every oracle hard-codes lives here)."""
+    ch, n = d % 2 + 1, d % 50 + 10
+    return [((d * 31 + 7 * i) % 65536) - 32768 for i in range(n * ch)]
+
+
 def _gif_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.gifcodec import (
         UnsupportedGifError,
@@ -867,9 +908,14 @@ def _gif_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                 if not is_gif:
                     raise UnsupportedGifError("not GIF")
                 w, h, pal, frames = decode_gif(payload)
+                # buffer the doc's rows and extend only on FULL success:
+                # a failure on frame k must not leave frames 0..k-1 rows
+                # next to the null-stat row (one bad payload = exactly
+                # one row, the media-stage contract; r06 review)
+                doc_rows = []
                 for idx, plane in enumerate(frames):
                     rgb = frame_rgb(pal, plane)
-                    rows.append(
+                    doc_rows.append(
                         {
                             "doc_id": doc_id,
                             "fmt": "gif",
@@ -881,6 +927,7 @@ def _gif_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                             "rgb_sum": sum(rgb),
                         }
                     )
+                rows.extend(doc_rows)
             except UnsupportedGifError:
                 fmt = "gif_undecodable" if is_gif else "other"
                 rows.append({"doc_id": doc_id, "fmt": fmt, **_GIF_NULL_STATS})
@@ -903,21 +950,7 @@ def _gif_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            w, h, npal, nfr = d % 7 + 3, d % 4 + 2, d % 5 + 2, d % 3 + 1
-            pal = [
-                ((d + 11 * i) % 256, (d + 23 * i) % 256, (d + 37 * i) % 256)
-                for i in range(npal)
-            ]
-            frames = [
-                bytes(
-                    (x + 2 * y + f + d) % npal
-                    for y in range(h)
-                    for x in range(w)
-                )
-                for f in range(nfr)
-            ]
-            payloads.append(encode_gif(w, h, pal, frames))
+            payloads.append(_gif_payload(int(doc_id)))
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1105,56 +1138,12 @@ def _router_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                         ],
                     )
                 )
-            elif kind == 3:  # animated gif
-                w, h, npal, nfr = d % 7 + 3, d % 4 + 2, d % 5 + 2, d % 3 + 1
-                pal = [
-                    ((d + 11 * i) % 256, (d + 23 * i) % 256, (d + 37 * i) % 256)
-                    for i in range(npal)
-                ]
-                payloads.append(
-                    encode_gif(
-                        w,
-                        h,
-                        pal,
-                        [
-                            bytes(
-                                (x + 2 * y + f + d) % npal
-                                for y in range(h)
-                                for x in range(w)
-                            )
-                            for f in range(nfr)
-                        ],
-                    )
-                )
-            elif kind == 4:  # motion-jpeg avi
-                n, w, h = d % 3 + 1, d % 13 + 4, d % 9 + 4
-                payloads.append(
-                    encode_avi_mjpg(
-                        w,
-                        h,
-                        [
-                            encode_jpeg_gray(
-                                w,
-                                h,
-                                [
-                                    (d + 5 * f + 11 * (x // 8) + 17 * (y // 8)) % 256
-                                    for y in range(h)
-                                    for x in range(w)
-                                ],
-                            )
-                            for f in range(n)
-                        ],
-                    )
-                )
-            else:  # 16-bit PCM wav
-                ch, n = d % 2 + 1, d % 50 + 10
-                payloads.append(
-                    encode_wav(
-                        8000,
-                        ch,
-                        [((d * 31 + 7 * i) % 65536) - 32768 for i in range(n * ch)],
-                    )
-                )
+            elif kind == 3:  # animated gif (shared builder)
+                payloads.append(_gif_payload(d))
+            elif kind == 4:  # motion-jpeg avi (shared builder)
+                payloads.append(_mjpg_payload(d))
+            else:  # 16-bit PCM wav (shared sample builder)
+                payloads.append(encode_wav(8000, d % 2 + 1, _wav_samples(d)))
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

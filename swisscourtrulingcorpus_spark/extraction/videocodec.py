@@ -159,9 +159,12 @@ def _decode_mjpg_frames(
         if nch == 3:
             frames.append(bytearray(px))
         else:
+            # slice-assignment replication (C-level), not a per-pixel
+            # Python loop — this is the executor hot path (r06 review)
             out = bytearray(width * height * 3)
-            for i in range(width * height):
-                out[3 * i] = out[3 * i + 1] = out[3 * i + 2] = px[i]
+            out[0::3] = px
+            out[1::3] = px
+            out[2::3] = px
             frames.append(out)
     return frames
 

@@ -261,7 +261,11 @@ def bloom_might_contain(
 
 
 def portable_hll_registers(
-    df: DataFrame, key_col: str, p: int = 6, seed: str = "hll"
+    df: DataFrame,
+    key_col: str,
+    p: int = 6,
+    seed: str = "hll",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Engine-independent HyperLogLog register table: (register,
     max_rank) from the shared md5 hash (`functions/hashing.py::h32`),
@@ -279,6 +283,7 @@ def portable_hll_registers(
 
     tail_bits = 32 - p
     tail_mod = 1 << tail_bits
+    gcols = list(group_cols or [])
     h = h32(F.col(key_col).cast("string"), seed=seed)
     tail = h % F.lit(tail_mod)
     rank = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
@@ -286,15 +291,18 @@ def portable_hll_registers(
     )
     return (
         df.select(
+            *gcols,
             F.shiftright(h, tail_bits).alias("register"),
             rank.alias("rank"),
         )
-        .groupBy("register")
+        .groupBy(*gcols, "register")
         .agg(F.max("rank").alias("max_rank"))
     )
 
 
-def portable_hll_estimate_milli(regs: DataFrame, p: int = 6) -> DataFrame:
+def portable_hll_estimate_milli(
+    regs: DataFrame, p: int = 6, group_cols: list[str] | None = None
+) -> DataFrame:
     """floor(1000 * raw-HLL estimate) from a register table, one bigint
     division (alpha in thousandths; see plans/sketch_queries.py for the
     dyadic-sum derivation).  Raw estimator only — callers needing the
@@ -302,9 +310,16 @@ def portable_hll_estimate_milli(regs: DataFrame, p: int = 6) -> DataFrame:
     m = 1 << p
     tail_bits = 32 - p
     empty_term = 1 << (tail_bits + 1)
-    alpha_milli = {4: 673, 5: 697, 6: 709}.get(p, 709)
+    # alpha_m per Flajolet et al.: tabulated for small m, the closed
+    # form 0.7213/(1 + 1.079/m) for m >= 128 — the old fallback reused
+    # alpha_64 for every p >= 7 and silently biased estimates ~1.7%
+    # low at the standard p = 14 (r06 review)
+    alpha_milli = {4: 673, 5: 697, 6: 709}.get(
+        p, round(1000 * 0.7213 / (1 + 1.079 / m))
+    )
     est_num = alpha_milli * m * m * empty_term
-    return regs.agg(
+    gcols = list(group_cols or [])
+    aggs = [
         F.lit(m).alias("m"),
         F.count(F.lit(1)).alias("registers_used"),
         (
@@ -315,7 +330,10 @@ def portable_hll_estimate_milli(regs: DataFrame, p: int = 6) -> DataFrame:
             )
             + (F.lit(m) - F.count(F.lit(1))) * F.lit(empty_term)
         ).alias("s_dyadic"),
-    ).select(
+    ]
+    agged = regs.groupBy(*gcols).agg(*aggs) if gcols else regs.agg(*aggs)
+    return agged.select(
+        *gcols,
         "m",
         "registers_used",
         "s_dyadic",

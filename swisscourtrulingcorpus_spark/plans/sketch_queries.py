@@ -440,9 +440,10 @@ def hll_distinct_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window, user) distinct shuffle; the sketch column's exchange is
     capped at 64 rows per window whatever the traffic).  Both integer-
     exact, so the accuracy story is IN the gate output."""
-    from pyspark.sql import Window as W
-
-    from swisscourtrulingcorpus_spark.functions.hashing import h32
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        portable_hll_estimate_milli,
+        portable_hll_registers,
+    )
 
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format(
@@ -451,35 +452,12 @@ def hll_distinct_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("window_start"),
         F.col("user_id").cast("string").alias("k"),
     )
-    h = h32("k", seed="hll")
-    tail = h % F.lit(_TAIL_MOD)
-    rank = F.when(tail == 0, F.lit(_TAIL_BITS + 1)).otherwise(
-        F.lit(_TAIL_BITS + 1) - F.length(F.conv(tail.cast("string"), 10, 2))
+    regs = portable_hll_registers(
+        ev, "k", p=_P, seed="hll", group_cols=["window_start"]
     )
-    regs = (
-        ev.select(
-            "window_start",
-            F.shiftright(h, _TAIL_BITS).alias("register"),
-            rank.alias("rank"),
-        )
-        .groupBy("window_start", "register")
-        .agg(F.max("rank").alias("max_rank"))
-    )
-    est = regs.groupBy("window_start").agg(
-        F.count(F.lit(1)).alias("registers_used"),
-        (
-            F.sum(
-                F.expr(
-                    f"shiftleft(CAST(1 AS BIGINT), {_TAIL_BITS + 1} - max_rank)"
-                )
-            )
-            + (F.lit(_M) - F.count(F.lit(1))) * F.lit(_RANK_EMPTY_TERM)
-        ).alias("s_dyadic"),
-    ).select(
-        "window_start",
-        "registers_used",
-        F.expr(f"{_EST_NUM} div s_dyadic").alias("est_milli"),
-    )
+    est = portable_hll_estimate_milli(
+        regs, p=_P, group_cols=["window_start"]
+    ).select("window_start", "registers_used", "est_milli")
     exact = ev.groupBy("window_start").agg(
         F.countDistinct("k").alias("exact_distinct")
     )

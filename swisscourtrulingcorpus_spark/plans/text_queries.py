@@ -1457,9 +1457,15 @@ def cooccurrence_lift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pair_n",
             "c1",
             "c2",
-            F.expr("pair_n * n_tokens * 1000000 div (c1 * c2)").alias(
-                "lift_micro"
-            ),
+            # overflow-safe order: pair_n * n_tokens * 1e6 wraps int64
+            # once the corpus passes ~10^13 token-pair products (Spark
+            # wraps silently, DuckDB errors — a scale-dependent gate
+            # break, r06 review).  n_tokens*1e6 div c1 stays < 2^63 for
+            # any corpus under ~9e12 tokens, and pair_n <= c1 bounds
+            # the second product by n_tokens*1e6.
+            F.expr(
+                "pair_n * (n_tokens * 1000000 div c1) div c2"
+            ).alias("lift_micro"),
         )
     )
     return out.orderBy(F.col("lift_micro").desc(), F.col("pair")).limit(50)
@@ -1487,7 +1493,7 @@ SELECT pair,
        CAST(pair_n AS BIGINT) AS pair_n,
        CAST(c1.c AS BIGINT) AS c1,
        CAST(c2.c AS BIGINT) AS c2,
-       CAST(pair_n * n_tokens * 1000000 // (c1.c * c2.c) AS BIGINT) AS lift_micro
+       CAST(pair_n * (n_tokens * 1000000 // c1.c) // c2.c AS BIGINT) AS lift_micro
 FROM pairs, total,
      wc c1, wc c2
 WHERE c1.w = string_split(pair, ' ')[1]

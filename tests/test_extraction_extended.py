@@ -308,3 +308,19 @@ def test_resize_image_real_roundtrip_and_bad_rows(spark):
     assert rows[2].fmt == "missing" and rows[2].out_pixel_sum is None
     assert rows[3].fmt == "other" and rows[3].out_w is None
     assert rows[4].fmt == "bmp_tiny" and rows[4].out_pixel_sum is None
+
+
+def test_resize_gray_alpha_replicates_gray_not_alpha(spark):
+    """2-channel (gray+alpha) PNGs: the BMP re-encode must replicate
+    channel 0 (gray) — the old i//3 stride walked into alpha bytes
+    (r06 review, reproduced)."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import _resize_box2
+
+    w, h, nch = 4, 2, 2
+    # gray distinct from alpha so a stride bug is visible
+    px = bytes(
+        (35 if c == 0 else 200) for _ in range(w * h) for c in range(nch)
+    )
+    ow, oh, out = _resize_box2(w, h, nch, px)
+    rgb = bytes(out[(i // 3) * nch] for i in range(ow * oh * 3))
+    assert set(rgb) == {35}, rgb
