@@ -100,6 +100,12 @@ QUERIES = [
     ("sliding_topk_event_types", "(window, type) partial agg; rank input bounded by type domain"),
     ("event_transition_counts", "per-user lead window over slim columns; 25-cell matrix out"),
     ("hll_distinct_per_hour", "per-window register exchange capped at 64 rows/window"),
+    # round-6g extension: media decode family (pure map-side codecs —
+    # zero shuffle by construction, wall linear in payload bytes)
+    ("image_resize_stats", "decode -> box filter -> re-encode, all inside mapInPandas"),
+    ("gif_frame_sample_stats", "LZW decode + frame fan-out, map-side"),
+    ("media_router_stats", "per-row sniff dispatch to 4 codecs, map-side"),
+    ("g711_decode_stats", "table-free formula expansion per byte, map-side"),
 ]
 
 
