@@ -26,9 +26,11 @@ BLOCKLIST_TERMS = ["lorem", "ipsum", "unsubscribe", "clickbait", "spam"]
 def gopher_rule_columns(text_col: str = "text") -> dict[str, Column]:
     """The named intermediate and verdict columns of the Gopher rules:
     n_words, stop_hits, wc_ok, wl_ok, stop_ok, keep."""
-    words = F.split(
-        F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " ")), " "
-    )
+    # the SAME normalize_ws as blocklist_hits below — this module's
+    # whole contract is one definition of the curation predicates, and
+    # an inline re-spelling of the normalization was the one place the
+    # two could still drift (r06 review)
+    words = F.split(normalize_ws(F.col(text_col)), " ")
     n_words = F.size(words)
     mean_wl = F.length(F.concat_ws("", words)) / F.greatest(n_words, F.lit(1))
     stop_hits = F.size(

@@ -63,6 +63,10 @@ def nb_count_table(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """The NB sufficient statistics as a table: (label, b, cnt) hashed
+
+    ``id_col`` is accepted for call-site symmetry with the scoring
+    path but unused: training touches only (label, text).
+
     token-occurrence counts.  This IS the trained model state — NB is
     count-based, so the statistics are mergeable (see
     :func:`nb_merge_counts`) and the classifier supports INCREMENTAL
@@ -97,6 +101,10 @@ def nb_stats_table(
     n_buckets: int = 4096,
 ) -> DataFrame:
     """The COMPLETE NB sufficient statistics in one mergeable table:
+
+    ``id_col`` is accepted for call-site symmetry with the scoring
+    path but unused: training touches only (label, text).
+
     the (label, b, cnt) token-occurrence counts of
     :func:`nb_count_table` plus one sentinel row per class
     (b = -1, cnt = document count) — everything :func:`nb_train` needs,

@@ -262,13 +262,27 @@ def connected_components_bigstar(
         return rewired.union(anchors).where(F.col("hi") != F.col("lo")).distinct()
 
     prev = _stats(edges)
+    converged = False
     for _ in range(max_phases):
         edges = _large_star(edges).localCheckpoint(eager=True)
         edges = _small_star(edges).localCheckpoint(eager=True)
         cur = _stats(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # falling through without a fixpoint means the edge set is NOT
+        # a star graph, so the min-per-hi label extraction below would
+        # return a node's current min NEIGHBOR as its "cluster" —
+        # silently splitting components.  Wrong-but-quiet is the worst
+        # failure mode for a dedup backbone; fail loudly instead
+        # (Kiveris et al. bound phases at O(log^2 n), so a legitimate
+        # graph that trips this just needs a larger max_phases).
+        raise RuntimeError(
+            f"connected_components_bigstar did not converge within "
+            f"{max_phases} phases — raise max_phases"
+        )
     labels = edges.groupBy(F.col("hi").alias("node")).agg(
         F.min("lo").alias("cluster")
     )
@@ -300,6 +314,30 @@ def integer_hits(
     over (node, int) rows.  Returns (node, kind, score_micro) with
     kind 'hub' (src side) / 'auth' (dst side).
     """
+    if iters < 1:
+        raise ValueError("integer_hits needs iters >= 1")
+    import math
+
+    half = math.isqrt(scale)
+    if half * half != scale:
+        raise ValueError("scale must be a perfect square (staged division)")
+
+    def _norm(raw: str) -> str:
+        # EXACTLY raw * scale DIV __m, but staged so no intermediate
+        # exceeds int64 (raw * 1e6 wraps once a node's in-degree tops
+        # ~9.2e6 — Spark wraps silently with ANSI off and raises with
+        # it on; r06 review).  Identity: with r = raw % __m and
+        # t = r * 1000,  raw*1e6 DIV m = (raw DIV m)*1e6
+        # + (t DIV m)*1000 + ((t % m)*1000) DIV m — verified over 2e5
+        # random cases; safe for __m up to ~9.2e15 (max in-degree
+        # ~9.2e9).  Values are bit-identical to the naive form, so the
+        # oracle needs no change (DuckDB already computes in int128).
+        return (
+            f"({raw} DIV __m) * {scale}"
+            f" + ((({raw} % __m) * {half}) DIV __m) * {half}"
+            f" + (((({raw} % __m) * {half}) % __m) * {half}) DIV __m"
+        )
+
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
     hubs = (
         e.select(F.col("s").alias("node")).distinct()
@@ -315,7 +353,7 @@ def integer_hits(
         amax = auth.agg(F.max("a_raw").alias("__m"))
         auths = (
             auth.crossJoin(F.broadcast(amax))
-            .select("node", F.expr(f"a_raw * {scale} DIV __m").alias("a"))
+            .select("node", F.expr(_norm("a_raw")).alias("a"))
             .localCheckpoint(eager=False)
         )
         hub = (
@@ -326,7 +364,7 @@ def integer_hits(
         hmax = hub.agg(F.max("h_raw").alias("__m"))
         hubs = (
             hub.crossJoin(F.broadcast(hmax))
-            .select("node", F.expr(f"h_raw * {scale} DIV __m").alias("h"))
+            .select("node", F.expr(_norm("h_raw")).alias("h"))
             .localCheckpoint(eager=False)
         )
     return hubs.select(

@@ -162,11 +162,12 @@ def bm25_search(
     b: float = 0.75,
     id_col: str = "doc_id",
     prune_terms: bool = True,
+    query_text_col: str = "text",
 ) -> DataFrame:
     """Score every (query, candidate document) pair via the posting
     lists and keep the top-k docs per query.
 
-    queries: (query_id, text).  Output: (query_id, doc_id, rank,
+    queries: (query_id, ``query_text_col``).  Output: (query_id, doc_id, rank,
     score_micro, n_hit_terms) — all ints/strings, rank 1-based by
     exact integer score desc then doc_id asc.
 
@@ -180,7 +181,7 @@ def bm25_search(
     centroid and z-order bound collects.
     """
     qterms = (
-        tokenize(queries, "text")
+        tokenize(queries, query_text_col)
         .select("query_id", "term")
         .distinct()
     )

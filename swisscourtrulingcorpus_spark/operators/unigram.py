@@ -82,15 +82,31 @@ def unigram_vocab(
     )
     from pyspark.sql import Window
 
-    wv = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-    ranked = pieces.withColumn(
-        "__rk",
-        F.row_number().over(
-            wv.partitionBy(F.lit(1))
-        ),
+    # two-phase top-N, not one global window: an unpartitioned
+    # row_number funnels the whole (piece, cnt) table — millions of
+    # rows at corpus scale — through ONE task (the exact bottleneck
+    # `_two_phase_stratum_topn` exists for; r06 review).  The global
+    # rank numbers single-char pieces too (the oracle's semantics), so
+    # survivors = ALL single-char pieces (alphabet-bounded) plus each
+    # partition's local top-vocab_top multi-char pieces: every piece
+    # with true rank <= vocab_top is a survivor, and every survivor's
+    # rank among survivors EQUALS its true global rank (any piece
+    # ranked above a kept one is itself a survivor) — so phase 2 over
+    # the bounded survivor set reproduces the one-window result
+    # bit-for-bit while its single task sees at most
+    # alphabet + partitions x vocab_top rows.
+    order = [F.col("cnt").desc(), F.col("piece").asc()]
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    survivors = (
+        pieces.withColumn("__lrk", F.row_number().over(local_w))
+        .where((F.length("piece") == 1) | (F.col("__lrk") <= vocab_top))
+        .drop("__lrk")
+    )
+    ranked = survivors.withColumn(
+        "__rk", F.row_number().over(Window.orderBy(*order))
     )
     # materialized BEFORE the total collect: the substring explode +
-    # global rank would otherwise execute twice (once for the scalar,
+    # rank would otherwise execute twice (once for the scalar,
     # again when the returned lineage is consumed) — r06 review
     kept = ranked.where(
         (F.length("piece") == 1) | (F.col("__rk") <= vocab_top)
