@@ -625,19 +625,32 @@ def priority_sample(
     from swisscourtrulingcorpus_spark.functions.hashing import h32
 
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # Staged long division (the integer_hits identity, ADVICE r06):
+    # q = w*2^32 div m computed as
+    #   (w div m)*2^32 + ((r*2^16) div m)*2^16 + (((r*2^16) % m)*2^16) div m
+    # with r = w % m — bit-identical to the direct form wherever the
+    # direct form didn't wrap, and overflow-safe for EVERY weight whose
+    # result q fits int64 (the naive w * 2^32 wrapped silently past
+    # w >= 2^31 even when q itself fit, e.g. w = m = 2^32).  All terms
+    # stay below 2^48 since r < m <= 2^32.
     slim = (
         df.select(F.col(id_col), w.cast("bigint").alias("weight"))
         .where(F.col("weight") > 0)
         .select(
             id_col,
             "weight",
-            (F.col("weight") * F.lit(1 << 32)).alias("__num"),
             (
                 h32(F.col(id_col).cast("string"), seed=seed) + F.lit(1)
             ).alias("__den"),
         )
         .select(
-            id_col, "weight", F.expr("__num div __den").alias("q_scaled")
+            id_col,
+            "weight",
+            F.expr(
+                "(weight div __den) * 4294967296"
+                " + (((weight % __den) * 65536) div __den) * 65536"
+                " + ((((weight % __den) * 65536) % __den) * 65536) div __den"
+            ).alias("q_scaled"),
         )
     )
     topk1 = slim.orderBy(F.col("q_scaled").desc(), F.col(id_col)).limit(k + 1)

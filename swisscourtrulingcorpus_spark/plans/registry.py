@@ -35,9 +35,15 @@ class QuerySpec:
 # therefore re-checks exactly the 50 queries whose evidence is oldest —
 # new gates (never checked) automatically enter the window, and no
 # gate's driver row can silently age out: with a 50-entry window the
-# steady-state max staleness is ceil(n_specs/50) rounds (4 at the
-# current 177 specs).  tests/test_registry_window.py asserts the
-# ordering invariant mechanically.
+# steady-state max staleness is ceil(n_specs/50) rounds (5 at the
+# current 207+ specs).  Because that staleness grows with the registry,
+# every round additionally commits a FULL-registry sweep artifact
+# (SWEEP_r{N}.json, written by `python tools/driver_sim.py --sweep`)
+# so the driver-facing evidence for gates outside the window is a
+# committed per-round artifact, not just a transient test run
+# (VERDICT r06 "what's wrong" #3).  tests/test_registry_window.py
+# asserts the ordering invariant and the sweep's existence/coverage
+# mechanically.
 
 
 def last_verified_round(repo_root: str | None = None) -> dict[str, int]:

@@ -165,7 +165,14 @@ def kmv_estimate_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "k_used",
         "h_k",
-        F.expr(f"(k_used - 1) * {_KMV_SPACE} * 1000 div h_k").alias("est_milli"),
+        # greatest(h_k, 1): if the k-th smallest 32-bit hash were 0
+        # (k_used = 1 and an all-zero md5 prefix), Spark's div returns
+        # NULL while DuckDB's // raises — the engines would diverge
+        # instead of both producing a value (ADVICE r06).  Mirrored in
+        # the oracle.
+        F.expr(
+            f"(k_used - 1) * {_KMV_SPACE} * 1000 div greatest(h_k, 1)"
+        ).alias("est_milli"),
     )
 
 
@@ -265,7 +272,7 @@ KMV_ESTIMATE_ORACLE = (
 sk AS (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K})
 SELECT CAST(count(*) AS BIGINT) AS k_used,
        CAST(max(h) AS BIGINT) AS h_k,
-       CAST((count(*) - 1) * {_KMV_SPACE} * 1000 // max(h) AS BIGINT) AS est_milli
+       CAST((count(*) - 1) * {_KMV_SPACE} * 1000 // greatest(max(h), 1) AS BIGINT) AS est_milli
 FROM sk
 """
 )

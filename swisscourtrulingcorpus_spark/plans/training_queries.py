@@ -252,14 +252,22 @@ def q_priority_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PSAMP_RANKED_CTE = f"""
-WITH pri AS (
+WITH raw AS (
   SELECT doc_id,
          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS w_tokens,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) * {1 << 32}
-           // (('0x' || substr(md5('psamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
-           AS q_scaled
+         CAST(('0x' || substr(md5('psamp|' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1 AS BIGINT) AS m
   FROM documents
   WHERE len(string_split_regex(trim(text), '\\s+')) > 0),
+-- staged long division (the integer_hits identity, mirrored from the
+-- Spark side): w*2^32 // m without the w*2^32 intermediate, so the
+-- oracle doesn't hit DuckDB's int64 overflow error where Spark's
+-- staged form still produces the exact quotient
+pri AS (
+  SELECT doc_id, w_tokens,
+         (w_tokens // m) * {1 << 32}
+           + (((w_tokens % m) * 65536) // m) * 65536
+           + ((((w_tokens % m) * 65536) % m) * 65536) // m AS q_scaled
+  FROM raw),
 ranked AS (
   SELECT doc_id, w_tokens, CAST(q_scaled AS BIGINT) AS q_scaled,
          CAST(row_number() OVER (ORDER BY q_scaled DESC, doc_id) AS BIGINT) AS rank

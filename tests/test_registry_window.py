@@ -111,6 +111,156 @@ def test_registry_has_no_duplicate_names():
     assert len(names) == len(set(names))
 
 
+def test_full_sweep_artifact_current_and_green():
+    """VERDICT r06 "what's wrong" #3: with 207+ gates and a 50-wide
+    driver window, steady-state staleness is 5 rounds, so every round
+    must commit a FULL-registry sweep artifact (SWEEP_r{N}.json from
+    `python tools/driver_sim.py --sweep`) as driver-facing evidence for
+    the gates outside the window.  Current = the sweep's round is the
+    round being built (one past the newest committed CORRECTNESS file);
+    complete = it covers every registered gate; green = every row
+    hash-matched with no error."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sweeps = {
+        int(m.group(1)): p
+        for p in glob.glob(os.path.join(root, "SWEEP_r*.json"))
+        if (m := re.search(r"SWEEP_r(\d+)\.json$", p))
+    }
+    assert sweeps, "no SWEEP_r*.json committed — run tools/driver_sim.py --sweep"
+    correctness_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    building = (max(correctness_rounds) if correctness_rounds else 0) + 1
+    newest = max(sweeps)
+    assert newest >= building, (
+        f"latest sweep is r{newest:02d} but round r{building:02d} is being "
+        f"built — re-run tools/driver_sim.py --sweep"
+    )
+    with open(sweeps[newest]) as f:
+        rows = json.load(f)
+    names = {s.name for s in QUERY_SPECS}
+    missing = sorted(names - set(rows))
+    assert missing == [], f"sweep r{newest:02d} missing gates: {missing}"
+    not_green = sorted(
+        n
+        for n, r in rows.items()
+        if n in names and (r.get("err") is not None or r.get("hash_match") is False)
+    )
+    assert not_green == [], f"sweep r{newest:02d} non-green gates: {not_green}"
+
+
+def _iter_jvm_tree(node):
+    """Depth-first over a Catalyst TreeNode (plan or expression) via py4j."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        children = n.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+
+
+# Catalyst expression classes whose double results come from libm and
+# are therefore NOT bit-identical across engines.  IEEE basic ops
+# (+ - * / sqrt) are correctly-rounded by the standard and DO produce
+# bit-identical doubles on identical inputs — which is why the cosine
+# ranking family (dot / (sqrt * sqrt), same fold order as the oracle's
+# list_dot_product) is exact without snapping, while anything through
+# ln/exp/pow has already diverged three times (BM25/TF-IDF/citation
+# relevance — ADVICE r06).
+_TRANSCENDENTAL = frozenset(
+    {
+        "Log", "Logarithm", "Log1p", "Log2", "Log10",
+        "Exp", "Expm1", "Pow", "Power",
+        "Sin", "Cos", "Tan", "Asin", "Acos", "Atan", "Atan2",
+        "Sinh", "Cosh", "Tanh", "Cbrt", "Hypot",
+        # opaque Python/Scala UDF outputs: nothing guarantees the oracle
+        # reproduces their float bits, so a raw-double ranking key from
+        # a UDF is flagged the same way
+        "PythonUDF", "ScalaUDF",
+    }
+)
+
+
+def _unsnapped_transcendentals(expr, alias_map, depth: int = 0):
+    """Yield transcendental/UDF nodes reachable from a sort key WITHOUT
+    passing through a Round/BRound (a Round ancestor snaps the whole
+    subtree to a decimal grid, making it engine-stable).  Attribute
+    references are chased to their defining Alias — Catalyst extracts
+    window sort keys into `_w0`-style projections, so the raw ref alone
+    says nothing."""
+    if depth > 64:
+        return
+    name = expr.getClass().getSimpleName()
+    if name in ("Round", "BRound"):
+        return
+    if name == "AttributeReference":
+        target = alias_map.get(str(expr.exprId()))
+        if target is not None:
+            yield from _unsnapped_transcendentals(target, alias_map, depth + 1)
+        return
+    if name in _TRANSCENDENTAL:
+        yield name
+        return
+    children = expr.children()
+    for i in range(children.size()):
+        yield from _unsnapped_transcendentals(children.apply(i), alias_map, depth + 1)
+
+
+def test_no_unsnapped_transcendental_order_under_ranking_windows(spark, sf_dir):
+    """VERDICT r06 "what's wrong" #4: walk every gate's ANALYZED plan
+    and reject any row_number/rank/dense_rank/ntile window whose ORDER
+    BY contains a float key derived from an UN-snapped transcendental
+    (ln/exp/pow/UDF) — libm ULP divergence flips adjacent ranks across
+    engines, so such keys must pass through round(x, 9) (or be
+    integer-snapped) before ordering.  Basic-op doubles (+ - * / sqrt
+    over identical inputs) are correctly-rounded per IEEE 754 and pass."""
+    ranking = {"RowNumber", "Rank", "DenseRank", "NTile"}
+    offenders = []
+    for s in QUERY_SPECS:
+        plan = s.spark(spark, sf_dir)._jdf.queryExecution().analyzed()
+        # exprId -> defining child expression, from every Alias in the
+        # plan (Project lists, Aggregate outputs, Window outputs)
+        alias_map = {}
+        windows = []
+        for node in _iter_jvm_tree(plan):
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                for e in _iter_jvm_tree(exprs.apply(i)):
+                    kind = e.getClass().getSimpleName()
+                    if kind == "Alias":
+                        alias_map[str(e.exprId())] = e.child()
+                    elif kind == "WindowExpression":
+                        windows.append(e)
+        for e in windows:
+            if e.windowFunction().getClass().getSimpleName() not in ranking:
+                continue
+            order = e.windowSpec().orderSpec()
+            for j in range(order.size()):
+                key = order.apply(j).child()
+                if key.dataType().typeName() in ("double", "float"):
+                    bad = sorted(set(_unsnapped_transcendentals(key, alias_map)))
+                    if bad:
+                        offenders.append(
+                            (
+                                s.name,
+                                key.sql() if hasattr(key, "sql") else str(key),
+                                tuple(bad),
+                            )
+                        )
+    assert sorted(set(offenders)) == [], (
+        "ranking windows ordered by unsnapped transcendental float keys "
+        f"(snap with round(x, 9) on BOTH engines): {sorted(set(offenders))}"
+    )
+
+
 def test_no_array_or_map_columns_in_gate_output(spark, sf_dir):
     """VERDICT r05 item 1: the driver's value-hash canonicalizer sorts
     output cells through pandas and cannot hash list/dict cells, so a

@@ -51,3 +51,29 @@ def test_priority_sample_weight_zero_excluded_and_deterministic(spark):
     assert len(a) == 21 and sum(r.is_sample for r in a) == 20
     sampled_ids = {r.id for r in a if r.is_sample}
     assert all(i % 7 != 0 for i in sampled_ids)
+
+
+def test_priority_sample_staged_division_no_int64_wrap(spark):
+    """ADVICE r06: the naive w * 2^32 numerator wrapped silently (ANSI
+    off) past w >= 2^31 even when the quotient itself fit int64.  The
+    staged long-division form must (a) match floor(w * 2^32 / (h+1))
+    computed in unbounded Python ints for every row, and (b) stay
+    positive/exact at weights far beyond 2^31."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import priority_sample
+
+    weights = [1, 7, 2**31 - 1, 2**31, 2**32, 2**40 + 12345, 2**45]
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(weights)], "id: long, w: long"
+    )
+    rows = priority_sample(df, F.col("w"), "id", k=len(weights)).collect()
+    got = {r.id: r.q_scaled for r in rows}
+    for i, w in enumerate(weights):
+        h = int(hashlib.md5(f"psamp|{i}".encode()).hexdigest()[:8], 16)
+        expect = (w << 32) // (h + 1)  # unbounded Python ints
+        assert got[i] == expect, (i, w, got[i], expect)
+        assert got[i] > 0
+
