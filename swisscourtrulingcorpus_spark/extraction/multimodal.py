@@ -1176,6 +1176,38 @@ def _g711_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+def _adpcm_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        encode_wav_adpcm,
+    )
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = d % 60 + 20
+            samples = [((d * 31 + 7 * i) % 65536) - 32768 for i in range(n)]
+            payloads.append(encode_wav_adpcm(8000, samples, block_samples=21))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_adpcm_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic IMA ADPCM corpus (format tag 0x11): doc d carries
+    n = d%60+20 mono samples of the shared arithmetic ramp
+    i -> ((d·31 + 7i) mod 65536) − 32768, greedily encoded at 21
+    samples/block — small blocks so every payload crosses multiple
+    block headers, exercising the step-index carry-over, the odd-tail
+    pad nibble, and the header-only tail block the decoder must drop.
+    The oracle replays the encode→decode composition as a recursive
+    per-sample recurrence over the public IMA step tables, so a nibble
+    packing/order, block segmentation, or clamp bug in EITHER codec
+    direction fails the hash."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _adpcm_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
 def generate_g711_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic G.711 corpus: companded byte i of doc d is
     (d + 13i) % 256, alternating mu-law / A-law containers — the

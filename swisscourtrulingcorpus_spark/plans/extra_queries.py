@@ -932,6 +932,113 @@ GROUP BY doc_id, ch, nb
 """
 
 
+def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL compressed-audio decode end-to-end: mono IMA ADPCM
+    (format tag 0x11, `extraction/audiocodec.py::adpcm_decode_block`)
+    through the same `decode_audio_features` stage as PCM/G.711.
+    Unlike G.711's per-byte formula, ADPCM decode is a per-block
+    RECURRENCE (predictor + step-index state advanced per nibble) — the
+    oracle replays the encode→decode composition as a recursive CTE
+    over the public IMA step/index tables, independently of the Python
+    codec, covering block-header resets, step-index carry-over across
+    blocks, the odd-tail pad nibble (decodes to one extra sample), and
+    the header-only tail block the decoder drops."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        decode_audio_features,
+        generate_adpcm_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return decode_audio_features(generate_adpcm_fixture(docs))
+
+
+# 89-entry IMA step-size table + the index-advance rule (public IMA/DVI
+# spec constants).  The recurrence below IS the encoder+decoder
+# composition: at block headers (i % 21 == 0) the predictor resets to
+# the raw sample (stored verbatim) while the step index carries over;
+# elsewhere the greedy quantizer picks the nibble and the decoder-side
+# update produces the emitted sample.
+_IMA_STEP_LIST = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,"
+    "41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,"
+    "190,209,230,253,279,307,337,371,408,449,494,544,598,658,"
+    "724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,"
+    "2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,"
+    "6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,"
+    "16818,18500,20350,22385,24623,27086,29794,32767]"
+)
+
+ADPCM_DECODE_ORACLE = f"""
+WITH RECURSIVE
+stepv AS (SELECT {_IMA_STEP_LIST} AS st),
+ids AS (SELECT CAST(doc_id AS BIGINT) AS d,
+               CAST(doc_id % 60 + 20 AS BIGINT) AS n
+        FROM documents),
+dec AS (
+  SELECT d, n, CAST(0 AS BIGINT) AS i,
+         CAST(((d * 31) % 65536) - 32768 AS BIGINT) AS pred,
+         CAST(0 AS BIGINT) AS idx
+  FROM ids
+  UNION ALL
+  SELECT d, n, i,
+         CASE WHEN is_hdr THEN s
+              ELSE greatest(-32768, least(32767,
+                pred + CASE WHEN neg THEN -ddiff ELSE ddiff END))
+         END AS pred,
+         CASE WHEN is_hdr THEN idx
+              ELSE greatest(0, least(88,
+                idx + CASE WHEN b4
+                           THEN 2 + 4 * CAST(b2 AS BIGINT) + 2 * CAST(b1 AS BIGINT)
+                           ELSE -1 END))
+         END AS idx
+  FROM (
+    SELECT *, stp // 8
+             + CASE WHEN b1 THEN stp // 4 ELSE 0 END
+             + CASE WHEN b2 THEN stp // 2 ELSE 0 END
+             + CASE WHEN b4 THEN stp ELSE 0 END AS ddiff
+    FROM (
+      SELECT *, mag2 >= stp // 4 AS b1
+      FROM (
+        SELECT *, mag1 >= stp // 2 AS b2,
+               mag1 - CASE WHEN mag1 >= stp // 2 THEN stp // 2 ELSE 0 END AS mag2
+        FROM (
+          SELECT *, mag >= stp AS b4,
+                 mag - CASE WHEN mag >= stp THEN stp ELSE 0 END AS mag1
+          FROM (
+            SELECT *, s - pred < 0 AS neg, abs(s - pred) AS mag,
+                   i % 21 = 0 AS is_hdr
+            FROM (
+              SELECT d, n, i + 1 AS i, pred, idx,
+                     ((d * 31 + 7 * (i + 1)) % 65536) - 32768 AS s,
+                     list_extract(st, CAST(idx + 1 AS INTEGER)) AS stp
+              FROM dec, stepv
+              WHERE i + 1 < n))))))),
+samples AS (
+  -- every decoded sample: block headers emit the verbatim predictor,
+  -- data positions emit the stepped predictor — EXCEPT a header that
+  -- is the final sample of the stream (a 4-byte header-only tail
+  -- block, which the decoder drops as padding)
+  SELECT d, pred AS v FROM dec WHERE NOT (i = n - 1 AND i % 21 = 0)
+  UNION ALL
+  -- odd tail-nibble pad: when the last block holds an even 2..20
+  -- samples, its (r-1) nibbles are odd and the encoder pads a zero
+  -- nibble, which the decoder expands into ONE extra sample
+  SELECT d, greatest(-32768, least(32767,
+         pred + list_extract(st, CAST(idx + 1 AS INTEGER)) // 8)) AS v
+  FROM dec, stepv
+  WHERE i = n - 1 AND n % 21 >= 2 AND (n % 21) % 2 = 0)
+SELECT d AS doc_id, 'wav' AS fmt,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+       CAST(sum(v) AS BIGINT) AS amp_sum,
+       CAST(min(v) AS BIGINT) AS amp_min,
+       CAST(max(v) AS BIGINT) AS amp_max
+FROM samples GROUP BY d
+"""
+
+
 SPECS = [
     QuerySpec("json_props_stats", json_props_stats, JSON_PROPS_ORACLE, "JSON extraction"),
     QuerySpec("sampled_verification_docs", sampled_verification_docs, SAMPLED_VERIFICATION_ORACLE, "W4 seeded sample"),
@@ -949,6 +1056,7 @@ SPECS = [
     QuerySpec("gif_frame_sample_stats", gif_frame_sample_stats, GIF_FRAME_ORACLE, "animated GIF LZW decode: per-frame palette-index + RGB sums"),
     QuerySpec("media_router_stats", media_router_stats, MEDIA_ROUTER_ORACLE, "heterogeneous binary column routed to 4 real decoders by sniffing"),
     QuerySpec("g711_decode_stats", g711_decode_stats, G711_DECODE_ORACLE, "compressed telephony audio: G.711 mu/A-law expansion, ITU formulas"),
+    QuerySpec("adpcm_decode_stats", adpcm_decode_stats, ADPCM_DECODE_ORACLE, "stateful IMA ADPCM block decode vs recursive-CTE recurrence oracle"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -107,3 +107,32 @@ def test_schema_drift_raises(spark, rulings_snapshot):
     retyped = rulings_snapshot.withColumn("decision_id", F.lit(1))
     with pytest.raises(SnapshotSchemaError, match="decision_id"):
         leading_rulings_from_snapshot(retyped)
+
+
+def test_load_hub_snapshot_one_call_path(spark):
+    """VERDICT r06 item 8: the user-complete S13 entry — one call from
+    a parquet path to the adapted internal shape, for both datasets."""
+    from swisscourtrulingcorpus_spark.sources.hub_snapshot import (
+        load_hub_snapshot,
+    )
+
+    rulings = load_hub_snapshot(
+        spark,
+        os.path.join(_RES, "leading_decisions_snapshot.parquet"),
+        "leading_decisions",
+    )
+    assert set(rulings.columns) == {"ruling_id", "year", "volume", "start_page"}
+    assert rulings.count() > 0
+
+    laws = load_hub_snapshot(
+        spark,
+        os.path.join(_RES, "swiss_legislation_snapshot.parquet"),
+        "legislation",
+    )
+    assert {r["abbreviation"] for r in laws.collect()} == {"ZGB", "OR", "CO"}
+
+    # live-hub URLs are documented, not silently mis-read
+    with pytest.raises(ValueError, match="download"):
+        load_hub_snapshot(spark, "https://huggingface.co/x", "legislation")
+    with pytest.raises(ValueError, match="unknown hub dataset"):
+        load_hub_snapshot(spark, os.path.join(_RES, "x"), "nope")

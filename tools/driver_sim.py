@@ -150,6 +150,15 @@ def main() -> int:
     if sweep_out is not None:
         import json
 
+        # --sweep --only name1,...: merge the re-run gates into the
+        # existing artifact (adding a gate mid-round must not force a
+        # full 207-gate re-run to keep the sweep-coverage test green);
+        # a bare --sweep rewrites the whole file from this run
+        if only is not None and os.path.exists(sweep_out):
+            with open(sweep_out) as f:
+                merged = json.load(f)
+            merged.update(records)
+            records = merged
         # key-sorted so the committed artifact diffs stably round-over-round
         with open(sweep_out, "w") as f:
             json.dump(dict(sorted(records.items())), f, indent=2, sort_keys=False)
