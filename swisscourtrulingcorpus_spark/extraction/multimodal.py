@@ -1176,6 +1176,101 @@ def _g711_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+def _image_neardup_fixture_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            g = d % 16  # 16 shared base patterns -> real near-dup structure
+            vals = [
+                [
+                    (37 * g + 11 * x * x + 23 * y * y + 7 * x * y + 5 * x) % 256
+                    for x in range(9)
+                ]
+                for y in range(7)
+            ]
+            # k = (d div 16) % 4 pixel perturbations at doc-unique
+            # positions: k=0 docs are EXACT pixel dups of their group
+            # base, k=1..3 drift 2 bits per flipped pixel at most
+            for j in range((d // 16) % 4):
+                p = (d * 13 + 29 * j) % 63
+                y, x = divmod(p, 9)
+                vals[y][x] = (vals[y][x] + 96 + 17 * j) % 256
+            px = bytearray()
+            for y in range(7):
+                for x in range(9):
+                    v = vals[y][x]
+                    px += bytes((v, v, v))
+            payloads.append(encode_bmp24(9, 7, bytes(px)))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_image_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 9x7 grayscale BMP corpus with BUILT-IN near-dup
+    structure: 16 arithmetic base patterns shared across docs, each doc
+    perturbing 0-3 pixels — so perceptual-hash dedup has real exact-dup
+    and near-dup pairs to find, and the oracle can recompute every
+    pixel, hash bit, and pair from the formula alone."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _image_neardup_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import (
+        UnsupportedImageError,
+        decode_image,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                rows.append({"doc_id": doc_id, "dhash": None})
+                continue
+            try:
+                w, h, ch, pix = decode_image(bytes(payload))
+            except UnsupportedImageError:
+                rows.append({"doc_id": doc_id, "dhash": None})
+                continue
+            hv = 0
+            # gradient hash over the native grid (channel-0 intensity):
+            # bit(r, c) = px[r][c+1] > px[r][c], packed at r*8 + c over
+            # the top-left 8x(8+1) window -> <= 64 comparisons; the 9x7
+            # fixture yields 56 bits, always positive in an int64
+            for r in range(min(h, 8)):
+                for c in range(min(w - 1, 8)):
+                    a = pix[(r * w + c) * ch]
+                    b = pix[(r * w + c + 1) * ch]
+                    if b > a:
+                        hv |= 1 << (r * 8 + c)
+            rows.append({"doc_id": doc_id, "dhash": hv})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def image_dhash_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels
+    (`extraction/imagecodec.py`): one slim (doc_id, dhash bigint) row
+    per image, computed map-side in Arrow batches — the image payloads
+    never shuffle; near-dup pairing downstream is pure JVM bit math
+    over the fingerprint table."""
+    return media.mapInPandas(_dhash_batches, DHASH_SCHEMA)
+
+
 def _adpcm_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.audiocodec import (
         encode_wav_adpcm,

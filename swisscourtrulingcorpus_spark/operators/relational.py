@@ -314,3 +314,60 @@ def scd2_history(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval self-join: unordered pairs (id_a < id_b) of rows sharing
+    ``key_cols`` whose half-open integer intervals [start, end) overlap
+    — the temporal-join primitive (concurrent sessions, double-booked
+    resources, overlapping validity windows) the reference's pandas
+    layer would do with a per-group quadratic scan.
+
+    Scale shape (the 100 TB plan): each interval explodes into the
+    coarse time buckets it touches (``sequence(start div W, end div
+    W)`` — for spans bounded by ~W that is <= 2 rows), the self-join is
+    an EQUI-join on (keys, bucket) so it shuffles and compares within
+    buckets only — never a per-key all-pairs — and a pair seen in two
+    shared buckets is collapsed by the distinct.  A plain range join
+    would force a broadcast-nested-loop; the bucket trick keeps it a
+    hash join under AQE with per-task work proportional to bucket
+    occupancy.  Pick ``bucket_width`` ~ the typical span: much larger
+    wastes comparisons, much smaller multiplies the explode fan-out.
+
+    Returns key cols + (id_a, s_a, e_a, id_b, s_b, e_b).
+    """
+
+    def side(tag: str) -> DataFrame:
+        return df.select(
+            *key_cols,
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(start_col).alias(f"s_{tag}"),
+            F.col(end_col).alias(f"e_{tag}"),
+        ).withColumn(
+            "__bkt",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_{tag} div {bucket_width}"),
+                    F.expr(f"e_{tag} div {bucket_width}"),
+                )
+            ),
+        )
+
+    a, b = side("a"), side("b")
+    return (
+        a.join(b, on=[*key_cols, "__bkt"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("s_a") < F.col("e_b"))
+            & (F.col("s_b") < F.col("e_a"))
+        )
+        .drop("__bkt")
+        .distinct()
+    )

@@ -246,3 +246,72 @@ def index_from_postings(postings: DataFrame, id_col: str = "doc_id") -> dict[str
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     return {"postings": postings, "df": df_, "scalars": scalars}
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: one (term, doc_id, pos) row per token
+    occurrence, positions 0-based over the shared `normalize_ws`
+    tokenization.  The positional twin of ``build_postings`` — ~token-
+    stream-sized (larger than the tf-postings but still slim fixed-width
+    rows), term-partitionable with `write_postings` the same way, and
+    the ONLY structure phrase queries ever touch: document text never
+    reaches the serving path."""
+    return docs.select(
+        id_col,
+        F.posexplode(F.split(normalize_ws(text_col), " ")).alias("pos", "term"),
+    ).select("term", id_col, "pos")
+
+
+def phrase_search(
+    positional: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    phrase_id_col: str = "phrase_id",
+    phrase_col: str = "phrase",
+) -> DataFrame:
+    """Exact phrase matching over the positional index — the classic
+    alignment trick: slot k of a phrase matching at document position p
+    implies a common anchor ``p - k``, so a k-term phrase match is just
+    "all slots agree on one anchor".  No k-way self-join, no per-pair
+    adjacency probes: ONE broadcast equi-join on term + ONE groupBy.
+
+    Scale shape: ``phrases`` is query-sized (broadcast); the join output
+    is only the postings rows whose term occurs in some phrase (the term
+    list prunes a `write_postings` index via footer stats exactly like
+    `prune_terms`); the (phrase, doc, anchor) aggregation is
+    match-candidate-sized.  Repeated terms inside a phrase are handled
+    by counting DISTINCT slots per anchor — a doc position can satisfy
+    two slots only at two different anchors.
+
+    Returns (phrase_id, doc_id, n_matches, first_pos): documents
+    containing the exact phrase, how often, and the earliest anchor.
+    """
+    terms = phrases.select(
+        phrase_id_col,
+        F.posexplode(F.split(normalize_ws(phrase_col), " ")).alias("slot", "term"),
+    )
+    n_slots = terms.groupBy(phrase_id_col).agg(
+        F.countDistinct("slot").alias("__n_slots")
+    )
+    hits = positional.join(F.broadcast(terms), on="term").select(
+        phrase_id_col,
+        id_col,
+        "slot",
+        (F.col("pos") - F.col("slot")).alias("anchor"),
+    )
+    anchored = (
+        hits.where(F.col("anchor") >= 0)
+        .groupBy(phrase_id_col, id_col, "anchor")
+        .agg(F.countDistinct("slot").alias("__slots_hit"))
+    )
+    return (
+        anchored.join(F.broadcast(n_slots), on=phrase_id_col)
+        .where(F.col("__slots_hit") == F.col("__n_slots"))
+        .groupBy(phrase_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("anchor").alias("first_pos"),
+        )
+    )

@@ -952,6 +952,94 @@ def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(generate_adpcm_fixture(docs))
 
 
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection end-to-end: real BMP
+    decode -> difference hash (`extraction/multimodal.py::
+    image_dhash_fingerprints`) -> banded hamming self-join — the
+    multimodal twin of `simhash_hamming_pairs`.  Candidates come from
+    an EQUI-join on 4x14-bit bands (pigeonhole: hamming <= 3 over 56
+    bits leaves at least one band untouched), so the pair space is
+    bucket-bounded, never all-pairs; the exact popcount filter runs on
+    candidates only.  The oracle recomputes pixels, hash bits, and ALL
+    pairs naively — so a banding bug that DROPS a qualifying pair fails
+    the row count, not just the values."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_image_neardup_fixture,
+        image_dhash_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = image_dhash_fingerprints(generate_image_neardup_fixture(docs)).where(
+        F.col("dhash").isNotNull()
+    )
+    bands = fp.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(
+                *[F.expr(f"shiftright(dhash, {14 * j}) & 16383") for j in range(4)]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("__ha"),
+        "band",
+        "band_key",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("__hb"),
+        "band",
+        "band_key",
+    )
+    cand = (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "__ha", "__hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+IMAGE_DHASH_ORACLE = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+grid AS (
+  SELECT d, yy.y, xx.x
+  FROM ids, unnest(generate_series(0, 6)) AS yy(y),
+       unnest(generate_series(0, 8)) AS xx(x)),
+pert AS (
+  SELECT d, j, (d * 13 + 29 * j) % 63 AS p
+  FROM (SELECT d, unnest(generate_series(0, (d // 16) % 4 - 1)) AS j
+        FROM ids WHERE (d // 16) % 4 > 0)),
+px AS (
+  SELECT g.d, g.y, g.x,
+         CASE WHEN p.j IS NOT NULL
+              THEN ((37 * (g.d % 16) + 11 * g.x * g.x + 23 * g.y * g.y
+                     + 7 * g.x * g.y + 5 * g.x) % 256 + 96 + 17 * p.j) % 256
+              ELSE (37 * (g.d % 16) + 11 * g.x * g.x + 23 * g.y * g.y
+                    + 7 * g.x * g.y + 5 * g.x) % 256
+         END AS v
+  FROM grid g LEFT JOIN pert p ON p.d = g.d AND p.p = g.y * 9 + g.x),
+bits AS (
+  SELECT a.d, a.y AS r, a.x AS c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM px a JOIN px b ON b.d = a.d AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8),
+fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))) AS BIGINT) AS dhash
+  FROM bits GROUP BY d)
+SELECT a.d AS doc_a, b.d AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.d < b.d
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
 # 89-entry IMA step-size table + the index-advance rule (public IMA/DVI
 # spec constants).  The recurrence below IS the encoder+decoder
 # composition: at block headers (i % 21 == 0) the predictor resets to
@@ -1057,6 +1145,7 @@ SPECS = [
     QuerySpec("media_router_stats", media_router_stats, MEDIA_ROUTER_ORACLE, "heterogeneous binary column routed to 4 real decoders by sniffing"),
     QuerySpec("g711_decode_stats", g711_decode_stats, G711_DECODE_ORACLE, "compressed telephony audio: G.711 mu/A-law expansion, ITU formulas"),
     QuerySpec("adpcm_decode_stats", adpcm_decode_stats, ADPCM_DECODE_ORACLE, "stateful IMA ADPCM block decode vs recursive-CTE recurrence oracle"),
+    QuerySpec("image_dhash_neardup_pairs", image_dhash_neardup_pairs, IMAGE_DHASH_ORACLE, "perceptual dHash near-dup images: real decode, banded hamming join"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

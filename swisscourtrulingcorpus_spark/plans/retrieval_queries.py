@@ -553,7 +553,83 @@ WHERE neg_rank <= 5
 """
 
 
+# --- exact phrase search over a positional index -----------------------
+
+#: fixture phrases (vocabulary of the synthetic corpus); includes a
+#: repeated-term phrase ("table table") so the distinct-slot anchor
+#: logic is exercised, not just distinct-term alignment
+_PHRASES = [
+    "table table",
+    "fast table value",
+    "scan slow",
+    "spark order data",
+    "the line sort",
+]
+
+
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase queries served from a positional inverted index
+    (`operators/retrieval.py::phrase_search`): slot-anchor alignment —
+    one broadcast term join + one (phrase, doc, anchor) aggregation,
+    never a k-way adjacency self-join.  The reference's regex-LIKE
+    scans (`sql_select_utils.py` text filters) are the capability this
+    replaces at scale: term-pruned postings probes instead of full
+    text re-scans."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        list(enumerate(_PHRASES)), "phrase_id: long, phrase: string"
+    )
+    out = phrase_search(build_positional_postings(docs), phrases)
+    return out.select(
+        "phrase_id",
+        "doc_id",
+        "n_matches",
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+_PHRASE_VALUES = ", ".join(f"({i}, '{p}')" for i, p in enumerate(_PHRASES))
+
+PHRASE_SEARCH_ORACLE = rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE text IS NOT NULL),
+tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w FROM w),
+posidx AS (SELECT doc_id, w[p] AS term, p - 1 AS pos FROM tok),
+ph AS (SELECT CAST(phrase_id AS BIGINT) AS phrase_id, phrase
+       FROM (VALUES {_PHRASE_VALUES}) AS t(phrase_id, phrase)),
+pt AS (SELECT phrase_id, string_split(phrase, ' ') AS pw FROM ph),
+st AS (SELECT phrase_id, unnest(range(1, len(pw) + 1)) AS s, pw FROM pt),
+terms AS (SELECT phrase_id, s - 1 AS slot, pw[s] AS term FROM st),
+nslots AS (SELECT phrase_id, count(DISTINCT slot) AS n_slots FROM terms GROUP BY 1),
+hits AS (
+  SELECT t.phrase_id, d.doc_id, t.slot, d.pos - t.slot AS anchor
+  FROM posidx d JOIN terms t USING (term)),
+anch AS (
+  SELECT phrase_id, doc_id, anchor, count(DISTINCT slot) AS slots_hit
+  FROM hits WHERE anchor >= 0 GROUP BY 1, 2, 3)
+SELECT a.phrase_id, a.doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(a.anchor) AS BIGINT) AS first_pos
+FROM anch a JOIN nslots n USING (phrase_id)
+WHERE a.slots_hit = n.n_slots
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "phrase_search_documents",
+        phrase_search_documents,
+        PHRASE_SEARCH_ORACLE,
+        "exact phrase match via positional postings, slot-anchor alignment",
+    ),
     QuerySpec(
         "bm25_hard_negatives",
         bm25_hard_negatives,

@@ -361,7 +361,60 @@ WHERE n_trail >= 24 AND 24 * cnt > 2 * trailing_sum
 """
 
 
+def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval self-join (`operators/relational.py::
+    interval_overlap_pairs`): each event opens a deterministic activity
+    window [ts, ts + (event_id % 45 + 5) min); per user, count
+    overlapping window pairs and their exact summed overlap.  The
+    bucket-exploded equi-join (1 h buckets ~ the max 50 min span, <= 2
+    buckets per interval) keeps the self-join hash-partitioned at any
+    scale — the oracle does the naive per-user quadratic join, which is
+    exactly what this operator exists to avoid."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        epoch_us("ts").alias("s_us"),
+        (
+            epoch_us("ts")
+            + (F.col("event_id") % 45 + 5) * F.lit(60_000_000).cast("long")
+        ).alias("e_us"),
+    )
+    pairs = interval_overlap_pairs(
+        iv, ["user_id"], "event_id", "s_us", "e_us", bucket_width=3_600_000_000
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("e_a", "e_b") - F.greatest("s_a", "s_b")
+        ).alias("sum_overlap_us"),
+    )
+
+
+INTERVAL_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+         epoch_us(ts) + (event_id % 45 + 5) * 60000000 AS e_us
+  FROM events),
+p AS (
+  SELECT a.user_id,
+         least(a.e_us, b.e_us) - greatest(a.s_us, b.s_us) AS ov
+  FROM iv a JOIN iv b
+    ON a.user_id = b.user_id AND a.event_id < b.event_id
+   AND a.s_us < b.e_us AND b.s_us < a.e_us)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(ov) AS BIGINT) AS sum_overlap_us
+FROM p GROUP BY 1
+"""
+
+
 SPECS = [
+    QuerySpec("interval_overlap_events", interval_overlap_events, INTERVAL_OVERLAP_ORACLE, "bucketed interval self-join vs naive quadratic oracle"),
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
     QuerySpec("first_event_per_user", first_event_per_user, FIRST_EVENT_ORACLE, "W3 first-match"),
     QuerySpec("input_length_stats_events", input_length_stats_events, INPUT_LENGTH_ORACLE, "A11 describe"),

@@ -19,7 +19,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# local-mode python WORKERS resolve imports from the JVM's cwd + their
+# PYTHONPATH, not the driver's sys.path — export the repo root so the
+# pipeline's pandas_udfs deserialize wherever the script is launched
+# from (a tools/ cwd broke the workers with ModuleNotFoundError)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from scale_measure import _shuffle_totals  # noqa: E402  (same event-log tally)
 
