@@ -1023,6 +1023,106 @@ SPECS += [
 ]
 
 
+def preference_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair (DPO/RLHF reward-data) construction: within each
+    language, rank documents by the trained NB quality margin and pair
+    the i-th best with the i-th worst — (chosen, rejected) rows with a
+    strictly positive margin gap, the standard recipe for turning a
+    scalar quality signal into preference training data.
+
+    Scale shape: the scorer is the gated broadcast-model plan (text
+    never shuffles); the ranking windows run over slim (doc_id, lang,
+    margin bigint) rows partitioned BY LANGUAGE; the best-vs-worst
+    pairing is a self-equi-join on (lang, mirrored rank) — two slim
+    int shuffles end to end.  Margins are micro-int exact, so rank,
+    pairing, and gap are engine-identical."""
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    m = scored.select(
+        "doc_id",
+        (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("margin"),
+    ).join(docs.select("doc_id", "lang"), on="doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("margin").desc(), F.col("doc_id").asc()
+    )
+    rk = m.select(
+        "lang",
+        "doc_id",
+        "margin",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
+    )
+    best = rk.select(
+        "lang",
+        F.col("i").alias("pair_idx"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("margin").alias("__mc"),
+        "n",
+    )
+    worst = rk.select(
+        "lang",
+        (F.col("n") + 1 - F.col("i")).alias("pair_idx"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("margin").alias("__mr"),
+    )
+    return (
+        best.join(worst, on=["lang", "pair_idx"])
+        .where(
+            (F.col("pair_idx") * 2 <= F.col("n"))
+            & (F.col("__mc") > F.col("__mr"))
+        )
+        .select(
+            "lang",
+            F.col("pair_idx").cast("long").alias("pair_idx"),
+            "chosen_id",
+            "rejected_id",
+            (F.col("__mc") - F.col("__mr")).alias("margin_gap"),
+        )
+    )
+
+
+PREFERENCE_PAIRS_ORACLE = (
+    _nb_score_ctes()
+    + """,
+nbres AS (
+  SELECT a.doc_id, a.score - n.score AS margin
+  FROM fullsc a JOIN fullsc n
+    ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+rk AS (
+  SELECT d.lang, r.doc_id, r.margin,
+         row_number() OVER (
+           PARTITION BY d.lang ORDER BY r.margin DESC, r.doc_id ASC) AS i,
+         count(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d JOIN nbres r USING (doc_id))
+SELECT a.lang, CAST(a.i AS BIGINT) AS pair_idx,
+       a.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       CAST(a.margin - b.margin AS BIGINT) AS margin_gap
+FROM rk a JOIN rk b ON a.lang = b.lang AND b.i = a.n + 1 - a.i
+WHERE a.i * 2 <= a.n AND a.margin > b.margin
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        "preference_pairs_documents",
+        preference_pairs_documents,
+        PREFERENCE_PAIRS_ORACLE,
+        "DPO preference pairs: best-vs-worst by NB quality margin per language",
+    ),
+]
+
+
 # ---------------------------------------------------------------------------
 # fixed-point HITS over the directed purchase graph
 # ---------------------------------------------------------------------------

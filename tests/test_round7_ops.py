@@ -1,0 +1,108 @@
+"""Property/edge tests for the round-7 operators: interval overlap,
+positional phrase search, perceptual dHash.  Each operator's gate
+already hash-matches a naive DuckDB oracle at sf0.01; these tests pin
+the semantics on adversarial small inputs the fixture distribution may
+never produce (touching intervals, bucket-boundary spans, repeated
+phrase terms, phrase longer than doc, undecodable payloads)."""
+
+from __future__ import annotations
+
+
+def _naive_overlaps(rows, key="k"):
+    out = set()
+    for a in rows:
+        for b in rows:
+            if a["id"] < b["id"] and a[key] == b[key]:
+                if a["s"] < b["e"] and b["s"] < a["e"]:
+                    out.add((a[key], a["id"], b["id"]))
+    return out
+
+
+def test_interval_overlap_matches_naive_including_boundaries(spark):
+    """Touching intervals ([0,10) vs [10,20)) must NOT pair (half-open);
+    intervals spanning many buckets must still pair exactly once; the
+    bucket width must not change RESULTS, only the plan."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        {"k": 1, "id": 1, "s": 0, "e": 10},
+        {"k": 1, "id": 2, "s": 10, "e": 20},   # touches 1: NOT overlap
+        {"k": 1, "id": 3, "s": 9, "e": 11},    # overlaps 1 and 2
+        {"k": 1, "id": 4, "s": 0, "e": 100},   # spans many buckets
+        {"k": 2, "id": 5, "s": 0, "e": 100},   # other key: never pairs
+        {"k": 1, "id": 6, "s": 55, "e": 56},   # inside 4 only
+        {"k": 1, "id": 7, "s": 100, "e": 101}, # touches 4: NOT overlap
+    ]
+    df = spark.createDataFrame(rows, "k: long, id: long, s: long, e: long")
+    expect = _naive_overlaps(rows)
+    for width in (1, 3, 10, 1000):
+        got = {
+            (r["k"], r["id_a"], r["id_b"])
+            for r in interval_overlap_pairs(
+                df, ["k"], "id", "s", "e", bucket_width=width
+            ).collect()
+        }
+        assert got == expect, (width, got ^ expect)
+
+
+def test_phrase_search_repeated_terms_and_boundaries(spark):
+    """A repeated-term phrase ('a a') must match only adjacent repeats
+    (a doc position can serve two slots only at two different anchors),
+    a phrase longer than the doc must not match, overlapping
+    occurrences each count as a match, and matches at position 0 and at
+    the document end both register."""
+    from swisscourtrulingcorpus_spark.operators.retrieval import (
+        build_positional_postings,
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),    # 'a a' at anchors 0 and 1 (overlapping)
+            (2, "a b a b a"),  # 'a b a' at anchors 0 and 2; 'b a' at 1, 3
+            (3, "b a"),        # 'b a' at anchor 0 (whole doc)
+            (4, "a"),          # shorter than every phrase
+        ],
+        "doc_id: long, text: string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a a"), (1, "a b a"), (2, "b a")],
+        "phrase_id: long, phrase: string",
+    )
+    got = {
+        (r["phrase_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in phrase_search(build_positional_postings(docs), phrases).collect()
+    }
+    assert got == {
+        (0, 1): (2, 0),
+        (1, 2): (2, 0),
+        (2, 2): (2, 1),
+        (2, 3): (1, 0),
+    }
+
+
+def test_dhash_undecodable_and_flat_images(spark):
+    """Undecodable payloads fingerprint to NULL (pass-through contract);
+    a flat image (all pixels equal) hashes to 0; two identical images
+    hash identically through the full encode->decode round trip."""
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        image_dhash_fingerprints,
+    )
+
+    flat = encode_bmp24(9, 7, bytes([50] * (9 * 7 * 3)))
+    ramp_px = bytes(
+        v for y in range(7) for x in range(9) for v in ((x * 30) % 256,) * 3
+    )
+    ramp = encode_bmp24(9, 7, ramp_px)
+    media = spark.createDataFrame(
+        [(1, bytearray(flat)), (2, bytearray(ramp)), (3, bytearray(ramp)),
+         (4, bytearray(b"not an image")), (5, None)],
+        "doc_id: long, payload: binary",
+    )
+    got = {r["doc_id"]: r["dhash"] for r in image_dhash_fingerprints(media).collect()}
+    assert got[1] == 0
+    assert got[2] == got[3] and got[2] > 0
+    assert got[4] is None and got[5] is None
