@@ -1251,6 +1251,98 @@ SPECS += [
 ]
 
 
+# --- WordPiece: greedy longest-match (third tokenizer family) ----------
+
+_WP_P, _WP_V, _WP_W = 6, 300, 12
+
+
+def wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match segmentation
+    (`operators/wordpiece.py`) — the BERT-family tokenizer, completing
+    the trained-in-engine triad (BPE merges / unigram Viterbi /
+    WordPiece greedy).  Per distinct word: piece count and the exact
+    rendered segmentation ('tab ##le' form), so a greedy-order or
+    position-class bug anywhere flips the string hash."""
+    from swisscourtrulingcorpus_spark.operators.wordpiece import (
+        wordpiece_segment_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wordpiece_segment_words(docs, "text", _WP_P, _WP_V, _WP_W)
+
+
+def _wordpiece_oracle() -> str:
+    """Iterative greedy chain g0..g{max_word_len} (the unigram oracle's
+    MATERIALIZED-step pattern): round j advances every unfinished word
+    by its longest in-class piece, finalizing [UNK] rows on no-match."""
+    steps = []
+    for j in range(1, _WP_W + 1):
+        steps.append(
+            f"""c{j} AS (
+  SELECT w, pos, n, segs,
+         unnest(generate_series(1, least({_WP_P}, len(w) - pos))) AS l
+  FROM g{j - 1} WHERE pos < len(w)),
+m{j} AS (
+  SELECT c.w, c.pos, c.n, c.segs, max(c.l) AS L
+  FROM c{j} c JOIN vocab v
+    ON v.piece = substr(c.w, c.pos + 1, c.l) AND v.is_cont = (c.pos > 0)
+  GROUP BY 1, 2, 3, 4),
+unk{j} AS (
+  SELECT f.w, len(f.w) AS pos, CAST(1 AS BIGINT) AS n, '[UNK]' AS segs
+  FROM g{j - 1} f
+  WHERE f.pos < len(f.w)
+    AND NOT EXISTS (SELECT 1 FROM m{j} m WHERE m.w = f.w AND m.pos = f.pos)),
+g{j} AS MATERIALIZED (
+  SELECT w, pos, n, segs FROM g{j - 1} WHERE pos >= len(w)
+  UNION ALL
+  SELECT w, pos + L AS pos, n + 1 AS n,
+         segs || CASE WHEN pos > 0 THEN ' ##' ELSE '' END
+              || substr(w, pos + 1, L) AS segs
+  FROM m{j}
+  UNION ALL
+  SELECT w, pos, n, segs FROM unk{j})"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+  FROM documents),
+fwords AS (
+  SELECT w, count(*) AS freq FROM toks
+  WHERE len(w) BETWEEN 1 AND {_WP_W} GROUP BY w),
+starts AS (
+  SELECT w, freq, unnest(generate_series(1, len(w))) AS s FROM fwords),
+pieces AS (
+  SELECT substr(w, s, l) AS piece, s > 1 AS is_cont, freq
+  FROM (SELECT w, freq, s,
+               unnest(generate_series(1, least({_WP_P}, len(w) - s + 1))) AS l
+        FROM starts)),
+cnts AS (SELECT piece, is_cont, CAST(sum(freq) AS BIGINT) AS cnt
+         FROM pieces GROUP BY 1, 2),
+ranked AS (
+  SELECT piece, is_cont, cnt,
+         row_number() OVER (PARTITION BY is_cont ORDER BY cnt DESC, piece ASC) AS rk
+  FROM cnts),
+vocab AS MATERIALIZED (
+  SELECT piece, is_cont FROM ranked WHERE len(piece) = 1 OR rk <= {_WP_V}),
+g0 AS MATERIALIZED (
+  SELECT DISTINCT w, 0 AS pos, CAST(0 AS BIGINT) AS n, '' AS segs FROM fwords),
+{chain}
+SELECT w AS word, CAST(n AS BIGINT) AS n_pieces, segs AS segmentation
+FROM g{_WP_W}
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "wordpiece_segmentation",
+        wordpiece_segmentation,
+        _wordpiece_oracle(),
+        "WordPiece greedy longest-match, two-class vocab, third tokenizer",
+    ),
+]
+
+
 def unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tokenizer APPLIED to the corpus: per document, the total
     unigram-piece count and total segmentation cost — sum over word

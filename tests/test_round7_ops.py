@@ -106,3 +106,35 @@ def test_dhash_undecodable_and_flat_images(spark):
     assert got[1] == 0
     assert got[2] == got[3] and got[2] > 0
     assert got[4] is None and got[5] is None
+
+
+def test_wordpiece_greedy_and_unk(spark):
+    """Greedy longest-match: with vocab from 'tab table ble' the word
+    'table' must segment as the LONGEST initial piece ('table' itself,
+    trained whole) — and a vocab trained on a different corpus UNKs
+    words whose continuation chars it never saw."""
+    from swisscourtrulingcorpus_spark.operators.wordpiece import (
+        wordpiece_segment_words,
+        wordpiece_vocab,
+    )
+
+    train = spark.createDataFrame([("tab tab table ble q",)], "text: string")
+    seg = {
+        r["word"]: (r["n_pieces"], r["segmentation"])
+        for r in wordpiece_segment_words(train, "text").collect()
+    }
+    assert seg["table"] == (1, "table")     # whole word in vocab wins
+    assert seg["tab"] == (1, "tab")
+    assert seg["ble"] == (1, "ble")
+
+    # apply the trained vocab to UNSEEN text: 'qq' needs continuation
+    # '##q', which the training corpus never produced (q only ever
+    # word-initial) -> whole word [UNK]; 'tabble' segments greedily
+    vocab = wordpiece_vocab(train, "text")
+    apply = spark.createDataFrame([("qq tabble",)], "text: string")
+    seg2 = {
+        r["word"]: (r["n_pieces"], r["segmentation"])
+        for r in wordpiece_segment_words(apply, "text", vocab=vocab).collect()
+    }
+    assert seg2["qq"] == (1, "[UNK]")
+    assert seg2["tabble"][1].startswith("tab ##b")
