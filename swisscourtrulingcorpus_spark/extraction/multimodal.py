@@ -1185,18 +1185,29 @@ def _image_neardup_fixture_batches(
         payloads = []
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            g = d % 16  # 16 shared base patterns -> real near-dup structure
+            # bounded-SIZE clusters (32 docs per base pattern), md5
+            # pixels: cluster count grows WITH the corpus so near-dup
+            # pair volume stays linear, and pseudorandom patterns make
+            # cross-cluster hamming ~ Binomial(56, 1/2) — accidental
+            # <= 3 collisions are ~2^-40 per pair.  (The first cut used
+            # 16 FIXED patterns: dup-cluster size then grows with the
+            # corpus and pair output goes QUADRATIC — 121M pairs at the
+            # 10x scale run.  Fixture bug, not operator bug.)
+            g = d // 32
             vals = [
                 [
-                    (37 * g + 11 * x * x + 23 * y * y + 7 * x * y + 5 * x) % 256
+                    int(
+                        hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
+                        16,
+                    )
                     for x in range(9)
                 ]
                 for y in range(7)
             ]
-            # k = (d div 16) % 4 pixel perturbations at doc-unique
-            # positions: k=0 docs are EXACT pixel dups of their group
-            # base, k=1..3 drift 2 bits per flipped pixel at most
-            for j in range((d // 16) % 4):
+            # k = d % 4 pixel perturbations at doc-unique positions:
+            # k=0 docs are EXACT pixel dups of their cluster base,
+            # k=1..3 drift <= 2 hash bits per flipped pixel
+            for j in range(d % 4):
                 p = (d * 13 + 29 * j) % 63
                 y, x = divmod(p, 9)
                 vals[y][x] = (vals[y][x] + 96 + 17 * j) % 256
@@ -1212,10 +1223,12 @@ def _image_neardup_fixture_batches(
 
 def generate_image_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic 9x7 grayscale BMP corpus with BUILT-IN near-dup
-    structure: 16 arithmetic base patterns shared across docs, each doc
-    perturbing 0-3 pixels — so perceptual-hash dedup has real exact-dup
-    and near-dup pairs to find, and the oracle can recompute every
-    pixel, hash bit, and pair from the formula alone."""
+    structure: md5-pixel base patterns shared by 32-doc clusters, each
+    doc perturbing 0-3 pixels — so perceptual-hash dedup has real
+    exact-dup and near-dup pairs to find, pair volume stays LINEAR in
+    corpus size (cluster size is bounded, cluster count grows), and the
+    oracle recomputes every pixel, hash bit, and pair from the same
+    md5 formula."""
     return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         _image_neardup_fixture_batches, PAYLOAD_SCHEMA
     )

@@ -1009,20 +1009,19 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMAGE_DHASH_ORACLE = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
 grid AS (
-  SELECT d, yy.y, xx.x
+  SELECT d, yy.y, xx.x,
+         CAST(('0x' || substr(md5('dh|' || (d // 32) || '|' || xx.x || '|' || yy.y), 1, 2))::UBIGINT AS BIGINT) AS base
   FROM ids, unnest(generate_series(0, 6)) AS yy(y),
        unnest(generate_series(0, 8)) AS xx(x)),
 pert AS (
   SELECT d, j, (d * 13 + 29 * j) % 63 AS p
-  FROM (SELECT d, unnest(generate_series(0, (d // 16) % 4 - 1)) AS j
-        FROM ids WHERE (d // 16) % 4 > 0)),
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS j
+        FROM ids WHERE d % 4 > 0)),
 px AS (
   SELECT g.d, g.y, g.x,
          CASE WHEN p.j IS NOT NULL
-              THEN ((37 * (g.d % 16) + 11 * g.x * g.x + 23 * g.y * g.y
-                     + 7 * g.x * g.y + 5 * g.x) % 256 + 96 + 17 * p.j) % 256
-              ELSE (37 * (g.d % 16) + 11 * g.x * g.x + 23 * g.y * g.y
-                    + 7 * g.x * g.y + 5 * g.x) % 256
+              THEN (g.base + 96 + 17 * p.j) % 256
+              ELSE g.base
          END AS v
   FROM grid g LEFT JOIN pert p ON p.d = g.d AND p.p = g.y * 9 + g.x),
 bits AS (

@@ -548,3 +548,42 @@ def test_round6f2_text_graph_plan_shapes(spark, sf_dir):
 
     specs = _re.findall(r"windowspecdefinition\(([^)]*)\)", topk)
     assert specs and all("window_start" in s for s in specs), specs
+
+
+def test_interval_overlap_is_hash_join(spark, sf_dir):
+    """The bucket-exploded interval self-join must execute as an
+    equi-join (hash/sort-merge), never the BroadcastNestedLoopJoin a
+    raw range predicate would force."""
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        interval_overlap_events,
+    )
+
+    plan = _final_plan(interval_overlap_events(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_broadcasts_terms(spark, sf_dir):
+    """Phrase terms are query-sized: the postings join must broadcast
+    them (the positional index side never broadcasts), and no
+    nested-loop fallback may appear."""
+    from swisscourtrulingcorpus_spark.plans.retrieval_queries import (
+        phrase_search_documents,
+    )
+
+    plan = _final_plan(phrase_search_documents(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_pairs_no_allpairs_join(spark, sf_dir):
+    """The perceptual-hash pair join must be the banded equi-join on
+    (band, band_key) — a cartesian/nested-loop over fingerprints is the
+    all-pairs plan the banding exists to avoid."""
+    from swisscourtrulingcorpus_spark.plans.extra_queries import (
+        image_dhash_neardup_pairs,
+    )
+
+    plan = _final_plan(image_dhash_neardup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -106,6 +106,13 @@ QUERIES = [
     ("gif_frame_sample_stats", "LZW decode + frame fan-out, map-side"),
     ("media_router_stats", "per-row sniff dispatch to 4 codecs, map-side"),
     ("g711_decode_stats", "table-free formula expansion per byte, map-side"),
+    # round-7 additions
+    ("adpcm_decode_stats", "stateful block recurrence, still pure map-side"),
+    ("phrase_search_documents", "broadcast term join + anchor agg; only phrase-term postings move"),
+    ("interval_overlap_events", "bucket-exploded equi-join, <= 2 buckets/interval"),
+    ("image_dhash_neardup_pairs", "map-side decode+hash; banded hamming join over slim fingerprints"),
+    ("wordpiece_segmentation", "greedy rounds over the DISTINCT-WORD table, broadcast vocab"),
+    ("preference_pairs_documents", "broadcast-model scoring + per-lang slim rank/self-join"),
 ]
 
 
