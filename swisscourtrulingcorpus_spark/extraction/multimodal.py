@@ -1181,6 +1181,24 @@ def _image_neardup_fixture_batches(
 ) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
 
+    base_cache: dict[int, list[list[int]]] = {}
+
+    def base_grid(g: int) -> list[list[int]]:
+        # 63 md5 digests per CLUSTER, not per doc — 32 docs share the
+        # grid, so cache by g (review r07: ~30x fixture CPU at scale)
+        if g not in base_cache:
+            base_cache[g] = [
+                [
+                    int(
+                        hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
+                        16,
+                    )
+                    for x in range(9)
+                ]
+                for y in range(7)
+            ]
+        return base_cache[g]
+
     for pdf in batches:
         payloads = []
         for doc_id in pdf["doc_id"]:
@@ -1193,17 +1211,7 @@ def _image_neardup_fixture_batches(
             # 16 FIXED patterns: dup-cluster size then grows with the
             # corpus and pair output goes QUADRATIC — 121M pairs at the
             # 10x scale run.  Fixture bug, not operator bug.)
-            g = d // 32
-            vals = [
-                [
-                    int(
-                        hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
-                        16,
-                    )
-                    for x in range(9)
-                ]
-                for y in range(7)
-            ]
+            vals = [row[:] for row in base_grid(d // 32)]
             # k = d % 4 pixel perturbations at doc-unique positions:
             # k=0 docs are EXACT pixel dups of their cluster base,
             # k=1..3 drift <= 2 hash bits per flipped pixel
@@ -1262,14 +1270,20 @@ def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             hv = 0
             # gradient hash over the native grid (channel-0 intensity):
             # bit(r, c) = px[r][c+1] > px[r][c], packed at r*8 + c over
-            # the top-left 8x(8+1) window -> <= 64 comparisons; the 9x7
-            # fixture yields 56 bits, always positive in an int64
+            # the top-left 8x(8+1) window -> <= 64 comparisons.  The
+            # 9x7 gate fixture yields 56 bits; a full 8-row/9+-wide
+            # image can set bit 63, so fold to SIGNED two's complement
+            # before emitting — an unfolded 2^63 doesn't fit the
+            # declared LongType and crashes the Arrow batch (review
+            # r07).  XOR/bit_count downstream are sign-agnostic.
             for r in range(min(h, 8)):
                 for c in range(min(w - 1, 8)):
                     a = pix[(r * w + c) * ch]
                     b = pix[(r * w + c + 1) * ch]
                     if b > a:
                         hv |= 1 << (r * 8 + c)
+            if hv >= 1 << 63:
+                hv -= 1 << 64
             rows.append({"doc_id": doc_id, "dhash": hv})
         if rows:
             yield pd.DataFrame(rows)

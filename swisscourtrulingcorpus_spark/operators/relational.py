@@ -368,6 +368,14 @@ def interval_overlap_pairs(
             & (F.col("s_a") < F.col("e_b"))
             & (F.col("s_b") < F.col("e_a"))
         )
+        # emit each pair from exactly ONE shared bucket — the bucket of
+        # greatest(s_a, s_b): the later start lies inside the overlap,
+        # so both intervals always explode into it.  A free map-side
+        # filter replacing a pair-output-sized distinct() shuffle
+        # (review r07).
+        .where(
+            F.col("__bkt")
+            == F.expr(f"greatest(s_a, s_b) div {bucket_width}")
+        )
         .drop("__bkt")
-        .distinct()
     )

@@ -993,11 +993,19 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         "band_key",
     )
+    # emit each candidate pair from its FIRST matching band only — a
+    # free map-side filter computed from the two fingerprints, replacing
+    # a pair-output-sized distinct() shuffle (review r07)
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(__ha, {14 * j}) & 16383) = "
+        f"(shiftright(__hb, {14 * j}) & 16383) THEN {j}"
+        for j in range(4)
+    ) + " END"
     cand = (
         left.join(right, on=["band", "band_key"])
         .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.col("band") == F.expr(first_band))
         .select("doc_a", "doc_b", "__ha", "__hb")
-        .distinct()
     )
     return (
         cand.withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))

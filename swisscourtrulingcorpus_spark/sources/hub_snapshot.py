@@ -92,10 +92,32 @@ def leading_rulings_from_snapshot(snapshot: DataFrame) -> DataFrame:
     )
 
 
-#: dataset key -> (hub repo id, adapter) for `load_hub_snapshot`.
+def law_abbreviations_from_snapshot(snapshot: DataFrame) -> DataFrame:
+    """Real-schema legislation corpus -> the (language, abbreviation,
+    sr_number, uuid) law table, filtered the reference's way
+    (`doc2doc_ir_dataset_creator.py:126-133`): federal laws only,
+    abbreviation stripped and longer than one char."""
+    _check_required(snapshot, LEGISLATION_REQUIRED, "swiss_legislation")
+    return (
+        snapshot.where(F.col("canton") == "ch")
+        .withColumn("abbreviation", F.trim("abbreviation"))
+        .where(F.length("abbreviation") > 1)
+        .select("language", "abbreviation", "sr_number", "uuid")
+    )
+
+
+#: dataset key -> (hub repo id, adapter): the registry `load_hub_snapshot`
+#: dispatches through — adding a dataset here IS wiring it (review r07:
+#: a hardcoded if/else fell through to the wrong adapter for new keys).
 HUB_DATASETS = {
-    "leading_decisions": "rcds/swiss_leading_decisions",
-    "legislation": "rcds/swiss_legislation",
+    "leading_decisions": (
+        "rcds/swiss_leading_decisions",
+        leading_rulings_from_snapshot,
+    ),
+    "legislation": (
+        "rcds/swiss_legislation",
+        law_abbreviations_from_snapshot,
+    ),
 }
 
 
@@ -120,32 +142,15 @@ def load_hub_snapshot(
     then ``load_hub_snapshot(spark, "/data/snap")``.  Schema drift in
     the downloaded card raises ``SnapshotSchemaError`` up front rather
     than failing mid-pipeline."""
-    if path.partition("://")[0] in ("http", "https", "hf"):
-        raise ValueError(
-            f"load_hub_snapshot reads parquet SNAPSHOTS, not live hub "
-            f"URLs — download {HUB_DATASETS.get(dataset, dataset)!r} "
-            f"first (see docstring) and pass the local/posix/object-"
-            f"store parquet path"
-        )
     if dataset not in HUB_DATASETS:
         raise ValueError(
             f"unknown hub dataset {dataset!r}; known: {sorted(HUB_DATASETS)}"
         )
-    raw = spark.read.parquet(path)
-    if dataset == "leading_decisions":
-        return leading_rulings_from_snapshot(raw)
-    return law_abbreviations_from_snapshot(raw)
-
-
-def law_abbreviations_from_snapshot(snapshot: DataFrame) -> DataFrame:
-    """Real-schema legislation corpus -> the (language, abbreviation,
-    sr_number, uuid) law table, filtered the reference's way
-    (`doc2doc_ir_dataset_creator.py:126-133`): federal laws only,
-    abbreviation stripped and longer than one char."""
-    _check_required(snapshot, LEGISLATION_REQUIRED, "swiss_legislation")
-    return (
-        snapshot.where(F.col("canton") == "ch")
-        .withColumn("abbreviation", F.trim("abbreviation"))
-        .where(F.length("abbreviation") > 1)
-        .select("language", "abbreviation", "sr_number", "uuid")
-    )
+    repo_id, adapter = HUB_DATASETS[dataset]
+    if path.partition("://")[0] in ("http", "https", "hf"):
+        raise ValueError(
+            f"load_hub_snapshot reads parquet SNAPSHOTS, not live hub "
+            f"URLs — download {repo_id!r} first (see docstring) and "
+            f"pass the local/posix/object-store parquet path"
+        )
+    return adapter(spark.read.parquet(path))

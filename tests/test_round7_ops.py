@@ -138,3 +138,36 @@ def test_wordpiece_greedy_and_unk(spark):
     }
     assert seg2["qq"] == (1, "[UNK]")
     assert seg2["tabble"][1].startswith("tab ##b")
+
+
+def test_dhash_wide_image_no_int64_overflow(spark):
+    """Review r07: an image with >= 8 rows and >= 9 columns can set hash
+    bit 63; the fingerprint must fold to signed two's complement instead
+    of crashing the Arrow batch with an out-of-range uint64.  Build a
+    16x16 gradient whose (7,7)->(7,8) comparison sets bit 63 and check
+    the emitted value is negative (bit 63 set, folded) and the XOR
+    hamming arithmetic still works."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        image_dhash_fingerprints,
+    )
+
+    # every right neighbor brighter -> ALL comparison bits set,
+    # including r=7, c=7 (bit 63)
+    px = bytes(
+        v
+        for y in range(16)
+        for x in range(16)
+        for v in ((x * 10) % 200,) * 3
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_bmp24(16, 16, px)))] * 2,
+        "doc_id: long, payload: binary",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    rows = image_dhash_fingerprints(media).collect()
+    assert len(rows) == 2
+    vals = [r["dhash"] for r in rows]
+    assert vals[0] == vals[1]
+    assert vals[0] == -1  # all 64 bits set, folded to signed
