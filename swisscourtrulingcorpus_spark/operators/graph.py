@@ -374,3 +374,63 @@ def integer_hits(
             "node", F.lit("auth").alias("kind"), F.col("a").alias("score_micro")
         )
     )
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition for a FIXED k: iteratively peel every node
+    of degree < k until the remaining subgraph is the (unique, maximal)
+    k-core — the degeneracy-based dense-substructure primitive next to
+    the triangle/clustering family (Seidman 1983, public).  Returns
+    (node, core_degree) for core members, degree measured WITHIN the
+    converged core.
+
+    Scale shape: each round is one map-side-combined degree count over
+    the surviving edge list plus two semi-joins filtering edges to
+    surviving endpoints — every shuffled row a (bigint, bigint) pair;
+    lineage cut per round with eager localCheckpoints (the iterative-
+    DataFrame rule).  Round count is the peeling DEPTH of the graph
+    (cascades), not its size; the fixed cap raises a loud error instead
+    of silently returning a non-core (the big-star convergence
+    contract).  Full coreness (per-node max k) would run this once per
+    k or use the h-index iteration; the fixed-k form is the bounded-
+    round building block curation actually calls ("keep documents in a
+    densely cross-citing cluster").
+    """
+    e = pairs.select(
+        F.col(left_col).cast("long").alias("a"),
+        F.col(right_col).cast("long").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    # symmetrize once: degree = outdegree over the symmetric list
+    e = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = -1
+    for _ in range(max_rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
+        keep = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        n_now = keep.count()  # bounded scalar per round
+        if n_now == n_prev:
+            # no node peeled this round: every survivor has degree >= k
+            return keep.select(F.col("a").alias("node"), "core_degree")
+        n_prev = n_now
+        if n_now == 0:
+            return keep.select(F.col("a").alias("node"), "core_degree")
+        ids = keep.select("a")
+        e = (
+            e.join(ids, on="a", how="left_semi")
+            .join(ids.select(F.col("a").alias("b")), on="b", how="left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core(k={k}) did not converge within {max_rounds} rounds — "
+        f"{n_prev} nodes still peeling; raise max_rounds (peeling depth "
+        "exceeds the cap; silent partial cores are never returned)"
+    )

@@ -281,6 +281,67 @@ SPECS += [
 ]
 
 
+def kcore_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition (`operators/graph.py::k_core`) over a
+    CONSTRUCTED graph with a provable core (the `cc_bigstar` fixture
+    strategy): doc ids partition into 8-id blocks; block b carries a
+    clique over its first s = (b % 5) + 2 members (sizes 2..6), plus a
+    PENDANT node (r = 6) wired to the clique's first two members.
+    Peeling must cascade — the pendant dies first (degree 2), which
+    drops a 3-clique's entry nodes to degree 2 the NEXT round, which
+    kills the block entirely — so the provable 3-core is exactly the
+    cliques of actual size >= 4, each member with core degree
+    s_actual - 1.  The oracle computes that closed form from block
+    arithmetic (robust to a truncated final block: edges require both
+    endpoints present, so the oracle counts ACTUAL members)."""
+    from swisscourtrulingcorpus_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    m = docs.select(
+        d.alias("id"),
+        F.expr("doc_id div 8").alias("b"),
+        (d % 8).alias("r"),
+        (F.expr("doc_id div 8") % 5 + 2).alias("s"),
+    )
+    members = m.where(F.col("r") < F.col("s")).select("id", "b", "r")
+    left = members.select("b", F.col("id").alias("id_a"), F.col("r").alias("ra"))
+    right = members.select("b", F.col("id").alias("id_b"), F.col("r").alias("rb"))
+    clique = (
+        left.join(right, on="b")
+        .where(F.col("ra") < F.col("rb"))
+        .select("id_a", "id_b")
+    )
+    pendant = (
+        m.where(F.col("r") == 6)
+        .select("b", F.col("id").alias("id_a"))
+        .join(members.where(F.col("r") <= 1), on="b")
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+    return k_core(clique.unionByName(pendant), k=3)
+
+
+KCORE_ORACLE = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+blk AS (SELECT d, d // 8 AS b, d % 8 AS r, (d // 8) % 5 + 2 AS s FROM ids),
+members AS (SELECT d, b FROM blk WHERE r < s),
+sz AS (SELECT b, count(*) AS s_actual FROM members GROUP BY b)
+SELECT m.d AS node, CAST(z.s_actual - 1 AS BIGINT) AS core_degree
+FROM members m JOIN sz z USING (b)
+WHERE z.s_actual >= 4
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "kcore_citation_clusters",
+        kcore_citation_clusters,
+        KCORE_ORACLE,
+        "fixed-k core peeling vs provable clique+pendant block structure",
+    ),
+]
+
+
 # ---------------------------------------------------------------------------
 # temperature sampling (mT5/XLM-R alpha-sampling): derived quotas + exact
 # per-language selection

@@ -171,3 +171,29 @@ def test_dhash_wide_image_no_int64_overflow(spark):
     vals = [r["dhash"] for r in rows]
     assert vals[0] == vals[1]
     assert vals[0] == -1  # all 64 bits set, folded to signed
+
+
+def test_k_core_cascade_and_nonconvergence_error(spark):
+    """A pendant triangle chain must peel in CASCADE (each round exposes
+    the next victim), the surviving core must be exactly the 4-clique
+    with within-core degrees, and an insufficient round cap must raise
+    loudly instead of returning a partial core."""
+    import pytest
+
+    from swisscourtrulingcorpus_spark.operators.graph import k_core
+
+    # 4-clique {0,1,2,3} + chain 3-10, 10-11, 11-12 hanging off it,
+    # plus node 20 isolated-pair with 21: for k=2 the chain peels from
+    # the tail one round at a time (12, then 11, then 10), the pair
+    # {20,21} dies immediately, and the clique survives.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 10), (10, 11), (11, 12), (20, 21)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, k=2, max_rounds=2)
+
+    # k larger than any degree: empty core, no error
+    assert k_core(df, k=5).count() == 0
