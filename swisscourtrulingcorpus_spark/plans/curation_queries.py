@@ -1116,13 +1116,18 @@ def preference_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(
         F.col("margin").desc(), F.col("doc_id").asc()
     )
+    # the ranked table is referenced TWICE (best + worst side of the
+    # mirror join); without a lineage cut each reference re-plans the
+    # whole NB train+score subtree (~40 exchanges) — 92 static
+    # exchanges before, ~half after (the co-purchase/PageRank shared-
+    # input rule).  rk is slim: (lang, doc_id, margin, i, n) ints.
     rk = m.select(
         "lang",
         "doc_id",
         "margin",
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     best = rk.select(
         "lang",
         F.col("i").alias("pair_idx"),

@@ -113,6 +113,7 @@ QUERIES = [
     ("image_dhash_neardup_pairs", "map-side decode+hash; banded hamming join over slim fingerprints"),
     ("wordpiece_segmentation", "greedy rounds over the DISTINCT-WORD table, broadcast vocab"),
     ("preference_pairs_documents", "broadcast-model scoring + per-lang slim rank/self-join"),
+    ("kcore_citation_clusters", "bounded-round peel, (bigint,bigint) shuffles only"),
 ]
 
 
