@@ -1181,13 +1181,18 @@ def _image_neardup_fixture_batches(
 ) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
 
-    base_cache: dict[int, list[list[int]]] = {}
+    # single-entry cache: 63 md5 digests per CLUSTER, not per doc
+    # (~30x fixture CPU at scale).  doc_ids are contiguous within a
+    # partition, so caching only the LAST cluster hits ~31/32 of the
+    # time without holding one grid per cluster for the lifetime of the
+    # partition iterator (review r07 follow-up: the unbounded dict
+    # retained hundreds of MB on million-row partitions).
+    last: list = [None, None]
 
     def base_grid(g: int) -> list[list[int]]:
-        # 63 md5 digests per CLUSTER, not per doc — 32 docs share the
-        # grid, so cache by g (review r07: ~30x fixture CPU at scale)
-        if g not in base_cache:
-            base_cache[g] = [
+        if last[0] != g:
+            last[0] = g
+            last[1] = [
                 [
                     int(
                         hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
@@ -1197,7 +1202,7 @@ def _image_neardup_fixture_batches(
                 ]
                 for y in range(7)
             ]
-        return base_cache[g]
+        return last[1]
 
     for pdf in batches:
         payloads = []

@@ -413,7 +413,11 @@ def k_core(
         .localCheckpoint(eager=True)
     )
     n_prev = -1
-    for _ in range(max_rounds):
+    # max_rounds + 1: convergence needs one CONFIRMING no-change round
+    # after the last peel, so a graph of peeling depth exactly
+    # max_rounds must still be allowed its fixed-point check
+    # (review r07 follow-up: off-by-one raised a false non-convergence)
+    for _ in range(max_rounds + 1):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("core_degree"))
         keep = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
         n_now = keep.count()  # bounded scalar per round

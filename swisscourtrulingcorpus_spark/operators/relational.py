@@ -344,8 +344,16 @@ def interval_overlap_pairs(
     Returns key cols + (id_a, s_a, e_a, id_b, s_b, e_b).
     """
 
+    # input-side dedup (slim rows, BEFORE the explode): exact-duplicate
+    # interval rows — replayed events — must collapse like the original
+    # pair-level distinct() collapsed them, and deduping the input is
+    # input-sized instead of pair-output-sized (review r07 follow-up)
+    slim = df.select(
+        *key_cols, F.col(id_col), F.col(start_col), F.col(end_col)
+    ).distinct()
+
     def side(tag: str) -> DataFrame:
-        return df.select(
+        return slim.select(
             *key_cols,
             F.col(id_col).alias(f"id_{tag}"),
             F.col(start_col).alias(f"s_{tag}"),

@@ -197,3 +197,22 @@ def test_k_core_cascade_and_nonconvergence_error(spark):
 
     # k larger than any degree: empty core, no error
     assert k_core(df, k=5).count() == 0
+
+
+def test_interval_overlap_collapses_duplicate_input_rows(spark):
+    """Replayed (exact-duplicate) interval rows must collapse to ONE
+    pair emission — the input-side dedup that replaced the pair-level
+    distinct() (review r07 follow-up)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        interval_overlap_pairs,
+    )
+
+    rows = [
+        {"k": 1, "id": 1, "s": 0, "e": 10},
+        {"k": 1, "id": 1, "s": 0, "e": 10},  # exact replay
+        {"k": 1, "id": 2, "s": 5, "e": 15},
+        {"k": 1, "id": 2, "s": 5, "e": 15},  # exact replay
+    ]
+    df = spark.createDataFrame(rows, "k: long, id: long, s: long, e: long")
+    got = interval_overlap_pairs(df, ["k"], "id", "s", "e", 4).collect()
+    assert len(got) == 1 and (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
