@@ -386,3 +386,127 @@ SPECS = [
         "first-order Markov transition matrix + per-state share (ppm)",
     ),
 ]
+
+
+def multitouch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: every
+    'purchase' distributes exactly 1,000,000 micro-credits over the
+    user's 'view'/'click' touches in the prior 7 days — 40/20/40:
+    first and last touch 400k each, the middle pool of 200k split by
+    integer division with the remainder to the EARLIEST middle touch
+    (n=1 → 1M, n=2 → 500k/500k), so every conversion's credits sum to
+    exactly 1M and the report is engine-identical integers.  Output:
+    (event_type, role) rows with touch counts and total credit.
+
+    Scale shape: the touch↔purchase pairing is an equi-join on user_id
+    (time predicates filter inside the join, AQE handles user skew);
+    position ranks run per (user, purchase) — high-cardinality
+    partitions; the final aggregate is an 8-cell report.  The as-of
+    join (`asof_purchase_attribution`) answers LAST-touch; this is the
+    standard position-based generalization a marketing warehouse runs."""
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        epoch_us("ts").alias("p_us"),
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        epoch_us("ts").alias("t_us"),
+    )
+    paired = touches.join(purchases, on="user_id").where(
+        (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(week_us))
+    )
+    w = Window.partitionBy("user_id", "purchase_id").orderBy(
+        F.col("t_us").asc(), F.col("touch_id").asc()
+    )
+    wn = Window.partitionBy("user_id", "purchase_id")
+    ranked = paired.select(
+        "touch_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    rn, n = F.col("rn"), F.col("n")
+    credit = (
+        F.when(n == 1, F.lit(1_000_000))
+        .when(n == 2, F.lit(500_000))
+        .when(rn == 1, F.lit(400_000))
+        .when(rn == n, F.lit(400_000))
+        .otherwise(
+            F.expr("200000 div (n - 2)")
+            + F.when(rn == 2, F.expr("200000 % (n - 2)")).otherwise(F.lit(0))
+        )
+    )
+    role = (
+        F.when(n == 1, F.lit("solo"))
+        .when(rn == 1, F.lit("first"))
+        .when(rn == n, F.lit("last"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ranked.select(
+            "touch_type", role.alias("role"), credit.alias("credit_micro")
+        )
+        .groupBy("touch_type", "role")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_micro").alias("credit_micro"),
+        )
+    )
+
+
+MULTITOUCH_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+t AS (
+  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+         epoch_us(ts) AS t_us
+  FROM events WHERE event_type IN ('view', 'click')),
+paired AS (
+  SELECT t.touch_type, t.user_id, p.purchase_id, t.t_us, t.touch_id
+  FROM t JOIN p ON t.user_id = p.user_id
+   AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+ranked AS (
+  SELECT touch_type,
+         row_number() OVER (PARTITION BY user_id, purchase_id
+                            ORDER BY t_us ASC, touch_id ASC) AS rn,
+         count(*) OVER (PARTITION BY user_id, purchase_id) AS n
+  FROM paired),
+credited AS (
+  SELECT touch_type,
+         CASE WHEN n = 1 THEN 'solo'
+              WHEN rn = 1 THEN 'first'
+              WHEN rn = n THEN 'last'
+              ELSE 'middle' END AS role,
+         CASE WHEN n = 1 THEN 1000000
+              WHEN n = 2 THEN 500000
+              WHEN rn = 1 THEN 400000
+              WHEN rn = n THEN 400000
+              ELSE 200000 // (n - 2)
+                   + CASE WHEN rn = 2 THEN 200000 % (n - 2) ELSE 0 END
+         END AS credit_micro
+  FROM ranked)
+SELECT touch_type, role,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+FROM credited GROUP BY 1, 2
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "multitouch_attribution_events",
+        multitouch_attribution_events,
+        MULTITOUCH_ORACLE,
+        "U-shaped 40/20/40 multi-touch attribution, exact 1M micro-credits per conversion",
+    ),
+]

@@ -1278,9 +1278,10 @@ def wordpiece_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wordpiece_segment_words(docs, "text", _WP_P, _WP_V, _WP_W)
 
 
-def _wordpiece_oracle() -> str:
-    """Iterative greedy chain g0..g{max_word_len} (the unigram oracle's
-    MATERIALIZED-step pattern): round j advances every unfinished word
+def _wordpiece_ctes() -> str:
+    """Shared WITH-prefix of both WordPiece oracles (the `_unigram_ctes`
+    convention): vocab build + the iterative greedy chain
+    g0..g{max_word_len}, where round j advances every unfinished word
     by its longest in-class piece, finalizing [UNK] rows on no-match."""
     steps = []
     for j in range(1, _WP_W + 1):
@@ -1334,10 +1335,17 @@ vocab AS MATERIALIZED (
   SELECT piece, is_cont FROM ranked WHERE len(piece) = 1 OR rk <= {_WP_V}),
 g0 AS MATERIALIZED (
   SELECT DISTINCT w, 0 AS pos, CAST(0 AS BIGINT) AS n, '' AS segs FROM fwords),
-{chain}
+{chain}"""
+
+
+def _wordpiece_oracle() -> str:
+    return (
+        _wordpiece_ctes()
+        + f"""
 SELECT w AS word, CAST(n AS BIGINT) AS n_pieces, segs AS segmentation
 FROM g{_WP_W}
 """
+    )
 
 
 SPECS += [
@@ -1346,6 +1354,70 @@ SPECS += [
         wordpiece_segmentation,
         _wordpiece_oracle(),
         "WordPiece greedy longest-match, two-class vocab, third tokenizer",
+    ),
+]
+
+
+def wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece tokenizer APPLIED to the corpus (the
+    `unigram_token_counts` twin): per document, word count, total piece
+    count, and how many word occurrences collapsed to [UNK] — one
+    broadcast join of the distinct-word segmentation table back to the
+    exploded corpus; words longer than the greedy depth are excluded on
+    both engines."""
+    from swisscourtrulingcorpus_spark.functions.hashing import normalize_ws
+    from swisscourtrulingcorpus_spark.operators.wordpiece import (
+        wordpiece_segment_words,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = wordpiece_segment_words(docs, "text", _WP_P, _WP_V, _WP_W)
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_ws("text"), " ")).alias("word"),
+    ).where((F.length("word") >= 1) & (F.length("word") <= _WP_W))
+    return (
+        occ.join(F.broadcast(seg), on="word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.sum(
+                (F.col("segmentation") == "[UNK]").cast("long")
+            ).alias("n_unk_words"),
+        )
+    )
+
+
+def _wordpiece_counts_oracle() -> str:
+    return (
+        _wordpiece_ctes()
+        + f""",
+seg AS MATERIALIZED (
+  SELECT w AS word, CAST(n AS BIGINT) AS n_pieces,
+         CAST(segs = '[UNK]' AS BIGINT) AS is_unk
+  FROM g{_WP_W}),
+occ AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+  FROM documents)
+SELECT o.doc_id,
+       count(*) AS n_words,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(s.is_unk) AS BIGINT) AS n_unk_words
+FROM occ o JOIN seg s USING (word)
+WHERE len(o.word) BETWEEN 1 AND {_WP_W}
+GROUP BY 1
+"""
+    )
+
+
+SPECS += [
+    QuerySpec(
+        "wordpiece_token_counts",
+        wordpiece_token_counts,
+        _wordpiece_counts_oracle(),
+        "WordPiece applied per document: word/piece/UNK counts",
     ),
 ]
 

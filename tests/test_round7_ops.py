@@ -216,3 +216,39 @@ def test_interval_overlap_collapses_duplicate_input_rows(spark):
     df = spark.createDataFrame(rows, "k: long, id: long, s: long, e: long")
     got = interval_overlap_pairs(df, ["k"], "id", "s", "e", 4).collect()
     assert len(got) == 1 and (got[0]["id_a"], got[0]["id_b"]) == (1, 2)
+
+
+def test_multitouch_credit_conservation(spark, sf_dir):
+    """Every converting purchase (>= 1 touch in window) distributes
+    EXACTLY 1,000,000 micro-credits — the integer U-shape's invariant
+    across solo/2-touch/remainder cases."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.plans.behavior_queries import (
+        multitouch_attribution_events,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us, load_table
+
+    out = multitouch_attribution_events(spark, sf_dir)
+    total_credit = out.agg(F.sum("credit_micro")).collect()[0][0]
+
+    ev = load_table(spark, sf_dir, "events")
+    week_us = 7 * 24 * 3600 * 1_000_000
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), epoch_us("ts").alias("p_us")
+    )
+    t = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", epoch_us("ts").alias("t_us")
+    )
+    conversions = (
+        t.join(p, on="user_id")
+        .where(
+            (F.col("t_us") < F.col("p_us"))
+            & (F.col("t_us") >= F.col("p_us") - F.lit(week_us))
+        )
+        .select("user_id", "pid")
+        .distinct()
+        .count()
+    )
+    assert conversions > 0
+    assert total_credit == conversions * 1_000_000

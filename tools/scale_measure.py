@@ -114,6 +114,8 @@ QUERIES = [
     ("wordpiece_segmentation", "greedy rounds over the DISTINCT-WORD table, broadcast vocab"),
     ("preference_pairs_documents", "broadcast-model scoring + per-lang slim rank/self-join"),
     ("kcore_citation_clusters", "bounded-round peel, (bigint,bigint) shuffles only"),
+    ("wordpiece_token_counts", "apply-tokenizer: broadcast segmentation join, corpus one explode"),
+    ("multitouch_attribution_events", "user-key equi-join + per-(user,purchase) windows, 8-cell report"),
 ]
 
 
