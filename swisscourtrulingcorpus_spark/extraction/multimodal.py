@@ -1181,18 +1181,22 @@ def _image_neardup_fixture_batches(
 ) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
 
-    # single-entry cache: 63 md5 digests per CLUSTER, not per doc
-    # (~30x fixture CPU at scale).  doc_ids are contiguous within a
-    # partition, so caching only the LAST cluster hits ~31/32 of the
-    # time without holding one grid per cluster for the lifetime of the
-    # partition iterator (review r07 follow-up: the unbounded dict
-    # retained hundreds of MB on million-row partitions).
-    last: list = [None, None]
+    # small BOUNDED cache: 63 md5 digests per CLUSTER, not per doc
+    # (~30x fixture CPU at scale).  doc_ids are usually contiguous
+    # within a partition (one live cluster), but an upstream
+    # repartition can interleave them — a handful of FIFO slots stays
+    # robust to interleaving at negligible memory, where an unbounded
+    # dict retained one grid per cluster for the partition's lifetime
+    # and a single slot silently fell back to per-row recompute
+    # (review r07 follow-ups).
+    base_cache: dict[int, list[list[int]]] = {}
 
     def base_grid(g: int) -> list[list[int]]:
-        if last[0] != g:
-            last[0] = g
-            last[1] = [
+        grid = base_cache.get(g)
+        if grid is None:
+            if len(base_cache) >= 8:
+                base_cache.pop(next(iter(base_cache)))
+            grid = base_cache[g] = [
                 [
                     int(
                         hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
@@ -1202,7 +1206,7 @@ def _image_neardup_fixture_batches(
                 ]
                 for y in range(7)
             ]
-        return last[1]
+        return grid
 
     for pdf in batches:
         payloads = []

@@ -334,20 +334,28 @@ def interval_overlap_pairs(
     coarse time buckets it touches (``sequence(start div W, end div
     W)`` — for spans bounded by ~W that is <= 2 rows), the self-join is
     an EQUI-join on (keys, bucket) so it shuffles and compares within
-    buckets only — never a per-key all-pairs — and a pair seen in two
-    shared buckets is collapsed by the distinct.  A plain range join
-    would force a broadcast-nested-loop; the bucket trick keeps it a
-    hash join under AQE with per-task work proportional to bucket
-    occupancy.  Pick ``bucket_width`` ~ the typical span: much larger
-    wastes comparisons, much smaller multiplies the explode fan-out.
+    buckets only — never a per-key all-pairs — and each pair is emitted
+    from exactly ONE bucket (the bucket of ``greatest(s_a, s_b)``,
+    which both overlapping intervals always cover) via a free map-side
+    filter, so no pair-output-sized dedup exists anywhere.  A plain
+    range join would force a broadcast-nested-loop; the bucket trick
+    keeps it a hash join under AQE with per-task work proportional to
+    bucket occupancy.  Pick ``bucket_width`` ~ the typical span: much
+    larger wastes comparisons, much smaller multiplies the explode
+    fan-out.
+
+    Input contract: exact-duplicate rows (replayed records) collapse
+    BEFORE pairing — one input-sized distinct on the slim projection;
+    gate oracles mirror it with ``SELECT DISTINCT`` on their interval
+    CTE.
 
     Returns key cols + (id_a, s_a, e_a, id_b, s_b, e_b).
     """
 
-    # input-side dedup (slim rows, BEFORE the explode): exact-duplicate
-    # interval rows — replayed events — must collapse like the original
-    # pair-level distinct() collapsed them, and deduping the input is
-    # input-sized instead of pair-output-sized (review r07 follow-up)
+    # input-side dedup (slim rows, BEFORE the explode): replayed
+    # records collapse here at input-sized cost; pairs themselves are
+    # emitted exactly once by the single-bucket filter below, so no
+    # pair-output-sized dedup is ever needed (review r07 follow-up)
     slim = df.select(
         *key_cols, F.col(id_col), F.col(start_col), F.col(end_col)
     ).distinct()

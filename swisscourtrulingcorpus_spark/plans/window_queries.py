@@ -398,7 +398,11 @@ def interval_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 INTERVAL_OVERLAP_ORACLE = """
 WITH iv AS (
-  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+  -- DISTINCT mirrors the operator's input-side dedup contract:
+  -- replayed interval rows collapse BEFORE pairing on both engines
+  -- (review r07 follow-up 2) — without it the naive self-join would
+  -- count duplicate combinations the Spark side collapses
+  SELECT DISTINCT user_id, event_id, epoch_us(ts) AS s_us,
          epoch_us(ts) + (event_id % 45 + 5) * 60000000 AS e_us
   FROM events),
 p AS (
