@@ -1307,6 +1307,115 @@ def image_dhash_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_dhash_batches, DHASH_SCHEMA)
 
 
+#: audio near-dup fixture geometry: 57 windows x 16 samples -> 56
+#: adjacent-energy comparison bits (always positive in an int64)
+_AU_WINDOWS, _AU_WIN = 57, 16
+
+
+def _audio_neardup_samples(d: int) -> list[int]:
+    """Deterministic per-doc PCM shared by 32-doc clusters: window w of
+    cluster g holds 16 flat samples at the md5-derived level
+    v(g, w) in [0, 32768), so the energy ENVELOPE is a pseudorandom
+    56-bit pattern per cluster — cross-cluster hamming ~ Binomial(56,
+    1/2), accidental pairs ~4e-13.  (A first cut used a single
+    linear-congruential wave per cluster: window energies then shared
+    structure ACROSS clusters and unrelated clips collided at ~1e-3 —
+    the 10x scale run measured alpha_rows 1.34.  Envelope entropy must
+    come from the seed, not from arithmetic of the window index.)
+    k = d % 4 doc-unique windows shift by +4096 (wrapping), drifting
+    <= 2 envelope bits each."""
+    g = d // 32
+    vals = [
+        int(hashlib.md5(f"au|{g}|{w}".encode()).hexdigest()[:4], 16) % 32768
+        for w in range(_AU_WINDOWS)
+    ]
+    for m in range(d % 4):
+        w = (d * 7 + 11 * m) % _AU_WINDOWS
+        vals[w] = (vals[w] + 4096) % 32768
+    return [v for v in vals for _ in range(_AU_WIN)]
+
+
+def _audio_neardup_fixture_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
+
+    for pdf in batches:
+        payloads = [
+            encode_wav(8000, 1, _audio_neardup_samples(int(d)))
+            for d in pdf["doc_id"]
+        ]
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_audio_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic mono 16-bit PCM corpus with BUILT-IN near-dup
+    structure (the audio twin of `generate_image_neardup_fixture`):
+    md5-seeded cluster waves, 0-3 shifted windows per doc, pair volume
+    linear in corpus size.  The oracle recomputes every sample, window
+    energy, hash bit, and pair from the arithmetic alone; the real
+    RIFF encode -> decode path is what the Spark side exercises."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _audio_neardup_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import (
+        UnsupportedAudioError,
+        decode_wav,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                rows.append({"doc_id": doc_id, "ahash": None})
+                continue
+            try:
+                _, ch, _, samples = decode_wav(bytes(payload))
+            except UnsupportedAudioError:
+                rows.append({"doc_id": doc_id, "ahash": None})
+                continue
+            # energy-envelope difference hash (channel-interleave-
+            # agnostic for mono; bounded to the leading 57 windows):
+            # bit(j) = energy(window j+1) > energy(window j)
+            mono = samples[::ch] if ch > 1 else samples
+            energies = []
+            for w in range(_AU_WINDOWS):
+                seg = mono[w * _AU_WIN : (w + 1) * _AU_WIN]
+                if len(seg) < _AU_WIN:
+                    break
+                energies.append(sum(abs(s) for s in seg))
+            hv = 0
+            for j in range(len(energies) - 1):
+                if j >= 63:
+                    break
+                if energies[j + 1] > energies[j]:
+                    hv |= 1 << j
+            rows.append({"doc_id": doc_id, "ahash": hv})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def audio_energy_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual audio fingerprint over REAL decoded PCM
+    (`extraction/audiocodec.py`): the energy-envelope difference hash —
+    one slim (doc_id, ahash bigint) row per clip, computed map-side in
+    Arrow batches; payloads never shuffle.  Same near-dup pairing
+    contract as `image_dhash_fingerprints`."""
+    return media.mapInPandas(_audio_fp_batches, AUDIO_FP_SCHEMA)
+
+
 def _adpcm_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.audiocodec import (
         encode_wav_adpcm,

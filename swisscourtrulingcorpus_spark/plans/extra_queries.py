@@ -952,54 +952,52 @@ def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(generate_adpcm_fixture(docs))
 
 
-def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual near-duplicate IMAGE detection end-to-end: real BMP
-    decode -> difference hash (`extraction/multimodal.py::
-    image_dhash_fingerprints`) -> banded hamming self-join — the
-    multimodal twin of `simhash_hamming_pairs`.  Candidates come from
-    an EQUI-join on 4x14-bit bands (pigeonhole: hamming <= 3 over 56
-    bits leaves at least one band untouched), so the pair space is
-    bucket-bounded, never all-pairs; the exact popcount filter runs on
-    candidates only.  The oracle recomputes pixels, hash bits, and ALL
-    pairs naively — so a banding bug that DROPS a qualifying pair fails
-    the row count, not just the values."""
-    from swisscourtrulingcorpus_spark.extraction.multimodal import (
-        generate_image_neardup_fixture,
-        image_dhash_fingerprints,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    fp = image_dhash_fingerprints(generate_image_neardup_fixture(docs)).where(
-        F.col("dhash").isNotNull()
-    )
+def _banded_hamming_pairs(
+    fp: DataFrame,
+    hash_col: str,
+    threshold: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 14,
+) -> DataFrame:
+    """Shared banded-hamming pairing over a slim (doc_id, <hash>) table
+    (image dHash + audio energy-hash gates): candidates come from an
+    EQUI-join on n_bands x band_bits bands — pigeonhole: hamming <=
+    n_bands - 1 over the packed bits leaves at least one band
+    untouched, so every qualifying pair IS a candidate and the pair
+    space is bucket-bounded, never all-pairs.  Each candidate emits
+    from its FIRST matching band only (a free map-side filter computed
+    from the two fingerprints — no pair-output-sized distinct), then
+    the exact popcount filter runs on candidates alone.  Returns
+    (doc_a, doc_b, hamming)."""
+    mask = (1 << band_bits) - 1
     bands = fp.select(
         "doc_id",
-        "dhash",
+        F.col(hash_col).alias("__h"),
         F.posexplode(
             F.array(
-                *[F.expr(f"shiftright(dhash, {14 * j}) & 16383") for j in range(4)]
+                *[
+                    F.expr(f"shiftright({hash_col}, {band_bits * j}) & {mask}")
+                    for j in range(n_bands)
+                ]
             )
         ).alias("band", "band_key"),
     )
     left = bands.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("dhash").alias("__ha"),
+        F.col("__h").alias("__ha"),
         "band",
         "band_key",
     )
     right = bands.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("dhash").alias("__hb"),
+        F.col("__h").alias("__hb"),
         "band",
         "band_key",
     )
-    # emit each candidate pair from its FIRST matching band only — a
-    # free map-side filter computed from the two fingerprints, replacing
-    # a pair-output-sized distinct() shuffle (review r07)
     first_band = "CASE " + " ".join(
-        f"WHEN (shiftright(__ha, {14 * j}) & 16383) = "
-        f"(shiftright(__hb, {14 * j}) & 16383) THEN {j}"
-        for j in range(4)
+        f"WHEN (shiftright(__ha, {band_bits * j}) & {mask}) = "
+        f"(shiftright(__hb, {band_bits * j}) & {mask}) THEN {j}"
+        for j in range(n_bands)
     ) + " END"
     cand = (
         left.join(right, on=["band", "band_key"])
@@ -1009,9 +1007,29 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= threshold)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE detection end-to-end: real BMP
+    decode -> difference hash (`extraction/multimodal.py::
+    image_dhash_fingerprints`) -> banded hamming self-join
+    (`_banded_hamming_pairs`) — the multimodal twin of
+    `simhash_hamming_pairs`.  The oracle recomputes pixels, hash bits,
+    and ALL pairs naively — so a banding bug that DROPS a qualifying
+    pair fails the row count, not just the values."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_image_neardup_fixture,
+        image_dhash_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = image_dhash_fingerprints(generate_image_neardup_fixture(docs)).where(
+        F.col("dhash").isNotNull()
+    )
+    return _banded_hamming_pairs(fp, "dhash")
 
 
 IMAGE_DHASH_ORACLE = """
@@ -1044,6 +1062,57 @@ SELECT a.d AS doc_a, b.d AS doc_b,
        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
 FROM fp a JOIN fp b ON a.d < b.d
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+"""
+
+
+def audio_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate AUDIO detection end-to-end: real RIFF
+    PCM decode -> energy-envelope difference hash
+    (`extraction/multimodal.py::audio_energy_fingerprints`) -> the same
+    `_banded_hamming_pairs` join the image gate uses — multimodal dedup
+    now covers text (MinHash/SimHash), images (dHash), and audio.  The
+    oracle recomputes every sample, window energy, hash bit and ALL
+    pairs from arithmetic alone, so the decode path, windowing, and
+    banding completeness are all on the hook."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        audio_energy_fingerprints,
+        generate_audio_neardup_fixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = audio_energy_fingerprints(
+        generate_audio_neardup_fixture(docs)
+    ).where(F.col("ahash").isNotNull())
+    return _banded_hamming_pairs(fp, "ahash")
+
+
+AUDIO_FP_ORACLE = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+base AS (
+  SELECT d, w.w,
+         CAST(('0x' || substr(md5('au|' || (d // 32) || '|' || w.w), 1, 4))::UBIGINT AS BIGINT) % 32768 AS v
+  FROM ids, unnest(generate_series(0, 56)) AS w(w)),
+pert AS (
+  SELECT d, (d * 7 + 11 * m) % 57 AS w
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS m
+        FROM ids WHERE d % 4 > 0)),
+-- window energy = 16 * v (flat windows); adjacent comparisons are
+-- therefore comparisons of v directly
+env AS (
+  SELECT b.d, b.w,
+         CASE WHEN p.w IS NOT NULL THEN (b.v + 4096) % 32768 ELSE b.v END AS e
+  FROM base b LEFT JOIN pert p ON p.d = b.d AND p.w = b.w),
+bits AS (
+  SELECT a.d, a.w AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM env a JOIN env b ON b.d = a.d AND b.w = a.w + 1
+  WHERE a.w < 56),
+fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS ahash
+  FROM bits GROUP BY d)
+SELECT a.d AS doc_a, b.d AS doc_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.d < b.d
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 """
 
 
@@ -1153,6 +1222,7 @@ SPECS = [
     QuerySpec("g711_decode_stats", g711_decode_stats, G711_DECODE_ORACLE, "compressed telephony audio: G.711 mu/A-law expansion, ITU formulas"),
     QuerySpec("adpcm_decode_stats", adpcm_decode_stats, ADPCM_DECODE_ORACLE, "stateful IMA ADPCM block decode vs recursive-CTE recurrence oracle"),
     QuerySpec("image_dhash_neardup_pairs", image_dhash_neardup_pairs, IMAGE_DHASH_ORACLE, "perceptual dHash near-dup images: real decode, banded hamming join"),
+    QuerySpec("audio_fingerprint_neardup_pairs", audio_fingerprint_neardup_pairs, AUDIO_FP_ORACLE, "perceptual near-dup audio: real PCM decode, energy-envelope hash"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

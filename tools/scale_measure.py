@@ -116,6 +116,7 @@ QUERIES = [
     ("kcore_citation_clusters", "bounded-round peel, (bigint,bigint) shuffles only"),
     ("wordpiece_token_counts", "apply-tokenizer: broadcast segmentation join, corpus one explode"),
     ("multitouch_attribution_events", "user-key equi-join + per-(user,purchase) windows, 8-cell report"),
+    ("audio_fingerprint_neardup_pairs", "map-side decode+energy hash; shared banded hamming join"),
 ]
 
 
