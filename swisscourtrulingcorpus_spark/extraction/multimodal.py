@@ -1325,14 +1325,29 @@ def _audio_neardup_samples(d: int) -> list[int]:
     k = d % 4 doc-unique windows shift by +4096 (wrapping), drifting
     <= 2 envelope bits each."""
     g = d // 32
-    vals = [
-        int(hashlib.md5(f"au|{g}|{w}".encode()).hexdigest()[:4], 16) % 32768
-        for w in range(_AU_WINDOWS)
-    ]
+    vals = list(_audio_cluster_levels(g))
     for m in range(d % 4):
         w = (d * 7 + 11 * m) % _AU_WINDOWS
         vals[w] = (vals[w] + 4096) % 32768
     return [v for v in vals for _ in range(_AU_WIN)]
+
+
+#: bounded FIFO cache of per-cluster window levels — 57 md5 digests per
+#: CLUSTER, not per doc (the image fixture's base_cache rationale; the
+#: perturbation above copies before mutating)
+_AU_LEVEL_CACHE: dict[int, tuple[int, ...]] = {}
+
+
+def _audio_cluster_levels(g: int) -> tuple[int, ...]:
+    levels = _AU_LEVEL_CACHE.get(g)
+    if levels is None:
+        if len(_AU_LEVEL_CACHE) >= 8:
+            _AU_LEVEL_CACHE.pop(next(iter(_AU_LEVEL_CACHE)))
+        levels = _AU_LEVEL_CACHE[g] = tuple(
+            int(hashlib.md5(f"au|{g}|{w}".encode()).hexdigest()[:4], 16) % 32768
+            for w in range(_AU_WINDOWS)
+        )
+    return levels
 
 
 def _audio_neardup_fixture_batches(

@@ -472,6 +472,68 @@ def simhash64(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def banded_hamming_pairs(
+    fp: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    threshold: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 14,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Generic banded-hamming near-dup pairing over a slim
+    (id, <hash bigint>) table — ONE implementation behind
+    `simhash_hamming_pairs` (text), the image dHash gate, and the
+    audio energy-hash gate.  Candidates come from an EQUI-join on
+    ``n_bands`` x ``band_bits`` bit-bands; by pigeonhole, hamming <=
+    n_bands - 1 touches at most ``threshold`` bands so at least one is
+    untouched — recall is PERFECT for ``threshold <= n_bands - 1``
+    (asserted), including for hashes wider than the banded span
+    (a differing bit OUTSIDE every band touches zero bands) and for
+    sign-folded 64-bit values (arithmetic shiftright + mask reads the
+    same band bits).  Each candidate emits from its FIRST matching
+    band only — a free map-side filter computed from the two hashes,
+    never a pair-output-sized distinct — then the exact popcount
+    filter runs on candidates alone.
+
+    Returns (out_a, out_b, hamming:int) with out_a < out_b.
+    """
+    assert threshold <= n_bands - 1, "pigeonhole recall needs threshold <= n_bands - 1"
+    mask = (1 << band_bits) - 1
+    bands = fp.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright({hash_col}, {band_bits * j}) & {mask}")
+                    for j in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    left = bands.select(
+        F.col("__id").alias(out_a), F.col("__h").alias("__ha"), "band", "band_key"
+    )
+    right = bands.select(
+        F.col("__id").alias(out_b), F.col("__h").alias("__hb"), "band", "band_key"
+    )
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(__ha, {band_bits * j}) & {mask}) = "
+        f"(shiftright(__hb, {band_bits * j}) & {mask}) THEN {j}"
+        for j in range(n_bands)
+    ) + " END"
+    return (
+        left.join(right, on=["band", "band_key"])
+        .where(F.col(out_a) < F.col(out_b))
+        .where(F.col("band") == F.expr(first_band))
+        .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
+        .where(F.col("hamming") <= threshold)
+        .select(out_a, out_b, "hamming")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str,
@@ -494,45 +556,24 @@ def simhash_hamming_pairs(
     Scale shape: the self-join runs on (block, 8-bit value) keys over
     the signature table (one short row per doc, like the MinHash band
     join); verification is one integer op per candidate pair.  Output
-    (id_a < id_b, hamming), distinct.
+    (id_a < id_b, hamming) — each pair emitted exactly once via
+    `banded_hamming_pairs`' first-matching-band filter (the former
+    pair-output-sized distinct() is gone — review r07).
     """
-    assert max_hamming <= blocks - 1, "pigeonhole recall needs d <= blocks-1"
-    width = bits // blocks
-    mask = (1 << width) - 1
     sig = simhash64(df, text_col, id_col, k, bits)
-    banded = sig.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * width)
-                    .bitwiseAND(F.lit(mask))
-                    .cast("bigint")
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("block", "bval"),
+    pairs = banded_hamming_pairs(
+        sig,
+        "simhash",
+        id_col=id_col,
+        threshold=max_hamming,
+        n_bands=blocks,
+        band_bits=bits // blocks,
+        out_a="id_a",
+        out_b="id_b",
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "block", "bval"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "block", "bval"
-    )
-    return (
-        a.join(b, on=["block", "bval"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(
-                F.col("__sa").bitwiseXOR(F.col("__sb"))
-            ).cast("bigint").alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    # hamming as BIGINT: the gate's committed oracle schema predates
+    # the shared helper (which emits the natural int of bit_count)
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 def contamination_check(

@@ -952,64 +952,16 @@ def adpcm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio_features(generate_adpcm_fixture(docs))
 
 
-def _banded_hamming_pairs(
-    fp: DataFrame,
-    hash_col: str,
-    threshold: int = 3,
-    n_bands: int = 4,
-    band_bits: int = 14,
-) -> DataFrame:
-    """Shared banded-hamming pairing over a slim (doc_id, <hash>) table
-    (image dHash + audio energy-hash gates): candidates come from an
-    EQUI-join on n_bands x band_bits bands — pigeonhole: hamming <=
-    n_bands - 1 over the packed bits leaves at least one band
-    untouched, so every qualifying pair IS a candidate and the pair
-    space is bucket-bounded, never all-pairs.  Each candidate emits
-    from its FIRST matching band only (a free map-side filter computed
-    from the two fingerprints — no pair-output-sized distinct), then
-    the exact popcount filter runs on candidates alone.  Returns
-    (doc_a, doc_b, hamming)."""
-    mask = (1 << band_bits) - 1
-    bands = fp.select(
-        "doc_id",
-        F.col(hash_col).alias("__h"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"shiftright({hash_col}, {band_bits * j}) & {mask}")
-                    for j in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_key"),
+def _banded_hamming_pairs(fp: DataFrame, hash_col: str) -> DataFrame:
+    """Gate-side shim over the ONE banded-hamming implementation
+    (`operators/dedup.py::banded_hamming_pairs`, shared with
+    `simhash_hamming_pairs`): 4x14-bit bands, hamming <= 3,
+    (doc_a, doc_b, hamming) output."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_pairs,
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("__h").alias("__ha"),
-        "band",
-        "band_key",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("__h").alias("__hb"),
-        "band",
-        "band_key",
-    )
-    first_band = "CASE " + " ".join(
-        f"WHEN (shiftright(__ha, {band_bits * j}) & {mask}) = "
-        f"(shiftright(__hb, {band_bits * j}) & {mask}) THEN {j}"
-        for j in range(n_bands)
-    ) + " END"
-    cand = (
-        left.join(right, on=["band", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(F.col("band") == F.expr(first_band))
-        .select("doc_a", "doc_b", "__ha", "__hb")
-    )
-    return (
-        cand.withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
-        .where(F.col("hamming") <= threshold)
-        .select("doc_a", "doc_b", "hamming")
-    )
+
+    return banded_hamming_pairs(fp, hash_col)
 
 
 def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -587,3 +587,15 @@ def test_dhash_pairs_no_allpairs_join(spark, sf_dir):
     plan = _final_plan(image_dhash_neardup_pairs(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_audio_pairs_no_allpairs_join(spark, sf_dir):
+    """The audio fingerprint pair join must be the banded equi-join —
+    same contract as the image twin."""
+    from swisscourtrulingcorpus_spark.plans.extra_queries import (
+        audio_fingerprint_neardup_pairs,
+    )
+
+    plan = _final_plan(audio_fingerprint_neardup_pairs(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -252,3 +252,50 @@ def test_multitouch_credit_conservation(spark, sf_dir):
     )
     assert conversions > 0
     assert total_credit == conversions * 1_000_000
+
+
+def test_audio_fingerprint_edges(spark):
+    """Null/undecodable payloads fingerprint to NULL; a stereo clip
+    de-interleaves to channel 0; a flat clip hashes to 0; identical
+    clips hash identically through the real encode->decode round
+    trip; the pigeonhole guard rejects an over-threshold call."""
+    import pytest
+
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _AU_WIN,
+        _AU_WINDOWS,
+        audio_energy_fingerprints,
+    )
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    n = _AU_WINDOWS * _AU_WIN
+    rising = [((i // _AU_WIN) * 13) % 32000 for i in range(n)]
+    flat = [100] * n
+    # stereo: channel 0 = rising, channel 1 = junk that would flip
+    # bits if the de-interleave were wrong
+    stereo = []
+    for i in range(n):
+        stereo += [rising[i], (31_000 - rising[i]) % 32000]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(8000, 1, rising))),
+            (2, bytearray(encode_wav(8000, 1, rising))),
+            (3, bytearray(encode_wav(8000, 1, flat))),
+            (4, bytearray(encode_wav(8000, 2, stereo))),
+            (5, bytearray(b"junk")),
+            (6, None),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    got = {r["doc_id"]: r["ahash"] for r in audio_energy_fingerprints(media).collect()}
+    assert got[1] == got[2] and got[1] > 0
+    assert got[3] == 0
+    assert got[4] == got[1]  # stereo channel-0 == the mono clip
+    assert got[5] is None and got[6] is None
+
+    fp = audio_energy_fingerprints(media).where("ahash IS NOT NULL")
+    with pytest.raises(AssertionError, match="pigeonhole"):
+        banded_hamming_pairs(fp, "ahash", threshold=5, n_bands=4)
