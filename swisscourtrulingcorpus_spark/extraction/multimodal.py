@@ -1431,6 +1431,106 @@ def audio_energy_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_audio_fp_batches, AUDIO_FP_SCHEMA)
 
 
+#: video near-dup fixture geometry: 57 frames of 4x3 RGB -> 56
+#: adjacent-frame brightness comparison bits
+_VI_FRAMES, _VI_W, _VI_H = 57, 4, 3
+
+_VI_LEVEL_CACHE: dict[int, tuple[int, ...]] = {}
+
+
+def _video_cluster_levels(g: int) -> tuple[int, ...]:
+    levels = _VI_LEVEL_CACHE.get(g)
+    if levels is None:
+        if len(_VI_LEVEL_CACHE) >= 8:
+            _VI_LEVEL_CACHE.pop(next(iter(_VI_LEVEL_CACHE)))
+        levels = _VI_LEVEL_CACHE[g] = tuple(
+            int(hashlib.md5(f"vi|{g}|{f}".encode()).hexdigest()[:2], 16)
+            for f in range(_VI_FRAMES)
+        )
+    return levels
+
+
+def _video_neardup_fixture_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi
+
+    for pdf in batches:
+        payloads = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            levels = list(_video_cluster_levels(d // 32))
+            # k = d % 4 doc-unique FRAMES brightened by +96 (wrapping)
+            for m in range(d % 4):
+                f = (d * 7 + 11 * m) % _VI_FRAMES
+                levels[f] = (levels[f] + 96) % 256
+            frames = [
+                bytes([v] * (_VI_W * _VI_H * 3)) for v in levels
+            ]
+            payloads.append(encode_avi(_VI_W, _VI_H, frames, us_per_frame=40000))
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_video_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic 57-frame AVI corpus with BUILT-IN near-dup
+    structure (the video member of the image/audio fixture family):
+    md5-per-frame brightness levels shared by 32-doc clusters, 0-3
+    doc-unique brightened frames — temporal-envelope entropy comes from
+    the seed, pair volume stays linear, and the oracle recomputes every
+    level, bit, and pair from arithmetic alone."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _video_neardup_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+VIDEO_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("vhash", LongType()),
+    ]
+)
+
+
+def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from swisscourtrulingcorpus_spark.extraction.videocodec import (
+        UnsupportedVideoError,
+        decode_avi,
+    )
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                rows.append({"doc_id": doc_id, "vhash": None})
+                continue
+            try:
+                _, _, _, frames = decode_avi(bytes(payload))
+            except UnsupportedVideoError:
+                rows.append({"doc_id": doc_id, "vhash": None})
+                continue
+            # temporal brightness-envelope hash: bit(f) = brightness of
+            # frame f+1 > frame f, over the leading 57 frames
+            bright = [sum(fr) for fr in frames[:_VI_FRAMES]]
+            hv = 0
+            for j in range(min(len(bright) - 1, 56)):
+                if bright[j + 1] > bright[j]:
+                    hv |= 1 << j
+            rows.append({"doc_id": doc_id, "vhash": hv})
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def video_brightness_fingerprints(media: DataFrame) -> DataFrame:
+    """Perceptual video fingerprint over REAL decoded frames
+    (`extraction/videocodec.py`): the temporal brightness-envelope
+    difference hash — one slim (doc_id, vhash bigint) row per clip,
+    map-side; payloads never shuffle.  Same pairing contract as the
+    image/audio fingerprints (`operators/dedup.py::
+    banded_hamming_pairs`)."""
+    return media.mapInPandas(_video_fp_batches, VIDEO_FP_SCHEMA)
+
+
 def _adpcm_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     from swisscourtrulingcorpus_spark.extraction.audiocodec import (
         encode_wav_adpcm,

@@ -1038,6 +1038,56 @@ def audio_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return _banded_hamming_pairs(fp, "ahash")
 
 
+def video_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate VIDEO detection end-to-end: real AVI
+    decode -> temporal brightness-envelope hash
+    (`extraction/multimodal.py::video_brightness_fingerprints`) -> the
+    shared `banded_hamming_pairs` join — multimodal dedup now covers
+    all four modalities (text MinHash/SimHash, image dHash, audio
+    energy envelope, video temporal envelope).  The oracle recomputes
+    every brightness level, hash bit and ALL pairs from arithmetic."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_video_neardup_fixture,
+        video_brightness_fingerprints,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = video_brightness_fingerprints(
+        generate_video_neardup_fixture(docs)
+    ).where(F.col("vhash").isNotNull())
+    return _banded_hamming_pairs(fp, "vhash")
+
+
+VIDEO_FP_ORACLE = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+base AS (
+  SELECT d, f.f,
+         CAST(('0x' || substr(md5('vi|' || (d // 32) || '|' || f.f), 1, 2))::UBIGINT AS BIGINT) AS v
+  FROM ids, unnest(generate_series(0, 56)) AS f(f)),
+pert AS (
+  SELECT d, (d * 7 + 11 * m) % 57 AS f
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS m
+        FROM ids WHERE d % 4 > 0)),
+-- frame brightness = 36 * v (flat 4x3 RGB frames); adjacent
+-- comparisons are therefore comparisons of v directly
+env AS (
+  SELECT b.d, b.f,
+         CASE WHEN p.f IS NOT NULL THEN (b.v + 96) % 256 ELSE b.v END AS v
+  FROM base b LEFT JOIN pert p ON p.d = b.d AND p.f = b.f),
+bits AS (
+  SELECT a.d, a.f AS j, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM env a JOIN env b ON b.d = a.d AND b.f = a.f + 1
+  WHERE a.f < 56),
+fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS vhash
+  FROM bits GROUP BY d)
+SELECT a.d AS doc_a, b.d AS doc_b,
+       CAST(bit_count(xor(a.vhash, b.vhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.d < b.d
+WHERE bit_count(xor(a.vhash, b.vhash)) <= 3
+"""
+
+
 AUDIO_FP_ORACLE = """
 WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
 base AS (
@@ -1175,6 +1225,7 @@ SPECS = [
     QuerySpec("adpcm_decode_stats", adpcm_decode_stats, ADPCM_DECODE_ORACLE, "stateful IMA ADPCM block decode vs recursive-CTE recurrence oracle"),
     QuerySpec("image_dhash_neardup_pairs", image_dhash_neardup_pairs, IMAGE_DHASH_ORACLE, "perceptual dHash near-dup images: real decode, banded hamming join"),
     QuerySpec("audio_fingerprint_neardup_pairs", audio_fingerprint_neardup_pairs, AUDIO_FP_ORACLE, "perceptual near-dup audio: real PCM decode, energy-envelope hash"),
+    QuerySpec("video_fingerprint_neardup_pairs", video_fingerprint_neardup_pairs, VIDEO_FP_ORACLE, "perceptual near-dup video: real AVI decode, temporal brightness envelope"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -117,6 +117,7 @@ QUERIES = [
     ("wordpiece_token_counts", "apply-tokenizer: broadcast segmentation join, corpus one explode"),
     ("multitouch_attribution_events", "user-key equi-join + per-(user,purchase) windows, 8-cell report"),
     ("audio_fingerprint_neardup_pairs", "map-side decode+energy hash; shared banded hamming join"),
+    ("video_fingerprint_neardup_pairs", "map-side AVI decode+temporal hash; shared banded hamming join"),
 ]
 
 
