@@ -299,3 +299,41 @@ def test_audio_fingerprint_edges(spark):
     fp = audio_energy_fingerprints(media).where("ahash IS NOT NULL")
     with pytest.raises(AssertionError, match="pigeonhole"):
         banded_hamming_pairs(fp, "ahash", threshold=5, n_bands=4)
+
+
+def test_video_fingerprint_edges(spark):
+    """Null/undecodable payloads -> NULL vhash; flat-brightness clips
+    hash to 0; identical clips hash identically through the real AVI
+    encode->decode round trip; a short clip (< 57 frames) still
+    fingerprints from the frames it has."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _VI_FRAMES,
+        _VI_H,
+        _VI_W,
+        video_brightness_fingerprints,
+    )
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi
+
+    npx = _VI_W * _VI_H * 3
+    rising = [bytes([(f * 4) % 250] * npx) for f in range(_VI_FRAMES)]
+    flat = [bytes([77] * npx)] * _VI_FRAMES
+    short = [bytes([f * 50] * npx) for f in range(3)]
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(encode_avi(_VI_W, _VI_H, rising))),
+            (2, bytearray(encode_avi(_VI_W, _VI_H, rising))),
+            (3, bytearray(encode_avi(_VI_W, _VI_H, flat))),
+            (4, bytearray(encode_avi(_VI_W, _VI_H, short))),
+            (5, bytearray(b"junk")),
+            (6, None),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    got = {
+        r["doc_id"]: r["vhash"]
+        for r in video_brightness_fingerprints(media).collect()
+    }
+    assert got[1] == got[2] and got[1] > 0
+    assert got[3] == 0
+    assert got[4] == 0b11  # 3 rising frames -> bits 0 and 1 set
+    assert got[5] is None and got[6] is None
