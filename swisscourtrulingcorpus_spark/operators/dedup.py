@@ -487,8 +487,9 @@ def banded_hamming_pairs(
     `simhash_hamming_pairs` (text), the image dHash gate, and the
     audio energy-hash gate.  Candidates come from an EQUI-join on
     ``n_bands`` x ``band_bits`` bit-bands; by pigeonhole, hamming <=
-    n_bands - 1 touches at most ``threshold`` bands so at least one is
-    untouched — recall is PERFECT for ``threshold <= n_bands - 1``
+    ``threshold`` differing bits touch at most ``threshold`` bands, so
+    with ``threshold <= n_bands - 1`` at least one band is untouched —
+    recall is PERFECT for ``threshold <= n_bands - 1``
     (asserted), including for hashes wider than the banded span
     (a differing bit OUTSIDE every band touches zero bands) and for
     sign-folded 64-bit values (arithmetic shiftright + mask reads the

@@ -435,6 +435,7 @@ def k_core(
         )
     raise RuntimeError(
         f"k_core(k={k}) did not converge within {max_rounds} rounds — "
-        f"{n_prev} nodes still peeling; raise max_rounds (peeling depth "
-        "exceeds the cap; silent partial cores are never returned)"
+        f"{n_now} nodes still surviving (not yet confirmed as a core); "
+        "raise max_rounds (peeling depth exceeds the cap; silent "
+        "partial cores are never returned)"
     )

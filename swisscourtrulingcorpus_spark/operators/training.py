@@ -616,7 +616,10 @@ def priority_sample(
     TakeOrderedAndProject — every partition forwards at most k+1 rows,
     no global sort — and the final rank window runs over exactly k+1
     rows in one task by construction.  Rows with w <= 0 can never be
-    sampled (q = 0) and are excluded up front.
+    sampled (q = 0) and are excluded up front.  Weights so large that
+    q = w*2^32 div (h+1) exceeds int64 (w div (h+1) >= 2^31) raise
+    loudly via ``raise_error`` instead of wrapping silently under
+    non-ANSI Spark while the DuckDB oracle errors (ADVICE r07).
 
     Returns k+1 rows: (id, weight, q_scaled, rank, is_sample) with
     is_sample = 1 for ranks 1..k and 0 for the threshold row."""
@@ -646,10 +649,21 @@ def priority_sample(
         .select(
             id_col,
             "weight",
+            # Guard (ADVICE r07): the staged form is exact exactly while
+            # the true quotient q fits int64, i.e. (weight div __den)
+            # < 2^31 (then term1 <= 2^63-2^32, term2 <= 2^32-2^16,
+            # term3 <= 2^16-1: sum <= 2^63-1, no wrap).  Past that the
+            # first product would wrap SILENTLY under non-ANSI Spark
+            # while DuckDB errors — raise loudly on both engines
+            # instead of diverging.
             F.expr(
-                "(weight div __den) * 4294967296"
+                "CASE WHEN (weight div __den) < 2147483648 THEN"
+                " (weight div __den) * 4294967296"
                 " + (((weight % __den) * 65536) div __den) * 65536"
                 " + ((((weight % __den) * 65536) % __den) * 65536) div __den"
+                " ELSE raise_error('priority_sample: weight*2^32 div (h32+1)"
+                " exceeds int64; rescale weights below 2^31 * min(h32+1)')"
+                " END"
             ).alias("q_scaled"),
         )
     )

@@ -116,10 +116,14 @@ def test_full_sweep_artifact_current_and_green():
     driver window, steady-state staleness is 5 rounds, so every round
     must commit a FULL-registry sweep artifact (SWEEP_r{N}.json from
     `python tools/driver_sim.py --sweep`) as driver-facing evidence for
-    the gates outside the window.  Current = the sweep's round is the
-    round being built (one past the newest committed CORRECTNESS file);
-    complete = it covers every registered gate; green = every row
-    hash-matched with no error."""
+    the gates outside the window.  Current = the sweep's round is AT
+    LEAST the newest committed CORRECTNESS round: while round N is in
+    progress the newest CORRECTNESS file is r{N-1} and the sweep must
+    be r{N}, but the driver stamps CORRECTNESS_r{N}.json AFTER the
+    session closes, so at judge time sweep == correctness == N is the
+    legitimate end-of-round state (the r07 judge-time false red —
+    VERDICT r07 item 1).  Complete = it covers every registered gate;
+    green = every row hash-matched with no error."""
     import glob
     import json
     import os
@@ -137,11 +141,11 @@ def test_full_sweep_artifact_current_and_green():
         for p in glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
         if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
     ]
-    building = (max(correctness_rounds) if correctness_rounds else 0) + 1
+    newest_corr = max(correctness_rounds) if correctness_rounds else 0
     newest = max(sweeps)
-    assert newest >= building, (
-        f"latest sweep is r{newest:02d} but round r{building:02d} is being "
-        f"built — re-run tools/driver_sim.py --sweep"
+    assert newest >= newest_corr, (
+        f"latest sweep is r{newest:02d} but CORRECTNESS_r{newest_corr:02d}"
+        ".json is already committed — re-run tools/driver_sim.py --sweep"
     )
     with open(sweeps[newest]) as f:
         rows = json.load(f)

@@ -77,3 +77,30 @@ def test_priority_sample_staged_division_no_int64_wrap(spark):
         assert got[i] == expect, (i, w, got[i], expect)
         assert got[i] > 0
 
+
+def test_priority_sample_overflowing_quotient_raises_loudly(spark):
+    """ADVICE r07: when the true quotient q = w*2^32 div (h+1) itself
+    exceeds int64 (w div (h+1) >= 2^31 — a huge weight meeting a tiny
+    hash), the staged form's first product would wrap SILENTLY under
+    non-ANSI Spark while the DuckDB oracle errors.  The operator must
+    raise on both engines instead of diverging."""
+    import hashlib
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.training import priority_sample
+
+    # pick the id whose hash is smallest among a small probe set, then
+    # construct a weight guaranteed to overflow: w = (h+1) * 2^31
+    probe = {
+        i: int(hashlib.md5(f"psamp|{i}".encode()).hexdigest()[:8], 16)
+        for i in range(32)
+    }
+    i_min, h_min = min(probe.items(), key=lambda t: t[1])
+    w_bad = (h_min + 1) * (2**31)
+    assert w_bad < 2**63  # representable input, unrepresentable quotient
+    df = spark.createDataFrame([(i_min, w_bad)], "id: long, w: long")
+    with pytest.raises(Exception, match="priority_sample.*exceeds int64"):
+        priority_sample(df, F.col("w"), "id", k=1).collect()
+

@@ -149,7 +149,28 @@ def main() -> int:
             print(f"{name}: ERROR {type(e).__name__}: {e}")
     if sweep_out is not None:
         import json
+        import subprocess
+        import time
 
+        # Per-gate provenance stamp (ADVICE r07: a merged sweep's
+        # un-rerun rows keep results from an older code state — make
+        # that visible instead of implicit): every row RUN by this
+        # invocation records the commit + wall time it ran at; merged
+        # rows keep their original stamps, so a reader can tell exactly
+        # which code state produced each row.
+        try:
+            head = subprocess.run(
+                ["git", "-C", repo_root, "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or None
+        except Exception:
+            head = None
+        stamp = {
+            "commit": head,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        for row in records.values():
+            row["swept_at"] = stamp
         # --sweep --only name1,...: merge the re-run gates into the
         # existing artifact (adding a gate mid-round must not force a
         # full 207-gate re-run to keep the sweep-coverage test green);
