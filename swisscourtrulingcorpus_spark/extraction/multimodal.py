@@ -1259,41 +1259,46 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _dhash_value(payload: bytes) -> int | None:
+    """dHash of one decoded image payload, or None if undecodable.
+
+    Gradient hash over the native grid (channel-0 intensity):
+    bit(r, c) = px[r][c+1] > px[r][c], packed at r*8 + c over the
+    top-left 8x(8+1) window -> <= 64 comparisons.  The 9x7 gate
+    fixture yields 56 bits; a full 8-row/9+-wide image can set bit 63,
+    so fold to SIGNED two's complement before emitting — an unfolded
+    2^63 doesn't fit the declared LongType and crashes the Arrow batch
+    (review r07).  XOR/bit_count downstream are sign-agnostic."""
     from swisscourtrulingcorpus_spark.extraction.imagecodec import (
         UnsupportedImageError,
         decode_image,
     )
 
+    try:
+        w, h, ch, pix = decode_image(payload)
+    except UnsupportedImageError:
+        return None
+    hv = 0
+    for r in range(min(h, 8)):
+        for c in range(min(w - 1, 8)):
+            a = pix[(r * w + c) * ch]
+            b = pix[(r * w + c + 1) * ch]
+            if b > a:
+                hv |= 1 << (r * 8 + c)
+    if hv >= 1 << 63:
+        hv -= 1 << 64
+    return hv
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if payload is None:
-                rows.append({"doc_id": doc_id, "dhash": None})
-                continue
-            try:
-                w, h, ch, pix = decode_image(bytes(payload))
-            except UnsupportedImageError:
-                rows.append({"doc_id": doc_id, "dhash": None})
-                continue
-            hv = 0
-            # gradient hash over the native grid (channel-0 intensity):
-            # bit(r, c) = px[r][c+1] > px[r][c], packed at r*8 + c over
-            # the top-left 8x(8+1) window -> <= 64 comparisons.  The
-            # 9x7 gate fixture yields 56 bits; a full 8-row/9+-wide
-            # image can set bit 63, so fold to SIGNED two's complement
-            # before emitting — an unfolded 2^63 doesn't fit the
-            # declared LongType and crashes the Arrow batch (review
-            # r07).  XOR/bit_count downstream are sign-agnostic.
-            for r in range(min(h, 8)):
-                for c in range(min(w - 1, 8)):
-                    a = pix[(r * w + c) * ch]
-                    b = pix[(r * w + c + 1) * ch]
-                    if b > a:
-                        hv |= 1 << (r * 8 + c)
-            if hv >= 1 << 63:
-                hv -= 1 << 64
-            rows.append({"doc_id": doc_id, "dhash": hv})
+        rows = [
+            {
+                "doc_id": doc_id,
+                "dhash": None if payload is None else _dhash_value(bytes(payload)),
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
         if rows:
             yield pd.DataFrame(rows)
 
@@ -1384,40 +1389,45 @@ AUDIO_FP_SCHEMA = StructType(
 )
 
 
-def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _ahash_value(payload: bytes) -> int | None:
+    """Energy-envelope difference hash of one WAV payload, or None if
+    undecodable (channel-interleave-agnostic for mono; bounded to the
+    leading 57 windows): bit(j) = energy(window j+1) > energy(window
+    j)."""
     from swisscourtrulingcorpus_spark.extraction.audiocodec import (
         UnsupportedAudioError,
         decode_wav,
     )
 
+    try:
+        _, ch, _, samples = decode_wav(payload)
+    except UnsupportedAudioError:
+        return None
+    mono = samples[::ch] if ch > 1 else samples
+    energies = []
+    for w in range(_AU_WINDOWS):
+        seg = mono[w * _AU_WIN : (w + 1) * _AU_WIN]
+        if len(seg) < _AU_WIN:
+            break
+        energies.append(sum(abs(s) for s in seg))
+    hv = 0
+    for j in range(len(energies) - 1):
+        if j >= 63:
+            break
+        if energies[j + 1] > energies[j]:
+            hv |= 1 << j
+    return hv
+
+
+def _audio_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if payload is None:
-                rows.append({"doc_id": doc_id, "ahash": None})
-                continue
-            try:
-                _, ch, _, samples = decode_wav(bytes(payload))
-            except UnsupportedAudioError:
-                rows.append({"doc_id": doc_id, "ahash": None})
-                continue
-            # energy-envelope difference hash (channel-interleave-
-            # agnostic for mono; bounded to the leading 57 windows):
-            # bit(j) = energy(window j+1) > energy(window j)
-            mono = samples[::ch] if ch > 1 else samples
-            energies = []
-            for w in range(_AU_WINDOWS):
-                seg = mono[w * _AU_WIN : (w + 1) * _AU_WIN]
-                if len(seg) < _AU_WIN:
-                    break
-                energies.append(sum(abs(s) for s in seg))
-            hv = 0
-            for j in range(len(energies) - 1):
-                if j >= 63:
-                    break
-                if energies[j + 1] > energies[j]:
-                    hv |= 1 << j
-            rows.append({"doc_id": doc_id, "ahash": hv})
+        rows = [
+            {
+                "doc_id": doc_id,
+                "ahash": None if payload is None else _ahash_value(bytes(payload)),
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
         if rows:
             yield pd.DataFrame(rows)
 
@@ -1492,31 +1502,36 @@ VIDEO_FP_SCHEMA = StructType(
 )
 
 
-def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _vhash_value(payload: bytes) -> int | None:
+    """Temporal brightness-envelope hash of one AVI payload, or None if
+    undecodable: bit(f) = brightness of frame f+1 > frame f, over the
+    leading 57 frames."""
     from swisscourtrulingcorpus_spark.extraction.videocodec import (
         UnsupportedVideoError,
         decode_avi,
     )
 
+    try:
+        _, _, _, frames = decode_avi(payload)
+    except UnsupportedVideoError:
+        return None
+    bright = [sum(fr) for fr in frames[:_VI_FRAMES]]
+    hv = 0
+    for j in range(min(len(bright) - 1, 56)):
+        if bright[j + 1] > bright[j]:
+            hv |= 1 << j
+    return hv
+
+
+def _video_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            if payload is None:
-                rows.append({"doc_id": doc_id, "vhash": None})
-                continue
-            try:
-                _, _, _, frames = decode_avi(bytes(payload))
-            except UnsupportedVideoError:
-                rows.append({"doc_id": doc_id, "vhash": None})
-                continue
-            # temporal brightness-envelope hash: bit(f) = brightness of
-            # frame f+1 > frame f, over the leading 57 frames
-            bright = [sum(fr) for fr in frames[:_VI_FRAMES]]
-            hv = 0
-            for j in range(min(len(bright) - 1, 56)):
-                if bright[j + 1] > bright[j]:
-                    hv |= 1 << j
-            rows.append({"doc_id": doc_id, "vhash": hv})
+        rows = [
+            {
+                "doc_id": doc_id,
+                "vhash": None if payload is None else _vhash_value(bytes(payload)),
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+        ]
         if rows:
             yield pd.DataFrame(rows)
 
