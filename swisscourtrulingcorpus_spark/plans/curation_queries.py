@@ -281,22 +281,14 @@ SPECS += [
 ]
 
 
-def kcore_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core decomposition (`operators/graph.py::k_core`) over a
-    CONSTRUCTED graph with a provable core (the `cc_bigstar` fixture
-    strategy): doc ids partition into 8-id blocks; block b carries a
-    clique over its first s = (b % 5) + 2 members (sizes 2..6), plus a
-    PENDANT node (r = 6) wired to the clique's first two members.
-    Peeling must cascade — the pendant dies first (degree 2), which
-    drops a 3-clique's entry nodes to degree 2 the NEXT round, which
-    kills the block entirely — so the provable 3-core is exactly the
-    cliques of actual size >= 4, each member with core degree
-    s_actual - 1.  The oracle computes that closed form from block
-    arithmetic (robust to a truncated final block: edges require both
-    endpoints present, so the oracle counts ACTUAL members)."""
-    from swisscourtrulingcorpus_spark.operators.graph import k_core
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+def _clique_pendant_pairs(docs: DataFrame) -> DataFrame:
+    """The provable-core citation-graph fixture shared by the k-core
+    and coreness gates (the `cc_bigstar` fixture strategy): doc ids
+    partition into 8-id blocks; block b carries a clique over its
+    first s = (b % 5) + 2 members (sizes 2..6), plus a PENDANT node
+    (r = 6) wired to the clique's first two members.  Edges require
+    both endpoints present, so a truncated final block degrades to its
+    ACTUAL member clique and both oracles stay closed-form."""
     d = F.col("doc_id")
     m = docs.select(
         d.alias("id"),
@@ -318,7 +310,22 @@ def kcore_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(members.where(F.col("r") <= 1), on="b")
         .select("id_a", F.col("id").alias("id_b"))
     )
-    return k_core(clique.unionByName(pendant), k=3)
+    return clique.unionByName(pendant)
+
+
+def kcore_citation_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition (`operators/graph.py::k_core`) over the
+    CONSTRUCTED clique+pendant block graph (`_clique_pendant_pairs`).
+    Peeling must cascade — the pendant dies first (degree 2), which
+    drops a 3-clique's entry nodes to degree 2 the NEXT round, which
+    kills the block entirely — so the provable 3-core is exactly the
+    cliques of actual size >= 4, each member with core degree
+    s_actual - 1.  The oracle computes that closed form from block
+    arithmetic."""
+    from swisscourtrulingcorpus_spark.operators.graph import k_core
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return k_core(_clique_pendant_pairs(docs), k=3)
 
 
 KCORE_ORACLE = """
@@ -338,6 +345,64 @@ SPECS += [
         kcore_citation_clusters,
         KCORE_ORACLE,
         "fixed-k core peeling vs provable clique+pendant block structure",
+    ),
+]
+
+
+def coreness_citation_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL coreness decomposition (`operators/graph.py::coreness`,
+    h-index iteration) over the same clique+pendant block graph the
+    fixed-k gate peels (`_clique_pendant_pairs`) — the per-node max-k
+    value VERDICT r07 item 5 names as the missing general form (the
+    curation story ranks documents by citation-cluster density, which
+    needs every node's value, not membership at one fixed k).  The
+    fixture's coreness has a closed form the oracle computes from
+    block arithmetic alone: a size-s clique's members sit at coreness
+    s - 1; the degree-2 pendant sits at 2 (it forms a triangle with
+    the clique's first two members), EXCEPT the s = 2 blocks where
+    clique + pendant IS a triangle and all three nodes sit at 2 — so
+    a converged-too-early h-index (pendants stuck at raw degree) or a
+    peel that forgets the triangle lift both hash-mismatch.  Truncated
+    final block: members degrade to the actual-size clique; a pendant
+    is only present when its whole block is (ids are contiguous), but
+    the oracle still derives its value from the members it can reach."""
+    from swisscourtrulingcorpus_spark.operators.graph import coreness
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return coreness(_clique_pendant_pairs(docs), max_rounds=8)
+
+
+CORENESS_ORACLE = """
+WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+blk AS (SELECT d, d // 8 AS b, d % 8 AS r, (d // 8) % 5 + 2 AS s FROM ids),
+members AS (SELECT d, b, r FROM blk WHERE r < s),
+pend AS (SELECT d, b FROM blk WHERE r = 6),
+sz AS (SELECT b, count(*) AS s_actual,
+              sum(CASE WHEN r <= 1 THEN 1 ELSE 0 END) AS m01
+       FROM members GROUP BY b),
+mem_core AS (
+  SELECT m.d AS node,
+         CASE WHEN z.s_actual = 2 AND p.d IS NOT NULL AND z.m01 = 2 THEN 2
+              WHEN z.s_actual >= 2 THEN z.s_actual - 1
+              WHEN z.s_actual = 1 AND p.d IS NOT NULL AND z.m01 = 1 THEN 1
+              END AS coreness
+  FROM members m JOIN sz z USING (b) LEFT JOIN pend p USING (b)),
+pend_core AS (
+  SELECT p.d AS node,
+         CASE WHEN z.m01 >= 2 THEN 2 WHEN z.m01 = 1 THEN 1 END AS coreness
+  FROM pend p JOIN sz z USING (b))
+SELECT node, CAST(coreness AS BIGINT) AS coreness
+FROM (SELECT * FROM mem_core UNION ALL SELECT * FROM pend_core)
+WHERE coreness IS NOT NULL
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "coreness_citation_nodes",
+        coreness_citation_nodes,
+        CORENESS_ORACLE,
+        "h-index coreness decomposition vs closed-form block values",
     ),
 ]
 
