@@ -1176,64 +1176,67 @@ def _g711_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
 
+# small BOUNDED cache: 63 md5 digests per CLUSTER, not per doc
+# (~30x fixture CPU at scale).  doc_ids are usually contiguous
+# within a partition (one live cluster), but an upstream
+# repartition can interleave them — a handful of FIFO slots stays
+# robust to interleaving at negligible memory, where an unbounded
+# dict retained one grid per cluster for the partition's lifetime
+# and a single slot silently fell back to per-row recompute
+# (review r07 follow-ups).
+_IM_GRID_CACHE: dict[int, list[list[int]]] = {}
+
+
+def _image_base_grid(g: int) -> list[list[int]]:
+    grid = _IM_GRID_CACHE.get(g)
+    if grid is None:
+        if len(_IM_GRID_CACHE) >= 8:
+            _IM_GRID_CACHE.pop(next(iter(_IM_GRID_CACHE)))
+        grid = _IM_GRID_CACHE[g] = [
+            [
+                int(
+                    hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
+                    16,
+                )
+                for x in range(9)
+            ]
+            for y in range(7)
+        ]
+    return grid
+
+
+def _image_neardup_payload(d: int) -> bytes:
+    """One 9x7 grayscale BMP of the near-dup corpus: md5 base grid
+    shared by 32-doc clusters, k = d % 4 doc-unique pixel
+    perturbations.  Bounded-SIZE clusters keep near-dup pair volume
+    LINEAR in corpus size — cluster count grows with the corpus — and
+    pseudorandom patterns make cross-cluster hamming ~ Binomial(56,
+    1/2), accidental <= 3 collisions ~2^-40 per pair.  (The first cut
+    used 16 FIXED patterns: dup-cluster size then grows with the
+    corpus and pair output goes QUADRATIC — 121M pairs at the 10x
+    scale run.  Fixture bug, not operator bug.)"""
+    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
+
+    vals = [row[:] for row in _image_base_grid(d // 32)]
+    # k=0 docs are EXACT pixel dups of their cluster base, k=1..3
+    # drift <= 2 hash bits per flipped pixel
+    for j in range(d % 4):
+        p = (d * 13 + 29 * j) % 63
+        y, x = divmod(p, 9)
+        vals[y][x] = (vals[y][x] + 96 + 17 * j) % 256
+    px = bytearray()
+    for y in range(7):
+        for x in range(9):
+            v = vals[y][x]
+            px += bytes((v, v, v))
+    return encode_bmp24(9, 7, bytes(px))
+
+
 def _image_neardup_fixture_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from swisscourtrulingcorpus_spark.extraction.imagecodec import encode_bmp24
-
-    # small BOUNDED cache: 63 md5 digests per CLUSTER, not per doc
-    # (~30x fixture CPU at scale).  doc_ids are usually contiguous
-    # within a partition (one live cluster), but an upstream
-    # repartition can interleave them — a handful of FIFO slots stays
-    # robust to interleaving at negligible memory, where an unbounded
-    # dict retained one grid per cluster for the partition's lifetime
-    # and a single slot silently fell back to per-row recompute
-    # (review r07 follow-ups).
-    base_cache: dict[int, list[list[int]]] = {}
-
-    def base_grid(g: int) -> list[list[int]]:
-        grid = base_cache.get(g)
-        if grid is None:
-            if len(base_cache) >= 8:
-                base_cache.pop(next(iter(base_cache)))
-            grid = base_cache[g] = [
-                [
-                    int(
-                        hashlib.md5(f"dh|{g}|{x}|{y}".encode()).hexdigest()[:2],
-                        16,
-                    )
-                    for x in range(9)
-                ]
-                for y in range(7)
-            ]
-        return grid
-
     for pdf in batches:
-        payloads = []
-        for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            # bounded-SIZE clusters (32 docs per base pattern), md5
-            # pixels: cluster count grows WITH the corpus so near-dup
-            # pair volume stays linear, and pseudorandom patterns make
-            # cross-cluster hamming ~ Binomial(56, 1/2) — accidental
-            # <= 3 collisions are ~2^-40 per pair.  (The first cut used
-            # 16 FIXED patterns: dup-cluster size then grows with the
-            # corpus and pair output goes QUADRATIC — 121M pairs at the
-            # 10x scale run.  Fixture bug, not operator bug.)
-            vals = [row[:] for row in base_grid(d // 32)]
-            # k = d % 4 pixel perturbations at doc-unique positions:
-            # k=0 docs are EXACT pixel dups of their cluster base,
-            # k=1..3 drift <= 2 hash bits per flipped pixel
-            for j in range(d % 4):
-                p = (d * 13 + 29 * j) % 63
-                y, x = divmod(p, 9)
-                vals[y][x] = (vals[y][x] + 96 + 17 * j) % 256
-            px = bytearray()
-            for y in range(7):
-                for x in range(9):
-                    v = vals[y][x]
-                    px += bytes((v, v, v))
-            payloads.append(encode_bmp24(9, 7, bytes(px)))
+        payloads = [_image_neardup_payload(int(d)) for d in pdf["doc_id"]]
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1355,16 +1358,18 @@ def _audio_cluster_levels(g: int) -> tuple[int, ...]:
     return levels
 
 
+def _audio_neardup_payload(d: int) -> bytes:
+    """One mono 16-bit PCM WAV of the audio near-dup corpus."""
+    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
+
+    return encode_wav(8000, 1, _audio_neardup_samples(d))
+
+
 def _audio_neardup_fixture_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from swisscourtrulingcorpus_spark.extraction.audiocodec import encode_wav
-
     for pdf in batches:
-        payloads = [
-            encode_wav(8000, 1, _audio_neardup_samples(int(d)))
-            for d in pdf["doc_id"]
-        ]
+        payloads = [_audio_neardup_payload(int(d)) for d in pdf["doc_id"]]
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1460,24 +1465,24 @@ def _video_cluster_levels(g: int) -> tuple[int, ...]:
     return levels
 
 
+def _video_neardup_payload(d: int) -> bytes:
+    """One 57-frame flat-brightness AVI of the video near-dup corpus."""
+    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi
+
+    levels = list(_video_cluster_levels(d // 32))
+    # k = d % 4 doc-unique FRAMES brightened by +96 (wrapping)
+    for m in range(d % 4):
+        f = (d * 7 + 11 * m) % _VI_FRAMES
+        levels[f] = (levels[f] + 96) % 256
+    frames = [bytes([v] * (_VI_W * _VI_H * 3)) for v in levels]
+    return encode_avi(_VI_W, _VI_H, frames, us_per_frame=40000)
+
+
 def _video_neardup_fixture_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
-    from swisscourtrulingcorpus_spark.extraction.videocodec import encode_avi
-
     for pdf in batches:
-        payloads = []
-        for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            levels = list(_video_cluster_levels(d // 32))
-            # k = d % 4 doc-unique FRAMES brightened by +96 (wrapping)
-            for m in range(d % 4):
-                f = (d * 7 + 11 * m) % _VI_FRAMES
-                levels[f] = (levels[f] + 96) % 256
-            frames = [
-                bytes([v] * (_VI_W * _VI_H * 3)) for v in levels
-            ]
-            payloads.append(encode_avi(_VI_W, _VI_H, frames, us_per_frame=40000))
+        payloads = [_video_neardup_payload(int(d)) for d in pdf["doc_id"]]
         if len(pdf):
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -1544,6 +1549,98 @@ def video_brightness_fingerprints(media: DataFrame) -> DataFrame:
     image/audio fingerprints (`operators/dedup.py::
     banded_hamming_pairs`)."""
     return media.mapInPandas(_video_fp_batches, VIDEO_FP_SCHEMA)
+
+
+def _media_neardup_payload(d: int) -> bytes:
+    """One payload of the HETEROGENEOUS near-dup corpus: doc d carries
+    its modality's near-dup fixture payload, modality = d % 3 (image
+    BMP / audio WAV / video AVI).  Within a modality the per-doc
+    formulas are the single-modality fixtures' verbatim — clusters are
+    d // 32, perturbations d % 4 — so each modality keeps its linear
+    near-dup structure and the unified oracle reuses the three
+    arithmetic fingerprint derivations with a d % 3 filter."""
+    m = d % 3
+    if m == 0:
+        return _image_neardup_payload(d)
+    if m == 1:
+        return _audio_neardup_payload(d)
+    return _video_neardup_payload(d)
+
+
+def _media_neardup_fixture_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = [_media_neardup_payload(int(d)) for d in pdf["doc_id"]]
+        if len(pdf):
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+
+def generate_media_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heterogeneous media corpus (ONE binary column, three formats
+    interleaved by doc_id % 3) with each modality's built-in near-dup
+    structure — the input shape a real 100 TB media lake presents:
+    you don't get a per-format table, you get a payload column and a
+    sniffer."""
+    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+        _media_neardup_fixture_batches, PAYLOAD_SCHEMA
+    )
+
+
+MEDIA_FP_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def media_fingerprint_rows(pairs) -> list[dict]:
+    """Sniff-and-fingerprint for an iterable of (doc_id, payload):
+    per-row format dispatch (the `route_media_features` sniff order)
+    to the matching perceptual hash — BMP/PNG/JPEG -> dHash, RIFF/WAVE
+    -> energy envelope, RIFF/AVI -> brightness envelope.  Shared by
+    the batch fingerprint router and the streaming registry job so
+    both paths compute identical (modality, fp) rows.  Unroutable or
+    undecodable payloads emit a null fingerprint under modality
+    'unknown' (one bad row never kills the scan)."""
+    rows = []
+    for doc_id, payload in pairs:
+        modality, fp = "unknown", None
+        if payload is not None:
+            p = bytes(payload)
+            if (
+                p[:2] == b"BM"
+                or p[:8] == b"\x89PNG\r\n\x1a\n"
+                or p[:2] == b"\xff\xd8"
+            ):
+                modality, fp = "image", _dhash_value(p)
+            elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                modality, fp = "audio", _ahash_value(p)
+            elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
+                modality, fp = "video", _vhash_value(p)
+            if fp is None:
+                modality = "unknown"
+        rows.append({"doc_id": doc_id, "modality": modality, "fp": fp})
+    return rows
+
+
+def _media_fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = media_fingerprint_rows(zip(pdf["doc_id"], pdf["payload"]))
+        if rows:
+            yield pd.DataFrame(rows)
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """Unified perceptual-fingerprint router over a heterogeneous
+    binary column: one map-side Arrow pass sniffs each payload and
+    computes its modality's hash (`_dhash_value` / `_ahash_value` /
+    `_vhash_value`) — payloads never shuffle; the output is one slim
+    (doc_id, modality, fp bigint) row per payload, ready for the
+    shared `banded_hamming_pairs` join grouped by modality."""
+    return media.mapInPandas(_media_fp_batches, MEDIA_FP_SCHEMA)
 
 
 def _adpcm_fixture_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

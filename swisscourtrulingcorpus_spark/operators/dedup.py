@@ -481,11 +481,16 @@ def banded_hamming_pairs(
     band_bits: int = 14,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic banded-hamming near-dup pairing over a slim
     (id, <hash bigint>) table — ONE implementation behind
     `simhash_hamming_pairs` (text), the image dHash gate, and the
-    audio energy-hash gate.  Candidates come from an EQUI-join on
+    audio energy-hash gate.  ``group_cols`` adds partition keys to the
+    band equi-join (e.g. modality over a heterogeneous media corpus):
+    pairs only form within a group, and because the columns ride the
+    SAME single join no second pass or post-filter is needed.
+    Candidates come from an EQUI-join on
     ``n_bands`` x ``band_bits`` bit-bands; by pigeonhole, hamming <=
     ``threshold`` differing bits touch at most ``threshold`` bands, so
     with ``threshold <= n_bands - 1`` at least one band is untouched —
@@ -502,7 +507,9 @@ def banded_hamming_pairs(
     """
     assert threshold <= n_bands - 1, "pigeonhole recall needs threshold <= n_bands - 1"
     mask = (1 << band_bits) - 1
+    grp = [F.col(c) for c in group_cols]
     bands = fp.select(
+        *grp,
         F.col(id_col).alias("__id"),
         F.col(hash_col).alias("__h"),
         F.posexplode(
@@ -515,10 +522,18 @@ def banded_hamming_pairs(
         ).alias("band", "band_key"),
     )
     left = bands.select(
-        F.col("__id").alias(out_a), F.col("__h").alias("__ha"), "band", "band_key"
+        *group_cols,
+        F.col("__id").alias(out_a),
+        F.col("__h").alias("__ha"),
+        "band",
+        "band_key",
     )
     right = bands.select(
-        F.col("__id").alias(out_b), F.col("__h").alias("__hb"), "band", "band_key"
+        *group_cols,
+        F.col("__id").alias(out_b),
+        F.col("__h").alias("__hb"),
+        "band",
+        "band_key",
     )
     first_band = "CASE " + " ".join(
         f"WHEN (shiftright(__ha, {band_bits * j}) & {mask}) = "
@@ -526,12 +541,12 @@ def banded_hamming_pairs(
         for j in range(n_bands)
     ) + " END"
     return (
-        left.join(right, on=["band", "band_key"])
+        left.join(right, on=["band", "band_key", *group_cols])
         .where(F.col(out_a) < F.col(out_b))
         .where(F.col("band") == F.expr(first_band))
         .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
         .where(F.col("hamming") <= threshold)
-        .select(out_a, out_b, "hamming")
+        .select(*group_cols, out_a, out_b, "hamming")
     )
 
 

@@ -1038,6 +1038,112 @@ def audio_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
     return _banded_hamming_pairs(fp, "ahash")
 
 
+def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality near-dup composition (VERDICT r07 item 7): ONE
+    heterogeneous binary column (image BMP / audio WAV / video AVI
+    interleaved by doc_id % 3, `extraction/multimodal.py::
+    generate_media_neardup_fixture`) routed through the unified
+    sniff-and-fingerprint pass (`media_fingerprints` — the
+    `media_router_stats` dispatch order feeding `_dhash_value` /
+    `_ahash_value` / `_vhash_value`) into a SINGLE
+    `banded_hamming_pairs` join grouped by modality — the one-call
+    user story over a mixed media lake.  The oracle recomputes all
+    three fingerprint families from arithmetic alone (each
+    single-modality oracle verbatim, filtered to its d % 3 class) and
+    ALL pairs naively, so the sniffer's dispatch, every decode path,
+    and banding completeness per modality are all on the hook; a
+    grouping bug that pairs across modalities fails the row count."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_media_neardup_fixture,
+        media_fingerprints,
+    )
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = media_fingerprints(generate_media_neardup_fixture(docs)).where(
+        F.col("fp").isNotNull()
+    )
+    return banded_hamming_pairs(fp, "fp", group_cols=("modality",))
+
+
+MEDIA_NEARDUP_ORACLE = """
+WITH
+i_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 0),
+i_grid AS (
+  SELECT d, yy.y, xx.x,
+         CAST(('0x' || substr(md5('dh|' || (d // 32) || '|' || xx.x || '|' || yy.y), 1, 2))::UBIGINT AS BIGINT) AS base
+  FROM i_ids, unnest(generate_series(0, 6)) AS yy(y),
+       unnest(generate_series(0, 8)) AS xx(x)),
+i_pert AS (
+  SELECT d, j, (d * 13 + 29 * j) % 63 AS p
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS j
+        FROM i_ids WHERE d % 4 > 0)),
+i_px AS (
+  SELECT g.d, g.y, g.x,
+         CASE WHEN p.j IS NOT NULL THEN (g.base + 96 + 17 * p.j) % 256
+              ELSE g.base END AS v
+  FROM i_grid g LEFT JOIN i_pert p ON p.d = g.d AND p.p = g.y * 9 + g.x),
+i_bits AS (
+  SELECT a.d, a.y AS r, a.x AS c,
+         CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM i_px a JOIN i_px b ON b.d = a.d AND b.y = a.y AND b.x = a.x + 1
+  WHERE a.x < 8),
+i_fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))) AS BIGINT) AS h
+  FROM i_bits GROUP BY d),
+a_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 1),
+a_base AS (
+  SELECT d, w.w,
+         CAST(('0x' || substr(md5('au|' || (d // 32) || '|' || w.w), 1, 4))::UBIGINT AS BIGINT) % 32768 AS v
+  FROM a_ids, unnest(generate_series(0, 56)) AS w(w)),
+a_pert AS (
+  SELECT d, (d * 7 + 11 * m) % 57 AS w
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS m
+        FROM a_ids WHERE d % 4 > 0)),
+a_env AS (
+  SELECT b.d, b.w,
+         CASE WHEN p.w IS NOT NULL THEN (b.v + 4096) % 32768 ELSE b.v END AS e
+  FROM a_base b LEFT JOIN a_pert p ON p.d = b.d AND p.w = b.w),
+a_bits AS (
+  SELECT a.d, a.w AS j, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+  FROM a_env a JOIN a_env b ON b.d = a.d AND b.w = a.w + 1
+  WHERE a.w < 56),
+a_fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS h
+  FROM a_bits GROUP BY d),
+v_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 2),
+v_base AS (
+  SELECT d, f.f,
+         CAST(('0x' || substr(md5('vi|' || (d // 32) || '|' || f.f), 1, 2))::UBIGINT AS BIGINT) AS v
+  FROM v_ids, unnest(generate_series(0, 56)) AS f(f)),
+v_pert AS (
+  SELECT d, (d * 7 + 11 * m) % 57 AS f
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS m
+        FROM v_ids WHERE d % 4 > 0)),
+v_env AS (
+  SELECT b.d, b.f,
+         CASE WHEN p.f IS NOT NULL THEN (b.v + 96) % 256 ELSE b.v END AS v
+  FROM v_base b LEFT JOIN v_pert p ON p.d = b.d AND p.f = b.f),
+v_bits AS (
+  SELECT a.d, a.f AS j, CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+  FROM v_env a JOIN v_env b ON b.d = a.d AND b.f = a.f + 1
+  WHERE a.f < 56),
+v_fp AS (
+  SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS h
+  FROM v_bits GROUP BY d),
+allfp AS (
+  SELECT 'image' AS modality, d, h FROM i_fp
+  UNION ALL SELECT 'audio' AS modality, d, h FROM a_fp
+  UNION ALL SELECT 'video' AS modality, d, h FROM v_fp)
+SELECT a.modality, a.d AS doc_a, b.d AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM allfp a JOIN allfp b ON a.modality = b.modality AND a.d < b.d
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 def video_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate VIDEO detection end-to-end: real AVI
     decode -> temporal brightness-envelope hash
@@ -1226,6 +1332,7 @@ SPECS = [
     QuerySpec("image_dhash_neardup_pairs", image_dhash_neardup_pairs, IMAGE_DHASH_ORACLE, "perceptual dHash near-dup images: real decode, banded hamming join"),
     QuerySpec("audio_fingerprint_neardup_pairs", audio_fingerprint_neardup_pairs, AUDIO_FP_ORACLE, "perceptual near-dup audio: real PCM decode, energy-envelope hash"),
     QuerySpec("video_fingerprint_neardup_pairs", video_fingerprint_neardup_pairs, VIDEO_FP_ORACLE, "perceptual near-dup video: real AVI decode, temporal brightness envelope"),
+    QuerySpec("media_neardup_pairs", media_neardup_pairs, MEDIA_NEARDUP_ORACLE, "heterogeneous media lake: sniff -> per-modality fingerprint -> one grouped banded-hamming join"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

@@ -599,3 +599,26 @@ def test_audio_pairs_no_allpairs_join(spark, sf_dir):
     plan = _final_plan(audio_fingerprint_neardup_pairs(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_media_neardup_decode_stage_never_shuffles(spark, sf_dir):
+    """VERDICT r07 item 7 plan contract: the cross-modality near-dup
+    composition keeps decode+fingerprint entirely map-side — the
+    binary `payload` column must never enter an Exchange (only slim
+    (modality, id, fp, band) rows shuffle), and the pair join must be
+    the grouped banded equi-join, never an all-pairs fallback."""
+    import re
+
+    from swisscourtrulingcorpus_spark.plans.extra_queries import (
+        media_neardup_pairs,
+    )
+
+    df = media_neardup_pairs(spark, sf_dir)
+    static = _static_plan(df)
+    for node in re.split(r"\n(?=\(\d+\) )", static):
+        header = node.split("\n", 1)[0]
+        if "Exchange" in header:
+            assert "payload" not in node, node
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

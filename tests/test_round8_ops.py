@@ -88,3 +88,75 @@ def test_coreness_nonconvergence_raises_and_empty_is_empty(spark):
 
     empty = spark.createDataFrame([], "id_a: long, id_b: long")
     assert coreness(empty).count() == 0
+
+
+def test_banded_hamming_group_cols_isolate_groups(spark):
+    """group_cols must scope pairing: identical hashes in different
+    groups never pair, and the grouped output carries the group
+    column; without group_cols the same table pairs across groups."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    rows = [(1, "x", 5), (2, "x", 5), (3, "y", 5), (4, "y", 4)]
+    fp = spark.createDataFrame(rows, "doc_id: long, modality: string, fp: long")
+    got = {
+        (r.modality, r.doc_a, r.doc_b, r.hamming)
+        for r in banded_hamming_pairs(
+            fp, "fp", group_cols=("modality",)
+        ).collect()
+    }
+    assert got == {("x", 1, 2, 0), ("y", 3, 4, 1)}
+
+    ungrouped = {
+        (r.doc_a, r.doc_b)
+        for r in banded_hamming_pairs(fp, "fp").collect()
+    }
+    assert ungrouped == {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)}
+
+
+def test_media_fingerprints_match_single_modality_hashes(spark):
+    """The unified sniff-and-fingerprint pass must route each payload
+    to its modality's hash and reproduce the single-modality value
+    exactly (the composition adds dispatch, never a different
+    fingerprint)."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _ahash_value,
+        _dhash_value,
+        _media_neardup_payload,
+        _vhash_value,
+        generate_media_neardup_fixture,
+        media_fingerprints,
+    )
+
+    docs = spark.range(24).withColumnRenamed("id", "doc_id")
+    got = {
+        r.doc_id: (r.modality, r.fp)
+        for r in media_fingerprints(
+            generate_media_neardup_fixture(docs)
+        ).collect()
+    }
+    hashers = {0: ("image", _dhash_value), 1: ("audio", _ahash_value),
+               2: ("video", _vhash_value)}
+    for d in range(24):
+        modality, hasher = hashers[d % 3]
+        assert got[d] == (modality, hasher(_media_neardup_payload(d))), d
+
+
+def test_media_fingerprints_unknown_and_missing_payloads(spark):
+    """Unroutable bytes and null payloads emit (unknown, null) rows —
+    one bad row never kills the scan, and the gate's fp-not-null
+    filter drops them before the join."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        media_fingerprints,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\x00garbage")), (2, None)],
+        "doc_id: long, payload: binary",
+    )
+    rows = {
+        r.doc_id: (r.modality, r.fp)
+        for r in media_fingerprints(media).collect()
+    }
+    assert rows == {1: ("unknown", None), 2: ("unknown", None)}
