@@ -550,6 +550,69 @@ def banded_hamming_pairs(
     )
 
 
+def banded_hamming_probe(
+    probe: DataFrame,
+    registry: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    threshold: int = 3,
+    n_bands: int = 4,
+    band_bits: int = 14,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """ASYMMETRIC banded-hamming lookup: which probe-side fingerprints
+    near-match a REGISTRY fingerprint?  The incremental twin of
+    `banded_hamming_pairs` — a streaming ingest probes each
+    micro-batch against the accumulated registry instead of
+    re-self-joining history (history is only ever touched through its
+    fingerprint table, the `incremental_minhash_dedup` contract).
+
+    Same banding, same pigeonhole recall bound, same first-matching-
+    band single-emission (a probe/registry candidate sharing several
+    bands still emits once, via a free map-side filter — never a
+    pair-output-sized distinct).  Returns (out_a = probe id, out_b =
+    registry id, hamming) — NOT id-ordered: the sides are
+    semantically different tables.  Probe ids present in the registry
+    never self-match (id equality is excluded), so at-least-once
+    replays that re-probe committed docs don't fabricate pairs.
+    """
+    assert threshold <= n_bands - 1, "pigeonhole recall needs threshold <= n_bands - 1"
+    mask = (1 << band_bits) - 1
+
+    def _bands(df: DataFrame, out_id: str, out_h: str) -> DataFrame:
+        return df.select(
+            *[F.col(c) for c in group_cols],
+            F.col(id_col).alias(out_id),
+            F.col(hash_col).alias(out_h),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(f"shiftright({hash_col}, {band_bits * j}) & {mask}")
+                        for j in range(n_bands)
+                    ]
+                )
+            ).alias("band", "band_key"),
+        )
+
+    left = _bands(probe, out_a, "__ha")
+    right = _bands(registry, out_b, "__hb")
+    first_band = "CASE " + " ".join(
+        f"WHEN (shiftright(__ha, {band_bits * j}) & {mask}) = "
+        f"(shiftright(__hb, {band_bits * j}) & {mask}) THEN {j}"
+        for j in range(n_bands)
+    ) + " END"
+    return (
+        left.join(right, on=["band", "band_key", *group_cols])
+        .where(F.col(out_a) != F.col(out_b))
+        .where(F.col("band") == F.expr(first_band))
+        .withColumn("hamming", F.expr("bit_count(__ha ^ __hb)"))
+        .where(F.col("hamming") <= threshold)
+        .select(*group_cols, out_a, out_b, "hamming")
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     text_col: str,

@@ -1068,8 +1068,10 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(fp, "fp", group_cols=("modality",))
 
 
-MEDIA_NEARDUP_ORACLE = """
-WITH
+# the three per-modality fingerprint derivations (each single-modality
+# oracle verbatim, filtered to its d % 3 class), shared by the batch
+# composition oracle and the incremental probe oracle
+_MEDIA_FP_CTES = """
 i_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 0),
 i_grid AS (
   SELECT d, yy.y, xx.x,
@@ -1137,11 +1139,55 @@ allfp AS (
   SELECT 'image' AS modality, d, h FROM i_fp
   UNION ALL SELECT 'audio' AS modality, d, h FROM a_fp
   UNION ALL SELECT 'video' AS modality, d, h FROM v_fp)
+"""
+
+MEDIA_NEARDUP_ORACLE = f"""WITH
+{_MEDIA_FP_CTES}
 SELECT a.modality, a.d AS doc_a, b.d AS doc_b,
        CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
 FROM allfp a JOIN allfp b ON a.modality = b.modality AND a.d < b.d
 WHERE bit_count(xor(a.h, b.h)) <= 3
 """
+
+INCREMENTAL_MEDIA_ORACLE = f"""WITH
+{_MEDIA_FP_CTES}
+SELECT a.modality, a.d AS doc_a, b.d AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+FROM allfp a JOIN allfp b ON a.modality = b.modality
+WHERE a.d % 2 = 1 AND b.d % 2 = 0
+  AND bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
+def incremental_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming fingerprint-registry PROBE stage value-checked
+    (the `near_contamination_check` gate style): even doc_ids are the
+    accumulated registry, odd doc_ids the arriving micro-batch — the
+    batch decodes through the unified router and probes the registry
+    with the asymmetric banded-hamming lookup (`operators/dedup.py::
+    banded_hamming_probe`, grouped by modality), exactly what
+    `streaming/jobs.py::media_fingerprint_maintenance_batch` runs per
+    trigger.  The oracle recomputes all three fingerprint families
+    from arithmetic and ALL odd-vs-even pairs naively, so dropped
+    probe candidates fail the row count."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_media_neardup_fixture,
+        media_fingerprints,
+    )
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    fp = media_fingerprints(generate_media_neardup_fixture(docs)).where(
+        F.col("fp").isNotNull()
+    )
+    return banded_hamming_probe(
+        fp.where(F.col("doc_id") % 2 == 1),
+        fp.where(F.col("doc_id") % 2 == 0),
+        "fp",
+        group_cols=("modality",),
+    )
 
 
 def video_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1333,6 +1379,7 @@ SPECS = [
     QuerySpec("audio_fingerprint_neardup_pairs", audio_fingerprint_neardup_pairs, AUDIO_FP_ORACLE, "perceptual near-dup audio: real PCM decode, energy-envelope hash"),
     QuerySpec("video_fingerprint_neardup_pairs", video_fingerprint_neardup_pairs, VIDEO_FP_ORACLE, "perceptual near-dup video: real AVI decode, temporal brightness envelope"),
     QuerySpec("media_neardup_pairs", media_neardup_pairs, MEDIA_NEARDUP_ORACLE, "heterogeneous media lake: sniff -> per-modality fingerprint -> one grouped banded-hamming join"),
+    QuerySpec("incremental_media_neardup", incremental_media_neardup, INCREMENTAL_MEDIA_ORACLE, "streaming registry probe: arriving batch vs accumulated fingerprints, asymmetric banded lookup"),
     QuerySpec("jpeg_decode_stats", jpeg_decode_stats, JPEG_DECODE_ORACLE, "real baseline-JPEG decode vs arithmetic oracle"),
     QuerySpec("bpe_merges_corpus", bpe_merges_corpus, BPE_MERGES_ORACLE, "distributed BPE trainer vs independent frozen reference"),
     QuerySpec("bpe_encode_documents", bpe_encode_documents, BPE_ENCODE_ORACLE, "Arrow BPE encode vs frozen fixture"),

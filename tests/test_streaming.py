@@ -949,3 +949,79 @@ def test_stream_cms_maintenance_equals_batch_and_replay_guard(spark, tmp_path):
 
     run_once()
     assert latest_version(store) == v
+
+
+def test_stream_media_fingerprint_registry_equals_batch(spark, tmp_path):
+    """Streaming perceptual-fingerprint registry (VERDICT r07 item 4)
+    == the one-shot batch composition: stream the heterogeneous media
+    fixture in micro-batches; the final versioned registry must equal
+    a fresh `media_fingerprints` pass (null sentinels included), and
+    the union of per-batch match outputs must equal the one-shot
+    grouped `banded_hamming_pairs` self-join — every pair surfaces
+    exactly once, in the batch where its later element arrived.  A
+    rerun over the same checkpoint and a direct replay of a committed
+    batch id must both be no-ops."""
+    import os
+
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        generate_media_neardup_fixture,
+        media_fingerprints,
+    )
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        checkpoint_run_tag,
+        media_fingerprint_maintenance_batch,
+        stream_media_fingerprint_job,
+    )
+
+    docs = spark.range(96).withColumnRenamed("id", "doc_id")
+    media = generate_media_neardup_fixture(docs)
+    stage = str(tmp_path / "media_in")
+    media.repartition(4).write.parquet(stage)
+    store = str(tmp_path / "fp_store")
+    out = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_media_fingerprint_job(stream, store, out, ckpt)
+        q.awaitTermination()
+
+    _run()
+    v1 = latest_version(store)
+    reg = read_version(spark, store, v1)
+    want_fp = sorted(map(tuple, media_fingerprints(media).collect()))
+    assert sorted(map(tuple, reg.select("doc_id", "modality", "fp").collect())) == want_fp
+
+    def norm(df):
+        return sorted(
+            (r.modality, min(r.doc_a, r.doc_b), max(r.doc_a, r.doc_b), r.hamming)
+            for r in df.collect()
+        )
+
+    got_pairs = spark.read.parquet(os.path.join(out, "*"))
+    fp_all = media_fingerprints(media).where("fp is not null")
+    want_pairs = banded_hamming_pairs(fp_all, "fp", group_cols=("modality",))
+    assert norm(got_pairs) == norm(want_pairs)
+    assert got_pairs.count() > 0
+
+    # restart over the same checkpoint: nothing new -> no new version
+    _run()
+    assert latest_version(store) == v1
+
+    # crash-replay: re-applying a committed batch id is a no-op
+    run_tag = checkpoint_run_tag(ckpt)
+    media_fingerprint_maintenance_batch(
+        media.limit(5), 0, store, out, run_tag
+    )
+    assert latest_version(store) == v1

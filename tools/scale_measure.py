@@ -118,6 +118,11 @@ QUERIES = [
     ("multitouch_attribution_events", "user-key equi-join + per-(user,purchase) windows, 8-cell report"),
     ("audio_fingerprint_neardup_pairs", "map-side decode+energy hash; shared banded hamming join"),
     ("video_fingerprint_neardup_pairs", "map-side AVI decode+temporal hash; shared banded hamming join"),
+    # round-8 additions
+    ("quality_quota_sample", "NB scoring map-side; per-bucket quota rank over slim (id, score) rows"),
+    ("media_neardup_pairs", "one sniff+fingerprint pass, payloads never shuffle; grouped banded join"),
+    ("incremental_media_neardup", "asymmetric registry probe; candidates bounded by shared bands"),
+    ("coreness_citation_nodes", "h-index rounds: slim (bigint,bigint) shuffles, depth-bounded"),
 ]
 
 
