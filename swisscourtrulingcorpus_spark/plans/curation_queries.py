@@ -1102,9 +1102,20 @@ def quality_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = scored.select(
         "doc_id", (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("margin_micro")
     ).join(docs.select("doc_id", "lang"), on="doc_id")
+    # the seeded tiebreak is the md5's leading 60 BITS as a bigint, not
+    # the 32-char hex string: window sort keys are projected BELOW the
+    # lang exchange, so a string key would ride the shuffle at ~40
+    # bytes/row — the round-8 two-SF measurement flagged it (15 hex
+    # digits < 2^60 fit a bigint on both engines, and fixed-width hex
+    # is ordered identically as text or as a number; doc_id still
+    # breaks exact 60-bit collisions)
+    seed_key = F.expr(
+        "cast(conv(substr(md5(concat('qq|', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
     wq = Window.partitionBy("lang").orderBy(
         F.col("margin_micro").desc(),
-        F.md5(F.concat(F.lit("qq|"), F.col("doc_id").cast("string"))).asc(),
+        seed_key.asc(),
         F.col("doc_id").asc(),
     )
     return (
@@ -1128,7 +1139,7 @@ ranked AS (
          row_number() OVER (
            PARTITION BY d.lang
            ORDER BY r.margin_micro DESC,
-                    md5('qq|' || CAST(d.doc_id AS VARCHAR)) ASC,
+                    CAST(('0x' || substr(md5('qq|' || CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) ASC,
                     d.doc_id ASC
          ) AS rk
   FROM documents d JOIN nbres r USING (doc_id))
