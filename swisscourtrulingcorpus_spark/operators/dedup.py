@@ -1117,3 +1117,119 @@ def cross_corpus_lsh_contamination(
         F.count(F.lit(1)).alias("n_test_matches"),
         F.min("__test_id").alias("first_test_match"),
     )
+
+
+# --- content-defined chunking (Rabin-Karp CDC) -------------------------
+
+#: CDC parameters: 16-char rolling window, polynomial base 257 mod the
+#: Mersenne prime 2^31 - 1, cut where the window hash % 64 == 0 (~64-
+#: char expected chunks).  Products stay < 2^63 (cp < 2^21, h < 2^31).
+CDC_WINDOW, CDC_BASE, CDC_MODULUS, CDC_DIVISOR = 16, 257, (1 << 31) - 1, 64
+
+
+def cdc_cut_points(text: str) -> list[int]:
+    """1-based end positions of the content-defined chunks of ``text``
+    (the final position ``len(text)`` always closes the last chunk).
+    Pure Rabin-Karp CDC (Muthitacharoen et al. 2001, LBFS, public): a
+    cut lands wherever the rolling hash of the trailing CDC_WINDOW
+    characters is ≡ 0 mod CDC_DIVISOR — boundaries depend only on
+    LOCAL content, so an insertion near the start of a document shifts
+    every byte yet re-synchronizes at the next content cut and the
+    remaining chunks hash identically (the property fixed-size
+    chunking lacks, and what makes chunk-level dedup robust to
+    prepended boilerplate)."""
+    n = len(text)
+    if n == 0:
+        return []
+    cuts: list[int] = []
+    if n >= CDC_WINDOW:
+        cps = [ord(c) for c in text]
+        pw1 = pow(CDC_BASE, CDC_WINDOW - 1, CDC_MODULUS)
+        h = 0
+        for j in range(CDC_WINDOW):
+            h = (h * CDC_BASE + cps[j]) % CDC_MODULUS
+        if h % CDC_DIVISOR == 0:
+            cuts.append(CDC_WINDOW)
+        for i in range(CDC_WINDOW, n):
+            h = ((h - cps[i - CDC_WINDOW] * pw1) * CDC_BASE + cps[i]) % CDC_MODULUS
+            if h % CDC_DIVISOR == 0:
+                cuts.append(i + 1)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content-defined chunks of every document: (id, chunk_hash,
+    chunk_len) — one slim row per chunk, md5-hex chunk identity.
+
+    Scale shape: the rolling hash, cut detection, and chunk hashing
+    all run inside ONE mapInPandas pass (linear per document, Arrow
+    batches) — the text never shuffles; everything downstream works on
+    the fixed-width chunk-hash rows.  At 100 TB the hex identity would
+    pack to 16 binary bytes; the hex string keeps the DuckDB oracle
+    byte-identical here."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("chunk_hash", StringType()),
+            StructField("chunk_len", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                prev = 0
+                for e in cdc_cut_points(str(text)):
+                    chunk = str(text)[prev:e]
+                    prev = e
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "chunk_hash": hashlib.md5(
+                                chunk.encode("utf-8")
+                            ).hexdigest(),
+                            "chunk_len": len(chunk),
+                        }
+                    )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def cdc_chunk_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Cross-document duplicate-chunk report over the CDC chunking:
+    (chunk_hash, chunk_len, n_docs, n_occurrences) for every chunk
+    seen more than once — the storage-dedup / fuzzy-boilerplate view
+    of the corpus (shared passages surface as shared chunks even when
+    the surrounding documents differ, because CDC boundaries
+    re-synchronize after local edits).
+
+    Scale shape: one map-side chunking pass (text never shuffles) then
+    one groupBy on the fixed-width chunk identity with map-side
+    partial aggregation; output is bounded by the DISTINCT duplicated
+    chunks, not by corpus size."""
+    ch = cdc_chunks(df, text_col, id_col)
+    return (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where(F.col("n_occurrences") > 1)
+    )

@@ -1503,7 +1503,71 @@ LIMIT 50
 """
 
 
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (`operators/dedup.py::
+    cdc_chunk_dedup`): Rabin-Karp rolling-hash cut points (16-char
+    window, base 257 mod 2^31-1, cut at hash % 64 == 0), md5 chunk
+    identity, cross-document duplicate-chunk report — the
+    storage-dedup / shared-boilerplate primitive whose boundaries
+    re-synchronize after local edits (LBFS, Muthitacharoen et al.
+    2001).  The oracle recomputes every window hash with the SAME
+    integer polynomial via a 16-way position self-join and an inlined
+    257^k mod-M power table, re-derives the cut points, re-slices the
+    chunks with character-based substr, and md5s them — the rolling
+    recurrence, the boundary rule, and the chunk slicing are all on
+    the hook, exactly."""
+    from swisscourtrulingcorpus_spark.operators.dedup import cdc_chunk_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_dedup(docs, "text", "doc_id")
+
+
+_CDC_POWERS = ", ".join(
+    f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16)
+)
+
+CDC_CHUNK_ORACLE = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS d, text
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+pw(k, p) AS (VALUES {_CDC_POWERS}),
+pos AS (
+  SELECT d, i.i, unicode(substr(text, CAST(i.i AS INTEGER), 1)) AS cp
+  FROM docs, unnest(generate_series(1, length(text))) AS i(i)),
+wh AS (
+  SELECT p.d, p.i,
+         CAST(sum(CAST(q.cp AS BIGINT) * CAST(pk.p AS BIGINT)) % 2147483647 AS BIGINT) AS h
+  FROM pos p
+  JOIN pos q ON q.d = p.d AND q.i BETWEEN p.i - 15 AND p.i
+  JOIN pw pk ON pk.k = p.i - q.i
+  WHERE p.i >= 16
+  GROUP BY p.d, p.i),
+ends AS (
+  SELECT d, i FROM wh WHERE h % 64 = 0
+  UNION
+  SELECT d, length(text) AS i FROM docs),
+chunks AS (
+  SELECT d,
+         coalesce(lag(i) OVER (PARTITION BY d ORDER BY i), 0) + 1 AS s,
+         i AS e
+  FROM ends),
+ch AS (
+  SELECT c.d,
+         md5(substr(t.text, CAST(c.s AS INTEGER),
+                    CAST(c.e - c.s + 1 AS INTEGER))) AS chunk_hash,
+         c.e - c.s + 1 AS chunk_len
+  FROM chunks c JOIN docs t ON t.d = c.d)
+SELECT chunk_hash, CAST(chunk_len AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+       count(*) AS n_occurrences
+FROM ch
+GROUP BY chunk_hash, chunk_len
+HAVING count(*) > 1
+"""
+
+
 SPECS = [
+    QuerySpec("cdc_chunk_dedup", q_cdc_chunk_dedup, CDC_CHUNK_ORACLE, "content-defined chunking dedup: rolling-hash cuts, cross-doc chunk report"),
     QuerySpec("number_mask_documents", number_mask_documents, NUMBER_MASK_ORACLE, "numeric normalization"),
     QuerySpec("lemma_counts_documents", q_lemma_counts, LEMMA_COUNTS_ORACLE, "E11 rule-based lemma counter"),
     QuerySpec("pos_proxy_counts", q_pos_proxy_counts, POS_PROXY_ORACLE, "E11 counter_pos/tag shape proxy"),

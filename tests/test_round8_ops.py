@@ -160,3 +160,75 @@ def test_media_fingerprints_unknown_and_missing_payloads(spark):
         for r in media_fingerprints(media).collect()
     }
     assert rows == {1: ("unknown", None), 2: ("unknown", None)}
+
+
+def test_cdc_cut_points_properties():
+    """Pure-function contracts of the rolling-hash cutter: cuts are
+    strictly increasing 1-based end positions closing at len(text);
+    short texts (< window) are one chunk; chunks reconstruct the
+    text."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        CDC_WINDOW,
+        cdc_cut_points,
+    )
+
+    assert cdc_cut_points("") == []
+    assert cdc_cut_points("short") == [5]
+    assert cdc_cut_points("x" * (CDC_WINDOW - 1)) == [CDC_WINDOW - 1]
+
+    text = " ".join(f"word{i} token alpha beta" for i in range(80))
+    cuts = cdc_cut_points(text)
+    assert cuts[-1] == len(text)
+    assert cuts == sorted(set(cuts))
+    assert len(cuts) > 3  # ~64-char expected chunks over ~1.8k chars
+    prev, parts = 0, []
+    for e in cuts:
+        parts.append(text[prev:e])
+        prev = e
+    assert "".join(parts) == text
+
+
+def test_cdc_chunks_resynchronize_after_prefix_insertion(spark):
+    """THE content-defined property: prepending bytes shifts every
+    character, yet the chunk boundaries re-synchronize at the next
+    content cut — most chunk hashes stay shared between the original
+    and the prefixed document (fixed-size chunking would share
+    none)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"sentence {i} about swiss rulings and appeals" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, base), (1, "INSERTED BOILERPLATE HEADER >>> " + base)],
+        "doc_id: long, text: string",
+    )
+    ch = cdc_chunks(docs, "text", "doc_id")
+    by_doc = {0: set(), 1: set()}
+    for r in ch.collect():
+        by_doc[r.doc_id].add(r.chunk_hash)
+    shared = by_doc[0] & by_doc[1]
+    assert len(shared) >= max(1, len(by_doc[0]) - 2), (
+        "CDC boundaries failed to re-synchronize: "
+        f"{len(shared)} shared of {len(by_doc[0])}"
+    )
+
+
+def test_cdc_chunk_dedup_counts_and_null_handling(spark):
+    """Exact-duplicate documents share EVERY chunk (n_docs == 2 on each
+    of their chunk rows); null/empty texts contribute no rows; a
+    within-document repeated chunk counts occurrences, not docs."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        cdc_chunks,
+        cdc_cut_points,
+    )
+
+    base = " ".join(f"clause {i} of the federal decision text" for i in range(50))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, None), (3, "")],
+        "doc_id: long, text: string",
+    )
+    n_chunks = len(cdc_cut_points(base))
+    rows = cdc_chunk_dedup(docs, "text", "doc_id").collect()
+    assert len(rows) == n_chunks  # every chunk of base duplicated once
+    assert all(r.n_docs == 2 and r.n_occurrences == 2 for r in rows)
+    assert cdc_chunks(docs, "text", "doc_id").where("doc_id >= 2").count() == 0
