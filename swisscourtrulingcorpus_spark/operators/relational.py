@@ -395,3 +395,58 @@ def interval_overlap_pairs(
         )
         .drop("__bkt")
     )
+
+
+def ordered_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_us: int | None = None,
+) -> DataFrame:
+    """Ordered funnel conversion: per user, step i completes at the
+    EARLIEST event of ``steps[i]`` strictly after the completion of
+    step i-1 (and within ``within_us`` microseconds of it when set) —
+    the first-completion semantics every product-analytics funnel
+    uses.  Returns one row per step: (step_idx, step, n_users) with
+    n_users the count of users whose funnel reached that step.
+
+    Scale shape: one filtered min-aggregate per step plus one slim
+    equi-join per step carrying only (user, prev_time) — all
+    micro-second integers via `sources/catalog.py::epoch_us`, all
+    shuffles on the user key (high cardinality; map-side combine on
+    the mins), the text/props columns never read.  The final report is
+    ONE aggregate row unpivoted with stack — len(steps) cells.
+    """
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    assert steps, "funnel needs at least one step"
+    e = events.select(
+        F.col(user_col), F.col(type_col), epoch_us(ts_col).alias("__us")
+    )
+    t = (
+        e.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min("__us").alias("__t0"))
+    )
+    for i, s in enumerate(steps[1:], start=1):
+        prev = f"__t{i - 1}"
+        cond = F.col("__us") > F.col(prev)
+        if within_us is not None:
+            cond = cond & (F.col("__us") <= F.col(prev) + F.lit(within_us))
+        nxt = (
+            e.where(F.col(type_col) == s)
+            .join(t.select(user_col, prev), on=user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("__us").alias(f"__t{i}"))
+        )
+        t = t.join(nxt, on=user_col, how="left")
+    agg = t.agg(
+        *[F.count(f"__t{i}").alias(f"__n{i}") for i in range(len(steps))]
+    )
+    cells = ", ".join(f"{i}, '{s}', __n{i}" for i, s in enumerate(steps))
+    return agg.select(
+        F.expr(f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)")
+    )

@@ -510,3 +510,65 @@ SPECS += [
         "U-shaped 40/20/40 multi-touch attribution, exact 1M micro-credits per conversion",
     ),
 ]
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN_US = 72 * 3600 * 1_000_000  # 72h per step
+
+
+def windowed_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel view -> click -> purchase with a 72-hour
+    per-step window (`operators/relational.py::ordered_funnel`):
+    first-completion semantics — step i counts the earliest qualifying
+    event strictly after step i-1 — the per-step deadline is what the
+    unbounded `funnel_conversion_events` gate (this module's original
+    funnel) cannot express: a click nine days after the view no
+    longer converts, so the two gates disagree exactly on slow
+    journeys.  All
+    time math in integer microseconds (`epoch_us`), so the oracle's
+    chained conditional-min CTEs reproduce every count exactly."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        ordered_funnel,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ordered_funnel(
+        ev, _FUNNEL_STEPS, within_us=_FUNNEL_WITHIN_US
+    )
+
+
+WINDOWED_FUNNEL_ORACLE = f"""
+WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t0
+  FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}'
+    AND epoch_us(e.ts) > s0.t0
+    AND epoch_us(e.ts) <= s0.t0 + {_FUNNEL_WITHIN_US}
+  GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}'
+    AND epoch_us(e.ts) > s1.t1
+    AND epoch_us(e.ts) <= s1.t1 + {_FUNNEL_WITHIN_US}
+  GROUP BY 1)
+SELECT 0 AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
+       (SELECT count(*) FROM s0) AS n_users
+UNION ALL
+SELECT 1, '{_FUNNEL_STEPS[1]}', (SELECT count(*) FROM s1)
+UNION ALL
+SELECT 2, '{_FUNNEL_STEPS[2]}', (SELECT count(*) FROM s2)
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "windowed_funnel_events",
+        windowed_funnel_events,
+        WINDOWED_FUNNEL_ORACLE,
+        "ordered first-completion funnel with 72h step windows, chained conditional mins",
+    ),
+]

@@ -232,3 +232,49 @@ def test_cdc_chunk_dedup_counts_and_null_handling(spark):
     assert len(rows) == n_chunks  # every chunk of base duplicated once
     assert all(r.n_docs == 2 and r.n_occurrences == 2 for r in rows)
     assert cdc_chunks(docs, "text", "doc_id").where("doc_id >= 2").count() == 0
+
+
+def test_ordered_funnel_semantics(spark):
+    """Hand-built journeys pin the first-completion + per-step-window
+    contract: out-of-order steps don't count, the window measures from
+    the PREVIOUS step's completion (not the funnel start), equal
+    timestamps are not 'after', and the earliest qualifying event is
+    the one that starts the next step's clock."""
+    from datetime import datetime
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        ordered_funnel,
+    )
+
+    T = datetime
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # u1: clean A->B->C inside windows
+        (1, "A", T(2024, 1, 1, 0)), (1, "B", T(2024, 1, 1, 1)), (1, "C", T(2024, 1, 1, 2)),
+        # u2: B before A only -> stops after A
+        (2, "B", T(2024, 1, 1, 0)), (2, "A", T(2024, 1, 1, 1)),
+        # u3: B exactly AT the A timestamp (not strictly after) -> stops
+        (3, "A", T(2024, 1, 1, 0)), (3, "B", T(2024, 1, 1, 0)),
+        # u4: B beyond the 2h window -> stops after A
+        (4, "A", T(2024, 1, 1, 0)), (4, "B", T(2024, 1, 1, 3)),
+        # u5: first B is too late BUT a second B lands in-window; C then
+        # measures from that B (first QUALIFYING completion)
+        (5, "A", T(2024, 1, 1, 0)), (5, "B", T(2024, 1, 1, 5)),
+        (5, "B", T(2024, 1, 1, 1)), (5, "C", T(2024, 1, 1, 2, 30)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id: long, event_type: string, ts: timestamp"
+    )
+    got = {
+        r.step: r.n_users
+        for r in ordered_funnel(ev, ["A", "B", "C"], within_us=2 * H).collect()
+    }
+    assert got == {"A": 5, "B": 2, "C": 2}
+
+    # unbounded: u4's late B now qualifies (u2's precedes its A and
+    # u3's is simultaneous — still out)
+    got2 = {
+        r.step: r.n_users
+        for r in ordered_funnel(ev, ["A", "B", "C"]).collect()
+    }
+    assert got2 == {"A": 5, "B": 3, "C": 2}

@@ -123,6 +123,8 @@ QUERIES = [
     ("media_neardup_pairs", "one sniff+fingerprint pass, payloads never shuffle; grouped banded join"),
     ("incremental_media_neardup", "asymmetric registry probe; candidates bounded by shared bands"),
     ("coreness_citation_nodes", "h-index rounds: slim (bigint,bigint) shuffles, depth-bounded"),
+    ("cdc_chunk_dedup", "map-side rolling-hash chunking; one groupBy on fixed-width chunk keys"),
+    ("windowed_funnel_events", "filtered min-agg chain; slim (user, us) joins, 3-cell report"),
 ]
 
 
