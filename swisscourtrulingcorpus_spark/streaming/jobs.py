@@ -1480,3 +1480,101 @@ def stream_media_fingerprint_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def cdc_chunk_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming content-defined-chunk store
+    (the storage-dedup ingest): chunk the batch's NEW documents with
+    the Rabin-Karp cutter (`operators/dedup.py::cdc_chunks` — one
+    map-side pass, text never shuffles) and fold the slim
+    (doc_id, chunk_hash, chunk_len) rows into the versioned chunk
+    store.  The duplicate-chunk report (`cdc_chunk_dedup` shape) and
+    the bytes-saved accounting re-derive from the stored table at read
+    time, so the store versions exactly ONE table — the postings-
+    maintenance contract, applied to chunks.
+
+    Same crash-replay + OCC contract as :func:`minhash_dedup_batch`;
+    re-ingested doc ids take delete+insert semantics (a reprocessed
+    document replaces its chunks instead of double-counting them)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import cdc_chunks
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    delta = cdc_chunks(batch, text_col, id_col).cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return  # concurrent twin of this batch already landed
+            if base:
+                stored = read_version(spark, store_table, base)
+                stored = stored.join(
+                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
+                ).select(*delta.columns)
+                updated = stored.unionByName(delta)
+            else:
+                updated = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue
+    finally:
+        delta.unpersist()
+
+
+def stream_cdc_chunk_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous CDC chunk-store maintenance: each micro-batch of new
+    documents folds through :func:`cdc_chunk_maintenance_batch`;
+    serving re-derives the duplicate-chunk report from the stored
+    chunk table (`operators/dedup.py::cdc_chunk_dedup` shape).
+    Trigger.AvailableNow catch-up semantics like the other maintenance
+    jobs."""
+    os.makedirs(store_table, exist_ok=True)
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        cdc_chunk_maintenance_batch(
+            batch, batch_id, store_table, run_tag, text_col, id_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1025,3 +1025,77 @@ def test_stream_media_fingerprint_registry_equals_batch(spark, tmp_path):
         media.limit(5), 0, store, out, run_tag
     )
     assert latest_version(store) == v1
+
+
+def test_stream_cdc_chunk_store_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC chunk-store maintenance == one-shot chunking:
+    stream the documents corpus in micro-batches into the versioned
+    chunk store; the final table must equal `cdc_chunks(all docs)` and
+    the duplicate-chunk report derived from it must equal
+    `cdc_chunk_dedup(all docs)`.  Replay of a committed batch id is a
+    no-op; reprocessing a doc under a fresh run replaces its chunks."""
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        cdc_chunks,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        cdc_chunk_maintenance_batch,
+        checkpoint_run_tag,
+        stream_cdc_chunk_job,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage = str(tmp_path / "docs_in")
+    docs.repartition(4).write.parquet(stage)
+    store = str(tmp_path / "chunk_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_cdc_chunk_job(stream, store, ckpt)
+        q.awaitTermination()
+
+    _run()
+    v1 = latest_version(store)
+    stored = read_version(spark, store, v1)
+    want = sorted(map(tuple, cdc_chunks(docs, "text", "doc_id").collect()))
+    assert sorted(map(tuple, stored.collect())) == want
+
+    report = (
+        stored.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .where("n_occurrences > 1")
+    )
+    want_report = sorted(
+        map(tuple, cdc_chunk_dedup(docs, "text", "doc_id").collect())
+    )
+    assert sorted(map(tuple, report.collect())) == want_report
+    assert len(want_report) > 0
+
+    # restart: no new files -> no new version; replay: no-op
+    _run()
+    assert latest_version(store) == v1
+    cdc_chunk_maintenance_batch(
+        docs.limit(3), 0, store, checkpoint_run_tag(ckpt)
+    )
+    assert latest_version(store) == v1
+
+    # reprocessing under a NEW run replaces, never duplicates
+    cdc_chunk_maintenance_batch(docs.limit(3), 0, store, "runB")
+    v2 = latest_version(store)
+    assert v2 != v1
+    assert read_version(spark, store, v2).count() == stored.count()
