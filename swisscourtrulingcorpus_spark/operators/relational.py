@@ -450,3 +450,41 @@ def ordered_funnel(
     return agg.select(
         F.expr(f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)")
     )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """Join/aggregation skew diagnosis: the ``top_k`` heaviest values
+    of ``key_col`` with exact row counts, micro-integer corpus share,
+    and the distinct-key count — the report you read BEFORE deciding
+    to salt a join or enable AQE skew handling (a 2% key at 100 TB is
+    a 2 TB straggler partition).
+
+    Scale shape: one map-side-combined count per key, then
+    TakeOrderedAndProject for the top k (orderBy+limit never
+    materializes a global sort), a 1-row broadcast total, and a rank
+    window over the ALREADY k-bounded result — the single-partition
+    window is capped at ``top_k`` rows by construction.  Keys leave as
+    strings so one report shape serves any key type.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div __total").alias("share_micro"),
+            F.col("__distinct").alias("n_distinct_keys"),
+        )
+    )

@@ -718,3 +718,44 @@ SPECS = [
     QuerySpec("cutoff_filter_lineitem", cutoff_filter_lineitem, CUTOFF_ORACLE, "P7 cutoffs"),
     QuerySpec("binary_label_per_user", binary_label_per_user, BINARY_LABEL_ORACLE, "F9 label set semantics"),
 ]
+
+
+def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis over the orders fact's customer key
+    (`operators/relational.py::key_skew_report`): the top-10 heaviest
+    o_custkey values with exact counts, micro-integer corpus share,
+    and the distinct-key count — what you read before salting the
+    customer join.  Ties break by key string ascending so both
+    engines rank identically."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        key_skew_report,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_report(orders, "o_custkey", top_k=10)
+
+
+KEY_SKEW_ORACLE = """
+WITH c AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, count(*) AS n_rows
+  FROM orders GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nd FROM c),
+r AS (SELECT key, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+      FROM c)
+SELECT CAST(rank AS INTEGER) AS rank, key, n_rows,
+       CAST(n_rows * 1000000 // total AS BIGINT) AS share_micro,
+       nd AS n_distinct_keys
+FROM r, t WHERE rank <= 10
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "key_skew_orders",
+        key_skew_orders,
+        KEY_SKEW_ORACLE,
+        "top-k heaviest join keys with exact micro-share, TakeOrdered not global sort",
+    ),
+]

@@ -622,3 +622,15 @@ def test_media_neardup_decode_stage_never_shuffles(spark, sf_dir):
     plan = _final_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_key_skew_report_uses_take_ordered(spark, sf_dir):
+    """The skew report's top-k must be TakeOrderedAndProject over the
+    key counts — a global Sort of the distinct-key table is exactly
+    the scale failure the report exists to diagnose."""
+    from swisscourtrulingcorpus_spark.plans.relational_queries import (
+        key_skew_orders,
+    )
+
+    plan = _final_plan(key_skew_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
