@@ -572,3 +572,53 @@ SPECS += [
         "ordered first-completion funnel with 72h step windows, chained conditional mins",
     ),
 ]
+
+
+def cumulative_users_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting report: users cohorted by FIRST-ever event day
+    (map-side-combinable min per user), daily new-user counts, and the
+    running cumulative-user total — the exact counterpart of the
+    HLL-windowed distinct family (`hll_distinct_per_hour` estimates;
+    this is the first-seen identity that makes the running distinct
+    exactly a running SUM).
+
+    Scale shape: one slim (user_id, date) min-aggregate, one per-day
+    count, then a running-sum window over the DATE DOMAIN — bounded by
+    calendar days, not by users or events, so the single-partition
+    window holds at most a few thousand rows at any corpus size."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("d0")
+    )
+    daily = first.groupBy("d0").agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d0").cast("string").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("n_users_cum"),
+    )
+
+
+CUMULATIVE_USERS_ORACLE = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1),
+daily AS (
+  SELECT d0, count(*) AS n_new FROM first GROUP BY 1)
+SELECT CAST(d0 AS VARCHAR) AS day, n_new,
+       CAST(sum(n_new) OVER (ORDER BY d0
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS n_users_cum
+FROM daily
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "cumulative_users_by_day",
+        cumulative_users_by_day,
+        CUMULATIVE_USERS_ORACLE,
+        "first-seen growth accounting: running distinct as a date-domain running sum",
+    ),
+]

@@ -759,3 +759,114 @@ SPECS += [
         "top-k heaviest join keys with exact micro-share, TakeOrdered not global sort",
     ),
 ]
+
+
+_PROFILE_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+    "o_orderdate",
+]
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the orders fact
+    (`operators/relational.py::profile_table`): exact null/distinct
+    counts and native-typed min/max rendered to portable strings —
+    the data-quality survey that precedes any modeling over a new
+    table.  Exact-typed columns only (the operator's documented float
+    caveat)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        profile_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_table(orders, _PROFILE_COLS)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        if c == "o_orderdate":
+            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
+        parts.append(f"""
+SELECT '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       {mn} AS min_value, {mx} AS max_value
+FROM orders""")
+    return "\nUNION ALL".join(parts)
+
+
+PROFILE_ORDERS_ORACLE = _profile_oracle()
+
+
+def fk_integrity_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the TPC-H-ish star joins
+    (`operators/relational.py::fk_integrity_audit`): lineitem ->
+    orders/part/supplier, orders -> customer, customer/supplier ->
+    nation — the orphan report read before trusting any fact-dimension
+    join."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    return fk_integrity_audit(
+        [
+            ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+            ("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+            ("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+            ("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+            ("supplier.s_nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        ]
+    )
+
+
+def _fk_oracle() -> str:
+    rels = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in rels:
+        parts.append(f"""
+SELECT '{name}' AS relationship,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_keys,
+       CAST(sum(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{ck} = p.{pk}""")
+    return "\nUNION ALL".join(parts)
+
+
+FK_INTEGRITY_ORACLE = _fk_oracle()
+
+
+SPECS += [
+    QuerySpec(
+        "profile_orders",
+        profile_orders,
+        PROFILE_ORDERS_ORACLE,
+        "single-scan column profile: exact nulls/distincts, portable min/max strings",
+    ),
+    QuerySpec(
+        "fk_integrity_tpch",
+        fk_integrity_tpch,
+        FK_INTEGRITY_ORACLE,
+        "referential-integrity orphan audit over the star joins",
+    ),
+]

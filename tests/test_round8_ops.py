@@ -278,3 +278,41 @@ def test_ordered_funnel_semantics(spark):
         for r in ordered_funnel(ev, ["A", "B", "C"]).collect()
     }
     assert got2 == {"A": 5, "B": 3, "C": 2}
+
+
+def test_profile_table_exact_counts(spark):
+    """Nulls, exact distincts, and native-order min/max (numeric 9 <
+    10 must hold — no lexicographic fallback)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "b"), (10, None), (9, "a"), (None, "a")],
+        "k: long, s: string",
+    )
+    got = {r.column_name: r for r in profile_table(df).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1
+    assert got["k"].n_distinct == 2
+    assert (got["k"].min_value, got["k"].max_value) == ("9", "10")
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
+
+
+def test_fk_integrity_audit_counts(spark):
+    """Null keys are counted separately from orphans; duplicate parent
+    keys don't double-count children."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        fk_integrity_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (None,), (7,)], "fk: long"
+    )
+    parent = spark.createDataFrame([(1,), (1,), (2,)], "pk: long")
+    rows = fk_integrity_audit(
+        [("c->p", child, "fk", parent, "pk")]
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_rows, r.n_null_keys, r.n_orphans) == (5, 1, 1)
