@@ -178,3 +178,38 @@ def quality_report(parts: list[DataFrame]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def foreign_key_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Multi-relationship referential-integrity audit — the detailed
+    extension of :func:`expect_foreign_key` (which it composes for the
+    orphan anti-join): per (name, child, child_key, parent,
+    parent_key) relationship one row of (relationship, n_rows,
+    n_null_keys, n_orphans), separating null keys (not orphans, but
+    not joinable either) from true orphans — the report a warehouse
+    reads before trusting its star joins.
+
+    Scale shape per relationship: the composed anti-join against the
+    distinct-parent projection (dimension-sized, broadcastable)
+    feeding a 1-row aggregate, plus one map-side null count; the
+    report is len(relations) rows."""
+    outs = []
+    for name, child, ckey, parent, pkey in relations:
+        base = expect_foreign_key(child, name, ckey, parent, pkey)
+        nulls = child.agg(
+            F.coalesce(
+                F.sum(F.col(ckey).isNull().cast("bigint")),
+                F.lit(0).cast("bigint"),
+            ).alias("n_null_keys")
+        )
+        outs.append(
+            base.crossJoin(F.broadcast(nulls)).select(
+                F.lit(name).alias("relationship"),
+                F.col("total").alias("n_rows"),
+                "n_null_keys",
+                F.col("violations").alias("n_orphans"),
+            )
+        )
+    return quality_report(outs)

@@ -450,137 +450,3 @@ def ordered_funnel(
     return agg.select(
         F.expr(f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)")
     )
-
-
-def key_skew_report(
-    df: DataFrame, key_col: str, top_k: int = 10
-) -> DataFrame:
-    """Join/aggregation skew diagnosis: the ``top_k`` heaviest values
-    of ``key_col`` with exact row counts, micro-integer corpus share,
-    and the distinct-key count — the report you read BEFORE deciding
-    to salt a join or enable AQE skew handling (a 2% key at 100 TB is
-    a 2 TB straggler partition).
-
-    Scale shape: one map-side-combined count per key, then
-    TakeOrderedAndProject for the top k (orderBy+limit never
-    materializes a global sort), a 1-row broadcast total, and a rank
-    window over the ALREADY k-bounded result — the single-partition
-    window is capped at ``top_k`` rows by construction.  Keys leave as
-    strings so one report shape serves any key type.
-    """
-    counts = df.groupBy(
-        F.col(key_col).cast("string").alias("key")
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
-    total = counts.agg(
-        F.sum("n_rows").alias("__total"),
-        F.count(F.lit(1)).alias("__distinct"),
-    )
-    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
-    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
-    return (
-        top.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w))
-        .select(
-            "rank",
-            "key",
-            "n_rows",
-            F.expr("n_rows * 1000000 div __total").alias("share_micro"),
-            F.col("__distinct").alias("n_distinct_keys"),
-        )
-    )
-
-
-def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
-    """Column-level data profile in ONE scan: per column, the row
-    count, null count, EXACT distinct count, and min/max rendered to
-    engine-portable strings (timestamps via an explicit format; other
-    types through their canonical cast — min/max are computed on the
-    NATIVE value first, so numeric columns never fall into
-    lexicographic ordering).  The whole profile is a single aggregate
-    row unpivoted with stack — no per-column jobs, no collect.
-
-    Float/double min/max render through the engine's float formatter
-    and are NOT guaranteed byte-identical across engines — the gate
-    profiles exact-typed columns; callers profiling floats should
-    treat min/max as display-only.
-    """
-    from pyspark.sql.types import TimestampNTZType, TimestampType
-
-    fields = [
-        f for f in df.schema.fields if columns is None or f.name in columns
-    ]
-    aggs = [F.count(F.lit(1)).alias("__n")]
-    for f in fields:
-        c = F.col(f.name)
-        mn, mx = F.min(c), F.max(c)
-        if isinstance(f.dataType, (TimestampType, TimestampNTZType)):
-            mn = F.date_format(mn, "yyyy-MM-dd HH:mm:ss")
-            mx = F.date_format(mx, "yyyy-MM-dd HH:mm:ss")
-        else:
-            mn, mx = mn.cast("string"), mx.cast("string")
-        aggs += [
-            F.count(c).alias(f"__nn_{f.name}"),
-            F.countDistinct(c).alias(f"__nd_{f.name}"),
-            mn.alias(f"__mn_{f.name}"),
-            mx.alias(f"__mx_{f.name}"),
-        ]
-    cells = ", ".join(
-        f"'{f.name}', __n - __nn_{f.name}, __nd_{f.name}, "
-        f"__mn_{f.name}, __mx_{f.name}"
-        for f in fields
-    )
-    return df.agg(*aggs).select(
-        F.expr(
-            f"stack({len(fields)}, {cells}) AS "
-            "(column_name, n_nulls, n_distinct, min_value, max_value)"
-        ),
-        F.col("__n").alias("n_rows"),
-    ).select(
-        "column_name", "n_rows", "n_nulls", "n_distinct",
-        "min_value", "max_value",
-    )
-
-
-def fk_integrity_audit(
-    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
-) -> DataFrame:
-    """Referential-integrity audit: for each (name, child, child_key,
-    parent, parent_key) relationship, the child row count, null-key
-    count, and ORPHAN count (non-null child keys with no parent row) —
-    the pre-join data-quality report a warehouse runs before trusting
-    a fact-dimension join.
-
-    Scale shape per relationship: one anti-join against the
-    DISTINCT-parent-key projection (dimension-sized, broadcastable)
-    feeding a 1-row aggregate, plus one map-side child aggregate; the
-    report is len(relations) rows."""
-    outs = []
-    for name, child, ckey, parent, pkey in relations:
-        ck = F.col(ckey)
-        orphans = (
-            child.where(ck.isNotNull())
-            .join(
-                parent.select(F.col(pkey).alias("__pk")).distinct(),
-                ck == F.col("__pk"),
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).alias("n_orphans"))
-        )
-        stats = child.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.coalesce(
-                F.sum(ck.isNull().cast("bigint")), F.lit(0).cast("bigint")
-            ).alias("n_null_keys"),
-        )
-        outs.append(
-            stats.crossJoin(F.broadcast(orphans)).select(
-                F.lit(name).alias("relationship"),
-                "n_rows",
-                "n_null_keys",
-                "n_orphans",
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out

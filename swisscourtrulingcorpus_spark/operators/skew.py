@@ -27,7 +27,9 @@ def skew_report(df: DataFrame, key: str) -> DataFrame:
 
     Two passes over the key column only (one groupBy + one aggregate
     of the per-key counts); emits (metric, value) rows so pipelines
-    can threshold-alert on it like the data-quality report."""
+    can threshold-alert on it like the data-quality report.  When the
+    ratio says "skewed", :func:`key_skew_report` names the offending
+    keys."""
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("__n"))
     row = counts.agg(
         F.sum("__n").alias("rows"),
@@ -118,4 +120,45 @@ def collect_agg_auto(
     return (
         salted_collect_agg(df, key, value, alias, num_salts=num_salts),
         "salted",
+    )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_k: int = 10
+) -> DataFrame:
+    """The WHICH-keys companion to :func:`skew_report`: that report
+    answers "is this key skewed" with summary ratios; this one names
+    the ``top_k`` heaviest values — exact row counts, micro-integer
+    corpus share, distinct-key count — so the salting/AQE decision can
+    target the actual offenders (a 2% key at 100 TB is a 2 TB
+    straggler partition).
+
+    Scale shape: one map-side-combined count per key, then
+    TakeOrderedAndProject for the top k (orderBy+limit never
+    materializes a global sort), a 1-row broadcast total, and a rank
+    window over the ALREADY k-bounded result — the single-partition
+    window is capped at ``top_k`` rows by construction.  Keys leave as
+    strings so one report shape serves any key type.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count(F.lit(1)).alias("__distinct"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.expr("n_rows * 1000000 div __total").alias("share_micro"),
+            F.col("__distinct").alias("n_distinct_keys"),
+        )
     )

@@ -722,12 +722,13 @@ SPECS = [
 
 def key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew diagnosis over the orders fact's customer key
-    (`operators/relational.py::key_skew_report`): the top-10 heaviest
+    (`operators/skew.py::key_skew_report`, the which-keys companion
+    of the `skew_report_orders` summary gate): the top-10 heaviest
     o_custkey values with exact counts, micro-integer corpus share,
     and the distinct-key count — what you read before salting the
     customer join.  Ties break by key string ascending so both
     engines rank identically."""
-    from swisscourtrulingcorpus_spark.operators.relational import (
+    from swisscourtrulingcorpus_spark.operators.skew import (
         key_skew_report,
     )
 
@@ -761,56 +762,16 @@ SPECS += [
 ]
 
 
-_PROFILE_COLS = [
-    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-    "o_orderdate",
-]
-
-
-def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-scan column profile of the orders fact
-    (`operators/relational.py::profile_table`): exact null/distinct
-    counts and native-typed min/max rendered to portable strings —
-    the data-quality survey that precedes any modeling over a new
-    table.  Exact-typed columns only (the operator's documented float
-    caveat)."""
-    from swisscourtrulingcorpus_spark.operators.relational import (
-        profile_table,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    return profile_table(orders, _PROFILE_COLS)
-
-
-def _profile_oracle() -> str:
-    parts = []
-    for c in _PROFILE_COLS:
-        if c == "o_orderdate":
-            mn = f"strftime(min({c}), '%Y-%m-%d %H:%M:%S')"
-            mx = f"strftime(max({c}), '%Y-%m-%d %H:%M:%S')"
-        else:
-            mn, mx = f"CAST(min({c}) AS VARCHAR)", f"CAST(max({c}) AS VARCHAR)"
-        parts.append(f"""
-SELECT '{c}' AS column_name,
-       CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
-       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
-       {mn} AS min_value, {mx} AS max_value
-FROM orders""")
-    return "\nUNION ALL".join(parts)
-
-
-PROFILE_ORDERS_ORACLE = _profile_oracle()
-
 
 def fk_integrity_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the TPC-H-ish star joins
-    (`operators/relational.py::fk_integrity_audit`): lineitem ->
+    (`operators/expectations.py::foreign_key_audit`, composing the
+    single-relationship `expect_foreign_key`): lineitem ->
     orders/part/supplier, orders -> customer, customer/supplier ->
     nation — the orphan report read before trusting any fact-dimension
     join."""
-    from swisscourtrulingcorpus_spark.operators.relational import (
-        fk_integrity_audit,
+    from swisscourtrulingcorpus_spark.operators.expectations import (
+        foreign_key_audit,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -819,7 +780,7 @@ def fk_integrity_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part")
     nation = load_table(spark, sf_dir, "nation")
-    return fk_integrity_audit(
+    return foreign_key_audit(
         [
             ("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
             ("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
@@ -857,12 +818,6 @@ FK_INTEGRITY_ORACLE = _fk_oracle()
 
 
 SPECS += [
-    QuerySpec(
-        "profile_orders",
-        profile_orders,
-        PROFILE_ORDERS_ORACLE,
-        "single-scan column profile: exact nulls/distincts, portable min/max strings",
-    ),
     QuerySpec(
         "fk_integrity_tpch",
         fk_integrity_tpch,

@@ -280,39 +280,60 @@ def test_ordered_funnel_semantics(spark):
     assert got2 == {"A": 5, "B": 3, "C": 2}
 
 
-def test_profile_table_exact_counts(spark):
-    """Nulls, exact distincts, and native-order min/max (numeric 9 <
-    10 must hold — no lexicographic fallback)."""
-    from swisscourtrulingcorpus_spark.operators.relational import (
-        profile_table,
-    )
-
-    df = spark.createDataFrame(
-        [(9, "b"), (10, None), (9, "a"), (None, "a")],
-        "k: long, s: string",
-    )
-    got = {r.column_name: r for r in profile_table(df).collect()}
-    assert got["k"].n_rows == 4 and got["k"].n_nulls == 1
-    assert got["k"].n_distinct == 2
-    assert (got["k"].min_value, got["k"].max_value) == ("9", "10")
-    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
-    assert (got["s"].min_value, got["s"].max_value) == ("a", "b")
-
-
 def test_fk_integrity_audit_counts(spark):
     """Null keys are counted separately from orphans; duplicate parent
     keys don't double-count children."""
-    from swisscourtrulingcorpus_spark.operators.relational import (
-        fk_integrity_audit,
+    from swisscourtrulingcorpus_spark.operators.expectations import (
+        foreign_key_audit,
     )
 
     child = spark.createDataFrame(
         [(1,), (1,), (2,), (None,), (7,)], "fk: long"
     )
     parent = spark.createDataFrame([(1,), (1,), (2,)], "pk: long")
-    rows = fk_integrity_audit(
+    rows = foreign_key_audit(
         [("c->p", child, "fk", parent, "pk")]
     ).collect()
     assert len(rows) == 1
     r = rows[0]
     assert (r.n_rows, r.n_null_keys, r.n_orphans) == (5, 1, 1)
+
+
+def test_cdc_edit_locality_property():
+    """Hypothesis: flipping ONE character can only create/destroy cut
+    points whose 16-char window covers it — every cut at distance >=
+    CDC_WINDOW on either side survives unchanged.  This locality is
+    the entire value proposition of content-defined chunking (a local
+    edit re-chunks a bounded neighborhood, so the rest of the document
+    still dedups)."""
+    from hypothesis import given, settings, strategies as st
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        CDC_WINDOW,
+        cdc_cut_points,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=1000),
+                min_size=CDC_WINDOW, max_size=400),
+        st.data(),
+    )
+    def check(text, data):
+        i = data.draw(st.integers(0, len(text) - 1))
+        repl = data.draw(
+            st.characters(min_codepoint=32, max_codepoint=1000)
+        )
+        edited = text[:i] + repl + text[i + 1 :]
+        a = set(cdc_cut_points(text))
+        b = set(cdc_cut_points(edited))
+        # cuts affected by position i (0-based) are end positions e
+        # (1-based) whose window [e-15, e] covers i+1 — plus the
+        # always-present final cut at len(text)
+        near = {
+            e
+            for e in range(i + 1, i + CDC_WINDOW + 1)
+        } | {len(text)}
+        assert (a - near) == (b - near), (text, i, repl)
+
+    check()
