@@ -125,6 +125,11 @@ QUERIES = [
     ("coreness_citation_nodes", "h-index rounds: slim (bigint,bigint) shuffles, depth-bounded"),
     ("cdc_chunk_dedup", "map-side rolling-hash chunking; one groupBy on fixed-width chunk keys"),
     ("windowed_funnel_events", "filtered min-agg chain; slim (user, us) joins, 3-cell report"),
+    # NB: key_skew_orders / fk_integrity_tpch are NOT listed — they read
+    # the TPC-H relational tables, which this harness symlinks rather
+    # than replicates (only documents/embeddings/events scale 10x), so
+    # a "two-SF" run would compare identical inputs and prove nothing.
+    ("cumulative_users_by_day", "slim (user,date) min-agg; window bounded by the date domain"),
 ]
 
 
