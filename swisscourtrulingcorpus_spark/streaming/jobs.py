@@ -1578,3 +1578,112 @@ def stream_cdc_chunk_job(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ivf_maintenance_batch(
+    batch: DataFrame,
+    batch_id: int,
+    store_table: str,
+    run_tag: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """One micro-batch of streaming IVF index maintenance — the ANN
+    family's twin of the postings job: assign the batch's NEW vectors
+    to their coarse cluster (`operators/clustering.py::ivf_index`, one
+    expression-argmin scan, no shuffle) and fold the
+    (id, vector, cluster) rows into the versioned index store; serving
+    calls `ivf_topk` over the store, which sees the ``cluster`` column
+    and skips re-assignment — the corpus is scanned once, in the batch
+    that ingested it.
+
+    Null/invalid vectors land as null-cluster sentinel rows: they have
+    no nearest centroid (the `assign_clusters` contract) but keep
+    their re-ingest identity, and a null cluster never equi-joins a
+    probe list.  Same crash-replay + OCC contract as
+    :func:`minhash_dedup_batch`; re-ingested ids take delete+insert
+    semantics."""
+    from swisscourtrulingcorpus_spark.operators.clustering import ivf_index
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    os.makedirs(store_table, exist_ok=True)
+    if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
+        return
+    spark = batch.sparkSession
+    src = batch.select(id_col, vec_col)
+    assigned = ivf_index(src, centroids, vec_col, id_col).withColumn(
+        "cluster", F.col("cluster").cast("int")
+    )
+    sentinels = src.join(
+        assigned.select(id_col), on=id_col, how="left_anti"
+    ).withColumn("cluster", F.lit(None).cast("int"))
+    delta = assigned.unionByName(sentinels).cache()
+    try:
+        while True:
+            base = latest_version(store_table)
+            ledger = _read_replay_ledger(store_table)
+            if ledger.get(run_tag, -1) >= batch_id:
+                return  # concurrent twin of this batch already landed
+            if base:
+                stored = read_version(spark, store_table, base)
+                stored = stored.join(
+                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
+                ).select(*delta.columns)
+                updated = stored.unionByName(delta)
+            else:
+                updated = delta
+            try:
+                new_ledger = dict(ledger)
+                new_ledger[run_tag] = batch_id
+                commit_version(
+                    updated,
+                    store_table,
+                    base_version=base,
+                    meta={
+                        "run": run_tag,
+                        "batch_id": batch_id,
+                        "runs": new_ledger,
+                    },
+                )
+                _write_replay_ledger(store_table, new_ledger)
+                return
+            except ConcurrentWriteError:
+                continue
+    finally:
+        delta.unpersist()
+
+
+def stream_ivf_maintenance_job(
+    stream: DataFrame,
+    store_table: str,
+    checkpoint: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Continuous IVF index maintenance over an embedding stream: each
+    micro-batch folds through :func:`ivf_maintenance_batch`; serving
+    reopens the store and runs `operators/clustering.py::ivf_topk`
+    (the stored ``cluster`` column makes search skip assignment).
+    Trigger.AvailableNow catch-up semantics like the other maintenance
+    jobs."""
+    os.makedirs(store_table, exist_ok=True)
+    run_tag = checkpoint_run_tag(checkpoint)
+
+    def _maintain(batch: DataFrame, batch_id: int) -> None:
+        ivf_maintenance_batch(
+            batch, batch_id, store_table, run_tag, centroids, vec_col, id_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_maintain)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1099,3 +1099,81 @@ def test_stream_cdc_chunk_store_equals_batch(spark, sf_dir, tmp_path):
     v2 = latest_version(store)
     assert v2 != v1
     assert read_version(spark, store, v2).count() == stored.count()
+
+
+def test_stream_ivf_maintenance_equals_batch_index(spark, sf_dir, tmp_path):
+    """Streaming IVF index maintenance == one-shot `ivf_index`: stream
+    the embeddings corpus in micro-batches into the versioned store;
+    the stored assignments must equal a fresh index build, `ivf_topk`
+    over the store (cluster column pre-computed) must equal search
+    over the fresh index, and replay of a committed batch id is a
+    no-op."""
+    from swisscourtrulingcorpus_spark.operators.clustering import (
+        ivf_index,
+        ivf_topk,
+    )
+    from swisscourtrulingcorpus_spark.plans.ann_queries import (
+        _seed_centroids,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        latest_version,
+        read_version,
+    )
+    from swisscourtrulingcorpus_spark.streaming.jobs import (
+        checkpoint_run_tag,
+        ivf_maintenance_batch,
+        stream_ivf_maintenance_job,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = _seed_centroids(emb, 8)
+    stage = str(tmp_path / "emb_in")
+    emb.repartition(4).write.parquet(stage)
+    store = str(tmp_path / "ivf_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_ivf_maintenance_job(stream, store, ckpt, cents)
+        q.awaitTermination()
+
+    _run()
+    v1 = latest_version(store)
+    stored = read_version(spark, store, v1)
+    want = {
+        r.vec_id: r.cluster
+        for r in ivf_index(emb, cents, "embedding", "vec_id").collect()
+    }
+    got = {
+        r.vec_id: r.cluster
+        for r in stored.where("cluster IS NOT NULL").collect()
+    }
+    assert got == want and len(got) > 0
+
+    queries = emb.where("vec_id < 4")
+    served = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                stored.where("cluster IS NOT NULL"),
+                queries, cents, "embedding", "vec_id", k=5,
+            ).collect(),
+        )
+    )
+    fresh = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, queries, cents, "embedding", "vec_id", k=5).collect(),
+        )
+    )
+    assert served == fresh and len(served) > 0
+
+    _run()
+    assert latest_version(store) == v1
+    ivf_maintenance_batch(emb.limit(3), 0, store, checkpoint_run_tag(ckpt), cents)
+    assert latest_version(store) == v1
