@@ -450,3 +450,52 @@ def ordered_funnel(
     return agg.select(
         F.expr(f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)")
     )
+
+
+def integer_ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    num: int = 3,
+    den: int = 8,
+) -> DataFrame:
+    """Exponentially weighted moving average as an INTEGER recurrence:
+    s_1 = x_1, s_t = (num*x_t + (den-num)*s_{t-1}) div den — the
+    rational-alpha (num/den) form of EWMA whose floor-division state
+    is exactly replayable on any engine (the float form's
+    pow-of-(1-alpha) weights diverge in ULPs; this one is the ADPCM
+    predictor's arithmetic class applied to business data).  Returns
+    one row per key: (key, n_values, ewma).
+
+    Scale shape: a sequential per-key fold cannot be a window
+    expression, so it runs as ONE applyInPandas pass over the
+    (key)-grouped slim value rows — high-cardinality partitions, state
+    is a single integer per key, and only (key, order, value) columns
+    shuffle.  Values must be integers (micro-snap floats upstream);
+    order ties must be broken by ``order_cols`` in full or the fold is
+    nondeterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n_values", LongType()),
+            StructField("ewma", LongType()),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols)
+        xs = [int(x) for x in pdf[value_col]]
+        s = xs[0]
+        for x in xs[1:]:
+            s = (num * x + (den - num) * s) // den
+        return pd.DataFrame(
+            [{key_col: int(pdf[key_col].iloc[0]), "n_values": len(xs), "ewma": s}]
+        )
+
+    slim = df.select(key_col, *order_cols, value_col)
+    return slim.groupBy(key_col).applyInPandas(fold, schema)

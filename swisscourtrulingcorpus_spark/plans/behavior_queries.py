@@ -622,3 +622,76 @@ SPECS += [
         "first-seen growth accounting: running distinct as a date-domain running sum",
     ),
 ]
+
+
+def ewma_gap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed inter-arrival time per user: consecutive event gaps in
+    integer microseconds (lag window over (ts, event_id) order), then
+    the exact integer EWMA recurrence s_t = (3·g_t + 5·s_{t-1}) div 8
+    (`operators/relational.py::integer_ewma_by_key`) — the
+    traffic-model statistic a rate limiter or anomaly detector keeps
+    per entity, and the engine's only sequential per-key recurrence
+    over business data (the codecs' arithmetic class, outside the
+    codec layer).  The oracle replays the same fold with a recursive
+    CTE over row-numbered gaps — order, tie-breaks, and every floor
+    division are all on the hook.  Users with fewer than two events
+    have no gap and no row."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        integer_ewma_by_key,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    gaps = (
+        ev.withColumn("__prev", F.lag("us").over(w))
+        .where(F.col("__prev").isNotNull())
+        .select(
+            "user_id",
+            "us",
+            "event_id",
+            (F.col("us") - F.col("__prev")).alias("gap_us"),
+        )
+    )
+    return integer_ewma_by_key(
+        gaps, "user_id", ["us", "event_id"], "gap_us"
+    ).select(
+        "user_id", F.col("n_values").alias("n_gaps"),
+        F.col("ewma").alias("ewma_gap_us"),
+    )
+
+
+EWMA_GAP_ORACLE = """
+WITH RECURSIVE o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS i
+  FROM events),
+g AS (
+  SELECT a.user_id, a.i - 1 AS j, a.us - b.us AS gap
+  FROM o a JOIN o b ON b.user_id = a.user_id AND b.i = a.i - 1),
+r AS (
+  SELECT user_id, j, gap AS s FROM g WHERE j = 1
+  UNION ALL
+  SELECT g.user_id, g.j, (3 * g.gap + 5 * r.s) // 8
+  FROM r JOIN g ON g.user_id = r.user_id AND g.j = r.j + 1),
+last AS (SELECT user_id, max(j) AS nj FROM r GROUP BY 1)
+SELECT r.user_id, CAST(l.nj AS BIGINT) AS n_gaps,
+       CAST(r.s AS BIGINT) AS ewma_gap_us
+FROM r JOIN last l ON r.user_id = l.user_id AND r.j = l.nj
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "ewma_gap_events",
+        ewma_gap_events,
+        EWMA_GAP_ORACLE,
+        "integer EWMA of per-user inter-arrival gaps vs recursive-CTE fold replay",
+    ),
+]

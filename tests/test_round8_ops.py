@@ -337,3 +337,26 @@ def test_cdc_edit_locality_property():
         assert (a - near) == (b - near), (text, i, repl)
 
     check()
+
+
+def test_integer_ewma_known_sequence_and_ties(spark):
+    """Hand-checked fold: s_1 = 8, s_2 = (3·16 + 5·8)//8 = 11,
+    s_3 = (3·0 + 5·11)//8 = 6; single-value keys return that value;
+    order ties break by the full order_cols list."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        integer_ewma_by_key,
+    )
+
+    rows = [
+        (1, 1, 0, 8), (1, 2, 0, 16), (1, 3, 0, 0),
+        (2, 1, 0, 42),
+        # key 3: two values at the SAME primary order — secondary
+        # order decides the fold direction: (3·7+5·1)//8 = 3
+        (3, 5, 0, 1), (3, 5, 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "k: long, o1: long, o2: long, v: long")
+    got = {
+        r.k: (r.n_values, r.ewma)
+        for r in integer_ewma_by_key(df, "k", ["o1", "o2"], "v").collect()
+    }
+    assert got == {1: (3, 6), 2: (1, 42), 3: (2, 3)}
