@@ -86,3 +86,72 @@ def user_profile_stream(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("ewma_gap_us", LongType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("n_gaps", LongType()),
+        StructField("s", LongType()),
+    ]
+)
+
+
+def _update_ewma(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user integer EWMA of inter-arrival gaps, carried across
+    micro-batches: state = (last event time, gap count, smoothed gap).
+    The fold is byte-identical to the batch operator
+    (`operators/relational.py::integer_ewma_by_key` over lag-window
+    gaps): s_1 = g_1, s_t = (3·g_t + 5·s_{t-1}) div 8.  Rows are
+    sorted (us, event_id) WITHIN each batch; ACROSS batches the
+    operator assumes time-ordered arrival (the standard contract for a
+    streaming EWMA — a late event would need a watermarked reorder
+    buffer upstream)."""
+    (user_id,) = key
+    if state.exists:
+        last, n, s = state.get
+    else:
+        last, n, s = -1, 0, 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us in pdf["us"]:
+            us = int(us)
+            if last >= 0:
+                g = us - last
+                n += 1
+                s = g if n == 1 else (3 * g + 5 * s) // 8
+            last = us
+    state.update((last, n, s))
+    if n > 0:
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_gaps": [n], "ewma_gap_us": [s]}
+        )
+
+
+def ewma_gap_stream(stream: DataFrame) -> DataFrame:
+    """events stream → running per-user smoothed inter-arrival time
+    (integer EWMA) — the streaming twin of the `ewma_gap_events` gate."""
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    prepared = stream.select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_ewma,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

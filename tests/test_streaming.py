@@ -1177,3 +1177,74 @@ def test_stream_ivf_maintenance_equals_batch_index(spark, sf_dir, tmp_path):
     assert latest_version(store) == v1
     ivf_maintenance_batch(emb.limit(3), 0, store, checkpoint_run_tag(ckpt), cents)
     assert latest_version(store) == v1
+
+
+def test_stream_ewma_gap_equals_batch(spark, sf_dir, tmp_path):
+    """The stateful EWMA stream must equal the batch gate when events
+    arrive time-ordered (the operator's documented contract): feed the
+    corpus in three disjoint time ranges via successive availableNow
+    runs over a growing directory, then compare each user's final
+    emission against `ewma_gap_events`."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.plans.behavior_queries import (
+        ewma_gap_events,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        ewma_gap_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    ts_cuts = [
+        r[0]
+        for r in ev.select(
+            F.percentile_approx("ts", [0.34, 0.67], 10000).alias("p")
+        ).select(F.explode("p")).collect()
+    ]
+    stage = str(tmp_path / "ev_in")
+    os.makedirs(stage, exist_ok=True)
+    chunks = [
+        ev.where(F.col("ts") < ts_cuts[0]),
+        ev.where((F.col("ts") >= ts_cuts[0]) & (F.col("ts") < ts_cuts[1])),
+        ev.where(F.col("ts") >= ts_cuts[1]),
+    ]
+    schema = ev.schema
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(os.path.join(stage, f"chunk={i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(stage + "/*")
+        )
+        out_dir = str(tmp_path / "ewma_out")
+
+        def _sink(b, bid):
+            if b.count():
+                b.write.mode("append").parquet(out_dir)
+
+        q = (
+            ewma_gap_stream(stream)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        r.user_id: (r.n_gaps, r.ewma_gap_us)
+        for r in spark.read.parquet(str(tmp_path / "ewma_out"))
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_gaps", "ewma_gap_us")).alias("m"))
+        .select("user_id", "m.n_gaps", "m.ewma_gap_us")
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_gaps, r.ewma_gap_us)
+        for r in ewma_gap_events(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
