@@ -130,6 +130,7 @@ QUERIES = [
     # than replicates (only documents/embeddings/events scale 10x), so
     # a "two-SF" run would compare identical inputs and prove nothing.
     ("cumulative_users_by_day", "slim (user,date) min-agg; window bounded by the date domain"),
+    ("ewma_gap_events", "sequential per-user fold over slim (user, us) rows, one state int/key"),
 ]
 
 
