@@ -818,6 +818,63 @@ def stream_media_decode_job(
     )
 
 
+def _delta_upsert_batch(
+    spark,
+    delta: DataFrame,
+    store_table: str,
+    run_tag: str,
+    batch_id: int,
+    id_col: str,
+) -> None:
+    """Shared OCC core of the delete+insert maintenance jobs (postings
+    / CDC chunks / IVF index): fold a per-batch DELTA table into the
+    versioned store, replacing any re-ingested ids (a REPROCESSED
+    document/vector replaces its old rows instead of double-counting
+    them).  Same crash-replay + concurrency contract as
+    :func:`minhash_dedup_batch`: the (run, batch_id) ledger makes
+    at-least-once replays no-ops, and a concurrent sibling committer
+    raises ConcurrentWriteError -> re-read base + ledger and retry.
+    Callers guard the cheap early-return ledger check themselves
+    (before building the delta) and own the delta's cache lifetime."""
+    from swisscourtrulingcorpus_spark.sources.versioned import (
+        ConcurrentWriteError,
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    while True:
+        base = latest_version(store_table)
+        ledger = _read_replay_ledger(store_table)
+        if ledger.get(run_tag, -1) >= batch_id:
+            return  # concurrent twin of this batch already landed
+        if base:
+            stored = read_version(spark, store_table, base)
+            stored = stored.join(
+                delta.select(id_col).distinct(), on=id_col, how="left_anti"
+            ).select(*delta.columns)
+            updated = stored.unionByName(delta)
+        else:
+            updated = delta
+        try:
+            new_ledger = dict(ledger)
+            new_ledger[run_tag] = batch_id
+            commit_version(
+                updated,
+                store_table,
+                base_version=base,
+                meta={
+                    "run": run_tag,
+                    "batch_id": batch_id,
+                    "runs": new_ledger,
+                },
+            )
+            _write_replay_ledger(store_table, new_ledger)
+            return
+        except ConcurrentWriteError:
+            continue
+
+
 def postings_maintenance_batch(
     batch: DataFrame,
     batch_id: int,
@@ -839,55 +896,17 @@ def postings_maintenance_batch(
     (run, batch_id) ledger, and a concurrent sibling committer raises
     ConcurrentWriteError -> re-read base + ledger and retry."""
     from swisscourtrulingcorpus_spark.operators.retrieval import build_postings
-    from swisscourtrulingcorpus_spark.sources.versioned import (
-        ConcurrentWriteError,
-        commit_version,
-        latest_version,
-        read_version,
-    )
 
     os.makedirs(store_table, exist_ok=True)
     if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
         return
-    spark = batch.sparkSession
     delta = build_postings(batch, id_col=id_col, text_col=text_col)[
         "postings"
     ].cache()
     try:
-        while True:
-            base = latest_version(store_table)
-            ledger = _read_replay_ledger(store_table)
-            if ledger.get(run_tag, -1) >= batch_id:
-                return  # concurrent twin of this batch already landed
-            if base:
-                stored = read_version(spark, store_table, base)
-                # delete+insert semantics for re-ingested doc ids: a
-                # REPROCESSED document (fresh checkpoint over an
-                # overlapping corpus) replaces its old postings instead
-                # of double-counting them
-                stored = stored.join(
-                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
-                ).select(*delta.columns)
-                updated = stored.unionByName(delta)
-            else:
-                updated = delta
-            try:
-                new_ledger = dict(ledger)
-                new_ledger[run_tag] = batch_id
-                commit_version(
-                    updated,
-                    store_table,
-                    base_version=base,
-                    meta={
-                        "run": run_tag,
-                        "batch_id": batch_id,
-                        "runs": new_ledger,
-                    },
-                )
-                _write_replay_ledger(store_table, new_ledger)
-                return
-            except ConcurrentWriteError:
-                continue
+        _delta_upsert_batch(
+            batch.sparkSession, delta, store_table, run_tag, batch_id, id_col
+        )
     finally:
         delta.unpersist()
 
@@ -1504,49 +1523,15 @@ def cdc_chunk_maintenance_batch(
     re-ingested doc ids take delete+insert semantics (a reprocessed
     document replaces its chunks instead of double-counting them)."""
     from swisscourtrulingcorpus_spark.operators.dedup import cdc_chunks
-    from swisscourtrulingcorpus_spark.sources.versioned import (
-        ConcurrentWriteError,
-        commit_version,
-        latest_version,
-        read_version,
-    )
 
     os.makedirs(store_table, exist_ok=True)
     if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
         return
-    spark = batch.sparkSession
     delta = cdc_chunks(batch, text_col, id_col).cache()
     try:
-        while True:
-            base = latest_version(store_table)
-            ledger = _read_replay_ledger(store_table)
-            if ledger.get(run_tag, -1) >= batch_id:
-                return  # concurrent twin of this batch already landed
-            if base:
-                stored = read_version(spark, store_table, base)
-                stored = stored.join(
-                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
-                ).select(*delta.columns)
-                updated = stored.unionByName(delta)
-            else:
-                updated = delta
-            try:
-                new_ledger = dict(ledger)
-                new_ledger[run_tag] = batch_id
-                commit_version(
-                    updated,
-                    store_table,
-                    base_version=base,
-                    meta={
-                        "run": run_tag,
-                        "batch_id": batch_id,
-                        "runs": new_ledger,
-                    },
-                )
-                _write_replay_ledger(store_table, new_ledger)
-                return
-            except ConcurrentWriteError:
-                continue
+        _delta_upsert_batch(
+            batch.sparkSession, delta, store_table, run_tag, batch_id, id_col
+        )
     finally:
         delta.unpersist()
 
@@ -1605,17 +1590,10 @@ def ivf_maintenance_batch(
     :func:`minhash_dedup_batch`; re-ingested ids take delete+insert
     semantics."""
     from swisscourtrulingcorpus_spark.operators.clustering import ivf_index
-    from swisscourtrulingcorpus_spark.sources.versioned import (
-        ConcurrentWriteError,
-        commit_version,
-        latest_version,
-        read_version,
-    )
 
     os.makedirs(store_table, exist_ok=True)
     if _read_replay_ledger(store_table).get(run_tag, -1) >= batch_id:
         return
-    spark = batch.sparkSession
     src = batch.select(id_col, vec_col)
     assigned = ivf_index(src, centroids, vec_col, id_col).withColumn(
         "cluster", F.col("cluster").cast("int")
@@ -1625,36 +1603,9 @@ def ivf_maintenance_batch(
     ).withColumn("cluster", F.lit(None).cast("int"))
     delta = assigned.unionByName(sentinels).cache()
     try:
-        while True:
-            base = latest_version(store_table)
-            ledger = _read_replay_ledger(store_table)
-            if ledger.get(run_tag, -1) >= batch_id:
-                return  # concurrent twin of this batch already landed
-            if base:
-                stored = read_version(spark, store_table, base)
-                stored = stored.join(
-                    delta.select(id_col).distinct(), on=id_col, how="left_anti"
-                ).select(*delta.columns)
-                updated = stored.unionByName(delta)
-            else:
-                updated = delta
-            try:
-                new_ledger = dict(ledger)
-                new_ledger[run_tag] = batch_id
-                commit_version(
-                    updated,
-                    store_table,
-                    base_version=base,
-                    meta={
-                        "run": run_tag,
-                        "batch_id": batch_id,
-                        "runs": new_ledger,
-                    },
-                )
-                _write_replay_ledger(store_table, new_ledger)
-                return
-            except ConcurrentWriteError:
-                continue
+        _delta_upsert_batch(
+            batch.sparkSession, delta, store_table, run_tag, batch_id, id_col
+        )
     finally:
         delta.unpersist()
 
