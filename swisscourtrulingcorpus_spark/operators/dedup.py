@@ -1193,9 +1193,10 @@ def cdc_chunks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
+                t = str(text)
                 prev = 0
-                for e in cdc_cut_points(str(text)):
-                    chunk = str(text)[prev:e]
+                for e in cdc_cut_points(t):
+                    chunk = t[prev:e]
                     prev = e
                     rows.append(
                         {
