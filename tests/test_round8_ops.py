@@ -360,3 +360,47 @@ def test_integer_ewma_known_sequence_and_ties(spark):
         for r in integer_ewma_by_key(df, "k", ["o1", "o2"], "v").collect()
     }
     assert got == {1: (3, 6), 2: (1, 42), 3: (2, 3)}
+
+
+def test_banded_probe_exact_recall_vs_bruteforce(spark):
+    """The asymmetric registry probe must return EXACTLY the
+    brute-force (probe x registry, hamming <= 3) set on random 56-bit
+    fingerprints with planted 0-3-bit flips — perfect pigeonhole
+    recall, no false positives, each candidate emitted exactly once
+    (first-matching-band), and a probe sharing a registry row's id
+    never self-matches on replay."""
+    import random
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        banded_hamming_probe,
+    )
+
+    rng = random.Random(8)
+    reg = [(i, rng.getrandbits(56)) for i in range(60)]
+    probes, pid = [], 1000
+    for _, h in reg[:20]:
+        x = h
+        for b in rng.sample(range(56), rng.randrange(0, 4)):
+            x ^= 1 << b
+        probes.append((pid, x))
+        pid += 1
+    probes += [(pid + j, rng.getrandbits(56)) for j in range(20)]
+    # replayed row: same id AND same hash as a registry row — the id
+    # exclusion must keep it out even at hamming 0
+    probes.append(reg[0])
+
+    brute = {
+        (p, r, bin(ph ^ rh).count("1"))
+        for p, ph in probes
+        for r, rh in reg
+        if p != r and bin(ph ^ rh).count("1") <= 3
+    }
+    pdf = spark.createDataFrame(probes, "doc_id: long, fp: long")
+    rdf = spark.createDataFrame(reg, "doc_id: long, fp: long")
+    got = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in banded_hamming_probe(pdf, rdf, "fp").collect()
+    ]
+    assert len(got) == len(set(got))  # single emission per candidate
+    assert set(got) == brute
+    assert any(h == 0 for _, _, h in got)  # planted exact dups found
