@@ -695,3 +695,81 @@ SPECS += [
         "integer EWMA of per-user inter-arrival gaps vs recursive-CTE fold replay",
     ),
 ]
+
+
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive 3-step path mining over per-user event sequences —
+    the k-step generalization of `event_transition_counts` (1-step
+    Markov): every (t1 > t2 > t3) window of a user's time-ordered
+    stream, counted corpus-wide with the distinct-user support, top 25
+    paths.  'What journeys actually happen' is the sequence-mining
+    report behind funnel DESIGN (the funnels above verify a chosen
+    path; this surfaces the candidates).
+
+    Scale shape: two lead windows per user partition (high
+    cardinality, slim (user, ts, event_id, type) rows), one count
+    groupBy over a <= |types|^3 key domain, TakeOrderedAndProject for
+    the top-k — never a global sort.  Ties in ts order by event_id on
+    both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.withColumn("t2", F.lead("event_type", 1).over(w))
+        .withColumn("t3", F.lead("event_type", 2).over(w))
+        .where(F.col("t3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(
+                " > ", F.col("event_type"), F.col("t2"), F.col("t3")
+            ).alias("path"),
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return counts.orderBy(
+        F.desc("n_occurrences"), F.asc("path")
+    ).limit(25).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+        ),
+    ).select("rank", "path", "n_occurrences", "n_users")
+
+
+EVENT_PATH_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS t2,
+         lead(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+p AS (
+  SELECT user_id, event_type || ' > ' || t2 || ' > ' || t3 AS path
+  FROM o WHERE t3 IS NOT NULL),
+c AS (
+  SELECT path, count(*) AS n_occurrences,
+         count(DISTINCT user_id) AS n_users
+  FROM p GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, path ASC)
+            AS INTEGER) AS rank,
+       path, n_occurrences, CAST(n_users AS BIGINT) AS n_users
+FROM c
+ORDER BY n_occurrences DESC, path ASC
+LIMIT 25
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "event_path_mining",
+        event_path_mining,
+        EVENT_PATH_ORACLE,
+        "3-step path mining: two lead windows, bounded key domain, TakeOrdered top-k",
+    ),
+]
