@@ -499,3 +499,64 @@ def integer_ewma_by_key(
 
     slim = df.select(key_col, *order_cols, value_col)
     return slim.groupBy(key_col).applyInPandas(fold, schema)
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    partition_keys: list[str],
+    left_on: str,
+    right_on: str,
+    tolerance,
+    right_payload: list[str] | None = None,
+) -> DataFrame:
+    """BIDIRECTIONAL nearest join: for each left row, the right row
+    minimizing |right_on - left_on| within the same partition group
+    and within ``tolerance`` — sensor/event alignment where the
+    closest reading matters regardless of direction (the as-of join's
+    backward-only rule is the trade-settlement semantics; this is the
+    telemetry-alignment one).  Ties (equidistant before/after) go to
+    the EARLIER right row, then the smaller payload, so the winner is
+    total-ordered on any engine.
+
+    Scale shape: one equi-join on the partition keys with the
+    tolerance band filtered INSIDE the join (candidate volume =
+    right rows within ±tolerance, the multitouch pairing shape; AQE
+    splits skewed keys), then one min-struct aggregate per left row —
+    no window over the joined table, no global sort.  ``tolerance``
+    must be finite: an unbounded nearest join IS the cross join the
+    band exists to avoid.
+    """
+    pay = right_payload or [c for c in right.columns if c not in partition_keys]
+    lhs = left.select(
+        *partition_keys, F.col(left_on).alias("__l"), *[
+            c for c in left.columns if c not in partition_keys and c != left_on
+        ]
+    )
+    rhs = right.select(
+        *partition_keys,
+        F.col(right_on).alias("__r"),
+        *[F.col(c) for c in pay if c != right_on],
+    )
+    tol = F.lit(tolerance) if not isinstance(tolerance, Column) else tolerance
+    joined = lhs.join(rhs, on=partition_keys).where(
+        (F.col("__r") >= F.col("__l") - tol) & (F.col("__r") <= F.col("__l") + tol)
+    )
+    dist = F.abs(F.col("__r") - F.col("__l"))
+    pick = F.struct(
+        dist.alias("d"),
+        F.col("__r").alias("r"),
+        *[F.col(c).alias(c) for c in pay if c != right_on],
+    )
+    group_cols = [*partition_keys, "__l"] + [
+        c for c in lhs.columns if c not in partition_keys and c != "__l"
+    ]
+    best = joined.groupBy(*group_cols).agg(F.min(pick).alias("__best"))
+    return best.select(
+        *partition_keys,
+        F.col("__l").alias(left_on),
+        *[c for c in group_cols if c not in partition_keys and c != "__l"],
+        F.col("__best.r").alias(right_on),
+        F.col("__best.d").alias("distance"),
+        *[F.col(f"__best.{c}").alias(c) for c in pay if c != right_on],
+    )

@@ -773,3 +773,73 @@ SPECS += [
         "3-step path mining: two lead windows, bounded key domain, TakeOrdered top-k",
     ),
 ]
+
+
+_NEAREST_TOL_US = 2 * 3600 * 1_000_000  # ±2h
+
+
+def nearest_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nearest join (`operators/relational.py::
+    nearest_join`): for every purchase, the click minimizing
+    |Δt| within ±2 h — the telemetry-alignment semantics the
+    backward-only as-of join (`asof_purchase_attribution`) cannot
+    express (a click 5 min AFTER the purchase beats one 90 min
+    before).  Equidistant ties go to the earlier click, then the
+    smaller id, total-ordered on both engines; all time math in
+    integer microseconds."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import epoch_us
+
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        epoch_us("ts").alias("p_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        epoch_us("ts").alias("c_us"),
+    )
+    out = nearest_join(
+        purch, clicks, ["user_id"], "p_us", "c_us",
+        tolerance=_NEAREST_TOL_US, right_payload=["click_id", "c_us"],
+    )
+    return out.select(
+        "user_id", "purchase_id", "click_id",
+        F.col("distance").alias("distance_us"),
+    )
+
+
+NEAREST_CLICK_ORACLE = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+  FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.purchase_id, c.click_id, c.c_us,
+         abs(c.c_us - p.p_us) AS d
+  FROM p JOIN c ON p.user_id = c.user_id
+  WHERE c.c_us BETWEEN p.p_us - {_NEAREST_TOL_US}
+                   AND p.p_us + {_NEAREST_TOL_US}),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, purchase_id
+                               ORDER BY d, c_us, click_id) AS rk
+  FROM j)
+SELECT user_id, purchase_id, click_id, CAST(d AS BIGINT) AS distance_us
+FROM r WHERE rk = 1
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "nearest_click_to_purchase",
+        nearest_click_to_purchase,
+        NEAREST_CLICK_ORACLE,
+        "bidirectional nearest join within tolerance, min-struct not window",
+    ),
+]

@@ -404,3 +404,35 @@ def test_banded_probe_exact_recall_vs_bruteforce(spark):
     assert len(got) == len(set(got))  # single emission per candidate
     assert set(got) == brute
     assert any(h == 0 for _, _, h in got)  # planted exact dups found
+
+
+def test_nearest_join_direction_ties_and_tolerance(spark):
+    """Forward candidates beat farther backward ones (the non-as-of
+    semantics), equidistant ties go to the EARLIER right row, and rows
+    outside the tolerance band never match."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 101, 1000), (1, 102, 5000), (2, 201, 1000)],
+        "user_id: long, purchase_id: long, p_us: long",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 11, 900),    # 100 behind purchase 101
+            (1, 12, 1050),   # 50 ahead -> wins for 101
+            (1, 13, 4990),   # 10 behind purchase 102
+            (1, 14, 5010),   # 10 ahead: equidistant -> earlier (13) wins
+            (2, 21, 99000),  # outside the band -> user 2 unmatched
+        ],
+        "user_id: long, click_id: long, c_us: long",
+    )
+    got = {
+        (r.user_id, r.purchase_id): (r.click_id, r.distance)
+        for r in nearest_join(
+            left, right, ["user_id"], "p_us", "c_us",
+            tolerance=200, right_payload=["click_id", "c_us"],
+        ).collect()
+    }
+    assert got == {(1, 101): (12, 50), (1, 102): (13, 10)}
