@@ -131,6 +131,8 @@ QUERIES = [
     # a "two-SF" run would compare identical inputs and prove nothing.
     ("cumulative_users_by_day", "slim (user,date) min-agg; window bounded by the date domain"),
     ("ewma_gap_events", "sequential per-user fold over slim (user, us) rows, one state int/key"),
+    ("event_path_mining", "two lead windows, bounded |types|^3 key domain, TakeOrdered top-k"),
+    ("nearest_click_to_purchase", "tolerance-banded equi-join + min-struct, no window over pairs"),
 ]
 
 
