@@ -1551,20 +1551,55 @@ def video_brightness_fingerprints(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_video_fp_batches, VIDEO_FP_SCHEMA)
 
 
+#: text near-dup fixture geometry: 40 md5 words -> 38 3-word shingles
+_TX_WORDS = 40
+
+_TX_WORD_CACHE: dict[int, tuple[str, ...]] = {}
+
+
+def _text_cluster_words(g: int) -> tuple[str, ...]:
+    words = _TX_WORD_CACHE.get(g)
+    if words is None:
+        if len(_TX_WORD_CACHE) >= 8:
+            _TX_WORD_CACHE.pop(next(iter(_TX_WORD_CACHE)))
+        words = _TX_WORD_CACHE[g] = tuple(
+            hashlib.md5(f"tx|{g}|{i}".encode()).hexdigest()[:6]
+            for i in range(_TX_WORDS)
+        )
+    return words
+
+
+def _text_neardup_payload(d: int) -> bytes:
+    """One UTF-8 text payload of the near-dup corpus: md5 cluster word
+    sequence (40 words shared by 32-doc clusters), k = d % 4
+    doc-unique word replacements at distinct positions — the text twin
+    of the image/audio/video fixture formulas, oracle-recomputable
+    from arithmetic alone."""
+    words = list(_text_cluster_words(d // 32))
+    for j in range(d % 4):
+        p = (d * 11 + 7 * j) % _TX_WORDS
+        words[p] = hashlib.md5(f"tp|{d}|{j}".encode()).hexdigest()[:6]
+    return " ".join(words).encode("utf-8")
+
+
 def _media_neardup_payload(d: int) -> bytes:
     """One payload of the HETEROGENEOUS near-dup corpus: doc d carries
-    its modality's near-dup fixture payload, modality = d % 3 (image
-    BMP / audio WAV / video AVI).  Within a modality the per-doc
-    formulas are the single-modality fixtures' verbatim — clusters are
-    d // 32, perturbations d % 4 — so each modality keeps its linear
-    near-dup structure and the unified oracle reuses the three
-    arithmetic fingerprint derivations with a d % 3 filter."""
-    m = d % 3
+    its modality's near-dup fixture payload, modality = (d div 8) % 4
+    (image BMP / audio WAV / video AVI / UTF-8 text in 8-id runs, so
+    k = d % 4 keeps its full 0-3 perturbation range inside every
+    modality).  Within a modality the per-doc formulas are the
+    single-modality fixtures' verbatim — clusters are d // 32,
+    perturbations d % 4 — so each modality keeps its linear near-dup
+    structure and the unified oracle reuses the arithmetic fingerprint
+    derivations with a (d div 8) % 4 filter."""
+    m = (d // 8) % 4
     if m == 0:
         return _image_neardup_payload(d)
     if m == 1:
         return _audio_neardup_payload(d)
-    return _video_neardup_payload(d)
+    if m == 2:
+        return _video_neardup_payload(d)
+    return _text_neardup_payload(d)
 
 
 def _media_neardup_fixture_batches(
@@ -1596,11 +1631,47 @@ MEDIA_FP_SCHEMA = StructType(
 )
 
 
+def _thash_value(payload: bytes) -> int | None:
+    """56-bit SimHash of a UTF-8 text payload, or None if the bytes
+    don't decode / normalize to >= 3 words: distinct 3-word shingles
+    of the whitespace-normalized lowercase text, per-shingle hash =
+    first 14 hex chars of md5('sim|' || shingle) (the `functions/
+    hashing.py::h32` convention widened to 56 bits so every band of
+    the shared 4x14 join carries entropy — a 32-bit hash would zero
+    band 3 for every text doc and quadratically explode that bucket),
+    bit b = majority vote with ties to 1 (the `simhash64` rule).
+    Matches the corpus-level `operators/dedup.py::simhash64` math
+    except for width; the unified oracle recomputes it bit-for-bit."""
+    import re
+
+    try:
+        text = payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    text = re.sub(r"\s+", " ", text.lower()).strip()
+    words = text.split(" ") if text else []
+    if len(words) < 3:
+        return None
+    shingles = {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
+    n = len(shingles)
+    hs = [
+        int(hashlib.md5(("sim|" + s).encode()).hexdigest()[:14], 16)
+        for s in shingles
+    ]
+    hv = 0
+    for b in range(56):
+        if sum((h >> b) & 1 for h in hs) * 2 >= n:
+            hv |= 1 << b
+    return hv
+
+
 def media_fingerprint_rows(pairs) -> list[dict]:
     """Sniff-and-fingerprint for an iterable of (doc_id, payload):
     per-row format dispatch (the `route_media_features` sniff order)
     to the matching perceptual hash — BMP/PNG/JPEG -> dHash, RIFF/WAVE
-    -> energy envelope, RIFF/AVI -> brightness envelope.  Shared by
+    -> energy envelope, RIFF/AVI -> brightness envelope, and anything
+    without binary magic that decodes as UTF-8 text (>= 3 words) ->
+    the 56-bit SimHash (`_thash_value`).  Shared by
     the batch fingerprint router and the streaming registry job so
     both paths compute identical (modality, fp) rows.  Unroutable or
     undecodable payloads emit a null fingerprint under modality
@@ -1620,6 +1691,10 @@ def media_fingerprint_rows(pairs) -> list[dict]:
                 modality, fp = "audio", _ahash_value(p)
             elif p[:4] == b"RIFF" and p[8:12] == b"AVI ":
                 modality, fp = "video", _vhash_value(p)
+            else:
+                # no binary magic: try UTF-8 text (>= 3 words) — the
+                # fourth modality of the unified near-dup story
+                modality, fp = "text", _thash_value(p)
             if fp is None:
                 modality = "unknown"
         rows.append({"doc_id": doc_id, "modality": modality, "fp": fp})
@@ -1637,7 +1712,8 @@ def media_fingerprints(media: DataFrame) -> DataFrame:
     """Unified perceptual-fingerprint router over a heterogeneous
     binary column: one map-side Arrow pass sniffs each payload and
     computes its modality's hash (`_dhash_value` / `_ahash_value` /
-    `_vhash_value`) — payloads never shuffle; the output is one slim
+    `_vhash_value` / `_thash_value`) — payloads never shuffle; the
+    output is one slim
     (doc_id, modality, fp bigint) row per payload, ready for the
     shared `banded_hamming_pairs` join grouped by modality."""
     return media.mapInPandas(_media_fp_batches, MEDIA_FP_SCHEMA)

@@ -1039,20 +1039,23 @@ def audio_fingerprint_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-modality near-dup composition (VERDICT r07 item 7): ONE
-    heterogeneous binary column (image BMP / audio WAV / video AVI
-    interleaved by doc_id % 3, `extraction/multimodal.py::
-    generate_media_neardup_fixture`) routed through the unified
-    sniff-and-fingerprint pass (`media_fingerprints` — the
-    `media_router_stats` dispatch order feeding `_dhash_value` /
-    `_ahash_value` / `_vhash_value`) into a SINGLE
-    `banded_hamming_pairs` join grouped by modality — the one-call
-    user story over a mixed media lake.  The oracle recomputes all
-    three fingerprint families from arithmetic alone (each
-    single-modality oracle verbatim, filtered to its d % 3 class) and
-    ALL pairs naively, so the sniffer's dispatch, every decode path,
-    and banding completeness per modality are all on the hook; a
-    grouping bug that pairs across modalities fails the row count."""
+    """Cross-modality near-dup composition (VERDICT r07 item 7), ALL
+    FOUR modalities in one payload column: image BMP / audio WAV /
+    video AVI / UTF-8 text interleaved by (doc_id div 8) % 4
+    (`extraction/multimodal.py::generate_media_neardup_fixture`),
+    routed through the unified sniff-and-fingerprint pass
+    (`media_fingerprints` — the `media_router_stats` dispatch order
+    feeding `_dhash_value` / `_ahash_value` / `_vhash_value` /
+    `_thash_value`, the last a 56-bit SimHash so every band of the
+    shared join carries entropy) into a SINGLE `banded_hamming_pairs`
+    join grouped by modality — the one-call user story over a mixed
+    media lake.  The oracle recomputes all four fingerprint families
+    from arithmetic alone (each single-modality derivation filtered to
+    its (d div 8) % 4 class; the text branch rebuilds words ->
+    shingles -> 56 majority-vote bits) and ALL pairs naively, so the
+    sniffer's dispatch, every decode path, and banding completeness
+    per modality are all on the hook; a grouping bug that pairs across
+    modalities fails the row count."""
     from swisscourtrulingcorpus_spark.extraction.multimodal import (
         generate_media_neardup_fixture,
         media_fingerprints,
@@ -1068,11 +1071,44 @@ def media_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(fp, "fp", group_cols=("modality",))
 
 
-# the three per-modality fingerprint derivations (each single-modality
-# oracle verbatim, filtered to its d % 3 class), shared by the batch
-# composition oracle and the incremental probe oracle
-_MEDIA_FP_CTES = """
-i_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 0),
+# the per-modality fingerprint derivations (each single-modality
+# oracle verbatim, filtered to its (d div 8) % 4 class, plus the
+# 56-bit text SimHash), shared by the batch composition oracle and
+# the incremental probe oracle
+_TX_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(56)
+)
+_TX_SIG = "\n       + ".join(
+    f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for b in range(56)
+)
+_TEXT_FP_CTES = f"""t_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE (doc_id // 8) % 4 = 3),
+t_base AS (
+  SELECT d, i.i, substr(md5('tx|' || (d // 32) || '|' || i.i), 1, 6) AS w
+  FROM t_ids, unnest(generate_series(0, 39)) AS i(i)),
+t_pert AS (
+  SELECT d, j, (d * 11 + 7 * j) % 40 AS p
+  FROM (SELECT d, unnest(generate_series(0, d % 4 - 1)) AS j
+        FROM t_ids WHERE d % 4 > 0)),
+t_words AS (
+  SELECT b.d, b.i,
+         CASE WHEN p.j IS NOT NULL THEN substr(md5('tp|' || b.d || '|' || p.j), 1, 6)
+              ELSE b.w END AS w
+  FROM t_base b LEFT JOIN t_pert p ON p.d = b.d AND p.p = b.i),
+t_sh AS (
+  SELECT DISTINCT a.d, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM t_words a
+  JOIN t_words b ON b.d = a.d AND b.i = a.i + 1
+  JOIN t_words c ON c.d = a.d AND c.i = a.i + 2),
+t_h AS (
+  SELECT d, CAST(('0x' || substr(md5('sim|' || shingle), 1, 14))::UBIGINT AS BIGINT) AS h
+  FROM t_sh),
+t_votes AS (SELECT d, {_TX_VOTES} FROM t_h GROUP BY d),
+t_fp AS (SELECT d, {_TX_SIG} AS h FROM t_votes),"""
+
+_MEDIA_FP_CTES = f"""
+i_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE (doc_id // 8) % 4 = 0),
 i_grid AS (
   SELECT d, yy.y, xx.x,
          CAST(('0x' || substr(md5('dh|' || (d // 32) || '|' || xx.x || '|' || yy.y), 1, 2))::UBIGINT AS BIGINT) AS base
@@ -1095,7 +1131,7 @@ i_bits AS (
 i_fp AS (
   SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(r * 8 + c AS INTEGER))) AS BIGINT) AS h
   FROM i_bits GROUP BY d),
-a_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 1),
+a_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE (doc_id // 8) % 4 = 1),
 a_base AS (
   SELECT d, w.w,
          CAST(('0x' || substr(md5('au|' || (d // 32) || '|' || w.w), 1, 4))::UBIGINT AS BIGINT) % 32768 AS v
@@ -1115,7 +1151,7 @@ a_bits AS (
 a_fp AS (
   SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS h
   FROM a_bits GROUP BY d),
-v_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id % 3 = 2),
+v_ids AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE (doc_id // 8) % 4 = 2),
 v_base AS (
   SELECT d, f.f,
          CAST(('0x' || substr(md5('vi|' || (d // 32) || '|' || f.f), 1, 2))::UBIGINT AS BIGINT) AS v
@@ -1135,10 +1171,12 @@ v_bits AS (
 v_fp AS (
   SELECT d, CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(j AS INTEGER))) AS BIGINT) AS h
   FROM v_bits GROUP BY d),
+{_TEXT_FP_CTES}
 allfp AS (
   SELECT 'image' AS modality, d, h FROM i_fp
   UNION ALL SELECT 'audio' AS modality, d, h FROM a_fp
-  UNION ALL SELECT 'video' AS modality, d, h FROM v_fp)
+  UNION ALL SELECT 'video' AS modality, d, h FROM v_fp
+  UNION ALL SELECT 'text' AS modality, d, h FROM t_fp)
 """
 
 MEDIA_NEARDUP_ORACLE = f"""WITH

@@ -124,12 +124,13 @@ def test_media_fingerprints_match_single_modality_hashes(spark):
         _ahash_value,
         _dhash_value,
         _media_neardup_payload,
+        _thash_value,
         _vhash_value,
         generate_media_neardup_fixture,
         media_fingerprints,
     )
 
-    docs = spark.range(24).withColumnRenamed("id", "doc_id")
+    docs = spark.range(32).withColumnRenamed("id", "doc_id")
     got = {
         r.doc_id: (r.modality, r.fp)
         for r in media_fingerprints(
@@ -137,9 +138,9 @@ def test_media_fingerprints_match_single_modality_hashes(spark):
         ).collect()
     }
     hashers = {0: ("image", _dhash_value), 1: ("audio", _ahash_value),
-               2: ("video", _vhash_value)}
-    for d in range(24):
-        modality, hasher = hashers[d % 3]
+               2: ("video", _vhash_value), 3: ("text", _thash_value)}
+    for d in range(32):
+        modality, hasher = hashers[(d // 8) % 4]
         assert got[d] == (modality, hasher(_media_neardup_payload(d))), d
 
 
