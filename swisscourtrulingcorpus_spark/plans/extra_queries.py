@@ -1205,7 +1205,7 @@ def incremental_media_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the asymmetric banded-hamming lookup (`operators/dedup.py::
     banded_hamming_probe`, grouped by modality), exactly what
     `streaming/jobs.py::media_fingerprint_maintenance_batch` runs per
-    trigger.  The oracle recomputes all three fingerprint families
+    trigger.  The oracle recomputes all four fingerprint families
     from arithmetic and ALL odd-vs-even pairs naively, so dropped
     probe candidates fail the row count."""
     from swisscourtrulingcorpus_spark.extraction.multimodal import (
