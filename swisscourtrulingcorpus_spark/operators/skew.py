@@ -162,3 +162,27 @@ def key_skew_report(
             F.col("__distinct").alias("n_distinct_keys"),
         )
     )
+
+
+def selfjoin_blowup_report(df: DataFrame, key_col: str) -> DataFrame:
+    """Pre-flight cost check for an equi-self-join on ``key_col``: the
+    EXACT output size it would produce (Σ n(k)² including self-pairs —
+    the quantity a stop-shingle guard or hub cap exists to bound) next
+    to the input size, distinct keys, and the single heaviest key's
+    contribution — read this BEFORE running an ngram-Jaccard-style
+    inverted-index join, the way :func:`key_skew_report` precedes a
+    fact join.  One row.
+
+    Scale shape: one map-side-combined count per key, then one 1-row
+    aggregate over the per-key counts — nothing pair-sized is ever
+    materialized; the report costs one groupBy regardless of how big
+    the join it predicts would be."""
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return counts.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct_keys"),
+        F.sum(F.col("n") * F.col("n")).alias("predicted_pairs"),
+        F.max(F.col("n") * F.col("n")).alias("max_key_pairs"),
+    )

@@ -36,7 +36,7 @@ class QuerySpec:
 # new gates (never checked) automatically enter the window, and no
 # gate's driver row can silently age out: with a 50-entry window the
 # steady-state max staleness is ceil(n_specs/50) rounds (5 at the
-# current 229+ specs).  Because that staleness grows with the registry,
+# current 230+ specs).  Because that staleness grows with the registry,
 # every round additionally commits a FULL-registry sweep artifact
 # (SWEEP_r{N}.json, written by `python tools/driver_sim.py --sweep`)
 # so the driver-facing evidence for gates outside the window is a

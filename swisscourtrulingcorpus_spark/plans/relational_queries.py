@@ -825,3 +825,38 @@ SPECS += [
         "referential-integrity orphan audit over the star joins",
     ),
 ]
+
+
+def selfjoin_blowup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join blowup pre-flight (`operators/skew.py::
+    selfjoin_blowup_report`) on lineitem's part key: the exact Σ n(k)²
+    output size an inverted-index-style self-join would produce,
+    computed from per-key counts alone — the decision report behind
+    the ngram-Jaccard stop-shingle guard and the bibliographic-
+    coupling hub cap, without materializing a single pair."""
+    from swisscourtrulingcorpus_spark.operators.skew import (
+        selfjoin_blowup_report,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return selfjoin_blowup_report(li, "l_partkey")
+
+
+SELFJOIN_BLOWUP_ORACLE = """
+WITH c AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct_keys,
+       CAST(sum(n * n) AS BIGINT) AS predicted_pairs,
+       CAST(max(n * n) AS BIGINT) AS max_key_pairs
+FROM c
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "selfjoin_blowup_lineitem",
+        selfjoin_blowup_lineitem,
+        SELFJOIN_BLOWUP_ORACLE,
+        "exact self-join output-size prediction from per-key counts, no pairs materialized",
+    ),
+]
