@@ -1612,11 +1612,12 @@ def _media_neardup_fixture_batches(
 
 
 def generate_media_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Heterogeneous media corpus (ONE binary column, three formats
-    interleaved by doc_id % 3) with each modality's built-in near-dup
-    structure — the input shape a real 100 TB media lake presents:
-    you don't get a per-format table, you get a payload column and a
-    sniffer."""
+    """Heterogeneous media corpus (ONE binary column, FOUR modalities
+    — image/audio/video/text — interleaved by (doc_id // 8) % 4, so
+    each modality owns runs of 8 consecutive ids) with each modality's
+    built-in near-dup structure — the input shape a real 100 TB media
+    lake presents: you don't get a per-format table, you get a payload
+    column and a sniffer."""
     return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
         _media_neardup_fixture_batches, PAYLOAD_SCHEMA
     )
@@ -1695,7 +1696,16 @@ def media_fingerprint_rows(pairs) -> list[dict]:
                 # no binary magic: try UTF-8 text (>= 3 words) — the
                 # fourth modality of the unified near-dup story
                 modality, fp = "text", _thash_value(p)
-            if fp is None:
+            if fp is None and modality != "text":
+                # magic-prefix collision: a legitimate UTF-8 text doc
+                # can start with b'BM' (e.g. "BM25 scoring ...") or
+                # even a RIFF-looking prefix; when the binary decode
+                # fails, fall through to the text branch before
+                # settling on 'unknown' so such docs keep their
+                # text-near-dup coverage.
+                fp = _thash_value(p)
+                modality = "text" if fp is not None else "unknown"
+            elif fp is None:
                 modality = "unknown"
         rows.append({"doc_id": doc_id, "modality": modality, "fp": fp})
     return rows

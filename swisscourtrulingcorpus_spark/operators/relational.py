@@ -446,10 +446,23 @@ def ordered_funnel(
     agg = t.agg(
         *[F.count(f"__t{i}").alias(f"__n{i}") for i in range(len(steps))]
     )
-    cells = ", ".join(f"{i}, '{s}', __n{i}" for i, s in enumerate(steps))
+    # Unpivot via explode(array(struct(...))) with TYPED literals —
+    # never interpolate step names into a SQL string (a quote in a
+    # step name would break the expression at analysis time).
     return agg.select(
-        F.expr(f"stack({len(steps)}, {cells}) AS (step_idx, step, n_users)")
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"__n{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("__cell")
+    ).select("__cell.step_idx", "__cell.step", "__cell.n_users")
 
 
 def integer_ewma_by_key(
@@ -519,37 +532,72 @@ def nearest_join(
     the EARLIER right row, then the smaller payload, so the winner is
     total-ordered on any engine.
 
-    Scale shape: one equi-join on the partition keys with the
-    tolerance band filtered INSIDE the join (candidate volume =
-    right rows within ±tolerance, the multitouch pairing shape; AQE
-    splits skewed keys), then one min-struct aggregate per left row —
-    no window over the joined table, no global sort.  ``tolerance``
-    must be finite: an unbounded nearest join IS the cross join the
-    band exists to avoid.
+    Scale shape: candidate pairing is TOLERANCE-BOUNDED BY
+    CONSTRUCTION, the `interval_overlap_pairs` bucket trick — each
+    right row is replicated into the three tolerance-width time
+    buckets {b-1, b, b+1} around floor(right_on / tolerance) and the
+    join is an equi-join on (partition_keys, bucket), so a left row
+    only ever meets the right rows of its own ±1 buckets (≤ 3
+    tolerance-widths of data), NEVER the per-key |left|×|right|
+    cross product a bare key-join would build under a heavy key (AQE
+    splits skewed PARTITIONS but cannot reduce per-key pair counts —
+    only the bucket does).  The band filter then trims the corner
+    candidates, and one min-struct aggregate per left row picks the
+    winner — no window over the joined table, no global sort.
+    ``tolerance`` must be a positive integer constant: the bucket
+    width IS the band, and an unbounded nearest join would be the
+    cross join the bucket exists to avoid.
+
+    Semantics notes: right payload columns are internally aliased
+    with a reserved ``__nj_`` prefix for the join, so a payload
+    column may share a name with any non-key left column without an
+    ambiguity AnalysisException (names are restored in the output).
+    IDENTICAL duplicate left rows (same keys, same ``left_on``, same
+    payload values) collapse to ONE output row — the final groupBy is
+    keyed on the left row's full value; carry a unique id column on
+    the left side if duplicate rows must survive.
     """
+    if isinstance(tolerance, Column):
+        raise TypeError(
+            "nearest_join tolerance must be a positive integer constant "
+            "(it is the candidate-bucket width), not a Column"
+        )
+    tol = int(tolerance)
+    if tol <= 0:
+        raise ValueError("nearest_join tolerance must be > 0")
     pay = right_payload or [c for c in right.columns if c not in partition_keys]
+    rpay = [c for c in pay if c != right_on]
     lhs = left.select(
         *partition_keys, F.col(left_on).alias("__l"), *[
             c for c in left.columns if c not in partition_keys and c != left_on
         ]
+    ).withColumn("__b", F.expr(f"(__l - pmod(__l, {tol})) div {tol}"))
+    # floor(x / tol) in exact long arithmetic: (x - pmod(x, tol)) is
+    # divisible by tol and pmod is the POSITIVE modulus, so this is a
+    # true floor for negative values too (DIV truncates toward zero).
+    rb = F.expr(f"(__nj_r - pmod(__nj_r, {tol})) div {tol}")
+    rhs = (
+        right.select(
+            *partition_keys,
+            F.col(right_on).alias("__nj_r"),
+            *[F.col(c).alias(f"__nj_{c}") for c in rpay],
+        )
+        .withColumn("__b", F.explode(F.array(rb - 1, rb, rb + 1)))
     )
-    rhs = right.select(
-        *partition_keys,
-        F.col(right_on).alias("__r"),
-        *[F.col(c) for c in pay if c != right_on],
+    joined = lhs.join(rhs, on=[*partition_keys, "__b"]).where(
+        (F.col("__nj_r") >= F.col("__l") - F.lit(tol))
+        & (F.col("__nj_r") <= F.col("__l") + F.lit(tol))
     )
-    tol = F.lit(tolerance) if not isinstance(tolerance, Column) else tolerance
-    joined = lhs.join(rhs, on=partition_keys).where(
-        (F.col("__r") >= F.col("__l") - tol) & (F.col("__r") <= F.col("__l") + tol)
-    )
-    dist = F.abs(F.col("__r") - F.col("__l"))
+    dist = F.abs(F.col("__nj_r") - F.col("__l"))
     pick = F.struct(
         dist.alias("d"),
-        F.col("__r").alias("r"),
-        *[F.col(c).alias(c) for c in pay if c != right_on],
+        F.col("__nj_r").alias("r"),
+        *[F.col(f"__nj_{c}").alias(c) for c in rpay],
     )
     group_cols = [*partition_keys, "__l"] + [
-        c for c in lhs.columns if c not in partition_keys and c != "__l"
+        c
+        for c in lhs.columns
+        if c not in partition_keys and c not in ("__l", "__b")
     ]
     best = joined.groupBy(*group_cols).agg(F.min(pick).alias("__best"))
     return best.select(
@@ -558,5 +606,5 @@ def nearest_join(
         *[c for c in group_cols if c not in partition_keys and c != "__l"],
         F.col("__best.r").alias(right_on),
         F.col("__best.d").alias("distance"),
-        *[F.col(f"__best.{c}").alias(c) for c in pay if c != right_on],
+        *[F.col(f"__best.{c}").alias(c) for c in rpay],
     )

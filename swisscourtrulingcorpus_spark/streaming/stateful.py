@@ -124,7 +124,15 @@ def _update_ewma(
         last, n, s = state.get
     else:
         last, n, s = -1, 0, 0
-    for pdf in batches:
+    # applyInPandasWithState delivers one GROUP as MULTIPLE Arrow
+    # chunks (default 10k rows) in arbitrary order — sorting each
+    # chunk independently would compute gaps across unsorted chunk
+    # boundaries.  Materialize the whole group for this micro-batch
+    # first, then sort once.  Memory is bounded by the per-key batch
+    # volume (slim 2-column rows), not the stream.
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True)
         pdf = pdf.sort_values(["us", "event_id"])
         for us in pdf["us"]:
             us = int(us)

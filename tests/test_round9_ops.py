@@ -1,0 +1,255 @@
+"""Round-9 regression tests: the r08 ADVICE fixes and the bucketed
+nearest-join rewrite (VERDICT r08 "what's wrong" #2).
+
+Reference parity context: these harden operators already mapped in
+VERDICT r08 §2.3/§2.10 — no new reference surface.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the stateful update
+    functions directly (exists/get/update are the only members the
+    folds touch)."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _ewma_reference(times):
+    last, n, s = -1, 0, 0
+    for us in times:
+        if last >= 0:
+            g = us - last
+            n += 1
+            s = g if n == 1 else (3 * g + 5 * s) // 8
+        last = us
+    return n, s
+
+
+def test_stateful_ewma_multichunk_group_order():
+    """applyInPandasWithState delivers ONE group as MULTIPLE Arrow
+    chunks in arbitrary order (default 10k rows/chunk); the fold must
+    materialize + sort the whole group, not each chunk independently
+    (ADVICE r08 medium).  Drive _update_ewma directly with shuffled
+    chunk splits and compare against the sequential reference."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import _update_ewma
+
+    rng = random.Random(9)
+    times = sorted(rng.sample(range(0, 10_000_000), 57))
+    rows = [{"us": t, "event_id": i} for i, t in enumerate(times)]
+    want = _ewma_reference(times)
+
+    for trial in range(5):
+        shuffled = rows[:]
+        rng.shuffle(shuffled)
+        # split the shuffled group into 3 unsorted chunks
+        cuts = sorted(rng.sample(range(1, len(rows)), 2))
+        chunks = [
+            pd.DataFrame(shuffled[: cuts[0]]),
+            pd.DataFrame(shuffled[cuts[0] : cuts[1]]),
+            pd.DataFrame(shuffled[cuts[1] :]),
+        ]
+        state = _FakeState()
+        out = list(_update_ewma((7,), iter(chunks), state))
+        assert len(out) == 1
+        got = (int(out[0]["n_gaps"][0]), int(out[0]["ewma_gap_us"][0]))
+        assert got == want, f"trial {trial}: {got} != {want}"
+        # state carries (last, n, s); last must be the true max time
+        assert state.get[0] == times[-1]
+
+
+def test_stateful_ewma_multichunk_carries_state_across_batches():
+    """Chunked delivery must compose with cross-batch state exactly as
+    single-chunk delivery does."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import _update_ewma
+
+    times = [100, 250, 900, 1400, 5000, 5100, 9999]
+    want = _ewma_reference(times)
+    state = _FakeState()
+    # batch 1: first four rows as two unsorted chunks
+    b1 = [{"us": t, "event_id": i} for i, t in enumerate(times[:4])]
+    list(
+        _update_ewma(
+            (1,),
+            iter([pd.DataFrame(b1[2:]), pd.DataFrame(b1[:2])]),
+            state,
+        )
+    )
+    # batch 2: remaining rows, again chunked out of order
+    b2 = [{"us": t, "event_id": i + 4} for i, t in enumerate(times[4:])]
+    out = list(
+        _update_ewma(
+            (1,),
+            iter([pd.DataFrame(b2[1:]), pd.DataFrame(b2[:1])]),
+            state,
+        )
+    )
+    got = (int(out[0]["n_gaps"][0]), int(out[0]["ewma_gap_us"][0]))
+    assert got == want
+
+
+def test_media_sniffer_bm_prefixed_text_falls_through():
+    """A UTF-8 text document that happens to start with 'BM' (the BMP
+    magic) must not be dropped as 'unknown' — on image-decode failure
+    the router falls through to the text SimHash (ADVICE r08 low)."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _thash_value,
+        media_fingerprint_rows,
+    )
+
+    doc = b"BM25 scoring ranks documents by term frequency and length"
+    rows = media_fingerprint_rows([(1, doc)])
+    assert rows == [
+        {"doc_id": 1, "modality": "text", "fp": _thash_value(doc)}
+    ]
+    assert rows[0]["fp"] is not None
+
+    # genuinely undecodable binary without any known magic stays unknown
+    junk = b"BM\x00\xff\xfe\x01binary"
+    rows = media_fingerprint_rows([(2, junk)])
+    assert rows[0]["modality"] == "unknown" and rows[0]["fp"] is None
+
+
+def test_ordered_funnel_quoted_step_names(spark):
+    """Step names containing quotes must survive the unpivot (ADVICE
+    r08 low: the old stack() string interpolation broke at analysis
+    time)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        ordered_funnel,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "add'to\"cart", "2024-01-01 10:00:00"),
+            (1, "buy", "2024-01-01 11:00:00"),
+            (2, "add'to\"cart", "2024-01-01 10:00:00"),
+        ],
+        "user_id: long, event_type: string, ts: string",
+    ).selectExpr("user_id", "event_type", "CAST(ts AS timestamp) AS ts")
+    got = {
+        (r.step_idx, r.step): r.n_users
+        for r in ordered_funnel(ev, ["add'to\"cart", "buy"]).collect()
+    }
+    assert got == {(0, "add'to\"cart"): 2, (1, "buy"): 1}
+
+
+def _brute_nearest(left_rows, right_rows, tol):
+    """Pure-python reference: per left row, min (|d|, r_time, payload)
+    struct over in-band right rows of the same key."""
+    best = {}
+    for lk, lt, lid in left_rows:
+        cands = [
+            (abs(rt - lt), rt, rid)
+            for rk, rt, rid in right_rows
+            if rk == lk and abs(rt - lt) <= tol
+        ]
+        if cands:
+            best[(lk, lt, lid)] = min(cands)
+    return {
+        (lk, lid): (rid, d) for (lk, lt, lid), (d, rt, rid) in best.items()
+    }
+
+
+def test_nearest_join_bucketed_equals_bruteforce(spark):
+    """Property test for the bucketed rewrite: random keyed point sets
+    (including one HEAVY key holding half the rows — the shape the old
+    per-key pairing was quadratic on) must match the brute-force
+    nearest-within-tolerance reference exactly."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+
+    rng = random.Random(99)
+    tol = 1000
+    # heavy key 0 gets ~half of all rows; times cluster so bucket
+    # boundaries (multiples of tol) are crossed often; include
+    # negative times to exercise the floor arithmetic.
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            k = 0 if rng.random() < 0.5 else rng.randrange(1, 6)
+            t = rng.randrange(-5000, 50_000)
+            rows.append((k, t, id0 + i))
+        return rows
+
+    left_rows, right_rows = mk(120, 1000), mk(150, 2000)
+    left = spark.createDataFrame(
+        left_rows, "k: long, l_us: long, left_id: long"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k: long, r_us: long, right_id: long"
+    )
+    got = {
+        (r.k, r.left_id): (r.right_id, r.distance)
+        for r in nearest_join(
+            left, right, ["k"], "l_us", "r_us",
+            tolerance=tol, right_payload=["right_id", "r_us"],
+        ).collect()
+    }
+    assert got == _brute_nearest(left_rows, right_rows, tol)
+    assert len(got) > 0
+
+
+def test_nearest_join_payload_name_collision(spark):
+    """A right payload column sharing a name with a non-key left
+    column must not raise an ambiguity error (ADVICE r08 low): the
+    right side is internally __nj_-prefixed."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1000, "L")], "k: long, l_us: long, tag: string"
+    )
+    right = spark.createDataFrame(
+        [(1, 1050, "R1"), (1, 1500, "R2")],
+        "k: long, r_us: long, score: string",
+    )
+    # collide on purpose: rename right's payload to 'tag'
+    right = right.withColumnRenamed("score", "tag")
+    rows = nearest_join(
+        left,
+        right,
+        ["k"],
+        "l_us",
+        "r_us",
+        tolerance=200,
+        right_payload=["tag", "r_us"],
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # left's tag survives under its own name; right's collided payload
+    # is restored as the struct field in the output columns
+    assert r.distance == 50 and r.r_us == 1050
+
+
+def test_nearest_join_rejects_column_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k: long, t: long")
+    with pytest.raises(TypeError):
+        nearest_join(df, df, ["k"], "t", "t", tolerance=F.lit(5))
+    with pytest.raises(ValueError):
+        nearest_join(df, df, ["k"], "t", "t", tolerance=0)
