@@ -1127,17 +1127,31 @@ def cross_corpus_lsh_contamination(
 CDC_WINDOW, CDC_BASE, CDC_MODULUS, CDC_DIVISOR = 16, 257, (1 << 31) - 1, 64
 
 
-def cdc_cut_points(text: str) -> list[int]:
-    """1-based end positions of the content-defined chunks of ``text``
-    (the final position ``len(text)`` always closes the last chunk).
-    Pure Rabin-Karp CDC (Muthitacharoen et al. 2001, LBFS, public): a
-    cut lands wherever the rolling hash of the trailing CDC_WINDOW
-    characters is ≡ 0 mod CDC_DIVISOR — boundaries depend only on
-    LOCAL content, so an insertion near the start of a document shifts
-    every byte yet re-synchronizes at the next content cut and the
-    remaining chunks hash identically (the property fixed-size
-    chunking lacks, and what makes chunk-level dedup robust to
-    prepended boilerplate)."""
+#: Window weights BASE^(W-1-j) mod M for the direct windowed-
+#: polynomial form of the rolling hash (computed once at import).
+_CDC_WEIGHTS = None
+
+
+def _cdc_weights():
+    global _CDC_WEIGHTS
+    if _CDC_WEIGHTS is None:
+        import numpy as np
+
+        _CDC_WEIGHTS = np.array(
+            [
+                pow(CDC_BASE, CDC_WINDOW - 1 - j, CDC_MODULUS)
+                for j in range(CDC_WINDOW)
+            ],
+            dtype=np.int64,
+        )
+    return _CDC_WEIGHTS
+
+
+def _cdc_cut_points_py(text: str) -> list[int]:
+    """Sequential pure-Python reference for `cdc_cut_points` — kept as
+    the property-test twin pinning the exact cut semantics the numpy
+    path must reproduce (and as executable documentation of the
+    recurrence: h ← (h − out·B^(W−1))·B + in mod M)."""
     n = len(text)
     if n == 0:
         return []
@@ -1154,6 +1168,48 @@ def cdc_cut_points(text: str) -> list[int]:
             h = ((h - cps[i - CDC_WINDOW] * pw1) * CDC_BASE + cps[i]) % CDC_MODULUS
             if h % CDC_DIVISOR == 0:
                 cuts.append(i + 1)
+    if not cuts or cuts[-1] != n:
+        cuts.append(n)
+    return cuts
+
+
+def cdc_cut_points(text: str) -> list[int]:
+    """1-based end positions of the content-defined chunks of ``text``
+    (the final position ``len(text)`` always closes the last chunk).
+    Pure Rabin-Karp CDC (Muthitacharoen et al. 2001, LBFS, public): a
+    cut lands wherever the rolling hash of the trailing CDC_WINDOW
+    characters is ≡ 0 mod CDC_DIVISOR — boundaries depend only on
+    LOCAL content, so an insertion near the start of a document shifts
+    every byte yet re-synchronizes at the next content cut and the
+    remaining chunks hash identically (the property fixed-size
+    chunking lacks, and what makes chunk-level dedup robust to
+    prepended boilerplate).
+
+    Vectorized (VERDICT r08 "what's wrong" #3): instead of the per-
+    character sliding recurrence, every window hash is computed at
+    once as the windowed polynomial dot product
+    ``H_i = Σ_j cp[i−W+1+j] · B^(W−1−j) (mod M)`` — W=16 vectorized
+    multiply-adds done by ONE ``np.correlate`` C pass over the code-
+    point array (utf-32-le frombuffer, no per-char Python).
+    Exactness: cp < 2^21 and each weight < 2^31, so one product
+    < 2^52 and the 16-term sum < 2^56 — int64 never overflows and one
+    final ``% M`` equals the sequential mod-at-every-step value.
+    ~12× single-core over the old loop on 2 KB docs, ~30× on 16 KB
+    (SCALE.md round 9); cut points byte-identical (property-tested
+    against `_cdc_cut_points_py`)."""
+    n = len(text)
+    if n == 0:
+        return []
+    cuts: list[int] = []
+    if n >= CDC_WINDOW:
+        import numpy as np
+
+        cps = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        acc = np.correlate(cps, _cdc_weights())
+        hits = np.nonzero((acc % CDC_MODULUS) % CDC_DIVISOR == 0)[0]
+        cuts = (hits + CDC_WINDOW).tolist()
     if not cuts or cuts[-1] != n:
         cuts.append(n)
     return cuts

@@ -253,3 +253,27 @@ def test_nearest_join_rejects_column_tolerance(spark):
         nearest_join(df, df, ["k"], "t", "t", tolerance=F.lit(5))
     with pytest.raises(ValueError):
         nearest_join(df, df, ["k"], "t", "t", tolerance=0)
+
+
+def test_cdc_vectorized_equals_sequential_reference():
+    """The numpy windowed-polynomial CDC (one np.correlate pass) must
+    produce byte-identical cut points to the sequential pure-Python
+    recurrence `_cdc_cut_points_py` on arbitrary unicode — including
+    astral code points (cp < 2^21 keeps the int64 dot product exact)
+    and every short-string edge."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        CDC_WINDOW,
+        _cdc_cut_points_py,
+        cdc_cut_points,
+    )
+
+    rng = random.Random(42)
+    alphabet = "abcdefgh \n.,:é漢💡\U0010ffff"
+    for _ in range(300):
+        n = rng.randrange(0, 500)
+        t = "".join(rng.choice(alphabet) for _ in range(n))
+        assert cdc_cut_points(t) == _cdc_cut_points_py(t)
+    for edge in ("", "x", "x" * (CDC_WINDOW - 1), "x" * CDC_WINDOW):
+        assert cdc_cut_points(edge) == _cdc_cut_points_py(edge)
+    big = "".join(rng.choice(alphabet) for _ in range(100_000))
+    assert cdc_cut_points(big) == _cdc_cut_points_py(big)
