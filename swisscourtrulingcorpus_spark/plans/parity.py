@@ -66,3 +66,24 @@ def value_hash(df: pd.DataFrame) -> str:
         h.update("\x1f".join(r).encode())
         h.update(b"\x1e")
     return h.hexdigest()
+
+
+def plan_fingerprint(df) -> str:
+    """Identity-normalized fingerprint of a DataFrame's OPTIMIZED
+    logical plan: exprIds (``#123``/``#123L``) and plan ids are
+    replaced with placeholders and whitespace collapsed, so two
+    constructions of the SAME query fingerprint identically while any
+    semantic difference (tables, predicates, literals, operator order)
+    survives.  The registry duplicate-lint
+    (tests/test_registry_lint.py) md5s this over every gate at
+    sf0.001 and fails when two gates with different names resolve to
+    the same plan — the mechanical guard VERDICT r08 item 5 asked for
+    after round 8 shipped (and had to hand-delete) two semantic
+    duplicates of existing operators."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    p = re.sub(r"#\d+L?", "#x", plan)
+    p = re.sub(r"plan_id=\d+", "plan_id=x", p)
+    p = re.sub(r"\s+", " ", p)
+    return hashlib.md5(p.encode()).hexdigest()
