@@ -359,3 +359,27 @@ def lemma_stopword_sql(token_expr: str, lang_expr: str) -> str:
         lst = ", ".join(f"'{w}'" for w in words)
         branches.append(f"WHEN {lang_expr} = '{lang}' THEN {token_expr} IN ({lst})")
     return "CASE " + " ".join(branches) + " ELSE FALSE END"
+
+
+#: German common-noun derivational suffixes for the POS proxy's
+#: capitalized-word disambiguation: German capitalizes EVERY noun, so
+#: "capitalized ⇒ PROPN" (right for fr/it) systematically misreads
+#: German common nouns (Beschwerde, Bundesgericht) as proper nouns —
+#: the one sub-0.95 fidelity class in r05-r08.  A word carrying one of
+#: these noun-forming endings is overwhelmingly a common noun;
+#: toponyms/surnames (Zürich, Meyer) carry none of them.
+DE_NOUN_SUFFIXES = (
+    "ung", "heit", "keit", "schaft", "tum", "nis", "erei",
+    "chen", "lein", "icht", "erde",
+)
+
+
+def de_noun_suffix_sql(token_expr: str, lang_expr: str) -> str:
+    """TRUE when the row is German and the token ends with a common-
+    noun derivational suffix (`DE_NOUN_SUFFIXES`) — dual-dialect
+    (LIKE is identical in Spark SQL and DuckDB), used by the POS
+    proxy to keep capitalized German common nouns out of PROPN."""
+    likes = " OR ".join(
+        f"lower({token_expr}) LIKE '%{s}'" for s in DE_NOUN_SUFFIXES
+    )
+    return f"({lang_expr} = 'de' AND ({likes}))"

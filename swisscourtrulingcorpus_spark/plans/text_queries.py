@@ -1187,13 +1187,18 @@ def pos_proxy_class_col(token: str = "t", lang: str = "lang"):
     factored out so the fidelity test (`tests/test_fidelity.py`) can
     measure per-token agreement against hand-labeled spaCy-style gold
     classes with exactly the expression the gate uses."""
-    from swisscourtrulingcorpus_spark.functions.text import lemma_stopword_sql
+    from swisscourtrulingcorpus_spark.functions.text import (
+        de_noun_suffix_sql,
+        lemma_stopword_sql,
+    )
 
     is_func = F.expr(lemma_stopword_sql(f"lower({token})", lang))
+    de_noun = F.expr(de_noun_suffix_sql(token, lang))
     return (
         F.when(F.col(token).rlike("^[0-9]"), F.lit("NUM"))
         .when(~F.col(token).rlike("[0-9A-Za-zÀ-ÿ]"), F.lit("PUNCT"))
         .when(is_func, F.lit("FUNC"))
+        .when(F.col(token).rlike("^[A-ZÄÖÜÉÈÀ]") & de_noun, F.lit("WORD"))
         .when(F.col(token).rlike("^[A-ZÄÖÜÉÈÀ]"), F.lit("PROPN"))
         .otherwise(F.lit("WORD"))
     )
@@ -1232,10 +1237,12 @@ def q_pos_proxy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pos_proxy_oracle() -> str:
     from swisscourtrulingcorpus_spark.functions.text import (
+        de_noun_suffix_sql,
         lemma_stopword_sql,
     )
 
     stop = lemma_stopword_sql("lower(t)", "lang")
+    de_noun = de_noun_suffix_sql("t", "lang")
     return rf"""
 WITH toks AS (
   SELECT lang,
@@ -1247,6 +1254,7 @@ SELECT lang,
        CASE WHEN regexp_matches(t, '^[0-9]') THEN 'NUM'
             WHEN NOT regexp_matches(t, '[0-9A-Za-zÀ-ÿ]') THEN 'PUNCT'
             WHEN {stop} THEN 'FUNC'
+            WHEN regexp_matches(t, '^[A-ZÄÖÜÉÈÀ]') AND {de_noun} THEN 'WORD'
             WHEN regexp_matches(t, '^[A-ZÄÖÜÉÈÀ]') THEN 'PROPN'
             ELSE 'WORD' END AS pos_class,
        count(*) AS n

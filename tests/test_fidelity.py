@@ -104,9 +104,12 @@ def test_lemma_rule_agreement(fidelity, spark):
 
 def test_pos_proxy_agreement(fidelity, spark):
     """E11 word-shape POS proxy vs spaCy-UPOS-mapped gold classes.
-    Measured 31/33 = 0.94 (r05); the two known misses are German
-    capitalized common nouns read as PROPN — the documented limit of
-    a shape heuristic on German.  Threshold 0.90; NUM/PUNCT/FUNC
+    r05-r08 measured 31/33 = 0.94 — the two misses were German
+    capitalized common nouns (Beschwerde, Bundesgericht) read as
+    PROPN because German capitalizes every noun.  Round 9 adds the
+    `DE_NOUN_SUFFIXES` derivational-suffix rule (capitalized + German
+    noun ending ⇒ WORD), closing both: 33/33 on the frozen fixture.
+    Threshold raised to 0.95 (VERDICT r08 item 7); NUM/PUNCT/FUNC
     classes must be perfect (they are deterministic shapes)."""
     from swisscourtrulingcorpus_spark.plans.text_queries import pos_proxy_class_col
 
@@ -116,7 +119,7 @@ def test_pos_proxy_agreement(fidelity, spark):
     )
     rows = gold.select("lang", "t", "gold", pos_proxy_class_col().alias("pred")).collect()
     acc = sum(r["pred"] == r["gold"] for r in rows) / len(rows)
-    assert acc >= 0.90, f"POS-proxy agreement regressed: {acc:.3f}"
+    assert acc >= 0.95, f"POS-proxy agreement regressed: {acc:.3f}"
     for r in rows:
         if r["gold"] in ("NUM", "PUNCT", "FUNC"):
             assert r["pred"] == r["gold"], (r["t"], r["pred"], r["gold"])
