@@ -314,7 +314,21 @@ STREAM_QUERIES = [
         "stream_interval_join",
         "buffered rows bounded by watermark + 30-min join window on both sides",
     ),
+    # round-9 (VERDICT r08 item 4): the applyInPandasWithState custom
+    # stateful operators — state must grow with |keys|, never |events|
+    (
+        "stream_user_profile_state",
+        "custom stateful op: state == ONE (n_events, total, last_ts) tuple per user — bytes/key flat, rows track |users| not |events|",
+    ),
+    (
+        "stream_ewma_gap_state",
+        "custom stateful op: state == ONE (last_us, n, s) integer triple per user — bytes/key flat, rows track |users| not |events|",
+    ),
 ]
+
+#: queries whose sink must run in update mode (applyInPandasWithState
+#: emits per-key updates, not appendable finalized rows)
+_UPDATE_MODE = {"stream_user_profile_state", "stream_ewma_gap_state"}
 
 
 def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=None) -> None:
@@ -328,11 +342,17 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
     )
 
     from swisscourtrulingcorpus_spark.streaming.jobs import read_events_stream
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        ewma_gap_stream,
+        user_profile_stream,
+    )
 
     makers = {
         "stream_session_windows": session_counts_stream,
         "stream_tumbling_counts": tumbling_counts_stream,
         "stream_interval_join": purchase_attribution_stream,
+        "stream_user_profile_state": user_profile_stream,
+        "stream_ewma_gap_state": ewma_gap_stream,
     }
     claims = dict(STREAM_QUERIES)
     # the 10x events table is written as a 32-part directory, the 1x
@@ -347,7 +367,7 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
         t0 = _t.time()
         q = (
             out.writeStream.format("noop")
-            .outputMode("append")
+            .outputMode("update" if name in _UPDATE_MODE else "append")
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
