@@ -277,3 +277,36 @@ def test_cdc_vectorized_equals_sequential_reference():
         assert cdc_cut_points(edge) == _cdc_cut_points_py(edge)
     big = "".join(rng.choice(alphabet) for _ in range(100_000))
     assert cdc_cut_points(big) == _cdc_cut_points_py(big)
+
+
+def test_distributed_corpus_generator_matches_sequential_shape(spark):
+    """`raw_corpus_df_distributed` must agree with the sequential
+    fixture on every rng-FREE field (spider/chamber/lang/date/outcome/
+    citations are pure arithmetic on the id) and differ only in the
+    judge-name draws; the schema must be identical so the pipeline is
+    oblivious to which generator fed it."""
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import (
+        build_raw_corpus,
+        raw_corpus_df,
+        raw_corpus_df_distributed,
+    )
+
+    n = 200
+    seq = {r["file_name"]: r for r in build_raw_corpus(n)}
+    dist = {
+        r["file_name"]: r.asDict()
+        for r in raw_corpus_df_distributed(spark, n, parts=8).collect()
+    }
+    assert set(seq) == set(dist)
+    rngfree = [
+        "spider", "chamber", "lang", "true_outcome",
+        "cited_year", "cited_page",
+    ]
+    for fn, s in seq.items():
+        d = dist[fn]
+        for c in rngfree:
+            assert d[c] == s[c], (fn, c)
+    assert (
+        raw_corpus_df(spark, 10).schema
+        == raw_corpus_df_distributed(spark, 10).schema
+    )

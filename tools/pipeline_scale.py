@@ -60,12 +60,23 @@ def main() -> None:
         judgment_dataset,
         run_extraction_pipeline,
     )
-    from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import (
+        raw_corpus_df,
+        raw_corpus_df_distributed,
+    )
 
     def run(n_docs: int) -> int:
-        return judgment_dataset(
-            run_extraction_pipeline(raw_corpus_df(spark, n_docs))
-        ).count()
+        # driver-side generation up to 50k (the historical protocol,
+        # keeps tier-to-tier numbers comparable across rounds);
+        # executor-side generation beyond that (500k dicts through
+        # createDataFrame would measure the driver serializer, not the
+        # pipeline — and a real corpus arrives distributed anyway)
+        src = (
+            raw_corpus_df(spark, n_docs)
+            if n_docs <= 50_000
+            else raw_corpus_df_distributed(spark, n_docs)
+        )
+        return judgment_dataset(run_extraction_pipeline(src)).count()
 
     # same steady-state protocol as bench.py: two full-size warmups at
     # the SMALL size fork the Python workers + compile the UDF plans
@@ -73,7 +84,11 @@ def main() -> None:
         run(5000)
 
     results: dict[str, dict] = {}
-    for label, n_docs in (("sf0.1_5k", 5000), ("sf1_50k", 50000)):
+    for label, n_docs in (
+        ("sf0.1_5k", 5000),
+        ("sf1_50k", 50000),
+        ("sf10_500k", 500000),
+    ):
         time.sleep(1.0)  # settle async event-log flush
         r0, w0 = _shuffle_totals(event_dir, app_id)
         t0 = time.time()
@@ -93,16 +108,25 @@ def main() -> None:
 
     import math
 
-    a, b = results["sf0.1_5k"], results["sf1_50k"]
-    results["alpha"] = {
-        "wall": round(math.log10(max(b["wall_s"], 1e-9) / max(a["wall_s"], 1e-9)), 2),
-        "shuffle_write": round(
-            math.log10(
-                max(b["shuffle_write_mb"], 1e-9) / max(a["shuffle_write_mb"], 1e-9)
+    def _alpha(a, b):
+        return {
+            "wall": round(
+                math.log10(max(b["wall_s"], 1e-9) / max(a["wall_s"], 1e-9)), 2
             ),
-            2,
-        ),
-    }
+            "shuffle_write": round(
+                math.log10(
+                    max(b["shuffle_write_mb"], 1e-9)
+                    / max(a["shuffle_write_mb"], 1e-9)
+                ),
+                2,
+            ),
+        }
+
+    results["alpha"] = _alpha(results["sf0.1_5k"], results["sf1_50k"])
+    if "sf10_500k" in results:
+        results["alpha_10x_100x"] = _alpha(
+            results["sf1_50k"], results["sf10_500k"]
+        )
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")
