@@ -608,3 +608,115 @@ def nearest_join(
         F.col("__best.d").alias("distance"),
         *[F.col(f"__best.{c}").alias(c) for c in rpay],
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit from INTEGER-EXACT
+    moment sums: one aggregate computes (n, Σx, Σy, Σxy, Σx²) as
+    bigints — bit-identical on any engine because every product and
+    sum is exact integer arithmetic — then the closed-form slope and
+    intercept are derived with ONE fixed shape of double casts:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − Σx·Σx)
+        intercept = (Σy − slope·Σx) / n
+
+    with each bigint cast to double exactly once before the float
+    arithmetic, so any engine replaying the same expression tree
+    produces bit-identical doubles (the oracle-parity rule: never
+    round, compute identically).  ``x_col`` and ``y_col`` must be
+    integers sized so Σxy fits int64 (e.g. bounded day index ×
+    cent-valued daily totals).
+
+    Scale shape: a trend over a trillion rows is ONE map-side
+    partially-aggregated groupBy — five bigint accumulators per group,
+    nothing else shuffles; the division happens on the final slim
+    group rows.  Groups with a single distinct x emit NULL slope
+    (denominator zero) rather than a fake fit.
+
+    Returns group_cols + (n bigint, slope double, intercept double).
+    """
+    sums = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(x_col)).alias("__sx"),
+        F.sum(F.col(y_col)).alias("__sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("__sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("__sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    den = nd * sxx - sx * sx
+    slope = F.when(den != 0.0, (nd * sxy - sx * sy) / den)
+    intercept = F.when(den != 0.0, (sy - ((nd * sxy - sx * sy) / den) * sx) / nd)
+    return sums.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation of integer columns from ONE
+    map-side aggregate of exact moment sums — the multivariate sibling
+    of `ols_trend`: for every pair (a, b),
+
+        r = (n·Σab − Σa·Σb) /
+            (sqrt(n·Σa² − Σa·Σa) · sqrt(n·Σb² − Σb·Σb))
+
+    where every Σ is a bigint (engine-exact) and the float arithmetic
+    is one fixed cast shape; ``sqrt`` is IEEE-754 correctly rounded on
+    every engine, so the doubles are bit-identical wherever the same
+    integer sums go in.  Degenerate pairs (zero variance on either
+    side) emit NULL r.  Columns must be integer-valued and small
+    enough that Σa·b fits int64 at the target scale (quantities,
+    percents, bounded codes — not raw cents at petabyte row counts).
+
+    Scale shape: a correlation matrix over a trillion rows is ONE
+    whole-stage-codegen aggregate with k + k(k+1)/2 bigint
+    accumulators and a constant-size unpivot of the single result row
+    — nothing else moves.  Returns (col_x, col_y, n, r) per pair.
+    """
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sp_{a}_{b}"))
+    sums = df.agg(*aggs)
+    nd = F.col("n").cast("double")
+    cells = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa = F.col(f"__s_{a}").cast("double")
+            sb = F.col(f"__s_{b}").cast("double")
+            da = F.sqrt(
+                nd * F.col(f"__ss_{a}").cast("double") - sa * sa
+            )
+            db = F.sqrt(
+                nd * F.col(f"__ss_{b}").cast("double") - sb * sb
+            )
+            r = F.when(
+                (da != 0.0) & (db != 0.0),
+                (nd * F.col(f"__sp_{a}_{b}").cast("double") - sa * sb)
+                / (da * db),
+            )
+            cells.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.col("n").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return sums.select(F.explode(F.array(*cells)).alias("__c")).select(
+        "__c.col_x", "__c.col_y", "__c.n", "__c.r"
+    )

@@ -167,6 +167,42 @@ def cms_estimate(
     return joined.groupBy(probe_col).agg(F.min("cnt").alias("estimate"))
 
 
+def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
+    """Equi-join CARDINALITY estimate from two count-min sketches over
+    the join key, without running the join: for each depth row d, the
+    bucket inner product Σ_b cntA[d,b]·cntB[d,b] equals
+    Σ_k fA(k)·fB(k) = |A ⋈ B| plus non-negative collision cross-terms,
+    so every row over-estimates and ``min`` over rows is the CMS
+    inner-product join-size estimator (Cormode & Muthukrishnan 2005
+    §4.2, public — the AMS-style sketch the classic query optimizers
+    use for join planning).  Returns one row: ``est_join_size``.
+
+    Scale shape: this is the 100 TB join-PLANNING primitive — each
+    side is one map-side fixed-size sketch (depth × width integer
+    rows regardless of input size), the inner product is an equi-join
+    of two tiny register tables, and the estimate never touches the
+    fact tables again.  Guarantee: estimate >= true join size, always
+    (property-tested in tests/test_sketches.py).
+
+    Both sketches must be built by `cms_table` with the SAME width and
+    depth and no unmerged slice columns.
+    """
+    for s, label in ((sketch_a, "sketch_a"), (sketch_b, "sketch_b")):
+        extra = set(s.columns) - {"d", "bucket", "cnt"}
+        if extra:
+            raise ValueError(
+                f"{label} has slice columns {sorted(extra)}; merge first"
+            )
+    a = sketch_a.select("d", "bucket", F.col("cnt").alias("__ca"))
+    b = sketch_b.select("d", "bucket", F.col("cnt").alias("__cb"))
+    per_depth = (
+        a.join(F.broadcast(b), on=["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_depth.agg(F.min("__ip").alias("est_join_size"))
+
+
 # ---------------------------------------------------------------------------
 # Bloom filter: mergeable membership sketch for join pruning
 # ---------------------------------------------------------------------------

@@ -860,3 +860,146 @@ SPECS += [
         "exact self-join output-size prediction from per-key counts, no pairs materialized",
     ),
 ]
+
+
+def order_value_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of DAILY order revenue over time
+    (`operators/relational.py::ols_trend`): x = day index from
+    1992-01-01 (bounded integer), y = the day's total order value in
+    exact cents, both aggregated to slim (priority, day) rows BEFORE
+    the regression, so the moment sums Σx·y / Σx² stay inside int64 by
+    construction and the slope/intercept doubles come out of one fixed
+    cast shape on both engines.  Output: priority, n observed days,
+    slope (cents/day) and intercept (cents) of the fitted line."""
+    from swisscourtrulingcorpus_spark.operators.relational import ols_trend
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+        ).cast("bigint").alias("x"),
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    daily = o.groupBy("o_orderpriority", "x").agg(
+        F.sum("cents").alias("y")
+    )
+    return ols_trend(
+        daily, ["o_orderpriority"], "x", "y"
+    ).withColumnsRenamed({"o_orderpriority": "priority", "n": "n_days"})
+
+
+OLS_TREND_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS x,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2),
+sums AS (
+  SELECT priority,
+         count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1)
+SELECT priority, n AS n_days,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+       END AS intercept
+FROM sums
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "order_value_trend_by_priority",
+        order_value_trend_by_priority,
+        OLS_TREND_ORACLE,
+        "per-group OLS line fit from integer-exact moment sums, one fixed double-cast shape",
+    ),
+]
+
+
+def corr_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's bounded integer
+    measures (`operators/relational.py::pearson_matrix`): quantity
+    (1-50), discount in exact percent (0-10), tax in exact percent
+    (0-8) — the one-pass moment-sum correlation matrix a feature-
+    engineering sweep runs before model training.  All sums bigint-
+    exact at any SF (values <= 50, squares <= 2500); the r doubles
+    come from one fixed cast shape + correctly-rounded sqrt on both
+    engines."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        pearson_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        _dec("l_quantity").cast("bigint").alias("quantity"),
+        (_dec("l_discount") * 100).cast("bigint").alias("discount_pct"),
+        (_dec("l_tax") * 100).cast("bigint").alias("tax_pct"),
+    )
+    return pearson_matrix(li, ["quantity", "discount_pct", "tax_pct"])
+
+
+def _corr_matrix_oracle() -> str:
+    cols = {
+        "quantity": "CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)",
+        "discount_pct": "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)",
+        "tax_pct": "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)",
+    }
+    names = list(cols)
+    pairs = [
+        (a, b) for i, a in enumerate(names) for b in names[i + 1 :]
+    ]
+    sel = ", ".join(
+        ["count(*) AS n"]
+        + [
+            s
+            for c in names
+            for s in (
+                f"CAST(sum({cols[c]}) AS BIGINT) AS s_{c}",
+                f"CAST(sum({cols[c]} * {cols[c]}) AS BIGINT) AS ss_{c}",
+            )
+        ]
+        + [
+            f"CAST(sum({cols[a]} * {cols[b]}) AS BIGINT) AS sp_{a}_{b}"
+            for a, b in pairs
+        ]
+    )
+    cells = []
+    for a, b in pairs:
+        da = f"sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        db = f"sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        num = f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        cells.append(
+            f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "
+            f"CASE WHEN {da} <> 0.0 AND {db} <> 0.0 "
+            f"THEN {num} / ({da} * {db}) END AS r FROM sums"
+        )
+    return (
+        "WITH sums AS (SELECT " + sel + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(cells)
+    )
+
+
+SPECS += [
+    QuerySpec(
+        "corr_matrix_lineitem",
+        corr_matrix_lineitem,
+        _corr_matrix_oracle(),
+        "one-pass Pearson correlation matrix from integer-exact moment sums",
+    ),
+]

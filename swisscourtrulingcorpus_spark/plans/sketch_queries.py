@@ -502,7 +502,99 @@ FROM est JOIN exact USING (window_start)
 """
 
 
+_JS_WIDTH, _JS_DEPTH = 32, 4
+
+
+def join_size_estimate_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS inner-product join-size estimation
+    (`operators/sketches.py::cms_join_size`): predict
+    |customer ⋈ supplier ON nationkey| — a genuinely many-to-many
+    join — from two depth×width count-min sketches WITHOUT running the
+    join, beside the exact size computed from the per-key count
+    vectors (Σ_k cA(k)·cB(k), which also never materializes the
+    join).  Output one row: (est_join_size, exact_join_size,
+    overshoot) — overshoot >= 0 always (collision terms are
+    non-negative).  Width 32 < 25 distinct keys × safety, so
+    collisions actually occur and the estimator's bias is visible.
+
+    Scale shape: two map-side fixed-size sketches + two slim per-key
+    count tables; the fact tables are each read ONCE and nothing
+    row-sized shuffles — the cost model a 100 TB optimizer needs
+    before committing to a shuffle join."""
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_join_size,
+        cms_table,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("string").alias("k")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("string").alias("k")
+    )
+    est = cms_join_size(
+        cms_table(cust, "k", width=_JS_WIDTH, depth=_JS_DEPTH),
+        cms_table(supp, "k", width=_JS_WIDTH, depth=_JS_DEPTH),
+    )
+    ca = cust.groupBy("k").agg(F.count(F.lit(1)).alias("__na"))
+    cb = supp.groupBy("k").agg(F.count(F.lit(1)).alias("__nb"))
+    exact = (
+        ca.join(cb, on="k")
+        .agg(F.sum(F.col("__na") * F.col("__nb")).alias("exact_join_size"))
+    )
+    # 1×1 scalar crossJoin — the documented broadcast-scalar report
+    # pattern (PLAN_AUDIT.md), not a data-sized NLJ
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est_join_size",
+        "exact_join_size",
+        (F.col("est_join_size") - F.col("exact_join_size")).alias(
+            "overshoot"
+        ),
+    )
+
+
+def _join_size_oracle(width: int = _JS_WIDTH, depth: int = _JS_DEPTH) -> str:
+    def bucket(d: int, expr: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('cms{d}|' || {expr}), 1, 8))::UBIGINT "
+            f"AS BIGINT) % {width}"
+        )
+
+    sa = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'CAST(c_nationkey AS VARCHAR)')} AS bucket, "
+        f"count(*) AS cnt FROM customer GROUP BY 2"
+        for d in range(depth)
+    )
+    sb = " UNION ALL ".join(
+        f"SELECT {d} AS d, {bucket(d, 'CAST(s_nationkey AS VARCHAR)')} AS bucket, "
+        f"count(*) AS cnt FROM supplier GROUP BY 2"
+        for d in range(depth)
+    )
+    return f"""
+WITH sa AS ({sa}), sb AS ({sb}),
+ip AS (
+  SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
+  FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
+  GROUP BY 1),
+est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+exact AS (
+  SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS exact_join_size
+  FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) ca
+  JOIN (SELECT s_nationkey AS k, count(*) AS n FROM supplier GROUP BY 1) cb
+    USING (k))
+SELECT est_join_size, exact_join_size,
+       est_join_size - exact_join_size AS overshoot
+FROM est, exact
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "join_size_estimate_nations",
+        join_size_estimate_nations,
+        _join_size_oracle(),
+        "CMS inner-product join-cardinality estimate beside the exact count-vector size",
+    ),
     QuerySpec(
         "hll_register_table_users",
         hll_register_table_users,

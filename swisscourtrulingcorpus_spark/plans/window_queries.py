@@ -417,6 +417,103 @@ FROM p GROUP BY 1
 """
 
 
+def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM drift detection over daily event counts (Page
+    1954, public — the sustained-mean-shift twin of the spike detector
+    `hourly_anomaly_events`): the one-sided CUSUM
+    ``s_t = max(0, s_{t-1} + (x_t − ref))`` is computed in CLOSED FORM
+    as ``s_t = P_t − min(0, min_{j<=t} P_j)`` with P the prefix sum of
+    (x − ref) — two stock window functions instead of a sequential
+    fold, so the whole detector is plan-parallel and engine-portable.
+    ``ref`` is the integer-floored per-type daily mean and the alarm
+    threshold h = 4·ref, both exact integer arithmetic.  Output per
+    event_type: n_days, ref, max_cusum, n_alarm_days, first_alarm_day
+    (NULL when the series never drifts).
+
+    Scale shape: one (type, day) partial-agg groupBy, one broadcast of
+    the per-type scalars, one window per type over slim integer rows —
+    the windows partition on event_type and days are calendar-bounded,
+    so partition size is bounded at any corpus size."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    refs = daily.groupBy("event_type").agg(
+        F.expr("sum(cnt) div count(*)").alias("ref"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    j = daily.join(F.broadcast(refs), on="event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # two window layers (running sum, then running min of it) —
+    # nested window CALLS are illegal on both engines, but a window
+    # over a windowed COLUMN is one projection apart and Catalyst
+    # fuses both into a single sort+exchange on event_type
+    prefixed = j.select(
+        "event_type",
+        "d",
+        "ref",
+        "n_days",
+        F.sum(F.col("cnt") - F.col("ref")).over(w).alias("p"),
+    )
+    stepped = prefixed.select(
+        "event_type",
+        "d",
+        "ref",
+        "n_days",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).alias("s"),
+    )
+    return (
+        stepped.groupBy("event_type", "ref", "n_days")
+        .agg(
+            F.max("s").alias("max_cusum"),
+            F.count(F.when(F.col("s") > 4 * F.col("ref"), 1)).alias(
+                "n_alarm_days"
+            ),
+            F.min(
+                F.when(F.col("s") > 4 * F.col("ref"), F.col("d"))
+            ).cast("string").alias("first_alarm_day"),
+        )
+        .select(
+            "event_type", "n_days", "ref", "max_cusum",
+            "n_alarm_days", "first_alarm_day",
+        )
+    )
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+refs AS (
+  SELECT event_type, CAST(sum(cnt) // count(*) AS BIGINT) AS ref,
+         count(*) AS n_days
+  FROM daily GROUP BY 1),
+prefixed AS (
+  SELECT daily.event_type, d, ref, n_days,
+         sum(cnt - ref) OVER (PARTITION BY daily.event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS p
+  FROM daily JOIN refs USING (event_type)),
+stepped AS (
+  SELECT event_type, d, ref, n_days,
+         CAST(p - least(min(p) OVER (PARTITION BY event_type ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM prefixed)
+SELECT event_type, n_days, ref,
+       CAST(max(s) AS BIGINT) AS max_cusum,
+       CAST(count(CASE WHEN s > 4 * ref THEN 1 END) AS BIGINT) AS n_alarm_days,
+       CAST(min(CASE WHEN s > 4 * ref THEN d END) AS VARCHAR) AS first_alarm_day
+FROM stepped
+GROUP BY 1, 2, 3
+"""
+
+
 SPECS = [
     QuerySpec("interval_overlap_events", interval_overlap_events, INTERVAL_OVERLAP_ORACLE, "bucketed interval self-join vs naive quadratic oracle"),
     QuerySpec("tumbling_hourly_events", tumbling_hourly, TUMBLING_ORACLE, "tumbling window"),
@@ -428,4 +525,5 @@ SPECS = [
     QuerySpec("session_windows_events", session_windows, SESSION_ORACLE, "session window"),
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
+    QuerySpec("cusum_drift_events", cusum_drift_events, CUSUM_ORACLE, "CUSUM sustained-shift detection in window closed form (prefix sum minus running min)"),
 ]

@@ -310,3 +310,125 @@ def test_distributed_corpus_generator_matches_sequential_shape(spark):
         raw_corpus_df(spark, 10).schema
         == raw_corpus_df_distributed(spark, 10).schema
     )
+
+
+def test_cms_join_size_overestimates_and_converges(spark):
+    """CMS inner-product join-size estimate (Cormode-Muthukrishnan):
+    always >= the exact equi-join cardinality (collision cross-terms
+    are non-negative), and EQUAL to it when the width is collision-
+    free for the key domain."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_join_size,
+        cms_table,
+    )
+
+    rng = random.Random(7)
+    a_keys = [rng.randrange(0, 25) for _ in range(400)]
+    b_keys = [rng.randrange(0, 25) for _ in range(300)]
+    a = spark.createDataFrame([(str(k),) for k in a_keys], "k: string")
+    b = spark.createDataFrame([(str(k),) for k in b_keys], "k: string")
+    exact = a.join(b, on="k").count()
+
+    for width, must_equal in ((16, False), (4096, True)):
+        est = cms_join_size(
+            cms_table(a, "k", width=width, depth=4),
+            cms_table(b, "k", width=width, depth=4),
+        ).collect()[0].est_join_size
+        assert est >= exact, (width, est, exact)
+        if must_equal:
+            assert est == exact, (width, est, exact)
+
+
+def test_ols_trend_recovers_known_line(spark):
+    """ols_trend must recover an exact integer line perfectly and emit
+    NULL slope for a single-x group (zero denominator) instead of a
+    fake fit."""
+    from swisscourtrulingcorpus_spark.operators.relational import ols_trend
+
+    rows = [("g1", x, 7 * x + 300) for x in range(0, 50)]
+    rows += [("flat", 5, 123), ("flat", 5, 125)]
+    df = spark.createDataFrame(rows, "g: string, x: long, y: long")
+    got = {r.g: r for r in ols_trend(df, ["g"], "x", "y").collect()}
+    assert got["g1"].slope == 7.0 and got["g1"].intercept == 300.0
+    assert got["g1"].n == 50
+    assert got["flat"].slope is None and got["flat"].intercept is None
+
+
+def test_cusum_closed_form_equals_sequential_fold(spark):
+    """The window closed form s_t = P_t - min(0, min P_j) must equal
+    the sequential CUSUM fold max(0, s+x-ref) on a planted drift
+    series, and the alarm day must be the true onset region."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        cusum_drift_events,
+    )
+
+    # build an events parquet with one type drifting upward: 30 days
+    # of 10/day then 20 days of 30/day
+    import tempfile
+
+    counts = [10] * 30 + [30] * 20
+    rows = []
+    eid = 0
+    for day, c in enumerate(counts):
+        d = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day)
+        for j in range(c):
+            rows.append((eid, 1, "drift", d + datetime.timedelta(seconds=j), 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id: long, user_id: long, event_type: string, ts: timestamp, value: double"
+    )
+    tmp = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(tmp + "/events.parquet")
+    got = {
+        r.event_type: r for r in cusum_drift_events(spark, tmp).collect()
+    }["drift"]
+
+    ref = sum(counts) // len(counts)
+    s, max_s, alarms, first_alarm = 0, 0, 0, None
+    for day, c in enumerate(counts):
+        s = max(0, s + c - ref)
+        max_s = max(max_s, s)
+        if s > 4 * ref:
+            alarms += 1
+            if first_alarm is None:
+                first_alarm = day
+    assert got.ref == ref and got.n_days == 50
+    assert got.max_cusum == max_s
+    assert got.n_alarm_days == alarms and alarms > 0
+    want_day = (
+        datetime.date(2024, 1, 1) + datetime.timedelta(days=first_alarm)
+    ).isoformat()
+    assert got.first_alarm_day == want_day
+    assert first_alarm >= 30  # alarm fires after the onset, not before
+
+
+def test_pearson_matrix_matches_numpy(spark):
+    import numpy as np
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        pearson_matrix,
+    )
+
+    rng = random.Random(5)
+    xs = [rng.randrange(1, 50) for _ in range(500)]
+    ys = [2 * x + rng.randrange(-5, 6) for x in xs]
+    zs = [rng.randrange(0, 10) for _ in xs]  # independent
+    const = [7] * len(xs)  # zero variance -> NULL r
+    df = spark.createDataFrame(
+        list(zip(xs, ys, zs, const)), "x: long, y: long, z: long, c: long"
+    )
+    got = {
+        (r.col_x, r.col_y): r.r
+        for r in pearson_matrix(df, ["x", "y", "z", "c"]).collect()
+    }
+    want_xy = np.corrcoef(xs, ys)[0, 1]
+    want_xz = np.corrcoef(xs, zs)[0, 1]
+    assert abs(got[("x", "y")] - want_xy) < 1e-12 and got[("x", "y")] > 0.99
+    assert abs(got[("x", "z")] - want_xz) < 1e-12
+    assert got[("x", "c")] is None and got[("y", "c")] is None
