@@ -163,3 +163,111 @@ def ewma_gap_stream(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("days_folded", LongType()),
+        StructField("s", LongType()),
+        StructField("max_cusum", LongType()),
+        StructField("n_alarm_days", LongType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_day", StringType()),
+        StructField("cur_cnt", LongType()),
+        StructField("days_folded", LongType()),
+        StructField("s", LongType()),
+        StructField("max_s", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("first_alarm_day", StringType()),
+    ]
+)
+
+
+def make_cusum_update(refs: dict, hs: dict):
+    """Build the per-key CUSUM update fn with broadcast-style config:
+    ``refs[type]`` is the integer reference (target mean + allowance)
+    and ``hs[type]`` the alarm threshold — in streaming these are
+    HISTORY-derived constants (a stream cannot know its own global
+    mean), the standard Page-CUSUM deployment.  The fold is the
+    sequential recurrence s ← max(0, s + (cnt_day − ref)) applied at
+    each DAY BOUNDARY: the in-progress day rides in state as
+    (cur_day, cur_cnt) and folds when a later day arrives, so results
+    are exact under time-ordered arrival regardless of how micro-
+    batches split days.  Chunks are materialized per group before
+    sorting (the r09 ordering contract — see `_update_ewma`)."""
+
+    def _update(key, batches, state):
+        (etype,) = key
+        ref = int(refs[etype])
+        h = int(hs[etype])
+        if state.exists:
+            cur_day, cur_cnt, folded, s, max_s, n_al, first_al = state.get
+        else:
+            cur_day, cur_cnt, folded, s, max_s, n_al, first_al = (
+                "", 0, 0, 0, 0, 0, "",
+            )
+
+        def fold_day():
+            nonlocal folded, s, max_s, n_al, first_al
+            s = max(0, s + (cur_cnt - ref))
+            max_s = max(max_s, s)
+            folded += 1
+            if s > h:
+                n_al += 1
+                if not first_al:
+                    first_al = cur_day
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values("day")
+            for day in pdf["day"]:
+                day = str(day)
+                if day != cur_day:
+                    if cur_day:
+                        fold_day()
+                    cur_day, cur_cnt = day, 0
+                cur_cnt += 1
+        state.update((cur_day, cur_cnt, folded, s, max_s, n_al, first_al))
+        yield pd.DataFrame(
+            {
+                "event_type": [etype],
+                "days_folded": [folded],
+                "s": [s],
+                "max_cusum": [max_s],
+                "n_alarm_days": [n_al],
+                "first_alarm_day": [first_al or None],
+            }
+        )
+
+    return _update
+
+
+def cusum_drift_stream(stream: DataFrame, refs: dict, hs: dict) -> DataFrame:
+    """events stream → running per-type CUSUM drift state — the
+    streaming twin of the `cusum_drift_events` gate (which computes
+    the same statistic in window closed form over the full history).
+    Here the fold is genuinely sequential across micro-batches, the
+    applyInPandasWithState use case: state is one small tuple per
+    event_type, the in-progress day included, so memory is O(|types|)
+    whatever the stream length.  Caveat: the most recent day is
+    PENDING (folds only when a later day arrives) — emissions cover
+    exactly the completed days."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        make_cusum_update(refs, hs),
+        outputStructType=CUSUM_OUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

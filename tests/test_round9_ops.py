@@ -432,3 +432,100 @@ def test_pearson_matrix_matches_numpy(spark):
     assert abs(got[("x", "y")] - want_xy) < 1e-12 and got[("x", "y")] > 0.99
     assert abs(got[("x", "z")] - want_xz) < 1e-12
     assert got[("x", "c")] is None and got[("y", "c")] is None
+
+
+def test_stream_cusum_equals_batch_closed_form(spark, tmp_path):
+    """The stateful streaming CUSUM (sequential per-day fold with the
+    in-progress day carried in state) must equal the batch gate's
+    window closed form when events arrive day-ordered: feed the corpus
+    in three disjoint time ranges plus one sentinel day (to fold the
+    final real day — the streaming op's documented pending-day
+    semantics), then compare per-type max_cusum / n_alarm_days /
+    first_alarm_day."""
+    import datetime
+    import os
+
+    import pyspark.sql.functions as F
+
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        cusum_drift_events,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        cusum_drift_stream,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {r.event_type: r for r in cusum_drift_events(spark, sf_dir).collect()}
+    refs = {t: r.ref for t, r in batch.items()}
+    hs = {t: 4 * r.ref for t, r in batch.items()}
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel_day = (max_ts + datetime.timedelta(days=2)).replace(
+        hour=0, minute=0, second=0, microsecond=0
+    )
+    sentinel = spark.createDataFrame(
+        [(t, sentinel_day) for t in refs],
+        "event_type: string, ts: timestamp",
+    )
+    cuts = [
+        r[0]
+        for r in ev.select(
+            F.percentile_approx("ts", [0.34, 0.67], 10000).alias("p")
+        ).select(F.explode("p")).collect()
+    ]
+    chunks = [
+        ev.where(F.col("ts") < cuts[0]),
+        ev.where((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.where(F.col("ts") >= cuts[1]),
+        sentinel,
+    ]
+    stage = str(tmp_path / "ev_in")
+    os.makedirs(stage, exist_ok=True)
+    out_dir = str(tmp_path / "cusum_out")
+    schema = ev.schema
+    for i, chunk in enumerate(chunks):
+        chunk.coalesce(1).write.parquet(os.path.join(stage, f"chunk={i}"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(stage + "/*")
+        )
+
+        def _sink(b, bid):
+            if b.count():
+                b.write.mode("append").parquet(out_dir)
+
+        q = (
+            cusum_drift_stream(stream, refs, hs)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = {
+        r.event_type: r
+        for r in spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.struct(
+                    "days_folded", "max_cusum", "n_alarm_days",
+                    "first_alarm_day",
+                )
+            ).alias("m")
+        )
+        .select("event_type", "m.*")
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for t, b in batch.items():
+        g = got[t]
+        assert g.days_folded == b.n_days, (t, g.days_folded, b.n_days)
+        assert g.max_cusum == b.max_cusum, t
+        assert g.n_alarm_days == b.n_alarm_days, t
+        assert g.first_alarm_day == b.first_alarm_day, t
