@@ -102,24 +102,40 @@ def cms_table(
     fixed-size-state pattern as the HLL slices above.  Size is
     depth × width rows regardless of corpus size; the shuffle moves
     bucket partials, not values.
+
+    ONE scan: each input row explodes into its ``depth`` (d, bucket)
+    pairs and a single groupBy builds every depth row together — the
+    r09 rewrite of the original union-of-per-depth-groupBys shape,
+    which scanned the fact table depth times (4 scans of a 100 TB
+    table to build a 1 KB sketch).  Output is value-identical; the
+    map-side combine still collapses to ≤ depth × width partials per
+    task before the (tiny) shuffle.
     """
     from swisscourtrulingcorpus_spark.functions.hashing import h32
 
-    out = None
     keep = [slice_col] if slice_col else []
-    for d in range(depth):
-        buckets = df.select(
-            *keep,
-            F.lit(d).alias("d"),
-            (h32(F.col(value_col).cast("string"), f"cms{d}") % width).alias(
-                "bucket"
-            ),
-        )
-        part = buckets.groupBy(*keep, "d", "bucket").agg(
-            F.count(F.lit(1)).alias("cnt")
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    exploded = df.select(
+        *keep,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            h32(
+                                F.col(value_col).cast("string"), f"cms{d}"
+                            )
+                            % width
+                        ).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__db"),
+    )
+    return exploded.groupBy(*keep, "__db.d", "__db.bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
 
 def cms_estimate(
