@@ -1204,8 +1204,11 @@ def cdc_cut_points(text: str) -> list[int]:
     if n >= CDC_WINDOW:
         import numpy as np
 
+        # dtype '<u4' pins little-endian to match the explicit -le
+        # encoding (native-endian uint32 would byte-swap every code
+        # point on a big-endian host)
         cps = np.frombuffer(
-            text.encode("utf-32-le"), dtype=np.uint32
+            text.encode("utf-32-le"), dtype="<u4"
         ).astype(np.int64)
         acc = np.correlate(cps, _cdc_weights())
         hits = np.nonzero((acc % CDC_MODULUS) % CDC_DIVISOR == 0)[0]

@@ -563,6 +563,12 @@ def nearest_join(
             "(it is the candidate-bucket width), not a Column"
         )
     tol = int(tolerance)
+    if tol != tolerance:
+        # int() would silently TRUNCATE (2.5 -> 2) and narrow the band
+        raise ValueError(
+            f"nearest_join tolerance must be integral, got {tolerance!r} "
+            "(scale the time axis to integer units instead)"
+        )
     if tol <= 0:
         raise ValueError("nearest_join tolerance must be > 0")
     pay = right_payload or [c for c in right.columns if c not in partition_keys]
@@ -684,29 +690,32 @@ def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     accumulators and a constant-size unpivot of the single result row
     — nothing else moves.  Returns (col_x, col_y, n, r) per pair.
     """
+    # aliases are INDEX-based, not name-based: name-concatenation
+    # (__sp_{a}_{b}) is ambiguous for underscore-containing columns
+    # (pairs (a, b_c) and (a_b, c) would both alias __sp_a_b_c)
     aggs = [F.count(F.lit(1)).alias("n")]
-    for c in cols:
-        aggs.append(F.sum(F.col(c)).alias(f"__s_{c}"))
-        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__ss_{c}"))
+    for i, c in enumerate(cols):
+        aggs.append(F.sum(F.col(c)).alias(f"__s_{i}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"__ss_{i}"))
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sp_{a}_{b}"))
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"__sp_{i}_{j}"))
     sums = df.agg(*aggs)
     nd = F.col("n").cast("double")
     cells = []
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            sa = F.col(f"__s_{a}").cast("double")
-            sb = F.col(f"__s_{b}").cast("double")
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
+            sa = F.col(f"__s_{i}").cast("double")
+            sb = F.col(f"__s_{j}").cast("double")
             da = F.sqrt(
-                nd * F.col(f"__ss_{a}").cast("double") - sa * sa
+                nd * F.col(f"__ss_{i}").cast("double") - sa * sa
             )
             db = F.sqrt(
-                nd * F.col(f"__ss_{b}").cast("double") - sb * sb
+                nd * F.col(f"__ss_{j}").cast("double") - sb * sb
             )
             r = F.when(
                 (da != 0.0) & (db != 0.0),
-                (nd * F.col(f"__sp_{a}_{b}").cast("double") - sa * sb)
+                (nd * F.col(f"__sp_{i}_{j}").cast("double") - sa * sb)
                 / (da * db),
             )
             cells.append(

@@ -216,7 +216,12 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
         .groupBy("d")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
-    return per_depth.agg(F.min("__ip").alias("est_join_size"))
+    # coalesce: an EMPTY side yields an empty inner join, and min over
+    # no rows is NULL — the true join size is 0 there, and the
+    # estimate >= true guarantee must hold for it too
+    return per_depth.agg(
+        F.coalesce(F.min("__ip"), F.lit(0)).alias("est_join_size")
+    )
 
 
 # ---------------------------------------------------------------------------

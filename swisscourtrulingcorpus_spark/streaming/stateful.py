@@ -204,6 +204,14 @@ def make_cusum_update(refs: dict, hs: dict):
 
     def _update(key, batches, state):
         (etype,) = key
+        if etype not in refs or etype not in hs:
+            # a type with no history-derived reference cannot be
+            # CUSUM-monitored yet; skipping keeps the stream alive
+            # (raising here would poison the checkpoint: every restart
+            # replays the same batch and dies again)
+            for _ in batches:
+                pass
+            return
         ref = int(refs[etype])
         h = int(hs[etype])
         if state.exists:

@@ -434,7 +434,7 @@ def test_pearson_matrix_matches_numpy(spark):
     assert got[("x", "c")] is None and got[("y", "c")] is None
 
 
-def test_stream_cusum_equals_batch_closed_form(spark, tmp_path):
+def test_stream_cusum_equals_batch_closed_form(spark, sf_dir, tmp_path):
     """The stateful streaming CUSUM (sequential per-day fold with the
     in-progress day carried in state) must equal the batch gate's
     window closed form when events arrive day-ordered: feed the corpus
@@ -455,7 +455,6 @@ def test_stream_cusum_equals_batch_closed_form(spark, tmp_path):
         cusum_drift_stream,
     )
 
-    sf_dir = "/root/testdata/sf0.001"
     batch = {r.event_type: r for r in cusum_drift_events(spark, sf_dir).collect()}
     refs = {t: r.ref for t, r in batch.items()}
     hs = {t: 4 * r.ref for t, r in batch.items()}
@@ -529,3 +528,57 @@ def test_stream_cusum_equals_batch_closed_form(spark, tmp_path):
         assert g.max_cusum == b.max_cusum, t
         assert g.n_alarm_days == b.n_alarm_days, t
         assert g.first_alarm_day == b.first_alarm_day, t
+
+
+def test_nearest_join_rejects_fractional_tolerance(spark):
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        nearest_join,
+    )
+
+    df = spark.createDataFrame([(1, 1)], "k: long, t: long")
+    with pytest.raises(ValueError, match="integral"):
+        nearest_join(df, df, ["k"], "t", "t", tolerance=2.5)
+
+
+def test_pearson_matrix_underscore_column_names(spark):
+    """Index-based moment aliases: pairs (a, b_c) and (a_b, c) must
+    not collide (name-concatenated aliases were ambiguous)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        pearson_matrix,
+    )
+
+    rows = [(i, i + 1, 2 * i, 3 * i) for i in range(20)]
+    df = spark.createDataFrame(rows, "a: long, b_c: long, a_b: long, c: long")
+    out = pearson_matrix(df, ["a", "b_c", "a_b", "c"]).collect()
+    assert len(out) == 6
+    assert all(abs(r.r - 1.0) < 1e-12 for r in out)  # all exact lines
+
+
+def test_cms_join_size_empty_side_is_zero(spark):
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_join_size,
+        cms_table,
+    )
+
+    a = spark.createDataFrame([("1",), ("2",)], "k: string")
+    empty = a.where("k = 'nope'")
+    est = cms_join_size(
+        cms_table(a, "k", width=16, depth=4),
+        cms_table(empty, "k", width=16, depth=4),
+    ).collect()[0].est_join_size
+    assert est == 0
+
+
+def test_cusum_stream_skips_unknown_type():
+    """A type with no history-derived reference must be skipped, not
+    crash the stream (a raise would poison the checkpoint)."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        make_cusum_update,
+    )
+
+    upd = make_cusum_update({"known": 5}, {"known": 20})
+    state = _FakeState()
+    out = list(
+        upd(("unknown",), iter([pd.DataFrame({"day": ["2024-01-01"]})]), state)
+    )
+    assert out == [] and not state.exists

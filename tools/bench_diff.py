@@ -146,7 +146,7 @@ def main() -> None:
         out = os.path.join(REPO, f"BENCH_DIFF_{a}_{b}.md")
         ratio = (
             f"{new['value'] / old['value'] - 1:+.0%}"
-            if old.get("value")
+            if old.get("value") and new.get("value")
             else "n/a"
         )
         with open(out, "w") as fh:

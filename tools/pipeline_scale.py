@@ -123,10 +123,9 @@ def main() -> None:
         }
 
     results["alpha"] = _alpha(results["sf0.1_5k"], results["sf1_50k"])
-    if "sf10_500k" in results:
-        results["alpha_10x_100x"] = _alpha(
-            results["sf1_50k"], results["sf10_500k"]
-        )
+    results["alpha_10x_100x"] = _alpha(
+        results["sf1_50k"], results["sf10_500k"]
+    )
     with open(out_json, "w") as f:
         json.dump(results, f, indent=2)
         f.write("\n")
