@@ -729,3 +729,131 @@ def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     return sums.select(F.explode(F.array(*cells)).alias("__c")).select(
         "__c.col_x", "__c.col_y", "__c.n", "__c.r"
     )
+
+
+def exact_kth_value(
+    df: DataFrame,
+    value_col: str,
+    k: int,
+    bins: int = 4096,
+) -> int:
+    """EXACT k-th smallest value (1-based) of an integer column
+    WITHOUT a global sort — iterative histogram narrowing (the
+    distributed selection algorithm): each round bins the remaining
+    candidate range into ``bins`` equal-width buckets with one
+    map-side-combined groupBy, walks the (collected, ≤ bins-row)
+    histogram to the bucket containing the k-th element, and recurses
+    into that bucket with k rebased.  The range shrinks by ``bins``×
+    per round, so cents-scale domains (~2^36) finish in ≤ 3 rounds of
+    whole-stage-codegen aggregation; the only driver-side data is one
+    histogram per round.  This is the EXACT-answer complement of the
+    mergeable `histogram_quantiles_orders` sketch (which trades
+    exactness for single-pass mergeability).
+
+    Returns the exact value as a Python int (a driver-side scalar by
+    nature — the recursion is data-dependent control flow).
+    """
+    row = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = row.lo, row.hi, row.n
+    if n == 0:
+        raise ValueError("exact_kth_value over an empty input")
+    if not 1 <= k <= n:
+        raise ValueError(f"k={k} outside [1, {n}]")
+    lo, hi = int(lo), int(hi)
+    while hi > lo:
+        span = hi - lo + 1
+        binned = (
+            df.where(
+                (F.col(value_col) >= lo) & (F.col(value_col) <= hi)
+            )
+            .select(
+                F.expr(
+                    f"CAST(({value_col} - {lo}) AS BIGINT) * {bins} div {span}"
+                ).alias("bh")
+            )
+            .groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy("bh")
+            .collect()
+        )
+        acc = 0
+        for r in binned:
+            if acc + r.cnt >= k:
+                b = int(r.bh)
+                # bucket b covers values v with (v-lo)*bins div span == b
+                new_lo = lo + -(-(b * span) // bins)  # ceil
+                new_hi = lo + ((b + 1) * span - 1) // bins
+                if new_hi > hi:
+                    new_hi = hi
+                k -= acc
+                lo, hi = new_lo, new_hi
+                break
+            acc += r.cnt
+    return lo
+
+
+def chi2_independence_cells(
+    df: DataFrame, a_col: str, b_col: str
+) -> DataFrame:
+    """Chi-square independence test as a PER-CELL table: for every
+    (a, b) cell of the contingency table, the observed bigint count,
+    the expected count e = rowTotal·colTotal/total, and the cell's
+    chi² contribution (o − e)²/e.  The statistic is emitted per cell
+    rather than pre-summed because a float SUM over distributed cells
+    is order-dependent (ULP-unstable across engines), while each
+    cell's double is one fixed expression shape over exact integer
+    counts — bit-identical anywhere; `chi2_total` sums the (bounded,
+    sorted) cells driver-side deterministically.  Expected counts
+    multiply in DOUBLE (rowTotal·colTotal overflows int64 at petabyte
+    row counts; each factor < 2^53 keeps the product's rounding
+    identical on every engine).
+
+    Scale shape: one (a, b) groupBy with map-side combine, two
+    category-sized total tables broadcast back — the contingency table
+    is bounded by |A|×|B| whatever the input row count.
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count(F.lit(1)).alias("observed"))
+    rows = cells.groupBy(a_col).agg(F.sum("observed").alias("__rt"))
+    colt = cells.groupBy(b_col).agg(F.sum("observed").alias("__ct"))
+    total = cells.agg(F.sum("observed").alias("__t"))
+    j = (
+        cells.join(F.broadcast(rows), on=a_col)
+        .join(F.broadcast(colt), on=b_col)
+        .crossJoin(F.broadcast(total))
+    )
+    e = (
+        F.col("__rt").cast("double")
+        * F.col("__ct").cast("double")
+        / F.col("__t").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return j.select(
+        a_col,
+        b_col,
+        "observed",
+        e.alias("expected"),
+        ((o - e) * (o - e) / e).alias("contrib"),
+    )
+
+
+def chi2_total(cells_df: DataFrame, a_col: str, b_col: str) -> dict:
+    """Deterministic chi² statistic + degrees of freedom from the
+    `chi2_independence_cells` table: the (category-bounded) cells are
+    collected SORTED by (a, b) and summed sequentially driver-side, so
+    the float sum has ONE order on every engine/partitioning."""
+    rows = cells_df.orderBy(a_col, b_col).collect()
+    stat = 0.0
+    a_vals, b_vals = set(), set()
+    for r in rows:
+        stat += r.contrib
+        a_vals.add(r[a_col])
+        b_vals.add(r[b_col])
+    return {
+        "chi2": stat,
+        "dof": (len(a_vals) - 1) * (len(b_vals) - 1),
+        "n_cells": len(rows),
+    }

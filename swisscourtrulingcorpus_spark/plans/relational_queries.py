@@ -1003,3 +1003,47 @@ SPECS += [
         "one-pass Pearson correlation matrix from integer-exact moment sums",
     ),
 ]
+
+
+def exact_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT lower median of the order value in cents via distributed
+    selection (`operators/relational.py::exact_kth_value`) — iterative
+    histogram narrowing, no global sort: each round is one map-side-
+    combined binning aggregate and the driver only ever sees a
+    ≤ bins-row histogram.  The exact-answer complement of the
+    mergeable histogram-quantile sketch gate.  Output one row:
+    (n_rows, k, median_cents)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    n = o.count()
+    k = (n + 1) // 2
+    med = exact_kth_value(o, "cents", k)
+    return spark.createDataFrame(
+        [(n, k, med)], "n_rows: long, k: long, median_cents: long"
+    )
+
+
+EXACT_MEDIAN_ORACLE = """
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+n AS (SELECT count(*) AS n_rows, (count(*) + 1) // 2 AS k FROM o)
+SELECT n.n_rows, CAST(n.k AS BIGINT) AS k,
+       (SELECT cents FROM o ORDER BY cents LIMIT 1 OFFSET (SELECT k - 1 FROM n)) AS median_cents
+FROM n
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "exact_median_order_value",
+        exact_median_order_value,
+        EXACT_MEDIAN_ORACLE,
+        "exact order statistic by iterative histogram narrowing, no global sort",
+    ),
+]

@@ -527,3 +527,48 @@ SPECS = [
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
     QuerySpec("cusum_drift_events", cusum_drift_events, CUSUM_ORACLE, "CUSUM sustained-shift detection in window closed form (prefix sum minus running min)"),
 ]
+
+
+def chi2_weekday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for event_type × ISO weekday
+    (`operators/relational.py::chi2_independence_cells`): is event mix
+    independent of the day of week?  Observed counts are exact
+    bigints; expected/contribution doubles are one fixed expression
+    shape per cell (no distributed float sum — see the operator
+    docstring), so DuckDB reproduces every cell bit-for-bit.  Weekday
+    is Spark ``weekday(ts) + 1`` == DuckDB ``isodow`` (Monday=1)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        chi2_independence_cells,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") + 1).cast("bigint").alias("isodow")
+    )
+    return chi2_independence_cells(ev, "event_type", "isodow")
+
+
+CHI2_WEEKDAY_ORACLE = """
+WITH cells AS (
+  SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+         count(*) AS observed
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT event_type, CAST(sum(observed) AS BIGINT) AS r FROM cells GROUP BY 1),
+ct AS (SELECT isodow, CAST(sum(observed) AS BIGINT) AS c FROM cells GROUP BY 1),
+t AS (SELECT CAST(sum(observed) AS BIGINT) AS t FROM cells)
+SELECT cells.event_type, cells.isodow, observed,
+       CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS expected,
+       (CAST(observed AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+       * (CAST(observed AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))
+       / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) AS contrib
+FROM cells JOIN rt USING (event_type) JOIN ct USING (isodow), t
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "chi2_weekday_events",
+        chi2_weekday_events,
+        CHI2_WEEKDAY_ORACLE,
+        "chi-square independence cells (event mix x weekday), per-cell fixed-shape doubles",
+    ),
+]

@@ -634,3 +634,49 @@ def test_key_skew_report_uses_take_ordered(spark, sf_dir):
 
     plan = _final_plan(key_skew_orders(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cusum_windows_share_one_exchange(spark, sf_dir):
+    """Both CUSUM window layers (running sum, then running min of it)
+    partition and order identically, so Catalyst must fuse them onto
+    ONE event_type exchange — two exchanges would mean the closed form
+    pays double for being expressed in two projections."""
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        cusum_drift_events,
+    )
+
+    plan = _final_plan(cusum_drift_events(spark, sf_dir))
+    # the running-min window sits directly on the running-sum window:
+    # no Exchange (and no Sort — the order is already established)
+    # between the two Window operators
+    i_min = plan.index("Window [min(")
+    i_sum = plan.index("Window [sum(", i_min)
+    between = plan[i_min:i_sum]
+    assert "Exchange" not in between and "Sort" not in between, between
+
+
+def test_cms_sketch_single_scan(spark, sf_dir):
+    """The one-pass cms_table rewrite: building a sketch must scan its
+    input table ONCE (the old union-of-per-depth-groupBys scanned it
+    depth times)."""
+    from swisscourtrulingcorpus_spark.plans.text_queries import (
+        q_cms_token_estimates,
+    )
+
+    plan = _final_plan(q_cms_token_estimates(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_moment_sum_gates_are_pure_aggregates(spark, sf_dir):
+    """OLS trend and the correlation matrix must be aggregate-only
+    plans: no join, no window, no Python evaluation — the moment sums
+    ARE the whole distributed computation."""
+    from swisscourtrulingcorpus_spark.plans.relational_queries import (
+        corr_matrix_lineitem,
+        order_value_trend_by_priority,
+    )
+
+    for q in (order_value_trend_by_priority, corr_matrix_lineitem):
+        plan = _final_plan(q(spark, sf_dir))
+        for bad in ("Join", "Window", "BatchEvalPython", "ArrowEvalPython"):
+            assert bad not in plan, (q.__name__, bad, plan)

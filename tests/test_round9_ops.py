@@ -582,3 +582,67 @@ def test_cusum_stream_skips_unknown_type():
         upd(("unknown",), iter([pd.DataFrame({"day": ["2024-01-01"]})]), state)
     )
     assert out == [] and not state.exists
+
+
+def test_exact_kth_value_matches_sorted(spark):
+    """Distributed selection: exact k-th smallest for k across the
+    whole range, including duplicates, negatives, and the all-equal
+    degenerate domain — against plain sorted()."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+    )
+
+    rng = random.Random(11)
+    vals = [rng.randrange(-(10**7), 10**7) for _ in range(3000)] + [42] * 40
+    df = spark.createDataFrame([(v,) for v in vals], "v: long").cache()
+    df.count()
+    sv = sorted(vals)
+    for k in (1, 2, 1500, 1520, len(vals) - 1, len(vals)):
+        assert exact_kth_value(df, "v", k, bins=64) == sv[k - 1]
+    allsame = spark.createDataFrame([(7,)] * 9, "v: long")
+    assert exact_kth_value(allsame, "v", 5) == 7
+    with pytest.raises(ValueError):
+        exact_kth_value(df, "v", 0)
+    df.unpersist()
+
+
+def test_chi2_independence_cells_and_total(spark):
+    """Per-cell chi2 contributions must match the textbook formula,
+    expected counts must sum to observed counts, and chi2_total must
+    equal the python reference summed in the same sorted order."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        chi2_independence_cells,
+        chi2_total,
+    )
+
+    rng = random.Random(13)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.choice([1, 2, 3, 4]))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "g: string, d: long")
+    cells = chi2_independence_cells(df, "g", "d")
+    got = {(r.g, r.d): r for r in cells.collect()}
+
+    from collections import Counter
+
+    obs = Counter(rows)
+    rt = Counter(g for g, _ in rows)
+    ct = Counter(d for _, d in rows)
+    n = len(rows)
+    assert set(got) == set(obs)
+    for (g, d), r in got.items():
+        e = rt[g] * ct[d] / n
+        assert abs(r.expected - e) < 1e-9
+        assert abs(r.contrib - (obs[(g, d)] - e) ** 2 / e) < 1e-9
+        assert r.observed == obs[(g, d)]
+    # expected sums to n (within float tolerance)
+    assert abs(sum(r.expected for r in got.values()) - n) < 1e-6
+
+    tot = chi2_total(cells, "g", "d")
+    want = sum(
+        (obs[k] - rt[k[0]] * ct[k[1]] / n) ** 2 / (rt[k[0]] * ct[k[1]] / n)
+        for k in sorted(obs)
+    )
+    assert abs(tot["chi2"] - want) < 1e-9
+    assert tot["dof"] == (3 - 1) * (4 - 1) and tot["n_cells"] == len(obs)

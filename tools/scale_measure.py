@@ -36,6 +36,7 @@ TABLES = [
 QUERIES = [
     # (name, what the linear claim is)
     ("cusum_drift_events", "CUSUM in window closed form: (type, day) partial agg then two fused windows over calendar-bounded rows"),
+    ("chi2_weekday_events", "contingency cells bounded by |types|x7; one partial-agg groupBy + broadcast totals"),
     ("exact_dedup_documents", "hash groupBy, text never shuffles"),
     ("minhash_signatures_documents", "zero-shuffle map-side signatures"),
     ("minhash_lsh_pairs", "band-bucket equi-join, no all-pairs"),
