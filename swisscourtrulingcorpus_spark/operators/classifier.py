@@ -26,7 +26,7 @@ Scale shape (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from swisscourtrulingcorpus_spark.functions.hashing import h32, normalize_ws
@@ -325,4 +325,65 @@ def nb_score_with_model(
         "s_pos_micro",
         "s_neg_micro",
         (F.col("s_pos_micro") >= F.col("s_neg_micro")).alias("pred"),
+    )
+
+
+def exact_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """EXACT ROC-AUC as integer rank-sum arithmetic — the
+    model-evaluation primitive: AUC = P(random positive scores above
+    random negative, ties ½).  Computed WITHOUT per-row ranks: group
+    to the DISTINCT-SCORE table (pos_at, neg_at per score), take the
+    running negatives-strictly-below window in score order, and
+
+        num = Σ_s pos_at(s) · (2·neg_below(s) + neg_at(s))
+        AUC = num / (2·P·N)
+
+    — every term an exact bigint, ties handled exactly (the ½ credit
+    is the ``+ neg_at`` term over the doubled denominator), and the
+    one float division has a fixed shape, so any engine reproduces
+    the AUC bit-for-bit.  Returns one row: (n_pos, n_neg, auc_num,
+    auc_den, auc); auc is NULL when either class is empty.
+
+    Scale shape: one (score) groupBy with map-side combine, then ONE
+    global window over the DISTINCT-SCORE table — bounded by distinct
+    score values, not rows (micro-int NB margins collide heavily; a
+    billion docs share thousands of margins).  num overflows int64
+    only past ~2^31 documents per class — at that scale widen to
+    DECIMAL(38,0).
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    s = df.select(
+        F.col(score_col).alias("__s"), lab.cast("boolean").alias("__y")
+    ).where(F.col("__y").isNotNull() & F.col("__s").isNotNull())
+    per = s.groupBy("__s").agg(
+        F.count(F.when(F.col("__y"), 1)).alias("pos_at"),
+        F.count(F.when(~F.col("__y"), 1)).alias("neg_at"),
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per.select(
+        "pos_at",
+        "neg_at",
+        F.coalesce(F.sum("neg_at").over(w), F.lit(0)).alias("neg_below"),
+    )
+    agg = stepped.agg(
+        F.sum("pos_at").alias("n_pos"),
+        F.sum("neg_at").alias("n_neg"),
+        F.sum(
+            F.col("pos_at")
+            * (2 * F.col("neg_below") + F.col("neg_at"))
+        ).alias("auc_num"),
+    )
+    den = 2 * F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "auc_num",
+        den.alias("auc_den"),
+        F.when(
+            den != 0,
+            F.col("auc_num").cast("double") / den.cast("double"),
+        ).alias("auc"),
     )

@@ -1340,3 +1340,70 @@ SPECS += [
         "fixed-point HITS hubs/authorities, 3 iters, integer-exact",
     ),
 ]
+
+
+def nb_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of the in-engine NB quality classifier against
+    its Gopher weak labels (`operators/classifier.py::exact_auc` over
+    the micro-int margin s_pos − s_neg): integer rank-sum arithmetic
+    on the distinct-margin table, ties credited exactly ½ — the
+    model-evaluation gate that tells a curation pipeline whether its
+    trained filter actually ranks the weak labels it learned from."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        exact_auc,
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    margin = scored.select(
+        (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("margin"),
+        "label",
+    )
+    return exact_auc(margin, "margin", "label")
+
+
+NB_AUC_ORACLE = (
+    _nb_score_ctes()
+    + """,
+m AS (
+  SELECT a.label, a.score - n.score AS margin
+  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+per AS (
+  SELECT margin,
+         CAST(count(CASE WHEN label THEN 1 END) AS BIGINT) AS pos_at,
+         CAST(count(CASE WHEN NOT label THEN 1 END) AS BIGINT) AS neg_at
+  FROM m GROUP BY 1),
+stepped AS (
+  SELECT pos_at, neg_at,
+         CAST(coalesce(sum(neg_at) OVER (ORDER BY margin
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS neg_below
+  FROM per),
+agg AS (
+  SELECT CAST(sum(pos_at) AS BIGINT) AS n_pos,
+         CAST(sum(neg_at) AS BIGINT) AS n_neg,
+         CAST(sum(pos_at * (2 * neg_below + neg_at)) AS BIGINT) AS auc_num
+  FROM stepped)
+SELECT n_pos, n_neg, auc_num,
+       CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+       CASE WHEN 2 * n_pos * n_neg <> 0
+            THEN CAST(auc_num AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE)
+       END AS auc
+FROM agg
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        "nb_classifier_auc",
+        nb_classifier_auc,
+        NB_AUC_ORACLE,
+        "exact integer rank-sum ROC-AUC of the NB quality model, ties credited 1/2",
+    ),
+]

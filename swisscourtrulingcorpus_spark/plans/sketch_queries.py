@@ -638,3 +638,81 @@ SPECS = [
         "windowed HLL: per-hour distinct-user estimate beside the exact count",
     ),
 ]
+
+
+def audience_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise audience overlap between event types — the
+    exact-answer twin of `kmv_jaccard_event_types` (which estimates
+    the same quantity from bottom-k sketches): for every unordered
+    type pair, the distinct users doing BOTH, each side's audience,
+    and the exact Jaccard as one fixed-shape double division.
+
+    Scale shape: distinct (user, type) first (one slim groupBy — the
+    only row-count-sized shuffle), then a self-join ON user bounded by
+    each user's type count (≤ |types| rows/user ⇒ ≤ |types|² pairs per
+    user, a constant), then a |types|²-bounded pair aggregate with
+    per-type totals broadcast back.  Never |users|×|users|, never an
+    unbounded pair table."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = ev.distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, on="user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    out = (
+        both.join(
+            F.broadcast(totals.withColumnRenamed("event_type", "type_a")),
+            on="type_a",
+        )
+        .withColumnRenamed("__n", "n_a")
+        .join(
+            F.broadcast(totals.withColumnRenamed("event_type", "type_b")),
+            on="type_b",
+        )
+        .withColumnRenamed("__n", "n_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_both")
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        (F.col("n_both").cast("double") / union.cast("double")).alias(
+            "jaccard"
+        ),
+    )
+
+
+AUDIENCE_OVERLAP_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT type_a, type_b,
+       ta.n AS n_a, tb.n AS n_b, n_both,
+       CAST(n_both AS DOUBLE)
+       / CAST(ta.n + tb.n - n_both AS DOUBLE) AS jaccard
+FROM both_t
+JOIN tot ta ON ta.event_type = type_a
+JOIN tot tb ON tb.event_type = type_b
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "audience_overlap_event_types",
+        audience_overlap_event_types,
+        AUDIENCE_OVERLAP_ORACLE,
+        "exact pairwise audience Jaccard (the exact twin of the KMV estimate gate)",
+    ),
+]

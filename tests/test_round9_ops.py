@@ -646,3 +646,67 @@ def test_chi2_independence_cells_and_total(spark):
     )
     assert abs(tot["chi2"] - want) < 1e-9
     assert tot["dof"] == (3 - 1) * (4 - 1) and tot["n_cells"] == len(obs)
+
+
+def _auc_reference(pairs):
+    """O(P*N) textbook AUC: mean over (pos, neg) pairs of
+    1 if sp > sn, 0.5 if tie, else 0."""
+    pos = [s for s, y in pairs if y]
+    neg = [s for s, y in pairs if not y]
+    if not pos or not neg:
+        return None
+    num = 0.0
+    for sp in pos:
+        for sn in neg:
+            num += 1.0 if sp > sn else (0.5 if sp == sn else 0.0)
+    return num / (len(pos) * len(neg))
+
+
+def test_exact_auc_matches_pairwise_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.classifier import exact_auc
+
+    rng = random.Random(21)
+    # heavy ties: scores drawn from a small integer domain
+    pairs = [
+        (rng.randrange(-5, 6), rng.random() < 0.4) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "s: long, y: boolean")
+    row = exact_auc(df, "s", "y").collect()[0]
+    want = _auc_reference(pairs)
+    assert abs(row.auc - want) < 1e-12
+    assert row.auc_num % 1 == 0 and row.auc_den == 2 * row.n_pos * row.n_neg
+    # perfect separation -> 1.0 exactly; single class -> NULL
+    sep = spark.createDataFrame(
+        [(10, True), (11, True), (1, False)], "s: long, y: boolean"
+    )
+    assert exact_auc(sep, "s", "y").collect()[0].auc == 1.0
+    mono = spark.createDataFrame([(1, True), (2, True)], "s: long, y: boolean")
+    assert exact_auc(mono, "s", "y").collect()[0].auc is None
+
+
+def test_audience_overlap_matches_reference(spark, sf_dir):
+    """The exact Jaccard gate must agree with a pure-python set
+    computation over the same (user, type) pairs."""
+    from swisscourtrulingcorpus_spark.plans.sketch_queries import (
+        audience_overlap_event_types,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    audiences = {}
+    for r in ev.distinct().collect():
+        audiences.setdefault(r.event_type, set()).add(r.user_id)
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.jaccard)
+        for r in audience_overlap_event_types(spark, sf_dir).collect()
+    }
+    types = sorted(audiences)
+    for i, a in enumerate(types):
+        for b in types[i + 1 :]:
+            inter = len(audiences[a] & audiences[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            union = len(audiences[a] | audiences[b])
+            nb, j = got[(a, b)]
+            assert nb == inter and abs(j - inter / union) < 1e-12

@@ -37,6 +37,8 @@ QUERIES = [
     # (name, what the linear claim is)
     ("cusum_drift_events", "CUSUM in window closed form: (type, day) partial agg then two fused windows over calendar-bounded rows"),
     ("chi2_weekday_events", "contingency cells bounded by |types|x7; one partial-agg groupBy + broadcast totals"),
+    ("audience_overlap_event_types", "pairs bounded by |types|^2 per user; distinct (user,type) is the only row-sized shuffle"),
+    ("nb_classifier_auc", "distinct-margin window only; (score) groupBy with map-side combine"),
     ("exact_dedup_documents", "hash groupBy, text never shuffles"),
     ("minhash_signatures_documents", "zero-shuffle map-side signatures"),
     ("minhash_lsh_pairs", "band-bucket equi-join, no all-pairs"),
