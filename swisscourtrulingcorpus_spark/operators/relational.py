@@ -736,6 +736,7 @@ def exact_kth_value(
     value_col: str,
     k: int,
     bins: int = 4096,
+    weight_col: str | None = None,
 ) -> int:
     """EXACT k-th smallest value (1-based) of an integer column
     WITHOUT a global sort — iterative histogram narrowing (the
@@ -750,13 +751,19 @@ def exact_kth_value(
     mergeable `histogram_quantiles_orders` sketch (which trades
     exactness for single-pass mergeability).
 
+    With ``weight_col`` (positive integer weights) the k-th element is
+    by CUMULATIVE WEIGHT in value order — the weighted-quantile
+    generalization (k = (W+1) div 2 gives the weighted lower median);
+    the unweighted path is weight ≡ 1.
+
     Returns the exact value as a Python int (a driver-side scalar by
     nature — the recursion is data-dependent control flow).
     """
+    wexpr = F.col(weight_col) if weight_col else F.lit(1)
     row = df.agg(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum(wexpr).alias("n"),
     ).collect()[0]
     lo, hi, n = row.lo, row.hi, row.n
     if n == 0:
@@ -773,10 +780,11 @@ def exact_kth_value(
             .select(
                 F.expr(
                     f"CAST(({value_col} - {lo}) AS BIGINT) * {bins} div {span}"
-                ).alias("bh")
+                ).alias("bh"),
+                wexpr.alias("__w"),
             )
             .groupBy("bh")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .agg(F.sum("__w").alias("cnt"))
             .orderBy("bh")
             .collect()
         )

@@ -1047,3 +1047,55 @@ SPECS += [
         "exact order statistic by iterative histogram narrowing, no global sort",
     ),
 ]
+
+
+def weighted_median_line_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted exact lower median of the line price
+    (`exact_kth_value` with ``weight_col``): the price point at which
+    half of all SHIPPED UNITS cost less — the inventory-weighted
+    median a pricing analysis needs, where the row-weighted median
+    (every line equal) would overweight small orders.  Same iterative
+    histogram narrowing, cumulative-WEIGHT rank."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (_dec("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        _dec("l_quantity").cast("bigint").alias("qty"),
+    )
+    total_w = li.agg(F.sum("qty")).collect()[0][0]
+    k = (total_w + 1) // 2
+    med = exact_kth_value(li, "cents", k, weight_col="qty")
+    return spark.createDataFrame(
+        [(int(total_w), int(k), int(med))],
+        "total_units: long, k: long, weighted_median_cents: long",
+    )
+
+
+WEIGHTED_MEDIAN_ORACLE = """
+WITH li AS (
+  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS qty
+  FROM lineitem),
+t AS (SELECT CAST(sum(qty) AS BIGINT) AS total_units,
+             CAST((sum(qty) + 1) // 2 AS BIGINT) AS k FROM li),
+cum AS (
+  SELECT cents,
+         sum(qty) OVER (ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM (SELECT cents, CAST(sum(qty) AS BIGINT) AS qty FROM li GROUP BY 1))
+SELECT t.total_units, t.k,
+       (SELECT min(cents) FROM cum, t WHERE cw >= t.k) AS weighted_median_cents
+FROM t
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "weighted_median_line_price",
+        weighted_median_line_price,
+        WEIGHTED_MEDIAN_ORACLE,
+        "weighted exact order statistic (cumulative-weight rank, histogram narrowing)",
+    ),
+]

@@ -710,3 +710,24 @@ def test_audience_overlap_matches_reference(spark, sf_dir):
             union = len(audiences[a] | audiences[b])
             nb, j = got[(a, b)]
             assert nb == inter and abs(j - inter / union) < 1e-12
+
+
+def test_exact_kth_value_weighted(spark):
+    """Weighted selection: the k-th element by cumulative weight must
+    equal the k-th of the weight-expanded multiset."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+    )
+
+    rng = random.Random(17)
+    rows = [(rng.randrange(-500, 500), rng.randrange(1, 7)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "v: long, w: long").cache()
+    df.count()
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    W = len(expanded)
+    for k in (1, W // 4, (W + 1) // 2, W):
+        assert (
+            exact_kth_value(df, "v", k, bins=64, weight_col="w")
+            == expanded[k - 1]
+        )
+    df.unpersist()
