@@ -387,3 +387,69 @@ def exact_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
             F.col("auc_num").cast("double") / den.cast("double"),
         ).alias("auc"),
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability table (calibration curve) for a scored binary
+    classifier: rows bucketed by score decile, each bucket reporting
+    its size, positives, and empirical positive rate — AUC's
+    companion metric (AUC measures ranking; this measures whether the
+    score LEVELS mean what they claim).
+
+    Bucket boundaries are EXACT order statistics: t_i =
+    `exact_kth_value` at rank (i·n) div n_buckets (the histogram-
+    narrowing selection — no global sort), and bucket(s) = 1 + #{t_i
+    < s}, so with heavily tied scores several deciles can collapse
+    into one bucket deterministically (both engines agree on the
+    boundary values, hence on every bucket).  pos_rate is one
+    fixed-shape double division of exact bigints.
+
+    Scale shape: ≤ (n_buckets−1) selection runs over the cached slim
+    (score, label) projection (each ≤ 3 rounds of map-side-combined
+    binning aggregates), then ONE broadcast of the ≤ 9 thresholds and
+    one bucket groupBy — the scored table shuffles once, as buckets.
+    """
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+    )
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    slim = df.select(
+        F.col(score_col).alias("__s"), lab.cast("boolean").alias("__y")
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    slim = slim.cache()
+    n = slim.count()
+    if n < n_buckets:
+        raise ValueError(f"need >= {n_buckets} scored rows, got {n}")
+    thresholds = []
+    for i in range(1, n_buckets):
+        k = (i * n) // n_buckets
+        thresholds.append(exact_kth_value(slim, "__s", k))
+    bucket = F.lit(1)
+    for t in thresholds:
+        bucket = bucket + F.when(F.col("__s") > F.lit(t), 1).otherwise(0)
+    out = (
+        slim.select(bucket.alias("bucket"), "__y")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("__y"), 1)).alias("n_pos"),
+        )
+        .select(
+            "bucket",
+            "n_rows",
+            "n_pos",
+            (
+                F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
+            ).alias("pos_rate"),
+        )
+    )
+    # materialize before unpersisting the input projection
+    rows = out.collect()
+    slim.unpersist()
+    return df.sparkSession.createDataFrame(rows, out.schema)

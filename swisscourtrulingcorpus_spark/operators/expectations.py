@@ -139,6 +139,43 @@ def expect_foreign_key(
     )
 
 
+def expect_functional_dependency(
+    df: DataFrame,
+    table: str,
+    lhs: list[str],
+    rhs: str,
+) -> DataFrame:
+    """Functional-dependency check lhs → rhs: a VIOLATING group is an
+    lhs key whose rows carry more than one distinct rhs value — the
+    schema-inference / normalization primitive (`expect_unique` is the
+    degenerate lhs → ALL case; this one names the dependent column and
+    counts how badly it fails).  Output one row:
+    (check, violations = violating lhs groups, total = lhs groups).
+
+    Scale shape: ONE groupBy on (lhs, rhs) with map-side combine
+    collapses the table to its distinct dependency pairs, then a
+    groups-sized second agg — the fact rows shuffle once and only as
+    their distinct (lhs, rhs) combinations."""
+    name = f"{table}.fd:{','.join(lhs)}->{rhs}"
+    per = (
+        df.select(*lhs, rhs)
+        .distinct()
+        .groupBy(*lhs)
+        .agg(F.count(F.lit(1)).alias("__n_rhs"))
+    )
+    agg = per.agg(
+        F.coalesce(
+            F.count(F.when(F.col("__n_rhs") > 1, 1)), F.lit(0)
+        ).alias("violations"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    return agg.select(
+        F.lit(name).alias("check"),
+        F.col("violations").cast("bigint"),
+        F.col("total").cast("bigint"),
+    )
+
+
 def table_profile(df: DataFrame, table: str, columns: list[str]) -> DataFrame:
     """ANALYZE-style column statistics in ONE aggregation pass: per
     column — rows, nulls, exact distinct count, min/max (as strings so

@@ -1407,3 +1407,69 @@ SPECS += [
         "exact integer rank-sum ROC-AUC of the NB quality model, ties credited 1/2",
     ),
 ]
+
+
+def nb_calibration_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the NB quality classifier
+    (`operators/classifier.py::calibration_table` over the micro-int
+    margin): per score decile — boundaries are EXACT order statistics
+    found by histogram-narrowing selection, no global sort — the
+    bucket's size, positives, and empirical positive rate.  With AUC
+    this completes the in-engine model-evaluation pair: ranking
+    quality AND score honesty."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        calibration_table,
+        nb_quality_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    margin = scored.select(
+        (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("margin"),
+        "label",
+    )
+    return calibration_table(margin, "margin", "label", n_buckets=10)
+
+
+NB_CALIBRATION_ORACLE = (
+    _nb_score_ctes()
+    + """,
+m AS (
+  SELECT a.label, a.score - n.score AS margin
+  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+cntm AS (SELECT count(*) AS n FROM m),
+ranked AS (
+  SELECT margin, row_number() OVER (ORDER BY margin) AS rn FROM m),
+thresholds AS (
+  SELECT i, max(CASE WHEN 10 * rn <= i * (SELECT n FROM cntm)
+                     THEN margin END) AS t
+  FROM ranked CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS i) g
+  GROUP BY i),
+bucketed AS (
+  SELECT 1 + (SELECT count(*) FROM thresholds WHERE m.margin > t)
+           AS bucket,
+         label
+  FROM m)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       count(*) AS n_rows,
+       CAST(count(CASE WHEN label THEN 1 END) AS BIGINT) AS n_pos,
+       CAST(count(CASE WHEN label THEN 1 END) AS DOUBLE)
+       / CAST(count(*) AS DOUBLE) AS pos_rate
+FROM bucketed
+GROUP BY 1
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        "nb_calibration_deciles",
+        nb_calibration_deciles,
+        NB_CALIBRATION_ORACLE,
+        "classifier reliability table; decile bounds are exact order statistics",
+    ),
+]

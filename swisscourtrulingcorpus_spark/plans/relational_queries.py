@@ -1099,3 +1099,69 @@ SPECS += [
         "weighted exact order statistic (cumulative-weight rank, histogram narrowing)",
     ),
 ]
+
+
+def fd_check_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (`operators/expectations.py::
+    expect_functional_dependency`) over candidate dependencies a
+    schema-inference pass would test — the audit REPORTS violation
+    counts, it does not assert: on the synthetic corpus the composite
+    (l_orderkey, l_linenumber) candidate is violated (the generator
+    samples line numbers independently — exactly the discovery such an
+    audit exists to make), l_partkey → l_suppkey fails for every part
+    (parts ship from several suppliers), and o_orderkey → o_custkey
+    holds (true PK).  One row per tested FD:
+    (check, violations, total)."""
+    from swisscourtrulingcorpus_spark.operators.expectations import (
+        expect_functional_dependency,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    parts = [
+        expect_functional_dependency(
+            li, "lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"
+        ),
+        expect_functional_dependency(li, "lineitem", ["l_partkey"], "l_suppkey"),
+        expect_functional_dependency(o, "orders", ["o_orderkey"], "o_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+FD_CHECK_ORACLE = """
+WITH fd1 AS (
+  SELECT 'lineitem.fd:l_orderkey,l_linenumber->l_partkey' AS check,
+         CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS violations,
+         count(*) AS total
+  FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+        FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey FROM lineitem)
+        GROUP BY 1, 2)),
+fd2 AS (
+  SELECT 'lineitem.fd:l_partkey->l_suppkey' AS check,
+         CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS violations,
+         count(*) AS total
+  FROM (SELECT l_partkey, count(*) AS n
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        GROUP BY 1)),
+fd3 AS (
+  SELECT 'orders.fd:o_orderkey->o_custkey' AS check,
+         CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS violations,
+         count(*) AS total
+  FROM (SELECT o_orderkey, count(*) AS n
+        FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders)
+        GROUP BY 1))
+SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL SELECT * FROM fd3
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "fd_check_lineitem",
+        fd_check_lineitem,
+        FD_CHECK_ORACLE,
+        "functional-dependency audit: violating lhs groups per candidate FD",
+    ),
+]

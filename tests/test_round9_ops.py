@@ -731,3 +731,57 @@ def test_exact_kth_value_weighted(spark):
             == expanded[k - 1]
         )
     df.unpersist()
+
+
+def test_expect_functional_dependency(spark):
+    """FD check: a holding dependency reports 0 violating groups; a
+    planted violation is counted once per violating lhs group."""
+    from swisscourtrulingcorpus_spark.operators.expectations import (
+        expect_functional_dependency,
+    )
+
+    rows = [
+        (1, "a", 10), (1, "a", 10), (2, "b", 20),
+        (3, "c", 30), (3, "c", 31),      # lhs 3 violates k->v
+        (4, "d", 40), (4, "e", 40),      # lhs 4 violates k->name only
+    ]
+    df = spark.createDataFrame(rows, "k: long, name: string, v: long")
+    fd_v = expect_functional_dependency(df, "t", ["k"], "v").collect()[0]
+    assert (fd_v.violations, fd_v.total) == (1, 4)
+    fd_n = expect_functional_dependency(df, "t", ["k"], "name").collect()[0]
+    assert (fd_n.violations, fd_n.total) == (1, 4)
+    fd_c = expect_functional_dependency(
+        df, "t", ["k", "name"], "k"
+    ).collect()[0]
+    assert fd_c.violations == 0
+
+
+def test_calibration_table_semantics(spark):
+    """Monotone scores + labels above a cutoff => top buckets pure
+    positive, bottom pure negative; bucket sizes are decile-balanced
+    for distinct scores; n < buckets raises."""
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        calibration_table,
+    )
+
+    rows = [(i, i >= 60) for i in range(100)]  # distinct scores
+    df = spark.createDataFrame(rows, "s: long, y: boolean")
+    got = {r.bucket: r for r in calibration_table(df, "s", "y").collect()}
+    assert set(got) == set(range(1, 11))
+    assert all(r.n_rows == 10 for r in got.values())
+    for b in (1, 2, 3, 4, 5, 6):
+        assert got[b].n_pos == 0 and got[b].pos_rate == 0.0
+    for b in (8, 9, 10):
+        assert got[b].n_pos == 10 and got[b].pos_rate == 1.0
+    # heavy ties: one value dominating collapses deciles deterministically
+    tied = spark.createDataFrame(
+        [(5, False)] * 95 + [(9, True)] * 5, "s: long, y: boolean"
+    )
+    tb = {r.bucket: r for r in calibration_table(tied, "s", "y").collect()}
+    assert tb[1].n_rows == 95 and tb[10].n_rows == 5
+    with pytest.raises(ValueError):
+        calibration_table(
+            spark.createDataFrame([(1, True)], "s: long, y: boolean"),
+            "s",
+            "y",
+        )
