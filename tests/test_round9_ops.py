@@ -785,3 +785,118 @@ def test_calibration_table_semantics(spark):
             "s",
             "y",
         )
+
+
+def test_cdc_cut_points_hypothesis():
+    """Hypothesis sweep: for ANY unicode text, the vectorized cut
+    points equal the sequential reference, end with len(text), and are
+    strictly increasing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        _cdc_cut_points_py,
+        cdc_cut_points,
+    )
+
+    @settings(deadline=None, max_examples=200)
+    @given(st.text(max_size=300))
+    def check(text):
+        got = cdc_cut_points(text)
+        assert got == _cdc_cut_points_py(text)
+        if text:
+            assert got[-1] == len(text)
+            assert all(a < b for a, b in zip(got, got[1:]))
+        else:
+            assert got == []
+
+    check()
+
+
+def test_exact_kth_bucket_arithmetic_hypothesis():
+    """Hypothesis sweep of the selection bucket arithmetic alone (no
+    Spark): for any value multiset and any k, walking the bucket
+    histogram with the ceil/floor bounds must locate exactly the
+    sorted k-th element.  Mirrors exact_kth_value's narrowing loop in
+    pure python so the arithmetic is fuzzed at scale-free speed."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    BINS = 7  # small bins stress the boundary arithmetic hardest
+
+    def kth(vals, k):
+        lo, hi = min(vals), max(vals)
+        while hi > lo:
+            span = hi - lo + 1
+            hist = {}
+            for v in vals:
+                if lo <= v <= hi:
+                    hist[(v - lo) * BINS // span] = (
+                        hist.get((v - lo) * BINS // span, 0) + 1
+                    )
+            acc = 0
+            for b in sorted(hist):
+                if acc + hist[b] >= k:
+                    new_lo = lo + -(-(b * span) // BINS)
+                    new_hi = min(hi, lo + ((b + 1) * span - 1) // BINS)
+                    k -= acc
+                    lo, hi = new_lo, new_hi
+                    break
+                acc += hist[b]
+        return lo
+
+    @settings(deadline=None, max_examples=300)
+    @given(
+        st.lists(st.integers(-(10**9), 10**9), min_size=1, max_size=60),
+        st.data(),
+    )
+    def check(vals, data):
+        k = data.draw(st.integers(1, len(vals)))
+        assert kth(vals, k) == sorted(vals)[k - 1]
+
+    check()
+
+
+def test_ewma_chunk_invariance_hypothesis():
+    """Hypothesis: the stateful EWMA fold is invariant to HOW a batch
+    is chunked and to chunk order (the r09 materialize-then-sort
+    contract)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from swisscourtrulingcorpus_spark.streaming.stateful import _update_ewma
+
+    @settings(deadline=None, max_examples=100)
+    @given(
+        st.lists(
+            st.integers(0, 10**9), min_size=2, max_size=40, unique=True
+        ),
+        st.data(),
+    )
+    def check(times, data):
+        times = sorted(times)
+        rows = [{"us": t, "event_id": i} for i, t in enumerate(times)]
+        want = _ewma_reference(times)
+
+        perm = data.draw(st.permutations(rows))
+        n_cuts = data.draw(st.integers(0, min(3, len(rows) - 1)))
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(1, len(rows) - 1),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                    unique=True,
+                )
+            )
+        )
+        chunks, prev = [], 0
+        for c in [*cuts, len(rows)]:
+            chunks.append(pd.DataFrame(perm[prev:c]))
+            prev = c
+        state = _FakeState()
+        out = list(_update_ewma((1,), iter(chunks), state))
+        got = (int(out[0]["n_gaps"][0]), int(out[0]["ewma_gap_us"][0]))
+        assert got == want
+
+    check()
