@@ -865,3 +865,64 @@ def chi2_total(cells_df: DataFrame, a_col: str, b_col: str) -> dict:
         "dof": (len(a_vals) - 1) * (len(b_vals) - 1),
         "n_cells": len(rows),
     }
+
+
+def exact_gini(df: DataFrame, value_col: str) -> DataFrame:
+    """EXACT Gini coefficient of a non-negative integer column as
+    integer rank-sum arithmetic — the inequality/concentration metric
+    (Gini 1912, public; "how concentrated is spend/tokens/traffic"):
+    with values sorted ascending,
+
+        G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+
+    computed WITHOUT per-row ranks, the `exact_auc` pattern: group to
+    the DISTINCT-VALUE table (value, cnt), take the running
+    count-strictly-below window in value order, and fold each value
+    group's rank sum in closed form — Σ i over a tied group is
+    below·cnt + cnt(cnt+1)/2, so ties are exact by construction.
+    Every term is an exact bigint; the one float division has a fixed
+    shape.  Returns one row: (n, total, gini_num, gini_den, gini);
+    gini is NULL when the total is 0.  Values must be ≥ 0 (the
+    classical definition's domain).
+
+    Scale shape: one (value) groupBy with map-side combine + ONE
+    window over the distinct-value table (bounded by distinct values,
+    not rows).  gini_num overflows int64 past ~2^63 of n·Σx — at
+    petabyte row counts widen to DECIMAL(38,0).
+    """
+    per = (
+        df.select(F.col(value_col).alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    stepped = per.select(
+        "__v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("below"),
+    )
+    agg = stepped.agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("__v") * F.col("cnt")).alias("total"),
+        # cnt·(cnt+1) is always even: integer DIV keeps the whole rank
+        # sum in exact bigint arithmetic (`/` would silently go double)
+        F.sum(
+            F.col("__v")
+            * (
+                F.col("below") * F.col("cnt")
+                + F.expr("cnt * (cnt + 1) div 2")
+            )
+        ).alias("__ranksum"),
+    )
+    num = 2 * F.col("__ranksum") - (F.col("n") + 1) * F.col("total")
+    den = F.col("n") * F.col("total")
+    return agg.select(
+        "n",
+        "total",
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        F.when(
+            den != 0, num.cast("double") / den.cast("double")
+        ).alias("gini"),
+    )

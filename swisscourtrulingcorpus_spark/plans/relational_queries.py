@@ -1165,3 +1165,144 @@ SPECS += [
         "functional-dependency audit: violating lhs groups per candidate FD",
     ),
 ]
+
+
+#: log10(1 + 1/d) for d = 1..9 as 17-significant-digit scientific
+#: literals — both engines parse scientific notation as a correctly
+#: rounded DOUBLE, so the constant is bit-identical everywhere
+_BENFORD = {
+    1: "3.01029995663981198e-01", 2: "1.76091259055681237e-01",
+    3: "1.24938736608299919e-01", 4: "9.69100130080564198e-02",
+    5: "7.91812460476248176e-02", 6: "6.69467896306132210e-02",
+    7: "5.79919469776867327e-02", 8: "5.11525224473812906e-02",
+    9: "4.57574905606751431e-02",
+}
+
+
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the order values — the
+    classic fabricated-data / unit-mixing screen (Benford 1938,
+    public): observed first-digit counts of the positive cent values
+    against the expected n·log10(1+1/d), with the per-digit chi²
+    contribution.  First digit is extracted by STRING head (portable
+    and exact — no float log10 near the data); the expected counts
+    and contributions are one fixed double shape over the exact
+    bigint counts and the shared scientific-notation constants.
+
+    Scale shape: one map-side substring + a 9-key groupBy with
+    map-side combine; the report is 9 rows whatever the input."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    ).where(F.col("cents") > 0)
+    digits = o.select(
+        F.substring(F.col("cents").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    per = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    total = per.agg(F.sum("observed").alias("__n"))
+    j = per.crossJoin(F.broadcast(total))
+    # build expected via chained when on the digit (literal constants)
+    exp_expr = None
+    for d, lit in _BENFORD.items():
+        branch = F.col("__n").cast("double") * F.expr(f"CAST({lit} AS DOUBLE)")
+        exp_expr = (
+            F.when(F.col("digit") == d, branch)
+            if exp_expr is None
+            else exp_expr.when(F.col("digit") == d, branch)
+        )
+    obs = F.col("observed").cast("double")
+    return j.select(
+        "digit",
+        "observed",
+        exp_expr.alias("expected"),
+        ((obs - exp_expr) * (obs - exp_expr) / exp_expr).alias("contrib"),
+    )
+
+
+def _benford_oracle() -> str:
+    cases_e = " ".join(
+        f"WHEN digit = {d} THEN CAST(n AS DOUBLE) * CAST({lit} AS DOUBLE)"
+        for d, lit in _BENFORD.items()
+    )
+    return f"""
+WITH o AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders),
+digits AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM o WHERE cents > 0),
+per AS (SELECT digit, count(*) AS observed FROM digits GROUP BY 1),
+t AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM per)
+SELECT digit, observed,
+       (CASE {cases_e} END) AS expected,
+       (CAST(observed AS DOUBLE) - (CASE {cases_e} END))
+       * (CAST(observed AS DOUBLE) - (CASE {cases_e} END))
+       / (CASE {cases_e} END) AS contrib
+FROM per, t
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "benford_audit_orders",
+        benford_audit_orders,
+        _benford_oracle(),
+        "Benford first-digit audit: string-extracted digits, shared double constants",
+    ),
+]
+
+
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of per-customer total spend
+    (`operators/relational.py::exact_gini` over cent-sum integers) —
+    the spend-concentration report (how unequal is the customer base),
+    ties exact via closed-form group rank sums, one fixed-shape
+    division.  Customers are the per-customer ORDER totals; customers
+    with no orders don't appear (the reachable-population Gini)."""
+    from swisscourtrulingcorpus_spark.operators.relational import exact_gini
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", (_dec("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    spend = o.groupBy("o_custkey").agg(F.sum("cents").alias("spend_cents"))
+    return exact_gini(spend, "spend_cents")
+
+
+GINI_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1),
+per AS (SELECT v, count(*) AS cnt FROM spend GROUP BY 1),
+stepped AS (
+  SELECT v, cnt,
+         CAST(coalesce(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS below
+  FROM per),
+agg AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(v * cnt) AS BIGINT) AS total,
+         CAST(sum(v * (below * cnt + cnt * (cnt + 1) // 2)) AS BIGINT)
+           AS ranksum
+  FROM stepped)
+SELECT n, total,
+       CAST(2 * ranksum - (n + 1) * total AS BIGINT) AS gini_num,
+       CAST(n * total AS BIGINT) AS gini_den,
+       CASE WHEN n * total <> 0
+            THEN CAST(2 * ranksum - (n + 1) * total AS DOUBLE)
+                 / CAST(n * total AS DOUBLE)
+       END AS gini
+FROM agg
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "gini_customer_spend",
+        gini_customer_spend,
+        GINI_ORACLE,
+        "exact Gini coefficient via closed-form tied rank sums over distinct values",
+    ),
+]

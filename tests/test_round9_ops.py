@@ -900,3 +900,54 @@ def test_ewma_chunk_invariance_hypothesis():
         assert got == want
 
     check()
+
+
+def _gini_reference(vals):
+    xs = sorted(vals)
+    n = len(xs)
+    s = sum(xs)
+    if s == 0:
+        return None
+    return (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * s) / (
+        n * s
+    )
+
+
+def test_exact_gini_matches_reference(spark):
+    """Exact Gini vs the textbook sorted-rank formula: random values
+    with heavy ties, the all-equal case (G = 0), maximal concentration
+    (G -> (n-1)/n), and the zero-total NULL."""
+    from swisscourtrulingcorpus_spark.operators.relational import exact_gini
+
+    rng = random.Random(23)
+    vals = [rng.randrange(0, 50) for _ in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    row = exact_gini(df, "v").collect()[0]
+    assert abs(row.gini - _gini_reference(vals)) < 1e-12
+    assert row.gini_den == row.n * row.total
+
+    equal = spark.createDataFrame([(7,)] * 20, "v: long")
+    assert exact_gini(equal, "v").collect()[0].gini == 0.0
+
+    conc = spark.createDataFrame([(0,)] * 9 + [(100,)], "v: long")
+    r = exact_gini(conc, "v").collect()[0]
+    assert abs(r.gini - 0.9) < 1e-12  # (n-1)/n with n=10
+
+    zero = spark.createDataFrame([(0,)] * 5, "v: long")
+    assert exact_gini(zero, "v").collect()[0].gini is None
+
+
+def test_benford_audit_shape(spark, sf_dir):
+    """The Benford audit must cover exactly digits 1-9 with observed
+    counts summing to the positive-value row count and expected counts
+    summing to ~n (the constants sum to 1)."""
+    from swisscourtrulingcorpus_spark.plans.relational_queries import (
+        benford_audit_orders,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    rows = benford_audit_orders(spark, sf_dir).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    n = sum(r.observed for r in rows)
+    assert abs(sum(r.expected for r in rows) - n) < 1e-6
+    assert all(r.contrib >= 0 for r in rows)
