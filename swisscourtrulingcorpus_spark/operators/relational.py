@@ -926,3 +926,72 @@ def exact_gini(df: DataFrame, value_col: str) -> DataFrame:
             den != 0, num.cast("double") / den.cast("double")
         ).alias("gini"),
     )
+
+
+def leadlag_xcorr(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    max_lag: int,
+) -> DataFrame:
+    """Lead-lag cross-correlation between keyed integer time series:
+    for every ORDERED key pair (a, b) and lag ℓ ∈ [0, max_lag], the
+    Pearson correlation of a's value at time t with b's value at
+    t + ℓ — the lead-lag discovery matrix ("does a spike in clicks
+    precede purchases by two days?").  Alignment is the INNER join of
+    the two series' time points at offset ℓ (missing periods drop
+    from that cell's n, reported per cell).
+
+    The statistic reuses the `pearson_matrix` arithmetic: per cell,
+    exact bigint moment sums over the matched points, then one fixed
+    shape of double casts + correctly-rounded sqrt — bit-identical on
+    any engine.  Zero-variance cells emit NULL r.
+
+    Scale shape: the input collapses to one (key, time, value) row
+    per period FIRST (caller does the partial agg), the lag grid
+    explodes only that slim table (max_lag + 1 replicas), and the
+    pair join is an equi-join on aligned time — candidates are
+    series-length-bounded per pair, never |rows|².  Output is
+    |keys|²·(max_lag+1) cells.
+    """
+    a = df.select(
+        F.col(key_col).alias("key_a"),
+        F.col(time_col).alias("__t"),
+        F.col(value_col).alias("__xa"),
+    )
+    lags = F.explode(
+        F.array(*[F.lit(i) for i in range(max_lag + 1)])
+    ).alias("lag")
+    b = (
+        df.select(
+            F.col(key_col).alias("key_b"),
+            F.col(time_col).alias("__tb"),
+            F.col(value_col).alias("__xb"),
+        )
+        .select("key_b", "__tb", "__xb", lags)
+        # the aligned time lives ENTIRELY on the b side so the join
+        # key is separable (a mixed-side `__t + lag == __tb` condition
+        # would fall back to a nested loop)
+        .withColumn("__t", F.col("__tb") - F.col("lag"))
+    )
+    # b's value at t + lag pairs with a's value at t
+    joined = a.join(b, on="__t")
+    sums = joined.groupBy("key_a", "key_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__xa").alias("__sa"),
+        F.sum("__xb").alias("__sb"),
+        F.sum(F.col("__xa") * F.col("__xa")).alias("__saa"),
+        F.sum(F.col("__xb") * F.col("__xb")).alias("__sbb"),
+        F.sum(F.col("__xa") * F.col("__xb")).alias("__sab"),
+    )
+    nd = F.col("n").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    da = F.sqrt(nd * F.col("__saa").cast("double") - sa * sa)
+    db = F.sqrt(nd * F.col("__sbb").cast("double") - sb * sb)
+    r = F.when(
+        (da != 0.0) & (db != 0.0),
+        (nd * F.col("__sab").cast("double") - sa * sb) / (da * db),
+    )
+    return sums.select("key_a", "key_b", "lag", "n", r.alias("r"))

@@ -572,3 +572,77 @@ SPECS += [
         "chi-square independence cells (event mix x weekday), per-cell fixed-shape doubles",
     ),
 ]
+
+
+_XCORR_MAX_LAG = 3
+
+
+def leadlag_xcorr_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation matrix over the event stream
+    (`operators/relational.py::leadlag_xcorr`): for every ordered
+    event-type pair and lag 0..3 days, the Pearson correlation of
+    type a's daily count with type b's count `lag` days LATER — the
+    discovery report behind "which behaviors lead which".  Daily
+    counts collapse first (the only row-sized shuffle); cells are
+    |types|²·4; moment sums exact bigints, r one fixed double shape +
+    correctly-rounded sqrt."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        leadlag_xcorr,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast(
+            "bigint"
+        ).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return leadlag_xcorr(
+        daily, "event_type", "day", "cnt", max_lag=_XCORR_MAX_LAG
+    )
+
+
+XCORR_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+cells AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b, l.lag,
+         count(*) AS n,
+         CAST(sum(a.cnt) AS BIGINT) AS sa,
+         CAST(sum(b.cnt) AS BIGINT) AS sb,
+         CAST(sum(a.cnt * a.cnt) AS BIGINT) AS saa,
+         CAST(sum(b.cnt * b.cnt) AS BIGINT) AS sbb,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sab
+  FROM daily a
+  CROSS JOIN (SELECT unnest(generate_series(0, {_XCORR_MAX_LAG})) AS lag) l
+  JOIN daily b ON b.day = a.day + l.lag
+  GROUP BY 1, 2, 3)
+SELECT key_a, key_b, lag, n,
+       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) <> 0.0
+             AND sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <> 0.0
+            THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+       END AS r
+FROM cells
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "leadlag_xcorr_event_types",
+        leadlag_xcorr_event_types,
+        XCORR_ORACLE,
+        "lead-lag cross-correlation matrix; aligned-time equi-join, bigint moment sums",
+    ),
+]

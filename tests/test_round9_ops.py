@@ -951,3 +951,38 @@ def test_benford_audit_shape(spark, sf_dir):
     n = sum(r.observed for r in rows)
     assert abs(sum(r.expected for r in rows) - n) < 1e-6
     assert all(r.contrib >= 0 for r in rows)
+
+
+def test_leadlag_xcorr_detects_planted_lag(spark):
+    """A series b that is exactly a shifted copy of a must correlate
+    r = 1.0-ish at the planted lag and lower elsewhere; self-pairs at
+    lag 0 are exactly 1.0; results match a numpy reference."""
+    import numpy as np
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        leadlag_xcorr,
+    )
+
+    rng = random.Random(29)
+    days = list(range(60))
+    xa = [rng.randrange(0, 100) for _ in days]
+    SHIFT = 2
+    # b mirrors a two days later (b[t] = a[t-2]), plus noise-free copy
+    rows = [("a", d, xa[d]) for d in days]
+    rows += [("b", d, xa[d - SHIFT]) for d in days if d >= SHIFT]
+    df = spark.createDataFrame(rows, "k: string, t: long, v: long")
+    got = {
+        (r.key_a, r.key_b, r.lag): (r.n, r.r)
+        for r in leadlag_xcorr(df, "k", "t", "v", max_lag=3).collect()
+    }
+    assert abs(got[("a", "a", 0)][1] - 1.0) < 1e-12
+    n, r = got[("a", "b", SHIFT)]
+    assert r is not None and abs(r - 1.0) < 1e-12  # exact shifted copy
+    # numpy check on one other cell
+    for lag in (0, 1, 3):
+        n, r = got[("a", "b", lag)]
+        a_al = [xa[d] for d in days if d + lag >= SHIFT and d + lag < 60]
+        b_al = [xa[d + lag - SHIFT] for d in days if d + lag >= SHIFT and d + lag < 60]
+        assert n == len(a_al)
+        want = np.corrcoef(a_al, b_al)[0, 1]
+        assert abs(r - want) < 1e-10, (lag, r, want)

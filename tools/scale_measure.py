@@ -40,6 +40,7 @@ QUERIES = [
     ("audience_overlap_event_types", "pairs bounded by |types|^2 per user; distinct (user,type) is the only row-sized shuffle"),
     ("nb_classifier_auc", "distinct-margin window only; (score) groupBy with map-side combine"),
     ("nb_calibration_deciles", "selection rounds over cached slim (score,label); bucket groupBy bounded by 10"),
+    ("leadlag_xcorr_event_types", "daily partial agg first; lag grid explodes only the slim series table"),
     ("exact_dedup_documents", "hash groupBy, text never shuffles"),
     ("minhash_signatures_documents", "zero-shuffle map-side signatures"),
     ("minhash_lsh_pairs", "band-bucket equi-join, no all-pairs"),
