@@ -409,13 +409,15 @@ def calibration_table(
     boundary values, hence on every bucket).  pos_rate is one
     fixed-shape double division of exact bigints.
 
-    Scale shape: ≤ (n_buckets−1) selection runs over the cached slim
-    (score, label) projection (each ≤ 3 rounds of map-side-combined
-    binning aggregates), then ONE broadcast of the ≤ 9 thresholds and
-    one bucket groupBy — the scored table shuffles once, as buckets.
+    Scale shape: ONE batched selection run over the cached slim
+    (score, label) projection — all n_buckets−1 ranks narrow together
+    in `exact_kth_values`' shared loop (≤ 3 rounds of map-side-
+    combined binning aggregates TOTAL, not per rank), then ONE
+    broadcast of the ≤ 9 thresholds and one bucket groupBy — the
+    scored table shuffles once, as buckets.
     """
     from swisscourtrulingcorpus_spark.operators.relational import (
-        exact_kth_value,
+        exact_kth_values,
     )
 
     lab = F.col(label_col) if isinstance(label_col, str) else label_col
@@ -423,33 +425,36 @@ def calibration_table(
         F.col(score_col).alias("__s"), lab.cast("boolean").alias("__y")
     ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
     slim = slim.cache()
-    n = slim.count()
-    if n < n_buckets:
-        raise ValueError(f"need >= {n_buckets} scored rows, got {n}")
-    thresholds = []
-    for i in range(1, n_buckets):
-        k = (i * n) // n_buckets
-        thresholds.append(exact_kth_value(slim, "__s", k))
-    bucket = F.lit(1)
-    for t in thresholds:
-        bucket = bucket + F.when(F.col("__s") > F.lit(t), 1).otherwise(0)
-    out = (
-        slim.select(bucket.alias("bucket"), "__y")
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(F.col("__y"), 1)).alias("n_pos"),
+    try:
+        n = slim.count()
+        if n < n_buckets:
+            raise ValueError(f"need >= {n_buckets} scored rows, got {n}")
+        ks = [(i * n) // n_buckets for i in range(1, n_buckets)]
+        by_k = exact_kth_values(slim, "__s", ks)
+        thresholds = [by_k[k] for k in ks]
+        bucket = F.lit(1)
+        for t in thresholds:
+            bucket = bucket + F.when(F.col("__s") > F.lit(t), 1).otherwise(0)
+        out = (
+            slim.select(bucket.alias("bucket"), "__y")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("__y"), 1)).alias("n_pos"),
+            )
+            .select(
+                "bucket",
+                "n_rows",
+                "n_pos",
+                (
+                    F.col("n_pos").cast("double")
+                    / F.col("n_rows").cast("double")
+                ).alias("pos_rate"),
+            )
         )
-        .select(
-            "bucket",
-            "n_rows",
-            "n_pos",
-            (
-                F.col("n_pos").cast("double") / F.col("n_rows").cast("double")
-            ).alias("pos_rate"),
-        )
-    )
-    # materialize before unpersisting the input projection
-    rows = out.collect()
-    slim.unpersist()
-    return df.sparkSession.createDataFrame(rows, out.schema)
+        # materialize before unpersisting the input projection
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        slim.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)

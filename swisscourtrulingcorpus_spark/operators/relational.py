@@ -757,51 +757,148 @@ def exact_kth_value(
     the unweighted path is weight ≡ 1.
 
     Returns the exact value as a Python int (a driver-side scalar by
-    nature — the recursion is data-dependent control flow).
+    nature — the recursion is data-dependent control flow).  Thin
+    wrapper over `exact_kth_values` (the batched form — ask for many
+    ranks in ONE shared narrowing loop).
     """
+    return exact_kth_values(df, value_col, [k], bins, weight_col)[k]
+
+
+def exact_kth_values(
+    df: DataFrame,
+    value_col: str,
+    ks: list[int],
+    bins: int = 4096,
+    weight_col: str | None = None,
+    _stats: dict | None = None,
+) -> dict[int, int]:
+    """BATCHED exact selection: the k-th smallest value for EVERY rank
+    in ``ks`` from one shared histogram-narrowing loop — instead of
+    |ks| independent selections each re-scanning the input, all ranks
+    narrow together.  Each round runs ONE map-side-combined groupBy
+    over the union of the still-active candidate ranges (each range
+    binned into ``bins`` equal-width buckets, tagged with a segment
+    id); ranks that land in the same bucket keep sharing a segment,
+    ranks in different buckets split into disjoint child segments —
+    so the per-round work is one aggregation pass whatever |ks| is.
+    Returns {k: exact value}.
+
+    Survivor persistence: after the first round the candidate set has
+    shrunk to ≤ |segments|/bins of the input, so the round-1 survivors
+    are persisted and rounds 2+ scan the narrowed set only — one full
+    input scan per CALL, not per round (and never per rank).
+
+    The binning arithmetic runs over fixed internal names (``__v``,
+    ``__w``) so no user column name is ever interpolated into a SQL
+    expression; bucket = (v − lo)·bins div span in exact bigint `div`
+    arithmetic (never double division — exact past 2^53).
+
+    ``_stats``, when given, is filled with {"rounds", "agg_passes"}
+    (full-pipeline aggregation passes incl. the min/max/total pass)
+    for scale measurement.
+    """
+    if not ks:
+        return {}
     wexpr = F.col(weight_col) if weight_col else F.lit(1)
-    row = df.agg(
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
-        F.sum(wexpr).alias("n"),
+    slim = df.select(
+        F.col(value_col).cast("bigint").alias("__v"),
+        wexpr.cast("bigint").alias("__w"),
+    ).where(F.col("__v").isNotNull())
+    row = slim.agg(
+        F.min("__v").alias("lo"),
+        F.max("__v").alias("hi"),
+        F.sum("__w").alias("n"),
     ).collect()[0]
     lo, hi, n = row.lo, row.hi, row.n
-    if n == 0:
+    if n is None or n == 0:
         raise ValueError("exact_kth_value over an empty input")
-    if not 1 <= k <= n:
-        raise ValueError(f"k={k} outside [1, {n}]")
-    lo, hi = int(lo), int(hi)
-    while hi > lo:
-        span = hi - lo + 1
-        binned = (
-            df.where(
-                (F.col(value_col) >= lo) & (F.col(value_col) <= hi)
-            )
-            .select(
-                F.expr(
-                    f"CAST(({value_col} - {lo}) AS BIGINT) * {bins} div {span}"
-                ).alias("bh"),
-                wexpr.alias("__w"),
-            )
-            .groupBy("bh")
-            .agg(F.sum("__w").alias("cnt"))
-            .orderBy("bh")
-            .collect()
-        )
-        acc = 0
-        for r in binned:
-            if acc + r.cnt >= k:
-                b = int(r.bh)
-                # bucket b covers values v with (v-lo)*bins div span == b
-                new_lo = lo + -(-(b * span) // bins)  # ceil
-                new_hi = lo + ((b + 1) * span - 1) // bins
-                if new_hi > hi:
-                    new_hi = hi
-                k -= acc
-                lo, hi = new_lo, new_hi
+    for k in ks:
+        if not 1 <= k <= n:
+            raise ValueError(f"k={k} outside [1, {n}]")
+    lo, hi, n = int(lo), int(hi), int(n)
+    passes, rounds = 1, 0
+    results: dict[int, int] = {}
+    # segment (lo, hi) -> [(original k, k rebased into the segment)]
+    segs: dict[tuple[int, int], list[tuple[int, int]]] = {
+        (lo, hi): [(k, k) for k in sorted(set(ks))]
+    }
+    src = slim
+    persisted = None
+    try:
+        while True:
+            active: dict[tuple[int, int], list[tuple[int, int]]] = {}
+            for (slo, shi), pairs in segs.items():
+                if slo == shi:
+                    for orig, _ in pairs:
+                        results[orig] = slo
+                else:
+                    active[(slo, shi)] = pairs
+            if not active:
                 break
-            acc += r.cnt
-    return lo
+            rounds += 1
+            passes += 1
+            seg_list = sorted(active)
+            seg_expr = None
+            bh_expr = None
+            vcol = F.col("__v")
+            for i, (slo, shi) in enumerate(seg_list):
+                span = shi - slo + 1
+                cond = (vcol >= F.lit(slo)) & (vcol <= F.lit(shi))
+                # exact bigint integer division; only fixed internal
+                # names and integer literals reach the expression
+                b = F.expr(f"(__v - {slo}L) * {bins}L div {span}L")
+                seg_expr = (
+                    F.when(cond, F.lit(i))
+                    if seg_expr is None
+                    else seg_expr.when(cond, F.lit(i))
+                )
+                bh_expr = F.when(cond, b) if bh_expr is None else bh_expr.when(cond, b)
+            hist_rows = (
+                src.select(
+                    seg_expr.alias("__seg"), bh_expr.alias("__bh"), "__w"
+                )
+                .where(F.col("__seg").isNotNull())
+                .groupBy("__seg", "__bh")
+                .agg(F.sum("__w").alias("cnt"))
+                .orderBy("__seg", "__bh")
+                .collect()
+            )
+            hists: dict[int, list[tuple[int, int]]] = {}
+            for r in hist_rows:
+                hists.setdefault(int(r["__seg"]), []).append(
+                    (int(r["__bh"]), int(r["cnt"]))
+                )
+            new_segs: dict[tuple[int, int], list[tuple[int, int]]] = {}
+            for i, (slo, shi) in enumerate(seg_list):
+                span = shi - slo + 1
+                hist = hists.get(i, [])
+                for orig, k in active[(slo, shi)]:
+                    acc = 0
+                    for bh, cnt in hist:
+                        if acc + cnt >= k:
+                            # bucket bh covers v with (v-slo)*bins div span == bh
+                            new_lo = slo + -(-(bh * span) // bins)  # ceil
+                            new_hi = min(shi, slo + ((bh + 1) * span - 1) // bins)
+                            new_segs.setdefault((new_lo, new_hi), []).append(
+                                (orig, k - acc)
+                            )
+                            break
+                        acc += cnt
+            segs = new_segs
+            if persisted is None and any(slo < shi for slo, shi in segs):
+                cond = None
+                for slo, shi in sorted(segs):
+                    c = (vcol >= F.lit(slo)) & (vcol <= F.lit(shi))
+                    cond = c if cond is None else cond | c
+                persisted = slim.where(cond).persist()
+                src = persisted
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+    if _stats is not None:
+        _stats["rounds"] = rounds
+        _stats["agg_passes"] = passes
+    return results
 
 
 def chi2_independence_cells(

@@ -1,0 +1,62 @@
+"""Round-10 operator tests: batched exact selection, selection
+survivor persistence, lead-lag key-cardinality guard, CMS zero-bucket
+depth handling, and the variance-clamp hardening."""
+
+import random
+
+import pytest
+
+
+def test_exact_kth_values_batch_equals_per_k(spark):
+    """The batched selection must return, for EVERY requested rank,
+    exactly the sorted k-th element — identical to what per-k
+    `exact_kth_value` calls return — from one shared narrowing loop
+    (agg_passes bounded by rounds+1, NOT by |ks|)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_value,
+        exact_kth_values,
+    )
+
+    rng = random.Random(23)
+    vals = [rng.randrange(-(10**7), 10**7) for _ in range(3000)] + [42] * 40
+    df = spark.createDataFrame([(v,) for v in vals], "v: long").cache()
+    df.count()
+    sv = sorted(vals)
+    n = len(vals)
+    ks = [1, 2, n // 10, n // 4, n // 2, n // 2 + 1, 3 * n // 4, n - 1, n]
+    stats = {}
+    got = exact_kth_values(df, "v", ks, bins=64, _stats=stats)
+    assert set(got) == set(ks)
+    for k in ks:
+        assert got[k] == sv[k - 1]
+        assert exact_kth_value(df, "v", k, bins=64) == sv[k - 1]
+    # ONE shared loop: pass count tracks rounds, not rank count
+    assert stats["agg_passes"] == stats["rounds"] + 1
+    assert stats["agg_passes"] < len(ks)
+    # duplicate ranks collapse, all-equal degenerate domain converges
+    dup = exact_kth_values(df, "v", [5, 5, 5], bins=64)
+    assert dup == {5: sv[4]}
+    allsame = spark.createDataFrame([(7,)] * 9, "v: long")
+    assert exact_kth_values(allsame, "v", [1, 5, 9]) == {1: 7, 5: 7, 9: 7}
+    with pytest.raises(ValueError):
+        exact_kth_values(df, "v", [1, 0], bins=64)
+    assert exact_kth_values(df, "v", []) == {}
+    df.unpersist()
+
+
+def test_exact_kth_values_weighted_batch(spark):
+    """Weighted batched selection equals the weight-expanded multiset
+    at every requested cumulative-weight rank."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        exact_kth_values,
+    )
+
+    rng = random.Random(29)
+    rows = [(rng.randrange(-500, 500), rng.randrange(1, 7)) for _ in range(800)]
+    df = spark.createDataFrame(rows, "v: long, w: long")
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    W = len(expanded)
+    ks = [1, W // 4, (W + 1) // 2, 3 * W // 4, W]
+    got = exact_kth_values(df, "v", ks, bins=64, weight_col="w")
+    for k in ks:
+        assert got[k] == expanded[k - 1]
