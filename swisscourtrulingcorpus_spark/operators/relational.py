@@ -707,11 +707,21 @@ def pearson_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         for j, b in enumerate(cols[i + 1 :], start=i + 1):
             sa = F.col(f"__s_{i}").cast("double")
             sb = F.col(f"__s_{j}").cast("double")
+            # n·Σx² − (Σx)² is ≥ 0 in exact arithmetic but is computed
+            # in doubles from bigint sums; past ~2^53 rounding can dip
+            # it negative, where sqrt is engine-divergent (Spark NaN,
+            # DuckDB raises) — clamp to 0 (mirrored in the oracles)
             da = F.sqrt(
-                nd * F.col(f"__ss_{i}").cast("double") - sa * sa
+                F.greatest(
+                    nd * F.col(f"__ss_{i}").cast("double") - sa * sa,
+                    F.lit(0.0),
+                )
             )
             db = F.sqrt(
-                nd * F.col(f"__ss_{j}").cast("double") - sb * sb
+                F.greatest(
+                    nd * F.col(f"__ss_{j}").cast("double") - sb * sb,
+                    F.lit(0.0),
+                )
             )
             r = F.when(
                 (da != 0.0) & (db != 0.0),
@@ -1031,6 +1041,7 @@ def leadlag_xcorr(
     time_col: str,
     value_col: str,
     max_lag: int,
+    max_keys: int = 64,
 ) -> DataFrame:
     """Lead-lag cross-correlation between keyed integer time series:
     for every ORDERED key pair (a, b) and lag ℓ ∈ [0, max_lag], the
@@ -1050,8 +1061,22 @@ def leadlag_xcorr(
     explodes only that slim table (max_lag + 1 replicas), and the
     pair join is an equi-join on aligned time — candidates are
     series-length-bounded per pair, never |rows|².  Output is
-    |keys|²·(max_lag+1) cells.
+    |keys|²·(max_lag+1) cells — quadratic in distinct keys by
+    DEFINITION, so a key column with more than ``max_keys`` distinct
+    values raises loudly (one cheap countDistinct pre-pass) instead of
+    silently requesting a keys²-sized result; pre-filter to the key
+    subset of interest or raise ``max_keys`` deliberately.
     """
+    n_keys = df.agg(
+        F.count_distinct(F.col(key_col)).alias("k")
+    ).collect()[0].k
+    if n_keys > max_keys:
+        raise ValueError(
+            f"leadlag_xcorr over {n_keys} distinct {key_col!r} keys would "
+            f"emit {n_keys}²·{max_lag + 1} cells — above the max_keys={max_keys} "
+            f"bound; pre-filter the keys of interest or pass a larger "
+            f"max_keys explicitly"
+        )
     a = df.select(
         F.col(key_col).alias("key_a"),
         F.col(time_col).alias("__t"),
@@ -1085,8 +1110,15 @@ def leadlag_xcorr(
     nd = F.col("n").cast("double")
     sa = F.col("__sa").cast("double")
     sb = F.col("__sb").cast("double")
-    da = F.sqrt(nd * F.col("__saa").cast("double") - sa * sa)
-    db = F.sqrt(nd * F.col("__sbb").cast("double") - sb * sb)
+    # clamp the double-rounded variance term like pearson_matrix
+    # (mirrored in the oracle) — sqrt of a rounding-negative term is
+    # engine-divergent (Spark NaN, DuckDB raises)
+    da = F.sqrt(
+        F.greatest(nd * F.col("__saa").cast("double") - sa * sa, F.lit(0.0))
+    )
+    db = F.sqrt(
+        F.greatest(nd * F.col("__sbb").cast("double") - sb * sb, F.lit(0.0))
+    )
     r = F.when(
         (da != 0.0) & (db != 0.0),
         (nd * F.col("__sab").cast("double") - sa * sb) / (da * db),

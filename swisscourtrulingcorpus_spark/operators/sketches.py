@@ -211,14 +211,26 @@ def cms_join_size(sketch_a: DataFrame, sketch_b: DataFrame) -> DataFrame:
             )
     a = sketch_a.select("d", "bucket", F.col("cnt").alias("__ca"))
     b = sketch_b.select("d", "bucket", F.col("cnt").alias("__cb"))
-    per_depth = (
+    inner = (
         a.join(F.broadcast(b), on=["d", "bucket"])
         .groupBy("d")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
-    # coalesce: an EMPTY side yields an empty inner join, and min over
-    # no rows is NULL — the true join size is 0 there, and the
-    # estimate >= true guarantee must hold for it too
+    # min over the full DEPTH DOMAIN, not just depths surviving the
+    # inner join: a depth whose sketches share no buckets has true
+    # inner product 0 — the TIGHTEST bound (true join size is 0) —
+    # and dropping it from the min would silently weaken the
+    # estimator to the loosest surviving depth.  The domain is every
+    # depth present in either sketch (an entirely empty side ⇒ all
+    # inner products 0 ⇒ estimate 0, still >= the true size 0).
+    depths = (
+        sketch_a.select("d")
+        .unionByName(sketch_b.select("d"))
+        .distinct()
+    )
+    per_depth = depths.join(F.broadcast(inner), on="d", how="left").select(
+        F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip")
+    )
     return per_depth.agg(
         F.coalesce(F.min("__ip"), F.lit(0)).alias("est_join_size")
     )

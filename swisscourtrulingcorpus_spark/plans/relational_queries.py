@@ -981,8 +981,10 @@ def _corr_matrix_oracle() -> str:
     )
     cells = []
     for a, b in pairs:
-        da = f"sqrt(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
-        db = f"sqrt(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        # greatest(..., 0.0) mirrors the engine's clamp of the
+        # double-rounded variance term (see pearson_matrix)
+        da = f"sqrt(greatest(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE), 0.0))"
+        db = f"sqrt(greatest(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE), 0.0))"
         num = f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
         cells.append(
             f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, "

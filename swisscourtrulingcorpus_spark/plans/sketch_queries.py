@@ -576,7 +576,12 @@ ip AS (
   SELECT sa.d, CAST(sum(sa.cnt * sb.cnt) AS BIGINT) AS ip
   FROM sa JOIN sb ON sa.d = sb.d AND sa.bucket = sb.bucket
   GROUP BY 1),
-est AS (SELECT CAST(min(ip) AS BIGINT) AS est_join_size FROM ip),
+-- min over the full depth domain (depths whose sketches share no
+-- buckets have true inner product 0), mirroring cms_join_size
+dd AS (SELECT DISTINCT d FROM (SELECT d FROM sa UNION ALL SELECT d FROM sb)),
+est AS (
+  SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_join_size
+  FROM dd LEFT JOIN ip USING (d)),
 exact AS (
   SELECT CAST(sum(ca.n * cb.n) AS BIGINT) AS exact_join_size
   FROM (SELECT c_nationkey AS k, count(*) AS n FROM customer GROUP BY 1) ca

@@ -623,16 +623,18 @@ cells AS (
   JOIN daily b ON b.day = a.day + l.lag
   GROUP BY 1, 2, 3)
 SELECT key_a, key_b, lag, n,
-       CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) <> 0.0
-             AND sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) <> 0.0
+       -- greatest(..., 0.0) mirrors the engine's clamp of the
+       -- double-rounded variance term (see leadlag_xcorr)
+       CASE WHEN sqrt(greatest(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                      - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE), 0.0)) <> 0.0
+             AND sqrt(greatest(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                      - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE), 0.0)) <> 0.0
             THEN (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
                   - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-                 / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
-                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
-                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)))
+                 / (sqrt(greatest(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE), 0.0))
+                    * sqrt(greatest(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE), 0.0)))
        END AS r
 FROM cells
 """

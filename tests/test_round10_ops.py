@@ -60,3 +60,65 @@ def test_exact_kth_values_weighted_batch(spark):
     got = exact_kth_values(df, "v", ks, bins=64, weight_col="w")
     for k in ks:
         assert got[k] == expanded[k - 1]
+
+
+def test_leadlag_xcorr_key_cardinality_guard(spark):
+    """A key column above the max_keys bound raises loudly (naming the
+    bound) instead of silently requesting a |keys|² result; raising
+    the bound explicitly admits the same input."""
+    import pytest
+
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        leadlag_xcorr,
+    )
+
+    rows = [(f"k{i}", t, i + t) for i in range(80) for t in range(3)]
+    df = spark.createDataFrame(rows, "k: string, t: long, v: long")
+    with pytest.raises(ValueError, match="max_keys=64"):
+        leadlag_xcorr(df, "k", "t", "v", max_lag=1)
+    out = leadlag_xcorr(df, "k", "t", "v", max_lag=1, max_keys=100)
+    assert out.where("key_a = 'k0' and key_b = 'k0' and lag = 0").count() == 1
+
+
+def test_cms_join_size_disjoint_depth_gives_zero(spark):
+    """A depth whose two sketches share NO buckets has true inner
+    product 0 — the tightest bound — and must drive the min to 0
+    instead of dropping out of the join."""
+    from swisscourtrulingcorpus_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    # hand-built sketches: depth 0 collides (ip 12), depth 1 disjoint
+    a = spark.createDataFrame(
+        [(0, 3, 4), (1, 7, 4)], "d: int, bucket: long, cnt: long"
+    )
+    b = spark.createDataFrame(
+        [(0, 3, 3), (1, 9, 3)], "d: int, bucket: long, cnt: long"
+    )
+    est = cms_join_size(a, b).collect()[0].est_join_size
+    assert est == 0
+
+
+def test_variance_clamp_keeps_null_r(spark):
+    """Zero-variance series still emit NULL r after the clamp (the
+    clamp only guards the rounding-negative double case)."""
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        leadlag_xcorr,
+        pearson_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, 5) for t in range(4)] + [("b", t, t) for t in range(4)],
+        "k: string, t: long, v: long",
+    )
+    out = {
+        (r.key_a, r.key_b, r.lag): r.r
+        for r in leadlag_xcorr(df, "k", "t", "v", max_lag=0).collect()
+    }
+    assert out[("a", "a", 0)] is None  # constant series: zero variance
+    assert abs(out[("b", "b", 0)] - 1.0) < 1e-12
+    pm = pearson_matrix(
+        spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "x: long, y: long"),
+        ["x", "y"],
+    ).collect()[0]
+    assert pm.r is None
