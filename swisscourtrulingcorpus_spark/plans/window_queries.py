@@ -486,6 +486,86 @@ def cusum_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING CUSUM twin value-gated (the probe-stage pattern
+    `incremental_media_neardup` established): the events table replays
+    through the genuine `streaming/stateful.py::make_cusum_update`
+    fold — the exact function `cusum_drift_stream` hands to
+    applyInPandasWithState — as three day-ordered micro-batch chunks
+    per key with cross-batch state carry
+    (`cusum_drift_batch_replay`).  References are HISTORY-derived
+    constants, the standard Page-CUSUM deployment: ref = the type's
+    integer-floored daily mean, h = 4·ref (a |types|-row driver-side
+    collect).  Output per type is the final streaming emission —
+    COMPLETED days only, the newest day pending in state — so the
+    oracle recomputes the recurrence over each type's days strictly
+    before its last and must match the sequential fold exactly,
+    pending-day semantics included."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        cusum_drift_batch_replay,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    ref_rows = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(cnt) div count(*)").alias("ref"))
+        .collect()
+    )
+    refs = {r.event_type: int(r.ref) for r in ref_rows}
+    hs = {t: 4 * ref for t, ref in refs.items()}
+    return cusum_drift_batch_replay(ev, refs, hs, n_batches=3)
+
+
+INCREMENTAL_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+refs AS (
+  SELECT event_type, CAST(sum(cnt) // count(*) AS BIGINT) AS ref
+  FROM daily GROUP BY 1),
+-- the streaming fold's newest day is PENDING: only days strictly
+-- before each type's last day have folded into the emitted state
+completed AS (
+  SELECT d.event_type, d.day, d.cnt
+  FROM daily d
+  JOIN (SELECT event_type, max(day) AS last_day FROM daily GROUP BY 1) m
+    USING (event_type)
+  WHERE d.day < m.last_day),
+prefixed AS (
+  SELECT c.event_type, day, ref,
+         sum(cnt - ref) OVER (PARTITION BY c.event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS p
+  FROM completed c JOIN refs USING (event_type)),
+stepped AS (
+  SELECT event_type, day, ref,
+         CAST(p - least(min(p) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM prefixed),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS days_folded,
+         CAST(arg_max(s, day) AS BIGINT) AS s,
+         CAST(max(s) AS BIGINT) AS max_cusum,
+         CAST(count(CASE WHEN s > 4 * ref THEN 1 END) AS BIGINT)
+           AS n_alarm_days,
+         min(CASE WHEN s > 4 * ref THEN day END) AS first_alarm_day
+  FROM stepped GROUP BY 1)
+SELECT r.event_type,
+       coalesce(a.days_folded, CAST(0 AS BIGINT)) AS days_folded,
+       coalesce(a.s, CAST(0 AS BIGINT)) AS s,
+       coalesce(a.max_cusum, CAST(0 AS BIGINT)) AS max_cusum,
+       coalesce(a.n_alarm_days, CAST(0 AS BIGINT)) AS n_alarm_days,
+       a.first_alarm_day
+FROM refs r LEFT JOIN agg a USING (event_type)
+"""
+
+
 CUSUM_ORACLE = """
 WITH daily AS (
   SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS cnt
@@ -526,6 +606,7 @@ SPECS = [
     QuerySpec("event_gap_stats", event_gap_stats, EVENT_GAP_ORACLE, "lag analytics"),
     QuerySpec("scd2_user_state", scd2_user_state, SCD2_ORACLE, "SCD2 temporal versioning"),
     QuerySpec("cusum_drift_events", cusum_drift_events, CUSUM_ORACLE, "CUSUM sustained-shift detection in window closed form (prefix sum minus running min)"),
+    QuerySpec("incremental_cusum_drift", incremental_cusum_drift, INCREMENTAL_CUSUM_ORACLE, "streaming CUSUM fold replayed as sequential micro-batch chunks, pending-day semantics value-gated"),
 ]
 
 

@@ -279,3 +279,80 @@ def cusum_drift_stream(stream: DataFrame, refs: dict, hs: dict) -> DataFrame:
         outputMode="Update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _ReplayState:
+    """Minimal GroupState stand-in for batch replay of streaming
+    update functions: exists/get/update over one in-memory tuple."""
+
+    def __init__(self):
+        self._t = None
+
+    @property
+    def exists(self) -> bool:
+        return self._t is not None
+
+    @property
+    def get(self):
+        return self._t
+
+    def update(self, t) -> None:
+        self._t = t
+
+
+def cusum_drift_batch_replay(
+    events: DataFrame,
+    refs: dict,
+    hs: dict,
+    n_batches: int = 3,
+) -> DataFrame:
+    """Run the STREAMING CUSUM update function (`make_cusum_update` —
+    the exact code `cusum_drift_stream` hands to
+    applyInPandasWithState) over a batch table, replaying each key's
+    day-ordered rows as ``n_batches`` sequential micro-batch chunks
+    against an in-memory state — the probe-stage gate pattern
+    (`incremental_media_neardup`): the gated query exercises the
+    genuine streaming fold, cross-batch state carry and pending-day
+    semantics included, inside one deterministic batch plan.  The
+    result is the final per-key emission: completed (folded) days
+    only, the newest day still pending in state — exactly what the
+    live stream would have reported after consuming the same rows
+    time-ordered.
+
+    Determinism: chunk boundaries are row-index thirds AFTER a stable
+    sort by day; rows within a day are interchangeable for the fold
+    (the update counts day occurrences), so the emission depends only
+    on each chunk's day multiset — deterministic whatever partition
+    order Spark feeds the group in.
+
+    Scale shape: ONE shuffle on event_type into applyInPandas
+    (Arrow-batched); per-key work is linear in that key's rows.  This
+    is the replay/backfill harness, not the steady-state detector —
+    the closed-form `cusum_drift_events` covers full-history batch
+    analytics without per-event Python, and the streaming twin covers
+    live data; this bridges them for gating and checkpoint-free
+    backfill of small keyed slices.
+    """
+    upd = make_cusum_update(refs, hs)
+
+    def replay(key, pdf):
+        st = _ReplayState()
+        pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
+        n = len(pdf)
+        bounds = [n * i // n_batches for i in range(n_batches + 1)]
+        out = None
+        for i in range(n_batches):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if chunk.empty:
+                continue
+            for emitted in upd(key, iter([chunk]), st):
+                out = emitted
+        if out is None:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype=object) for f in CUSUM_OUT_SCHEMA}
+            )
+        return out
+
+    return events.select("event_type", "day").groupBy("event_type").applyInPandas(
+        replay, schema=CUSUM_OUT_SCHEMA
+    )

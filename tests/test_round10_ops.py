@@ -122,3 +122,58 @@ def test_variance_clamp_keeps_null_r(spark):
         ["x", "y"],
     ).collect()[0]
     assert pm.r is None
+
+
+def test_cusum_batch_replay_matches_reference(spark):
+    """The batch replay of the streaming CUSUM fold must equal a pure
+    python day-boundary recurrence over completed days, and be
+    invariant to how many micro-batch chunks the replay splits into
+    (cross-batch state carry is exact)."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        cusum_drift_batch_replay,
+    )
+
+    rng = random.Random(31)
+    rows = []
+    for t, base in (("click", 3), ("buy", 1)):
+        for d in range(12):
+            n = base + (8 if t == "click" and d >= 8 else 0)
+            n += rng.randrange(0, 2)
+            rows += [(t, f"2024-01-{d + 1:02d}")] * n
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "event_type: string, day: string")
+
+    # python reference: fold completed days (last day pending)
+    from collections import Counter
+
+    def reference(t, ref, h):
+        daily = Counter(d for ty, d in rows if ty == t)
+        days = sorted(daily)[:-1]
+        s = mx = nal = 0
+        first = None
+        for d in days:
+            s = max(0, s + daily[d] - ref)
+            mx = max(mx, s)
+            if s > h:
+                nal += 1
+                first = first or d
+        return (len(days), s, mx, nal, first)
+
+    daily_all = Counter((t, d) for t, d in rows)
+    per_type = Counter(t for t, _ in rows)
+    refs = {}
+    for t in ("click", "buy"):
+        n_days = len({d for (ty, d) in daily_all if ty == t})
+        refs[t] = per_type[t] // n_days
+    hs = {t: 4 * r for t, r in refs.items()}
+
+    for nb in (1, 3, 5):
+        got = {
+            r.event_type: (
+                r.days_folded, r.s, r.max_cusum, r.n_alarm_days,
+                r.first_alarm_day,
+            )
+            for r in cusum_drift_batch_replay(df, refs, hs, nb).collect()
+        }
+        for t in ("click", "buy"):
+            assert got[t] == reference(t, refs[t], hs[t]), (t, nb)
