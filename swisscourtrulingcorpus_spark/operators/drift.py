@@ -1,0 +1,193 @@
+"""Distribution-drift audits: two-sample KS, PSI, JS divergence.
+
+The corpus-drift complement of the time-drift family (CUSUM, the
+hourly anomaly flags): given two slices — yesterday's snapshot vs
+today's, train vs eval, language A vs B — quantify how far apart two
+distributions sit.  All three are classical public statistics
+(Kolmogorov 1933 / Smirnov 1939; PSI is the standard model-monitoring
+index; Jensen-Shannon 1991) computed in the engine's exact-arithmetic
+house style: integer counts all the way, one fixed-shape double (or a
+micro-int rounded log product — the `lnc_micro` precedent in
+`plans/curation_queries.py`) at the very end, so Spark and DuckDB
+produce bit-identical results.
+
+Scale shapes (each documented per function): everything aggregates to
+a DISTINCT-VALUE / bin / vocabulary table before any window or join —
+row-sized data shuffles once, as its distinct keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between the
+    ``value_col`` distributions of groups a and b: D = max over the
+    pooled values of |ECDF_a − ECDF_b|, computed entirely in bigint
+    arithmetic — |n_b·cum_a(v) − n_a·cum_b(v)| is an exact integer, so
+    D = d_num / d_den is ONE fixed-shape double division at the end.
+    Returns one row: (n_a, n_b, d_num, d_den, d).
+
+    Scale shape: the input collapses to the DISTINCT-VALUE table
+    first (one map-side-combined groupBy), and the cumulative
+    difference uses the shared two-phase `parallel_prefix_sum`
+    skeleton (range partition → local running sum → broadcast
+    offsets) — no single-task global window even when the value
+    domain is large.  The two group totals are a 1-row driver
+    collect (the calibration-table pattern).
+    """
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+    )
+
+    src = df.select(
+        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+    ).where(
+        F.col("__v").isNotNull() & F.col("__g").isin([group_a, group_b])
+    )
+    tot = src.agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("na"),
+        F.count(F.when(F.col("__g") == group_b, 1)).alias("nb"),
+    ).collect()[0]
+    na, nb = int(tot.na), int(tot.nb)
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"ks_two_sample needs both groups non-empty, got "
+            f"n_a={na}, n_b={nb}"
+        )
+    per = src.groupBy("__v").agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("__ca"),
+        F.count(F.when(F.col("__g") == group_b, 1)).alias("__cb"),
+    )
+    # cum(nb·ca − na·cb) over value order == nb·cumA − na·cumB exactly
+    diffed = parallel_prefix_sum(
+        per,
+        [F.col("__v")],
+        F.lit(nb) * F.col("__ca") - F.lit(na) * F.col("__cb"),
+        "__diff",
+    )
+    return diffed.agg(F.max(F.abs(F.col("__diff"))).alias("d_num")).select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint"),
+        F.lit(na * nb).cast("bigint").alias("d_den"),
+        (
+            F.col("d_num").cast("double") / F.lit(float(na * nb))
+        ).alias("d"),
+    )
+
+
+def psi_table(
+    df: DataFrame,
+    bin_col: Column,
+    side_col: Column,
+) -> DataFrame:
+    """Population Stability Index between the A side (``side_col``
+    true) and B side (false) of one table, PER BIN — the standard
+    model-monitoring drift index, emitted as per-bin contribution rows
+    (the `chi2_independence_cells` pattern: a float SUM over
+    distributed cells is order-dependent, while each cell's value is
+    one fixed expression shape over exact integer counts).  Per bin:
+    (bin, cnt_a, cnt_b, psi_contrib_micro) where psi_contrib_micro =
+    round(1e6 · (p_a − p_b)·ln(p_a/p_b)) as a bigint — the micro-int
+    rounded-log house style (`lnc_micro`), robust to the one-ulp libm
+    differences a raw double log product could expose — and NULL when
+    either side's bin count is 0 (the standard PSI undefined-bin
+    case, reported rather than smoothed away).
+
+    Scale shape: one (bin, side) groupBy with map-side combine, then a
+    bin-sized table crossJoined with the broadcast 1-row totals — the
+    input shuffles once, as bins.
+    """
+    slim = df.select(
+        bin_col.cast("bigint").alias("__bin"),
+        side_col.cast("boolean").alias("__a"),
+    ).where(F.col("__bin").isNotNull() & F.col("__a").isNotNull())
+    per = slim.groupBy("__bin").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
+    )
+    totals = per.agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    j = per.crossJoin(F.broadcast(totals))
+    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    contrib = F.when(
+        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
+            "bigint"
+        ),
+    )
+    return j.select(
+        F.col("__bin").alias("bin"),
+        "cnt_a",
+        "cnt_b",
+        contrib.alias("psi_contrib_micro"),
+    )
+
+
+def js_token_divergence(
+    df: DataFrame,
+    token_col: Column,
+    side_col: Column,
+    min_total: int = 20,
+) -> DataFrame:
+    """Per-token Jensen–Shannon divergence contributions between the
+    token distributions of the A side (``side_col`` true) and B side:
+    for each token, contrib = ½·(p_a·ln(p_a/m) + p_b·ln(p_b/m)) with
+    m = (p_a + p_b)/2 and the convention 0·ln(0/m) = 0 — the
+    vocabulary-drift report ("which tokens shifted between snapshots").
+    Probabilities use the FULL token totals (below-threshold tokens
+    count toward n_a/n_b); only tokens with cnt_a + cnt_b ≥
+    ``min_total`` are EMITTED, bounding the report.  Contributions are
+    micro-int rounded logs (`psi_table`'s shape): (token, cnt_a,
+    cnt_b, js_contrib_micro), always non-negative by Jensen.
+
+    Scale shape: one (token, side) groupBy collapses the exploded
+    tokens to the vocabulary; the totals broadcast back as one row.
+    """
+    slim = df.select(
+        token_col.alias("__t"), side_col.cast("boolean").alias("__a")
+    ).where(
+        F.col("__t").isNotNull()
+        & (F.col("__t") != "")
+        & F.col("__a").isNotNull()
+    )
+    per = slim.groupBy("__t").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
+    )
+    totals = per.agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    j = (
+        per.where(F.col("cnt_a") + F.col("cnt_b") >= min_total)
+        .crossJoin(F.broadcast(totals))
+    )
+    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    term_a = F.when(F.col("cnt_a") > 0, pa * F.log(pa / m)).otherwise(
+        F.lit(0.0)
+    )
+    term_b = F.when(F.col("cnt_b") > 0, pb * F.log(pb / m)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = F.round(
+        F.lit(0.5) * (term_a + term_b) * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return j.select(
+        F.col("__t").alias("token"),
+        "cnt_a",
+        "cnt_b",
+        contrib.alias("js_contrib_micro"),
+    )

@@ -1,0 +1,179 @@
+"""Distribution-drift gates: KS, PSI, JS over the synthetic corpus.
+
+The corpus-drift audit family (`operators/drift.py`): given two
+slices of the same table, quantify distribution shift — the reports a
+training-data pipeline runs between corpus snapshots before trusting
+"same data, new crawl".  Slices here are deterministic halves
+(even/odd doc_id = old/new snapshot; order priority classes), so both
+engines pick identical populations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.functions.money import dec2 as _dec
+from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
+from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+
+def ks_drift_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the order-value
+    distributions of URGENT and LOW priority orders
+    (`operators/drift.py::ks_two_sample`): exact bigint ECDF-difference
+    arithmetic over the distinct cents values, cumulated with the
+    shared two-phase prefix-sum skeleton (no single-task window), one
+    fixed-shape double division at the end."""
+    from swisscourtrulingcorpus_spark.operators.drift import ks_two_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    return ks_two_sample(o, "cents", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+KS_DRIFT_ORACLE = """
+WITH src AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         o_orderpriority AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+tot AS (
+  SELECT CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS na,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS nb
+  FROM src),
+per AS (
+  SELECT v,
+         CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1),
+cum AS (
+  SELECT sum(nb * ca - na * cb)
+           OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS diff
+  FROM per, tot)
+SELECT na AS n_a, nb AS n_b,
+       CAST(max(abs(diff)) AS BIGINT) AS d_num,
+       CAST(na * nb AS BIGINT) AS d_den,
+       CAST(max(abs(diff)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d
+FROM cum, tot
+GROUP BY na, nb
+"""
+
+
+def psi_doclen_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between the document-length distributions of the even- and
+    odd-doc_id corpus halves (`operators/drift.py::psi_table` — the
+    old-vs-new-snapshot drift report): fixed 256-char bins capped at
+    40, per-bin exact counts + the micro-int rounded-log contribution,
+    NULL where a side's bin is empty.  Reads only (doc_id, n_chars) —
+    the text column never scans."""
+    from swisscourtrulingcorpus_spark.operators.drift import psi_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_table(
+        docs.where(F.col("n_chars").isNotNull()),
+        F.least(F.expr("n_chars div 256"), F.lit(40)),
+        F.col("doc_id") % 2 == 0,
+    ).orderBy("bin")
+
+
+PSI_DOCLEN_ORACLE = """
+WITH slim AS (
+  SELECT least(n_chars // 256, 40) AS bin, doc_id % 2 = 0 AS a
+  FROM documents WHERE n_chars IS NOT NULL),
+per AS (
+  SELECT bin,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
+  FROM slim GROUP BY 1),
+tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per)
+SELECT CAST(bin AS BIGINT) AS bin, cnt_a, cnt_b,
+       CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN CAST(round(
+         (CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE))
+         * ln((CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE))
+              / (CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE)))
+         * 1000000.0) AS BIGINT)
+       END AS psi_contrib_micro
+FROM per, tot
+ORDER BY bin
+"""
+
+
+def js_token_drift_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token Jensen–Shannon divergence contributions between the
+    even/odd doc_id corpus halves (`operators/drift.py::
+    js_token_divergence` — "which tokens shifted between snapshots"):
+    whitespace-split casefolded tokens (the `lexical_diversity` split),
+    probabilities over the FULL token totals, only tokens with ≥ 20
+    combined occurrences emitted; contributions micro-int rounded and
+    non-negative by Jensen."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        js_token_divergence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+    )
+    return js_token_divergence(
+        toks, F.col("token"), F.col("is_a"), min_total=20
+    )
+
+
+JS_TOKEN_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+         doc_id % 2 = 0 AS a
+  FROM documents WHERE text IS NOT NULL),
+per AS (
+  SELECT t,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
+  FROM toks WHERE t IS NOT NULL AND t <> '' GROUP BY 1),
+tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per),
+big AS (
+  SELECT t, cnt_a, cnt_b,
+         CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+         CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+  FROM per, tot WHERE cnt_a + cnt_b >= 20)
+SELECT t AS token, cnt_a, cnt_b,
+       CAST(round(0.5 * (
+         CASE WHEN cnt_a > 0 THEN pa * ln(pa / ((pa + pb) / 2.0))
+              ELSE 0.0 END
+         + CASE WHEN cnt_b > 0 THEN pb * ln(pb / ((pa + pb) / 2.0))
+                ELSE 0.0 END) * 1000000.0) AS BIGINT)
+         AS js_contrib_micro
+FROM big
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "ks_drift_order_priority",
+        ks_drift_order_priority,
+        KS_DRIFT_ORACLE,
+        "exact two-sample KS via bigint ECDF differences + two-phase prefix sum",
+    ),
+    QuerySpec(
+        "psi_doclen_snapshots",
+        psi_doclen_snapshots,
+        PSI_DOCLEN_ORACLE,
+        "per-bin PSI drift contributions, micro-int rounded logs",
+    ),
+    QuerySpec(
+        "js_token_drift_snapshots",
+        js_token_drift_snapshots,
+        JS_TOKEN_ORACLE,
+        "per-token Jensen-Shannon drift contributions over full-total probabilities",
+    ),
+]

@@ -96,6 +96,7 @@ def _collect_specs() -> list[QuerySpec]:
     from swisscourtrulingcorpus_spark.plans import training_queries
     from swisscourtrulingcorpus_spark.plans import relational_queries
     from swisscourtrulingcorpus_spark.plans import sketch_queries
+    from swisscourtrulingcorpus_spark.plans import drift_queries
     from swisscourtrulingcorpus_spark.plans import text_queries
     from swisscourtrulingcorpus_spark.plans import window_queries
 
@@ -116,6 +117,7 @@ def _collect_specs() -> list[QuerySpec]:
     specs += layout_queries.SPECS
     specs += curation_queries.SPECS
     specs += sketch_queries.SPECS
+    specs += drift_queries.SPECS
     from collections import Counter
 
     names = [s.name for s in specs]

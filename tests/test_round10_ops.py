@@ -177,3 +177,106 @@ def test_cusum_batch_replay_matches_reference(spark):
         }
         for t in ("click", "buy"):
             assert got[t] == reference(t, refs[t], hs[t]), (t, nb)
+
+
+def test_ks_two_sample_matches_reference(spark):
+    """KS D must equal the exact python ECDF-difference max as an
+    integer ratio, for overlapping and disjoint samples."""
+    from swisscourtrulingcorpus_spark.operators.drift import ks_two_sample
+
+    rng = random.Random(37)
+    rows = [(rng.randrange(0, 300), "a") for _ in range(500)] + [
+        (rng.randrange(50, 400), "b") for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "v: long, g: string")
+    got = ks_two_sample(df, "v", "g", "a", "b").collect()[0]
+
+    av = sorted(v for v, g in rows if g == "a")
+    bv = sorted(v for v, g in rows if g == "b")
+    na, nb = len(av), len(bv)
+    pooled = sorted(set(av + bv))
+    import bisect
+
+    d_num = max(
+        abs(nb * bisect.bisect_right(av, v) - na * bisect.bisect_right(bv, v))
+        for v in pooled
+    )
+    assert (got.n_a, got.n_b, got.d_num, got.d_den) == (na, nb, d_num, na * nb)
+    assert abs(got.d - d_num / (na * nb)) < 1e-15
+    # disjoint supports => D == 1 exactly
+    dd = spark.createDataFrame(
+        [(1, "a")] * 5 + [(9, "b")] * 7, "v: long, g: string"
+    )
+    one = ks_two_sample(dd, "v", "g", "a", "b").collect()[0]
+    assert one.d_num == one.d_den and one.d == 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        ks_two_sample(dd.where("g = 'a'"), "v", "g", "a", "b")
+
+
+def test_psi_and_js_match_reference(spark):
+    """PSI per-bin and JS per-token contributions must equal the
+    python formulas (micro-int rounded); JS contributions are
+    non-negative by Jensen."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        js_token_divergence,
+        psi_table,
+    )
+
+    rng = random.Random(41)
+    rows = [(rng.randrange(0, 8), rng.random() < 0.5) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "b: long, a: boolean")
+    got = {
+        r.bin: r for r in psi_table(df, F.col("b"), F.col("a")).collect()
+    }
+    from collections import Counter
+
+    ca = Counter(b for b, a in rows if a)
+    cb = Counter(b for b, a in rows if not a)
+    na, nb = sum(ca.values()), sum(cb.values())
+    for b in set(ca) | set(cb):
+        r = got[b]
+        assert (r.cnt_a, r.cnt_b) == (ca[b], cb[b])
+        if ca[b] and cb[b]:
+            pa, pb = ca[b] / na, cb[b] / nb
+            want = round((pa - pb) * math.log(pa / pb) * 1e6)
+            assert r.psi_contrib_micro == want
+        else:
+            assert r.psi_contrib_micro is None
+
+    tok_rows = [
+        (rng.choice(["x", "y", "z", "w"]), rng.random() < 0.5)
+        for _ in range(3000)
+    ] + [("onlya", True)] * 60
+    tdf = spark.createDataFrame(tok_rows, "t: string, a: boolean")
+    jgot = {
+        r.token: r
+        for r in js_token_divergence(
+            tdf, F.col("t"), F.col("a"), min_total=20
+        ).collect()
+    }
+    ja = Counter(t for t, a in tok_rows if a)
+    jb = Counter(t for t, a in tok_rows if not a)
+    jna, jnb = sum(ja.values()), sum(jb.values())
+    for t in set(ja) | set(jb):
+        if ja[t] + jb[t] < 20:
+            assert t not in jgot
+            continue
+        pa, pb = ja[t] / jna, jb[t] / jnb
+        m = (pa + pb) / 2
+        want = round(
+            0.5
+            * (
+                (pa * math.log(pa / m) if ja[t] else 0.0)
+                + (pb * math.log(pb / m) if jb[t] else 0.0)
+            )
+            * 1e6
+        )
+        r = jgot[t]
+        assert (r.cnt_a, r.cnt_b, r.js_contrib_micro) == (ja[t], jb[t], want)
+        assert r.js_contrib_micro >= 0

@@ -131,10 +131,21 @@ QUERIES = [
     ("coreness_citation_nodes", "h-index rounds: slim (bigint,bigint) shuffles, depth-bounded"),
     ("cdc_chunk_dedup", "map-side rolling-hash chunking; one groupBy on fixed-width chunk keys"),
     ("windowed_funnel_events", "filtered min-agg chain; slim (user, us) joins, 3-cell report"),
-    # NB: key_skew_orders / fk_integrity_tpch are NOT listed — they read
-    # the TPC-H relational tables, which this harness symlinks rather
-    # than replicates (only documents/embeddings/events scale 10x), so
-    # a "two-SF" run would compare identical inputs and prove nothing.
+    # round-10 (VERDICT r09 item 5): the TPC-H facts are now genuinely
+    # replicated (per-replica key shifts, FK-consistent), so the
+    # relational-only gates get REAL two-SF rows instead of prose
+    ("fd_check_lineitem", "one distinct-pair groupBy per FD candidate; rows shuffle as distinct (lhs, rhs) combos"),
+    ("exact_median_order_value", "<= 3 rounds of binning aggregates; driver sees <= bins rows/round"),
+    ("weighted_median_line_price", "the selection shape with cumulative-weight ranks"),
+    ("gini_customer_spend", "per-customer groupBy + ONE window over the distinct-value table"),
+    ("join_size_estimate_nations", "two map-side fixed-size sketches; nothing row-sized shuffles"),
+    ("key_skew_orders", "key-count groupBy + TakeOrdered 10, never a global sort"),
+    ("fk_integrity_tpch", "six left-anti orphan probes over distinct child keys"),
+    # round-10 drift family + the streaming-CUSUM replay gate
+    ("ks_drift_order_priority", "distinct-value groupBy + two-phase prefix sum; no single-task window"),
+    ("psi_doclen_snapshots", "one (bin, side) groupBy; <= 41 bins whatever the corpus size"),
+    ("js_token_drift_snapshots", "token explode -> vocab-sized groupBy; totals broadcast as one row"),
+    ("incremental_cusum_drift", "one shuffle on event_type into the replayed stateful fold; per-key linear"),
     ("cumulative_users_by_day", "slim (user,date) min-agg; window bounded by the date domain"),
     ("ewma_gap_events", "sequential per-user fold over slim (user, us) rows, one state int/key"),
     ("event_path_mining", "two lead windows, bounded |types|^3 key domain, TakeOrdered top-k"),
@@ -148,14 +159,69 @@ def synth_10x(spark, src: str, dst: str) -> None:
     tiny deterministic per-replica offset.  Other tables symlink."""
     from pyspark.sql import functions as F
 
+    replicated = (
+        "documents", "embeddings", "events",
+        # round-10: TPC-H facts replicate with per-replica key shifts
+        "orders", "lineitem", "customer", "supplier",
+    )
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         link = os.path.join(dst, f"{t}.parquet")
-        if os.path.islink(link) and t in ("documents", "embeddings", "events"):
-            os.unlink(link)  # stale symlink from a pre-r05b run
-        if t in ("documents", "embeddings", "events") or os.path.exists(link):
+        if os.path.islink(link) and t in replicated:
+            os.unlink(link)  # stale symlink from an earlier-round run
+        if t in replicated or os.path.exists(link):
             continue
         os.symlink(os.path.join(src, f"{t}.parquet"), link)
+
+    # TPC-H facts: shift the REPLICATED tables' keys per replica so
+    # every FK that points at a replicated parent shifts consistently
+    # (lineitem.l_orderkey -> orders, l_suppkey -> supplier,
+    # orders.o_custkey -> customer) while FKs into SYMLINKED dims
+    # (l_partkey -> part, *_nationkey -> nation) stay unshifted — the
+    # 10x corpus passes the same fk_integrity audit with zero orphans
+    # and every per-replica group/FD/skew structure is identical to
+    # the source.  Values (prices, quantities, dates) are untouched:
+    # medians/Gini stay at the source value while the input is 10x.
+    def _maxkey(table: str, col: str) -> int:
+        return (
+            spark.read.parquet(os.path.join(src, f"{table}.parquet"))
+            .agg(F.max(col))
+            .collect()[0][0]
+            + 1
+        )
+
+    rel_shifts = {
+        "orders": {"o_orderkey": ("orders", "o_orderkey"),
+                   "o_custkey": ("customer", "c_custkey")},
+        "lineitem": {"l_orderkey": ("orders", "o_orderkey"),
+                     "l_suppkey": ("supplier", "s_suppkey")},
+        "customer": {"c_custkey": ("customer", "c_custkey")},
+        "supplier": {"s_suppkey": ("supplier", "s_suppkey")},
+    }
+    if not all(
+        os.path.exists(os.path.join(dst, f"{t}.parquet")) for t in rel_shifts
+    ):
+        bases = {
+            (pt, pc): _maxkey(pt, pc)
+            for shifts in rel_shifts.values()
+            for pt, pc in shifts.values()
+        }
+        reps_r = spark.range(REPLICAS).withColumnRenamed("id", "rep")
+        for t, shifts in rel_shifts.items():
+            out_path = os.path.join(dst, f"{t}.parquet")
+            if os.path.exists(out_path):
+                continue
+            tdf = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
+            big_t = tdf.crossJoin(reps_r)
+            for col, parent in shifts.items():
+                dtype = dict(tdf.dtypes)[col]
+                big_t = big_t.withColumn(
+                    col,
+                    (F.col(col) + F.col("rep") * bases[parent]).cast(dtype),
+                )
+            big_t.drop("rep").repartition(32).write.mode("overwrite").parquet(
+                out_path
+            )
 
     # events: shift user/event ids per replica, keep timestamps — the
     # per-replica window/session structure is IDENTICAL to the source,
@@ -473,16 +539,32 @@ def main() -> None:
     for sf_label, sf_dir in (("1x", SF_DIR), ("10x", big_dir)):
         for name, claim in todo:
             # warm run first (codegen compile for this plan), then the
-            # measured run with shuffle-byte deltas around it
-            qs[name](spark, sf_dir).count()
+            # measured run with shuffle-byte deltas around it.
+            # Execution is a NOOP WRITE, not .count(): count() lets
+            # Catalyst prune aggregate functions (group keys survive
+            # but computed columns don't), and a one-row ungrouped
+            # aggregate — or a union of them, like fd_check_lineitem —
+            # prunes to NOTHING (measured: 64 shuffle records instead
+            # of 21M).  The noop sink consumes every column, so the
+            # measured run executes the full plan.  rows is taken from
+            # a separate count() — it's the OUTPUT row count metric,
+            # unaffected by how the measured run executes.
+            def _exec():
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+
+            _exec()
             spark.sparkContext.setJobGroup(name, f"{name}@{sf_label}")
             time.sleep(1.0)  # settle async event-log flush
             r0, w0 = _shuffle_totals(event_dir, app_id)
             t0 = time.time()
-            rows = qs[name](spark, sf_dir).count()
+            _exec()
             wall = time.time() - t0
             time.sleep(1.0)
             r1, w1 = _shuffle_totals(event_dir, app_id)
+            # AFTER the delta read, so its shuffles don't pollute it
+            rows = qs[name](spark, sf_dir).count()
             rec = results.setdefault(name, {"claim": claim})
             rec[sf_label] = {
                 "wall_s": round(wall, 2),
