@@ -65,18 +65,26 @@ def main() -> None:
         raw_corpus_df_distributed,
     )
 
-    def run(n_docs: int) -> int:
+    def _src(n_docs: int):
         # driver-side generation up to 50k (the historical protocol,
         # keeps tier-to-tier numbers comparable across rounds);
         # executor-side generation beyond that (500k dicts through
         # createDataFrame would measure the driver serializer, not the
         # pipeline — and a real corpus arrives distributed anyway)
-        src = (
+        return (
             raw_corpus_df(spark, n_docs)
             if n_docs <= 50_000
             else raw_corpus_df_distributed(spark, n_docs)
         )
-        return judgment_dataset(run_extraction_pipeline(src)).count()
+
+    def run(n_docs: int) -> None:
+        # noop-sink write, NOT .count(): the round-10 harness rule —
+        # count() lets Catalyst prune columns the row count doesn't
+        # need (see tools/scale_measure.py); the noop sink executes
+        # the full pipeline including every extracted column
+        judgment_dataset(run_extraction_pipeline(_src(n_docs))).write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     # same steady-state protocol as bench.py: two full-size warmups at
     # the SMALL size fork the Python workers + compile the UDF plans
@@ -92,10 +100,12 @@ def main() -> None:
         time.sleep(1.0)  # settle async event-log flush
         r0, w0 = _shuffle_totals(event_dir, app_id)
         t0 = time.time()
-        rows = run(n_docs)
+        run(n_docs)
         wall = time.time() - t0
         time.sleep(1.0)
         r1, w1 = _shuffle_totals(event_dir, app_id)
+        # output-rows metric from a separate count AFTER the deltas
+        rows = judgment_dataset(run_extraction_pipeline(_src(n_docs))).count()
         results[label] = {
             "n_docs": n_docs,
             "rows_out": rows,
