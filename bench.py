@@ -19,11 +19,13 @@ execution of every column, no driver-side row transfer.  Rounds 1-9
 used .count(), which lets Catalyst PRUNE aggregate functions (group
 keys survive, computed columns don't): q1's eight aggregate columns
 never executed and its parquet scan read 2 columns instead of 7
-(measured: 0.45 s counted vs 0.93 s fully executed at sf0.1; every
-other headline query is within noise of the two modes — joins,
-windows and pair outputs need all their rows either way).  The noop
-sink closes that hole from round 10 on; the one-time q1 step-up in
-the r09->r10 bench diff is this harness fix, not a regression.
+(measured: 0.45 s counted vs 0.93 s fully executed at sf0.1) and
+map_join_orders' collect_list array was pruned entirely (0.25 s vs
+1.02 s, A/B-measured); every other headline query is within noise of
+the two modes — joins, windows and pair outputs need all their rows
+either way.  The noop sink closes that hole from round 10 on; the
+one-time step-ups on q1 and map_join_orders in the r09->r10 bench
+diff are this harness fix, not regressions.
 A tiny warmup query first so JVM/codegen startup isn't billed to the
 first headline query; each headline query then runs three times and
 reports the fastest run — steady-state throughput, so one-time
