@@ -781,6 +781,7 @@ def exact_kth_values(
     bins: int = 4096,
     weight_col: str | None = None,
     _stats: dict | None = None,
+    persist_survivors: bool = True,
 ) -> dict[int, int]:
     """BATCHED exact selection: the k-th smallest value for EVERY rank
     in ``ks`` from one shared histogram-narrowing loop — instead of
@@ -805,7 +806,10 @@ def exact_kth_values(
 
     ``_stats``, when given, is filled with {"rounds", "agg_passes"}
     (full-pipeline aggregation passes incl. the min/max/total pass)
-    for scale measurement.
+    for scale measurement.  ``persist_survivors=False`` disables the
+    round-1 persistence (every round rescans the input) — results are
+    identical by construction; the flag exists for the A/B scan-cost
+    measurement in SCALE.md.
     """
     if not ks:
         return {}
@@ -895,7 +899,11 @@ def exact_kth_values(
                             break
                         acc += cnt
             segs = new_segs
-            if persisted is None and any(slo < shi for slo, shi in segs):
+            if (
+                persist_survivors
+                and persisted is None
+                and any(slo < shi for slo, shi in segs)
+            ):
                 cond = None
                 for slo, shi in sorted(segs):
                     c = (vcol >= F.lit(slo)) & (vcol <= F.lit(shi))
