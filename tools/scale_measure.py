@@ -396,11 +396,21 @@ STREAM_QUERIES = [
         "stream_ewma_gap_state",
         "custom stateful op: state == ONE (last_us, n, s) integer triple per user — bytes/key flat, rows track |users| not |events|",
     ),
+    # round-10: the streaming CUSUM twin (value-gated this round via
+    # the batch replay) — state must track |event types|, not |events|
+    (
+        "stream_cusum_drift_state",
+        "custom stateful op: state == ONE (cur_day, counters) tuple per event_type — rows flat at |types| whatever the stream length",
+    ),
 ]
 
 #: queries whose sink must run in update mode (applyInPandasWithState
 #: emits per-key updates, not appendable finalized rows)
-_UPDATE_MODE = {"stream_user_profile_state", "stream_ewma_gap_state"}
+_UPDATE_MODE = {
+    "stream_user_profile_state",
+    "stream_ewma_gap_state",
+    "stream_cusum_drift_state",
+}
 
 
 def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=None) -> None:
@@ -415,11 +425,32 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
 
     from swisscourtrulingcorpus_spark.streaming.jobs import read_events_stream
     from swisscourtrulingcorpus_spark.streaming.stateful import (
+        cusum_drift_stream,
         ewma_gap_stream,
         user_profile_stream,
     )
 
+    # history-derived CUSUM constants (ref = per-type integer daily
+    # mean, h = 4*ref), computed from the batch table at this SF —
+    # the standard Page-CUSUM deployment the gate mirrors
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.sources.catalog import load_table
+
+    _ref_rows = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(cnt) div count(*)").alias("ref"))
+        .collect()
+    )
+    _refs = {r.event_type: int(r.ref) for r in _ref_rows}
+    _hs = {t: 4 * v for t, v in _refs.items()}
+
     makers = {
+        "stream_cusum_drift_state": lambda s: cusum_drift_stream(s, _refs, _hs),
         "stream_session_windows": session_counts_stream,
         "stream_tumbling_counts": tumbling_counts_stream,
         "stream_interval_join": purchase_attribution_stream,
