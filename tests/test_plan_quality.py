@@ -680,3 +680,48 @@ def test_moment_sum_gates_are_pure_aggregates(spark, sf_dir):
         plan = _final_plan(q(spark, sf_dir))
         for bad in ("Join", "Window", "BatchEvalPython", "ArrowEvalPython"):
             assert bad not in plan, (q.__name__, bad, plan)
+
+
+def test_ks_drift_no_single_task_data_window(spark, sf_dir):
+    """ks_drift: the distinct-value cumulation must ride the two-phase
+    prefix sum — the only SinglePartition exchanges feed the tiny
+    per-partition offsets window and the final one-row agg, never the
+    data-sized local cumsum (which must window by __pid after a range
+    partition)."""
+    from swisscourtrulingcorpus_spark.plans.drift_queries import (
+        ks_drift_order_priority,
+    )
+
+    df = ks_drift_order_priority(spark, sf_dir)
+    plan = _final_plan(df)
+    assert "rangepartitioning" in plan, plan
+    # the data-sized window partitions by __pid (local cumsum)
+    assert "windowspecdefinition(__pid" in plan, plan
+
+
+def test_psi_js_group_then_broadcast_totals(spark, sf_dir):
+    """PSI/JS: one groupBy collapses rows to bins/vocab BEFORE the
+    totals join, and the totals join is a 1-row broadcast (the
+    documented broadcast-scalar cross pattern) — never a sort-merge
+    join or a row-sized nested loop."""
+    from swisscourtrulingcorpus_spark.plans.drift_queries import (
+        js_token_drift_snapshots,
+        psi_doclen_snapshots,
+    )
+
+    for q in (psi_doclen_snapshots, js_token_drift_snapshots):
+        plan = _final_plan(q(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row totals
+
+
+def test_incremental_cusum_single_key_shuffle(spark, sf_dir):
+    """The CUSUM replay shuffles ONCE, on event_type, into the python
+    fold — no extra exchange above the applyInPandas stage."""
+    from swisscourtrulingcorpus_spark.plans.window_queries import (
+        incremental_cusum_drift,
+    )
+
+    plan = _final_plan(incremental_cusum_drift(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan, plan
