@@ -503,20 +503,14 @@ def incremental_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pending-day semantics included."""
     from swisscourtrulingcorpus_spark.streaming.stateful import (
         cusum_drift_batch_replay,
+        cusum_history_refs,
     )
 
-    ev = load_table(spark, sf_dir, "events").select(
+    events = load_table(spark, sf_dir, "events")
+    refs, hs = cusum_history_refs(events)
+    ev = events.select(
         "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
     )
-    ref_rows = (
-        ev.groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("event_type")
-        .agg(F.expr("sum(cnt) div count(*)").alias("ref"))
-        .collect()
-    )
-    refs = {r.event_type: int(r.ref) for r in ref_rows}
-    hs = {t: 4 * ref for t, ref in refs.items()}
     return cusum_drift_batch_replay(ev, refs, hs, n_batches=3)
 
 

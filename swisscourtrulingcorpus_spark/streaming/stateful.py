@@ -189,6 +189,28 @@ CUSUM_STATE_SCHEMA = StructType(
 )
 
 
+def cusum_history_refs(events: DataFrame, time_col: str = "ts") -> tuple[dict, dict]:
+    """History-derived Page-CUSUM deployment constants, the ONE
+    definition shared by the value-gated batch replay
+    (`plans/window_queries.py::incremental_cusum_drift`) and the
+    streaming state-scale harness: per event_type, ref = the
+    integer-floored daily mean count and h = 4·ref.  Returns
+    ``(refs, hs)`` dicts keyed by type.  A |types|-row driver-side
+    collect (the calibration-table pattern)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        events.select("event_type", F.to_date(time_col).alias("__d"))
+        .groupBy("event_type", "__d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("event_type")
+        .agg(F.expr("sum(cnt) div count(*)").alias("ref"))
+        .collect()
+    )
+    refs = {r.event_type: int(r.ref) for r in rows}
+    return refs, {t: 4 * v for t, v in refs.items()}
+
+
 def make_cusum_update(refs: dict, hs: dict):
     """Build the per-key CUSUM update fn with broadcast-style config:
     ``refs[type]`` is the integer reference (target mean + allowance)
@@ -283,7 +305,11 @@ def cusum_drift_stream(stream: DataFrame, refs: dict, hs: dict) -> DataFrame:
 
 class _ReplayState:
     """Minimal GroupState stand-in for batch replay of streaming
-    update functions: exists/get/update over one in-memory tuple."""
+    update functions: exists/get/update over one in-memory tuple.
+    ``get`` raises on absent state exactly like the real GroupState —
+    the replay must not be laxer than the runtime it mirrors (an
+    update function reading state.get without checking state.exists
+    should fail HERE, not only in the live stream)."""
 
     def __init__(self):
         self._t = None
@@ -294,6 +320,10 @@ class _ReplayState:
 
     @property
     def get(self):
+        if self._t is None:
+            raise ValueError(
+                "State is either not defined or has already been removed"
+            )
         return self._t
 
     def update(self, t) -> None:

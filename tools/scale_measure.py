@@ -426,31 +426,23 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
     from swisscourtrulingcorpus_spark.streaming.jobs import read_events_stream
     from swisscourtrulingcorpus_spark.streaming.stateful import (
         cusum_drift_stream,
+        cusum_history_refs,
         ewma_gap_stream,
         user_profile_stream,
     )
 
-    # history-derived CUSUM constants (ref = per-type integer daily
-    # mean, h = 4*ref), computed from the batch table at this SF —
-    # the standard Page-CUSUM deployment the gate mirrors
-    from pyspark.sql import functions as F
+    def _cusum_stream(s):
+        # history-derived constants from the batch table at this SF —
+        # the ONE shared definition (streaming/stateful.py); computed
+        # lazily so a `names` filter that excludes the CUSUM stream
+        # never pays the two aggregation jobs
+        from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
-    from swisscourtrulingcorpus_spark.sources.catalog import load_table
-
-    _ref_rows = (
-        load_table(spark, sf_dir, "events")
-        .select("event_type", F.to_date("ts").alias("d"))
-        .groupBy("event_type", "d")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("event_type")
-        .agg(F.expr("sum(cnt) div count(*)").alias("ref"))
-        .collect()
-    )
-    _refs = {r.event_type: int(r.ref) for r in _ref_rows}
-    _hs = {t: 4 * v for t, v in _refs.items()}
+        refs, hs = cusum_history_refs(load_table(spark, sf_dir, "events"))
+        return cusum_drift_stream(s, refs, hs)
 
     makers = {
-        "stream_cusum_drift_state": lambda s: cusum_drift_stream(s, _refs, _hs),
+        "stream_cusum_drift_state": _cusum_stream,
         "stream_session_windows": session_counts_stream,
         "stream_tumbling_counts": tumbling_counts_stream,
         "stream_interval_join": purchase_attribution_stream,
