@@ -1,0 +1,357 @@
+"""Model-guided curation diagnostics over the in-engine NB classifier
+(`operators/classifier.py`) — the label-noise / data-valuation layer a
+training-data pipeline runs AFTER training its quality model:
+
+- :func:`confident_joint` — the confident-learning label-noise screen
+  (Northcutt, Jiang & Chuang, "Confident Learning: Estimating
+  Uncertainty in Dataset Labels", JAIR 2021 — public): the joint table
+  of (given label, confidently-assigned label); off-diagonal cells are
+  the mislabel candidates a curation team reviews.
+- :func:`nb_loo_self_influence` — CLOSED-FORM leave-one-out influence:
+  NB's sufficient statistics are counts, so "the model trained without
+  document d" is pure arithmetic on (cnt_{b,c} − n_b(d),
+  T_c − len(d), n_c − 1) — no retraining, no second corpus pass.  A
+  doc whose own prediction flips without its own training contribution
+  is self-supporting-only: the classic mislabel/outlier signal of
+  data-valuation (Koh & Liang influence functions, made exact here by
+  NB's count structure).
+- :func:`margin_uncertainty_topk` — the active-learning batch
+  selection: the k docs the model is least sure about (smallest
+  |s_pos − s_neg|), the next docs a labeling budget should buy.
+
+Scale shape (100 TB posture): every diagnostic consumes the slim
+per-doc score/feature tables scoring already produces — the text
+tokenizes map-side exactly once and never shuffles.  The corpus-sized
+work is ONE featurization groupBy; the model-side tables (counts,
+totals, priors) are vocab-bounded (≤ 2·n_buckets rows) and broadcast.
+All score arithmetic stays in micro-int bigints (the repo's
+lm_score_micro pattern), so every diagnostic is hash-gateable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.classifier import (
+    _DOC_SENTINEL_B,
+    _hashed_buckets,
+    _ln_micro,
+    nb_stats_table,
+    nb_train_from_stats,
+)
+
+_I64_MAX = (1 << 63) - 1
+
+
+def confident_joint(scored: DataFrame) -> DataFrame:
+    """Two-class confident joint over a scored table (the output shape
+    of `nb_quality_scores`: doc_id, label, s_pos_micro, s_neg_micro,
+    pred).
+
+    Per class c, the confidence threshold is the MEAN class-oriented
+    margin over the docs labeled c (the per-class mean-self-confidence
+    of confident learning, expressed on the micro-int log-odds margin
+    m = s_pos − s_neg instead of softmax probabilities — NB's margin
+    is monotone in its posterior, so the qualifying sets agree).  A
+    doc qualifies for c when its oriented margin reaches c's
+    threshold; qualification is the EXACT integer cross-multiply
+    ``m · n_c ≥ Σ_c m`` — no division anywhere.  A doc qualifying for
+    both classes is assigned its argmax (``pred``); for neither,
+    assigned is NULL (the "no confident class" bucket of the paper).
+
+    Output: (given_label, assigned, n_docs) — the 2×3 joint.  The
+    off-diagonal (given ≠ assigned, assigned NOT NULL) counts are the
+    label-noise estimate.
+
+    Scale shape: two aggregations over the slim (label, margin) rows —
+    one 2-row threshold aggregate (bounded collect, the `nb_train`
+    n_all precedent: it also guards the cross-multiply against int64
+    overflow, which silent in-plan arithmetic could not) and one
+    grouped count.  Nothing wider than (label, bigint) shuffles.
+    """
+    slim = scored.select(
+        F.col("label").cast("boolean").alias("label"),
+        (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("m"),
+        F.col("pred").cast("boolean").alias("pred"),
+    ).where(F.col("label").isNotNull())
+    # the margin sum aggregates in DECIMAL(38,0): a bigint sum could
+    # itself overflow on the adversarial inputs this guard exists to
+    # reject (ANSI mode would throw the wrong error before the guard)
+    stats = {
+        r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
+        for r in slim.groupBy("label")
+        .agg(
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.abs(F.col("m"))).alias("mx"),
+        )
+        .collect()
+    }
+    for lab, (sm, n, mx) in stats.items():
+        if mx * n > _I64_MAX:
+            raise ValueError(
+                f"confident_joint: class {lab} margin·count "
+                f"{mx}·{n} exceeds int64 — rescale scores first"
+            )
+    sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
+    sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
+    # class with zero labeled docs: nothing qualifies for it (the
+    # degenerate m·0 ≥ 0 would otherwise qualify EVERY doc)
+    q_pos = (
+        (F.col("m") * F.lit(n_pos) >= F.lit(sm_pos))
+        if n_pos > 0
+        else F.lit(False)
+    )
+    q_neg = (
+        (F.col("m") * F.lit(n_neg) <= F.lit(sm_neg))
+        if n_neg > 0
+        else F.lit(False)
+    )
+    assigned = (
+        F.when(q_pos & q_neg, F.col("pred"))
+        .when(q_pos, F.lit(True))
+        .when(q_neg, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+    return (
+        slim.select(F.col("label").alias("given_label"), assigned.alias("assigned"))
+        .groupBy("given_label", "assigned")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("given_label", "assigned")
+    )
+
+
+def margin_uncertainty_topk(scored: DataFrame, k: int = 50) -> DataFrame:
+    """Active-learning batch selection: the ``k`` docs with the
+    smallest |s_pos − s_neg| (the model's least-confident calls — the
+    next docs a labeling budget should buy), ties broken by doc_id so
+    the batch is deterministic.
+
+    Scale shape: TakeOrderedAndProject — per-partition top-k heaps,
+    one k-row merge on the driver; the scored table never globally
+    sorts."""
+    m = F.col("s_pos_micro") - F.col("s_neg_micro")
+    return (
+        scored.select(
+            "doc_id",
+            "label",
+            m.alias("margin_micro"),
+            F.abs(m).alias("abs_margin_micro"),
+        )
+        .orderBy("abs_margin_micro", "doc_id")
+        .limit(k)
+    )
+
+
+def nb_loo_self_influence(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: Column | str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Closed-form leave-one-out self-influence under the multinomial
+    NB model: for every labeled doc d (label c), the scores the FULL
+    model assigns AND the scores of the model retrained WITHOUT d —
+    obtained by count arithmetic, never by retraining:
+
+        loglik_loo(b, c) = ln((cnt_{b,c} − n_b(d) + 1) /
+                              (T_c − len(d) + B))       per d's buckets
+        prior_loo(c)     = ln(n_c / (n + 1))             (own class)
+        prior_loo(¬c)    = ln((n_{¬c} + 1) / (n + 1))    (other class)
+
+    (the other class's token likelihoods are untouched — d trained
+    only its own class).  Output per doc: (doc_id, label,
+    s_pos_micro, s_neg_micro, pred, s_pos_loo_micro, s_neg_loo_micro,
+    pred_loo, self_support_micro, self_flip) where self_support is
+    the oriented-margin drop (m_full − m_loo) — how much of the doc's
+    own classification is self-training — and self_flip marks docs
+    whose prediction flips without their own contribution (the
+    mislabel/outlier candidates).
+
+    Exactness: every ln argument is an exact ratio of int64-exact
+    doubles (counts ≪ 2^53), micro-rounded to bigint — the identical
+    arithmetic shape as the NB training oracle, so the whole output
+    hash-gates.
+
+    Scale shape: ONE featurization of the corpus (tokens hash
+    map-side) and exactly TWO corpus-sized exchanges — the (doc,
+    label, b) feature groupBy, then the (doc, label) exchange whose
+    partitioning the doc-length window AND the single combined
+    aggregation both reuse.  The broadcast model join fans each
+    feature row out to both classes, so the full s_pos/s_neg bodies
+    and the LOO body come from ONE conditional aggregation — no
+    self-join, no second featurization.  The count/total/prior tables
+    are vocab-bounded broadcasts; the 2-row class-count collect is
+    the bounded `nb_train` precedent.
+    """
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    labeled = df.select(
+        F.col(id_col).alias("doc_id"),
+        lab.cast("boolean").alias("label"),
+        F.col(text_col).alias("__text"),
+    ).where(F.col("label").isNotNull())
+
+    stats = nb_stats_table(
+        labeled, "__text", "doc_id", "label", n_buckets
+    ).localCheckpoint(eager=True)
+    model, prior = nb_train_from_stats(stats, n_buckets)
+    cnt = stats.where(F.col("b") >= 0)
+    tot = cnt.groupBy("label").agg(F.sum("cnt").alias("tot"))
+    ndoc_rows = (
+        stats.where(F.col("b") == _DOC_SENTINEL_B)
+        .select("label", "cnt")
+        .collect()
+    )
+    n_c = {bool(r["label"]): int(r["cnt"]) for r in ndoc_rows}
+    n_all = sum(n_c.values())
+    # per-class LOO priors as a 2-row broadcast keyed by the DOC's
+    # label: own-class ln(n_c/(n+1)), other-class ln((n_¬c+1)/(n+1))
+    spark = df.sparkSession
+    pri_loo = spark.createDataFrame(
+        [(c,) for c in n_c], "label boolean"
+    ).select(
+        "label",
+        _ln_micro(
+            F.when(F.col("label"), F.lit(n_c.get(True, 0)))
+            .otherwise(F.lit(n_c.get(False, 0)))
+            / F.lit(float(n_all + 1))
+        ).alias("p_own_loo"),
+        _ln_micro(
+            (
+                F.when(F.col("label"), F.lit(n_c.get(False, 0)))
+                .otherwise(F.lit(n_c.get(True, 0)))
+                + 1
+            )
+            / F.lit(float(n_all + 1))
+        ).alias("p_other_loo"),
+    )
+    # prior of the OTHER class under the full model, keyed by doc label
+    pri_other_full = prior.select(
+        (~F.col("label")).alias("label"),
+        F.col("prior_micro").alias("p_other_full"),
+    )
+    # full-model priors pivoted to one broadcast row (p_pos, p_neg)
+    pri_full = prior.groupBy().agg(
+        F.max(F.when(F.col("label"), F.col("prior_micro"))).alias("__pp"),
+        F.max(F.when(~F.col("label"), F.col("prior_micro"))).alias("__pn"),
+    )
+
+    feats = (
+        _hashed_buckets(labeled, "__text", ["doc_id", "label"], n_buckets)
+        .groupBy("doc_id", "label", "b")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    w = Window.partitionBy("doc_id", "label")
+    feats = feats.withColumn("len", F.sum("n_b").over(w))
+
+    # fan each feature row out to both classes through the broadcast
+    # model, carrying the own-class count and total alongside (the cnt
+    # join is total where it matters: a doc's buckets necessarily
+    # appear in its own class's count table), then ONE conditional
+    # aggregation produces the full s_pos/s_neg bodies AND the LOO
+    # body — reusing the window's (doc_id, label) partitioning
+    fanned = (
+        feats.join(
+            F.broadcast(model.withColumnRenamed("label", "cls")), on="b"
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    "b", F.col("label").alias("cls"), F.col("cnt")
+                )
+            ),
+            on=["b", "cls"],
+            how="left",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("label").alias("cls"), "tot")),
+            on="cls",
+            how="left",
+        )
+    )
+    scored = fanned.groupBy("doc_id", "label").agg(
+        F.sum(
+            F.when(F.col("cls"), F.col("n_b") * F.col("loglik_micro"))
+        ).alias("__bp"),
+        F.sum(
+            F.when(~F.col("cls"), F.col("n_b") * F.col("loglik_micro"))
+        ).alias("__bn"),
+        F.sum(
+            F.when(
+                F.col("cls") == F.col("label"),
+                F.col("n_b")
+                * _ln_micro(
+                    (F.col("cnt") - F.col("n_b") + 1)
+                    / (F.col("tot") - F.col("len") + n_buckets)
+                ),
+            )
+        ).alias("body"),
+    )
+
+    out = (
+        scored.crossJoin(F.broadcast(pri_full))
+        .select(
+            "doc_id",
+            "label",
+            (F.col("__bp") + F.col("__pp")).alias("s_pos_micro"),
+            (F.col("__bn") + F.col("__pn")).alias("s_neg_micro"),
+            "body",
+        )
+        .join(F.broadcast(pri_loo), on="label")
+        .join(F.broadcast(pri_other_full), on="label")
+        .select(
+            "doc_id",
+            "label",
+            "s_pos_micro",
+            "s_neg_micro",
+            (F.col("body") + F.col("p_own_loo")).alias("__s_own_loo"),
+            (
+                F.when(F.col("label"), F.col("s_neg_micro")).otherwise(
+                    F.col("s_pos_micro")
+                )
+                - F.col("p_other_full")
+                + F.col("p_other_loo")
+            ).alias("__s_other_loo"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "s_pos_micro",
+            "s_neg_micro",
+            (F.col("s_pos_micro") >= F.col("s_neg_micro")).alias("pred"),
+            F.when(F.col("label"), F.col("__s_own_loo"))
+            .otherwise(F.col("__s_other_loo"))
+            .alias("s_pos_loo_micro"),
+            F.when(F.col("label"), F.col("__s_other_loo"))
+            .otherwise(F.col("__s_own_loo"))
+            .alias("s_neg_loo_micro"),
+        )
+        .select(
+            "doc_id",
+            "label",
+            "s_pos_micro",
+            "s_neg_micro",
+            "pred",
+            "s_pos_loo_micro",
+            "s_neg_loo_micro",
+            (F.col("s_pos_loo_micro") >= F.col("s_neg_loo_micro")).alias(
+                "pred_loo"
+            ),
+            # oriented to the doc's OWN class: positive = the doc's
+            # own-class margin shrinks once its own contribution is
+            # removed (self-supporting), for both classes alike
+            (
+                F.when(F.col("label"), F.lit(1)).otherwise(F.lit(-1))
+                * (
+                    (F.col("s_pos_micro") - F.col("s_neg_micro"))
+                    - (F.col("s_pos_loo_micro") - F.col("s_neg_loo_micro"))
+                )
+            ).alias("self_support_micro"),
+        )
+        .withColumn(
+            "self_flip", F.col("pred") != F.col("pred_loo")
+        )
+    )
+    return out

@@ -1,0 +1,109 @@
+"""Kaplan–Meier survival estimation — the churn/retention curve a
+behavior pipeline reports over subject lifetimes (Kaplan & Meier 1958,
+public; the right-censored complement of the retention-cohort
+triangle in `plans/behavior_queries.py`).
+
+The estimator is a per-duration risk table: at each observed duration
+t, ``n_risk`` subjects are still under observation, ``n_events`` of
+them experience the event (churn) and ``n_censored`` leave
+observation event-free.  The survival curve is the running product of
+(1 − d_t/r_t) — carried here as a running SUM of micro-int rounded
+logs (the `lnc_micro` house style: products become prefix sums, stay
+integer-exact, and hash-gate), with S(t) = exp(surv_lnsum_micro/1e6).
+
+Scale shape (100 TB posture): the subject table collapses to the
+DISTINCT-DURATION table in one map-side-combined groupBy — the risk
+table is bounded by distinct durations, not subjects.  Both
+cumulations (the at-risk countdown and the log-survival sum) run
+through the shared two-phase :func:`parallel_prefix_sum` skeleton, so
+no single-task global window ever sees the table; the grand total is
+a broadcast-scalar crossJoin (the drift-family pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from swisscourtrulingcorpus_spark.operators.classifier import _ln_micro
+from swisscourtrulingcorpus_spark.operators.training import (
+    parallel_prefix_sum,
+)
+
+
+def kaplan_meier(
+    subjects: DataFrame,
+    duration_col: str | Column,
+    event_col: str | Column,
+) -> DataFrame:
+    """KM risk table from a per-subject frame: one row per subject
+    with its observed ``duration`` (bigint-castable, ≥ 0) and whether
+    the event was OBSERVED (``event_col`` true) or the subject was
+    right-censored at that duration (false).
+
+    Output, one row per distinct duration t ascending:
+    (duration, n_risk, n_events, n_censored, km_factor_micro,
+    surv_lnsum_micro) where km_factor_micro =
+    round(ln((r−d)/r)·1e6) (0 when d = 0, NULL when d = r — the
+    curve hits exact zero, which has no finite log; by construction
+    that can only be the LAST row, since nobody remains at risk
+    after it) and surv_lnsum_micro is its running sum (NULL on that
+    same terminal row).
+    """
+    dur = (
+        F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    )
+    ev = F.col(event_col) if isinstance(event_col, str) else event_col
+    slim = subjects.select(
+        dur.cast("bigint").alias("duration"), ev.cast("boolean").alias("__e")
+    ).where(F.col("duration").isNotNull() & F.col("__e").isNotNull())
+    per = slim.groupBy("duration").agg(
+        F.count(F.when(F.col("__e"), 1)).alias("n_events"),
+        F.count(F.when(~F.col("__e"), 1)).alias("n_censored"),
+    )
+    total = slim.agg(F.count(F.lit(1)).alias("__n"))
+    cum = parallel_prefix_sum(
+        per,
+        [F.col("duration")],
+        F.col("n_events") + F.col("n_censored"),
+        "__cum",
+    ).crossJoin(F.broadcast(total))
+    risk = cum.select(
+        "duration",
+        (
+            F.col("__n") - F.col("__cum") + F.col("n_events")
+            + F.col("n_censored")
+        ).alias("n_risk"),
+        "n_events",
+        "n_censored",
+    )
+    factor = (
+        F.when(F.col("n_events") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_risk") > F.col("n_events"),
+            _ln_micro(
+                (F.col("n_risk") - F.col("n_events")) / F.col("n_risk")
+            ),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    with_f = risk.withColumn("km_factor_micro", factor)
+    # the prefix-sum skeleton requires non-null values; the only
+    # possible NULL factor is the terminal all-die row, whose running
+    # sum is itself NULL — coalesce in, mask out
+    summed = parallel_prefix_sum(
+        with_f,
+        [F.col("duration")],
+        F.coalesce(F.col("km_factor_micro"), F.lit(0)),
+        "__ln",
+    )
+    return summed.select(
+        "duration",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        "km_factor_micro",
+        F.when(
+            F.col("km_factor_micro").isNotNull(), F.col("__ln")
+        ).alias("surv_lnsum_micro"),
+    )

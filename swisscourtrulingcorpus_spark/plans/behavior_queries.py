@@ -843,3 +843,87 @@ SPECS += [
         "bidirectional nearest join within tolerance, min-struct not window",
     ),
 ]
+
+
+# --- Kaplan-Meier customer-lifetime survival (operators/survival.py) -----
+
+
+def kaplan_meier_customer_churn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan–Meier churn curve over customer order lifetimes
+    (`operators/survival.py::kaplan_meier`): duration = days between a
+    customer's first and last order, the churn event OBSERVED when the
+    last order predates the corpus end by more than 365 days,
+    right-CENSORED otherwise (still active at window end — the
+    censoring KM exists to handle).  The corpus-end date is a
+    broadcast-scalar crossJoin (the drift-family totals pattern); the
+    risk table is bounded by distinct durations; both cumulations run
+    the shared two-phase prefix sum.  Survival is carried as the
+    running micro-int log sum, so the whole curve hash-gates."""
+    from swisscourtrulingcorpus_spark.operators.survival import (
+        kaplan_meier,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    mx = pu.agg(F.max("d1").alias("__md"))
+    subj = pu.crossJoin(F.broadcast(mx)).select(
+        F.datediff("d1", "d0").alias("dur"),
+        (F.col("d1") < F.date_sub(F.col("__md"), 365)).alias("event"),
+    )
+    return kaplan_meier(subj, "dur", "event").orderBy("duration")
+
+
+KM_CHURN_ORACLE = """
+WITH pu AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(d1) AS md FROM pu),
+subj AS (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+         (d1 < md - 365) AS ev
+  FROM pu, mx),
+per AS (
+  SELECT t,
+         CAST(count(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
+         CAST(count(CASE WHEN NOT ev THEN 1 END) AS BIGINT) AS c
+  FROM subj GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM subj),
+cum AS (
+  SELECT t, d, c,
+         sum(d + c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cm
+  FROM per),
+rt AS (SELECT t, CAST(n - cm + d + c AS BIGINT) AS r, d, c FROM cum, tot),
+f AS (
+  SELECT t, r, d, c,
+         CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+              WHEN r > d THEN CAST(round(
+                ln((r - d) * 1.0 / r) * 1000000.0) AS BIGINT)
+         END AS fac
+  FROM rt)
+SELECT t AS duration, r AS n_risk, d AS n_events, c AS n_censored,
+       fac AS km_factor_micro,
+       CASE WHEN fac IS NOT NULL THEN
+         CAST(sum(coalesce(fac, 0))
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       END AS surv_lnsum_micro
+FROM f
+ORDER BY t
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "kaplan_meier_customer_churn",
+        kaplan_meier_customer_churn,
+        KM_CHURN_ORACLE,
+        "KM survival curve: censored lifetimes, prefix-sum cumulations, micro-log survival",
+    ),
+]

@@ -1473,3 +1473,215 @@ SPECS += [
         "classifier reliability table; decile bounds are exact order statistics",
     ),
 ]
+
+
+# --- model-guided curation diagnostics (operators/influence.py) ----------
+#
+# The label-noise / data-valuation layer over the trained NB quality
+# model: confident-learning joint, closed-form leave-one-out influence,
+# and the active-learning uncertainty batch.  All three oracles extend
+# the ONE `_nb_score_ctes` chain — the shared-CTE convention that keeps
+# a training-arithmetic tweak from silently diverging one gate.
+
+
+def label_noise_confident_joint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confident-learning label-noise screen
+    (`operators/influence.py::confident_joint`) over the NB quality
+    scores: per-class mean-margin thresholds (exact integer
+    cross-multiply, no division), docs assigned to the classes they
+    confidently qualify for, and the (given_label, assigned) joint
+    counted — off-diagonal cells are the mislabel candidates."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    return confident_joint(scored)
+
+
+CONFIDENT_JOINT_ORACLE = (
+    _nb_score_ctes()
+    + """,
+marg AS (
+  SELECT a.doc_id, a.label,
+         a.score - n.score AS m,
+         (a.score >= n.score) AS pred
+  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+th AS (
+  SELECT label, CAST(sum(m) AS BIGINT) AS sm, count(*) AS n
+  FROM marg GROUP BY 1),
+thp AS (
+  SELECT max(CASE WHEN label THEN sm END) AS smp,
+         coalesce(max(CASE WHEN label THEN n END), 0) AS np,
+         max(CASE WHEN NOT label THEN sm END) AS smn,
+         coalesce(max(CASE WHEN NOT label THEN n END), 0) AS nn
+  FROM th),
+q AS (
+  SELECT m.label, m.pred,
+         (np > 0 AND m.m * np >= smp) AS qp,
+         (nn > 0 AND m.m * nn <= smn) AS qn
+  FROM marg m, thp)
+SELECT label AS given_label,
+       CASE WHEN qp AND qn THEN pred
+            WHEN qp THEN true
+            WHEN qn THEN false END AS assigned,
+       count(*) AS n_docs
+FROM q
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning batch selection
+    (`operators/influence.py::margin_uncertainty_topk`): the 50 docs
+    with the smallest |s_pos − s_neg| under the NB quality model
+    (ties by doc_id) — the next docs a labeling budget should buy.
+    TakeOrderedAndProject: per-partition heaps, no global sort."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        margin_uncertainty_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    return margin_uncertainty_topk(scored, k=50)
+
+
+UNCERTAINTY_MARGIN_ORACLE = (
+    _nb_score_ctes()
+    + """,
+marg AS (
+  SELECT a.doc_id, a.label, a.score - n.score AS m
+  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls)
+SELECT doc_id, label,
+       CAST(m AS BIGINT) AS margin_micro,
+       CAST(abs(m) AS BIGINT) AS abs_margin_micro
+FROM marg
+ORDER BY abs(m), doc_id
+LIMIT 50
+"""
+)
+
+
+def nb_loo_self_influence_docs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed-form leave-one-out self-influence
+    (`operators/influence.py::nb_loo_self_influence`): for every doc,
+    the NB scores of the model retrained WITHOUT it — pure count
+    arithmetic on the sufficient statistics (cnt − n_b, T_c − len,
+    n_c − 1), never an actual retrain.  self_flip marks docs whose
+    own prediction only holds because of their own training
+    contribution — the mislabel/outlier candidates of data
+    valuation."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        nb_loo_self_influence,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    return nb_loo_self_influence(docs, "text", "doc_id", label, _NB_BUCKETS)
+
+
+NB_LOO_ORACLE = (
+    _nb_score_ctes()
+    + f""",
+dlen AS (
+  SELECT doc_id, CAST(sum(n_b) AS BIGINT) AS len FROM feats GROUP BY 1),
+loo AS (
+  SELECT f.doc_id, f.label,
+         CAST(sum(f.n_b * CAST(round(ln(
+             (c.cnt - f.n_b + 1) * 1.0
+             / (t.tot - d.len + {_NB_BUCKETS})) * 1000000.0) AS BIGINT))
+           AS BIGINT) AS body
+  FROM feats f
+  JOIN cnt c ON c.b = f.b AND c.label = f.label
+  JOIN tot t ON t.label = f.label
+  JOIN dlen d ON d.doc_id = f.doc_id
+  GROUP BY 1, 2),
+pri_loo AS (
+  SELECT d.label,
+         CAST(round(ln(d.n_c * 1.0 / (a.n + 1)) * 1000000.0) AS BIGINT)
+           AS p_own_loo,
+         CAST(round(ln((coalesce(o.n_c, 0) + 1) * 1.0 / (a.n + 1))
+                    * 1000000.0) AS BIGINT) AS p_other_loo
+  FROM ndoc d
+  LEFT JOIN ndoc o ON o.label = NOT d.label
+  CROSS JOIN n_all a),
+pof AS (SELECT NOT cls AS label, prior_micro AS p_other_full FROM prior),
+sp AS (
+  SELECT doc_id, label,
+         max(CASE WHEN cls THEN score END) AS s_pos,
+         max(CASE WHEN NOT cls THEN score END) AS s_neg
+  FROM fullsc GROUP BY 1, 2),
+comb AS (
+  SELECT s.doc_id, s.label, s.s_pos, s.s_neg,
+         l.body + pl.p_own_loo AS s_own_loo,
+         (CASE WHEN s.label THEN s.s_neg ELSE s.s_pos END)
+           - pf.p_other_full + pl.p_other_loo AS s_other_loo
+  FROM sp s
+  JOIN loo l ON l.doc_id = s.doc_id AND l.label = s.label
+  JOIN pri_loo pl ON pl.label = s.label
+  JOIN pof pf ON pf.label = s.label),
+orient AS (
+  SELECT doc_id, label, s_pos, s_neg,
+         CASE WHEN label THEN s_own_loo ELSE s_other_loo END AS pos_loo,
+         CASE WHEN label THEN s_other_loo ELSE s_own_loo END AS neg_loo
+  FROM comb)
+SELECT doc_id, label,
+       CAST(s_pos AS BIGINT) AS s_pos_micro,
+       CAST(s_neg AS BIGINT) AS s_neg_micro,
+       (s_pos >= s_neg) AS pred,
+       CAST(pos_loo AS BIGINT) AS s_pos_loo_micro,
+       CAST(neg_loo AS BIGINT) AS s_neg_loo_micro,
+       (pos_loo >= neg_loo) AS pred_loo,
+       CAST((CASE WHEN label THEN 1 ELSE -1 END)
+            * ((s_pos - s_neg) - (pos_loo - neg_loo)) AS BIGINT)
+         AS self_support_micro,
+       ((s_pos >= s_neg) <> (pos_loo >= neg_loo)) AS self_flip
+FROM orient
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        "label_noise_confident_joint",
+        label_noise_confident_joint,
+        CONFIDENT_JOINT_ORACLE,
+        "confident-learning joint: per-class exact mean-margin thresholds, no division",
+    ),
+    QuerySpec(
+        "uncertainty_margin_sample",
+        uncertainty_margin_sample,
+        UNCERTAINTY_MARGIN_ORACLE,
+        "active-learning batch: 50 smallest-|margin| docs, per-partition heaps",
+    ),
+    QuerySpec(
+        "nb_loo_self_influence",
+        nb_loo_self_influence_docs,
+        NB_LOO_ORACLE,
+        "closed-form leave-one-out NB influence; self_flip = mislabel candidates",
+    ),
+]

@@ -1,0 +1,260 @@
+"""Model-guided curation diagnostics (operators/influence.py) and the
+Kaplan-Meier estimator (operators/survival.py): pure-python references,
+the closed-form-LOO == actual-retrain equivalence, and the guard/edge
+behaviors."""
+
+import math
+import random
+from collections import Counter, defaultdict
+
+import pytest
+
+
+# --- confident_joint ------------------------------------------------------
+
+
+def _scored_df(spark, rows):
+    """rows: (doc_id, label, s_pos, s_neg) -> the nb_quality_scores shape."""
+    data = [
+        (i, lab, sp, sn, sp >= sn) for (i, lab, sp, sn) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id: long, label: boolean, s_pos_micro: long, "
+        "s_neg_micro: long, pred: boolean",
+    )
+
+
+def _cj_reference(rows):
+    sm = defaultdict(int)
+    n = defaultdict(int)
+    for _, lab, sp, sn in rows:
+        sm[lab] += sp - sn
+        n[lab] += 1
+    cnt = Counter()
+    for _, lab, sp, sn in rows:
+        m, pred = sp - sn, sp >= sn
+        qp = n[True] > 0 and m * n[True] >= sm[True]
+        qn = n[False] > 0 and m * n[False] <= sm[False]
+        a = pred if (qp and qn) else (True if qp else (False if qn else None))
+        cnt[(lab, a)] += 1
+    return cnt
+
+
+def test_confident_joint_matches_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (
+            i,
+            rng.random() < 0.6,
+            rng.randrange(-(10**9), 10**9),
+            rng.randrange(-(10**9), 10**9),
+        )
+        for i in range(400)
+    ]
+    got = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(_scored_df(spark, rows)).collect()
+    }
+    assert got == dict(_cj_reference(rows))
+    # the joint partitions the corpus
+    assert sum(got.values()) == len(rows)
+
+
+def test_confident_joint_single_class_qualifies_nothing_for_missing(spark):
+    """With every doc labeled True, no doc may be assigned False via
+    the degenerate m*0 >= 0 qualification."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    rows = [(i, True, 100 * i - 500, 0) for i in range(10)]
+    got = confident_joint(_scored_df(spark, rows)).collect()
+    assert all(r["assigned"] is not False for r in got)
+    assert {(r["given_label"], r["assigned"]): r["n_docs"] for r in got} == (
+        dict(_cj_reference(rows))
+    )
+
+
+def test_confident_joint_overflow_guard(spark):
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    rows = [
+        (0, True, (1 << 62), 0),
+        (1, True, (1 << 62), 0),
+        (2, False, 0, 1),
+    ]
+    with pytest.raises(ValueError, match="int64"):
+        confident_joint(_scored_df(spark, rows))
+
+
+# --- margin_uncertainty_topk ---------------------------------------------
+
+
+def test_margin_topk_deterministic_ties(spark):
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        margin_uncertainty_topk,
+    )
+
+    # many exact |margin| ties: selection must break by doc_id
+    rows = [(i, True, 7, 0) for i in range(20)] + [
+        (100 + i, False, 0, 3) for i in range(20)
+    ]
+    got = margin_uncertainty_topk(_scored_df(spark, rows), k=25).collect()
+    assert [r["doc_id"] for r in got] == sorted(
+        i for i, _, sp, sn in rows if abs(sp - sn) == 3
+    ) + sorted(i for i, _, sp, sn in rows if abs(sp - sn) == 7)[:5]
+    assert all(r["abs_margin_micro"] == abs(r["margin_micro"]) for r in got)
+    # k beyond the table returns everything
+    assert len(margin_uncertainty_topk(_scored_df(spark, rows), k=99).collect()) == 40
+
+
+# --- nb_loo_self_influence -------------------------------------------------
+
+
+_LOO_DOCS = [
+    (0, True, "the cat sat on the mat and the dog slept"),
+    (1, True, "a quick brown fox jumps over the lazy dog"),
+    (2, True, "the rain in spain falls mainly on the plain"),
+    (3, True, "to be or not to be that is the question"),
+    (4, False, "zzz qqq xxx vvv kkk jjj"),
+    (5, False, "qqq qqq zzz zzz unique uncommon glyph"),
+    (6, False, "lorem ipsum dolor sit amet zzz"),
+    (7, False, "xxx yyy zzz www qqq ppp ooo"),
+]
+
+
+def test_loo_closed_form_equals_actual_retrain(spark):
+    """THE property that makes the closed form trustworthy: for every
+    doc, the LOO scores must bit-equal scoring the doc against a model
+    ACTUALLY retrained on the corpus minus that doc (same micro
+    rounding points by construction: loglik ln((cnt-n_b+1)/(T-len+B)),
+    priors ln(n_c/(n+1)), ln((n_o+1)/(n+1)))."""
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_score_with_model,
+        nb_train,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        nb_loo_self_influence,
+    )
+
+    B = 64
+    df = spark.createDataFrame(
+        _LOO_DOCS, "doc_id: long, label: boolean, text: string"
+    ).cache()
+    df.count()
+    got = {
+        r["doc_id"]: r
+        for r in nb_loo_self_influence(
+            df, "text", "doc_id", "label", B
+        ).collect()
+    }
+    assert set(got) == {d for d, _, _ in _LOO_DOCS}
+    for doc_id, _, _ in _LOO_DOCS:
+        rest = df.where(f"doc_id <> {doc_id}")
+        model, prior = nb_train(rest, "text", "doc_id", "label", B)
+        one = nb_score_with_model(
+            df.where(f"doc_id = {doc_id}"),
+            "text",
+            "doc_id",
+            model,
+            prior,
+            B,
+            carry=("label",),
+        ).collect()[0]
+        assert got[doc_id]["s_pos_loo_micro"] == one["s_pos_micro"], doc_id
+        assert got[doc_id]["s_neg_loo_micro"] == one["s_neg_micro"], doc_id
+        assert got[doc_id]["pred_loo"] == one["pred"], doc_id
+    df.unpersist()
+
+
+def test_loo_self_support_orientation(spark):
+    """self_support is oriented to the doc's own class: for a cleanly
+    separated corpus every doc supports its own label (positive), and
+    self_flip stays False."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        nb_loo_self_influence,
+    )
+
+    df = spark.createDataFrame(
+        _LOO_DOCS, "doc_id: long, label: boolean, text: string"
+    )
+    rows = nb_loo_self_influence(df, "text", "doc_id", "label", 64).collect()
+    assert all(r["self_support_micro"] > 0 for r in rows)
+    assert all(
+        r["self_flip"] == (r["pred"] != r["pred_loo"]) for r in rows
+    )
+
+
+# --- kaplan_meier -----------------------------------------------------------
+
+
+def _km_reference(subs):
+    d = Counter(t for t, e in subs if e)
+    c = Counter(t for t, e in subs if not e)
+    out, seen, run = [], 0, 0
+    for t in sorted({t for t, _ in subs}):
+        r = len(subs) - seen
+        dt, ct = d[t], c[t]
+        if dt == 0:
+            fac = 0
+        elif r > dt:
+            fac = round(math.log((r - dt) / r) * 1e6)
+        else:
+            fac = None
+        run += fac or 0
+        out.append((t, r, dt, ct, fac, run if fac is not None else None))
+        seen += dt + ct
+    return out
+
+
+def test_kaplan_meier_matches_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.survival import kaplan_meier
+
+    rng = random.Random(37)
+    subs = [
+        (rng.randrange(0, 40), rng.random() < 0.7) for _ in range(500)
+    ]
+    df = spark.createDataFrame(subs, "dur: long, ev: boolean")
+    got = [
+        (
+            r["duration"],
+            r["n_risk"],
+            r["n_events"],
+            r["n_censored"],
+            r["km_factor_micro"],
+            r["surv_lnsum_micro"],
+        )
+        for r in kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
+    ]
+    assert got == _km_reference(subs)
+    # survival curve is non-increasing, n_risk strictly decreasing
+    risks = [g[1] for g in got]
+    assert risks == sorted(risks, reverse=True) and len(set(risks)) == len(
+        risks
+    )
+    survs = [g[5] for g in got if g[5] is not None]
+    assert survs == sorted(survs, reverse=True)
+
+
+def test_kaplan_meier_terminal_all_die(spark):
+    """When everyone still at risk dies at the final duration the
+    factor has no finite log: NULL factor and NULL survival on that
+    terminal row ONLY."""
+    from swisscourtrulingcorpus_spark.operators.survival import kaplan_meier
+
+    subs = [(1, True), (1, False), (5, True), (5, True)]
+    df = spark.createDataFrame(subs, "dur: long, ev: boolean")
+    got = kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
+    assert [r["duration"] for r in got] == [1, 5]
+    assert got[0]["km_factor_micro"] == round(math.log(3 / 4) * 1e6)
+    assert got[0]["surv_lnsum_micro"] is not None
+    assert got[1]["n_risk"] == 2 and got[1]["n_events"] == 2
+    assert got[1]["km_factor_micro"] is None
+    assert got[1]["surv_lnsum_micro"] is None

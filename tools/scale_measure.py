@@ -150,6 +150,11 @@ QUERIES = [
     ("ewma_gap_events", "sequential per-user fold over slim (user, us) rows, one state int/key"),
     ("event_path_mining", "two lead windows, bounded |types|^3 key domain, TakeOrdered top-k"),
     ("nearest_click_to_purchase", "tolerance-banded equi-join + min-struct, no window over pairs"),
+    # round-10b: model-guided curation diagnostics + survival
+    ("label_noise_confident_joint", "NB scoring shuffles + one slim (label, margin) groupBy; joint is 6 cells"),
+    ("uncertainty_margin_sample", "TakeOrderedAndProject over per-doc margins; no global sort"),
+    ("nb_loo_self_influence", "ONE featurization, two corpus exchanges; model/count tables broadcast"),
+    ("kaplan_meier_customer_churn", "per-customer min/max agg; risk table bounded by distinct durations"),
 ]
 
 
