@@ -725,3 +725,44 @@ def test_incremental_cusum_single_key_shuffle(spark, sf_dir):
     plan = _final_plan(incremental_cusum_drift(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(event_type") == 1, plan
     assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan, plan
+
+
+def test_loo_influence_two_corpus_exchanges_no_selfjoin(spark, sf_dir):
+    """nb_loo_self_influence: exactly TWO corpus-sized exchanges — the
+    (doc, label, b) feature groupBy and the (doc, label) exchange the
+    length window and the combined aggregation share.  The full-score
+    and LOO bodies come from ONE conditional aggregation over the
+    broadcast-model fan-out: no SortMergeJoin, no second
+    featurization."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        nb_loo_self_influence_docs,
+    )
+
+    plan = _final_plan(nb_loo_self_influence_docs(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_margin_topk_take_ordered(spark, sf_dir):
+    """uncertainty_margin_sample must select via TakeOrderedAndProject
+    (per-partition heaps), never a global Sort."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        uncertainty_margin_sample,
+    )
+
+    plan = _final_plan(uncertainty_margin_sample(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_kaplan_meier_prefix_sums_no_single_task_window(spark, sf_dir):
+    """Both KM cumulations (at-risk countdown, log-survival sum) ride
+    the two-phase prefix sum: range partition + __pid-local window;
+    the only broadcast-nested-loop is the 1-row totals cross."""
+    from swisscourtrulingcorpus_spark.plans.behavior_queries import (
+        kaplan_meier_customer_churn,
+    )
+
+    plan = _final_plan(kaplan_meier_customer_churn(spark, sf_dir))
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
