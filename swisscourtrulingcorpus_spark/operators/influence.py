@@ -64,62 +64,78 @@ def confident_joint(scored: DataFrame) -> DataFrame:
     off-diagonal (given ≠ assigned, assigned NOT NULL) counts are the
     label-noise estimate.
 
-    Scale shape: two aggregations over the slim (label, margin) rows —
-    one 2-row threshold aggregate (bounded collect, the `nb_train`
-    n_all precedent: it also guards the cross-multiply against int64
-    overflow, which silent in-plan arithmetic could not) and one
-    grouped count.  Nothing wider than (label, bigint) shuffles.
+    Scale shape: the slim (label, margin, pred) projection is CACHED
+    (the `calibration_table` discipline) so the expensive upstream —
+    here a full NB train + score chain — executes exactly once: the
+    2-row threshold aggregate materializes the cache (a bounded
+    collect, the `nb_train` n_all precedent; it also guards the
+    cross-multiply against int64 overflow, which silent in-plan
+    arithmetic could not), the grouped count reads it back, and the
+    cache is released in `finally` once the ≤ 6 joint rows have
+    collected.  Nothing wider than (label, bigint, bool) shuffles.
     """
     slim = scored.select(
         F.col("label").cast("boolean").alias("label"),
         (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("m"),
         F.col("pred").cast("boolean").alias("pred"),
     ).where(F.col("label").isNotNull())
-    # the margin sum aggregates in DECIMAL(38,0): a bigint sum could
-    # itself overflow on the adversarial inputs this guard exists to
-    # reject (ANSI mode would throw the wrong error before the guard)
-    stats = {
-        r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
-        for r in slim.groupBy("label")
-        .agg(
-            F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
-            F.count(F.lit(1)).alias("n"),
-            F.max(F.abs(F.col("m"))).alias("mx"),
-        )
-        .collect()
-    }
-    for lab, (sm, n, mx) in stats.items():
-        if mx * n > _I64_MAX:
-            raise ValueError(
-                f"confident_joint: class {lab} margin·count "
-                f"{mx}·{n} exceeds int64 — rescale scores first"
+    slim = slim.cache()
+    try:
+        # the margin sum aggregates in DECIMAL(38,0): a bigint sum
+        # could itself overflow on the adversarial inputs this guard
+        # exists to reject (ANSI mode would throw the wrong error
+        # before the guard)
+        stats = {
+            r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
+            for r in slim.groupBy("label")
+            .agg(
+                F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.abs(F.col("m"))).alias("mx"),
             )
-    sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
-    sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
-    # class with zero labeled docs: nothing qualifies for it (the
-    # degenerate m·0 ≥ 0 would otherwise qualify EVERY doc)
-    q_pos = (
-        (F.col("m") * F.lit(n_pos) >= F.lit(sm_pos))
-        if n_pos > 0
-        else F.lit(False)
-    )
-    q_neg = (
-        (F.col("m") * F.lit(n_neg) <= F.lit(sm_neg))
-        if n_neg > 0
-        else F.lit(False)
-    )
-    assigned = (
-        F.when(q_pos & q_neg, F.col("pred"))
-        .when(q_pos, F.lit(True))
-        .when(q_neg, F.lit(False))
-        .otherwise(F.lit(None).cast("boolean"))
-    )
-    return (
-        slim.select(F.col("label").alias("given_label"), assigned.alias("assigned"))
-        .groupBy("given_label", "assigned")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("given_label", "assigned")
-    )
+            .collect()
+        }
+        for lab, (sm, n, mx) in stats.items():
+            if mx * n > _I64_MAX:
+                raise ValueError(
+                    f"confident_joint: class {lab} margin·count "
+                    f"{mx}·{n} exceeds int64 — rescale scores first"
+                )
+        sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
+        sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
+        # class with zero labeled docs: nothing qualifies for it (the
+        # degenerate m·0 ≥ 0 would otherwise qualify EVERY doc)
+        q_pos = (
+            (F.col("m") * F.lit(n_pos) >= F.lit(sm_pos))
+            if n_pos > 0
+            else F.lit(False)
+        )
+        q_neg = (
+            (F.col("m") * F.lit(n_neg) <= F.lit(sm_neg))
+            if n_neg > 0
+            else F.lit(False)
+        )
+        assigned = (
+            F.when(q_pos & q_neg, F.col("pred"))
+            .when(q_pos, F.lit(True))
+            .when(q_neg, F.lit(False))
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+        out = (
+            slim.select(
+                F.col("label").alias("given_label"),
+                assigned.alias("assigned"),
+            )
+            .groupBy("given_label", "assigned")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("given_label", "assigned")
+        )
+        # materialize the <= 6 joint rows before releasing the cache
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        slim.unpersist()
+    return scored.sparkSession.createDataFrame(rows, schema)
 
 
 def margin_uncertainty_topk(scored: DataFrame, k: int = 50) -> DataFrame:
