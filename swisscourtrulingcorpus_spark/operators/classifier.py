@@ -297,34 +297,40 @@ def nb_score_with_model(
         .groupBy("doc_id", *cols, "b")
         .agg(F.count(F.lit(1)).alias("n_b"))
     )
-    scored = (
+    # the broadcast model join fans each feature row out to both
+    # classes; ONE conditional aggregation pivots to per-class sums
+    # directly — no per-(doc, cls) exchange and no pos/neg self-join
+    # of the scored subtree (r10 review: the self-join shape ran the
+    # featurization chain once per side pre-AQE; same restructuring
+    # as `influence.nb_loo_self_influence`).  Values are identical:
+    # the same bigint products reach the same sums.
+    pri = prior.groupBy().agg(
+        F.max(F.when(F.col("label"), F.col("prior_micro"))).alias("__pp"),
+        F.max(F.when(~F.col("label"), F.col("prior_micro"))).alias("__pn"),
+    )
+    return (
         feats.join(
             F.broadcast(model.withColumnRenamed("label", "cls")), on="b"
         )
-        .groupBy("doc_id", *cols, "cls")
-        .agg(F.sum(F.col("n_b") * F.col("loglik_micro")).alias("s"))
-        .join(
-            F.broadcast(prior.withColumnRenamed("label", "cls")), on="cls"
+        .groupBy("doc_id", *cols)
+        .agg(
+            F.sum(
+                F.when(F.col("cls"), F.col("n_b") * F.col("loglik_micro"))
+            ).alias("__bp"),
+            F.sum(
+                F.when(~F.col("cls"), F.col("n_b") * F.col("loglik_micro"))
+            ).alias("__bn"),
         )
+        .crossJoin(F.broadcast(pri))
         .select(
             "doc_id",
             *cols,
-            "cls",
-            (F.col("s") + F.col("prior_micro")).alias("score"),
+            (F.col("__bp") + F.col("__pp")).alias("s_pos_micro"),
+            (F.col("__bn") + F.col("__pn")).alias("s_neg_micro"),
         )
-    )
-    pos = scored.where(F.col("cls")).select(
-        "doc_id", *cols, F.col("score").alias("s_pos_micro")
-    )
-    neg = scored.where(~F.col("cls")).select(
-        F.col("doc_id").alias("d2"), F.col("score").alias("s_neg_micro")
-    )
-    return pos.join(neg, pos["doc_id"] == neg["d2"]).select(
-        "doc_id",
-        *cols,
-        "s_pos_micro",
-        "s_neg_micro",
-        (F.col("s_pos_micro") >= F.col("s_neg_micro")).alias("pred"),
+        .withColumn(
+            "pred", F.col("s_pos_micro") >= F.col("s_neg_micro")
+        )
     )
 
 

@@ -766,3 +766,17 @@ def test_kaplan_meier_prefix_sums_no_single_task_window(spark, sf_dir):
     assert "rangepartitioning" in plan, plan
     assert "windowspecdefinition(__pid" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_nb_scoring_no_selfjoin_two_doc_exchanges(spark, sf_dir):
+    """nb_score_with_model pivots per-class sums in ONE conditional
+    aggregation over the broadcast-model fan-out: two doc-keyed
+    exchanges (feature groupBy, score groupBy), no pos/neg self-join
+    of the scored subtree (r10 restructure, the LOO shape)."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        nb_quality_classifier,
+    )
+
+    plan = _final_plan(nb_quality_classifier(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(doc_id") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
