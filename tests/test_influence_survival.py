@@ -258,3 +258,65 @@ def test_kaplan_meier_terminal_all_die(spark):
     assert got[1]["n_risk"] == 2 and got[1]["n_events"] == 2
     assert got[1]["km_factor_micro"] is None
     assert got[1]["surv_lnsum_micro"] is None
+
+
+# --- hypothesis property sweeps --------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_scored_rows = st.lists(
+    st.tuples(
+        st.booleans(),
+        st.integers(-(10**6), 10**6),
+        st.integers(-(10**6), 10**6),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_scored_rows)
+@settings(**_HSETTINGS)
+def test_confident_joint_property(spark, rows):
+    """Any scored table (both single-class and two-class draws):
+    the joint equals the pure-python reference and partitions the
+    corpus."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    data = [(i, lab, sp, sn) for i, (lab, sp, sn) in enumerate(rows)]
+    got = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(_scored_df(spark, data)).collect()
+    }
+    assert got == dict(_cj_reference(data))
+    assert sum(got.values()) == len(data)
+
+
+_subjects = st.lists(
+    st.tuples(st.integers(0, 12), st.booleans()), min_size=1, max_size=60
+)
+
+
+@given(subs=_subjects)
+@settings(**_HSETTINGS)
+def test_kaplan_meier_property(spark, subs):
+    """Any censoring pattern (hypothesis finds the all-die, the
+    all-censored, and interleaved terminal shapes): the risk table
+    equals the pure-python reference row for row."""
+    from swisscourtrulingcorpus_spark.operators.survival import kaplan_meier
+
+    df = spark.createDataFrame(subs, "dur: long, ev: boolean")
+    got = [
+        tuple(r)
+        for r in kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
+    ]
+    assert got == _km_reference(subs)
