@@ -264,6 +264,19 @@ def nb_train(
     return nb_train_from_stats(stats, n_buckets)
 
 
+def pivot_priors(prior: DataFrame) -> DataFrame:
+    """ONE definition of the prior pivot: the dense 2-row (label,
+    prior_micro) table as a single broadcastable row (__pp, __pn).
+    Shared by :func:`nb_score_with_model` and
+    `influence.nb_loo_self_influence` — a change to prior handling
+    must reach both or the scorer and the LOO diagnostic silently
+    diverge (the `_hashed_buckets` one-definition convention)."""
+    return prior.groupBy().agg(
+        F.max(F.when(F.col("label"), F.col("prior_micro"))).alias("__pp"),
+        F.max(F.when(~F.col("label"), F.col("prior_micro"))).alias("__pn"),
+    )
+
+
 def nb_score_with_model(
     df: DataFrame,
     text_col: str,
@@ -304,10 +317,7 @@ def nb_score_with_model(
     # featurization chain once per side pre-AQE; same restructuring
     # as `influence.nb_loo_self_influence`).  Values are identical:
     # the same bigint products reach the same sums.
-    pri = prior.groupBy().agg(
-        F.max(F.when(F.col("label"), F.col("prior_micro"))).alias("__pp"),
-        F.max(F.when(~F.col("label"), F.col("prior_micro"))).alias("__pn"),
-    )
+    pri = pivot_priors(prior)
     return (
         feats.join(
             F.broadcast(model.withColumnRenamed("label", "cls")), on="b"

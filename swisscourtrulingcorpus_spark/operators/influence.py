@@ -39,6 +39,7 @@ from swisscourtrulingcorpus_spark.operators.classifier import (
     _ln_micro,
     nb_stats_table,
     nb_train_from_stats,
+    pivot_priors,
 )
 
 _I64_MAX = (1 << 63) - 1
@@ -69,38 +70,54 @@ def confident_joint(scored: DataFrame) -> DataFrame:
     here a full NB train + score chain — executes exactly once: the
     2-row threshold aggregate materializes the cache (a bounded
     collect, the `nb_train` n_all precedent; it also guards the
-    cross-multiply against int64 overflow, which silent in-plan
-    arithmetic could not), the grouped count reads it back, and the
+    cross-class cross-multiply against int64 overflow, which silent
+    in-plan arithmetic could not), the grouped count reads it back, and the
     cache is released in `finally` once the ≤ 6 joint rows have
-    collected.  Nothing wider than (label, bigint, bool) shuffles.
+    collected.  Nothing wider than (label, decimal, bool) shuffles.
     """
+    # the margin lives in DECIMAL(38,0) end to end — the bigint
+    # subtraction, the sum, and the qualification cross-multiply could
+    # all overflow int64 on exactly the adversarial inputs the guard
+    # below exists to reject (ANSI mode would throw a raw
+    # ArithmeticException before the guard ever saw a value), so every
+    # margin expression computes in exact decimal; the guard then
+    # restores int64 RANGE semantics by raising where the bigint
+    # oracle would have overflowed (the raise-on-both-engines
+    # convention) (r10 review)
     slim = scored.select(
         F.col("label").cast("boolean").alias("label"),
-        (F.col("s_pos_micro") - F.col("s_neg_micro")).alias("m"),
+        (
+            F.col("s_pos_micro").cast("decimal(38,0)")
+            - F.col("s_neg_micro").cast("decimal(38,0)")
+        ).alias("m"),
         F.col("pred").cast("boolean").alias("pred"),
     ).where(F.col("label").isNotNull())
     slim = slim.cache()
     try:
-        # the margin sum aggregates in DECIMAL(38,0): a bigint sum
-        # could itself overflow on the adversarial inputs this guard
-        # exists to reject (ANSI mode would throw the wrong error
-        # before the guard)
         stats = {
             r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
             for r in slim.groupBy("label")
             .agg(
-                F.sum(F.col("m").cast("decimal(38,0)")).alias("sm"),
+                F.sum("m").alias("sm"),
                 F.count(F.lit(1)).alias("n"),
                 F.max(F.abs(F.col("m"))).alias("mx"),
             )
             .collect()
         }
-        for lab, (sm, n, mx) in stats.items():
-            if mx * n > _I64_MAX:
-                raise ValueError(
-                    f"confident_joint: class {lab} margin·count "
-                    f"{mx}·{n} exceeds int64 — rescale scores first"
-                )
+        # the qualification cross-multiplies EVERY doc's margin by
+        # EACH class's count, so the bound is the GLOBAL max margin
+        # times the LARGER class — a per-class mx·n check would pass a
+        # huge margin in the small class and let the big class's
+        # product wrap (r10 review).  The decimal plan arithmetic
+        # cannot wrap; the raise keeps parity with the bigint oracle,
+        # which WOULD overflow past this bound.
+        mx_all = max((s[2] for s in stats.values()), default=0)
+        n_max = max((s[1] for s in stats.values()), default=0)
+        if mx_all * n_max > _I64_MAX:
+            raise ValueError(
+                f"confident_joint: max margin·max class count "
+                f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
+            )
         sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
         sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
         # class with zero labeled docs: nothing qualifies for it (the
@@ -248,11 +265,8 @@ def nb_loo_self_influence(
         (~F.col("label")).alias("label"),
         F.col("prior_micro").alias("p_other_full"),
     )
-    # full-model priors pivoted to one broadcast row (p_pos, p_neg)
-    pri_full = prior.groupBy().agg(
-        F.max(F.when(F.col("label"), F.col("prior_micro"))).alias("__pp"),
-        F.max(F.when(~F.col("label"), F.col("prior_micro"))).alias("__pn"),
-    )
+    # full-model priors pivoted to one broadcast row (shared helper)
+    pri_full = pivot_priors(prior)
 
     feats = (
         _hashed_buckets(labeled, "__text", ["doc_id", "label"], n_buckets)

@@ -61,7 +61,14 @@ def kaplan_meier(
         F.count(F.when(F.col("__e"), 1)).alias("n_events"),
         F.count(F.when(~F.col("__e"), 1)).alias("n_censored"),
     )
-    total = slim.agg(F.count(F.lit(1)).alias("__n"))
+    # grand total from the BOUNDED distinct-duration table, not from
+    # the corpus-sized slim: value-identical (every subject lands in
+    # exactly one per-row), and both consumers now share per's
+    # hashpartitioning(duration) exchange, so the upstream subject
+    # lineage executes once instead of twice (r10 review)
+    total = per.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).alias("__n")
+    )
     cum = parallel_prefix_sum(
         per,
         [F.col("duration")],

@@ -92,6 +92,17 @@ def test_confident_joint_overflow_guard(spark):
     ]
     with pytest.raises(ValueError, match="int64"):
         confident_joint(_scored_df(spark, rows))
+    # CROSS-CLASS overflow (r10 review): the huge margin lives in the
+    # SMALL class, but qualification multiplies it by the BIG class's
+    # count — a per-class mx*n check would miss this
+    rows = [(i, True, i, 0) for i in range(4)] + [(9, False, (1 << 62), 0)]
+    with pytest.raises(ValueError, match="int64"):
+        confident_joint(_scored_df(spark, rows))
+    # margins whose SUBTRACTION overflows int64 must also reach the
+    # guard (decimal margin arithmetic), not wrap or throw mid-plan
+    rows = [(0, True, (1 << 62), -(1 << 62)), (1, False, 0, 1)]
+    with pytest.raises(ValueError, match="int64"):
+        confident_joint(_scored_df(spark, rows))
 
 
 # --- margin_uncertainty_topk ---------------------------------------------
