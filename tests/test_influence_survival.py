@@ -331,3 +331,71 @@ def test_kaplan_meier_property(spark, subs):
         for r in kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
     ]
     assert got == _km_reference(subs)
+
+
+def test_confident_joint_over_incremental_model_equals_batch(spark):
+    """End-to-end composition: a model trained INCREMENTALLY (three
+    batches of stats merged through nb_merge_counts) must yield the
+    exact batch-trained confident joint — the diagnostics layer
+    inherits the never-rescan-history contract of the stats store."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_merge_counts,
+        nb_score_with_model,
+        nb_stats_table,
+        nb_train,
+        nb_train_from_stats,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+    )
+
+    B = 64
+    docs = spark.createDataFrame(
+        [
+            (i, i % 2 == 0, f"tok{i % 7} tok{i % 5} common word {i % 3}")
+            for i in range(30)
+        ],
+        "doc_id: long, label: boolean, text: string",
+    )
+    # incremental: three disjoint batches -> merged stats -> model
+    stats = [
+        nb_stats_table(
+            docs.where(F.col("doc_id") % 3 == k), "text", "doc_id", "label", B
+        )
+        for k in range(3)
+    ]
+    merged = reduce(nb_merge_counts, stats)
+    model_i, prior_i = nb_train_from_stats(merged, B)
+    scored_i = nb_score_with_model(
+        docs.select("doc_id", "label", F.col("text").alias("__t")),
+        "__t",
+        "doc_id",
+        model_i,
+        prior_i,
+        B,
+        carry=("label",),
+    )
+    # batch: one-shot training over the full corpus
+    model_b, prior_b = nb_train(docs, "text", "doc_id", "label", B)
+    scored_b = nb_score_with_model(
+        docs.select("doc_id", "label", F.col("text").alias("__t")),
+        "__t",
+        "doc_id",
+        model_b,
+        prior_b,
+        B,
+        carry=("label",),
+    )
+    joint_i = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(scored_i).collect()
+    }
+    joint_b = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(scored_b).collect()
+    }
+    assert joint_i == joint_b and sum(joint_i.values()) == 30
