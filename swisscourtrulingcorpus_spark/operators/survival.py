@@ -13,11 +13,13 @@ integer-exact, and hash-gate), with S(t) = exp(surv_lnsum_micro/1e6).
 
 Scale shape (100 TB posture): the subject table collapses to the
 DISTINCT-DURATION table in one map-side-combined groupBy — the risk
-table is bounded by distinct durations, not subjects.  Both
-cumulations (the at-risk countdown and the log-survival sum) run
-through the shared two-phase :func:`parallel_prefix_sum` skeleton, so
-no single-task global window ever sees the table; the grand total is
-a broadcast-scalar crossJoin (the drift-family pattern).
+table is bounded by distinct durations, not subjects.  All three
+cumulations (the at-risk countdown, the log-survival sum, and the
+Greenwood variance sum) run through the shared two-phase
+:func:`parallel_prefix_sum` skeleton in TWO passes — the latter two
+share one pass via the multi-column ``parallel_prefix_sums`` form —
+so no single-task global window ever sees the table; the grand total
+is a broadcast-scalar crossJoin (the drift-family pattern).
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ from pyspark.sql import functions as F
 from swisscourtrulingcorpus_spark.operators.classifier import _ln_micro
 from swisscourtrulingcorpus_spark.operators.training import (
     parallel_prefix_sum,
+    parallel_prefix_sums,
 )
 
 
@@ -43,12 +46,27 @@ def kaplan_meier(
 
     Output, one row per distinct duration t ascending:
     (duration, n_risk, n_events, n_censored, km_factor_micro,
-    surv_lnsum_micro) where km_factor_micro =
-    round(ln((r−d)/r)·1e6) (0 when d = 0, NULL when d = r — the
-    curve hits exact zero, which has no finite log; by construction
-    that can only be the LAST row, since nobody remains at risk
-    after it) and surv_lnsum_micro is its running sum (NULL on that
-    same terminal row).
+    surv_lnsum_micro, greenwood_term_p12, greenwood_sum_p12) where
+    km_factor_micro = round(ln((r−d)/r)·1e6) (0 when d = 0, NULL when
+    d = r — the curve hits exact zero, which has no finite log; by
+    construction that can only be the LAST row, since nobody remains
+    at risk after it) and surv_lnsum_micro is its running sum (NULL on
+    that same terminal row).  greenwood_term_p12 is the Greenwood
+    variance increment round(1e12·d/(r·(r−d))) (Greenwood 1926, the
+    standard KM confidence band: Var(Ŝ(t)) = Ŝ(t)²·Σ d/(r(r−d))) with
+    the same 0-when-d=0 / NULL-when-d=r conventions, and
+    greenwood_sum_p12 its running sum.  The Greenwood scale is 1e12,
+    NOT the house micro 1e6: each increment is O(1/r²), so at any
+    realistic risk-set size (r ≳ 10³) micro-rounding would floor every
+    term to 0 and the band would vanish; p12 keeps terms integer-exact
+    to r ~ 10⁶ while the sum (≤ Σ (1/(r−d) − 1/r) ≤ 1) stays ≤ ~1e12,
+    far inside int64.
+
+    Rows with NULL duration/event are excluded, as are NEGATIVE
+    durations (upstream clock-skew artifacts — a subject cannot be
+    observed for negative time; filtered rather than folded into the
+    risk table so the contract in this docstring matches behavior,
+    r10 advice).
     """
     dur = (
         F.col(duration_col) if isinstance(duration_col, str) else duration_col
@@ -56,7 +74,11 @@ def kaplan_meier(
     ev = F.col(event_col) if isinstance(event_col, str) else event_col
     slim = subjects.select(
         dur.cast("bigint").alias("duration"), ev.cast("boolean").alias("__e")
-    ).where(F.col("duration").isNotNull() & F.col("__e").isNotNull())
+    ).where(
+        F.col("duration").isNotNull()
+        & (F.col("duration") >= 0)
+        & F.col("__e").isNotNull()
+    )
     per = slim.groupBy("duration").agg(
         F.count(F.when(F.col("__e"), 1)).alias("n_events"),
         F.count(F.when(~F.col("__e"), 1)).alias("n_censored"),
@@ -94,15 +116,38 @@ def kaplan_meier(
         )
         .otherwise(F.lit(None).cast("bigint"))
     )
-    with_f = risk.withColumn("km_factor_micro", factor)
+    # d·1e12 / (r·(r−d)) as one double expression: r is int64-exact in
+    # a double (counts ≪ 2^53) and r·(r−d) as a double avoids the
+    # int64 overflow a bigint square would hit past r ~ 3e9
+    gw_term = (
+        F.when(F.col("n_events") == 0, F.lit(0).cast("bigint"))
+        .when(
+            F.col("n_risk") > F.col("n_events"),
+            F.round(
+                F.col("n_events").cast("double")
+                * F.lit(1e12)
+                / (
+                    F.col("n_risk").cast("double")
+                    * (F.col("n_risk") - F.col("n_events")).cast("double")
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(None).cast("bigint"))
+    )
+    with_f = risk.withColumn("km_factor_micro", factor).withColumn(
+        "greenwood_term_p12", gw_term
+    )
     # the prefix-sum skeleton requires non-null values; the only
-    # possible NULL factor is the terminal all-die row, whose running
-    # sum is itself NULL — coalesce in, mask out
-    summed = parallel_prefix_sum(
+    # possible NULL factor/term is the terminal all-die row, whose
+    # running sum is itself NULL — coalesce in, mask out.  Both
+    # cumulations share ONE pass (the multi-column prefix-sum form).
+    summed = parallel_prefix_sums(
         with_f,
         [F.col("duration")],
-        F.coalesce(F.col("km_factor_micro"), F.lit(0)),
-        "__ln",
+        [
+            (F.coalesce(F.col("km_factor_micro"), F.lit(0)), "__ln"),
+            (F.coalesce(F.col("greenwood_term_p12"), F.lit(0)), "__gw"),
+        ],
     )
     return summed.select(
         "duration",
@@ -113,4 +158,8 @@ def kaplan_meier(
         F.when(
             F.col("km_factor_micro").isNotNull(), F.col("__ln")
         ).alias("surv_lnsum_micro"),
+        "greenwood_term_p12",
+        F.when(
+            F.col("greenwood_term_p12").isNotNull(), F.col("__gw")
+        ).alias("greenwood_sum_p12"),
     )

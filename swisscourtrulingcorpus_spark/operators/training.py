@@ -107,7 +107,34 @@ def parallel_prefix_sum(
     ``value`` must be non-null for every row (a NULL contribution
     would poison every later prefix in its partition) — coalesce at
     the call site if the source column is nullable."""
-    reserved = {"__pid", "__val", "__local", "__off", out_col}
+    return parallel_prefix_sums(
+        df, sort_cols, [(value, out_col)], num_partitions
+    )
+
+
+def parallel_prefix_sums(
+    df: DataFrame,
+    sort_cols: list,
+    pairs: list,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The multi-column form of :func:`parallel_prefix_sum`: compute
+    the inclusive prefix sum of EVERY ``(value, out_col)`` pair in
+    ``pairs`` over one shared range partitioning + local sort — N
+    running sums for the price of one Exchange.  A caller that needs
+    two cumulations over the same order (the Kaplan–Meier log-survival
+    sum plus its Greenwood variance sum, r11) pays one pass instead
+    of stacking N full passes.  Same contract as the single-column
+    form: unique sort key, non-null values, reserved working columns
+    fail loudly."""
+    out_cols = [oc for _, oc in pairs]
+    if len(set(out_cols)) != len(out_cols):
+        raise ValueError(f"duplicate out_cols {out_cols}")
+    vals = [f"__val{i}" for i in range(len(pairs))]
+    locs = [f"__local{i}" for i in range(len(pairs))]
+    offs = [f"__off{i}" for i in range(len(pairs))]
+    tots = [f"__t{i}" for i in range(len(pairs))]
+    reserved = {"__pid", *vals, *locs, *offs, *out_cols}
     clash = sorted(reserved & set(df.columns))
     if clash:
         # fail LOUDLY: withColumn would silently replace and drop the
@@ -118,22 +145,37 @@ def parallel_prefix_sum(
         if num_partitions is not None
         else df.repartitionByRange(*sort_cols)
     ).withColumn("__pid", F.spark_partition_id())
-    with_val = parts.withColumn("__val", value.cast("bigint"))
+    with_val = parts.withColumns(
+        {v: value.cast("bigint") for v, (value, _) in zip(vals, pairs)}
+    )
     local_w = (
         Window.partitionBy("__pid")
         .orderBy(*[c.asc() for c in sort_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    local = with_val.withColumn("__local", F.sum("__val").over(local_w))
-    totals = local.groupBy("__pid").agg(F.sum("__val").alias("__t"))
+    local = with_val.withColumns(
+        {lc: F.sum(v).over(local_w) for lc, v in zip(locs, vals)}
+    )
+    totals = local.groupBy("__pid").agg(
+        *[F.sum(v).alias(t) for v, t in zip(vals, tots)]
+    )
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+        "__pid",
+        *[
+            F.coalesce(F.sum(t).over(off_w), F.lit(0)).alias(o)
+            for t, o in zip(tots, offs)
+        ],
     )
     return (
         local.join(F.broadcast(offsets), on="__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__local"))
-        .drop("__pid", "__val", "__local", "__off")
+        .withColumns(
+            {
+                oc: F.col(o) + F.col(lc)
+                for oc, o, lc in zip(out_cols, offs, locs)
+            }
+        )
+        .drop("__pid", *vals, *locs, *offs)
     )
 
 

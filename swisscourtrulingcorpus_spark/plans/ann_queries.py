@@ -622,16 +622,19 @@ def q_trained_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trained_language_id(docs)
 
 
-def trained_language_id(docs: DataFrame) -> DataFrame:
-    """Train-and-apply over a (doc_id, lang, text) frame — see
-    ``q_trained_language_id`` for the design; reusable so the
-    multilingual fixture corpus tests real accuracy."""
-    docs = docs.select("doc_id", "lang", F.lower("text").alias("__t"))
+def _lid_chain(docs: DataFrame):
+    """The trained-LID chain pieces — (base, model, scores) over a
+    (doc_id, lang, text) frame: base = docs with ≥ 1 trigram, model =
+    top-{_TRI_TOP} char trigrams per language, scores = per-(doc,
+    model-language) integer evidence sums.  ONE definition shared by
+    `trained_language_id` and the k-class confident-joint gate
+    (`label_noise_joint_language`)."""
+    base = docs.select("doc_id", "lang", F.lower("text").alias("__t"))
     # texts shorter than 3 chars have no trigrams: F.sequence(1, 0)
     # would yield DESCENDING [1, 0] and fabricate short/empty
     # "trigrams" the oracle's range(1, 1) never produces — filter first
-    docs = docs.where(F.length("__t") >= 3)
-    tris = docs.select(
+    base = base.where(F.length("__t") >= 3)
+    tris = base.select(
         "doc_id",
         "lang",
         F.explode(
@@ -658,6 +661,16 @@ def trained_language_id(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang", "mlang")
         .agg(F.sum("cnt").alias("score"))
     )
+    return base, model, scores
+
+
+def trained_language_id(docs: DataFrame) -> DataFrame:
+    """Train-and-apply over a (doc_id, lang, text) frame — see
+    ``q_trained_language_id`` for the design; reusable so the
+    multilingual fixture corpus tests real accuracy."""
+    from pyspark.sql import Window
+
+    _, _, scores = _lid_chain(docs)
     w2 = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("mlang").asc()
     )
@@ -674,7 +687,11 @@ def trained_language_id(docs: DataFrame) -> DataFrame:
     )
 
 
-TRAINED_LID_ORACLE = rf"""
+def _lid_ctes() -> str:
+    """The docs/tris/model/scores oracle CTE prefix of the trained-LID
+    chain — ONE definition shared by `TRAINED_LID_ORACLE` and the
+    k-class confident-joint oracle (mirrors :func:`_lid_chain`)."""
+    return rf"""
 WITH docs AS (
   SELECT doc_id, lang, lower(text) AS t FROM documents
   WHERE text IS NOT NULL AND lang IS NOT NULL),
@@ -690,7 +707,12 @@ model AS (
 scores AS (
   SELECT t.doc_id, t.lang, m.mlang, CAST(sum(m.cnt) AS BIGINT) AS score
   FROM tris t JOIN model m ON t.tri = m.tri
-  GROUP BY t.doc_id, t.lang, m.mlang),
+  GROUP BY t.doc_id, t.lang, m.mlang)"""
+
+
+TRAINED_LID_ORACLE = (
+    _lid_ctes()
+    + """,
 ranked AS (
   SELECT doc_id, mlang, score, lang,
          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, mlang ASC) AS rn
@@ -699,6 +721,7 @@ SELECT doc_id, mlang AS pred_lang, score, lang AS actual_lang,
        (mlang = lang) AS correct
 FROM ranked WHERE rn = 1
 """
+)
 
 
 def ivf_mutual_nn_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,5 +926,103 @@ SPECS: list[QuerySpec] = [
         spark=q_table_profile,
         oracle=TABLE_PROFILE_ORACLE,
         doc="ANALYZE-style column stats in one pass (expectations.py)",
+    ),
+]
+
+
+def label_noise_joint_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-class confident-learning joint over the trained language-ID
+    scores (`operators/influence.py::confident_joint_kclass`): given
+    label = the document's declared ``lang``, classes = the languages
+    the char-trigram model knows, scores densified to one row per
+    (doc, language) with 0 for no shared trigrams.  Off-diagonal cells
+    are documents whose declared language confidently disagrees with
+    the LID evidence — the k-class mislabel screen of Northcutt et
+    al., on real multi-class scores rather than the binary NB margin.
+    Model + classes broadcast; margins from one doc-partitioned window
+    (r11, verdict "what's wrong" #3)."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint_kclass,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    base, model, scores = _lid_chain(docs)
+    classes = model.select(F.col("mlang").alias("cls")).distinct()
+    dense = (
+        base.select("doc_id", "lang")
+        .crossJoin(F.broadcast(classes))
+        .join(
+            scores.select("doc_id", F.col("mlang").alias("cls"), "score"),
+            on=["doc_id", "cls"],
+            how="left",
+        )
+        .select(
+            "doc_id",
+            F.col("lang").alias("given_label"),
+            "cls",
+            F.coalesce(F.col("score"), F.lit(0)).alias("score_micro"),
+        )
+    )
+    return confident_joint_kclass(dense)
+
+
+KCLASS_JOINT_ORACLE = (
+    _lid_ctes()
+    + """,
+base AS (SELECT doc_id, lang FROM docs WHERE length(t) >= 3),
+classes AS (SELECT DISTINCT mlang AS cls FROM model),
+dense AS (
+  SELECT b.doc_id AS doc, b.lang AS given, c.cls,
+         coalesce(s.score, CAST(0 AS BIGINT)) AS s
+  FROM base b
+  CROSS JOIN classes c
+  LEFT JOIN scores s ON s.doc_id = b.doc_id AND s.mlang = c.cls),
+m1 AS (
+  SELECT doc, given, cls, s,
+         max(s) OVER (PARTITION BY doc) AS mx
+  FROM dense),
+m2 AS (
+  SELECT doc, given, cls, s, mx,
+         count(CASE WHEN s = mx THEN 1 END) OVER (PARTITION BY doc) AS nmx,
+         max(CASE WHEN s < mx THEN s END) OVER (PARTITION BY doc) AS mx2
+  FROM m1),
+marg AS (
+  SELECT doc, given, cls, s,
+         s - (CASE WHEN s = mx AND nmx = 1 THEN mx2 ELSE mx END) AS m
+  FROM m2),
+th AS (
+  SELECT cls, CAST(sum(m) AS BIGINT) AS sm, count(*) AS n
+  FROM marg WHERE cls = given GROUP BY 1),
+qualified AS (
+  SELECT marg.doc, marg.cls, marg.s
+  FROM marg JOIN th USING (cls)
+  WHERE th.n > 0 AND marg.m * th.n >= th.sm),
+asg AS (
+  SELECT doc, cls AS assigned FROM (
+    SELECT doc, cls,
+           row_number() OVER (PARTITION BY doc
+                              ORDER BY s DESC, cls DESC) AS rn
+    FROM qualified) q
+  WHERE rn = 1),
+own AS (SELECT doc, given FROM marg WHERE cls = given)
+SELECT o.given AS given_label, a.assigned,
+       count(*) AS n_docs
+FROM own o LEFT JOIN asg a USING (doc)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+
+SPECS += [
+    QuerySpec(
+        name="label_noise_joint_language",
+        spark=label_noise_joint_language,
+        oracle=KCLASS_JOINT_ORACLE,
+        doc="k-class confident joint over LID scores: class-oriented margins, exact cross-multiply thresholds",
     ),
 ]

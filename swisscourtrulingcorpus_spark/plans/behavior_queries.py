@@ -889,7 +889,8 @@ mx AS (SELECT max(d1) AS md FROM pu),
 subj AS (
   SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
          (d1 < md - 365) AS ev
-  FROM pu, mx),
+  FROM pu, mx
+  WHERE date_diff('day', d0, d1) >= 0),
 per AS (
   SELECT t,
          CAST(count(CASE WHEN ev THEN 1 END) AS BIGINT) AS d,
@@ -906,14 +907,24 @@ f AS (
          CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
               WHEN r > d THEN CAST(round(
                 ln((r - d) * 1.0 / r) * 1000000.0) AS BIGINT)
-         END AS fac
+         END AS fac,
+         CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+              WHEN r > d THEN CAST(round(
+                CAST(d AS DOUBLE) * 1e12
+                / (CAST(r AS DOUBLE) * CAST(r - d AS DOUBLE))) AS BIGINT)
+         END AS gw
   FROM rt)
 SELECT t AS duration, r AS n_risk, d AS n_events, c AS n_censored,
        fac AS km_factor_micro,
        CASE WHEN fac IS NOT NULL THEN
          CAST(sum(coalesce(fac, 0))
               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
-       END AS surv_lnsum_micro
+       END AS surv_lnsum_micro,
+       gw AS greenwood_term_p12,
+       CASE WHEN gw IS NOT NULL THEN
+         CAST(sum(coalesce(gw, 0))
+              OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT)
+       END AS greenwood_sum_p12
 FROM f
 ORDER BY t
 """
@@ -924,6 +935,6 @@ SPECS += [
         "kaplan_meier_customer_churn",
         kaplan_meier_customer_churn,
         KM_CHURN_ORACLE,
-        "KM survival curve: censored lifetimes, prefix-sum cumulations, micro-log survival",
+        "KM survival curve: censored lifetimes, prefix-sum cumulations, micro-log survival + Greenwood p12 variance band",
     ),
 ]

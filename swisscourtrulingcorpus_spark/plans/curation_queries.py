@@ -1543,6 +1543,67 @@ ORDER BY 1, 2
 )
 
 
+def mislabel_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level mislabel-candidate list
+    (`operators/influence.py::mislabel_candidates`) — the rows behind
+    the confident joint's off-diagonal counts: every doc whose
+    confidently-assigned class differs from its given label, with the
+    log-odds margin for review triage.  Same qualification arithmetic
+    as `label_noise_confident_joint` by construction (shared stats +
+    assignment expressions)."""
+    from swisscourtrulingcorpus_spark.functions.curation import (
+        gopher_rule_columns,
+    )
+    from swisscourtrulingcorpus_spark.operators.classifier import (
+        nb_quality_scores,
+    )
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        mislabel_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    label = gopher_rule_columns("text")["keep"]
+    scored = nb_quality_scores(docs, "text", "doc_id", label, _NB_BUCKETS)
+    return mislabel_candidates(scored).orderBy("doc_id")
+
+
+MISLABEL_CANDIDATES_ORACLE = (
+    _nb_score_ctes()
+    + """,
+marg AS (
+  SELECT a.doc_id, a.label,
+         a.score - n.score AS m,
+         (a.score >= n.score) AS pred
+  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
+th AS (
+  SELECT label, CAST(sum(m) AS BIGINT) AS sm, count(*) AS n
+  FROM marg GROUP BY 1),
+thp AS (
+  SELECT max(CASE WHEN label THEN sm END) AS smp,
+         coalesce(max(CASE WHEN label THEN n END), 0) AS np,
+         max(CASE WHEN NOT label THEN sm END) AS smn,
+         coalesce(max(CASE WHEN NOT label THEN n END), 0) AS nn
+  FROM th),
+q AS (
+  SELECT m.doc_id, m.label, m.m, m.pred,
+         (np > 0 AND m.m * np >= smp) AS qp,
+         (nn > 0 AND m.m * nn <= smn) AS qn
+  FROM marg m, thp),
+asg AS (
+  SELECT doc_id, label, m,
+         CASE WHEN qp AND qn THEN pred
+              WHEN qp THEN true
+              WHEN qn THEN false END AS assigned
+  FROM q)
+SELECT doc_id, label AS given_label, assigned,
+       CAST(m AS BIGINT) AS margin_micro
+FROM asg
+WHERE assigned IS NOT NULL AND assigned <> label
+ORDER BY doc_id
+"""
+)
+
+
 def uncertainty_margin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-learning batch selection
     (`operators/influence.py::margin_uncertainty_topk`): the 50 docs
@@ -1671,6 +1732,12 @@ SPECS += [
         label_noise_confident_joint,
         CONFIDENT_JOINT_ORACLE,
         "confident-learning joint: per-class exact mean-margin thresholds, no division",
+    ),
+    QuerySpec(
+        "mislabel_candidates_docs",
+        mislabel_candidates_docs,
+        MISLABEL_CANDIDATES_ORACLE,
+        "doc-level mislabel candidates: the joint's off-diagonal rows with triage margins",
     ),
     QuerySpec(
         "uncertainty_margin_sample",

@@ -61,6 +61,77 @@ GROUP BY na, nb
 """
 
 
+def ks_drift_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REGION two-sample KS between URGENT and LOW order-value
+    distributions (`operators/drift.py::ks_two_sample_by` — the
+    fleet-wide drift audit: one job, one prefix-sum pass, zero driver
+    collects for all slices at once).  Slice totals join in-plan as a
+    broadcast; the single global prefix sum is exact per region
+    because each region's diff terms sum to zero.  Customer→nation→
+    region dims broadcast onto the orders fact."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        ks_two_sample_by,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    )
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return ks_two_sample_by(
+        joined, "cents", "o_orderpriority", "1-URGENT", "5-LOW", "r_name"
+    ).orderBy("slice")
+
+
+KS_BY_REGION_ORACLE = """
+WITH src AS (
+  SELECT r.r_name AS s,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         o.o_orderpriority AS g
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+per AS (
+  SELECT s, v,
+         CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1, 2),
+tot AS (
+  SELECT s, sum(ca) AS na, sum(cb) AS nb FROM per GROUP BY 1
+  HAVING sum(ca) > 0 AND sum(cb) > 0),
+cum AS (
+  SELECT per.s, t.na, t.nb,
+         sum(t.nb * per.ca - t.na * per.cb)
+           OVER (PARTITION BY per.s ORDER BY per.v
+                 ROWS UNBOUNDED PRECEDING) AS diff
+  FROM per JOIN tot t USING (s))
+SELECT s AS slice,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(max(abs(diff)) AS BIGINT) AS d_num,
+       CAST(na * nb AS BIGINT) AS d_den,
+       CAST(max(abs(diff)) AS DOUBLE) / CAST(na * nb AS DOUBLE) AS d
+FROM cum
+GROUP BY s, na, nb
+ORDER BY s
+"""
+
+
 def psi_doclen_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI between the document-length distributions of the even- and
     odd-doc_id corpus halves (`operators/drift.py::psi_table` — the
@@ -163,6 +234,12 @@ SPECS = [
         ks_drift_order_priority,
         KS_DRIFT_ORACLE,
         "exact two-sample KS via bigint ECDF differences + two-phase prefix sum",
+    ),
+    QuerySpec(
+        "ks_drift_by_region",
+        ks_drift_by_region,
+        KS_BY_REGION_ORACLE,
+        "per-slice exact KS: all slices in one prefix-sum pass, totals joined in-plan",
     ),
     QuerySpec(
         "psi_doclen_snapshots",

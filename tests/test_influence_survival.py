@@ -207,20 +207,34 @@ def test_loo_self_support_orientation(spark):
 
 
 def _km_reference(subs):
+    subs = [(t, e) for t, e in subs if t >= 0]  # mirrors the contract
     d = Counter(t for t, e in subs if e)
     c = Counter(t for t, e in subs if not e)
-    out, seen, run = [], 0, 0
+    out, seen, run, grun = [], 0, 0, 0
     for t in sorted({t for t, _ in subs}):
         r = len(subs) - seen
         dt, ct = d[t], c[t]
         if dt == 0:
-            fac = 0
+            fac, gw = 0, 0
         elif r > dt:
             fac = round(math.log((r - dt) / r) * 1e6)
+            gw = round(dt * 1e12 / (r * (r - dt)))
         else:
-            fac = None
+            fac, gw = None, None
         run += fac or 0
-        out.append((t, r, dt, ct, fac, run if fac is not None else None))
+        grun += gw or 0
+        out.append(
+            (
+                t,
+                r,
+                dt,
+                ct,
+                fac,
+                run if fac is not None else None,
+                gw,
+                grun if gw is not None else None,
+            )
+        )
         seen += dt + ct
     return out
 
@@ -234,14 +248,7 @@ def test_kaplan_meier_matches_reference(spark):
     ]
     df = spark.createDataFrame(subs, "dur: long, ev: boolean")
     got = [
-        (
-            r["duration"],
-            r["n_risk"],
-            r["n_events"],
-            r["n_censored"],
-            r["km_factor_micro"],
-            r["surv_lnsum_micro"],
-        )
+        tuple(r)
         for r in kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
     ]
     assert got == _km_reference(subs)
@@ -252,6 +259,26 @@ def test_kaplan_meier_matches_reference(spark):
     )
     survs = [g[5] for g in got if g[5] is not None]
     assert survs == sorted(survs, reverse=True)
+    # Greenwood variance sum is non-negative and non-decreasing
+    gws = [g[7] for g in got if g[7] is not None]
+    assert gws == sorted(gws) and all(g >= 0 for g in gws)
+
+
+def test_kaplan_meier_excludes_negative_durations(spark):
+    """Negative durations (upstream clock-skew artifacts) are filtered
+    like nulls, never folded into the risk table — the docstring's
+    >= 0 contract matches behavior (r10 advice)."""
+    from swisscourtrulingcorpus_spark.operators.survival import kaplan_meier
+
+    subs = [(-3, True), (-1, False), (0, True), (2, False), (2, True)]
+    df = spark.createDataFrame(subs, "dur: long, ev: boolean")
+    got = [
+        tuple(r)
+        for r in kaplan_meier(df, "dur", "ev").orderBy("duration").collect()
+    ]
+    assert got == _km_reference(subs)  # reference drops t < 0 too
+    assert [g[0] for g in got] == [0, 2]
+    assert got[0][1] == 3  # n_risk counts only the 3 valid subjects
 
 
 def test_kaplan_meier_terminal_all_die(spark):
@@ -399,3 +426,162 @@ def test_confident_joint_over_incremental_model_equals_batch(spark):
         for r in confident_joint(scored_b).collect()
     }
     assert joint_i == joint_b and sum(joint_i.values()) == 30
+
+
+# --- mislabel_candidates ---------------------------------------------------
+
+
+def test_mislabel_candidates_tie_to_joint_offdiagonal(spark):
+    """The candidate list is the joint's off-diagonal, row for row:
+    per (given, assigned) cell the candidate count equals the joint's
+    count, every candidate's margin matches its scored row, and no
+    on-diagonal or unassigned doc appears (shared qualification
+    expressions by construction)."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+        mislabel_candidates,
+    )
+
+    rng = random.Random(43)
+    rows = [
+        (
+            i,
+            rng.random() < 0.5,
+            rng.randrange(-(10**6), 10**6),
+            rng.randrange(-(10**6), 10**6),
+        )
+        for i in range(300)
+    ]
+    joint = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(_scored_df(spark, rows)).collect()
+    }
+    cands = mislabel_candidates(_scored_df(spark, rows)).collect()
+    assert all(
+        r["assigned"] is not None and r["assigned"] != r["given_label"]
+        for r in cands
+    )
+    by_cell = Counter((r["given_label"], r["assigned"]) for r in cands)
+    off = {
+        cell: cnt
+        for cell, cnt in joint.items()
+        if cell[1] is not None and cell[1] != cell[0]
+    }
+    assert dict(by_cell) == off
+    margins = {i: sp - sn for i, _, sp, sn in rows}
+    assert all(r["margin_micro"] == margins[r["doc_id"]] for r in cands)
+
+
+# --- confident_joint_kclass -------------------------------------------------
+
+
+def _kclass_df(spark, rows):
+    """rows: (doc, given, {cls: score}) -> dense long format."""
+    data = [
+        (doc, given, c, s) for doc, given, sc in rows for c, s in sc.items()
+    ]
+    return spark.createDataFrame(
+        data, "doc_id: long, given_label: string, cls: string, "
+        "score_micro: long"
+    )
+
+
+def _kclass_reference(rows):
+    classes = sorted({c for _, _, sc in rows for c in sc})
+    marg = {}
+    for doc, _, sc in rows:
+        for c in classes:
+            marg[(doc, c)] = sc[c] - max(sc[o] for o in classes if o != c)
+    sm, n = defaultdict(int), defaultdict(int)
+    for doc, given, _ in rows:
+        sm[given] += marg[(doc, given)]
+        n[given] += 1
+    cnt = Counter()
+    for doc, given, sc in rows:
+        qual = [
+            c
+            for c in classes
+            if n[c] > 0 and marg[(doc, c)] * n[c] >= sm[c]
+        ]
+        a = max(qual, key=lambda c: (sc[c], c)) if qual else None
+        cnt[(given, a)] += 1
+    return cnt
+
+
+def test_kclass_joint_matches_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint_kclass,
+    )
+
+    rng = random.Random(47)
+    classes = ["de", "en", "fr"]
+    rows = [
+        (
+            i,
+            rng.choice(classes),
+            {c: rng.randrange(0, 10**6) for c in classes},
+        )
+        for i in range(300)
+    ]
+    got = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint_kclass(_kclass_df(spark, rows)).collect()
+    }
+    assert got == dict(_kclass_reference(rows))
+    assert sum(got.values()) == len(rows)
+
+
+def test_kclass_joint_degenerates_to_binary(spark):
+    """On 2 classes the k-class joint equals the binary
+    confident_joint cell for cell (True -> 'p', False -> 'n'): the
+    class-oriented margin m_pos = s_pos - s_neg = -m_neg reproduces
+    the binary >=/<= qualification pair, argmax assignment and
+    tie-breaks included."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint,
+        confident_joint_kclass,
+    )
+
+    rng = random.Random(53)
+    rows = [
+        (
+            i,
+            rng.random() < 0.6,
+            rng.randrange(-(10**5), 10**5),
+            rng.randrange(-(10**5), 10**5),
+        )
+        for i in range(250)
+    ]
+    # force some exact score ties to exercise the tie-break parity
+    rows += [(1000 + i, i % 2 == 0, 777, 777) for i in range(6)]
+    binary = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint(_scored_df(spark, rows)).collect()
+    }
+    lab = {True: "p", False: "n"}
+    krows = [
+        (i, lab[g], {"p": sp, "n": sn}) for i, g, sp, sn in rows
+    ]
+    kres = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint_kclass(_kclass_df(spark, krows)).collect()
+    }
+    mapped = {
+        (lab[g], lab[a] if a is not None else None): c
+        for (g, a), c in binary.items()
+    }
+    assert kres == mapped
+
+
+def test_kclass_joint_overflow_guard(spark):
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint_kclass,
+    )
+
+    rows = [
+        (0, "a", {"a": 1 << 62, "b": -(1 << 62), "c": 0}),
+        (1, "b", {"a": 0, "b": 1, "c": 0}),
+        (2, "b", {"a": 0, "b": 2, "c": 0}),
+    ]
+    with pytest.raises(ValueError, match="int64"):
+        confident_joint_kclass(_kclass_df(spark, rows))

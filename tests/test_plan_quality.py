@@ -780,3 +780,60 @@ def test_nb_scoring_no_selfjoin_two_doc_exchanges(spark, sf_dir):
     plan = _final_plan(nb_quality_classifier(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(doc_id") == 2, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ks_by_region_one_prefix_pass_no_collect_shape(spark, sf_dir):
+    """Grouped KS: ONE range-partitioned prefix-sum pass for every
+    slice at once (single rangepartitioning exchange), the slice
+    totals joined as a broadcast hash join (never collected, never
+    sort-merge), the local cumsum windowed by __pid."""
+    from swisscourtrulingcorpus_spark.plans.drift_queries import (
+        ks_drift_by_region,
+    )
+
+    plan = _final_plan(ks_drift_by_region(spark, sf_dir))
+    # exactly one REAL (slice, value)-keyed range exchange: the local
+    # cumsum and the per-partition totals share it via ReusedExchange
+    # (the only other rangepartitioning is the output orderBy)
+    real = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange rangepartitioning(__s" in ln
+        and "ReusedExchange" not in ln
+    ]
+    assert len(real) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    assert "windowspecdefinition(__pid" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_kclass_joint_margins_single_doc_window_no_selfjoin(spark, sf_dir):
+    """K-class confident joint: the class-oriented margins come from
+    ONE doc-partitioned window layer pair (Catalyst fuses both layers
+    into one sort+exchange on doc) — no per-class self-join of the
+    scores subtree, no sort-merge join anywhere."""
+    from swisscourtrulingcorpus_spark.plans.ann_queries import (
+        label_noise_joint_language,
+    )
+
+    df = label_noise_joint_language(spark, sf_dir)
+    # eager operator: the returned frame is local rows; shape checks
+    # ran during construction, so assert on the output contract
+    assert df.columns == ["given_label", "assigned", "n_docs"]
+    assert df.count() > 0
+
+
+def test_mislabel_candidates_filter_over_checkpoint(spark, sf_dir):
+    """mislabel_candidates: the returned plan is a map-side filter
+    over the checkpointed slim projection — no shuffle, no join, no
+    second NB chain execution in the returned lazy frame."""
+    from swisscourtrulingcorpus_spark.plans.curation_queries import (
+        mislabel_candidates_docs,
+    )
+
+    plan = _final_plan(mislabel_candidates_docs(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only exchange is the output orderBy's range partitioning
+    assert plan.count("Exchange hashpartitioning") == 0, plan

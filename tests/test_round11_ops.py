@@ -1,0 +1,157 @@
+"""Round-11 operators: the grouped two-sample KS (one prefix-sum pass
+for every slice, zero driver collects), the multi-column prefix-sum
+form, and the streaming PSI register twin."""
+
+import math
+import random
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- parallel_prefix_sums (multi-column) -----------------------------------
+
+
+def test_prefix_sums_multi_equals_stacked_singles(spark):
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+        parallel_prefix_sums,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(-50, 50), rng.randrange(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k: long, a: long, b: long")
+    multi = {
+        r["k"]: (r["ca"], r["cb"])
+        for r in parallel_prefix_sums(
+            df,
+            [F.col("k")],
+            [(F.col("a"), "ca"), (F.col("b"), "cb")],
+        ).collect()
+    }
+    s1 = {
+        r["k"]: r["ca"]
+        for r in parallel_prefix_sum(df, [F.col("k")], F.col("a"), "ca").collect()
+    }
+    s2 = {
+        r["k"]: r["cb"]
+        for r in parallel_prefix_sum(df, [F.col("k")], F.col("b"), "cb").collect()
+    }
+    assert multi == {k: (s1[k], s2[k]) for k in s1}
+    # pure-python check of one column
+    run, ref = 0, {}
+    for k, a, _ in sorted(rows):
+        run += a
+        ref[k] = run
+    assert {k: v[0] for k, v in multi.items()} == ref
+
+
+def test_prefix_sums_duplicate_out_cols_fail_loudly(spark):
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sums,
+    )
+
+    df = spark.createDataFrame([(1, 2)], "k: long, a: long")
+    with pytest.raises(ValueError, match="duplicate"):
+        parallel_prefix_sums(
+            df, [F.col("k")], [(F.col("a"), "x"), (F.col("a"), "x")]
+        )
+
+
+# --- ks_two_sample_by -------------------------------------------------------
+
+
+def _ks_reference(vals):
+    """vals: list of (value, is_a). Exact D as (d_num, d_den)."""
+    na = sum(1 for _, a in vals if a)
+    nb = len(vals) - na
+    per = defaultdict(lambda: [0, 0])
+    for v, a in vals:
+        per[v][0 if a else 1] += 1
+    cum, best = 0, 0
+    for v in sorted(per):
+        ca, cb = per[v]
+        cum += nb * ca - na * cb
+        best = max(best, abs(cum))
+    return na, nb, best, na * nb
+
+
+def test_ks_by_matches_per_slice_form(spark):
+    """Per slice, the grouped KS equals the per-pair ks_two_sample on
+    that slice's rows; slices with an empty side are omitted."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        ks_two_sample,
+        ks_two_sample_by,
+    )
+
+    rng = random.Random(13)
+    rows = []
+    for s, shift in [("r1", 0), ("r2", 30), ("r3", -5)]:
+        for i in range(200):
+            g = "A" if rng.random() < 0.5 else "B"
+            v = rng.randrange(0, 100) + (shift if g == "A" else 0)
+            rows.append((s, v, g))
+    # an extra slice with ONLY group A -> must be omitted
+    rows += [("empty_b", rng.randrange(0, 100), "A") for _ in range(20)]
+    df = spark.createDataFrame(rows, "s: string, v: long, g: string")
+    got = {
+        r["slice"]: (r["n_a"], r["n_b"], r["d_num"], r["d_den"], r["d"])
+        for r in ks_two_sample_by(df, "v", "g", "A", "B", "s").collect()
+    }
+    assert set(got) == {"r1", "r2", "r3"}
+    for s in ["r1", "r2", "r3"]:
+        one = ks_two_sample(
+            df.where(F.col("s") == s), "v", "g", "A", "B"
+        ).collect()[0]
+        assert got[s] == (
+            one["n_a"], one["n_b"], one["d_num"], one["d_den"], one["d"]
+        ), s
+        na, nb, dn, dd = _ks_reference(
+            [(v, g == "A") for x, v, g in rows if x == s]
+        )
+        assert got[s][:4] == (na, nb, dn, dd), s
+
+
+def test_ks_by_zero_driver_collects(spark, monkeypatch):
+    """Building the grouped-KS plan must trigger NO driver collect and
+    NO job (the per-pair form's totals collect is exactly what the
+    grouped form exists to avoid)."""
+    from pyspark.sql import DataFrame
+
+    from swisscourtrulingcorpus_spark.operators.drift import ks_two_sample_by
+
+    df = spark.createDataFrame(
+        [("s", 1, "A"), ("s", 2, "B")], "s: string, v: long, g: string"
+    )
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver collect during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    out = ks_two_sample_by(df, "v", "g", "A", "B", "s")
+    monkeypatch.undo()
+    assert out.columns == ["slice", "n_a", "n_b", "d_num", "d_den", "d"]
+
+
+def test_ks_by_single_prefix_pass_resets_at_slice_boundaries(spark):
+    """The load-bearing algebra: one GLOBAL prefix sum over (slice,
+    value) is exact per slice because each slice's diff terms sum to
+    zero.  Adversarial check: slices whose cumulative diffs would
+    poison a neighbor if the reset failed (all-A prefix then all-B)."""
+    from swisscourtrulingcorpus_spark.operators.drift import ks_two_sample_by
+
+    rows = (
+        [("a", v, "A") for v in range(10)]
+        + [("a", v + 100, "B") for v in range(10)]
+        + [("b", v, "B") for v in range(10)]
+        + [("b", v + 100, "A") for v in range(10)]
+    )
+    df = spark.createDataFrame(rows, "s: string, v: long, g: string")
+    got = {
+        r["slice"]: (r["d_num"], r["d_den"])
+        for r in ks_two_sample_by(df, "v", "g", "A", "B", "s").collect()
+    }
+    # fully separated distributions: D = 1 in both slices
+    assert got == {"a": (100, 100), "b": (100, 100)}
