@@ -254,3 +254,89 @@ SPECS = [
         "per-token Jensen-Shannon drift contributions over full-total probabilities",
     ),
 ]
+
+
+def incremental_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING PSI twin value-gated (the `incremental_cusum_drift`
+    probe-stage pattern): the odd-doc_id corpus half replays through
+    the genuine streaming count-register fold
+    (`streaming/stateful.py::make_psi_register_update` — the exact
+    function `psi_register_stream` hands to applyInPandasWithState) as
+    3 doc_id-ordered micro-batch chunks with cross-batch state carry,
+    against a REGISTERED baseline: the even half's per-bin counts, a
+    bin-bounded driver collect (the calibration-table pattern, ≤ 41
+    rows here).  The final register emission then feeds the SAME
+    micro-int PSI contribution expressions as the static `psi_table`
+    (the python fold stays purely integer; both engines do the log),
+    so the output must hash-equal the static even-vs-odd PSI oracle —
+    register maintenance, union-bin emission and NULL empty-side
+    semantics included."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        psi_register_batch_replay,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull()
+    )
+    binned = docs.select(
+        F.least(F.expr("n_chars div 256"), F.lit(40)).alias("bin"),
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("__even"),
+    )
+    base = {
+        int(r["bin"]): int(r["cnt"])
+        for r in binned.where(F.col("__even"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    live = binned.where(~F.col("__even")).select(
+        F.lit("odd").alias("snapshot"),
+        "bin",
+        F.col("doc_id").alias("__ord"),
+    )
+    reg = psi_register_batch_replay(
+        live, sorted(base), order_col="__ord", n_batches=3
+    )
+    base_df = spark.createDataFrame(
+        sorted(base.items()), "bin: long, cnt_a: long"
+    )
+    j = (
+        reg.join(F.broadcast(base_df), on="bin", how="left")
+        .select(
+            "bin",
+            F.coalesce(F.col("cnt_a"), F.lit(0)).alias("cnt_a"),
+            F.col("cnt").alias("cnt_b"),
+        )
+    )
+    totals = j.agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    out = j.crossJoin(F.broadcast(totals))
+    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    contrib = F.when(
+        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
+            "bigint"
+        ),
+    )
+    return out.select(
+        "bin", "cnt_a", "cnt_b", contrib.alias("psi_contrib_micro")
+    ).orderBy("bin")
+
+
+# the oracle never streams: the static even-vs-odd PSI over the full
+# table — hash equality IS the register-maintenance proof (the
+# INCREMENTAL_CUSUM_ORACLE convention)
+INCREMENTAL_PSI_ORACLE = PSI_DOCLEN_ORACLE
+
+
+SPECS += [
+    QuerySpec(
+        "incremental_psi_drift",
+        incremental_psi_drift,
+        INCREMENTAL_PSI_ORACLE,
+        "streaming PSI count register replayed as sequential micro-batch chunks vs the static oracle",
+    ),
+]

@@ -386,3 +386,151 @@ def cusum_drift_batch_replay(
     return events.select("event_type", "day").groupBy("event_type").applyInPandas(
         replay, schema=CUSUM_OUT_SCHEMA
     )
+
+
+# --- PSI snapshot-drift register (round 11) --------------------------------
+#
+# The streaming counterpart of the static PSI/JS snapshot audits
+# (`operators/drift.py`): maintain the LIVE side's per-bin count
+# register incrementally (the CUSUM/IVF register pattern — state is one
+# bounded count table per key), emit the full register each batch, and
+# leave the drift ARITHMETIC to engine expressions over the emitted
+# register + the broadcast baseline.  Keeping the python fold purely
+# integer is what lets the replay gate hash-gate: the ln() products are
+# computed by Spark/DuckDB in the gate plan, never by python libm.
+
+PSI_REGISTER_OUT_SCHEMA = StructType(
+    [
+        StructField("snapshot", StringType()),
+        StructField("bin", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+PSI_REGISTER_STATE_SCHEMA = StructType(
+    [
+        StructField("bins", StringType()),  # csv-packed bounded register
+        StructField("cnts", StringType()),
+    ]
+)
+
+
+def make_psi_register_update(baseline_bins: list):
+    """Build the per-key PSI register update fn: state is the live
+    side's per-bin counts (bin-bounded — the PSI contract bins values
+    into a report-sized domain before streaming); each batch folds the
+    chunk's bin occurrences in and emits the FULL register over the
+    UNION of live and ``baseline_bins`` (so bins the live side never
+    hit emit cnt=0 — the static `psi_table` reports such bins as NULL
+    contributions rather than dropping them, and the union emission
+    preserves that).  Purely integer; drift arithmetic composes
+    downstream in engine expressions.  State packs the bounded
+    register as csv strings (the struct-of-arrays state type trips
+    Arrow round-trips; bins are ints, csv is exact)."""
+    base = sorted(int(b) for b in baseline_bins)
+
+    def _update(key, batches, state):
+        (snap,) = key
+        if state.exists:
+            bins_s, cnts_s = state.get
+            reg = dict(
+                zip(
+                    (int(x) for x in bins_s.split(",") if x != ""),
+                    (int(x) for x in cnts_s.split(",") if x != ""),
+                )
+            )
+        else:
+            reg = {}
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            for b, c in pdf["bin"].value_counts().items():
+                b = int(b)
+                reg[b] = reg.get(b, 0) + int(c)
+        items = sorted(reg.items())
+        state.update(
+            (
+                ",".join(str(b) for b, _ in items),
+                ",".join(str(c) for _, c in items),
+            )
+        )
+        out_bins = sorted(set(reg) | set(base))
+        yield pd.DataFrame(
+            {
+                "snapshot": [snap] * len(out_bins),
+                "bin": out_bins,
+                "cnt": [reg.get(b, 0) for b in out_bins],
+            }
+        )
+
+    return _update
+
+
+def psi_register_stream(stream: DataFrame, baseline_bins: list) -> DataFrame:
+    """binned stream (snapshot, bin) → per-batch full live-side count
+    register — the streaming half of the PSI snapshot-drift audit.
+    State is one bounded (bin, cnt) table per snapshot key; the PSI
+    projection (join the register against the broadcast baseline
+    counts, compute the micro-int contributions) composes downstream
+    exactly as in the `incremental_psi_drift` gate."""
+    return stream.select("snapshot", "bin").groupBy("snapshot").applyInPandasWithState(
+        make_psi_register_update(baseline_bins),
+        outputStructType=PSI_REGISTER_OUT_SCHEMA,
+        stateStructType=PSI_REGISTER_STATE_SCHEMA,
+        outputMode="Update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def psi_register_batch_replay(
+    binned: DataFrame,
+    baseline_bins: list,
+    order_col: str = "__ord",
+    n_batches: int = 3,
+) -> DataFrame:
+    """Replay the STREAMING PSI register fold (`make_psi_register_update`
+    — the exact function `psi_register_stream` hands to
+    applyInPandasWithState) over a batch table of (snapshot, bin,
+    order_col) rows as ``n_batches`` sequential micro-batch chunks per
+    key with cross-batch state carry — the probe-stage gate pattern
+    (`cusum_drift_batch_replay`).  The result is the final per-key
+    register emission, exactly what the live stream would report after
+    consuming the same rows.  Chunk boundaries are row-index
+    ``n_batches``-iles after a stable sort by ``order_col``; the
+    register is a pure count fold, so the emission is independent of
+    the chunking — which is precisely what makes the incremental gate
+    meaningful: any arrival order must hash-equal the static oracle.
+
+    Scale shape: ONE shuffle on the snapshot key into applyInPandas;
+    per-key work is linear in that key's rows and state is bin-bounded.
+    """
+    upd = make_psi_register_update(baseline_bins)
+
+    def replay(key, pdf):
+        st = _ReplayState()
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
+        n = len(pdf)
+        bounds = [n * i // n_batches for i in range(n_batches + 1)]
+        out = None
+        for i in range(n_batches):
+            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
+            if chunk.empty:
+                continue
+            for emitted in upd(key, iter([chunk]), st):
+                out = emitted
+        if out is None:
+            return pd.DataFrame(
+                {
+                    f.name: pd.Series(dtype=object)
+                    for f in PSI_REGISTER_OUT_SCHEMA
+                }
+            )
+        return out
+
+    return (
+        binned.select("snapshot", "bin", order_col)
+        .groupBy("snapshot")
+        .applyInPandas(replay, schema=PSI_REGISTER_OUT_SCHEMA)
+    )

@@ -155,3 +155,93 @@ def test_ks_by_single_prefix_pass_resets_at_slice_boundaries(spark):
     }
     # fully separated distributions: D = 1 in both slices
     assert got == {"a": (100, 100), "b": (100, 100)}
+
+
+# --- PSI streaming register -------------------------------------------------
+
+
+def test_psi_register_replay_chunk_invariant(spark):
+    """The register fold is a pure count: any chunking (1, 2, 5
+    batches) of any arrival order must yield the identical final
+    register, union bins included."""
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        psi_register_batch_replay,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        ("s", rng.randrange(0, 6), i) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "snapshot: string, bin: long, __ord: long")
+    want = Counter(b for _, b, _ in rows)
+    base_bins = [4, 5, 9]  # 9 never occurs live -> cnt 0 row
+    results = []
+    for n_batches in (1, 2, 5):
+        got = {
+            r["bin"]: r["cnt"]
+            for r in psi_register_batch_replay(
+                df, base_bins, n_batches=n_batches
+            ).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert results[0][9] == 0
+    assert {b: c for b, c in results[0].items() if c > 0} == dict(want)
+
+
+def test_stream_psi_register_equals_batch_replay(spark, tmp_path):
+    """The LIVE applyInPandasWithState stream over growing input must
+    converge to the same final register as the batch replay (the gate
+    evidence that `incremental_psi_drift` exercises the genuine
+    streaming fold)."""
+    import os
+
+    from swisscourtrulingcorpus_spark.streaming.stateful import (
+        psi_register_batch_replay,
+        psi_register_stream,
+    )
+
+    rng = random.Random(19)
+    rows = [("live", rng.randrange(0, 5), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "snapshot: string, bin: long, __ord: long")
+    base_bins = [0, 1, 7]
+    stage = str(tmp_path / "psi_in")
+    os.makedirs(stage, exist_ok=True)
+    out_dir = str(tmp_path / "psi_out")
+    thirds = [rows[:100], rows[100:200], rows[200:]]
+    for i, chunk in enumerate(thirds):
+        spark.createDataFrame(
+            chunk, "snapshot: string, bin: long, __ord: long"
+        ).coalesce(1).write.parquet(os.path.join(stage, f"chunk={i}"))
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1000)
+            .parquet(stage + "/*")
+        )
+
+        def _sink(b, bid):
+            if b.count():
+                b.write.mode("append").parquet(out_dir)
+
+        q = (
+            psi_register_stream(stream, base_bins)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    final_stream = {
+        r["bin"]: r["cnt"]
+        for r in spark.read.parquet(out_dir)
+        .groupBy("bin")
+        .agg(F.max("cnt").alias("cnt"))
+        .collect()
+    }
+    final_replay = {
+        r["bin"]: r["cnt"]
+        for r in psi_register_batch_replay(df, base_bins).collect()
+    }
+    assert final_stream == final_replay
+    assert final_replay[7] == 0 and sum(final_replay.values()) == 300
