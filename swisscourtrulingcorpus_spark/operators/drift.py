@@ -214,6 +214,64 @@ def psi_table(
     )
 
 
+def psi_table_by(
+    df: DataFrame,
+    bin_col: Column,
+    side_col: Column,
+    slice_col: Column,
+) -> DataFrame:
+    """The GROUPED form of :func:`psi_table` — per-bin PSI drift
+    contributions for EVERY slice in one job (per court, per language,
+    per spider…), the PSI companion of :func:`ks_two_sample_by`'s
+    fleet-wide audit.  Output one row per (slice, bin):
+    (slice, bin, cnt_a, cnt_b, psi_contrib_micro), where the
+    probabilities normalize by the SLICE's side totals and the
+    contribution follows `psi_table`'s conventions exactly (micro-int
+    rounded log, NULL when either side's bin is empty).  Slices where
+    an entire SIDE is empty have no defined PSI: all their
+    contributions are NULL (cnt 0 on that side in every bin), and the
+    per-bin counts still report — one broken slice degrades to counts
+    instead of killing the fleet report.
+
+    Scale shape: one (slice, bin) groupBy with map-side combine, then
+    the slice-sized totals table joins back as a broadcast on the
+    slice key — the input shuffles once, as (slice, bin) pairs; no
+    driver collect, no per-slice jobs.
+    """
+    slim = df.select(
+        slice_col.alias("__s"),
+        bin_col.cast("bigint").alias("__bin"),
+        side_col.cast("boolean").alias("__a"),
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__bin").isNotNull()
+        & F.col("__a").isNotNull()
+    )
+    per = slim.groupBy("__s", "__bin").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
+    )
+    totals = per.groupBy("__s").agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    j = per.join(F.broadcast(totals), on="__s")
+    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    contrib = F.when(
+        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
+            "bigint"
+        ),
+    )
+    return j.select(
+        F.col("__s").alias("slice"),
+        F.col("__bin").alias("bin"),
+        "cnt_a",
+        "cnt_b",
+        contrib.alias("psi_contrib_micro"),
+    )
+
+
 def js_token_divergence(
     df: DataFrame,
     token_col: Column,

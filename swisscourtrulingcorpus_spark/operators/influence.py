@@ -269,6 +269,41 @@ def confident_joint_kclass(
     (doc, label, class, decimal) shuffles; k is assumed
     report-bounded (a class-label taxonomy, not a value domain).
     """
+    marg = _kclass_margins(
+        scored, doc_col, given_col, cls_col, score_col
+    ).cache()
+    try:
+        assigned = _kclass_assigned(marg, _kclass_stats(marg))
+        # exactly one (doc, given) row per doc by the density +
+        # membership contract: the doc's own-class row
+        docs = marg.where(F.col("cls") == F.col("given")).select(
+            "doc", "given"
+        )
+        out = (
+            docs.join(assigned, on="doc", how="left")
+            .groupBy(
+                F.col("given").alias("given_label"), F.col("assigned")
+            )
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("given_label", "assigned")
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        marg.unpersist()
+    return scored.sparkSession.createDataFrame(rows, schema)
+
+
+def _kclass_margins(
+    scored: DataFrame,
+    doc_col: str,
+    given_col: str,
+    cls_col: str,
+    score_col: str,
+) -> DataFrame:
+    """The (doc, given, cls, s, m) margin frame of the k-class joint:
+    class-oriented margins m_c = s_c − max other from ONE
+    doc-partitioned window."""
     slim = scored.select(
         F.col(doc_col).alias("doc"),
         F.col(given_col).cast("string").alias("given"),
@@ -290,74 +325,101 @@ def confident_joint_kclass(
         "__mx2",
         F.max(F.when(F.col("s") < F.col("__mx"), F.col("s"))).over(w),
     )
-    marg = (
-        top.withColumn(
-            "m",
-            F.col("s")
-            - F.when(
-                (F.col("s") == F.col("__mx")) & (F.col("__nmx") == 1),
-                F.col("__mx2"),
-            ).otherwise(F.col("__mx")),
-        )
-        .drop("__mx", "__nmx", "__mx2")
-        .cache()
-    )
-    try:
-        stats = {
-            r["cls"]: (int(r["sm"]), int(r["n"]))
-            for r in marg.where(F.col("cls") == F.col("given"))
-            .groupBy("cls")
-            .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        mx_all = int(
-            marg.agg(F.max(F.abs(F.col("m"))).alias("mx")).collect()[0]["mx"]
-            or 0
-        )
-        n_max = max((n for _, n in stats.values()), default=0)
-        # same bound as the binary guard: every margin cross-multiplies
-        # every class's count, so global max margin × largest class
-        if mx_all * n_max > _I64_MAX:
-            raise ValueError(
-                f"confident_joint_kclass: max margin·max class count "
-                f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
-            )
-        from decimal import Decimal
+    return top.withColumn(
+        "m",
+        F.col("s")
+        - F.when(
+            (F.col("s") == F.col("__mx")) & (F.col("__nmx") == 1),
+            F.col("__mx2"),
+        ).otherwise(F.col("__mx")),
+    ).drop("__mx", "__nmx", "__mx2")
 
-        spark = scored.sparkSession
-        th = spark.createDataFrame(
-            [(c, Decimal(sm), n) for c, (sm, n) in sorted(stats.items())],
-            "cls string, sm decimal(38,0), n long",
+
+def _kclass_stats(marg: DataFrame) -> dict:
+    """Per-class (Σ own-margin, n) thresholds — a k-row bounded
+    collect — plus the int64 overflow guard (global max margin ×
+    largest class, the binary guard's bound)."""
+    stats = {
+        r["cls"]: (int(r["sm"]), int(r["n"]))
+        for r in marg.where(F.col("cls") == F.col("given"))
+        .groupBy("cls")
+        .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    mx_all = int(
+        marg.agg(F.max(F.abs(F.col("m"))).alias("mx")).collect()[0]["mx"]
+        or 0
+    )
+    n_max = max((n for _, n in stats.values()), default=0)
+    if mx_all * n_max > _I64_MAX:
+        raise ValueError(
+            f"confident_joint_kclass: max margin·max class count "
+            f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
         )
-        qualified = marg.join(F.broadcast(th), on="cls").where(
-            (F.col("n") > 0) & (F.col("m") * F.col("n") >= F.col("sm"))
+    return stats
+
+
+def _kclass_assigned(marg: DataFrame, stats: dict) -> DataFrame:
+    """Per-doc confident assignment: (doc, assigned) for docs with at
+    least one qualifying class — highest qualifying score, ties to
+    the lexically larger class."""
+    from decimal import Decimal
+
+    th = marg.sparkSession.createDataFrame(
+        [(c, Decimal(sm), n) for c, (sm, n) in sorted(stats.items())],
+        "cls string, sm decimal(38,0), n long",
+    )
+    qualified = marg.join(F.broadcast(th), on="cls").where(
+        (F.col("n") > 0) & (F.col("m") * F.col("n") >= F.col("sm"))
+    )
+    wq = Window.partitionBy("doc").orderBy(
+        F.col("s").desc(), F.col("cls").desc()
+    )
+    return (
+        qualified.withColumn("__rn", F.row_number().over(wq))
+        .where(F.col("__rn") == 1)
+        .select("doc", F.col("cls").alias("assigned"))
+    )
+
+
+def mislabel_candidates_kclass(
+    scored: DataFrame,
+    doc_col: str = "doc_id",
+    given_col: str = "given_label",
+    cls_col: str = "cls",
+    score_col: str = "score_micro",
+) -> DataFrame:
+    """Doc-level mislabel candidates for the K-CLASS joint — the rows
+    behind :func:`confident_joint_kclass`'s off-diagonal counts: every
+    doc confidently assigned a class other than its given label, with
+    the doc's OWN-class margin (how weakly its declared class leads —
+    the most-negative margins are the strongest mislabel evidence) for
+    review triage.  EAGER like the binary
+    :func:`mislabel_candidates`: the margin frame localCheckpoints so
+    the scoring chain upstream executes exactly once; the returned
+    frame is lazy over the checkpoint.  Same qualification arithmetic
+    as the joint by construction (shared margin/stats/assignment
+    helpers), so per (given, assigned) cell the candidate counts tie
+    out to the joint's off-diagonals exactly (unit-pinned).
+
+    Output: (doc_id, given_label, assigned, own_margin_micro)."""
+    marg = _kclass_margins(
+        scored, doc_col, given_col, cls_col, score_col
+    ).localCheckpoint(eager=True)
+    assigned = _kclass_assigned(marg, _kclass_stats(marg))
+    own = marg.where(F.col("cls") == F.col("given")).select(
+        "doc", "given", F.col("m").cast("bigint").alias("own_margin_micro")
+    )
+    return (
+        own.join(assigned, on="doc")
+        .where(F.col("assigned") != F.col("given"))
+        .select(
+            F.col("doc").alias("doc_id"),
+            F.col("given").alias("given_label"),
+            "assigned",
+            "own_margin_micro",
         )
-        wq = Window.partitionBy("doc").orderBy(
-            F.col("s").desc(), F.col("cls").desc()
-        )
-        assigned = (
-            qualified.withColumn("__rn", F.row_number().over(wq))
-            .where(F.col("__rn") == 1)
-            .select("doc", F.col("cls").alias("assigned"))
-        )
-        # exactly one (doc, given) row per doc by the density +
-        # membership contract: the doc's own-class row
-        docs = marg.where(F.col("cls") == F.col("given")).select(
-            "doc", "given"
-        )
-        out = (
-            docs.join(assigned, on="doc", how="left")
-            .groupBy(
-                F.col("given").alias("given_label"), F.col("assigned")
-            )
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .orderBy("given_label", "assigned")
-        )
-        rows = out.collect()
-        schema = out.schema
-    finally:
-        marg.unpersist()
-    return scored.sparkSession.createDataFrame(rows, schema)
+    )
 
 
 def margin_uncertainty_topk(scored: DataFrame, k: int = 50) -> DataFrame:

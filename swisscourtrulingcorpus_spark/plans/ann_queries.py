@@ -945,6 +945,14 @@ def label_noise_joint_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         confident_joint_kclass,
     )
 
+    return confident_joint_kclass(_lid_dense_scores(spark, sf_dir))
+
+
+def _lid_dense_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DENSE k-class scored frame over the trained-LID chain: one
+    (doc, language) row for every model language, score 0 where the
+    doc shares no model trigrams — the `confident_joint_kclass` input
+    contract.  Shared by the joint and the candidate gate."""
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & F.col("lang").isNotNull())
@@ -952,7 +960,7 @@ def label_noise_joint_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base, model, scores = _lid_chain(docs)
     classes = model.select(F.col("mlang").alias("cls")).distinct()
-    dense = (
+    return (
         base.select("doc_id", "lang")
         .crossJoin(F.broadcast(classes))
         .join(
@@ -967,12 +975,17 @@ def label_noise_joint_language(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("score"), F.lit(0)).alias("score_micro"),
         )
     )
-    return confident_joint_kclass(dense)
 
 
-KCLASS_JOINT_ORACLE = (
-    _lid_ctes()
-    + """,
+def _kclass_ctes() -> str:
+    """The densify/margin/threshold/assignment CTE chain of the
+    k-class confident joint over LID scores, through ``asg`` (per-doc
+    assignment) and ``own`` (per-doc given label + own-class margin) —
+    ONE definition shared by the joint and the doc-level candidate
+    oracles."""
+    return (
+        _lid_ctes()
+        + """,
 base AS (SELECT doc_id, lang FROM docs WHERE length(t) >= 3),
 classes AS (SELECT DISTINCT mlang AS cls FROM model),
 dense AS (
@@ -1008,7 +1021,14 @@ asg AS (
                               ORDER BY s DESC, cls DESC) AS rn
     FROM qualified) q
   WHERE rn = 1),
-own AS (SELECT doc, given FROM marg WHERE cls = given)
+own AS (SELECT doc, given, CAST(m AS BIGINT) AS own_m
+        FROM marg WHERE cls = given)"""
+    )
+
+
+KCLASS_JOINT_ORACLE = (
+    _kclass_ctes()
+    + """
 SELECT o.given AS given_label, a.assigned,
        count(*) AS n_docs
 FROM own o LEFT JOIN asg a USING (doc)
@@ -1018,11 +1038,47 @@ ORDER BY 1, 2
 )
 
 
+KCLASS_CANDIDATES_ORACLE = (
+    _kclass_ctes()
+    + """
+SELECT o.doc AS doc_id, o.given AS given_label, a.assigned,
+       o.own_m AS own_margin_micro
+FROM own o JOIN asg a USING (doc)
+WHERE a.assigned <> o.given
+ORDER BY doc_id
+"""
+)
+
+
+def mislabel_candidates_language(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Doc-level k-class mislabel candidates
+    (`operators/influence.py::mislabel_candidates_kclass`): the rows
+    behind `label_noise_joint_language`'s off-diagonal cells — every
+    document whose declared language confidently disagrees with the
+    LID evidence, with its own-class margin for triage (shared
+    margin/threshold/assignment machinery with the joint)."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        mislabel_candidates_kclass,
+    )
+
+    return mislabel_candidates_kclass(_lid_dense_scores(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 SPECS += [
     QuerySpec(
         name="label_noise_joint_language",
         spark=label_noise_joint_language,
         oracle=KCLASS_JOINT_ORACLE,
         doc="k-class confident joint over LID scores: class-oriented margins, exact cross-multiply thresholds",
+    ),
+    QuerySpec(
+        name="mislabel_candidates_language",
+        spark=mislabel_candidates_language,
+        oracle=KCLASS_CANDIDATES_ORACLE,
+        doc="doc-level k-class mislabel candidates with own-class triage margins",
     ),
 ]

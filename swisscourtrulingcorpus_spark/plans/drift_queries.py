@@ -340,3 +340,54 @@ SPECS += [
         "streaming PSI count register replayed as sequential micro-batch chunks vs the static oracle",
     ),
 ]
+
+
+def psi_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE PSI between the even/odd snapshot halves' document
+    length distributions (`operators/drift.py::psi_table_by` — the
+    fleet-wide PSI audit: every language's drift report in ONE job,
+    slice totals joined back as a broadcast, zero driver collects).
+    Same bins and contribution conventions as `psi_doclen_snapshots`;
+    probabilities normalize per language."""
+    from swisscourtrulingcorpus_spark.operators.drift import psi_table_by
+
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_table_by(
+        docs.where(F.col("n_chars").isNotNull()),
+        F.least(F.expr("n_chars div 256"), F.lit(40)),
+        F.col("doc_id") % 2 == 0,
+        F.col("lang"),
+    ).orderBy("slice", "bin")
+
+
+PSI_BY_LANG_ORACLE = """
+WITH slim AS (
+  SELECT lang AS s, least(n_chars // 256, 40) AS bin, doc_id % 2 = 0 AS a
+  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+per AS (
+  SELECT s, bin,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
+  FROM slim GROUP BY 1, 2),
+tot AS (SELECT s, sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per GROUP BY 1)
+SELECT s AS slice, CAST(bin AS BIGINT) AS bin, cnt_a, cnt_b,
+       CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN CAST(round(
+         (CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE)
+          - CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE))
+         * ln((CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE))
+              / (CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE)))
+         * 1000000.0) AS BIGINT)
+       END AS psi_contrib_micro
+FROM per JOIN tot USING (s)
+ORDER BY s, bin
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "psi_doclen_by_lang",
+        psi_doclen_by_lang,
+        PSI_BY_LANG_ORACLE,
+        "per-slice PSI drift: every language in one job, slice totals broadcast",
+    ),
+]

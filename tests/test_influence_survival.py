@@ -585,3 +585,46 @@ def test_kclass_joint_overflow_guard(spark):
     ]
     with pytest.raises(ValueError, match="int64"):
         confident_joint_kclass(_kclass_df(spark, rows))
+
+
+def test_kclass_mislabel_candidates_tie_to_joint(spark):
+    """K-class candidate rows are the joint's off-diagonal, cell for
+    cell, and each candidate's own-class margin matches the reference
+    margin (shared margin/threshold/assignment helpers by
+    construction)."""
+    from swisscourtrulingcorpus_spark.operators.influence import (
+        confident_joint_kclass,
+        mislabel_candidates_kclass,
+    )
+
+    rng = random.Random(59)
+    classes = ["de", "en", "fr", "it"]
+    rows = [
+        (
+            i,
+            rng.choice(classes),
+            {c: rng.randrange(0, 10**5) for c in classes},
+        )
+        for i in range(250)
+    ]
+    joint = {
+        (r["given_label"], r["assigned"]): r["n_docs"]
+        for r in confident_joint_kclass(_kclass_df(spark, rows)).collect()
+    }
+    cands = mislabel_candidates_kclass(_kclass_df(spark, rows)).collect()
+    assert all(r["assigned"] != r["given_label"] for r in cands)
+    by_cell = Counter((r["given_label"], r["assigned"]) for r in cands)
+    off = {
+        cell: cnt
+        for cell, cnt in joint.items()
+        if cell[1] is not None and cell[1] != cell[0]
+    }
+    assert dict(by_cell) == off and len(off) > 0
+    # own-class margin = own score minus best other class
+    margins = {
+        i: sc[g] - max(s for c, s in sc.items() if c != g)
+        for i, g, sc in rows
+    }
+    assert all(
+        r["own_margin_micro"] == margins[r["doc_id"]] for r in cands
+    )

@@ -245,3 +245,43 @@ def test_stream_psi_register_equals_batch_replay(spark, tmp_path):
     }
     assert final_stream == final_replay
     assert final_replay[7] == 0 and sum(final_replay.values()) == 300
+
+
+# --- psi_table_by -----------------------------------------------------------
+
+
+def test_psi_by_matches_per_slice_static_form(spark):
+    """Per slice, the grouped PSI equals psi_table run on that slice's
+    rows alone (probabilities normalize per slice); empty-side slices
+    degrade to all-NULL contributions instead of disappearing."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        psi_table,
+        psi_table_by,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for s, shift in [("de", 0), ("fr", 2)]:
+        for i in range(300):
+            a = rng.random() < 0.5
+            rows.append((s, rng.randrange(0, 5) + (shift if a else 0), a))
+    # a slice where side B is entirely missing
+    rows += [("it", rng.randrange(0, 5), True) for _ in range(30)]
+    df = spark.createDataFrame(rows, "s: string, bin: long, a: boolean")
+    got = {
+        (r["slice"], r["bin"]): (r["cnt_a"], r["cnt_b"], r["psi_contrib_micro"])
+        for r in psi_table_by(
+            df, F.col("bin"), F.col("a"), F.col("s")
+        ).collect()
+    }
+    for s in ["de", "fr"]:
+        one = {
+            r["bin"]: (r["cnt_a"], r["cnt_b"], r["psi_contrib_micro"])
+            for r in psi_table(
+                df.where(F.col("s") == s), F.col("bin"), F.col("a")
+            ).collect()
+        }
+        assert {b: v for (sl, b), v in got.items() if sl == s} == one, s
+    it_rows = {b: v for (sl, b), v in got.items() if sl == "it"}
+    assert len(it_rows) == 5
+    assert all(v[1] == 0 and v[2] is None for v in it_rows.values())

@@ -155,6 +155,14 @@ QUERIES = [
     ("uncertainty_margin_sample", "TakeOrderedAndProject over per-doc margins; no global sort"),
     ("nb_loo_self_influence", "ONE featurization, two corpus exchanges; model/count tables broadcast"),
     ("kaplan_meier_customer_churn", "per-customer min/max agg; risk table bounded by distinct durations"),
+    # round-11: grouped drift, doc-level mislabel, k-class joint,
+    # streaming PSI register
+    ("ks_drift_by_region", "ONE prefix-sum pass for all slices (per-slice diffs sum to zero); slice totals broadcast, zero driver collects"),
+    ("mislabel_candidates_docs", "NB scoring shuffles + map-side filter over the checkpointed slim projection"),
+    ("label_noise_joint_language", "LID model broadcast; margins from one doc-partitioned window; k-row threshold collect"),
+    ("incremental_psi_drift", "one snapshot-key shuffle into the replayed register fold; state bin-bounded"),
+    ("psi_doclen_by_lang", "one (slice, bin) groupBy; slice-sized totals broadcast back, zero driver collects"),
+    ("mislabel_candidates_language", "LID chain + margin checkpoint; candidates filter map-side over it"),
 ]
 
 
