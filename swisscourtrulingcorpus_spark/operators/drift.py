@@ -164,6 +164,27 @@ def ks_two_sample_by(
     )
 
 
+def psi_contrib_micro(
+    cnt_a: Column, cnt_b: Column, na: Column, nb: Column
+) -> Column:
+    """The house PSI contribution expression — ONE definition for the
+    static table (:func:`psi_table`), the grouped form
+    (:func:`psi_table_by`) and the streaming-register gate
+    (`plans/drift_queries.py::incremental_psi_drift`), so a change to
+    the rounding/scale convention lands everywhere (r11 review):
+    round(1e6·(p_a − p_b)·ln(p_a/p_b)) as bigint, NULL when either
+    side's count is 0 (the undefined-bin case, reported rather than
+    smoothed away)."""
+    pa = cnt_a.cast("double") / na.cast("double")
+    pb = cnt_b.cast("double") / nb.cast("double")
+    return F.when(
+        (cnt_a > 0) & (cnt_b > 0),
+        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
+            "bigint"
+        ),
+    )
+
+
 def psi_table(
     df: DataFrame,
     bin_col: Column,
@@ -198,13 +219,8 @@ def psi_table(
         F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
     )
     j = per.crossJoin(F.broadcast(totals))
-    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
-    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
-    contrib = F.when(
-        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
-        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
-            "bigint"
-        ),
+    contrib = psi_contrib_micro(
+        F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
     )
     return j.select(
         F.col("__bin").alias("bin"),
@@ -255,13 +271,8 @@ def psi_table_by(
         F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
     )
     j = per.join(F.broadcast(totals), on="__s")
-    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
-    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
-    contrib = F.when(
-        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
-        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
-            "bigint"
-        ),
+    contrib = psi_contrib_micro(
+        F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
     )
     return j.select(
         F.col("__s").alias("slice"),

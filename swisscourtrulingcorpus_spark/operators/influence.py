@@ -149,7 +149,7 @@ def _binary_margin_stats(slim: DataFrame) -> dict:
     n_max = max((s[1] for s in stats.values()), default=0)
     if mx_all * n_max > _I64_MAX:
         raise ValueError(
-            f"confident_joint: max margin·max class count "
+            f"margin qualification: max margin·max class count "
             f"{mx_all}·{n_max} exceeds int64 — rescale scores first"
         )
     return stats
@@ -336,20 +336,29 @@ def _kclass_margins(
 
 
 def _kclass_stats(marg: DataFrame) -> dict:
-    """Per-class (Σ own-margin, n) thresholds — a k-row bounded
-    collect — plus the int64 overflow guard (global max margin ×
-    largest class, the binary guard's bound)."""
-    stats = {
-        r["cls"]: (int(r["sm"]), int(r["n"]))
-        for r in marg.where(F.col("cls") == F.col("given"))
-        .groupBy("cls")
-        .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
+    """Per-class (Σ own-margin, n) thresholds plus the int64 overflow
+    guard (global max margin × largest class, the binary guard's
+    bound) — ONE k-row bounded collect: the own-row aggregates are
+    conditional on cls == given while max|m| spans every row of the
+    class's column (r11 review; the `_binary_margin_stats` one-collect
+    precedent)."""
+    rows = (
+        marg.groupBy("cls")
+        .agg(
+            F.sum(
+                F.when(F.col("cls") == F.col("given"), F.col("m"))
+            ).alias("sm"),
+            F.count(
+                F.when(F.col("cls") == F.col("given"), 1)
+            ).alias("n"),
+            F.max(F.abs(F.col("m"))).alias("mx"),
+        )
         .collect()
-    }
-    mx_all = int(
-        marg.agg(F.max(F.abs(F.col("m"))).alias("mx")).collect()[0]["mx"]
-        or 0
     )
+    stats = {
+        r["cls"]: (int(r["sm"]), int(r["n"])) for r in rows if r["n"] > 0
+    }
+    mx_all = max((int(r["mx"]) for r in rows if r["mx"] is not None), default=0)
     n_max = max((n for _, n in stats.values()), default=0)
     if mx_all * n_max > _I64_MAX:
         raise ValueError(

@@ -1509,9 +1509,15 @@ def label_noise_confident_joint(
     return confident_joint(scored)
 
 
-CONFIDENT_JOINT_ORACLE = (
-    _nb_score_ctes()
-    + """,
+def _binary_joint_ctes() -> str:
+    """The margin/threshold/assignment CTE chain of the BINARY
+    confident joint, through ``asg`` (doc_id, label, m, assigned) —
+    ONE definition shared by the joint and the doc-level candidate
+    oracles (the `_kclass_ctes` convention: the operators share their
+    qualification expressions, so the oracles must too)."""
+    return (
+        _nb_score_ctes()
+        + """,
 marg AS (
   SELECT a.doc_id, a.label,
          a.score - n.score AS m,
@@ -1527,16 +1533,25 @@ thp AS (
          coalesce(max(CASE WHEN NOT label THEN n END), 0) AS nn
   FROM th),
 q AS (
-  SELECT m.label, m.pred,
+  SELECT m.doc_id, m.label, m.m, m.pred,
          (np > 0 AND m.m * np >= smp) AS qp,
          (nn > 0 AND m.m * nn <= smn) AS qn
-  FROM marg m, thp)
-SELECT label AS given_label,
-       CASE WHEN qp AND qn THEN pred
-            WHEN qp THEN true
-            WHEN qn THEN false END AS assigned,
+  FROM marg m, thp),
+asg AS (
+  SELECT doc_id, label, m,
+         CASE WHEN qp AND qn THEN pred
+              WHEN qp THEN true
+              WHEN qn THEN false END AS assigned
+  FROM q)"""
+    )
+
+
+CONFIDENT_JOINT_ORACLE = (
+    _binary_joint_ctes()
+    + """
+SELECT label AS given_label, assigned,
        count(*) AS n_docs
-FROM q
+FROM asg
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
@@ -1568,33 +1583,8 @@ def mislabel_candidates_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MISLABEL_CANDIDATES_ORACLE = (
-    _nb_score_ctes()
-    + """,
-marg AS (
-  SELECT a.doc_id, a.label,
-         a.score - n.score AS m,
-         (a.score >= n.score) AS pred
-  FROM fullsc a JOIN fullsc n ON a.doc_id = n.doc_id AND a.cls AND NOT n.cls),
-th AS (
-  SELECT label, CAST(sum(m) AS BIGINT) AS sm, count(*) AS n
-  FROM marg GROUP BY 1),
-thp AS (
-  SELECT max(CASE WHEN label THEN sm END) AS smp,
-         coalesce(max(CASE WHEN label THEN n END), 0) AS np,
-         max(CASE WHEN NOT label THEN sm END) AS smn,
-         coalesce(max(CASE WHEN NOT label THEN n END), 0) AS nn
-  FROM th),
-q AS (
-  SELECT m.doc_id, m.label, m.m, m.pred,
-         (np > 0 AND m.m * np >= smp) AS qp,
-         (nn > 0 AND m.m * nn <= smn) AS qn
-  FROM marg m, thp),
-asg AS (
-  SELECT doc_id, label, m,
-         CASE WHEN qp AND qn THEN pred
-              WHEN qp THEN true
-              WHEN qn THEN false END AS assigned
-  FROM q)
+    _binary_joint_ctes()
+    + """
 SELECT doc_id, label AS given_label, assigned,
        CAST(m AS BIGINT) AS margin_micro
 FROM asg

@@ -309,17 +309,25 @@ def incremental_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("cnt_b"),
         )
     )
-    totals = j.agg(
-        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    # totals WITHOUT a second replay execution (r11 review): the
+    # baseline total is driver-known from the bounded collect, and the
+    # live total is a window over the bin-bounded register itself —
+    # the single-partition window is safe by construction (≤ |bins|
+    # rows), like the prefix-sum offsets table
+    from pyspark.sql import Window
+
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        psi_contrib_micro,
     )
-    out = j.crossJoin(F.broadcast(totals))
-    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
-    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
-    contrib = F.when(
-        (F.col("cnt_a") > 0) & (F.col("cnt_b") > 0),
-        F.round((pa - pb) * F.log(pa / pb) * F.lit(1_000_000.0)).cast(
-            "bigint"
-        ),
+
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    out = j.withColumn("__na", F.lit(sum(base.values()))).withColumn(
+        "__nb", F.sum("cnt_b").over(w_all)
+    )
+    contrib = psi_contrib_micro(
+        F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
     )
     return out.select(
         "bin", "cnt_a", "cnt_b", contrib.alias("psi_contrib_micro")

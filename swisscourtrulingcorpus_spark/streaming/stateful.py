@@ -363,11 +363,33 @@ def cusum_drift_batch_replay(
     live data; this bridges them for gating and checkpoint-free
     backfill of small keyed slices.
     """
-    upd = make_cusum_update(refs, hs)
+    return (
+        events.select("event_type", "day")
+        .groupBy("event_type")
+        .applyInPandas(
+            _make_replay_fn(
+                make_cusum_update(refs, hs), "day", n_batches, CUSUM_OUT_SCHEMA
+            ),
+            schema=CUSUM_OUT_SCHEMA,
+        )
+    )
+
+
+def _make_replay_fn(upd, order_col: str, n_batches: int, out_schema):
+    """The shared batch-replay driver behind every streaming-twin gate
+    (`cusum_drift_batch_replay`, `psi_register_batch_replay`): run a
+    genuine applyInPandasWithState update function over one key's rows
+    as ``n_batches`` sequential chunks against an in-memory
+    `_ReplayState` — stable sort by ``order_col``, row-index n-tile
+    chunk bounds, final emission returned (empty-schema frame for an
+    empty key).  ONE definition so a fix to the chunking or empty-key
+    handling lands in every replay gate (r11 review)."""
 
     def replay(key, pdf):
         st = _ReplayState()
-        pdf = pdf.sort_values("day", kind="mergesort").reset_index(drop=True)
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
+            drop=True
+        )
         n = len(pdf)
         bounds = [n * i // n_batches for i in range(n_batches + 1)]
         out = None
@@ -379,13 +401,11 @@ def cusum_drift_batch_replay(
                 out = emitted
         if out is None:
             return pd.DataFrame(
-                {f.name: pd.Series(dtype=object) for f in CUSUM_OUT_SCHEMA}
+                {f.name: pd.Series(dtype=object) for f in out_schema}
             )
         return out
 
-    return events.select("event_type", "day").groupBy("event_type").applyInPandas(
-        replay, schema=CUSUM_OUT_SCHEMA
-    )
+    return replay
 
 
 # --- PSI snapshot-drift register (round 11) --------------------------------
@@ -504,33 +524,16 @@ def psi_register_batch_replay(
     Scale shape: ONE shuffle on the snapshot key into applyInPandas;
     per-key work is linear in that key's rows and state is bin-bounded.
     """
-    upd = make_psi_register_update(baseline_bins)
-
-    def replay(key, pdf):
-        st = _ReplayState()
-        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(
-            drop=True
-        )
-        n = len(pdf)
-        bounds = [n * i // n_batches for i in range(n_batches + 1)]
-        out = None
-        for i in range(n_batches):
-            chunk = pdf.iloc[bounds[i] : bounds[i + 1]]
-            if chunk.empty:
-                continue
-            for emitted in upd(key, iter([chunk]), st):
-                out = emitted
-        if out is None:
-            return pd.DataFrame(
-                {
-                    f.name: pd.Series(dtype=object)
-                    for f in PSI_REGISTER_OUT_SCHEMA
-                }
-            )
-        return out
-
     return (
         binned.select("snapshot", "bin", order_col)
         .groupBy("snapshot")
-        .applyInPandas(replay, schema=PSI_REGISTER_OUT_SCHEMA)
+        .applyInPandas(
+            _make_replay_fn(
+                make_psi_register_update(baseline_bins),
+                order_col,
+                n_batches,
+                PSI_REGISTER_OUT_SCHEMA,
+            ),
+            schema=PSI_REGISTER_OUT_SCHEMA,
+        )
     )

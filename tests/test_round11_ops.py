@@ -2,7 +2,6 @@
 for every slice, zero driver collects), the multi-column prefix-sum
 form, and the streaming PSI register twin."""
 
-import math
 import random
 from collections import Counter, defaultdict
 
