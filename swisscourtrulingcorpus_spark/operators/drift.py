@@ -339,3 +339,149 @@ def js_token_divergence(
         "cnt_b",
         contrib.alias("js_contrib_micro"),
     )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """EXACT two-sample Cramér–von Mises statistic (Anderson 1962,
+    public) between the ``value_col`` distributions of groups a and b —
+    the SUM-SQUARED complement of :func:`ks_two_sample`'s max
+    deviation (KS sees the single worst ECDF gap; CvM integrates every
+    gap, catching distributed small shifts KS under-weights):
+
+        T = n_a·n_b/(n_a+n_b)² · Σ_pooled (F_a(x) − F_b(x))²
+
+    summed over the POOLED observations with multiplicity.  In the
+    engine's exact-arithmetic house style: with the integer deviation
+    D(v) = n_b·cum_a(v) − n_a·cum_b(v) (KS's exact prefix integer),
+    (F_a − F_b)(v) = D(v)/(n_a·n_b), so
+
+        T = Σ_v mult(v)·D(v)²  /  (n_a·n_b·(n_a+n_b)²)
+
+    is ONE exact integer numerator (DECIMAL(38,0) — D² can pass int64)
+    over a fixed integer denominator, and T itself is one terminal
+    double division.  Returns one row: (n_a, n_b, u_num, u_den, t)
+    with the exact numerator/denominator emitted as STRINGS — a
+    decimal column round-trips as float64 through DuckDB's pandas
+    bridge, so the portable exact representation is the digit string
+    (the timestamp-formatting convention).
+
+    Scale shape: identical to :func:`ks_two_sample` — distinct-value
+    collapse, the shared two-phase prefix sum, a 1-row totals collect;
+    the only addition is the multiplicity-weighted square in the final
+    aggregate.
+    """
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+    )
+
+    src = df.select(
+        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
+    ).where(
+        F.col("__v").isNotNull() & F.col("__g").isin([group_a, group_b])
+    )
+    tot = src.agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("na"),
+        F.count(F.when(F.col("__g") == group_b, 1)).alias("nb"),
+    ).collect()[0]
+    na, nb = int(tot.na), int(tot.nb)
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"cvm_two_sample needs both groups non-empty, got "
+            f"n_a={na}, n_b={nb}"
+        )
+    per = src.groupBy("__v").agg(
+        F.count(F.when(F.col("__g") == group_a, 1)).alias("__ca"),
+        F.count(F.when(F.col("__g") == group_b, 1)).alias("__cb"),
+    )
+    diffed = parallel_prefix_sum(
+        per,
+        [F.col("__v")],
+        F.lit(nb) * F.col("__ca") - F.lit(na) * F.col("__cb"),
+        "__diff",
+    )
+    d_dec = F.col("__diff").cast("decimal(38,0)")
+    u = diffed.agg(
+        F.sum(
+            (F.col("__ca") + F.col("__cb")).cast("decimal(38,0)")
+            * d_dec
+            * d_dec
+        ).alias("u_num")
+    )
+    den = na * nb * (na + nb) * (na + nb)
+    return u.select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.col("u_num").cast("decimal(38,0)").cast("string").alias("u_num"),
+        F.lit(str(den)).alias("u_den"),
+        (
+            F.col("u_num").cast("double") / F.lit(float(den))
+        ).alias("t"),
+    )
+
+
+def js_token_divergence_by(
+    df: DataFrame,
+    token_col: Column,
+    side_col: Column,
+    slice_col: Column,
+    min_total: int = 20,
+) -> DataFrame:
+    """The GROUPED form of :func:`js_token_divergence` — per-token JS
+    drift contributions for EVERY slice in one job, completing the
+    fleet-wide drift trio (grouped KS, grouped PSI, grouped JS).
+    Probabilities use each SLICE's full token totals (below-threshold
+    tokens count toward the totals); only tokens with
+    cnt_a + cnt_b ≥ ``min_total`` WITHIN the slice are emitted.
+    Output: (slice, token, cnt_a, cnt_b, js_contrib_micro), same
+    conventions as the ungrouped form (micro-int rounded logs,
+    0·ln(0/m) = 0, non-negative by Jensen).
+
+    Scale shape: one (slice, token) groupBy collapses the exploded
+    tokens; the slice-sized totals table joins back as a broadcast on
+    the slice key — no driver collect, no per-slice jobs.
+    """
+    slim = df.select(
+        slice_col.alias("__s"),
+        token_col.alias("__t"),
+        side_col.cast("boolean").alias("__a"),
+    ).where(
+        F.col("__s").isNotNull()
+        & F.col("__t").isNotNull()
+        & (F.col("__t") != "")
+        & F.col("__a").isNotNull()
+    )
+    per = slim.groupBy("__s", "__t").agg(
+        F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
+        F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
+    )
+    totals = per.groupBy("__s").agg(
+        F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
+    )
+    j = per.where(
+        F.col("cnt_a") + F.col("cnt_b") >= min_total
+    ).join(F.broadcast(totals), on="__s")
+    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
+    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    term_a = F.when(F.col("cnt_a") > 0, pa * F.log(pa / m)).otherwise(
+        F.lit(0.0)
+    )
+    term_b = F.when(F.col("cnt_b") > 0, pb * F.log(pb / m)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = F.round(
+        F.lit(0.5) * (term_a + term_b) * F.lit(1_000_000.0)
+    ).cast("bigint")
+    return j.select(
+        F.col("__s").alias("slice"),
+        F.col("__t").alias("token"),
+        "cnt_a",
+        "cnt_b",
+        contrib.alias("js_contrib_micro"),
+    )

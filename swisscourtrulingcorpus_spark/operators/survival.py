@@ -163,3 +163,106 @@ def kaplan_meier(
             F.col("greenwood_term_p12").isNotNull(), F.col("__gw")
         ).alias("greenwood_sum_p12"),
     )
+
+
+def logrank_table(
+    subjects: DataFrame,
+    duration_col: str | Column,
+    event_col: str | Column,
+    group_col: str | Column,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample LOG-RANK test table (Mantel 1966 / Peto & Peto 1972,
+    public — THE standard companion of the Kaplan–Meier curve: "do
+    groups a and b have the same survival?").  One row per distinct
+    EVENT duration t ascending, with the hypergeometric
+    observed/expected decomposition:
+
+      (duration, n_risk_a, n_risk_b, d_a, d_b,
+       e_a_micro  = round(1e6 · d_t·r_a/r_t),
+       v_micro    = round(1e6 · d_t·(r_a/r_t)·(1−r_a/r_t)·(r_t−d_t)/(r_t−1)))
+
+    where r_g is group g's at-risk count, d_g its events at t,
+    d_t = d_a + d_b, r_t = r_a + r_b (v_micro = 0 when r_t = 1).  The
+    caller's statistic is exact integer sums over this table:
+    O_a = Σ d_a, E_a = Σ e_a_micro / 1e6, V = Σ v_micro / 1e6,
+    z = (O_a − E_a)/√V — the per-duration micro-int emission is the
+    `chi2_independence_cells` convention (a float SUM over distributed
+    rows is order-dependent; each row's value is one fixed expression
+    shape over exact integers, and summing micro-ints is
+    order-independent).
+
+    Rows follow :func:`kaplan_meier`'s contract (non-null, duration
+    ≥ 0); subjects outside groups a/b are excluded.  Only durations
+    with d_t > 0 emit — censoring-only times contribute nothing to
+    the statistic, so the table is bounded by distinct EVENT times.
+
+    Scale shape: one (duration) groupBy collapses subjects to the
+    distinct-duration table with per-group conditional aggregates;
+    BOTH groups' at-risk countdowns come from ONE multi-column
+    prefix-sum pass (`parallel_prefix_sums`); the two group totals are
+    a broadcast-scalar crossJoin.  Nothing subject-sized shuffles
+    twice.
+    """
+    dur = (
+        F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    )
+    ev = F.col(event_col) if isinstance(event_col, str) else event_col
+    grp = F.col(group_col) if isinstance(group_col, str) else group_col
+    slim = subjects.select(
+        dur.cast("bigint").alias("duration"),
+        ev.cast("boolean").alias("__e"),
+        grp.alias("__g"),
+    ).where(
+        F.col("duration").isNotNull()
+        & (F.col("duration") >= 0)
+        & F.col("__e").isNotNull()
+        & F.col("__g").isin([group_a, group_b])
+    )
+    is_a = F.col("__g") == group_a
+    per = slim.groupBy("duration").agg(
+        F.count(F.when(is_a & F.col("__e"), 1)).alias("d_a"),
+        F.count(F.when(~is_a & F.col("__e"), 1)).alias("d_b"),
+        F.count(F.when(is_a, 1)).alias("o_a"),
+        F.count(F.when(~is_a, 1)).alias("o_b"),
+    )
+    total = per.agg(
+        F.sum("o_a").alias("__na"), F.sum("o_b").alias("__nb")
+    )
+    cum = parallel_prefix_sums(
+        per,
+        [F.col("duration")],
+        [(F.col("o_a"), "__ca"), (F.col("o_b"), "__cb")],
+    ).crossJoin(F.broadcast(total))
+    risk = cum.select(
+        "duration",
+        (F.col("__na") - F.col("__ca") + F.col("o_a")).alias("n_risk_a"),
+        (F.col("__nb") - F.col("__cb") + F.col("o_b")).alias("n_risk_b"),
+        "d_a",
+        "d_b",
+    ).where(F.col("d_a") + F.col("d_b") > 0)
+    ra = F.col("n_risk_a").cast("double")
+    rt = (F.col("n_risk_a") + F.col("n_risk_b")).cast("double")
+    dt = (F.col("d_a") + F.col("d_b")).cast("double")
+    e_a = F.round(dt * ra / rt * F.lit(1e6)).cast("bigint")
+    v = F.when(
+        F.col("n_risk_a") + F.col("n_risk_b") > 1,
+        F.round(
+            dt
+            * (ra / rt)
+            * (F.lit(1.0) - ra / rt)
+            * (rt - dt)
+            / (rt - F.lit(1.0))
+            * F.lit(1e6)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return risk.select(
+        "duration",
+        "n_risk_a",
+        "n_risk_b",
+        "d_a",
+        "d_b",
+        e_a.alias("e_a_micro"),
+        v.alias("v_micro"),
+    )

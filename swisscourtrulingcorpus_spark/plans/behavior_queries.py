@@ -938,3 +938,103 @@ SPECS += [
         "KM survival curve: censored lifetimes, prefix-sum cumulations, micro-log survival + Greenwood p12 variance band",
     ),
 ]
+
+
+def logrank_churn_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample log-rank test table between BUILDING and MACHINERY
+    customers' churn survival (`operators/survival.py::logrank_table`
+    — the hypothesis-test companion of `kaplan_meier_customer_churn`:
+    same durations/censoring, split by market segment).  One row per
+    distinct EVENT duration with the hypergeometric observed/expected
+    decomposition as micro-int fixed-shape expressions; the caller's
+    z-statistic is exact integer sums over the table.  Both groups'
+    at-risk countdowns ride ONE multi-column prefix-sum pass."""
+    from swisscourtrulingcorpus_spark.operators.survival import (
+        logrank_table,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pu = o.groupBy("o_custkey").agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    mx = pu.agg(F.max("d1").alias("__md"))
+    subj = (
+        pu.crossJoin(F.broadcast(mx))
+        .join(F.broadcast(cust), pu.o_custkey == cust.c_custkey)
+        .select(
+            F.datediff("d1", "d0").alias("dur"),
+            (F.col("d1") < F.date_sub(F.col("__md"), 365)).alias("event"),
+            "c_mktsegment",
+        )
+    )
+    return logrank_table(
+        subj, "dur", "event", "c_mktsegment", "BUILDING", "MACHINERY"
+    ).orderBy("duration")
+
+
+LOGRANK_ORACLE = """
+WITH pu AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS DATE)) AS d0,
+         max(CAST(o_orderdate AS DATE)) AS d1
+  FROM orders GROUP BY 1),
+mx AS (SELECT max(d1) AS md FROM pu),
+subj AS (
+  SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS t,
+         (d1 < md - 365) AS ev,
+         c.c_mktsegment AS g
+  FROM pu, mx
+  JOIN customer c ON pu.o_custkey = c.c_custkey
+  WHERE date_diff('day', d0, d1) >= 0
+    AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+per AS (
+  SELECT t,
+         CAST(count(CASE WHEN g = 'BUILDING' AND ev THEN 1 END) AS BIGINT) AS d_a,
+         CAST(count(CASE WHEN g = 'MACHINERY' AND ev THEN 1 END) AS BIGINT) AS d_b,
+         CAST(count(CASE WHEN g = 'BUILDING' THEN 1 END) AS BIGINT) AS o_a,
+         CAST(count(CASE WHEN g = 'MACHINERY' THEN 1 END) AS BIGINT) AS o_b
+  FROM subj GROUP BY 1),
+tot AS (SELECT sum(o_a) AS na, sum(o_b) AS nb FROM per),
+cum AS (
+  SELECT t, d_a, d_b, o_a, o_b,
+         sum(o_a) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(o_b) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS cb
+  FROM per),
+risk AS (
+  SELECT t,
+         CAST(na - ca + o_a AS BIGINT) AS ra,
+         CAST(nb - cb + o_b AS BIGINT) AS rb,
+         d_a, d_b
+  FROM cum, tot
+  WHERE d_a + d_b > 0)
+SELECT t AS duration, ra AS n_risk_a, rb AS n_risk_b, d_a, d_b,
+       CAST(round(CAST(d_a + d_b AS DOUBLE) * CAST(ra AS DOUBLE)
+                  / CAST(ra + rb AS DOUBLE) * 1000000.0) AS BIGINT)
+         AS e_a_micro,
+       CASE WHEN ra + rb > 1 THEN CAST(round(
+           CAST(d_a + d_b AS DOUBLE)
+           * (CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+           * (1.0 - CAST(ra AS DOUBLE) / CAST(ra + rb AS DOUBLE))
+           * (CAST(ra + rb AS DOUBLE) - CAST(d_a + d_b AS DOUBLE))
+           / (CAST(ra + rb AS DOUBLE) - 1.0) * 1000000.0) AS BIGINT)
+       ELSE CAST(0 AS BIGINT) END AS v_micro
+FROM risk
+ORDER BY duration
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "logrank_churn_by_segment",
+        logrank_churn_by_segment,
+        LOGRANK_ORACLE,
+        "log-rank O/E table: hypergeometric micro-int rows, one shared at-risk prefix pass",
+    ),
+]

@@ -399,3 +399,126 @@ SPECS += [
         "per-slice PSI drift: every language in one job, slice totals broadcast",
     ),
 ]
+
+
+def cvm_drift_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Cramér–von Mises T between the URGENT and LOW
+    order-value distributions (`operators/drift.py::cvm_two_sample` —
+    the sum-squared complement of the KS gate on the same slices: KS
+    flags the worst single ECDF gap, CvM integrates every gap).  One
+    exact DECIMAL(38,0) numerator over the pooled multiplicities, one
+    terminal double division."""
+    from swisscourtrulingcorpus_spark.operators.drift import cvm_two_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    return cvm_two_sample(o, "cents", "o_orderpriority", "1-URGENT", "5-LOW")
+
+
+CVM_DRIFT_ORACLE = """
+WITH src AS (
+  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         o_orderpriority AS g
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+tot AS (
+  SELECT CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS na,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS nb
+  FROM src),
+per AS (
+  SELECT v,
+         CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1),
+cum AS (
+  SELECT ca, cb,
+         sum(nb * ca - na * cb)
+           OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS diff
+  FROM per, tot),
+u AS (
+  SELECT CAST(sum(CAST(ca + cb AS DECIMAL(38,0))
+               * CAST(diff AS DECIMAL(38,0))
+               * CAST(diff AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS u_num
+  FROM cum)
+SELECT na AS n_a, nb AS n_b,
+       CAST(u_num AS VARCHAR) AS u_num,
+       CAST(CAST(na * nb * (na + nb) * (na + nb) AS DECIMAL(38,0))
+            AS VARCHAR) AS u_den,
+       CAST(u_num AS DOUBLE)
+         / CAST(na * nb * (na + nb) * (na + nb) AS DOUBLE) AS t
+FROM u, tot
+"""
+
+
+def js_token_drift_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE per-token Jensen–Shannon drift contributions
+    between the even/odd snapshot halves
+    (`operators/drift.py::js_token_divergence_by` — the grouped JS
+    that completes the fleet-wide drift trio): every language's
+    vocabulary-shift report in one job, slice totals broadcast,
+    ≥ 20-occurrence emission bound per language."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        js_token_divergence_by,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    toks = docs.select(
+        F.col("lang"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+    )
+    return js_token_divergence_by(
+        toks, F.col("token"), F.col("is_a"), F.col("lang"), min_total=20
+    )
+
+
+JS_BY_LANG_ORACLE = """
+WITH toks AS (
+  SELECT lang AS s,
+         unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS t,
+         doc_id % 2 = 0 AS a
+  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+per AS (
+  SELECT s, t,
+         CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
+         CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
+  FROM toks WHERE t IS NOT NULL AND t <> '' GROUP BY 1, 2),
+tot AS (SELECT s, sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per GROUP BY 1),
+big AS (
+  SELECT per.s, t, cnt_a, cnt_b,
+         CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+         CAST(cnt_b AS DOUBLE) / CAST(nb AS DOUBLE) AS pb
+  FROM per JOIN tot USING (s) WHERE cnt_a + cnt_b >= 20)
+SELECT s AS slice, t AS token, cnt_a, cnt_b,
+       CAST(round(0.5 * (
+         CASE WHEN cnt_a > 0 THEN pa * ln(pa / ((pa + pb) / 2.0))
+              ELSE 0.0 END
+         + CASE WHEN cnt_b > 0 THEN pb * ln(pb / ((pa + pb) / 2.0))
+                ELSE 0.0 END) * 1000000.0) AS BIGINT)
+         AS js_contrib_micro
+FROM big
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "cvm_drift_order_priority",
+        cvm_drift_order_priority,
+        CVM_DRIFT_ORACLE,
+        "exact Cramér–von Mises: multiplicity-weighted squared ECDF gaps, decimal numerator",
+    ),
+    QuerySpec(
+        "js_token_drift_by_lang",
+        js_token_drift_by_lang,
+        JS_BY_LANG_ORACLE,
+        "per-slice JS drift: every language's vocabulary shift in one job",
+    ),
+]

@@ -628,3 +628,85 @@ def test_kclass_mislabel_candidates_tie_to_joint(spark):
     assert all(
         r["own_margin_micro"] == margins[r["doc_id"]] for r in cands
     )
+
+
+# --- logrank_table ----------------------------------------------------------
+
+
+def _logrank_reference(subs):
+    """subs: (duration, event, group_is_a). Per event-time rows."""
+    subs = [(t, e, a) for t, e, a in subs if t >= 0]
+    na = sum(1 for _, _, a in subs if a)
+    nb = len(subs) - na
+    seen_a = seen_b = 0
+    out = []
+    for t in sorted({t for t, _, _ in subs}):
+        at = [(e, a) for tt, e, a in subs if tt == t]
+        d_a = sum(1 for e, a in at if e and a)
+        d_b = sum(1 for e, a in at if e and not a)
+        o_a = sum(1 for _, a in at if a)
+        o_b = len(at) - o_a
+        ra, rb = na - seen_a, nb - seen_b
+        seen_a += o_a
+        seen_b += o_b
+        dt, rt = d_a + d_b, ra + rb
+        if dt == 0:
+            continue
+        e_a = round(dt * ra / rt * 1e6)
+        if rt > 1:
+            v = round(
+                dt * (ra / rt) * (1 - ra / rt) * (rt - dt) / (rt - 1) * 1e6
+            )
+        else:
+            v = 0
+        out.append((t, ra, rb, d_a, d_b, e_a, v))
+    return out
+
+
+def test_logrank_matches_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.survival import logrank_table
+
+    rng = random.Random(61)
+    subs = [
+        (rng.randrange(0, 30), rng.random() < 0.6, rng.random() < 0.5)
+        for _ in range(600)
+    ]
+    df = spark.createDataFrame(
+        [(t, e, "A" if a else "B") for t, e, a in subs],
+        "dur: long, ev: boolean, g: string",
+    )
+    got = [
+        tuple(r)
+        for r in logrank_table(df, "dur", "ev", "g", "A", "B")
+        .orderBy("duration")
+        .collect()
+    ]
+    assert got == _logrank_reference(subs)
+    # identical survival in both groups -> O ~= E in aggregate only;
+    # structural invariants that must hold exactly:
+    for t, ra, rb, d_a, d_b, e_a, v in got:
+        assert d_a <= ra and d_b <= rb
+        assert 0 <= e_a <= (d_a + d_b) * 10**6
+        assert v >= 0
+
+
+def test_logrank_same_distribution_small_statistic(spark):
+    """Two identical groups: z = (O-E)/sqrt(V) stays small (sanity on
+    the statistic's composition from the table)."""
+    from swisscourtrulingcorpus_spark.operators.survival import logrank_table
+
+    rng = random.Random(67)
+    subs = [
+        (rng.randrange(0, 20), rng.random() < 0.7, i % 2 == 0)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        [(t, e, "A" if a else "B") for t, e, a in subs],
+        "dur: long, ev: boolean, g: string",
+    )
+    rows = logrank_table(df, "dur", "ev", "g", "A", "B").collect()
+    o = sum(r["d_a"] for r in rows)
+    e = sum(r["e_a_micro"] for r in rows) / 1e6
+    v = sum(r["v_micro"] for r in rows) / 1e6
+    z = (o - e) / math.sqrt(v)
+    assert abs(z) < 3.5  # same distribution by construction

@@ -837,3 +837,30 @@ def test_mislabel_candidates_filter_over_checkpoint(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     # the only exchange is the output orderBy's range partitioning
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_logrank_single_prefix_pass_no_smj(spark, sf_dir):
+    """logrank_table: BOTH groups' at-risk countdowns ride one
+    multi-column prefix-sum pass (one real duration-keyed range
+    exchange; __pid-local window), dims broadcast, no sort-merge
+    join."""
+    from swisscourtrulingcorpus_spark.plans.behavior_queries import (
+        logrank_churn_by_segment,
+    )
+
+    plan = _final_plan(logrank_churn_by_segment(spark, sf_dir))
+    # ONE __pid-local Window computes BOTH groups' running sums (the
+    # multi-column form): a single Window line carrying __local0 AND
+    # __local1 — two stacked single-column passes would show two
+    # Window nodes with one local each.  (The offsets side-branch may
+    # re-plan the range exchange, but only over the distinct-duration
+    # -bounded table.)
+    both = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition(__pid" in ln
+        and "__local0" in ln
+        and "__local1" in ln
+    ]
+    assert both, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -284,3 +284,77 @@ def test_psi_by_matches_per_slice_static_form(spark):
     it_rows = {b: v for (sl, b), v in got.items() if sl == "it"}
     assert len(it_rows) == 5
     assert all(v[1] == 0 and v[2] is None for v in it_rows.values())
+
+
+# --- cvm_two_sample ---------------------------------------------------------
+
+
+def test_cvm_matches_reference(spark):
+    """Exact CvM numerator equals the pure-python pooled sum; shifted
+    distributions score higher than identical ones."""
+    from decimal import Decimal
+
+    from swisscourtrulingcorpus_spark.operators.drift import cvm_two_sample
+
+    rng = random.Random(29)
+    rows = [
+        ("A" if rng.random() < 0.5 else "B", rng.randrange(0, 50))
+        for _ in range(400)
+    ]
+    vals = [(v, g == "A") for g, v in rows]
+    na = sum(1 for _, a in vals if a)
+    nb = len(vals) - na
+    per = defaultdict(lambda: [0, 0])
+    for v, a in vals:
+        per[v][0 if a else 1] += 1
+    cum, u = 0, 0
+    for v in sorted(per):
+        ca, cb = per[v]
+        cum += nb * ca - na * cb
+        u += (ca + cb) * cum * cum
+    df = spark.createDataFrame(rows, "g: string, v: long")
+    got = cvm_two_sample(df, "v", "g", "A", "B").collect()[0]
+    assert got["n_a"] == na and got["n_b"] == nb
+    assert Decimal(got["u_num"]) == u
+    assert Decimal(got["u_den"]) == na * nb * (na + nb) ** 2
+    assert got["t"] == u / (na * nb * (na + nb) ** 2)
+    # a clearly shifted pair scores higher
+    shifted = spark.createDataFrame(
+        [("A", v) for v in range(100)] + [("B", v + 60) for v in range(100)],
+        "g: string, v: long",
+    )
+    t2 = cvm_two_sample(shifted, "v", "g", "A", "B").collect()[0]["t"]
+    assert t2 > got["t"]
+
+
+# --- js_token_divergence_by -------------------------------------------------
+
+
+def test_js_by_matches_per_slice_form(spark):
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        js_token_divergence,
+        js_token_divergence_by,
+    )
+
+    rng = random.Random(37)
+    toks = ["alpha", "beta", "gamma", "delta", "rare"]
+    rows = []
+    for s in ["de", "fr"]:
+        for _ in range(500):
+            w = [0.5, 0.2, 0.2, 0.05, 0.05] if s == "de" else [0.1, 0.4, 0.3, 0.1, 0.1]
+            rows.append((s, rng.choices(toks, weights=w)[0], rng.random() < 0.5))
+    df = spark.createDataFrame(rows, "s: string, t: string, a: boolean")
+    got = {
+        (r["slice"], r["token"]): (r["cnt_a"], r["cnt_b"], r["js_contrib_micro"])
+        for r in js_token_divergence_by(
+            df, F.col("t"), F.col("a"), F.col("s"), min_total=5
+        ).collect()
+    }
+    for s in ["de", "fr"]:
+        one = {
+            r["token"]: (r["cnt_a"], r["cnt_b"], r["js_contrib_micro"])
+            for r in js_token_divergence(
+                df.where(F.col("s") == s), F.col("t"), F.col("a"), min_total=5
+            ).collect()
+        }
+        assert {t: v for (sl, t), v in got.items() if sl == s} == one, s

@@ -163,6 +163,9 @@ QUERIES = [
     ("incremental_psi_drift", "one snapshot-key shuffle into the replayed register fold; state bin-bounded"),
     ("psi_doclen_by_lang", "one (slice, bin) groupBy; slice-sized totals broadcast back, zero driver collects"),
     ("mislabel_candidates_language", "LID chain + margin checkpoint; candidates filter map-side over it"),
+    ("cvm_drift_order_priority", "KS's distinct-value prefix pass + one decimal square-sum aggregate"),
+    ("js_token_drift_by_lang", "one (slice, token) groupBy; slice totals broadcast; vocab-bounded emission"),
+    ("logrank_churn_by_segment", "distinct-duration table; both at-risk countdowns in ONE prefix pass"),
 ]
 
 
