@@ -86,4 +86,10 @@ def plan_fingerprint(df) -> str:
     p = re.sub(r"#\d+L?", "#x", plan)
     p = re.sub(r"plan_id=\d+", "plan_id=x", p)
     p = re.sub(r"\s+", " ", p)
+    # the TYPED schema is part of the identity: eager driver-report
+    # gates optimize to a bare `LocalRelation [col#x, ...]`, which
+    # prints column NAMES but not types — the binary and k-class
+    # confident joints share (given_label, assigned, n_docs) and would
+    # false-collide without the boolean-vs-string distinction (r11)
+    p += " | " + df.schema.simpleString()
     return hashlib.md5(p.encode()).hexdigest()

@@ -275,9 +275,24 @@ def test_parallel_prefix_sum_rejects_reserved_columns(spark):
         parallel_prefix_sum,
     )
 
-    df = spark.createDataFrame([(1, 5)], "id: long, __val: long")
-    with pytest.raises(ValueError, match="__val"):
+    # the r11 multi-column refactor indexed the working columns
+    # (__val0, __local0, ...), so the UNindexed names are no longer
+    # reserved — a caller column named __val now passes through
+    # unharmed, and the indexed names fail loudly
+    df = spark.createDataFrame([(1, 5)], "id: long, __val0: long")
+    with pytest.raises(ValueError, match="__val0"):
         parallel_prefix_sum(df, [F.col("id")], F.lit(1), "rank")
+    ok = spark.createDataFrame([(1, 5)], "id: long, __val: long")
+    got = parallel_prefix_sum(ok, [F.col("id")], F.lit(1), "rank").collect()
+    assert got[0]["__val"] == 5 and got[0]["rank"] == 1
+    # the out_col itself is reserved too
+    with pytest.raises(ValueError, match="rank"):
+        parallel_prefix_sum(
+            spark.createDataFrame([(1, 2)], "id: long, rank: long"),
+            [F.col("id")],
+            F.lit(1),
+            "rank",
+        )
 
 
 def test_pack_sequences_null_length_keeps_position(spark):
