@@ -358,3 +358,81 @@ def test_js_by_matches_per_slice_form(spark):
             ).collect()
         }
         assert {t: v for (sl, t), v in got.items() if sl == s} == one, s
+
+
+# --- hypothesis property sweeps (round-11 statistics) -----------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_HSETTINGS = dict(
+    deadline=None,
+    max_examples=8,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (slice in 3 values, value small-domain to force ties, group boolean)
+_ks_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.integers(0, 6),
+        st.booleans(),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(rows=_ks_rows)
+@settings(**_HSETTINGS)
+def test_ks_by_property(spark, rows):
+    """Any slice/value/group draw (hypothesis finds all-one-group
+    slices, single-value slices, heavy ties): per-slice grouped KS
+    equals the pure-python reference; empty-side slices are omitted."""
+    from swisscourtrulingcorpus_spark.operators.drift import ks_two_sample_by
+
+    df = spark.createDataFrame(
+        [(s, v, "A" if a else "B") for s, v, a in rows],
+        "s: string, v: long, g: string",
+    )
+    got = {
+        r["slice"]: (r["n_a"], r["n_b"], r["d_num"], r["d_den"])
+        for r in ks_two_sample_by(df, "v", "g", "A", "B", "s").collect()
+    }
+    want = {}
+    for s in {s for s, _, _ in rows}:
+        vals = [(v, a) for ss, v, a in rows if ss == s]
+        na, nb, dn, dd = _ks_reference(vals)
+        if na > 0 and nb > 0:
+            want[s] = (na, nb, dn, dd)
+    assert got == want
+
+
+_lr_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.booleans(), st.booleans()),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(subs=_lr_rows)
+@settings(**_HSETTINGS)
+def test_logrank_property(spark, subs):
+    """Any duration/event/group draw (all-censored, one-group-empty,
+    terminal-tie shapes): the log-rank table equals the pure-python
+    reference row for row."""
+    from test_influence_survival import _logrank_reference
+
+    from swisscourtrulingcorpus_spark.operators.survival import logrank_table
+
+    df = spark.createDataFrame(
+        [(t, e, "A" if a else "B") for t, e, a in subs],
+        "dur: long, ev: boolean, g: string",
+    )
+    got = [
+        tuple(r)
+        for r in logrank_table(df, "dur", "ev", "g", "A", "B")
+        .orderBy("duration")
+        .collect()
+    ]
+    assert got == _logrank_reference(subs)
