@@ -44,6 +44,36 @@ def ks_two_sample(
     domain is large.  The two group totals are a 1-row driver
     collect (the calibration-table pattern).
     """
+    na, nb, diffed = _two_sample_prefix_diff(
+        df, value_col, group_col, group_a, group_b, "ks_two_sample"
+    )
+    return diffed.agg(F.max(F.abs(F.col("__diff"))).alias("d_num")).select(
+        F.lit(na).cast("bigint").alias("n_a"),
+        F.lit(nb).cast("bigint").alias("n_b"),
+        F.col("d_num").cast("bigint"),
+        F.lit(na * nb).cast("bigint").alias("d_den"),
+        (
+            F.col("d_num").cast("double") / F.lit(float(na * nb))
+        ).alias("d"),
+    )
+
+
+def _two_sample_prefix_diff(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    fn_name: str,
+):
+    """The shared two-sample scaffold behind :func:`ks_two_sample` and
+    :func:`cvm_two_sample` (r11 review — one definition of the
+    slim/totals/validation/distinct-value/prefix-diff chain): returns
+    ``(n_a, n_b, diffed)`` where ``diffed`` is the distinct-value
+    table carrying ``__ca``/``__cb`` and the exact integer cumulative
+    deviation ``__diff`` = n_b·cum_a − n_a·cum_b over the value
+    order.  Raises when either group is empty (per-pair forms have no
+    fleet to protect; the grouped forms omit instead)."""
     from swisscourtrulingcorpus_spark.operators.training import (
         parallel_prefix_sum,
     )
@@ -60,7 +90,7 @@ def ks_two_sample(
     na, nb = int(tot.na), int(tot.nb)
     if na == 0 or nb == 0:
         raise ValueError(
-            f"ks_two_sample needs both groups non-empty, got "
+            f"{fn_name} needs both groups non-empty, got "
             f"n_a={na}, n_b={nb}"
         )
     per = src.groupBy("__v").agg(
@@ -74,15 +104,7 @@ def ks_two_sample(
         F.lit(nb) * F.col("__ca") - F.lit(na) * F.col("__cb"),
         "__diff",
     )
-    return diffed.agg(F.max(F.abs(F.col("__diff"))).alias("d_num")).select(
-        F.lit(na).cast("bigint").alias("n_a"),
-        F.lit(nb).cast("bigint").alias("n_b"),
-        F.col("d_num").cast("bigint"),
-        F.lit(na * nb).cast("bigint").alias("d_den"),
-        (
-            F.col("d_num").cast("double") / F.lit(float(na * nb))
-        ).alias("d"),
-    )
+    return na, nb, diffed
 
 
 def ks_two_sample_by(
@@ -283,6 +305,26 @@ def psi_table_by(
     )
 
 
+def _js_contrib_micro(
+    cnt_a: Column, cnt_b: Column, na: Column, nb: Column
+) -> Column:
+    """The house JS contribution expression — ONE definition for the
+    static and grouped forms (the `psi_contrib_micro` convention, r11
+    review): ½·(p_a·ln(p_a/m) + p_b·ln(p_b/m)) with m = (p_a+p_b)/2
+    and 0·ln(0/m) = 0, micro-int rounded.  Callers must guarantee
+    na > 0 and nb > 0 (both forms filter empty sides before this
+    evaluates — a 0 total would make p undefined, and non-ANSI Spark
+    would silently cast the NaN to 0)."""
+    pa = cnt_a.cast("double") / na.cast("double")
+    pb = cnt_b.cast("double") / nb.cast("double")
+    m = (pa + pb) / F.lit(2.0)
+    term_a = F.when(cnt_a > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    term_b = F.when(cnt_b > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    return F.round(
+        F.lit(0.5) * (term_a + term_b) * F.lit(1_000_000.0)
+    ).cast("bigint")
+
+
 def js_token_divergence(
     df: DataFrame,
     token_col: Column,
@@ -314,25 +356,20 @@ def js_token_divergence(
         F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
         F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
     )
+    # an entirely one-sided input has no defined divergence: the
+    # filtered totals make the report EMPTY rather than emitting
+    # NaN-cast-to-0 rows (r11 review; the grouped form omits the
+    # slice the same way)
     totals = per.agg(
         F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
-    )
+    ).where((F.col("__na") > 0) & (F.col("__nb") > 0))
     j = (
         per.where(F.col("cnt_a") + F.col("cnt_b") >= min_total)
         .crossJoin(F.broadcast(totals))
     )
-    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
-    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
-    m = (pa + pb) / F.lit(2.0)
-    term_a = F.when(F.col("cnt_a") > 0, pa * F.log(pa / m)).otherwise(
-        F.lit(0.0)
+    contrib = _js_contrib_micro(
+        F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
     )
-    term_b = F.when(F.col("cnt_b") > 0, pb * F.log(pb / m)).otherwise(
-        F.lit(0.0)
-    )
-    contrib = F.round(
-        F.lit(0.5) * (term_a + term_b) * F.lit(1_000_000.0)
-    ).cast("bigint")
     return j.select(
         F.col("__t").alias("token"),
         "cnt_a",
@@ -376,34 +413,8 @@ def cvm_two_sample(
     the only addition is the multiplicity-weighted square in the final
     aggregate.
     """
-    from swisscourtrulingcorpus_spark.operators.training import (
-        parallel_prefix_sum,
-    )
-
-    src = df.select(
-        F.col(value_col).alias("__v"), F.col(group_col).alias("__g")
-    ).where(
-        F.col("__v").isNotNull() & F.col("__g").isin([group_a, group_b])
-    )
-    tot = src.agg(
-        F.count(F.when(F.col("__g") == group_a, 1)).alias("na"),
-        F.count(F.when(F.col("__g") == group_b, 1)).alias("nb"),
-    ).collect()[0]
-    na, nb = int(tot.na), int(tot.nb)
-    if na == 0 or nb == 0:
-        raise ValueError(
-            f"cvm_two_sample needs both groups non-empty, got "
-            f"n_a={na}, n_b={nb}"
-        )
-    per = src.groupBy("__v").agg(
-        F.count(F.when(F.col("__g") == group_a, 1)).alias("__ca"),
-        F.count(F.when(F.col("__g") == group_b, 1)).alias("__cb"),
-    )
-    diffed = parallel_prefix_sum(
-        per,
-        [F.col("__v")],
-        F.lit(nb) * F.col("__ca") - F.lit(na) * F.col("__cb"),
-        "__diff",
+    na, nb, diffed = _two_sample_prefix_diff(
+        df, value_col, group_col, group_a, group_b, "cvm_two_sample"
     )
     d_dec = F.col("__diff").cast("decimal(38,0)")
     u = diffed.agg(
@@ -460,24 +471,20 @@ def js_token_divergence_by(
         F.count(F.when(F.col("__a"), 1)).alias("cnt_a"),
         F.count(F.when(~F.col("__a"), 1)).alias("cnt_b"),
     )
+    # a slice whose documents all land on one side has no defined
+    # divergence and is OMITTED (the ks_two_sample_by convention: one
+    # broken slice must not kill the fleet report — and non-ANSI
+    # Spark would otherwise cast the 0/0 NaN contributions to 0,
+    # reporting an undefined divergence as "no drift"; r11 review)
     totals = per.groupBy("__s").agg(
         F.sum("cnt_a").alias("__na"), F.sum("cnt_b").alias("__nb")
-    )
+    ).where((F.col("__na") > 0) & (F.col("__nb") > 0))
     j = per.where(
         F.col("cnt_a") + F.col("cnt_b") >= min_total
     ).join(F.broadcast(totals), on="__s")
-    pa = F.col("cnt_a").cast("double") / F.col("__na").cast("double")
-    pb = F.col("cnt_b").cast("double") / F.col("__nb").cast("double")
-    m = (pa + pb) / F.lit(2.0)
-    term_a = F.when(F.col("cnt_a") > 0, pa * F.log(pa / m)).otherwise(
-        F.lit(0.0)
+    contrib = _js_contrib_micro(
+        F.col("cnt_a"), F.col("cnt_b"), F.col("__na"), F.col("__nb")
     )
-    term_b = F.when(F.col("cnt_b") > 0, pb * F.log(pb / m)).otherwise(
-        F.lit(0.0)
-    )
-    contrib = F.round(
-        F.lit(0.5) * (term_a + term_b) * F.lit(1_000_000.0)
-    ).cast("bigint")
     return j.select(
         F.col("__s").alias("slice"),
         F.col("__t").alias("token"),

@@ -211,7 +211,8 @@ per AS (
          CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
          CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
   FROM toks WHERE t IS NOT NULL AND t <> '' GROUP BY 1),
-tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per),
+tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per
+        HAVING sum(cnt_a) > 0 AND sum(cnt_b) > 0),
 big AS (
   SELECT t, cnt_a, cnt_b,
          CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
@@ -441,12 +442,21 @@ u AS (
                * CAST(diff AS DECIMAL(38,0))
                * CAST(diff AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS u_num
   FROM cum)
+-- the denominator multiplies in DECIMAL(38,0): at sf1 group counts
+-- (~3e5 each) the BIGINT product na*nb*(na+nb)^2 overflows int64 and
+-- DuckDB raises; and u_num's DOUBLE cast routes through VARCHAR —
+-- DuckDB's direct DECIMAL->DOUBLE double-rounds one ulp off Spark's
+-- BigDecimal conversion past 2^64 (verify-skill gotcha; r11 review)
 SELECT na AS n_a, nb AS n_b,
        CAST(u_num AS VARCHAR) AS u_num,
-       CAST(CAST(na * nb * (na + nb) * (na + nb) AS DECIMAL(38,0))
-            AS VARCHAR) AS u_den,
-       CAST(u_num AS DOUBLE)
-         / CAST(na * nb * (na + nb) * (na + nb) AS DOUBLE) AS t
+       CAST(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+            * CAST(na + nb AS DECIMAL(38,0))
+            * CAST(na + nb AS DECIMAL(38,0)) AS VARCHAR) AS u_den,
+       CAST(CAST(u_num AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(CAST(na AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+                     * CAST(na + nb AS DECIMAL(38,0))
+                     * CAST(na + nb AS DECIMAL(38,0)) AS VARCHAR)
+                AS DOUBLE) AS t
 FROM u, tot
 """
 
@@ -491,7 +501,8 @@ per AS (
          CAST(count(CASE WHEN a THEN 1 END) AS BIGINT) AS cnt_a,
          CAST(count(CASE WHEN NOT a THEN 1 END) AS BIGINT) AS cnt_b
   FROM toks WHERE t IS NOT NULL AND t <> '' GROUP BY 1, 2),
-tot AS (SELECT s, sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per GROUP BY 1),
+tot AS (SELECT s, sum(cnt_a) AS na, sum(cnt_b) AS nb FROM per GROUP BY 1
+        HAVING sum(cnt_a) > 0 AND sum(cnt_b) > 0),
 big AS (
   SELECT per.s, t, cnt_a, cnt_b,
          CAST(cnt_a AS DOUBLE) / CAST(na AS DOUBLE) AS pa,

@@ -10,6 +10,14 @@ from collections import Counter, defaultdict
 import pytest
 
 
+def _round_half_up(x):
+    """Spark/DuckDB round() is HALF-UP; python round() is banker's —
+    on exactly representable half-integers (e.g. d_t·r_a·1e6/r_t with
+    r_t = 128 and an odd product) the two differ, so every pure-python
+    reference must round the engines' way (r11 review)."""
+    return math.floor(x + 0.5)
+
+
 # --- confident_joint ------------------------------------------------------
 
 
@@ -217,8 +225,8 @@ def _km_reference(subs):
         if dt == 0:
             fac, gw = 0, 0
         elif r > dt:
-            fac = round(math.log((r - dt) / r) * 1e6)
-            gw = round(dt * 1e12 / (r * (r - dt)))
+            fac = _round_half_up(math.log((r - dt) / r) * 1e6)
+            gw = _round_half_up(dt * 1e12 / (r * (r - dt)))
         else:
             fac, gw = None, None
         run += fac or 0
@@ -652,9 +660,9 @@ def _logrank_reference(subs):
         dt, rt = d_a + d_b, ra + rb
         if dt == 0:
             continue
-        e_a = round(dt * ra / rt * 1e6)
+        e_a = _round_half_up(dt * ra / rt * 1e6)
         if rt > 1:
-            v = round(
+            v = _round_half_up(
                 dt * (ra / rt) * (1 - ra / rt) * (rt - dt) / (rt - 1) * 1e6
             )
         else:

@@ -436,3 +436,28 @@ def test_logrank_property(spark, subs):
         .collect()
     ]
     assert got == _logrank_reference(subs)
+
+
+def test_js_empty_side_slice_omitted_not_zero(spark):
+    """A slice (or a whole input) with one side entirely empty has no
+    defined JS divergence: the grouped form OMITS the slice and the
+    static form emits an EMPTY report — never NaN-cast-to-0 rows
+    masquerading as 'no drift' (r11 review)."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        js_token_divergence,
+        js_token_divergence_by,
+    )
+
+    rows = (
+        [("ok", "tok", i % 2 == 0) for i in range(40)]
+        + [("onesided", "tok", True) for _ in range(40)]
+    )
+    df = spark.createDataFrame(rows, "s: string, t: string, a: boolean")
+    got = js_token_divergence_by(
+        df, F.col("t"), F.col("a"), F.col("s"), min_total=5
+    ).collect()
+    assert {r["slice"] for r in got} == {"ok"}
+    static = js_token_divergence(
+        df.where(F.col("s") == "onesided"), F.col("t"), F.col("a"), min_total=5
+    ).collect()
+    assert static == []
