@@ -18,7 +18,7 @@ row-sized data shuffles once, as its distinct keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -492,3 +492,69 @@ def js_token_divergence_by(
         "cnt_b",
         contrib.alias("js_contrib_micro"),
     )
+
+
+def ks_tail_p_micro(
+    d_num: Column, d_den: Column, n_a: Column, n_b: Column
+) -> Column:
+    """Micro-int one-term Smirnov tail p-value for a two-sample KS
+    statistic: p = min(1, 2·e^(−2λ²)) with λ = D·√(n_a·n_b/(n_a+n_b))
+    (the standard large-λ tail bound — conservative for λ ≳ 1, the
+    regime a drift ALERT cares about), micro-rounded so the one-ulp
+    libm differences a raw exp() could expose between engines vanish
+    (the `psi_contrib_micro` convention).  All inputs are exact
+    integers ≪ 2^53, so λ² is one fixed double expression shape."""
+    lam2 = (
+        (d_num.cast("double") / d_den.cast("double"))
+        * (d_num.cast("double") / d_den.cast("double"))
+        * (
+            n_a.cast("double")
+            * n_b.cast("double")
+            / (n_a + n_b).cast("double")
+        )
+    )
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * lam2))
+    return F.round(p * F.lit(1_000_000.0)).cast("bigint")
+
+
+def bh_step_up(
+    df: DataFrame,
+    p_micro_col: str,
+    key_col: str,
+    alpha_micro: int = 50_000,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    1995, public) over a table of micro-int p-values — the
+    multiple-testing layer a fleet-wide drift audit needs before
+    alerting: testing thousands of slices at α each would fire ~α·m
+    false alarms per sweep; BH bounds the FALSE DISCOVERY RATE at α
+    instead.  Ranks the m hypotheses by p ascending (ties broken by
+    ``key_col`` for determinism) and rejects every hypothesis with
+    rank ≤ k_max, the largest k with p_(k) ≤ (k/m)·α — evaluated as
+    the EXACT integer cross-multiply ``p_micro·m ≤ k·alpha_micro``,
+    so both engines decide identically.  Output: the input columns
+    plus (p_rank, m_tests, significant).
+
+    Scale shape: the input is a REPORT (one row per slice/hypothesis
+    — slice-bounded by contract), so the rank/max windows run over a
+    report-sized table; the corpus-sized work happened upstream in
+    the per-slice statistic.  Not for row-sized inputs."""
+    w_rank = Window.orderBy(F.col(p_micro_col).asc(), F.col(key_col).asc())
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.withColumn("p_rank", F.row_number().over(w_rank)).withColumn(
+        "m_tests", F.count(F.lit(1)).over(w_all)
+    )
+    passing = F.when(
+        F.col(p_micro_col) * F.col("m_tests")
+        <= F.col("p_rank") * F.lit(alpha_micro),
+        F.col("p_rank"),
+    )
+    with_k = ranked.withColumn(
+        "__kmax", F.max(passing).over(w_all)
+    )
+    return with_k.withColumn(
+        "significant",
+        F.col("p_rank") <= F.coalesce(F.col("__kmax"), F.lit(0)),
+    ).drop("__kmax")

@@ -533,3 +533,113 @@ SPECS += [
         "per-slice JS drift: every language's vocabulary shift in one job",
     ),
 ]
+
+
+def ks_drift_fdr_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-wide drift ALERT: per-NATION exact KS between URGENT
+    and LOW order values (25 slices, `ks_two_sample_by`) composed with
+    Benjamini–Hochberg FDR control (`operators/drift.py::bh_step_up`)
+    over the one-term Smirnov tail p-values (`ks_tail_p_micro`) — the
+    report a production monitor pages on: which slices drifted, with
+    the false-discovery rate bounded at 5% instead of α·m false
+    alarms per sweep.  BH decisions are exact integer cross-multiplies
+    over micro-int p-values; the rank windows run over the 25-row
+    report, not the corpus."""
+    from swisscourtrulingcorpus_spark.operators.drift import (
+        bh_step_up,
+        ks_tail_p_micro,
+        ks_two_sample_by,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (_dec("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderpriority",
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    ks = ks_two_sample_by(
+        joined, "cents", "o_orderpriority", "1-URGENT", "5-LOW", "n_name"
+    )
+    with_p = ks.withColumn(
+        "p_tail_micro",
+        ks_tail_p_micro(
+            F.col("d_num"), F.col("d_den"), F.col("n_a"), F.col("n_b")
+        ),
+    ).select("slice", "n_a", "n_b", "d_num", "d_den", "p_tail_micro")
+    return bh_step_up(
+        with_p, "p_tail_micro", "slice", alpha_micro=50_000
+    ).orderBy("slice")
+
+
+KS_FDR_ORACLE = """
+WITH src AS (
+  SELECT n.n_name AS s,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+         o.o_orderpriority AS g
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE o.o_orderpriority IN ('1-URGENT', '5-LOW')),
+per AS (
+  SELECT s, v,
+         CAST(count(CASE WHEN g = '1-URGENT' THEN 1 END) AS BIGINT) AS ca,
+         CAST(count(CASE WHEN g = '5-LOW' THEN 1 END) AS BIGINT) AS cb
+  FROM src GROUP BY 1, 2),
+tot AS (
+  SELECT s, sum(ca) AS na, sum(cb) AS nb FROM per GROUP BY 1
+  HAVING sum(ca) > 0 AND sum(cb) > 0),
+cum AS (
+  SELECT per.s, t.na, t.nb,
+         sum(t.nb * per.ca - t.na * per.cb)
+           OVER (PARTITION BY per.s ORDER BY per.v
+                 ROWS UNBOUNDED PRECEDING) AS diff
+  FROM per JOIN tot t USING (s)),
+ks AS (
+  SELECT s AS slice,
+         CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         CAST(max(abs(diff)) AS BIGINT) AS d_num,
+         CAST(na * nb AS BIGINT) AS d_den
+  FROM cum GROUP BY s, na, nb),
+withp AS (
+  SELECT slice, n_a, n_b, d_num, d_den,
+         CAST(round(least(1.0, 2.0 * exp(-2.0
+           * (CAST(d_num AS DOUBLE) / CAST(d_den AS DOUBLE))
+           * (CAST(d_num AS DOUBLE) / CAST(d_den AS DOUBLE))
+           * (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+              / CAST(n_a + n_b AS DOUBLE))))
+           * 1000000.0) AS BIGINT) AS p_tail_micro
+  FROM ks),
+ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_tail_micro, slice) AS BIGINT)
+           AS p_rank,
+         CAST(count(*) OVER () AS BIGINT) AS m_tests
+  FROM withp),
+withk AS (
+  SELECT *,
+         max(CASE WHEN p_tail_micro * m_tests <= p_rank * 50000
+                  THEN p_rank END) OVER () AS kmax
+  FROM ranked)
+SELECT slice, n_a, n_b, d_num, d_den, p_tail_micro, p_rank, m_tests,
+       (p_rank <= coalesce(kmax, 0)) AS significant
+FROM withk
+ORDER BY slice
+"""
+
+
+SPECS += [
+    QuerySpec(
+        "ks_drift_fdr_by_nation",
+        ks_drift_fdr_by_nation,
+        KS_FDR_ORACLE,
+        "BH-FDR drift alert: per-nation KS tail p-values, integer step-up decisions",
+    ),
+]

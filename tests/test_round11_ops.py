@@ -461,3 +461,60 @@ def test_js_empty_side_slice_omitted_not_zero(spark):
         df.where(F.col("s") == "onesided"), F.col("t"), F.col("a"), min_total=5
     ).collect()
     assert static == []
+
+
+# --- bh_step_up -------------------------------------------------------------
+
+
+def _bh_reference(ps, alpha_micro=50_000):
+    """ps: {key: p_micro}. Returns {key: significant}."""
+    items = sorted(ps.items(), key=lambda kv: (kv[1], kv[0]))
+    m = len(items)
+    kmax = 0
+    for k, (_, p) in enumerate(items, 1):
+        if p * m <= k * alpha_micro:
+            kmax = k
+    return {key: (k <= kmax) for k, (key, _) in enumerate(items, 1)}
+
+
+def test_bh_step_up_matches_reference(spark):
+    from swisscourtrulingcorpus_spark.operators.drift import bh_step_up
+
+    rng = random.Random(71)
+    cases = [
+        {f"s{i}": rng.randrange(0, 1_000_000) for i in range(30)},  # mixed
+        {f"s{i}": 1_000_000 for i in range(10)},                    # none pass
+        {f"s{i}": 0 for i in range(10)},                            # all pass
+        {"a": 40_000, "b": 40_000, "c": 900_000},                   # p ties
+    ]
+    for ps in cases:
+        df = spark.createDataFrame(
+            list(ps.items()), "k: string, p_micro: long"
+        )
+        got = {
+            r["k"]: r["significant"]
+            for r in bh_step_up(df, "p_micro", "k").collect()
+        }
+        assert got == _bh_reference(ps), ps
+        # BH monotonicity: the rejected set is a prefix of the p-order
+        rows = bh_step_up(df, "p_micro", "k").collect()
+        sig_ranks = sorted(r["p_rank"] for r in rows if r["significant"])
+        assert sig_ranks == list(range(1, len(sig_ranks) + 1))
+
+
+def test_bh_never_rejects_less_than_bonferroni_more_than_alpha_m(spark):
+    """Structural: BH rejects at least everything Bonferroni would
+    (p <= alpha/m) and nothing with p > alpha."""
+    from swisscourtrulingcorpus_spark.operators.drift import bh_step_up
+
+    rng = random.Random(73)
+    ps = {f"s{i}": rng.randrange(0, 1_000_000) for i in range(50)}
+    df = spark.createDataFrame(list(ps.items()), "k: string, p_micro: long")
+    rows = bh_step_up(df, "p_micro", "k", alpha_micro=50_000).collect()
+    m = len(ps)
+    for r in rows:
+        p = ps[r["k"]]
+        if p * m <= 50_000:  # Bonferroni-significant
+            assert r["significant"], r
+        if p > 50_000:  # above alpha itself
+            assert not r["significant"], r

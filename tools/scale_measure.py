@@ -166,6 +166,7 @@ QUERIES = [
     ("cvm_drift_order_priority", "KS's distinct-value prefix pass + one decimal square-sum aggregate"),
     ("js_token_drift_by_lang", "one (slice, token) groupBy; slice totals broadcast; vocab-bounded emission"),
     ("logrank_churn_by_segment", "distinct-duration table; both at-risk countdowns in ONE prefix pass"),
+    ("ks_drift_fdr_by_nation", "per-slice KS prefix pass; BH windows run over the 25-row report only"),
 ]
 
 
