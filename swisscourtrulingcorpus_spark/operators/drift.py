@@ -1,19 +1,27 @@
-"""Distribution-drift audits: two-sample KS, PSI, JS divergence.
+"""Distribution-drift audits: two-sample KS and Cramér–von Mises,
+PSI, JS divergence — each in a per-pair AND a grouped (per-slice,
+fleet-wide) form — plus Benjamini–Hochberg FDR control over the
+per-slice p-values.
 
 The corpus-drift complement of the time-drift family (CUSUM, the
 hourly anomaly flags): given two slices — yesterday's snapshot vs
 today's, train vs eval, language A vs B — quantify how far apart two
-distributions sit.  All three are classical public statistics
-(Kolmogorov 1933 / Smirnov 1939; PSI is the standard model-monitoring
-index; Jensen-Shannon 1991) computed in the engine's exact-arithmetic
-house style: integer counts all the way, one fixed-shape double (or a
-micro-int rounded log product — the `lnc_micro` precedent in
-`plans/curation_queries.py`) at the very end, so Spark and DuckDB
-produce bit-identical results.
+distributions sit, for ONE pair or for every court/language/spider at
+once, and decide which slices to page on with the false-discovery
+rate bounded.  All are classical public statistics (Kolmogorov 1933 /
+Smirnov 1939; Cramér–von Mises via Anderson 1962; PSI is the standard
+model-monitoring index; Jensen–Shannon 1991; Benjamini & Hochberg
+1995) computed in the engine's exact-arithmetic house style: integer
+counts all the way, one fixed-shape double (or a micro-int rounded
+log/exp — the `lnc_micro` precedent in `plans/curation_queries.py`)
+at the very end, so Spark and DuckDB produce bit-identical results.
 
 Scale shapes (each documented per function): everything aggregates to
 a DISTINCT-VALUE / bin / vocabulary table before any window or join —
-row-sized data shuffles once, as its distinct keys.
+row-sized data shuffles once, as its distinct keys; grouped forms
+join slice totals in-plan (broadcast on the slice key, zero driver
+collects) and the single global prefix sum stays slice-exact because
+each slice's deviation terms sum to zero.
 """
 
 from __future__ import annotations

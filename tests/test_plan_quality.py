@@ -864,3 +864,18 @@ def test_logrank_single_prefix_pass_no_smj(spark, sf_dir):
     ]
     assert both, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_grouped_psi_js_broadcast_totals_no_smj(spark, sf_dir):
+    """Grouped PSI/JS: one (slice, key) groupBy then the slice-sized
+    totals join back as a BROADCAST on the slice key — never a
+    sort-merge join of the per-key table against its own totals."""
+    from swisscourtrulingcorpus_spark.plans.drift_queries import (
+        js_token_drift_by_lang,
+        psi_doclen_by_lang,
+    )
+
+    for q in (psi_doclen_by_lang, js_token_drift_by_lang):
+        plan = _final_plan(q(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
