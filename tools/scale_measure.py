@@ -419,6 +419,12 @@ STREAM_QUERIES = [
         "stream_cusum_drift_state",
         "custom stateful op: state == ONE (cur_day, counters) tuple per event_type — rows flat at |types| whatever the stream length",
     ),
+    # round-11: the streaming PSI count register (value-gated via the
+    # batch replay) — state is one bin-bounded count table per key
+    (
+        "stream_psi_register_state",
+        "custom stateful op: state == ONE csv-packed (bins, cnts) register per snapshot key — rows flat at |keys|, bytes bounded by |keys|x|bins|, whatever the stream length",
+    ),
 ]
 
 #: queries whose sink must run in update mode (applyInPandasWithState
@@ -427,6 +433,7 @@ _UPDATE_MODE = {
     "stream_user_profile_state",
     "stream_ewma_gap_state",
     "stream_cusum_drift_state",
+    "stream_psi_register_state",
 }
 
 
@@ -458,7 +465,23 @@ def measure_streaming(spark, sf_label: str, sf_dir: str, results: dict, names=No
         refs, hs = cusum_history_refs(load_table(spark, sf_dir, "events"))
         return cusum_drift_stream(s, refs, hs)
 
+    def _psi_stream(s):
+        # snapshot key = event_type, bins = hour-of-day (24-bounded);
+        # the baseline bin list is the full hour domain
+        from pyspark.sql import functions as F
+
+        from swisscourtrulingcorpus_spark.streaming.stateful import (
+            psi_register_stream,
+        )
+
+        binned = s.select(
+            F.col("event_type").alias("snapshot"),
+            F.hour("ts").cast("long").alias("bin"),
+        )
+        return psi_register_stream(binned, list(range(24)))
+
     makers = {
+        "stream_psi_register_state": _psi_stream,
         "stream_cusum_drift_state": _cusum_stream,
         "stream_session_windows": session_counts_stream,
         "stream_tumbling_counts": tumbling_counts_stream,
