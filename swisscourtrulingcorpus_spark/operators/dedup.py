@@ -732,13 +732,32 @@ def ngram_jaccard_pairs(
     ~20-byte n-gram, and the self-join compares longs.  The oracle
     hashes identically (same md5 windows), so a collision — which would
     merge two shingles' postings — is reproduced bit-for-bit there.
+
+    r11 optimization: the doc-frequency filter is a COUNT WINDOW over
+    the postings' __h Exchange instead of a separate groupBy+join.  The
+    r10 groupBy formulation intended one shared Exchange, but column
+    pruning narrowed the aggregation's subtree (only __h survives below
+    its Exchange) while the join sides kept (doc_id, n_sh, __h) — the
+    subtrees no longer canonicalized equal, so NOTHING was reused and
+    the scan + tokenize + shingle + md5 chain ran FOUR times (plan
+    evidence: plans/r11/ngram_jaccard_pairs_before.txt, four separate
+    `Scan parquet` subtrees).  With the window, the postings subtree is
+    defined ONCE; the self-join's two sides canonicalize identically
+    (the Window also blocks non-partition-key predicate pushdown, so
+    the join's isnotnull(id) filters stay ABOVE the shared Exchange)
+    and the second side becomes a ReusedExchange — one scan, one
+    tokenize pass, one shuffle of 24-byte posting rows
+    (plans/r11/ngram_jaccard_pairs_after.txt).  Trade-off, documented:
+    WindowExec buffers one bucket (= one shingle hash's postings) per
+    group; buckets above ``max_doc_freq`` are dropped right after
+    counting, and a hot stop-shingle bucket spills to disk rather than
+    OOM — far cheaper at any scale than re-reading and re-tokenizing
+    the corpus three extra times.
     """
-    # Explicit shuffle on the join key instead of .cache(): the Exchange
-    # is shared (ReusedExchange) by the doc-frequency aggregation AND
-    # both self-join sides — the scale-correct reuse idiom (a cache of
-    # the exploded corpus would not fit memory at 100 TB).
-    shingled = (
-        _shingle_sets(df, text_col, id_col, k, spread=spread)
+    from pyspark.sql import Window
+
+    posts = (
+        _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
         .select(
             id_col,
             F.size("__sh").alias("n_sh"),
@@ -747,16 +766,13 @@ def ngram_jaccard_pairs(
         .select(id_col, "n_sh", h32(F.col("shingle")).alias("__h"))
         .repartition(F.col("__h"))
     )
-    doc_freq = shingled.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
-    # CO-PARTITIONED join, no broadcast: doc_freq aggregates over the
-    # same __h Exchange the postings sit on, so both join sides are
-    # already partitioned on the key — no new shuffle, and nothing
-    # vocabulary-sized ever ships to executors (broadcasting the rare
-    # set would send the whole corpus vocabulary to every node at
-    # 100 TB).
-    rare = shingled.join(
-        doc_freq.where(F.col("df") <= max_doc_freq), on="__h"
-    ).select(id_col, "n_sh", "__h")
+    rare = (
+        posts.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+        )
+        .where(F.col("__df") <= max_doc_freq)
+        .select(id_col, "n_sh", "__h")
+    )
 
     a = rare.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
     b = rare.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")

@@ -32,8 +32,30 @@ _DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Static shuffle width; AQE coalesces below this at small SF.
-    "spark.sql.shuffle.partitions": "32",
+    # Static shuffle width; AQE coalesces below this at small SF.  Env
+    # override (r11 optimization round): a cluster run sizes this to
+    # cores×(2-4) / target 100-1000 MB per post-shuffle partition
+    # (guide §2.2) via SPARK_GRAFT_SHUFFLE_PARTITIONS without a code
+    # change; the local default stays 32 so driver benches at any core
+    # count keep comparing the same plans.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+    # InferFiltersFromGenerate is a pessimization for every explode in
+    # this engine: the generators explode COMPUTED arrays (shingle
+    # sets, band keys, token arrays), so the inferred
+    # ``size(arr)>0 AND isnotnull(arr)`` filter is pushed below the
+    # projection that defines the array and re-evaluates the whole
+    # construction expression twice more per row (measured on
+    # ngram_jaccard_pairs: the tokenize→shingle chain ran 3× per row
+    # per scan; plan evidence in plans/r11/).  explode() already skips
+    # null/empty arrays, so excluding the rule cannot change results —
+    # it only stops the optimizer from duplicating expensive
+    # expressions into scan-level filters.  Scale-independent: at
+    # 100 TB the duplicated work grows with the corpus.
+    "spark.sql.optimizer.excludedRules": (
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    ),
     # Arrow transfer for the pandas_udf extraction layer; bounded batches
     # keep per-batch memory flat regardless of document size.  4096 is
     # the measured sweet spot for the extraction pipeline (fewer

@@ -4,8 +4,11 @@
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
 Writes plans/r11/<query>_<suffix>.txt for each headline query (or the
-subset given).  Explain-only: no execution, so it is cheap and safe to
-run while other jobs occupy the box.
+subset given).  Each query is EXECUTED once (noop sink) before the
+explain so the AdaptiveSparkPlan prints its Final Plan — AQE-time
+exchange/stage reuse (ReusedExchange) and AQEShuffleRead coalescing
+only exist there, and they are exactly the plan properties the
+r11 optimizations claim.
 """
 from __future__ import annotations
 
@@ -56,6 +59,11 @@ def main() -> None:
     q = queries()
     for name in names:
         df = q[name](spark, sf_dir)
+        # a noop write runs a SEPARATE QueryExecution (the write
+        # command's); collect() executes df's own, which is the one
+        # explainString reads — only then does the AdaptiveSparkPlan
+        # carry a Final Plan section
+        df.collect()
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
