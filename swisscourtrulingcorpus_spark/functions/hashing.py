@@ -90,3 +90,42 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
     ``word_shingles_from_words`` on it (see its docstring for why).
     """
     return word_shingles_from_words(F.split(normalize_ws(col), " "), k)
+
+
+# --- SQL-text twins (r11 optimization round) ---------------------------
+#
+# Driver-side plan CONSTRUCTION is part of every benched query, and
+# profiling showed it is dominated by py4j round trips: each Column
+# operation is one socket round trip (~0.5 ms), and the lambda-bearing
+# higher-order functions cost several each — minhash_signatures alone
+# issued ~1.4k round trips ≈ 0.6 s per construction.  The twins below
+# build the SAME expressions as ONE SQL string, parsed JVM-side in a
+# single call via selectExpr/F.expr.  The resulting analyzed plans are
+# identical to the Column forms (verified by hash-identical gate
+# results), so execution is untouched — only driver-side build cost
+# drops.  Keep each twin textually in sync with its Column sibling.
+
+
+def normalize_ws_sql(col_expr: str) -> str:
+    """SQL text of :func:`normalize_ws` over an expression string."""
+    return f"trim(regexp_replace(lower({col_expr}), '\\\\s+', ' '))"
+
+
+def h32_sql(expr: str, seed: str | None = None) -> str:
+    """SQL text of :func:`h32` over an expression string."""
+    if seed is not None:
+        expr = f"concat('{seed}|', {expr})"
+    return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
+
+
+def word_shingles_from_words_sql(words_expr: str, k: int = 3) -> str:
+    """SQL text of :func:`word_shingles_from_words` over an expression
+    string (same slice + zip_with chain, same lambda shape)."""
+    n = f"greatest(size({words_expr}) - {k - 1}, 0)"
+    out = f"slice({words_expr}, 1, {n})"
+    for off in range(1, k):
+        out = (
+            f"zip_with({out}, slice({words_expr}, {off + 1}, {n}), "
+            f"(x, y) -> concat(x, ' ', y))"
+        )
+    return out

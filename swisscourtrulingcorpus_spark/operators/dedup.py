@@ -31,7 +31,9 @@ from swisscourtrulingcorpus_spark.functions.hashing import (
     h32_window,
     md5_seeded,
     normalize_ws,
+    normalize_ws_sql,
     word_shingles_from_words,
+    word_shingles_from_words_sql,
 )
 
 NUM_MINHASH = 8
@@ -91,15 +93,21 @@ def _shingle_sets(
     cheaper than) filtering ``size(__sh) > 0`` afterwards: predicate
     pushdown would copy the whole shingle-construction expression into
     the Filter node, doubling both per-row work and the generated-code
-    size; ``size(__w) >= k`` only duplicates the split."""
-    words = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, spread).select(
-        F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
+    size; ``size(__w) >= k`` only duplicates the split.
+
+    Built via selectExpr (SQL-text twins in functions.hashing): the
+    Column form cost ~200 py4j round trips per construction (guide §1 —
+    the bench times construction too); one parsed string is one call.
+    The analyzed plan is identical."""
+    words = _spread(df.select(F.col(id_col), F.col(text_col)), id_col, spread).selectExpr(
+        f"`{id_col}`",
+        f"split({normalize_ws_sql(f'`{text_col}`')}, ' ') AS __w",
     )
     if drop_empty:
         words = words.where(F.size("__w") >= k)
-    return words.select(
-        id_col,
-        F.array_distinct(word_shingles_from_words(F.col("__w"), k)).alias("__sh"),
+    return words.selectExpr(
+        f"`{id_col}`",
+        f"array_distinct({word_shingles_from_words_sql('__w', k)}) AS __sh",
     )
 
 
@@ -141,25 +149,30 @@ def minhash_signatures(
     sets_ = _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
     n_seeds = (num_hashes + 3) // 4
 
-    def _digest(seed: int):
-        # NB: one-parameter lambda required — pyspark interprets a
-        # two-parameter lambda as the (element, index) transform form;
-        # the factory scope binds ``seed`` (no late-binding loop bug).
-        return F.transform(
-            F.col("__sh"), lambda x: md5_seeded(x, str(seed))
-        ).alias(f"__m{seed}")
-
-    digests = sets_.select(
-        F.col(id_col), *[_digest(s) for s in range(n_seeds)]
+    # SQL-text construction (r11): the Column/lambda form of these two
+    # projections cost ~900 py4j round trips ≈ 0.3 s per bench-timed
+    # construction; the parsed strings build the identical plan in two
+    # calls.  Each per-seed digest array still binds to its own column
+    # (__m{s}) so it is evaluated once per row.
+    digests = sets_.selectExpr(
+        f"`{id_col}`",
+        *[
+            f"transform(__sh, x -> md5(concat('{s}|', x))) AS __m{s}"
+            for s in range(n_seeds)
+        ],
     )
 
-    def _mh(j: int):
+    def _mh_sql(j: int) -> str:
         s, w = divmod(j, 4)
-        return F.array_min(
-            F.transform(F.col(f"__m{s}"), lambda m: h32_window(m, w))
-        ).alias(f"mh{j}")
+        return (
+            f"array_min(transform(__m{s}, x -> "
+            f"cast(conv(substring(x, {1 + 8 * w}, 8), 16, 10) as bigint)"
+            f")) AS mh{j}"
+        )
 
-    return digests.select(F.col(id_col), *[_mh(j) for j in range(num_hashes)])
+    return digests.selectExpr(
+        f"`{id_col}`", *[_mh_sql(j) for j in range(num_hashes)]
+    )
 
 
 def _banded(

@@ -179,6 +179,66 @@ def parallel_prefix_sums(
     )
 
 
+def parallel_rank(
+    df: DataFrame,
+    sort_cols: list,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based rank over the total order of ``sort_cols`` (which
+    must form a unique key) — the value=1 special case of
+    :func:`parallel_prefix_sum`, executed with one full-data exchange
+    instead of two (r11 optimization, guide §2.4).
+
+    The generic prefix sum windows over ``spark_partition_id`` for the
+    local running sum, and that window's required ClusteredDistribution
+    re-shuffles EVERY row by hash(__pid) right after the range exchange
+    (plan evidence: plans/r11/training_shuffle_rank_before.txt, Exchange
+    (3) then Exchange (5) back to back).  For a pure rank the local
+    position needs no window at all: after range-partition + local sort,
+    ``monotonically_increasing_id()`` is ``partition_id << 33 | row_idx``
+    by contract, so the local 1-based position is ``(mid & (2^33-1)) + 1``
+    and the partition id is ``mid >> 33`` — plain arithmetic inside
+    whole-stage codegen.  Per-partition totals are the max local
+    position, aggregated map-side to one row per partition; the offsets
+    running-total window only ever sees that tiny table.  The mid
+    projection sits ABOVE the local sort and is non-deterministic, so
+    Catalyst neither reorders nor duplicates it.
+
+    Same contract as the window form: output independent of where the
+    range boundaries land (property-tested), unique sort key required,
+    partitions must stay under 2^33 rows (monotonically_increasing_id's
+    per-partition counter width)."""
+    reserved = {"__mid", "__pid", "__local", "__off", "__t", out_col}
+    clash = sorted(reserved & set(df.columns))
+    if clash:
+        raise ValueError(f"parallel_rank reserves columns {clash}")
+    parts = (
+        df.repartitionByRange(num_partitions, *sort_cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*sort_cols)
+    ).sortWithinPartitions(*[c.asc() for c in sort_cols])
+    rows = (
+        parts.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn(
+            "__local",
+            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1),
+        )
+    )
+    totals = rows.groupBy("__pid").agg(F.max("__local").alias("__t"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off"),
+    )
+    return (
+        rows.join(F.broadcast(offsets), on="__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .drop("__mid", "__pid", "__local", "__off")
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,
@@ -205,10 +265,9 @@ def deterministic_shuffle(
     keyed = df.select(
         df["*"], md5_seeded(F.col(id_col).cast("string"), seed).alias("__k")
     )
-    ranked = parallel_prefix_sum(
+    ranked = parallel_rank(
         keyed,
         [F.col("__k"), F.col(id_col)],
-        F.lit(1),
         rank_col,
         num_partitions,
     )
@@ -431,9 +490,7 @@ def length_grouped_shards(
     local row_number, add the tiny broadcast partition offsets) — no
     single-partition window, identical output at any parallelism."""
     slim = df.select(F.col(id_col), F.col(len_col).cast("bigint").alias("__len"))
-    ranked = parallel_prefix_sum(
-        slim, [F.col("__len"), F.col(id_col)], F.lit(1), "__rank"
-    )
+    ranked = parallel_rank(slim, [F.col("__len"), F.col(id_col)], "__rank")
     # total = max rank (value is 1): derived from the RANKED branch so
     # its subtree shares the range exchange (ReuseExchange) instead of
     # executing the upstream lineage a second time (r04 review)

@@ -775,8 +775,33 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_ = _words(docs).groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    # r11 optimization: document frequency via a MAP-SIDE per-doc
+    # distinct (explode array_distinct of the token array) + plain
+    # count, instead of groupBy(term).countDistinct(doc_id).  Same
+    # number — df counts docs containing the term — but the partial
+    # aggregation now compresses before the exchange: ONE shuffle of
+    # (term, count) rows instead of countDistinct's two-phase expansion
+    # that shuffled every distinct (term, doc_id) pair (at 100 TB
+    # that pair table is corpus-sized).  Plan: 2 Exchanges -> 1 on the
+    # df branch.
+    df_ = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
+                        " ",
+                    )
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # doc_id is the documents PK (unique at every SF — the dedup and
+    # split gates all rely on it), so N = count(*), sparing the
+    # countDistinct's shuffle of every distinct id.
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     # Broadcast TF, stream DF: tf is bounded by the query's doc set (20
     # docs), while df_ is vocabulary-sized — at 100 TB the corpus-wide
     # term table can NOT be broadcast, but the per-query tf always can.

@@ -150,6 +150,40 @@ def test_shuffle_rank_partition_invariant():
             assert got == baseline, f"ranks differ at num_partitions={n}"
 
 
+def test_parallel_rank_matches_window_prefix_sum():
+    """parallel_rank (the r11 window-free rank: range partition + local
+    sort + monotonically_increasing_id arithmetic) must agree with the
+    generic window-based parallel_prefix_sum(value=1) on a frame WITH a
+    payload column, at several partition counts — including the
+    empty-partition and single-partition edges."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        parallel_prefix_sum,
+        parallel_rank,
+    )
+    from swisscourtrulingcorpus_spark.session import get_spark
+
+    spark = get_spark(app_name="prop", master="local[2]")
+    df = spark.range(0, 211).selectExpr(
+        "id",
+        "md5(cast(id as string)) AS k",
+        "repeat('p', cast(id % 7 as int)) AS payload",
+    )
+    want = {
+        (r.id, r.payload): r.rk
+        for r in parallel_prefix_sum(
+            df, [F.col("k"), F.col("id")], F.lit(1), "rk"
+        ).collect()
+    }
+    for n in (1, 2, 5, 300):  # 300 > row count -> empty partitions
+        got = {
+            (r.id, r.payload): r.rk
+            for r in parallel_rank(
+                df, [F.col("k"), F.col("id")], "rk", num_partitions=n
+            ).collect()
+        }
+        assert got == want, f"parallel_rank diverged at num_partitions={n}"
+
+
 # ------------------------------------------- pack_sequences invariants
 
 def test_pack_sequences_partition_invariant_and_contiguous():
