@@ -48,21 +48,20 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     Mirrors §3.1's stage order; decision_id is the reference's UUIDv5
     of file_name (`sql_select_utils.py:168`) so ids are stable.
     """
-    decisions = raw.select(
+    base = raw.select(
         uuid5_udf("file_name").alias("decision_id"),
         "file_name",
         "spider",
         "chamber",
         "date",
-        clean_text_udf("raw_text").alias("clean_text"),
         F.col("raw_text"),
     )
     # E1 language ID: heuristic first pass (JVM-side); the reference
     # fills only unknown rows (language_id = -1) — here all rows.
-    decisions = decisions.withColumn("language", language_id_score("raw_text"))
+    base = base.withColumn("language", language_id_score("raw_text"))
     # the heuristic 'und' rows fall back to the spider's dominant
     # language (broadcast dim join in real data; literal map here)
-    decisions = decisions.withColumn(
+    base = base.withColumn(
         "language",
         F.when(F.col("language") != "und", F.col("language")).otherwise(
             F.when(F.col("spider") == "VD_TC", "fr")
@@ -70,10 +69,28 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
             .otherwise("de")
         ),
     ).cache()
+    # clean_text stays OUT of the cached base (r11 optimization, guide
+    # §4/§5): the cache materializes EVERY column on population, so
+    # keeping clean_text inside it ran the regex-heavy cleaning
+    # pandas_udf for every pipeline consumer — including the
+    # judgment/criticality/coverage paths that never read it.  Derived
+    # lazily here, the column is computed only by consumers that
+    # actually select it (the decision-table write), exactly once,
+    # with the decision schema unchanged.
+    decisions = base.select(
+        "decision_id",
+        "file_name",
+        "spider",
+        "chamber",
+        "date",
+        clean_text_udf("raw_text").alias("clean_text"),
+        "raw_text",
+        "language",
+    )
 
     # E3 section splitting: UDF → explode → section rows (UDTF shape)
     sections = (
-        decisions.select(
+        base.select(
             "decision_id",
             "language",
             F.explode(split_sections_udf("raw_text", "language")).alias("s"),
