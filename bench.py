@@ -131,14 +131,27 @@ def main() -> None:
     # keep improving through ~4 passes).  A 200-doc warmup + 2 runs
     # samples the steep part of that curve; full-size warmups + 3 runs
     # sample the plateau the pipeline would live on over a real corpus.
+    # Every iteration must COMPUTE, not replay: the pipeline caches its
+    # base/sections/headers frames, the raw fixture is a LocalRelation
+    # whose canonicalized plan is identical across iterations, and
+    # Spark's CacheManager substitutes any materialized cache entry
+    # whose canonical plan matches — so without clearing, iterations
+    # 2+ silently reused iteration 1's cached extraction output and
+    # the recorded docs/s measured cache replay, not the pipeline
+    # (r11 measurement-honesty fix, found via persistentRDDs growing
+    # +2/iteration; the numbers before this fix are kept in
+    # OPTIMIZATION_r11.md).  clearCache() also unpersists the leaked
+    # entries, so memory stays flat across the 5 iterations.
     n_docs = 5000
     for _ in range(2):
+        spark.catalog.clearCache()
         execute(judgment_dataset(
             run_extraction_pipeline(raw_corpus_df(spark, n_docs))
         ))
 
     pipe_runs = []
     for _ in range(3):
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         execute(judgment_dataset(
             run_extraction_pipeline(raw_corpus_df(spark, n_docs))
