@@ -59,6 +59,27 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _fixture_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Slim bigint id projection feeding every ``generate_*_fixture``
+    — SPREAD across the session's parallelism when the source scan has
+    fewer partitions than cores (r11 optimization, guide §2.5
+    stragglers): the bench fixtures are single-row-group parquet, so
+    the scan arrives as ONE partition and the whole encode→decode
+    Python chain would serialize on one core while the rest idle
+    (measured: jpeg/mjpg gates ran (0+1)/1 single-task).  The
+    repartition moves only the 8-byte ids — the expensive payloads are
+    generated AFTER the exchange, on all cores.  Scale-adaptive, not a
+    local constant: a real many-file corpus already scans with ≥ cores
+    partitions and keeps its layout (no added shuffle); only an
+    under-parallel input is spread, and only up to
+    ``defaultParallelism``, which tracks the cluster width."""
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    target = ids.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < target:
+        ids = ids.repartition(target)
+    return ids
+
+
 def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Fixture adapter: treat the document text's UTF-8 bytes as an
     opaque media payload with deterministic metadata (the shape a real
@@ -252,7 +273,7 @@ def generate_progressive_jpeg_fixture(
     exercises the multi-scan coefficient store and
     `_assemble_progressive` instead of the baseline path, against the
     identical arithmetic oracle."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _progressive_jpeg_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -297,7 +318,7 @@ def generate_mixed_media_fixture(df: DataFrame, id_col: str = "doc_id") -> DataF
     deliberately-undecodable payload cycling by doc_id % 4 — the shape
     `decode_image_features` must survive at 100 TB: every codec
     dispatched in one scan, bad rows passing through as 'other'."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _mixed_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -312,7 +333,7 @@ def generate_jpeg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     independent oracle recomputes every pixel statistic from arithmetic
     alone — the full marker-parse → Huffman → dequant → IDCT path
     through real bytes is what the gate verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _jpeg_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -324,7 +345,7 @@ def generate_image_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     (id + 7x + 13y + 29c) % 256 so an independent oracle can recompute
     every statistic from arithmetic alone — the encode→decode round
     trip through real bytes is what the gate verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _image_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -450,7 +471,7 @@ def generate_wav_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     pass-through contract.  An independent oracle recomputes every
     statistic from arithmetic alone — the RIFF parse → PCM unpack path
     through real bytes is what the gate verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _wav_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -786,7 +807,7 @@ def generate_avi_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     every per-frame statistic from arithmetic alone; the RIFF walk →
     DIB plane → BGR→RGB path through real bytes is what the gate
     verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _avi_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -812,7 +833,7 @@ def generate_mjpg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     `jpeg_decode_stats` gate).  What the gate then verifies end-to-end:
     RIFF walk -> `00dc` chunk -> baseline JPEG decode -> gray->RGB
     replicate, all through real bytes."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _mjpg_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -963,7 +984,7 @@ def generate_gif_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     per-frame index and RGB sum; the LZW bitstream -> sub-block ->
     palette -> canvas path through real bytes is what the gate
     verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _gif_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1152,7 +1173,7 @@ def generate_media_router_fixture(df: DataFrame, id_col: str = "doc_id") -> Data
     """Six real formats + junk rows in ONE binary column, all encoded
     from doc_id arithmetic so a single oracle predicts every routed
     statistic (`plans/extra_queries.py::media_router_stats`)."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _router_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1249,7 +1270,7 @@ def generate_image_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> Dat
     corpus size (cluster size is bounded, cluster count grows), and the
     oracle recomputes every pixel, hash bit, and pair from the same
     md5 formula."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _image_neardup_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1381,7 +1402,7 @@ def generate_audio_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> Dat
     linear in corpus size.  The oracle recomputes every sample, window
     energy, hash bit, and pair from the arithmetic alone; the real
     RIFF encode -> decode path is what the Spark side exercises."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _audio_neardup_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1494,7 +1515,7 @@ def generate_video_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> Dat
     doc-unique brightened frames — temporal-envelope entropy comes from
     the seed, pair volume stays linear, and the oracle recomputes every
     level, bit, and pair from arithmetic alone."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _video_neardup_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1618,7 +1639,7 @@ def generate_media_neardup_fixture(df: DataFrame, id_col: str = "doc_id") -> Dat
     built-in near-dup structure — the input shape a real 100 TB media
     lake presents: you don't get a per-format table, you get a payload
     column and a sniffer."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _media_neardup_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1756,7 +1777,7 @@ def generate_adpcm_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     per-sample recurrence over the public IMA step tables, so a nibble
     packing/order, block segmentation, or clamp bug in EITHER codec
     direction fails the hash."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _adpcm_fixture_batches, PAYLOAD_SCHEMA
     )
 
@@ -1768,7 +1789,7 @@ def generate_g711_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     recomputes every decoded 16-bit sample from the byte alone; the
     RIFF parse -> expansion-table path through real bytes is what the
     gate verifies."""
-    return df.select(F.col(id_col).cast("long").alias("doc_id")).mapInPandas(
+    return _fixture_ids(df, id_col).mapInPandas(
         _g711_fixture_batches, PAYLOAD_SCHEMA
     )
 

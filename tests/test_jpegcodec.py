@@ -398,3 +398,25 @@ def test_progressive_encoder_roundtrip():
     px = [(x * 7 + y * 13) % 256 for y in range(h) for x in range(w)]
     _, _, _, out = decode_jpeg(encode_jpeg_gray_progressive(w, h, px))
     assert max(abs(a - b) for a, b in zip(px, out)) <= 1
+
+
+def test_fixture_ids_spreads_single_partition_input(spark):
+    """The shared fixture-id projection must spread an under-parallel
+    input across the session's cores (the single-row-group bench
+    layout serialized every decode on one task, r11), must NOT add an
+    exchange when the input is already at least that wide, and must
+    never change the id multiset."""
+    from swisscourtrulingcorpus_spark.extraction.multimodal import (
+        _fixture_ids,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 500).coalesce(1).withColumnRenamed("id", "doc_id")
+    spread = _fixture_ids(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(500))
+
+    wide = spark.range(0, 500, 1, target).withColumnRenamed("id", "doc_id")
+    kept = _fixture_ids(wide, "doc_id")
+    assert kept.rdd.getNumPartitions() == target
+    assert "Exchange" not in kept._jdf.queryExecution().executedPlan().toString()
