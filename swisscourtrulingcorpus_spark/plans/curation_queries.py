@@ -1170,9 +1170,19 @@ def preference_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the scorer is the gated broadcast-model plan (text
     never shuffles); the ranking windows run over slim (doc_id, lang,
     margin bigint) rows partitioned BY LANGUAGE; the best-vs-worst
-    pairing is a self-equi-join on (lang, mirrored rank) — two slim
-    int shuffles end to end.  Margins are micro-int exact, so rank,
-    pairing, and gap are engine-identical."""
+    pairing is ONE in-place aggregation on the mirrored-rank key
+    (r11 optimization) — rank i and rank n+1-i share the group key
+    ``least(i, n+1-i)``, so ``min_by``/``max_by`` over rank pull the
+    chosen/rejected sides out of each 2-row group without the former
+    self-equi-join.  hashpartitioning(lang) from the ranking window
+    already satisfies the (lang, pair_idx) clustering, so the pairing
+    adds ZERO exchanges, and with the ranked table referenced once the
+    eager ``localCheckpoint`` lineage cut (which materialized the
+    whole NB chain at construction time) is gone too.  The middle
+    element of an odd-sized language pairs with itself and is dropped
+    (its group has 1 row ⇔ the old ``pair_idx*2 <= n`` filter).
+    Margins are micro-int exact and ranks are unique per language, so
+    pairing and gap stay engine-identical."""
     from pyspark.sql import Window
 
     from swisscourtrulingcorpus_spark.functions.curation import (
@@ -1192,37 +1202,26 @@ def preference_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy(
         F.col("margin").desc(), F.col("doc_id").asc()
     )
-    # the ranked table is referenced TWICE (best + worst side of the
-    # mirror join); without a lineage cut each reference re-plans the
-    # whole NB train+score subtree (~40 exchanges) — 92 static
-    # exchanges before, ~half after (the co-purchase/PageRank shared-
-    # input rule).  rk is slim: (lang, doc_id, margin, i, n) ints.
     rk = m.select(
         "lang",
         "doc_id",
         "margin",
         F.row_number().over(w).alias("i"),
         F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("n"),
-    ).localCheckpoint(eager=True)
-    best = rk.select(
-        "lang",
-        F.col("i").alias("pair_idx"),
-        F.col("doc_id").alias("chosen_id"),
-        F.col("margin").alias("__mc"),
-        "n",
-    )
-    worst = rk.select(
-        "lang",
-        (F.col("n") + 1 - F.col("i")).alias("pair_idx"),
-        F.col("doc_id").alias("rejected_id"),
-        F.col("margin").alias("__mr"),
     )
     return (
-        best.join(worst, on=["lang", "pair_idx"])
-        .where(
-            (F.col("pair_idx") * 2 <= F.col("n"))
-            & (F.col("__mc") > F.col("__mr"))
+        rk.groupBy(
+            "lang",
+            F.least(F.col("i"), F.col("n") + 1 - F.col("i")).alias("pair_idx"),
         )
+        .agg(
+            F.min_by("doc_id", "i").alias("chosen_id"),
+            F.min_by("margin", "i").alias("__mc"),
+            F.max_by("doc_id", "i").alias("rejected_id"),
+            F.max_by("margin", "i").alias("__mr"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .where((F.col("__cnt") == 2) & (F.col("__mc") > F.col("__mr")))
         .select(
             "lang",
             F.col("pair_idx").cast("long").alias("pair_idx"),

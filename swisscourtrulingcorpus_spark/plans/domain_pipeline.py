@@ -88,12 +88,30 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
         "language",
     )
 
-    # E3 section splitting: UDF → explode → section rows (UDTF shape)
+    # E3 section splitting: ONE UDF pass caching the per-doc section
+    # ARRAY (r11 optimization, guide §2.3/§8): the former cache held
+    # the EXPLODED rows, so regrouping them per decision (the dataset
+    # creators' pivot) cost a full shuffle of section text plus a
+    # decisions⋈pivot join — moving payload bytes to reassemble a
+    # grouping the splitter emitted in the first place.  Cached as one
+    # array row per doc WITH the slim meta columns, the section table
+    # is a lazy map-side explode and the judgment creator's pivot is a
+    # map-side array lookup: zero shuffles, zero joins, same values
+    # (the splitter emits at most one entry per section type, so
+    # first() per (doc, section) ≡ the array lookup).
+    section_arrays = base.select(
+        "decision_id",
+        "spider",
+        "chamber",
+        "date",
+        "language",
+        split_sections_udf("raw_text", "language").alias("__secs"),
+    ).cache()
     sections = (
-        base.select(
+        section_arrays.select(
             "decision_id",
             "language",
-            F.explode(split_sections_udf("raw_text", "language")).alias("s"),
+            F.explode("__secs").alias("s"),
         )
         .select(
             "decision_id",
@@ -102,7 +120,7 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
             F.col("s.text").alias("section_text"),
         )
         .withColumn("num_tokens", token_count_ws("section_text"))
-    ).cache()
+    )
 
     # E4 citations from considerations + full text
     citations = (
@@ -155,6 +173,7 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     return {
         "decision": decisions,
         "section": sections,
+        "section_arrays": section_arrays,
         "citation": citations,
         "judgment": judgments,
         "composition": composition,
@@ -202,15 +221,44 @@ def judgment_dataset(tables: dict[str, DataFrame]) -> DataFrame:
     rulings text one-row-per-decision, so running the UDF post-pivot
     removes a whole shuffled join on decision_id (and a second UDF pass
     over the section rows).  Same values — null rulings → null label →
-    filtered, exactly like a join miss."""
+    filtered, exactly like a join miss.
+
+    r11 optimization: when the pipeline provides the cached per-doc
+    section arrays (``section_arrays``), the pivot is a map-side array
+    lookup on that frame — which already carries the decision meta
+    columns — so the groupBy-pivot shuffle AND the decisions⋈pivot
+    join disappear; the creator is a pure map chain over the cache.
+    ``get(filter(...), 0)`` ≡ the pivot's ``first()`` because the
+    splitter emits at most one entry per section type, and a doc with
+    no sections gets NULLs exactly like the former left-join miss."""
     from swisscourtrulingcorpus_spark.extraction import extract_judgments_udf
 
-    decisions = tables["decision"]
-    pivot = _sections_pivot(tables["section"])
+    sa = tables.get("section_arrays")
+    if sa is not None:
+        def pick(sec: str) -> F.Column:
+            return F.get(
+                F.expr(f"filter(__secs, x -> x.section = '{sec}')"), 0
+            )["text"]
+
+        df = sa.select(
+            "decision_id",
+            "spider",
+            "chamber",
+            "date",
+            "language",
+            pick("facts").alias("facts"),
+            pick("considerations").alias("considerations"),
+            pick("rulings").alias("rulings"),
+            pick("header").alias("header"),
+        )
+    else:
+        decisions = tables["decision"]
+        pivot = _sections_pivot(tables["section"])
+        df = decisions.select(
+            "decision_id", "spider", "chamber", "date", "language"
+        ).join(pivot, on="decision_id", how="left")
     df = (
-        decisions.select("decision_id", "spider", "chamber", "date", "language")
-        .join(pivot, on="decision_id", how="left")
-        .withColumn(
+        df.withColumn(
             "judgments", extract_judgments_udf("rulings", "language")
         )
         .withColumn("label", normalize_binary_judgment("judgments"))

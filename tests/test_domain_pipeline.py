@@ -201,3 +201,32 @@ def test_pipeline_tolerates_malformed_documents(spark):
     ds = judgment_dataset(tables)
     assert ds.count() > 0
     assert ds.where(F.col("facts").isNull()).count() == 0
+
+
+def test_judgment_dataset_mapside_pivot_matches_join_path(spark):
+    """r11: the judgment creator's pivot is a map-side array lookup on
+    the cached section_arrays frame — NO exchange and NO join in its
+    plan — and must return exactly the rows of the legacy
+    groupBy-pivot + left-join path (which remains as the fallback for
+    callers without section_arrays)."""
+    from conftest import explain_plan_str
+
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        judgment_dataset,
+        run_extraction_pipeline,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
+
+    tables = run_extraction_pipeline(raw_corpus_df(spark, 200))
+    new_df = judgment_dataset(tables)
+    legacy = {k: v for k, v in tables.items() if k != "section_arrays"}
+    old_df = judgment_dataset(legacy)
+
+    plan = explain_plan_str(new_df, "formatted")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+    assert new_df.schema == old_df.schema
+    assert sorted(map(tuple, new_df.collect())) == sorted(
+        map(tuple, old_df.collect())
+    )

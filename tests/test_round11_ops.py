@@ -518,3 +518,29 @@ def test_bh_never_rejects_less_than_bonferroni_more_than_alpha_m(spark):
             assert r["significant"], r
         if p > 50_000:  # above alpha itself
             assert not r["significant"], r
+
+
+def test_uuid5_col_bit_identical_to_stdlib(spark):
+    """The JVM-side UUIDv5 expression (r11: replaced the pandas_udf)
+    must reproduce uuid.uuid5(UUID(int=0), name) byte-for-byte,
+    including NULL propagation, empty strings and non-ASCII input."""
+    from swisscourtrulingcorpus_spark.extraction.ids import uuid5_col, uuid5_py
+
+    names = [
+        "",
+        "a",
+        "doc_0",
+        "CH_BGer_001_2003.html",
+        "Ürteil-1/2003 ä.pdf",
+        "x" * 500,
+        None,
+        "tab\tand\nnewline",
+        "emoji \U0001F600",
+    ] + [f"doc_{i}" for i in range(50)]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r["name"]: r["u"]
+        for r in df.select("name", uuid5_col("name").alias("u")).collect()
+    }
+    for n in names:
+        assert got[n] == uuid5_py(n), (n, got[n], uuid5_py(n))
