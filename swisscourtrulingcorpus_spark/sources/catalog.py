@@ -108,10 +108,32 @@ def _table_schema(spark: SparkSession, path: str):
     return sch
 
 
+# View-name cache for load_table (r11 optimization round, session 2).
+# Even with the schema cache above, every load_table call still paid
+# ~20 ms of py4j/driver work — DataFrameReader setup, the ``parquet()``
+# call's relation + file-index construction — and the bench makes ~150
+# such calls (each headline query is constructed fresh 3×; profiled:
+# load_table was 0.7 s of q5's 1.7 s 5-construction profile, 80% of it
+# socket recv).  Fix: register the fully-prepared table (schema'd scan
+# + nanos conversion) as a session TEMP VIEW once per (session, path,
+# mtime, size) and return ``spark.table(view)`` — one py4j call.  Each
+# call yields a FRESH UnresolvedRelation, so two loads of one table
+# still self-join with distinct expression IDs (the analyzer
+# deduplicates relation instances, exactly as SQL self-joins do);
+# memoizing the DataFrame OBJECT instead would alias the IDs and break
+# them.  The view is pure metadata in the session catalog — every
+# execution still scans the parquet — and the stat-key invalidates on
+# any file change (a changed file gets a new view name; the stale view
+# is just never referenced again).
+_VIEW_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table = one parquet path; schema comes from parquet footers
     (explicit and stable — written by the deterministic generator),
-    cached per (path, mtime, size) so repeated loads skip re-inference.
+    cached per (path, mtime, size) so repeated loads skip re-inference,
+    and the prepared scan is registered once per session as a temp view
+    so repeated loads cost one catalog lookup (see _VIEW_CACHE).
 
     TIMESTAMP(NANOS) columns arrive as nano BIGINTs; convert with
     integer ``DIV 1000`` (never double math — 1e18 ns exceeds 2^53),
@@ -119,10 +141,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle comparisons stay exact.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    view = _VIEW_CACHE.get(key)
+    if view is not None:
+        try:
+            return spark.table(view)
+        except Exception:
+            # session restarted under the same Python object id (or the
+            # view was dropped): fall through and re-register
+            _VIEW_CACHE.pop(key, None)
     df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     for c in _nanos_timestamp_cols(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    view = f"__catalog_{name}_{abs(hash(key)) % 10**12}"
+    df.createOrReplaceTempView(view)
+    _VIEW_CACHE[key] = view
+    return spark.table(view)
 
 
 def epoch_us(col) -> F.Column:
