@@ -56,6 +56,18 @@ _DEFAULT_CONFS = {
     "spark.sql.optimizer.excludedRules": (
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
     ),
+    # PySpark's DataFrame-debugging layer wraps EVERY DataFrame/Column
+    # API call to capture the Python call site for error messages:
+    # per call it walks the Python stack AND makes ~4 extra py4j round
+    # trips (getActiveSession + PySparkCurrentOrigin.set/conf-read/
+    # clear).  Driver-side plan construction is inside the bench's
+    # timed region (guide §1), and the r12 census measured 7652 round
+    # trips per headline pass dropping to 3262 with this off —
+    # interleaved A/B: 1650-1985 ms -> 1005-1103 ms of construction
+    # per pass, every query improved (OPTIMIZATION_r12.md).  Purely a
+    # diagnostics feature: error messages lose the enriched call-site
+    # line, execution plans and results are bit-identical.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Arrow transfer for the pandas_udf extraction layer; bounded batches
     # keep per-batch memory flat regardless of document size.  4096 is
     # the measured sweet spot for the extraction pipeline (fewer
