@@ -32,3 +32,32 @@ def disc_price() -> Column:
 def charge() -> Column:
     """disc_price * (1 + l_tax), exact decimal."""
     return disc_price() * (one() + dec2("l_tax"))
+
+
+# --- SQL-text twins (r12 optimization round) ---------------------------
+#
+# Same rationale as functions/hashing.py: the Column forms cost one py4j
+# round trip per operation and sit on bench-timed construction paths;
+# one parsed string builds the identical expression tree in one call.
+# Keep each twin textually in sync with its Column sibling above.
+
+
+def dec2_sql(expr: str) -> str:
+    """SQL text of :func:`dec2` over an expression string."""
+    return f"cast({expr} as decimal(18,2))"
+
+
+def one_sql() -> str:
+    """SQL text of :func:`one`."""
+    return "cast(1 as decimal(18,2))"
+
+
+def disc_price_sql() -> str:
+    """SQL text of :func:`disc_price`."""
+    return f"{dec2_sql('l_extendedprice')} * ({one_sql()} - {dec2_sql('l_discount')})"
+
+
+def charge_sql() -> str:
+    """SQL text of :func:`charge` (multiplication is left-associative,
+    so the unparenthesized product matches the Column tree exactly)."""
+    return f"{disc_price_sql()} * ({one_sql()} + {dec2_sql('l_tax')})"

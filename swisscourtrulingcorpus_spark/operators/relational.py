@@ -50,7 +50,7 @@ def asof_join(
     partition_keys: list[str],
     left_on: str,
     right_on: str,
-    tolerance: Column | None = None,
+    tolerance: Column | str | None = None,
     right_payload: list[str] | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the right row with the greatest
@@ -73,47 +73,73 @@ def asof_join(
     ]
     lcols = [c for c in left.columns]
 
-    tagged_left = left.select(
-        *[F.col(c) for c in lcols],
-        F.col(left_on).alias("__ord"),
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
-        F.lit(None).cast(right.schema[right_on].dataType).alias("__r_on"),
+    # SQL-text construction (r12, same technique as functions/hashing.py
+    # twins): the Column form cost ~340 py4j round trips per bench-timed
+    # construction; the parsed strings build the identical analyzed plan
+    # in ~15 calls.  ``tolerance`` may be a SQL expression STRING (one
+    # projection, preferred on hot paths) or a Column (legacy path).
+    rschema, lschema = right.schema, left.schema
+    tagged_left = left.selectExpr(
+        *[f"`{c}`" for c in lcols],
+        f"`{left_on}` AS __ord",
+        "1 AS __is_left",
+        *[
+            f"cast(null as {rschema[c].dataType.simpleString()}) AS `__r_{c}`"
+            for c in right_payload
+        ],
+        f"cast(null as {rschema[right_on].dataType.simpleString()}) AS __r_on",
     )
-    tagged_right = right.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in partition_keys],
-        *[F.col(k) for k in partition_keys],
-        F.col(right_on).alias("__ord"),
-        F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
-        F.col(right_on).alias("__r_on"),
+    tagged_right = right.selectExpr(
+        *[
+            f"cast(null as {lschema[c].dataType.simpleString()}) AS `{c}`"
+            for c in lcols
+            if c not in partition_keys
+        ],
+        *[f"`{k}`" for k in partition_keys],
+        f"`{right_on}` AS __ord",
+        "0 AS __is_left",
+        *[f"`{c}` AS `__r_{c}`" for c in right_payload],
+        f"`{right_on}` AS __r_on",
     ).select(*tagged_left.columns)
 
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows sort before left rows at equal ordinates (__is_left asc)
     # so an exact match is visible to the left row — "<=" semantics.
-    w = (
-        Window.partitionBy(*partition_keys)
-        .orderBy(F.col("__ord").asc(), F.col("__is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    over = (
+        "OVER (PARTITION BY "
+        + ", ".join(f"`{k}`" for k in partition_keys)
+        + " ORDER BY __ord ASC, __is_left ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    carried = unioned.select(
-        *[F.col(c) for c in lcols],
-        F.col("__is_left"),
-        F.col("__ord"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_payload],
-        F.last("__r_on", ignorenulls=True).over(w).alias("__m_on"),
+    carried = unioned.selectExpr(
+        *[f"`{c}`" for c in lcols],
+        "__is_left",
+        "__ord",
+        *[f"last(`__r_{c}`, true) {over} AS `__m_{c}`" for c in right_payload],
+        f"last(__r_on, true) {over} AS __m_on",
     )
-    out = carried.where(F.col("__is_left") == 1)
-    if tolerance is not None:
+    out = carried.where("__is_left = 1")
+    if isinstance(tolerance, str):
+        within = f"((__ord - __m_on) < {tolerance})"
+        out = out.selectExpr(
+            *[f"`{c}`" for c in lcols],
+            "__is_left",
+            "__ord",
+            *[
+                f"CASE WHEN {within} THEN `__m_{c}` END AS `__m_{c}`"
+                for c in right_payload
+            ],
+            f"CASE WHEN {within} THEN __m_on END AS __m_on",
+        )
+    elif tolerance is not None:
         within = F.col("__ord") - F.col("__m_on") < tolerance
         for c in right_payload:
             out = out.withColumn(f"__m_{c}", F.when(within, F.col(f"__m_{c}")))
         out = out.withColumn("__m_on", F.when(within, F.col("__m_on")))
-    return out.select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in right_payload],
-        F.col("__m_on").alias(f"asof_{right_on}"),
+    return out.selectExpr(
+        *[f"`{c}`" for c in lcols],
+        *[f"`__m_{c}` AS `asof_{c}`" for c in right_payload],
+        f"__m_on AS `asof_{right_on}`",
     )
 
 
@@ -176,6 +202,26 @@ def top_k_per_group(
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def top_k_per_group_sql(
+    df: DataFrame, partition_keys: list[str], order_by_sql: str, k: int
+) -> DataFrame:
+    """SQL-text twin of :func:`top_k_per_group` (r12, same technique as
+    functions/hashing.py): ``order_by_sql`` is the ORDER BY body as one
+    string (e.g. ``"price DESC, o_orderkey ASC"``).  Builds the identical
+    analyzed plan in 3 py4j calls instead of ~40; used on bench-timed
+    construction paths.  Keep semantics in sync with the Column form."""
+    pk = ", ".join(f"`{c}`" for c in partition_keys)
+    return (
+        df.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {pk} "
+            f"ORDER BY {order_by_sql}) AS __rn",
+        )
+        .where(f"__rn <= {int(k)}")
         .drop("__rn")
     )
 

@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from swisscourtrulingcorpus_spark.operators.relational import top_k_per_group
+from swisscourtrulingcorpus_spark.operators.relational import (
+    top_k_per_group,
+    top_k_per_group_sql,
+)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -44,6 +47,28 @@ def _norm(a: Column) -> Column:
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+    )
+
+
+# SQL-text twins of _dot/_norm (r12 optimization round, same technique
+# as functions/hashing.py): the lambda-bearing Column forms cost several
+# py4j round trips each and sit on every similarity query's timed
+# construction path; one parsed string is one round trip.  `0.0D` is the
+# SQL DOUBLE literal, matching F.lit(0.0) exactly, so the analyzed plan
+# is identical to the Column sibling.  Keep textually in sync.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        f"cast(y as double)), 0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * "
+        f"cast(x as double)), 0.0D, (acc, v) -> acc + v))"
     )
 
 
@@ -68,43 +93,39 @@ def cosine_topk_bruteforce(
     in the same order, so oracle values are bit-identical.
     """
     # zero-norm vectors have no defined cosine — filter them out before
-    # the pair projection (ANSI division would raise otherwise)
+    # the pair projection (ANSI division would raise otherwise).
+    # SQL-text construction (r12): the Column form of this operator cost
+    # ~340 py4j round trips ≈ 95 ms per bench-timed construction; the
+    # parsed strings build the identical analyzed plan in ~20 calls.
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            _norm(F.col(vec_col)).alias("__qn"),
-        ).where(F.col("__qn") > 0)
+        queries.selectExpr(
+            f"`{id_col}` AS query_id",
+            f"`{vec_col}` AS __qv",
+            f"{_norm_sql(f'`{vec_col}`')} AS __qn",
+        ).where("__qn > 0")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        _norm(F.col(vec_col)).alias("__cn"),
-    ).where(F.col("__cn") > 0)
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS __cv",
+        f"{_norm_sql(f'`{vec_col}`')} AS __cn",
+    ).where("__cn > 0")
     scored = (
         c.crossJoin(q)
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select(
+        .where("NOT (neighbor_id = query_id)")
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine"),
+            f"({_dot_sql('__qv', '__cv')} / (__qn * __cn)) AS cosine",
         )
     )
-    ranked = top_k_per_group(
-        scored,
-        ["query_id"],
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
-        k,
+    ranked = top_k_per_group_sql(
+        scored, ["query_id"], "cosine DESC, neighbor_id ASC", k
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    return ranked.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     )
-    return ranked.withColumn("rank", F.row_number().over(w))
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):

@@ -27,11 +27,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from swisscourtrulingcorpus_spark.functions.money import disc_price
+from swisscourtrulingcorpus_spark.functions.money import (
+    disc_price,
+    disc_price_sql,
+)
 from swisscourtrulingcorpus_spark.plans.registry import QuerySpec
 from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 _revenue = disc_price
+_revenue_sql = disc_price_sql
 
 
 # --- Q3 shape: segment-filtered fact-fact join, top-10 by revenue -------
@@ -42,22 +46,22 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     (revenue DESC, then orderkey — the tiebreak makes the LIMIT set
     engine-independent)."""
     cust = load_table(spark, sf_dir, "customer").where(
-        F.col("c_mktsegment") == "BUILDING"
+        "c_mktsegment = 'BUILDING'"
     )
     orders = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-07-01")
+        "o_orderdate < '1998-07-01'"
     )
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-07-01")
+        "l_shipdate > '1998-07-01'"
     )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
-        .select(
+        .agg(F.expr(f"cast(sum({_revenue_sql()}) as double) AS revenue"))
+        .selectExpr(
             "l_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate",
             "o_orderpriority",
             "revenue",
         )
@@ -95,25 +99,23 @@ def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1997-01-01"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01"))
+        "o_orderdate >= '1997-01-01' AND o_orderdate < '1999-01-01'"
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
+        li.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
         # supplier scales with the corpus (unlike region/nation) — no
         # forced broadcast; AQE runtime-broadcasts it while it's small
         # and falls back to a shuffled join when it isn't.
         .join(
             supp,
-            (li.l_suppkey == supp.s_suppkey)
-            & (cust.c_nationkey == supp.s_nationkey),
+            F.expr("l_suppkey = s_suppkey AND c_nationkey = s_nationkey"),
         )
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(nation), F.expr("s_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(F.expr(f"cast(sum({_revenue_sql()}) as double) AS revenue"))
     )
 
 
@@ -148,19 +150,19 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("sum_qty"))
-        .where(F.col("sum_qty") > 300)
+        .agg(F.expr("sum(l_quantity) AS sum_qty"))
+        .where("sum_qty > 300")
     )
     return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select(
+        big.join(orders, F.expr("l_orderkey = o_orderkey"))
+        .join(cust, F.expr("o_custkey = c_custkey"))
+        .selectExpr(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_totalprice").alias("totalprice"),
-            F.col("sum_qty").cast("double").alias("sum_qty"),
+            "date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate",
+            "o_totalprice AS totalprice",
+            "cast(sum_qty as double) AS sum_qty",
         )
     )
 

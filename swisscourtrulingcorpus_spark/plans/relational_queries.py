@@ -39,25 +39,35 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from swisscourtrulingcorpus_spark.functions import money
 
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = money.disc_price()
-    charge = money.charge()
+    # SQL-text construction (r12): the Column form cost ~135 py4j round
+    # trips per bench-timed construction; parsed strings build the
+    # identical analyzed plan in ~12 calls (plan-diff pinned).
     return (
-        li.where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+        li.where("l_shipdate <= '2000-12-01'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.expr("cast(sum(l_quantity) as double) AS sum_qty"),
+            F.expr(
+                f"cast(sum({money.dec2_sql('l_extendedprice')}) as double)"
+                " AS sum_base_price"
+            ),
+            F.expr(
+                f"cast(sum({money.disc_price_sql()}) as double)"
+                " AS sum_disc_price"
+            ),
+            F.expr(
+                f"cast(sum({money.charge_sql()}) as double) AS sum_charge"
+            ),
             # No round(): Spark round (BigDecimal HALF_UP) and DuckDB round
             # (multiply-based) can disagree in the last place; instead both
             # engines compute the SAME double expression (exact decimal sum
             # -> double -> one division) so the raw bits already match.
-            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
-            (
-                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))
-            ).alias("avg_price"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.expr("sum(l_quantity) / count(1) AS avg_qty"),
+            F.expr(
+                f"cast(sum({money.dec2_sql('l_extendedprice')}) as double)"
+                " / count(1) AS avg_price"
+            ),
+            F.expr("count(1) AS count_order"),
         )
     )
 
@@ -86,19 +96,24 @@ def coverage_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`sql_select_utils.py:51-68` — decision ⋈ chamber ⋈ spider ⋈
     judgment_map → countDistinct) re-shaped onto orders ⋈ customer ⋈
     nation ⋈ region.  Dims broadcast; orders shuffles once for the agg."""
+    from swisscourtrulingcorpus_spark.functions import money
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        orders.join(F.broadcast(cust), F.expr("o_custkey = c_custkey"))
+        .join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
         .groupBy("r_name")
         .agg(
-            F.countDistinct("o_custkey").alias("n_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+            F.expr("count(DISTINCT o_custkey) AS n_customers"),
+            F.expr("count(1) AS n_orders"),
+            F.expr(
+                f"cast(sum({money.dec2_sql('o_totalprice')}) as double)"
+                " AS total_value"
+            ),
         )
     )
 
@@ -126,22 +141,21 @@ def map_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is one row per orderkey."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    item = F.concat_ws(
-        ":", F.col("l_linenumber").cast("string"), F.col("l_partkey").cast("string")
-    )
     out = map_join(
         orders.select("o_orderkey", "o_orderstatus"),
-        li.select("l_orderkey", item.alias("__item")).withColumnRenamed(
-            "l_orderkey", "o_orderkey"
+        li.selectExpr(
+            "l_orderkey AS o_orderkey",
+            "concat_ws(':', cast(l_linenumber as string),"
+            " cast(l_partkey as string)) AS __item",
         ),
         key="o_orderkey",
-        agg_col=F.concat_ws(",", F.sort_array(F.collect_list("__item"))),
+        agg_col=F.expr("concat_ws(',', sort_array(collect_list(__item)))"),
         alias="items",
     )
-    return out.select(
+    return out.selectExpr(
         "o_orderkey",
         "o_orderstatus",
-        F.coalesce(F.col("items"), F.lit("")).alias("items"),
+        "coalesce(items, '') AS items",
     )
 
 
@@ -205,27 +219,31 @@ def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    from swisscourtrulingcorpus_spark.functions import money
+
     nations_in = nation.join(
-        F.broadcast(region.where(F.col("r_name") == "AMERICA")),
-        nation.n_regionkey == region.r_regionkey,
+        F.broadcast(region.where("r_name = 'AMERICA'")),
+        F.expr("n_regionkey = r_regionkey"),
         "left_semi",
     )
     custs_in = cust.join(
-        F.broadcast(nations_in), cust.c_nationkey == nations_in.n_nationkey, "left_semi"
+        F.broadcast(nations_in), F.expr("c_nationkey = n_nationkey"), "left_semi"
     )
     orders_in = orders.join(
         F.broadcast(custs_in.select("c_custkey")),
-        orders.o_custkey == F.col("c_custkey"),
+        F.expr("o_custkey = c_custkey"),
         "left_semi",
     )
     li_in = li.join(
         orders_in.select("o_orderkey"),
-        li.l_orderkey == F.col("o_orderkey"),
+        F.expr("l_orderkey = o_orderkey"),
         "left_semi",
     )
     return li_in.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum(_dec("l_extendedprice")).cast("double").alias("value"),
+        F.expr("count(1) AS n_items"),
+        F.expr(
+            f"cast(sum({money.dec2_sql('l_extendedprice')}) as double) AS value"
+        ),
     )
 
 
@@ -274,11 +292,11 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     'click' at ts <= purchase ts, kept only if within 30 minutes.
     Sort-merge as-of: one shuffle on user_id, no range cross-join."""
     ev = load_table(spark, sf_dir, "events")
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    purchases = ev.where("event_type = 'purchase'").selectExpr(
+        "user_id", "event_id AS purchase_id", "ts"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", F.col("event_id").alias("click_id"), "ts"
+    clicks = ev.where("event_type = 'click'").selectExpr(
+        "user_id", "event_id AS click_id", "ts"
     )
     joined = asof_join(
         purchases,
@@ -286,14 +304,14 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_keys=["user_id"],
         left_on="ts",
         right_on="ts",
-        tolerance=F.expr("INTERVAL 30 MINUTES"),
+        tolerance="INTERVAL 30 MINUTES",
         right_payload=["click_id"],
     )
-    return joined.select(
+    return joined.selectExpr(
         "purchase_id",
         "user_id",
-        F.col("asof_click_id").alias("click_id"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "asof_click_id AS click_id",
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts",
     )
 
 
@@ -314,21 +332,30 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
 def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per market segment by value (the top-25/top-1000
     citation rankings, `doc2doc_ir_dataset_creator.py:110,327`)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.operators.relational import (
+        top_k_per_group_sql,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    df = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
-        "c_mktsegment", "o_orderkey", _dec("o_totalprice").alias("price")
-    )
-    out = top_k_per_group(
-        df, ["c_mktsegment"], [F.col("price").desc(), F.col("o_orderkey").asc()], 3
-    )
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.col("price").desc(), F.col("o_orderkey").asc()
-    )
-    return out.withColumn("rank", F.row_number().over(w)).select(
+    df = orders.join(F.broadcast(cust), F.expr("o_custkey = c_custkey")).selectExpr(
         "c_mktsegment",
         "o_orderkey",
-        F.col("price").cast("double").alias("price"),
+        f"{money.dec2_sql('o_totalprice')} AS price",
+    )
+    out = top_k_per_group_sql(
+        df, ["c_mktsegment"], "price DESC, o_orderkey ASC", 3
+    )
+    ranked = out.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY c_mktsegment "
+        "ORDER BY price DESC, o_orderkey ASC) AS rank",
+    )
+    return ranked.selectExpr(
+        "c_mktsegment",
+        "o_orderkey",
+        "cast(price as double) AS price",
         "rank",
     )
 
@@ -381,22 +408,27 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canton→court→chamber counter ladder (`count_computer.py:40-87`)
     as a native ROLLUP over region→nation: per-level totals in one pass
     (partial aggregation map-side, single shuffle)."""
+    from swisscourtrulingcorpus_spark.functions import money
+
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     df = (
-        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        cust.join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+        .join(F.broadcast(region), F.expr("n_regionkey = r_regionkey"))
     )
     return (
         df.rollup("r_name", "n_name")
         .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+            F.expr("count(1) AS n_customers"),
+            F.expr(
+                f"cast(sum({money.dec2_sql('c_acctbal')}) as double)"
+                " AS total_balance"
+            ),
         )
-        .select(
-            F.coalesce(F.col("r_name"), F.lit("<ALL>")).alias("region"),
-            F.coalesce(F.col("n_name"), F.lit("<ALL>")).alias("nation"),
+        .selectExpr(
+            "coalesce(r_name, '<ALL>') AS region",
+            "coalesce(n_name, '<ALL>') AS nation",
             "n_customers",
             "total_balance",
         )
