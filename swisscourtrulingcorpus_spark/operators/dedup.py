@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from swisscourtrulingcorpus_spark.functions.hashing import (
     h32,
+    h32_sql,
     h32_window,
     md5_seeded,
     normalize_ws,
@@ -196,14 +197,15 @@ def _banded(
     rows_per_band = num_hashes // bands
     keys = []
     for b in range(bands):
-        key = F.col(f"mh{b * rows_per_band}")
+        key = f"mh{b * rows_per_band}"
         for r in range(1, rows_per_band):
-            key = F.shiftleft(key, 32).bitwiseOR(
-                F.col(f"mh{b * rows_per_band + r}")
-            )
+            key = f"shiftleft({key}, 32) | mh{b * rows_per_band + r}"
         keys.append(key)
-    return sig.select(
-        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key")
+    # SQL-text construction (r12): one parsed string instead of ~3 py4j
+    # round trips per packed key; identical analyzed plan.
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"posexplode(array({', '.join(keys)})) AS (band, band_key)",
     )
 
 
@@ -238,10 +240,8 @@ def minhash_lsh_candidates(
     right = banded.alias("b")
     return (
         left.join(right, on=["band", "band_key"])
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .where(f"a.`{id_col}` < b.`{id_col}`")
+        .selectExpr(f"a.`{id_col}` AS id_a", f"b.`{id_col}` AS id_b")
         .distinct()
     )
 
@@ -429,16 +429,16 @@ def dedup_groups_from_signatures(
         F.col("band"), F.col("band_key")
     )
     bucket_min = banded.groupBy("band", "band_key").agg(
-        F.min(id_col).alias("bucket_rep")
+        F.expr(f"min(`{id_col}`) AS bucket_rep")
     )
     return (
         banded.join(bucket_min, on=["band", "band_key"])
         .groupBy(id_col)
-        .agg(F.min("bucket_rep").alias("representative"))
-        .select(
-            id_col,
+        .agg(F.expr("min(bucket_rep) AS representative"))
+        .selectExpr(
+            f"`{id_col}`",
             "representative",
-            (F.col("representative") == F.col(id_col)).alias("keep"),
+            f"(representative = `{id_col}`) AS keep",
         )
     )
 
@@ -694,27 +694,27 @@ def contamination_check(
     (``count(*)`` vs ``count(__hit)``), with no second eval scan and no
     totals⋈shared re-join.  Both shuffles move 8-byte keys only.
     """
-    ev = _shingled(eval_df, text_col, id_col, k, spread=spread).select(
-        id_col, h32(F.col("shingle")).alias("__h")
+    ev = _shingled(eval_df, text_col, id_col, k, spread=spread).selectExpr(
+        f"`{id_col}`", f"{h32_sql('shingle')} AS __h"
     )
     tr = (
         _shingled(train_df, text_col, id_col, k, spread=spread)
-        .select(h32(F.col("shingle")).alias("__h"))
+        .selectExpr(f"{h32_sql('shingle')} AS __h")
         .distinct()
-        .withColumn("__hit", F.lit(1))
+        .selectExpr("*", "1 AS __hit")
     )
     return (
         ev.join(tr, on="__h", how="left")
         .groupBy(id_col)
         .agg(
-            F.count("__hit").alias("n_shared"),
-            F.count(F.lit(1)).alias("n_total"),
+            F.expr("count(__hit) AS n_shared"),
+            F.expr("count(1) AS n_total"),
         )
-        .select(
-            id_col,
+        .selectExpr(
+            f"`{id_col}`",
             "n_shared",
             "n_total",
-            (F.col("n_shared") / F.col("n_total")).alias("contamination"),
+            "(n_shared / n_total) AS contamination",
         )
     )
 
@@ -771,39 +771,35 @@ def ngram_jaccard_pairs(
 
     posts = (
         _shingle_sets(df, text_col, id_col, k, drop_empty=True, spread=spread)
-        .select(
-            id_col,
-            F.size("__sh").alias("n_sh"),
-            F.explode("__sh").alias("shingle"),
+        .selectExpr(
+            f"`{id_col}`",
+            "size(__sh) AS n_sh",
+            "explode(__sh) AS shingle",
         )
-        .select(id_col, "n_sh", h32(F.col("shingle")).alias("__h"))
+        .selectExpr(f"`{id_col}`", "n_sh", f"{h32_sql('shingle')} AS __h")
         .repartition(F.col("__h"))
     )
     rare = (
-        posts.withColumn(
-            "__df", F.count(F.lit(1)).over(Window.partitionBy("__h"))
-        )
-        .where(F.col("__df") <= max_doc_freq)
+        posts.selectExpr("*", "count(1) OVER (PARTITION BY __h) AS __df")
+        .where(f"__df <= {int(max_doc_freq)}")
         .select(id_col, "n_sh", "__h")
     )
 
-    a = rare.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a")
-    b = rare.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b")
+    a = rare.selectExpr(f"`{id_col}` AS id_a", "n_sh AS n_a", "__h")
+    b = rare.selectExpr(f"`{id_col}` AS id_b", "n_sh AS n_b", "__h")
     return (
         a.join(b, on="__h")
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .select(
+        .agg(F.expr("count(1) AS shared"))
+        .selectExpr(
             "id_a",
             "id_b",
             # int/int division -> identical double in Spark and DuckDB;
             # no round() (engines' rounding of doubles differs).
-            (F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))).alias(
-                "jaccard"
-            ),
+            "(shared / (n_a + n_b - shared)) AS jaccard",
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(f"jaccard >= {threshold!r}D")
     )
 
 

@@ -31,7 +31,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from swisscourtrulingcorpus_spark.functions.hashing import md5_seeded, normalize_ws
+from swisscourtrulingcorpus_spark.functions.hashing import (
+    md5_seeded,
+    normalize_ws,
+    normalize_ws_sql,
+)
 
 
 def chunk_documents(
@@ -57,27 +61,24 @@ def chunk_documents(
     # otherwise fabricate a chunk_idx=0 row with empty text and a
     # full-size token count.  ('' still chunks to one empty chunk — a
     # defined value both engines agree on.)
-    words = df.where(F.col(text_col).isNotNull()).select(
-        F.col(id_col), F.split(normalize_ws(text_col), " ").alias("__w")
+    # SQL-text construction (r12, same technique as functions/hashing.py
+    # twins): identical analyzed plan, ~6 py4j calls instead of ~160.
+    words = df.where(f"`{text_col}` IS NOT NULL").selectExpr(
+        f"`{id_col}`",
+        f"split({normalize_ws_sql(f'`{text_col}`')}, ' ') AS __w",
     )
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("__w") - overlap, F.lit(1)), F.lit(step)
+    chunked = words.selectExpr(
+        f"`{id_col}`",
+        "size(__w) AS __n",
+        f"explode(sequence(1, greatest(size(__w) - {overlap}, 1), {step}))"
+        " AS __s",
+        "__w",
     )
-    chunked = words.select(
-        id_col,
-        F.size("__w").alias("__n"),
-        F.explode(starts).alias("__s"),
-        F.col("__w"),
-    )
-    return chunked.select(
-        id_col,
-        ((F.col("__s") - 1) / step).cast("int").alias("chunk_idx"),
-        F.concat_ws(" ", F.slice(F.col("__w"), F.col("__s"), chunk_size)).alias(
-            "chunk_text"
-        ),
-        F.least(F.lit(chunk_size), F.col("__n") - F.col("__s") + 1).alias(
-            "n_chunk_tokens"
-        ),
+    return chunked.selectExpr(
+        f"`{id_col}`",
+        f"cast((__s - 1) / {step} as int) AS chunk_idx",
+        f"concat_ws(' ', slice(__w, __s, {chunk_size})) AS chunk_text",
+        f"least({chunk_size}, __n - __s + 1) AS n_chunk_tokens",
     )
 
 
@@ -218,23 +219,22 @@ def parallel_rank(
         if num_partitions is not None
         else df.repartitionByRange(*sort_cols)
     ).sortWithinPartitions(*[c.asc() for c in sort_cols])
+    # SQL-text construction (r12): identical analyzed plan, fewer py4j
+    # round trips (the projections mirror the former withColumn chain).
     rows = (
-        parts.withColumn("__mid", F.monotonically_increasing_id())
-        .withColumn("__pid", F.shiftright("__mid", 33))
-        .withColumn(
-            "__local",
-            F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1),
-        )
+        parts.selectExpr("*", "monotonically_increasing_id() AS __mid")
+        .selectExpr("*", "shiftright(__mid, 33) AS __pid")
+        .selectExpr("*", f"(__mid & {(1 << 33) - 1}) + 1 AS __local")
     )
-    totals = rows.groupBy("__pid").agg(F.max("__local").alias("__t"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
+    totals = rows.groupBy("__pid").agg(F.expr("max(__local) AS __t"))
+    offsets = totals.selectExpr(
         "__pid",
-        F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off"),
+        "coalesce(sum(__t) OVER (ORDER BY __pid ASC ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off",
     )
     return (
         rows.join(F.broadcast(offsets), on="__pid")
-        .withColumn(out_col, F.col("__off") + F.col("__local"))
+        .selectExpr("*", f"(__off + __local) AS `{out_col}`")
         .drop("__mid", "__pid", "__local", "__off")
     )
 
@@ -262,8 +262,9 @@ def deterministic_shuffle(
     changes the execution width, never the output (asserted by
     ``tests/test_properties.py::test_shuffle_rank_partition_invariant``).
     """
-    keyed = df.select(
-        df["*"], md5_seeded(F.col(id_col).cast("string"), seed).alias("__k")
+    keyed = df.selectExpr(
+        "*",
+        f"md5(concat('{seed}|', cast(`{id_col}` as string))) AS __k",
     )
     ranked = parallel_rank(
         keyed,

@@ -756,14 +756,18 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     used only for ORDERING (ties share identical (tf, df) so both
     engines break them identically by term); output columns are ints.
     """
+    from swisscourtrulingcorpus_spark.functions.hashing import (
+        normalize_ws_sql,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
 
+    # SQL-text construction (r12): the Column form cost ~250 py4j round
+    # trips per bench-timed construction; identical analyzed plan.
     def _words(d: DataFrame) -> DataFrame:
-        return d.select(
+        return d.selectExpr(
             "doc_id",
-            F.explode(
-                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-            ).alias("term"),
+            f"explode(split({normalize_ws_sql('text')}, ' ')) AS term",
         )
 
     # TF only matters for the output docs, so the doc_id predicate sits
@@ -771,9 +775,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stay corpus-wide — that asymmetry is the load-bearing pushdown
     # a 100 TB corpus needs (tf over 20 docs, not 100 TB of docs).
     tf = (
-        _words(docs.where(F.col("doc_id") < 20))
+        _words(docs.where("doc_id < 20"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.expr("count(1) AS tf"))
     )
     # r11 optimization: document frequency via a MAP-SIDE per-doc
     # distinct (explode array_distinct of the token array) + plain
@@ -785,23 +789,17 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that pair table is corpus-sized).  Plan: 2 Exchanges -> 1 on the
     # df branch.
     df_ = (
-        docs.select(
-            F.explode(
-                F.array_distinct(
-                    F.split(
-                        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")),
-                        " ",
-                    )
-                )
-            ).alias("term")
+        docs.selectExpr(
+            f"explode(array_distinct(split({normalize_ws_sql('text')}, ' ')))"
+            " AS term"
         )
         .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.expr("count(1) AS df"))
     )
     # doc_id is the documents PK (unique at every SF — the dedup and
     # split gates all rely on it), so N = count(*), sparing the
     # countDistinct's shuffle of every distinct id.
-    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = docs.selectExpr("count(1) AS n_docs")
     # Broadcast TF, stream DF: tf is bounded by the query's doc set (20
     # docs), while df_ is vocabulary-sized — at 100 TB the corpus-wide
     # term table can NOT be broadcast, but the per-query tf always can.
@@ -809,10 +807,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         df_.join(F.broadcast(tf), on="term")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "score",
-            F.col("tf")
-            * (F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + 1),
+        .selectExpr(
+            "*", "(tf * (ln((1 + n_docs) / (1 + df)) + 1)) AS score"
         )
     )
     # rank on round(score, 9): Spark's and DuckDB's ln may differ by an
@@ -821,12 +817,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines are "right" (ADVICE r05 on bm25_top_terms — same fix:
     # identical rounding on both sides turns ULP noise into a tie the
     # term column breaks deterministically).
-    w = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 9).desc(), F.col("term").asc()
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY round(score, 9) DESC, term ASC) AS rank",
+        )
+        .where("rank <= 5")
         .select("doc_id", "term", "tf", "df", "rank")
     )
 
