@@ -41,49 +41,54 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing document-sized ever shuffles.  The double score orders
     rows only; output columns are all ints.
     """
+    from swisscourtrulingcorpus_spark.functions.hashing import (
+        normalize_ws_sql,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
 
     def _words(d: DataFrame) -> DataFrame:
-        return d.select(
+        return d.selectExpr(
             "doc_id",
-            F.explode(
-                F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
-            ).alias("term"),
+            f"explode(split({normalize_ws_sql('text')}, ' ')) AS term",
         )
 
     tf = (
-        _words(docs.where(F.col("doc_id") < 20))
+        _words(docs.where("doc_id < 20"))
         .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.expr("count(1) AS tf"))
     )
-    all_words = _words(docs)
-    df_ = all_words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    dl = all_words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # r12 (VERDICT r11 item 3): document frequency via a MAP-SIDE
+    # per-doc distinct (explode array_distinct of the token array) +
+    # plain count — the same fix tfidf_top_terms got in r11.  Same
+    # number (df counts docs containing the term; doc_id is the
+    # documents PK), but partial aggregation now compresses before the
+    # exchange: ONE shuffle of (term, count) rows instead of
+    # countDistinct's two-phase expansion that shuffled every distinct
+    # (term, doc_id) pair — corpus-sized at 100 TB.  Plan: the df
+    # branch drops from 2 Exchanges to 1 (plans/r12/bm25_top_terms_*).
+    df_ = (
+        docs.selectExpr(
+            f"explode(array_distinct(split({normalize_ws_sql('text')}, ' ')))"
+            " AS term"
+        )
+        .groupBy("term")
+        .agg(F.expr("count(1) AS df"))
+    )
+    dl = _words(docs).groupBy("doc_id").agg(F.expr("count(1) AS dl"))
     scalars = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("(cast(sum(dl) as double) / count(1)) AS avgdl"),
     )
     scored = (
         df_.join(F.broadcast(tf), on="term")
-        .join(F.broadcast(dl.where(F.col("doc_id") < 20)), on="doc_id")
+        .join(F.broadcast(dl.where("doc_id < 20")), on="doc_id")
         .crossJoin(F.broadcast(scalars))
-        .withColumn(
-            "score",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            )
-            * (F.col("tf") * F.expr(f"{_K1} + 1"))
-            / (
-                F.col("tf")
-                + F.expr(_K1)
-                * (
-                    F.lit(1.0)
-                    - F.expr(_B)
-                    + F.expr(_B) * F.col("dl") / F.col("avgdl")
-                )
-            ),
+        .selectExpr(
+            "*",
+            f"((ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D))"
+            f" * (tf * ({_K1} + 1)))"
+            f" / (tf + {_K1} * (1.0D - {_B} + {_B} * dl / avgdl))) AS score",
         )
     )
     # ADVICE r05: the ranking decision must not hinge on cross-engine
@@ -93,12 +98,13 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # either agree on the grid or fall to the deterministic term
     # tie-break; a flip now needs a score within one ULP of a grid
     # boundary rather than any near-tie.
-    w = Window.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 9).desc(), F.col("term").asc()
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY round(score, 9) DESC, term ASC) AS rank",
+        )
+        .where("rank <= 5")
         .select("doc_id", "term", "tf", "df", "dl", "rank")
     )
 
