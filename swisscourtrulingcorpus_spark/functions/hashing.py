@@ -111,10 +111,21 @@ def normalize_ws_sql(col_expr: str) -> str:
     return f"trim(regexp_replace(lower({col_expr}), '\\\\s+', ' '))"
 
 
+def _safe_seed(seed) -> str:
+    """Interpolation guard (ADVICE r11): seeds are spliced into SQL
+    string literals, so restrict them to characters that cannot break
+    out of a single-quoted literal or change parsing.  Internal callers
+    pass integers or short alnum tags; anything else is a bug."""
+    s = str(seed)
+    if not all(c.isalnum() or c in "_.-" for c in s):
+        raise ValueError(f"seed {s!r} must be alphanumeric/_.- only")
+    return s
+
+
 def h32_sql(expr: str, seed: str | None = None) -> str:
     """SQL text of :func:`h32` over an expression string."""
     if seed is not None:
-        expr = f"concat('{seed}|', {expr})"
+        expr = f"concat('{_safe_seed(seed)}|', {expr})"
     return f"cast(conv(substring(md5({expr}), 1, 8), 16, 10) as bigint)"
 
 

@@ -209,7 +209,29 @@ def parallel_rank(
     Same contract as the window form: output independent of where the
     range boundaries land (property-tested), unique sort key required,
     partitions must stay under 2^33 rows (monotonically_increasing_id's
-    per-partition counter width)."""
+    per-partition counter width).
+
+    CORRECTNESS DEPENDENCY (ADVICE r11): the nondeterministic ``rows``
+    subtree (mid above the local sort) is referenced twice — once for
+    ``totals`` and once for the final join — and the two references
+    must observe the SAME partitioning and row placement.  Exchange
+    reuse does NOT guarantee that here: column pruning narrows the
+    totals branch to the sort-key columns, so its range exchange no
+    longer canonicalizes equal to the join branch's and each reference
+    evaluates independently (verified in the executed plan).  What
+    actually holds, and what this operator RELIES on, is deterministic
+    re-evaluation: (a) the upstream must be DETERMINISTIC (scans /
+    projections / deterministic keys — every engine caller qualifies;
+    do not feed this operator the raw output of a round-robin
+    repartition or rand()), so RangePartitioner's seeded reservoir
+    sampling draws identical boundaries on both evaluations, and
+    (b) the sort key is unique, so the within-partition order after
+    sortWithinPartitions — and hence every row's (__pid, __local) —
+    is a pure function of the boundary set.  Output invariance across
+    partition counts and re-runs is property-tested
+    (tests/test_properties.py, tests/test_round12_ops.py).  The
+    pruned totals branch re-reads only the sort-key columns (narrow
+    columnar re-scan), not the full rows."""
     reserved = {"__mid", "__pid", "__local", "__off", "__t", out_col}
     clash = sorted(reserved & set(df.columns))
     if clash:
@@ -262,9 +284,11 @@ def deterministic_shuffle(
     changes the execution width, never the output (asserted by
     ``tests/test_properties.py::test_shuffle_rank_partition_invariant``).
     """
+    from swisscourtrulingcorpus_spark.functions.hashing import _safe_seed
+
     keyed = df.selectExpr(
         "*",
-        f"md5(concat('{seed}|', cast(`{id_col}` as string))) AS __k",
+        f"md5(concat('{_safe_seed(seed)}|', cast(`{id_col}` as string))) AS __k",
     )
     ranked = parallel_rank(
         keyed,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,14 +143,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     st = os.stat(path)
-    key = (id(spark), path, st.st_mtime_ns, st.st_size)
+    # Cache key notes (ADVICE r11): the stat key is the stats of the
+    # top-level path — every engine table is a SINGLE parquet file
+    # written via whole-file replacement by the deterministic generator,
+    # so an in-place rewrite of a contained part-file (which would not
+    # change a directory's mtime/size) cannot occur here.  The session
+    # key is the SparkSession OBJECT (not id(spark)): the held
+    # reference pins the object, so a later session can never reuse a
+    # garbage-collected id and alias a stale view entry.  Sessions per
+    # process are few; the pinned objects are negligible.
+    key = (spark, path, st.st_mtime_ns, st.st_size)
     view = _VIEW_CACHE.get(key)
     if view is not None:
         try:
             return spark.table(view)
-        except Exception:
-            # session restarted under the same Python object id (or the
-            # view was dropped): fall through and re-register
+        except AnalysisException:
+            # the view was dropped (or the catalog was cleared):
+            # fall through and re-register.  Narrow catch (ADVICE r11) —
+            # any other analyzer/runtime error propagates instead of
+            # being masked by a silent re-register.
             _VIEW_CACHE.pop(key, None)
     df = spark.read.schema(_table_schema(spark, path)).parquet(path)
     for c in _nanos_timestamp_cols(path):
