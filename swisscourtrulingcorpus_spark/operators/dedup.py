@@ -779,41 +779,29 @@ def ngram_jaccard_pairs(
         .selectExpr(f"`{id_col}`", "n_sh", f"{h32_sql('shingle')} AS __h")
         .repartition(F.col("__h"))
     )
-    # r12 (VERDICT r11 item 4, guide §2.5 skew): the r11 count WINDOW
-    # had to buffer an entire __h bucket (sort + WindowExec group
-    # buffer) before the __df filter could drop it — a stop-shingle
-    # shared by a large fraction of a 100 TB corpus became one
-    # partition-sized spill before being discarded.  Replace it with a
-    # rank probe off the SAME exchange, broadcast as a tiny
-    # over-threshold key set and anti-joined below: a key is hot iff a
-    # row with row_number = max_doc_freq + 1 exists, and Spark's
-    # InferWindowGroupLimit turns the rank filter into a
-    # WindowGroupLimit that buffers AT MOST max_doc_freq + 1 rows per
-    # bucket — a stop-shingle bucket now costs 101 buffered rows
-    # instead of its full (potentially corpus-scale) posting list, and
-    # the main join path has no sort or window at all.
-    #
-    # The rank ORDER BY deliberately references (id, n_sh): the window
-    # then needs every posting column, so column pruning cannot narrow
-    # this branch's exchange child below the join sides' — the
-    # subtrees canonicalize equal and all three consumers (rank probe
-    # + both self-join sides) hang off ONE exchange / one scan +
-    # tokenize + shingle + md5 chain (plan-asserted in
-    # tests/test_round12_ops.py; a count(1) or count(struct(...))
-    # aggregate is instead narrowed to __h-only — NullPropagation
-    # rewrites non-nullable counts to count(1) — and the chain ran
-    # twice, the r10 regression the r11 window fixed).
-    hot_keys = (
-        posts.selectExpr(
-            "*",
-            f"row_number() OVER (PARTITION BY __h"
-            f" ORDER BY `{id_col}`, n_sh) AS __rn",
-        )
-        .where(f"__rn = {int(max_doc_freq) + 1}")
-        .select("__h")
-    )
-    rare = posts.join(F.broadcast(hot_keys), on="__h", how="left_anti").select(
-        id_col, "n_sh", "__h"
+    # Hot-bucket buffering (VERDICT r11 item 4, guide §2.5): the count
+    # window buffers one __h bucket (sort + WindowExec group buffer)
+    # before the __df filter can drop it, so a stop-shingle shared by
+    # a large corpus fraction spills its bucket to disk before being
+    # discarded.  Two bounded-buffer guards were built and A/B'd in
+    # r12, and both REJECTED on measurement (guide §1.1: the "ideal"
+    # plan lost to the empirical loop; OPTIMIZATION_r12.md §4, plans in
+    # plans/r12/ngram_jaccard_pairs_guard*.txt):
+    # - broadcast anti-join of over-threshold keys (rank probe off the
+    #   same exchange): adds a blocking stage + broadcast before the
+    #   pair join can start — 1.50 -> 2.05 s at sf0.1;
+    # - WindowGroupLimit cap (row_number <= max_doc_freq + 1 filter
+    #   below this count window; identical keep/drop set): bounds
+    #   every buffer at 101 rows but adds a second non-codegen window
+    #   pass on BOTH self-join sides — 1.47 -> 1.77 s at sf0.1.
+    # The uncapped count window stays: WindowExec spills (never OOMs)
+    # and the hot bucket is read/written once, which both measured
+    # guards exceeded in steady-state cost.  Revisit only with
+    # evidence of real stop-shingle spill at production scale.
+    rare = (
+        posts.selectExpr("*", "count(1) OVER (PARTITION BY __h) AS __df")
+        .where(f"__df <= {int(max_doc_freq)}")
+        .select(id_col, "n_sh", "__h")
     )
 
     a = rare.selectExpr(f"`{id_col}` AS id_a", "n_sh AS n_a", "__h")
