@@ -564,18 +564,24 @@ def jl_project(
     like nulls (zip_with would otherwise null-pad and silently emit
     all-NULL projections for every such row — r06 review); mismatched
     dimensionality is a data-quality signal, surfaced by the
-    expectations layer, not a projectable vector."""
+    expectations layer, not a projectable vector.
+
+    SQL-text construction (r12): the Column form issued one py4j round
+    trip per matrix ENTRY (out_dim x in_dim F.lit calls — ~1k for the
+    64->16 projector) per construction; the parsed strings embed the
+    same literals in one call per output dim.  `repr(x)D` is the SQL
+    DOUBLE literal — Java's parseDouble of Python's shortest
+    round-trip repr reproduces the exact double, so the analyzed plan
+    literals are bit-identical to F.lit(x)."""
     in_dim = len(matrix[0])
     cols = [
-        _dot(
-            F.col(vec_col),
-            F.array(*[F.lit(x) for x in row]),
-        ).alias(f"{prefix}{i}")
+        f"{_dot_sql(f'`{vec_col}`', 'array(' + ', '.join(f'{x!r}D' for x in row) + ')')}"
+        f" AS `{prefix}{i}`"
         for i, row in enumerate(matrix)
     ]
     return df.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == in_dim)
-    ).select(F.col(id_col), *cols)
+        f"(`{vec_col}` IS NOT NULL) AND (size(`{vec_col}`) = {in_dim})"
+    ).selectExpr(f"`{id_col}`", *cols)
 
 
 def jl_rerank_topk(
@@ -607,12 +613,12 @@ def jl_rerank_topk(
     from pyspark.sql import Window
 
     out_dim = len(matrix)
-    parr = F.array(*[F.col(f"p{i}") for i in range(out_dim)])
-    pq = jl_project(queries, matrix, vec_col, id_col).select(
-        id_col, parr.alias("__p")
+    parr = f"array({', '.join(f'p{i}' for i in range(out_dim))})"
+    pq = jl_project(queries, matrix, vec_col, id_col).selectExpr(
+        f"`{id_col}`", f"{parr} AS __p"
     )
-    pc = jl_project(corpus, matrix, vec_col, id_col).select(
-        id_col, parr.alias("__p")
+    pc = jl_project(corpus, matrix, vec_col, id_col).selectExpr(
+        f"`{id_col}`", f"{parr} AS __p"
     )
     short = cosine_topk_bruteforce(
         pc, pq, id_col=id_col, vec_col="__p", k=shortlist
@@ -622,41 +628,36 @@ def jl_rerank_topk(
     # corpus is pruned to shortlist members BEFORE any norm/dot work.
     # No zero-norm guard needed: a zero full vector projects to zero
     # and is already excluded by stage 1's norm filter.
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        _norm(F.col(vec_col)).alias("__qn2"),
+    qv = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"`{vec_col}` AS __qv",
+        f"{_norm_sql(f'`{vec_col}`')} AS __qn2",
     )
     cv = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        corpus.selectExpr(
+            f"`{id_col}` AS neighbor_id", f"`{vec_col}` AS __cv"
         )
         .join(
             short.select("neighbor_id").distinct(),
             on="neighbor_id",
             how="left_semi",
         )
-        .select("neighbor_id", "__cv", _norm(F.col("__cv")).alias("__cn2"))
+        .selectExpr("neighbor_id", "__cv", f"{_norm_sql('__cv')} AS __cn2")
     )
     exact = (
         short.join(F.broadcast(qv), on="query_id")
         .join(cv, on="neighbor_id")
-        .select(
+        .selectExpr(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("__qv"), F.col("__cv"))
-                / (F.col("__qn2") * F.col("__cn2"))
-            ).alias("cosine"),
+            f"({_dot_sql('__qv', '__cv')} / (__qn2 * __cn2)) AS cosine",
         )
     )
-    ranked = top_k_per_group(
-        exact,
-        ["query_id"],
-        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
-        k,
+    ranked = top_k_per_group_sql(
+        exact, ["query_id"], "cosine DESC, neighbor_id ASC", k
     )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    return ranked.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rank",
     )
-    return ranked.withColumn("rank", F.row_number().over(w2))
