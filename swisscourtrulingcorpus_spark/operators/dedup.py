@@ -822,6 +822,121 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int = 100,
+    spread_partitions: int | None = None,
+) -> str:
+    """Whole-query SQL text of :func:`ngram_jaccard_pairs` over a
+    FROM-able table expression (r12, session 2) — ONE parsed statement
+    instead of ~250 py4j round trips of chained-DataFrame construction
+    (guide §1; the bench times construction 3× per query).  Keep in
+    lockstep with the DataFrame form above: the optimized plans are
+    asserted string-identical by
+    tests/test_sql_construction.py::test_sql_twin_plans_identical, so
+    the plan-shape guarantees documented there (single postings scan,
+    ReusedExchange on the self-join, count-window doc-frequency filter)
+    carry over unchanged.  ``spread_partitions`` is the SQL analogue of
+    ``spread=True`` (REPARTITION hint; pass
+    ``sc.defaultParallelism``)."""
+    norm = normalize_ws_sql(f"`{text_col}`")
+    sh = word_shingles_from_words_sql("__w", k)
+    spread_hint = (
+        f"/*+ REPARTITION({int(spread_partitions)}, `{id_col}`) */ "
+        if spread_partitions
+        else ""
+    )
+    return f"""
+WITH rare AS (
+  SELECT `{id_col}`, n_sh, __h FROM (
+    SELECT *, count(1) OVER (PARTITION BY __h) AS __df FROM (
+      SELECT /*+ REPARTITION(__h) */ * FROM (
+        SELECT `{id_col}`, n_sh, {h32_sql('shingle')} AS __h FROM (
+          SELECT `{id_col}`, size(__sh) AS n_sh, explode(__sh) AS shingle
+          FROM (
+            SELECT `{id_col}`, array_distinct({sh}) AS __sh FROM (
+              SELECT `{id_col}`, split({norm}, ' ') AS __w FROM (
+                SELECT {spread_hint}`{id_col}`, `{text_col}` FROM {table}
+              )
+            ) WHERE size(__w) >= {k}
+          )
+        )
+      )
+    )
+  ) WHERE __df <= {int(max_doc_freq)}
+)
+SELECT * FROM (
+  SELECT id_a, id_b, (shared / (n_a + n_b - shared)) AS jaccard FROM (
+    SELECT id_a, id_b, n_a, n_b, count(1) AS shared
+    FROM (SELECT `{id_col}` AS id_a, n_sh AS n_a, __h FROM rare)
+    JOIN (SELECT `{id_col}` AS id_b, n_sh AS n_b, __h FROM rare) USING (__h)
+    WHERE id_a < id_b
+    GROUP BY id_a, id_b, n_a, n_b
+  )
+) WHERE jaccard >= {threshold!r}D
+"""
+
+
+def contamination_check_sql(
+    eval_table: str,
+    train_table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    spread_partitions: int | None = None,
+) -> str:
+    """Whole-query SQL text of :func:`contamination_check` (r12,
+    session 2; see :func:`ngram_jaccard_pairs_sql` for the why and the
+    equivalence pin).  ``eval_table`` / ``train_table`` are FROM-able
+    expressions — a view name or a parenthesized subquery like
+    ``(SELECT ... FROM v WHERE ...)``."""
+    norm = normalize_ws_sql(f"`{text_col}`")
+    sh = word_shingles_from_words_sql("__w", k)
+    spread_hint = (
+        f"/*+ REPARTITION({int(spread_partitions)}, `{id_col}`) */ "
+        if spread_partitions
+        else ""
+    )
+
+    def shingled(table: str, cols: str) -> str:
+        # mirrors _shingled: spread -> split -> distinct shingle set ->
+        # explode in the select list (text projected away before the
+        # explode), exactly the Generate shape the DataFrame form makes
+        return f"""
+  SELECT {cols}explode(__sh) AS shingle FROM (
+    SELECT `{id_col}`, array_distinct({sh}) AS __sh FROM (
+      SELECT `{id_col}`, split({norm}, ' ') AS __w FROM (
+        SELECT {spread_hint}`{id_col}`, `{text_col}` FROM {table}
+      )
+    )
+  )"""
+
+    ev = shingled(eval_table, f"`{id_col}`, ")
+    tr = shingled(train_table, "")
+    return f"""
+WITH ev AS (
+  SELECT `{id_col}`, {h32_sql('shingle')} AS __h FROM ({ev})
+),
+tr AS (
+  SELECT *, 1 AS __hit FROM (
+    SELECT DISTINCT __h FROM (
+      SELECT {h32_sql('shingle')} AS __h FROM ({tr})
+    )
+  )
+)
+SELECT `{id_col}`, n_shared, n_total, (n_shared / n_total) AS contamination
+FROM (
+  SELECT `{id_col}`, count(__hit) AS n_shared, count(1) AS n_total
+  FROM ev LEFT JOIN tr USING (__h)
+  GROUP BY `{id_col}`
+)
+"""
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

@@ -172,6 +172,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.table(view)
 
 
+def table_view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Registered temp-view NAME for a catalog table — the building
+    block for whole-query ``spark.sql`` construction (r12: one parsed
+    statement instead of a py4j round trip per DataFrame method; the
+    bench times construction, guide §1).  Shares ``load_table``'s
+    cache and invalidation key; the warm path costs ZERO py4j calls
+    (``os.stat`` only).  Pair with :func:`catalog_sql`, which retries
+    through a re-register if a cached view was dropped behind us."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    st = os.stat(path)
+    key = (spark, path, st.st_mtime_ns, st.st_size)
+    view = _VIEW_CACHE.get(key)
+    if view is None:
+        load_table(spark, sf_dir, name)
+        view = _VIEW_CACHE[key]
+    return view
+
+
+def catalog_sql(spark: SparkSession, build) -> DataFrame:
+    """``spark.sql`` over text produced by ``build()`` (a zero-arg
+    callable composing view names from :func:`table_view`).  One py4j
+    call on the happy path.  If a cached temp view was dropped (e.g.
+    the session catalog was reset), every ``_VIEW_CACHE`` entry for
+    this session is invalidated and the text is rebuilt once —
+    ``table_view`` then re-registers through ``load_table``, matching
+    the self-healing ``load_table`` itself has."""
+    try:
+        return spark.sql(build())
+    except AnalysisException:
+        for k in [k for k in _VIEW_CACHE if k[0] is spark]:
+            _VIEW_CACHE.pop(k, None)
+        return spark.sql(build())
+
+
 def epoch_us(col) -> F.Column:
     """Microseconds since the epoch for TIMESTAMP *or* TIMESTAMP_NTZ.
 
