@@ -194,6 +194,19 @@ def _banded(
     ``posexplode`` supplies the band index, keeping bucket spaces of
     different bands disjoint via the ("band", "band_key") compound key.
     """
+    keys = _band_key_exprs(num_hashes, bands)
+    # SQL-text construction (r12): one parsed string instead of ~3 py4j
+    # round trips per packed key; identical analyzed plan.
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"posexplode(array({', '.join(keys)})) AS (band, band_key)",
+    )
+
+
+def _band_key_exprs(num_hashes: int, bands: int) -> list[str]:
+    """The packed band-key SQL expressions shared by :func:`_banded`
+    and the whole-query SQL twins below — one definition so the two
+    construction paths cannot drift."""
     rows_per_band = num_hashes // bands
     keys = []
     for b in range(bands):
@@ -201,12 +214,7 @@ def _banded(
         for r in range(1, rows_per_band):
             key = f"shiftleft({key}, 32) | mh{b * rows_per_band + r}"
         keys.append(key)
-    # SQL-text construction (r12): one parsed string instead of ~3 py4j
-    # round trips per packed key; identical analyzed plan.
-    return sig.selectExpr(
-        f"`{id_col}`",
-        f"posexplode(array({', '.join(keys)})) AS (band, band_key)",
-    )
+    return keys
 
 
 def minhash_lsh_candidates(
@@ -441,6 +449,123 @@ def dedup_groups_from_signatures(
             f"(representative = `{id_col}`) AS keep",
         )
     )
+
+
+def _minhash_signatures_select(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    spread_partitions: int | None = None,
+) -> str:
+    """Whole-query SQL text of :func:`minhash_signatures` over a
+    FROM-able table expression (r12, session 2 — see
+    :func:`ngram_jaccard_pairs_sql` for the why; plan equality is
+    pinned by tests/test_sql_construction.py)."""
+    norm = normalize_ws_sql(f"`{text_col}`")
+    sh = word_shingles_from_words_sql("__w", k)
+    n_seeds = (num_hashes + 3) // 4
+    spread_hint = (
+        f"/*+ REPARTITION({int(spread_partitions)}, `{id_col}`) */ "
+        if spread_partitions
+        else ""
+    )
+    digest_cols = ", ".join(
+        f"transform(__sh, x -> md5(concat('{s}|', x))) AS __m{s}"
+        for s in range(n_seeds)
+    )
+
+    def mh(j: int) -> str:
+        s, w = divmod(j, 4)
+        return (
+            f"array_min(transform(__m{s}, x -> "
+            f"cast(conv(substring(x, {1 + 8 * w}, 8), 16, 10) as bigint)"
+            f")) AS mh{j}"
+        )
+
+    mh_cols = ", ".join(mh(j) for j in range(num_hashes))
+    return f"""
+  SELECT `{id_col}`, {mh_cols} FROM (
+    SELECT `{id_col}`, {digest_cols} FROM (
+      SELECT `{id_col}`, array_distinct({sh}) AS __sh FROM (
+        SELECT `{id_col}`, split({norm}, ' ') AS __w FROM (
+          SELECT {spread_hint}`{id_col}`, `{text_col}` FROM {table}
+        )
+      ) WHERE size(__w) >= {k}
+    )
+  )"""
+
+
+def _banded_cte(
+    sig_select: str, id_col: str, num_hashes: int, bands: int
+) -> str:
+    """``banded AS (...)`` CTE text: posexplode of the packed band keys
+    over a signature subquery + the explicit (band, band_key)
+    repartition both consumers hang off (the ReusedExchange idiom of
+    :func:`minhash_lsh_candidates`)."""
+    keys = ", ".join(_band_key_exprs(num_hashes, bands))
+    return f"""banded AS (
+  SELECT /*+ REPARTITION(band, band_key) */ * FROM (
+    SELECT `{id_col}`, posexplode(array({keys})) AS (band, band_key)
+    FROM ({sig_select})
+  )
+)"""
+
+
+def minhash_lsh_candidates_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+    spread_partitions: int | None = None,
+) -> str:
+    """Whole-query SQL text of :func:`minhash_lsh_candidates` (r12,
+    session 2; plan equality pinned by
+    tests/test_sql_construction.py)."""
+    sig = _minhash_signatures_select(
+        table, text_col, id_col, k, num_hashes, spread_partitions
+    )
+    return f"""
+WITH {_banded_cte(sig, id_col, num_hashes, bands)}
+SELECT DISTINCT id_a, id_b FROM (
+  SELECT a.`{id_col}` AS id_a, b.`{id_col}` AS id_b
+  FROM banded a JOIN banded b USING (band, band_key)
+  WHERE a.`{id_col}` < b.`{id_col}`
+)
+"""
+
+
+def minhash_dedup_groups_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    num_hashes: int = NUM_MINHASH,
+    bands: int = LSH_BANDS,
+    spread_partitions: int | None = None,
+) -> str:
+    """Whole-query SQL text of :func:`minhash_dedup_groups` (r12,
+    session 2; plan equality pinned by
+    tests/test_sql_construction.py)."""
+    sig = _minhash_signatures_select(
+        table, text_col, id_col, k, num_hashes, spread_partitions
+    )
+    return f"""
+WITH {_banded_cte(sig, id_col, num_hashes, bands)},
+bucket_min AS (
+  SELECT band, band_key, min(`{id_col}`) AS bucket_rep
+  FROM banded GROUP BY band, band_key
+)
+SELECT `{id_col}`, representative, (representative = `{id_col}`) AS keep
+FROM (
+  SELECT `{id_col}`, min(bucket_rep) AS representative
+  FROM banded JOIN bucket_min USING (band, band_key)
+  GROUP BY `{id_col}`
+)
+"""
 
 
 def simhash64(

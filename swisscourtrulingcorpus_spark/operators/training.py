@@ -261,6 +261,48 @@ def parallel_rank(
     )
 
 
+def deterministic_shuffle_sql(
+    table: str,
+    id_col: str,
+    seed: str = "42",
+    rank_col: str = "shuffle_rank",
+) -> str:
+    """Whole-query SQL text of :func:`deterministic_shuffle` →
+    ``SELECT id, rank`` over a FROM-able table expression (r12,
+    session 2 — one parsed statement instead of ~126 py4j round trips;
+    guide §1).  Mirrors :func:`parallel_rank`'s mid-arithmetic shape
+    exactly; the optimized plan is pinned identical to the DataFrame
+    twin by tests/test_sql_construction.py, so the determinism
+    contract documented on ``parallel_rank`` (deterministic upstream +
+    unique sort key ⇒ identical re-evaluation of the twice-referenced
+    nondeterministic subtree) carries over: the ``rows`` text is
+    spliced twice below, exactly as the DataFrame form references its
+    ``rows`` plan twice."""
+    from swisscourtrulingcorpus_spark.functions.hashing import _safe_seed
+
+    mask = (1 << 33) - 1
+    rows = f"""
+    SELECT *, (__mid & {mask}) + 1 AS __local FROM (
+      SELECT *, shiftright(__mid, 33) AS __pid FROM (
+        SELECT *, monotonically_increasing_id() AS __mid FROM (
+          SELECT /*+ REPARTITION_BY_RANGE(__k, `{id_col}`) */ * FROM (
+            SELECT *, md5(concat('{_safe_seed(seed)}|', cast(`{id_col}` as string))) AS __k
+            FROM {table}
+          ) SORT BY __k ASC, `{id_col}` ASC
+        )
+      )
+    )"""
+    offsets = f"""
+    SELECT __pid, coalesce(sum(__t) OVER (ORDER BY __pid ASC ROWS BETWEEN
+           UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS __off
+    FROM (SELECT __pid, max(__local) AS __t FROM ({rows}) GROUP BY __pid)"""
+    return f"""
+SELECT `{id_col}`, cast((__off + __local) as int) AS `{rank_col}` FROM (
+  SELECT /*+ BROADCAST(o) */ * FROM ({rows}) JOIN ({offsets}) o USING (__pid)
+)
+"""
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str,

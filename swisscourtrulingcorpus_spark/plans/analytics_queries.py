@@ -44,7 +44,41 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer ⋈ orders ⋈ lineitem with date predicates on both fact
     scans (pushdown), revenue agg per order, deterministic top-10
     (revenue DESC, then orderkey — the tiebreak makes the LIMIT set
-    engine-independent)."""
+    engine-independent).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q3_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        li = table_view(spark, sf_dir, "lineitem")
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        return f"""
+SELECT l_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       o_orderpriority, revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         cast(sum({_revenue_sql()}) as double) AS revenue
+  FROM (SELECT * FROM {li} WHERE l_shipdate > '1998-07-01')
+  JOIN (SELECT * FROM {orders} WHERE o_orderdate < '1998-07-01')
+    ON l_orderkey = o_orderkey
+  JOIN (SELECT * FROM {cust} WHERE c_mktsegment = 'BUILDING')
+    ON o_custkey = c_custkey
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _q3_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     cust = load_table(spark, sf_dir, "customer").where(
         "c_mktsegment = 'BUILDING'"
     )
@@ -93,7 +127,41 @@ LIMIT 10
 def q5_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with
     the classic c_nationkey = s_nationkey local-supplier condition.
-    Two fact tables meet on orderkey (SMJ); every dim broadcasts."""
+    Two fact tables meet on orderkey (SMJ); every dim broadcasts.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q5_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        li = table_view(spark, sf_dir, "lineitem")
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        supp = table_view(spark, sf_dir, "supplier")
+        nation = table_view(spark, sf_dir, "nation")
+        region = table_view(spark, sf_dir, "region")
+        return f"""
+SELECT /*+ BROADCAST(n), BROADCAST(r) */
+       r_name, n_name, cast(sum({_revenue_sql()}) as double) AS revenue
+FROM {li}
+JOIN (SELECT * FROM {orders}
+      WHERE o_orderdate >= '1997-01-01' AND o_orderdate < '1999-01-01')
+  ON l_orderkey = o_orderkey
+JOIN {cust} ON o_custkey = c_custkey
+JOIN {supp} ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN {nation} n ON s_nationkey = n_nationkey
+JOIN {region} r ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _q5_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     supp = load_table(spark, sf_dir, "supplier")
@@ -144,7 +212,39 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order), HAVING-filter, then join the survivors back to orders ⋈
     customer.  The agg-before-join ordering is the load-bearing scale
     decision — joining first would move every lineitem row through the
-    customer join."""
+    customer join.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q18_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        li = table_view(spark, sf_dir, "lineitem")
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        return f"""
+SELECT c_name, c_custkey, o_orderkey,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS orderdate,
+       o_totalprice AS totalprice,
+       cast(sum_qty as double) AS sum_qty
+FROM (
+  SELECT * FROM (
+    SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM {li}
+    GROUP BY l_orderkey
+  ) WHERE sum_qty > 300
+)
+JOIN {orders} ON l_orderkey = o_orderkey
+JOIN {cust} ON o_custkey = c_custkey
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _q18_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")

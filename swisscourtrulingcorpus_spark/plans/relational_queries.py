@@ -290,7 +290,67 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (the citation→ruling page snap, `dataset_creator.py:
     262-285`): each purchase event snaps to the user's most recent
     'click' at ts <= purchase ts, kept only if within 30 minutes.
-    Sort-merge as-of: one shuffle on user_id, no range cross-join."""
+    Sort-merge as-of: one shuffle on user_id, no range cross-join.
+
+    Whole-query SQL-text construction (r12, session 2): the text below
+    inlines `operators/relational.py::asof_join`'s union + running
+    `last(..., true)` window shape verbatim (null-typed columns use the
+    events fixture types — bigint ids, timestamp_ntz ts; a generator
+    schema change fails the twin test loudly).  Optimized plan
+    identical to `_asof_purchase_attribution_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    over = (
+        "OVER (PARTITION BY user_id ORDER BY __ord ASC, __is_left ASC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    within = "((__ord - __m_on) < INTERVAL 30 MINUTES)"
+
+    def build() -> str:
+        ev = table_view(spark, sf_dir, "events")
+        return f"""
+WITH u AS (
+  SELECT user_id, purchase_id, ts, ts AS __ord, 1 AS __is_left,
+         cast(null as bigint) AS __r_click_id,
+         cast(null as timestamp_ntz) AS __r_on
+  FROM (SELECT user_id, event_id AS purchase_id, ts FROM {ev}
+        WHERE event_type = 'purchase')
+  UNION ALL
+  SELECT user_id, cast(null as bigint) AS purchase_id,
+         cast(null as timestamp_ntz) AS ts, ts AS __ord, 0 AS __is_left,
+         click_id AS __r_click_id, ts AS __r_on
+  FROM (SELECT user_id, event_id AS click_id, ts FROM {ev}
+        WHERE event_type = 'click')
+),
+carried AS (
+  SELECT user_id, purchase_id, ts, __is_left, __ord,
+         last(__r_click_id, true) {over} AS __m_click_id,
+         last(__r_on, true) {over} AS __m_on
+  FROM u
+)
+SELECT purchase_id, user_id, asof_click_id AS click_id,
+       date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS purchase_ts
+FROM (
+  SELECT user_id, purchase_id, ts,
+         __m_click_id AS asof_click_id, __m_on AS asof_ts
+  FROM (
+    SELECT user_id, purchase_id, ts, __is_left, __ord,
+           CASE WHEN {within} THEN __m_click_id END AS __m_click_id,
+           CASE WHEN {within} THEN __m_on END AS __m_on
+    FROM carried WHERE __is_left = 1
+  )
+)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _asof_purchase_attribution_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.where("event_type = 'purchase'").selectExpr(
         "user_id", "event_id AS purchase_id", "ts"

@@ -162,6 +162,31 @@ MINHASH_ORACLE = _minhash_sql_cte() + "\nSELECT * FROM sig"
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-query SQL-text construction (r12, session 2); optimized
+    plan identical to `_q_minhash_lsh_pairs_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_lsh_candidates_sql,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    spread = spark.sparkContext.defaultParallelism
+    return catalog_sql(
+        spark,
+        lambda: minhash_lsh_candidates_sql(
+            table_view(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            spread_partitions=spread,
+        ),
+    )
+
+
+def _q_minhash_lsh_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(docs, "text", "doc_id", spread=True)
 
@@ -179,6 +204,31 @@ FROM bands a JOIN bands b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 
 
 def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-query SQL-text construction (r12, session 2); optimized
+    plan identical to `_q_minhash_dedup_groups_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.operators.dedup import (
+        minhash_dedup_groups_sql,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    spread = spark.sparkContext.defaultParallelism
+    return catalog_sql(
+        spark,
+        lambda: minhash_dedup_groups_sql(
+            table_view(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            spread_partitions=spread,
+        ),
+    )
+
+
+def _q_minhash_dedup_groups_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_groups(docs, "text", "doc_id", spread=True)
 
@@ -1053,7 +1103,29 @@ FROM starts
 
 def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: engine-independent global
-    permutation via md5(seed|id) ranking."""
+    permutation via md5(seed|id) ranking.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q_training_shuffle_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        deterministic_shuffle_sql,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    return catalog_sql(
+        spark,
+        lambda: deterministic_shuffle_sql(
+            table_view(spark, sf_dir, "documents"), "doc_id"
+        ),
+    )
+
+
+def _q_training_shuffle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     from swisscourtrulingcorpus_spark.operators.training import (
         deterministic_shuffle,
     )

@@ -33,12 +33,21 @@ def _norm(df) -> str:
 
 
 def _twins():
+    from swisscourtrulingcorpus_spark.plans import analytics_queries as aq
+    from swisscourtrulingcorpus_spark.plans import relational_queries as rq
     from swisscourtrulingcorpus_spark.plans import text_queries as tq
 
     return [
+        ("q3_shipping_priority", aq._q3_df),
+        ("q5_supplier_volume", aq._q5_df),
+        ("q18_large_orders", aq._q18_df),
+        ("asof_purchase_attribution", rq._asof_purchase_attribution_df),
+        ("training_shuffle_rank", tq._q_training_shuffle_df),
         ("tfidf_top_terms", tq._q_tfidf_top_terms_df),
         ("ngram_jaccard_pairs", tq._q_ngram_jaccard_df),
         ("test_set_contamination", tq._q_contamination_df),
+        ("minhash_lsh_pairs", tq._q_minhash_lsh_pairs_df),
+        ("minhash_dedup_groups", tq._q_minhash_dedup_groups_df),
     ]
 
 
