@@ -128,6 +128,50 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_topk_bruteforce_sql(
+    corpus_table: str,
+    queries_table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> str:
+    """Whole-query SQL text of :func:`cosine_topk_bruteforce` over
+    FROM-able table expressions (r12, session 2 — one parsed statement;
+    guide §1).  Plan equality with the DataFrame form is pinned by
+    tests/test_sql_construction.py."""
+    norm = _norm_sql(f"`{vec_col}`")
+    over = (
+        "OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id ASC)"
+    )
+    return f"""
+WITH q AS (
+  SELECT * FROM (
+    SELECT `{id_col}` AS query_id, `{vec_col}` AS __qv, {norm} AS __qn
+    FROM {queries_table}
+  ) WHERE __qn > 0
+),
+c AS (
+  SELECT * FROM (
+    SELECT `{id_col}` AS neighbor_id, `{vec_col}` AS __cv, {norm} AS __cn
+    FROM {corpus_table}
+  ) WHERE __cn > 0
+),
+scored AS (
+  SELECT /*+ BROADCAST(q) */ query_id, neighbor_id,
+         ({_dot_sql('__qv', '__cv')} / (__qn * __cn)) AS cosine
+  FROM c CROSS JOIN q
+  WHERE NOT (neighbor_id = query_id)
+)
+SELECT *, row_number() {over} AS rank
+FROM (
+  SELECT query_id, neighbor_id, cosine
+  FROM (SELECT *, row_number() {over} AS __rn FROM scored)
+  WHERE __rn <= {int(k)}
+)
+"""
+
+
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42):
     """Deterministic Gaussian hyperplanes, one set per table.  Generated
     driver-side (tiny: n_tables × n_planes × dim floats) and inlined as

@@ -83,6 +83,38 @@ def chunk_documents(
 
 
 
+def chunk_documents_sql(
+    table: str,
+    text_col: str,
+    id_col: str,
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> str:
+    """Whole-query SQL text of :func:`chunk_documents` over a FROM-able
+    table expression (r12, session 2 — one parsed statement; guide §1).
+    Plan equality with the DataFrame form is pinned by
+    tests/test_sql_construction.py."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    norm = normalize_ws_sql(f"`{text_col}`")
+    return f"""
+SELECT `{id_col}`,
+       cast((__s - 1) / {step} as int) AS chunk_idx,
+       concat_ws(' ', slice(__w, __s, {chunk_size})) AS chunk_text,
+       least({chunk_size}, __n - __s + 1) AS n_chunk_tokens
+FROM (
+  SELECT `{id_col}`, size(__w) AS __n,
+         explode(sequence(1, greatest(size(__w) - {overlap}, 1), {step})) AS __s,
+         __w
+  FROM (
+    SELECT `{id_col}`, split({norm}, ' ') AS __w
+    FROM {table} WHERE `{text_col}` IS NOT NULL
+  )
+)
+"""
+
+
 def parallel_prefix_sum(
     df: DataFrame,
     sort_cols: list,

@@ -35,13 +35,43 @@ from swisscourtrulingcorpus_spark.sources.catalog import load_table
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship aggregation: grouped sums/avgs with a pushed-down scan
     filter (reference analogue: the coverage/count queries of
-    `scrc/utils/sql_select_utils.py:29-68`)."""
+    `scrc/utils/sql_select_utils.py:29-68`).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q1_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        li = table_view(spark, sf_dir, "lineitem")
+        return f"""
+SELECT l_returnflag, l_linestatus,
+  cast(sum(l_quantity) as double) AS sum_qty,
+  cast(sum({money.dec2_sql('l_extendedprice')}) as double) AS sum_base_price,
+  cast(sum({money.disc_price_sql()}) as double) AS sum_disc_price,
+  cast(sum({money.charge_sql()}) as double) AS sum_charge,
+  sum(l_quantity) / count(1) AS avg_qty,
+  cast(sum({money.dec2_sql('l_extendedprice')}) as double) / count(1) AS avg_price,
+  count(1) AS count_order
+FROM {li}
+WHERE l_shipdate <= '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _q1_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test.  No round() in the
+    averages: Spark round (BigDecimal HALF_UP) and DuckDB round disagree
+    in the last place; both engines compute the SAME double expression
+    instead."""
     from swisscourtrulingcorpus_spark.functions import money
 
     li = load_table(spark, sf_dir, "lineitem")
-    # SQL-text construction (r12): the Column form cost ~135 py4j round
-    # trips per bench-timed construction; parsed strings build the
-    # identical analyzed plan in ~12 calls (plan-diff pinned).
     return (
         li.where("l_shipdate <= '2000-12-01'")
         .groupBy("l_returnflag", "l_linestatus")
@@ -95,7 +125,39 @@ def coverage_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's flagship: the reference's judgment-coverage query
     (`sql_select_utils.py:51-68` — decision ⋈ chamber ⋈ spider ⋈
     judgment_map → countDistinct) re-shaped onto orders ⋈ customer ⋈
-    nation ⋈ region.  Dims broadcast; orders shuffles once for the agg."""
+    nation ⋈ region.  Dims broadcast; orders shuffles once for the agg.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_coverage_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        nation = table_view(spark, sf_dir, "nation")
+        region = table_view(spark, sf_dir, "region")
+        return f"""
+SELECT /*+ BROADCAST(c), BROADCAST(n), BROADCAST(r) */
+  r_name,
+  count(DISTINCT o_custkey) AS n_customers,
+  count(1) AS n_orders,
+  cast(sum({money.dec2_sql('o_totalprice')}) as double) AS total_value
+FROM {orders}
+JOIN {cust} c ON o_custkey = c_custkey
+JOIN {nation} n ON c_nationkey = n_nationkey
+JOIN {region} r ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _coverage_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     from swisscourtrulingcorpus_spark.functions import money
 
     orders = load_table(spark, sf_dir, "orders")
@@ -138,7 +200,39 @@ def map_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's core denormalization (`sql_select_utils.py:240-257`
     json_agg per decision): lineitems collapsed to a deterministic
     sorted string per order.  Aggregate-before-join: the join's right
-    side is one row per orderkey."""
+    side is one row per orderkey.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_map_join_orders_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        orders = table_view(spark, sf_dir, "orders")
+        li = table_view(spark, sf_dir, "lineitem")
+        return f"""
+SELECT o_orderkey, o_orderstatus, coalesce(items, '') AS items
+FROM (SELECT o_orderkey, o_orderstatus FROM {orders})
+LEFT JOIN (
+  SELECT o_orderkey, concat_ws(',', sort_array(collect_list(__item))) AS items
+  FROM (
+    SELECT l_orderkey AS o_orderkey,
+           concat_ws(':', cast(l_linenumber as string),
+                     cast(l_partkey as string)) AS __item
+    FROM {li}
+  )
+  GROUP BY o_orderkey
+) USING (o_orderkey)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _map_join_orders_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     out = map_join(
@@ -213,7 +307,54 @@ def salted_map_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semi_join_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 3-level nested-IN spider predicate
     (`sql_select_utils.py:108-118`) as chained left_semi joins:
-    lineitems of orders of customers in region AMERICA."""
+    lineitems of orders of customers in region AMERICA.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_semi_join_membership_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        li = table_view(spark, sf_dir, "lineitem")
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        nation = table_view(spark, sf_dir, "nation")
+        region = table_view(spark, sf_dir, "region")
+        return f"""
+WITH nations_in AS (
+  SELECT /*+ BROADCAST(r) */ * FROM {nation}
+  LEFT SEMI JOIN (SELECT * FROM {region} WHERE r_name = 'AMERICA') r
+    ON n_regionkey = r_regionkey
+),
+custs_in AS (
+  SELECT /*+ BROADCAST(n) */ * FROM {cust}
+  LEFT SEMI JOIN nations_in n ON c_nationkey = n_nationkey
+),
+orders_in AS (
+  SELECT /*+ BROADCAST(ci) */ * FROM {orders}
+  LEFT SEMI JOIN (SELECT c_custkey FROM custs_in) ci
+    ON o_custkey = c_custkey
+),
+li_in AS (
+  SELECT * FROM {li}
+  LEFT SEMI JOIN (SELECT o_orderkey FROM orders_in)
+    ON l_orderkey = o_orderkey
+)
+SELECT l_returnflag, count(1) AS n_items,
+       cast(sum({money.dec2_sql('l_extendedprice')}) as double) AS value
+FROM li_in
+GROUP BY l_returnflag
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _semi_join_membership_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -391,7 +532,47 @@ FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.cts
 
 def topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per market segment by value (the top-25/top-1000
-    citation rankings, `doc2doc_ir_dataset_creator.py:110,327`)."""
+    citation rankings, `doc2doc_ir_dataset_creator.py:110,327`).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_topk_orders_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    over = (
+        "OVER (PARTITION BY c_mktsegment"
+        " ORDER BY price DESC, o_orderkey ASC)"
+    )
+
+    def build() -> str:
+        orders = table_view(spark, sf_dir, "orders")
+        cust = table_view(spark, sf_dir, "customer")
+        return f"""
+SELECT c_mktsegment, o_orderkey, cast(price as double) AS price, rank
+FROM (
+  SELECT *, row_number() {over} AS rank
+  FROM (
+    SELECT c_mktsegment, o_orderkey, price
+    FROM (
+      SELECT *, row_number() {over} AS __rn
+      FROM (
+        SELECT /*+ BROADCAST(c) */ c_mktsegment, o_orderkey,
+               {money.dec2_sql('o_totalprice')} AS price
+        FROM {orders} JOIN {cust} c ON o_custkey = c_custkey
+      )
+    ) WHERE __rn <= 3
+  )
+)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _topk_orders_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     from swisscourtrulingcorpus_spark.functions import money
     from swisscourtrulingcorpus_spark.operators.relational import (
         top_k_per_group_sql,
@@ -467,7 +648,40 @@ GROUP BY o_orderstatus
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canton→court→chamber counter ladder (`count_computer.py:40-87`)
     as a native ROLLUP over region→nation: per-level totals in one pass
-    (partial aggregation map-side, single shuffle)."""
+    (partial aggregation map-side, single shuffle).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_rollup_df` (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.functions import money
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        cust = table_view(spark, sf_dir, "customer")
+        nation = table_view(spark, sf_dir, "nation")
+        region = table_view(spark, sf_dir, "region")
+        return f"""
+SELECT coalesce(r_name, '<ALL>') AS region,
+       coalesce(n_name, '<ALL>') AS nation,
+       n_customers, total_balance
+FROM (
+  SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+         count(1) AS n_customers,
+         cast(sum({money.dec2_sql('c_acctbal')}) as double) AS total_balance
+  FROM {cust}
+  JOIN {nation} n ON c_nationkey = n_nationkey
+  JOIN {region} r ON n_regionkey = r_regionkey
+  GROUP BY ROLLUP (r_name, n_name)
+)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _rollup_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     from swisscourtrulingcorpus_spark.functions import money
 
     cust = load_table(spark, sf_dir, "customer")

@@ -562,6 +562,28 @@ WHERE shared / (sa.n + sb.n - shared) >= 0.2
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-query SQL-text construction (r12, session 2); optimized
+    plan identical to `_q_cosine_topk_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.operators.similarity import (
+        cosine_topk_bruteforce_sql,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        emb = table_view(spark, sf_dir, "embeddings")
+        return cosine_topk_bruteforce_sql(
+            emb, f"(SELECT * FROM {emb} WHERE vec_id < 8)", k=5
+        )
+
+    return catalog_sql(spark, build)
+
+
+def _q_cosine_topk_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_bruteforce(emb, emb.where(F.col("vec_id") < 8), k=5)
 
@@ -1077,7 +1099,33 @@ FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
 def q_chunked_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bounded chunking with overlap (64-token chunks, 16-token
     overlap) — the pretraining/embedding preprocessing step, map-side
-    only (`operators/training.py::chunk_documents`)."""
+    only (`operators/training.py::chunk_documents`).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_q_chunked_documents_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.operators.training import (
+        chunk_documents_sql,
+    )
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    return catalog_sql(
+        spark,
+        lambda: chunk_documents_sql(
+            table_view(spark, sf_dir, "documents"),
+            "text",
+            "doc_id",
+            chunk_size=64,
+            overlap=16,
+        ),
+    )
+
+
+def _q_chunked_documents_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     from swisscourtrulingcorpus_spark.operators.training import chunk_documents
 
     docs = load_table(spark, sf_dir, "documents")

@@ -24,7 +24,34 @@ from swisscourtrulingcorpus_spark.sources.catalog import load_table
 
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type: count + exact value sum.
-    ``window()`` aligns to the epoch, i.e. identical to date_trunc."""
+    ``window()`` aligns to the epoch, i.e. identical to date_trunc.
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_tumbling_hourly_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        ev = table_view(spark, sf_dir, "events")
+        return f"""
+SELECT date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+       event_type, cnt, total_value
+FROM (
+  SELECT window(ts, '1 hour') AS w, event_type, count(1) AS cnt,
+         cast(sum(cast(value as decimal(18,2))) as double) AS total_value
+  FROM {ev}
+  GROUP BY window(ts, '1 hour'), event_type
+)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _tumbling_hourly_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
@@ -81,7 +108,36 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap — the
     one genuinely stateful windowing shape.  Batch form uses the native
     ``session_window``; the oracle derives identical sessions via
-    gaps-and-islands (lag + running sum)."""
+    gaps-and-islands (lag + running sum).
+
+    Whole-query SQL-text construction (r12, session 2); optimized plan
+    identical to `_session_windows_df`
+    (tests/test_sql_construction.py)."""
+    from swisscourtrulingcorpus_spark.sources.catalog import (
+        catalog_sql,
+        table_view,
+    )
+
+    def build() -> str:
+        ev = table_view(spark, sf_dir, "events")
+        return f"""
+SELECT user_id,
+       date_format(w.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
+       date_format(__last, 'yyyy-MM-dd HH:mm:ss') AS last_ts,
+       n_events
+FROM (
+  SELECT user_id, session_window(ts, '30 minutes') AS w,
+         count(1) AS n_events, max(ts) AS __last
+  FROM {ev}
+  GROUP BY user_id, session_window(ts, '30 minutes')
+)
+"""
+
+    return catalog_sql(spark, build)
+
+
+def _session_windows_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-API twin for the plan-equality test."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(

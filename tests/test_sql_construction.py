@@ -37,7 +37,19 @@ def _twins():
     from swisscourtrulingcorpus_spark.plans import relational_queries as rq
     from swisscourtrulingcorpus_spark.plans import text_queries as tq
 
+    from swisscourtrulingcorpus_spark.plans import window_queries as wq
+
     return [
+        ("q1_pricing_summary", rq._q1_df),
+        ("coverage_by_region", rq._coverage_df),
+        ("map_join_orders", rq._map_join_orders_df),
+        ("semi_join_membership", rq._semi_join_membership_df),
+        ("rollup_region_nation", rq._rollup_df),
+        ("topk_orders_per_segment", rq._topk_orders_df),
+        ("tumbling_hourly_events", wq._tumbling_hourly_df),
+        ("session_windows_events", wq._session_windows_df),
+        ("cosine_topk_bruteforce", tq._q_cosine_topk_df),
+        ("chunked_documents", tq._q_chunked_documents_df),
         ("q3_shipping_priority", aq._q3_df),
         ("q5_supplier_volume", aq._q5_df),
         ("q18_large_orders", aq._q18_df),
