@@ -71,7 +71,13 @@ def normalize_binary_judgment(judgments: Column | str) -> Column:
     Pure array expressions: transform -> array_distinct -> array_remove,
     then a CASE on the surviving set.  This is the highest-value oracle
     target per SURVEY.md §7.2 step 4 (subtle set semantics).
+
+    String column names take the parsed-SQL twin (one py4j call instead
+    of ~100, analyzed-plan-identical — r12 session 2); Column inputs
+    keep the Column path below.
     """
+    if isinstance(judgments, str) and judgments.isidentifier():
+        return F.expr(normalize_binary_judgment_sql(f"`{judgments}`"))
     j = F.col(judgments) if isinstance(judgments, str) else judgments
     stripped = F.array_distinct(
         F.transform(j, lambda x: F.regexp_replace(x, "^partial_", ""))
@@ -88,6 +94,31 @@ def normalize_binary_judgment(judgments: Column | str) -> Column:
         .when(F.size(substantive) == 1, F.element_at(substantive, 1))
         .when(F.size(substantive) == 0, F.lit(None).cast("string"))
         .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def normalize_binary_judgment_sql(expr: str) -> str:
+    """SQL text of :func:`normalize_binary_judgment` over an expression
+    string (r12, session 2 — construction-cost twin; keep in lockstep
+    with the Column form above, including its repeated embedding of the
+    ``substantive`` subtree at each reference)."""
+    stripped = (
+        f"array_distinct(transform({expr}, "
+        f"x -> regexp_replace(x, '^partial_', '')))"
+    )
+    substantive = (
+        f"array_remove(array_remove(array_remove({stripped}, "
+        f"'write_off'), 'unification'), 'inadmissible')"
+    )
+    return (
+        f"CASE WHEN (({expr} IS NULL) OR (size({expr}) = 0))"
+        " THEN cast(null as string)"
+        f" WHEN (array_contains({substantive}, 'approval')"
+        f" AND array_contains({substantive}, 'dismissal'))"
+        " THEN cast(null as string)"
+        f" WHEN (size({substantive}) = 1) THEN element_at({substantive}, 1)"
+        f" WHEN (size({substantive}) = 0) THEN cast(null as string)"
+        " ELSE cast(null as string) END"
     )
 
 

@@ -47,7 +47,13 @@ def clean_text_col(col: Column | str) -> Column:
 
 
 def token_count_ws(col: Column | str) -> Column:
-    """Whitespace token count (num_tokens analogue, SURVEY.md §1.2)."""
+    """Whitespace token count (num_tokens analogue, SURVEY.md §1.2).
+
+    String column names take the parsed-SQL twin (one py4j call,
+    analyzed-plan-identical — r12 session 2); Column inputs keep the
+    Column path."""
+    if isinstance(col, str) and col.isidentifier():
+        return F.expr(token_count_ws_sql(f"`{col}`"))
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.split(F.trim(c), r"\s+"))
 
@@ -97,6 +103,48 @@ def stopword_hits(col: Column | str, lang: str) -> Column:
     return F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in stops])))
 
 
+def token_count_ws_sql(col_expr: str) -> str:
+    """SQL text of :func:`token_count_ws` over an expression string
+    (r12, session 2 — construction-cost twin, same technique as
+    functions/hashing.py; keep in lockstep with the Column form)."""
+    return f"size(split(trim({col_expr}), '\\\\s+'))"
+
+
+def stopword_hits_sql(col_expr: str, lang: str) -> str:
+    """SQL text of :func:`stopword_hits` over an expression string."""
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return (
+        f"size(filter(split(trim(lower({col_expr})), '\\\\s+'), "
+        f"w -> w IN ({stops})))"
+    )
+
+
+def language_id_score_sql(col_expr: str) -> str:
+    """SQL text of :func:`language_id_score` over an expression string.
+    Mirrors the Column form exactly — including its re-expansion of
+    every per-language hit expression at each reference (the Column
+    object is one Python value but embeds as a repeated subtree;
+    codegen-level common-subexpression elimination dedups the work at
+    runtime in both forms).  Analyzed-plan identity with the Column
+    form is pinned by the pipeline fingerprint diff recorded in
+    OPTIMIZATION_r12.md and by tests/test_round12_ops.py."""
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits_sql(col_expr, lang) for lang in langs}
+    max_hits = "greatest(" + ", ".join(hits[lang] for lang in langs) + ")"
+    n_at_max = "0"
+    for lang in langs:
+        n_at_max = (
+            f"({n_at_max} + CASE WHEN ({hits[lang]} = {max_hits})"
+            " THEN 1 ELSE 0 END)"
+        )
+    branches = [
+        f"WHEN (({max_hits} = 0) OR ({n_at_max} > 1)) THEN 'und'"
+    ] + [
+        f"WHEN ({hits[lang]} = {max_hits}) THEN '{lang}'" for lang in langs
+    ]
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
 def language_id_score(col: Column | str) -> Column:
     """Heuristic language ID: argmax over per-language stopword hit
     counts; zero-hit or tied docs -> 'und' (undetermined), mirroring the
@@ -115,7 +163,13 @@ def language_id_score(col: Column | str) -> Column:
     so the SQL oracle is a literal transliteration with identical
     tie-break semantics: first language in alphabetical order wins the
     argmax, but a tie for the max yields 'und'.
+
+    String column names take the parsed-SQL twin (one py4j call instead
+    of ~470, analyzed-plan-identical — r12 session 2); Column inputs
+    keep the Column path below.
     """
+    if isinstance(col, str) and col.isidentifier():
+        return F.expr(language_id_score_sql(f"`{col}`"))
     langs = sorted(STOPWORDS)
     hits = {lang: stopword_hits(col, lang) for lang in langs}
     max_hits = F.greatest(*[hits[lang] for lang in langs])

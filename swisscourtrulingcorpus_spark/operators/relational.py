@@ -236,15 +236,21 @@ def date_stratified_split(
 ) -> DataFrame:
     """D8 date-stratified splits (`dataset_creator.py:158-159,1058-1071`):
     train [start,2016) / val [2016,2018) / test [2018,2023) / secret_test
-    [2023,∞).  A derived column — no shuffle; exports partitionBy it."""
-    y = F.col(year_col)
+    [2023,∞).  A derived column — no shuffle; exports partitionBy it.
+
+    Built from parsed SQL text (r12, session 2): the CASE chain is the
+    exact transliteration of the former when-chain (analyzed-plan
+    identical; one py4j call instead of ~30)."""
     return df.withColumn(
         "split",
-        F.when(y < train_start, F.lit(None).cast("string"))
-        .when(y < val_start, F.lit("train"))
-        .when(y < test_start, F.lit("validation"))
-        .when(y < secret_start, F.lit("test"))
-        .otherwise(F.lit("secret_test")),
+        F.expr(
+            f"CASE WHEN (`{year_col}` < {int(train_start)})"
+            " THEN cast(null as string)"
+            f" WHEN (`{year_col}` < {int(val_start)}) THEN 'train'"
+            f" WHEN (`{year_col}` < {int(test_start)}) THEN 'validation'"
+            f" WHEN (`{year_col}` < {int(secret_start)}) THEN 'test'"
+            " ELSE 'secret_test' END"
+        ),
     )
 
 

@@ -41,12 +41,56 @@ from swisscourtrulingcorpus_spark.operators.relational import (
 )
 
 
+class LazyTables(dict):
+    """Pipeline-table mapping whose values CONSTRUCT on first access
+    (r12, session 2).  ``run_extraction_pipeline`` used to build every
+    derived DataFrame eagerly; a consumer like the bench's
+    ``judgment_dataset`` path reads only ``section_arrays``, yet paid
+    the driver-side construction (py4j round trips) of citations /
+    composition / lower-court / participation it never touched —
+    inside the bench's timed region.  Plans are unchanged: the same
+    construction code runs, only when the table is first asked for.
+    Subclasses ``dict`` so every mapping idiom used by consumers
+    (``[]``, ``.get``, ``in``, iteration, ``.keys``) works; values are
+    memoized after the first build, preserving the old semantics where
+    two reads of one key return the SAME DataFrame object (cache()
+    marks, exactly-one-cache-entry behavior)."""
+
+    def __init__(self, thunks: dict):
+        super().__init__({k: None for k in thunks})
+        self._thunks = thunks
+
+    def __getitem__(self, key):
+        val = super().__getitem__(key)
+        if val is None:
+            val = self._thunks[key]()
+            super().__setitem__(key, val)
+        return val
+
+    def get(self, key, default=None):
+        if key not in self:
+            return default
+        return self[key]
+
+    def values(self):  # pragma: no cover - convenience for tests
+        return [self[k] for k in self]
+
+    def items(self):
+        return [(k, self[k]) for k in self]
+
+
 def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     """raw(file_name, raw_text, spider, chamber, date, ...) → the core
     domain tables: decision, section, citation, judgment, composition.
 
     Mirrors §3.1's stage order; decision_id is the reference's UUIDv5
     of file_name (`sql_select_utils.py:168`) so ids are stable.
+
+    r12 (session 2): returns a :class:`LazyTables` mapping — the shared
+    ``base`` / ``section_arrays`` frames build eagerly (every consumer
+    needs them), each derived table on first access.  Construction code
+    and plans are byte-identical to the eager form
+    (tools/pipeline_fingerprint.py before/after).
     """
     base = raw.select(
         uuid5_udf("file_name").alias("decision_id"),
@@ -77,16 +121,17 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
     # lazily here, the column is computed only by consumers that
     # actually select it (the decision-table write), exactly once,
     # with the decision schema unchanged.
-    decisions = base.select(
-        "decision_id",
-        "file_name",
-        "spider",
-        "chamber",
-        "date",
-        clean_text_udf("raw_text").alias("clean_text"),
-        "raw_text",
-        "language",
-    )
+    def _decisions() -> DataFrame:
+        return base.select(
+            "decision_id",
+            "file_name",
+            "spider",
+            "chamber",
+            "date",
+            clean_text_udf("raw_text").alias("clean_text"),
+            "raw_text",
+            "language",
+        )
 
     # E3 section splitting: ONE UDF pass caching the per-doc section
     # ARRAY (r11 optimization, guide §2.3/§8): the former cache held
@@ -107,79 +152,102 @@ def run_extraction_pipeline(raw: DataFrame) -> dict[str, DataFrame]:
         "language",
         split_sections_udf("raw_text", "language").alias("__secs"),
     ).cache()
-    sections = (
-        section_arrays.select(
-            "decision_id",
-            "language",
-            F.explode("__secs").alias("s"),
+    def _sections() -> DataFrame:
+        return (
+            section_arrays.select(
+                "decision_id",
+                "language",
+                F.explode("__secs").alias("s"),
+            )
+            .select(
+                "decision_id",
+                "language",
+                F.col("s.section").alias("section"),
+                F.col("s.text").alias("section_text"),
+            )
+            .withColumn("num_tokens", token_count_ws("section_text"))
         )
-        .select(
-            "decision_id",
-            "language",
-            F.col("s.section").alias("section"),
-            F.col("s.text").alias("section_text"),
-        )
-        .withColumn("num_tokens", token_count_ws("section_text"))
-    )
 
     # E4 citations from considerations + full text
-    citations = (
-        sections.where(F.col("section") == "considerations")
-        .select(
-            "decision_id",
-            F.explode(extract_citations_udf("section_text")).alias("c"),
+    def _citations() -> DataFrame:
+        return (
+            tables["section"].where(F.col("section") == "considerations")
+            .select(
+                "decision_id",
+                F.explode(extract_citations_udf("section_text")).alias("c"),
+            )
+            .select("decision_id", "c.*")
         )
-        .select("decision_id", "c.*")
-    )
 
     # E5 judgments from the rulings section
-    judgments = (
-        sections.where(F.col("section") == "rulings")
-        .select(
+    def _judgments() -> DataFrame:
+        return (
+            tables["section"].where(F.col("section") == "rulings")
+            .select(
+                "decision_id",
+                extract_judgments_udf("section_text", "language").alias(
+                    "judgments"
+                ),
+            )
+        )
+
+    # E7 court composition from the header; E6 lower court + E8
+    # procedural participation share the cached header frame, built on
+    # first access (one cache entry, like the former eager form)
+    _headers_memo: list[DataFrame] = []
+
+    def _headers() -> DataFrame:
+        if not _headers_memo:
+            _headers_memo.append(
+                tables["section"].where(F.col("section") == "header").cache()
+            )
+        return _headers_memo[0]
+
+    def _composition() -> DataFrame:
+        return _headers().select(
             "decision_id",
-            extract_judgments_udf("section_text", "language").alias("judgments"),
+            extract_composition_udf("section_text").alias("comp"),
+        ).select("decision_id", "comp.*")
+
+    def _lower_court() -> DataFrame:
+        from swisscourtrulingcorpus_spark.extraction import (
+            extract_lower_court_udf,
         )
-    )
 
-    # E7 court composition from the header
-    headers = sections.where(F.col("section") == "header").cache()
-    composition = headers.select(
-        "decision_id",
-        extract_composition_udf("section_text").alias("comp"),
-    ).select("decision_id", "comp.*")
-
-    # E6 lower court + E8 procedural participation from the header
-    from swisscourtrulingcorpus_spark.extraction import (
-        extract_lower_court_udf,
-        extract_participation_udf,
-    )
-
-    lower_court = (
-        headers.select(
-            "decision_id", extract_lower_court_udf("section_text").alias("lc")
+        return (
+            _headers().select(
+                "decision_id",
+                extract_lower_court_udf("section_text").alias("lc"),
+            )
+            .select("decision_id", "lc.*")
+            .where(F.col("court").isNotNull())
         )
-        .select("decision_id", "lc.*")
-        .where(F.col("court").isNotNull())
-    )
-    participation = (
-        headers.select(
-            "decision_id",
-            extract_participation_udf("section_text").alias("pp"),
-        )
-        .select("decision_id", "pp.*")
-        .where(F.col("plaintiffs").isNotNull())
-    )
 
-    return {
-        "decision": decisions,
-        "section": sections,
-        "section_arrays": section_arrays,
-        "citation": citations,
-        "judgment": judgments,
-        "composition": composition,
-        "lower_court": lower_court,
-        "participation": participation,
-    }
+    def _participation() -> DataFrame:
+        from swisscourtrulingcorpus_spark.extraction import (
+            extract_participation_udf,
+        )
+
+        return (
+            _headers().select(
+                "decision_id",
+                extract_participation_udf("section_text").alias("pp"),
+            )
+            .select("decision_id", "pp.*")
+            .where(F.col("plaintiffs").isNotNull())
+        )
+
+    tables = LazyTables({
+        "decision": _decisions,
+        "section": _sections,
+        "section_arrays": lambda: section_arrays,
+        "citation": _citations,
+        "judgment": _judgments,
+        "composition": _composition,
+        "lower_court": _lower_court,
+        "participation": _participation,
+    })
+    return tables
 
 
 def resolve_lower_court_ids(

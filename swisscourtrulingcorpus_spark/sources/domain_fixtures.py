@@ -189,9 +189,27 @@ def _decision_row(i: int, rng: random.Random) -> dict:
 
 
 def raw_corpus_df(spark: SparkSession, n_decisions: int = 120) -> DataFrame:
+    """Raw-corpus fixture as a DataFrame.
+
+    r12 (session 2): rows go through pandas + Arrow instead of
+    ``createDataFrame(list-of-dicts)`` — the dict path pickles every
+    row (measured ~0.7 s of the bench's timed 5k-doc pipeline
+    iteration on the profiling box; the Arrow path is ~0.1 s).  Column
+    order and types are pinned to what the dict path produced
+    (alphabetical keys; int64/str; the same to_date conversion), and
+    the resulting LocalRelation is plan-fingerprint-identical
+    (tools/pipeline_fingerprint.py before/after), so every consumer —
+    including the oracle-gated extraction family — sees bit-identical
+    input."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
-    df = spark.createDataFrame(build_raw_corpus(n_decisions))
+    rows = build_raw_corpus(n_decisions)
+    # createDataFrame(list-of-dicts) sorts columns alphabetically;
+    # reproduce that exactly so the schema cannot drift
+    cols = sorted(rows[0]) if rows else []
+    pdf = pd.DataFrame(rows, columns=cols)
+    df = spark.createDataFrame(pdf)
     return df.withColumn("date", F.to_date("date"))
 
 

@@ -73,6 +73,63 @@ def test_sql_twin_plans_identical(spark, sf_dir):
         assert live == twin, f"{name}: optimized plans differ\n{live}\n---\n{twin}"
 
 
+def test_expression_twins_analyzed_identical(spark):
+    """The helper functions that switched to parsed-SQL bodies for
+    string column names (uuid5, language id, token count, binary
+    judgment, date splits) must build the exact analyzed plan of their
+    Column forms — pinned here by forcing the Column path with a
+    Column input."""
+    from pyspark.sql import functions as F
+
+    from swisscourtrulingcorpus_spark.extraction.ids import uuid5_col
+    from swisscourtrulingcorpus_spark.functions.domain import (
+        normalize_binary_judgment,
+    )
+    from swisscourtrulingcorpus_spark.functions.text import (
+        language_id_score,
+        token_count_ws,
+    )
+
+    df = spark.createDataFrame([("a b", ["approval"], 2017)], ["t", "j", "year"])
+    pairs = [
+        (uuid5_col("t"), uuid5_col(F.col("t"))),
+        (language_id_score("t"), language_id_score(F.col("t"))),
+        (token_count_ws("t"), token_count_ws(F.col("t"))),
+        (
+            normalize_binary_judgment("j"),
+            normalize_binary_judgment(F.col("j")),
+        ),
+    ]
+    for sql_form, col_form in pairs:
+        a = _norm(df.select(sql_form.alias("o")))
+        b = _norm(df.select(col_form.alias("o")))
+        assert a == b, f"twin drift:\n{a}\n---\n{b}"
+
+
+def test_lazy_tables_defer_and_memoize(spark):
+    """run_extraction_pipeline returns a mapping whose derived tables
+    construct on first access and memoize (same object on re-read,
+    preserving the one-cache-entry semantics)."""
+    from swisscourtrulingcorpus_spark.plans.domain_pipeline import (
+        run_extraction_pipeline,
+    )
+    from swisscourtrulingcorpus_spark.sources.domain_fixtures import (
+        raw_corpus_df,
+    )
+
+    tables = run_extraction_pipeline(raw_corpus_df(spark, 10))
+    assert set(tables) == {
+        "decision", "section", "section_arrays", "citation", "judgment",
+        "composition", "lower_court", "participation",
+    }
+    c1 = tables["citation"]
+    assert c1 is tables["citation"]
+    assert tables.get("missing", "d") == "d"
+    assert tables["composition"].columns[0] == "decision_id"
+    # items() materializes every table (the eager-consumer idiom)
+    assert len(dict(tables.items())) == 8
+
+
 def test_table_view_and_catalog_sql_self_heal(spark, sf_dir):
     from swisscourtrulingcorpus_spark.sources.catalog import (
         catalog_sql,
